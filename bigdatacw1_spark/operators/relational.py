@@ -1,0 +1,118 @@
+"""Relational operator helpers (SURVEY.md §2.2-§2.6).
+
+Thin, composable wrappers over DataFrame built-ins for the patterns the
+reference exercises repeatedly. Everything stays JVM-side (Catalyst
+expressions, whole-stage codegen) — no Python UDFs.
+
+Reference cites are to /root/reference/Student_23098644/1.CourseworkOne/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_avg(value: Column | str, scale: int = 4, digits: int | None = 4) -> Column:
+    """Cross-engine-deterministic average (SURVEY.md §7.4.4).
+
+    ``avg(double)`` sums in partition order, so two engines (or two runs
+    with different partitioning) can disagree in the last ulp — which
+    flips the final ``round(x, 4)`` digit whenever the true value sits at
+    a rounding boundary. Instead: quantize to DECIMAL (exact, associative
+    sum — order-independent), then one double division and one round.
+    DuckDB equivalent: ``ROUND(SUM(CAST(x AS DECIMAL(30,s))) / COUNT(x), d)``.
+
+    ``scale`` must be >= the decimals of the data (lossless quantization);
+    ``digits=None`` skips the final round (still deterministic).
+    """
+    c = (F.col(value) if isinstance(value, str) else value).cast(f"decimal(30,{scale})")
+    avg = F.sum(c).cast("double") / F.count(c)
+    return F.round(avg, digits) if digits is not None else avg
+
+
+def conditional_avg(value: Column | str, cond: Column, alias: str) -> Column:
+    """Pivot-by-CASE aggregate: ``avg(case when <cond> then <value> end)``.
+
+    Operator A3 (SQLQueries.sql:19-26). Rows failing ``cond`` contribute
+    NULL, which ``avg`` ignores — exactly PostgreSQL's semantics.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    return F.avg(F.when(cond, value)).alias(alias)
+
+
+def comparison_case(left: Column, right: Column, left_label: str, right_label: str, alias: str = "comparison") -> Column:
+    """3-branch searched CASE (F3, SQLQueries.sql:22-26): which side is
+    larger, with 'N/A' when either side is NULL (null-rejecting ``>``)."""
+    return (
+        F.when(left > right, F.lit(left_label))
+        .when(left < right, F.lit(right_label))
+        .otherwise(F.lit("N/A"))
+        .alias(alias)
+    )
+
+
+def group_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """GROUP BY every selected column with no aggregate — the reference's
+    dedup idiom (A5, SQLQueries.sql:42,51). Semantically SELECT DISTINCT;
+    Spark plans it as a hash aggregate with map-side partial combine, so
+    at scale duplicates collapse before the shuffle."""
+    return df.select(*cols).dropDuplicates(list(cols))
+
+
+def having(df_agged: DataFrame, cond: Column) -> DataFrame:
+    """HAVING ≡ filter after aggregation (A4, SQLQueries.sql:30)."""
+    return df_agged.filter(cond)
+
+
+def argmin_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+) -> DataFrame:
+    """Deterministic first-per-group (A9, NoSQLQueries.js:49-50).
+
+    The reference relies on Mongo's ``$sort`` + ``$group $first`` stage
+    ordering; Spark's ``first()`` after ``orderBy`` is NOT deterministic
+    across partitionings (SURVEY.md §7.4.2), so we use a rank window with
+    an explicit total order (callers must include a tie-break column).
+
+    Scale: the window shuffles once on ``group_cols`` — same cost as the
+    groupBy the reference's ``$group`` implies; no extra pass.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def above_group_average(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metrics: Sequence[str],
+) -> DataFrame:
+    """Keep rows where EVERY metric exceeds its group average (W1).
+
+    The reference expresses this as $group + $push + $filter against
+    group-level scalars (NoSQLQueries.js:35-47); the Spark-idiomatic plan
+    is an average over a partition window followed by a row-level filter —
+    one shuffle, no array materialization per group (a group with millions
+    of members would OOM the $push approach at 100 TB)."""
+    w = Window.partitionBy(*group_cols)
+    out = df
+    cond = F.lit(True)
+    for m in metrics:
+        out = out.withColumn(f"__avg_{m}", F.avg(m).over(w))
+        cond = cond & (F.col(m) > F.col(f"__avg_{m}"))
+    return out.filter(cond).drop(*[f"__avg_{m}" for m in metrics])
+
+
+def topk(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame:
+    """Sort + limit (O4, NoSQLQueries.js:11-12). Spark fuses this into
+    TakeOrderedAndProject: each partition keeps only k rows, so no full
+    sort and no single-node materialization at scale."""
+    return df.orderBy(*order_cols).limit(k)

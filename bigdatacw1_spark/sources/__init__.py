@@ -1,0 +1,7 @@
+from bigdatacw1_spark.sources.catalog import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,150 @@
+"""Parquet catalog: declared schemas, loader, view registration.
+
+Reference parity: the reference binds a namespace once per session
+(``set search_path = cash_equity, "$user", public`` — SQLQueries.sql:7,
+operator S2 in SURVEY.md §2.1) and then scans named relations (S1) /
+collections (S3). Here the namespace is a directory of parquet files
+(one per table, TESTDATA.md) and ``register_views`` is the search_path
+equivalent: it registers every table as a temp view so both the DataFrame
+API and ``spark.sql`` resolve the same names.
+
+Scale notes (100 TB posture):
+  - Schemas are DECLARED, not inferred: on a million-file dataset schema
+    inference is a metadata storm; a fixed StructType also pins column
+    pruning and makes pushed filters typable.
+  - At production scale the fact tables (lineitem/orders/events) would be
+    written partitioned by date (``partitionBy("l_shipdate_month")``-style)
+    so Catalyst's dynamic partition pruning can skip data; the driver's
+    test parquet is single-file per table, so the loader takes files as-is.
+  - The loader never caches or collects; every query plans straight from
+    the scan so predicate pushdown & column pruning reach the parquet
+    reader (verify with plans.explain helpers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Declared schemas for the driver-provided tables (FIXTURES.md §B).
+# Used to validate what we read; parquet footers remain the storage truth.
+TABLES: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one named relation (operator S1, SURVEY.md §2.1).
+
+    Declarative parquet scan — filters/projections applied downstream are
+    pushed into this scan by Catalyst (PushedFilters / ReadSchema).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declared = {f.name for f in TABLES[name].fields}
+    actual = set(df.columns)
+    if declared != actual:
+        raise ValueError(f"schema drift for {name}: declared {sorted(declared)}, file has {sorted(actual)}")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Namespace binding (operator S2): make every table resolvable by name
+    from both ``spark.table(name)`` and ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

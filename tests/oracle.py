@@ -1,0 +1,66 @@
+"""Local replica of the driver's oracle comparison (BASELINE.md t2 gate).
+
+Runs a Spark DataFrame and a DuckDB oracle SQL over the same parquet
+tables, then compares row count, sorted column names, and order-insensitive
+values. Floats compare exactly by default (the engine's rounding
+discipline should make them bit-equal); mismatch reporting shows the
+first differing rows to debug drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from bigdatacw1_spark.sources.catalog import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # unify None/NaN representation for strings
+            df[c] = df[c].where(df[c].notna(), None)
+    # order-insensitive: sort rows by all columns
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def compare(spark_df, oracle_query: str, sf_dir: str) -> None:
+    con = duck_con(sf_dir)
+    exp = _normalize(con.sql(oracle_query).df())
+    got = _normalize(spark_df.toPandas())
+    assert list(got.columns) == list(exp.columns), (
+        f"schema mismatch: spark={list(got.columns)} oracle={list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"row count mismatch: spark={len(got)} oracle={len(exp)}"
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        bad = [
+            (i, g, e)
+            for i, (g, e) in enumerate(zip(gv, ev))
+            if not _values_equal(g, e)
+        ]
+        assert not bad, f"value mismatch in column {c!r} (first 5 of {len(bad)}): {bad[:5]}"
