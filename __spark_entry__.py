@@ -18,20 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7.1 — the NoSQL1 shape) on sf0.001."""
-    from bigdatacw1_spark.queries.inventory import REGISTRY
+    from bigdatacw1_spark.queries import REGISTRY
 
     return REGISTRY["ref_nosql1_top_group"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from bigdatacw1_spark.queries.inventory import REGISTRY
+    from bigdatacw1_spark.queries import REGISTRY
 
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only)."""
-    from bigdatacw1_spark.queries.inventory import REGISTRY
+    from bigdatacw1_spark.queries import REGISTRY
 
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -33,6 +33,15 @@ def exact_avg(value: Column | str, scale: int = 4, digits: int | None = 4) -> Co
     return F.round(avg, digits) if digits is not None else avg
 
 
+def exact_sum(value: Column | str, scale: int = 4, digits: int | None = 2) -> Column:
+    """Order-independent sum of doubles via decimal quantization — same
+    rationale as exact_avg. DuckDB equivalent:
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE), d)``."""
+    c = (F.col(value) if isinstance(value, str) else value).cast(f"decimal(30,{scale})")
+    s = F.sum(c).cast("double")
+    return F.round(s, digits) if digits is not None else s
+
+
 def conditional_avg(value: Column | str, cond: Column, alias: str) -> Column:
     """Pivot-by-CASE aggregate: ``avg(case when <cond> then <value> end)``.
 

@@ -25,43 +25,18 @@ queries/reference.py and are exercised by the fixture tests.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.operators.relational import (
     argmin_per_group,
     comparison_case,
-    conditional_avg,
     exact_avg,
     group_dedup,
     having,
-    topk,
 )
-from bigdatacw1_spark.sources.catalog import load_table
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
-    headline: bool = False  # included in bench.py's timed set
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def q(name: str, oracle: str | None = None, headline: bool = False):
-    def deco(fn):
-        REGISTRY[name] = QuerySpec(fn, oracle, headline)
-        return fn
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
 
 
 # ---------------------------------------------------------------------------

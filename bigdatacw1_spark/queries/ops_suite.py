@@ -1,0 +1,778 @@
+"""Per-operator micro-queries: one oracle-checked entry per SURVEY.md §2 row.
+
+Each entry isolates one operator (plus the minimum scaffolding to make it
+observable) so the driver's CORRECTNESS json maps line-by-line onto the
+operator inventory. Reference cites are to
+/root/reference/Student_23098644/1.CourseworkOne/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.relational import (
+    above_group_average,
+    conditional_avg,
+    exact_avg,
+    exact_sum,
+    group_dedup,
+    topk,
+)
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+@q("p1_projection", oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 column projection (SQLQueries.sql:11,37-38,44). Column pruning
+    must reach the scan: ReadSchema lists exactly these three columns."""
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@q(
+    "p2_computed_column",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+        FROM lineitem
+    """,
+)
+def p2_computed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 derived column + F1 round + F2 arithmetic (SQLQueries.sql:45-46)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@q(
+    "p3_in_list",
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    """,
+)
+def p3_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 IN-list predicate (SQLQueries.sql:15). Pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("n_nationkey", "n_name")
+    )
+
+
+@q(
+    "p4_between_dates",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-06-30'
+    """,
+)
+def p4_between_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 date-range predicate (SQLQueries.sql:41). At 100 TB this is the
+    predicate that partition pruning keys on (facts partitioned by date)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_shipdate").between(
+                F.lit("1997-01-01").cast("timestamp"), F.lit("1997-06-30").cast("timestamp")
+            )
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@q(
+    "p5_sentinel_filter",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus <> 'F'
+    """,
+)
+def p5_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 inequality vs a string sentinel (SQLQueries.sql:50 ``trader <>
+    'null'``): SQL ``<>`` is null-rejecting, replicated explicitly
+    (SURVEY.md §7.4.1)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus").isNotNull() & (F.col("o_orderstatus") != "F"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@q(
+    "p6_nested_predicate",
+    oracle="SELECT p_partkey, p_retailprice AS price FROM part WHERE p_retailprice > 1500",
+)
+def p6_nested_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 comparison on a nested field (NoSQLQueries.js:9
+    ``MarketData.MarketCap > 100000``): build the document struct, filter
+    through the dotted path (F9), project back to flat columns.
+    Catalyst's NestedColumnAliasing keeps pruning effective."""
+    part = _t(spark, sf_dir, "part")
+    nested = part.select(
+        "p_partkey",
+        F.struct(F.col("p_retailprice").alias("Price"), F.col("p_size").alias("Size")).alias(
+            "MarketData"
+        ),
+    )
+    return nested.where(F.col("MarketData.Price") > 1500).select(
+        "p_partkey", F.col("MarketData.Price").alias("price")
+    )
+
+
+@q(
+    "p7_sentinel_nin_trycast",
+    oracle="""
+        SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+        FROM events
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+          AND json_extract_string(props, '$.k') NOT IN ('NA')
+    """,
+)
+def p7_sentinel_nin_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 set-exclusion / mixed-type sentinel (NoSQLQueries.js:30-33
+    ``$nin: ["NA", null]``): ingest the flexible field as string, try_cast
+    to double, drop NULL-result and literal 'NA' — the engine's standard
+    sentinel ingest (SURVEY.md §7.4.1). Also exercises JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k_raw = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.select("event_id", k_raw.try_cast("double").alias("k_val"), k_raw.alias("__raw"))
+        .where(F.col("k_val").isNotNull() & ~F.col("__raw").isin("NA"))
+        .drop("__raw")
+    )
+
+
+@q(
+    "p8_nested_projection",
+    oracle="SELECT c_custkey, c_name AS name, c_acctbal AS bal FROM customer",
+)
+def p8_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 nested-field projection incl. suppressing fields
+    (NoSQLQueries.js:42-47,51): build a 3-field struct, project 2 of its
+    fields out, suppress the third."""
+    c = _t(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("segment"),
+        ).alias("info"),
+    )
+    return nested.select("c_custkey", F.col("info.name").alias("name"), F.col("info.bal").alias("bal"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+@q(
+    "j1_left_join_dim",
+    oracle="""
+        SELECT c_custkey, n_name FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def j1_left_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 left outer equi join onto a dimension (SQLQueries.sql:13-14).
+    nation is tiny → explicit broadcast: no shuffle of the probe side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left").select(
+        "c_custkey", "n_name"
+    )
+
+
+@q(
+    "j2_left_join_fact",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, o_orderstatus FROM lineitem
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def j2_left_join_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 fact-to-fact left join (SQLQueries.sql:39-40). No broadcast hint:
+    at 100 TB both sides are large → sort-merge on the shuffle key; AQE
+    may still demote to broadcast at small SF."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return l.join(o, l["l_orderkey"] == o["o_orderkey"], "left").select(
+        "l_orderkey", "l_linenumber", "o_orderstatus"
+    )
+
+
+@q(
+    "j3_right_join_compound",
+    oracle="""
+        SELECT l2.l_orderkey, l2.l_linenumber, f.lq
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity AS lq
+              FROM lineitem WHERE l_quantity > 25) f
+        RIGHT JOIN lineitem l2
+          ON f.l_orderkey = l2.l_orderkey AND f.l_linenumber = l2.l_linenumber
+    """,
+)
+def j3_right_join_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 right outer join on a compound 2-column key (SQLQueries.sql:48).
+    Unmatched right rows carry NULLs for the left columns."""
+    l = _t(spark, sf_dir, "lineitem")
+    f = l.where(F.col("l_quantity") > 25).select(
+        F.col("l_orderkey").alias("f_ok"), F.col("l_linenumber").alias("f_ln"), F.col("l_quantity").alias("lq")
+    )
+    return f.join(
+        l, (f["f_ok"] == l["l_orderkey"]) & (f["f_ln"] == l["l_linenumber"]), "right"
+    ).select("l_orderkey", "l_linenumber", "lq")
+
+
+@q(
+    "j4_broadcast_chain",
+    oracle="""
+        SELECT s_suppkey, s_name, n_name, r_name FROM supplier
+        LEFT JOIN nation ON s_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j4_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 dimension-lookup chain (SQLQueries.sql:49): two broadcast hash
+    joins back to back — zero shuffles end to end."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@q(
+    "j5_multiway_pipeline",
+    oracle="""
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+)
+def j5_multiway_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 multi-way join pipeline (SQLQueries.sql:39-49): fact ⨝ fact ⨝ dim
+    ⨝ dim, then aggregate. Catalyst orders the joins; nation broadcasts;
+    the orders⨝lineitem join shuffles on the order key once and the
+    aggregation reuses map-side partial sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+@q(
+    "a1_multikey_group",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_multikey_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hash aggregate on a multi-column key (SQLQueries.sql:16)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("l_quantity", scale=2).alias("sum_qty"))
+    )
+
+
+@q(
+    "a2_avg_of_expression",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(CAST(((l_extendedprice - l_quantity * 100) / (l_quantity * 100)) * 100
+                        AS DECIMAL(30,8))) / COUNT(*), 4) AS pct_premium
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a2_avg_of_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 avg over an arithmetic expression — the daily-return shape
+    ``avg(((close-open)/open)*100)`` (SQLQueries.sql:12)."""
+    base = F.col("l_quantity") * 100
+    expr = ((F.col("l_extendedprice") - base) / base) * 100
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(exact_avg(expr, scale=8).alias("pct_premium"))
+    )
+
+
+@q(
+    "a3_conditional_agg",
+    oracle="""
+        WITH pv AS (
+            SELECT o_orderpriority,
+                   ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,2)))
+                         / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f_avg,
+                   ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,2)))
+                         / COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_avg
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, f_avg, o_avg,
+               CASE WHEN f_avg > o_avg THEN 'F' WHEN f_avg < o_avg THEN 'O' ELSE 'N/A' END AS winner
+        FROM pv ORDER BY o_orderpriority
+    """,
+)
+def a3_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 conditional aggregation (pivot-by-CASE, SQLQueries.sql:19-26) +
+    F3 searched CASE with null-rejecting comparisons."""
+    o = _t(spark, sf_dir, "orders")
+    pv = o.groupBy("o_orderpriority").agg(
+        exact_avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")), scale=2).alias("f_avg"),
+        exact_avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")), scale=2).alias("o_avg"),
+    )
+    return pv.select(
+        "o_orderpriority",
+        "f_avg",
+        "o_avg",
+        F.when(F.col("f_avg") > F.col("o_avg"), "F")
+        .when(F.col("f_avg") < F.col("o_avg"), "O")
+        .otherwise("N/A")
+        .alias("winner"),
+    ).orderBy("o_orderpriority")
+
+
+@q(
+    "a4_having_distinct_count",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+        HAVING COUNT(DISTINCT c_nationkey) > 10
+    """,
+)
+def a4_having_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 distinct aggregate inside HAVING (SQLQueries.sql:30). HAVING is a
+    post-aggregation filter; countDistinct expands to a two-phase plan."""
+    agged = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.countDistinct("c_nationkey").alias("__nd"))
+    )
+    return agged.where(F.col("__nd") > 10).drop("__nd")
+
+
+@q("a5_group_dedup", oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+def a5_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 group-by-every-column dedup (SQLQueries.sql:42,51) ≡ SELECT
+    DISTINCT. Plans as hash aggregate with map-side combine: duplicates
+    collapse before the shuffle."""
+    return group_dedup(_t(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"])
+
+
+@q(
+    "a6_two_stage_agg",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))) / COUNT(o_totalprice), 4) AS cust_avg
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_nationkey,
+               ROUND(SUM(CAST(cust_avg AS DECIMAL(30,4))) / COUNT(cust_avg), 4) AS nation_avg
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+)
+def a6_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 re-aggregation over a derived table (SQLQueries.sql:54-56):
+    avg-of-avgs — two shuffles on different keys."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(exact_avg("o_totalprice", scale=2).alias("cust_avg"))
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(exact_avg("cust_avg").alias("nation_avg"))
+    )
+
+
+@q(
+    "a7_group_avg",
+    oracle="""
+        SELECT lang,
+               ROUND(SUM(CAST(n_chars AS DECIMAL(30,0))) / COUNT(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def a7_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 plain group-average (NoSQLQueries.js:10) over the documents table."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        exact_avg("n_chars", scale=0).alias("avg_chars")
+    )
+
+
+@q(
+    "a8_collect_list_sorted",
+    oracle="""
+        SELECT p_brand,
+               STRING_AGG(p_type || ':' || CAST(p_size AS VARCHAR), '|' ORDER BY p_type || ':' || CAST(p_size AS VARCHAR)) AS members
+        FROM part
+        GROUP BY p_brand
+    """,
+)
+def a8_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 collect_list (Mongo $push, NoSQLQueries.js:40), made
+    hash-comparable: the collected list is sorted then joined to one
+    string (collect_list order is partition-dependent; a deterministic
+    total order is imposed before output). The struct-typed variant is
+    exercised by ref_nosql2_hof and fixture tests."""
+    p = _t(spark, sf_dir, "part")
+    member = F.concat_ws(":", F.col("p_type"), F.col("p_size"))
+    return p.groupBy("p_brand").agg(
+        F.array_join(F.sort_array(F.collect_list(member)), "|").alias("members")
+    )
+
+
+@q(
+    "a9_argmin_per_group",
+    oracle="""
+        SELECT c_nationkey, symbol, bal FROM (
+            SELECT c_nationkey, c_custkey AS symbol, c_acctbal AS bal,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
+            FROM customer
+        ) WHERE rn = 1
+    """,
+)
+def a9_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 deterministic first-per-group / argmin (NoSQLQueries.js:49-50)
+    via min_by-on-struct: min of (value, tie-break key) struct is a single
+    hash-agg pass — cheaper than the window variant when only the argmin
+    row is needed (no full sort per partition)."""
+    c = _t(spark, sf_dir, "customer")
+    best = c.groupBy("c_nationkey").agg(
+        F.min(F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("symbol"))).alias("b")
+    )
+    return best.select("c_nationkey", F.col("b.symbol").alias("symbol"), F.col("b.bal").alias("bal"))
+
+
+@q(
+    "a10_min_max",
+    oracle="""
+        SELECT event_type, ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def a10_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 min/max aggregates (NoSQLQueries.js:51). Min/max of doubles are
+    order-independent — no decimal quantization needed."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions
+# ---------------------------------------------------------------------------
+
+@q(
+    "w1_above_group_average",
+    oracle="""
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM (
+            SELECT s_suppkey, s_nationkey, s_acctbal,
+                   AVG(s_acctbal) OVER (PARTITION BY s_nationkey) AS nav
+            FROM supplier
+        ) WHERE s_acctbal > nav
+    """,
+)
+def w1_above_group_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 compare-row-to-group-average (NoSQLQueries.js:35-47 intent):
+    window avg + row filter — no per-group array materialization."""
+    return above_group_average(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal"),
+        ["s_nationkey"],
+        ["s_acctbal"],
+    )
+
+
+@q(
+    "w2_rank_per_group",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+)
+def w2_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 best-per-group via rank window (NoSQLQueries.js:49-50 intent):
+    top-3 orders per priority with explicit tie-break."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "w3_lag_delta",
+    oracle="""
+        SELECT event_id,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+        FROM events
+        QUALIFY delta IS NOT NULL
+    """,
+)
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/offset window over event time per user — the per-entity
+    sequential pattern (beyond reference surface; needed for the events
+    stream table). Total order (ts, event_id) makes it deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"))
+        .where(F.col("delta").isNotNull())
+    )
+
+
+@q(
+    "w4_running_sum",
+    oracle="""
+        SELECT event_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        FROM events
+    """,
+)
+def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per user: frame-bounded window aggregate.
+    Prefix sums evaluate in frame order in both engines → deterministic
+    without decimal quantization."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k  +  §2.7 set operations
+# ---------------------------------------------------------------------------
+
+@q(
+    "o4_topk",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O4 sort+limit (NoSQLQueries.js:11-12): planned as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return topk(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+@q(
+    "set_union",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 UNION (distinct): free via DataFrame union + dropDuplicates."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).dropDuplicates()
+
+
+@q(
+    "set_intersect",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.intersect(b)
+
+
+@q(
+    "set_except",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.exceptAll(b).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+@q(
+    "f_scalar_suite",
+    oracle="""
+        SELECT p_partkey,
+               ROUND(p_retailprice, 2) AS rounded,
+               ABS(p_retailprice - 1000.0) AS dist,
+               GREATEST(p_retailprice, CAST(p_size AS DOUBLE)) AS hi,
+               LEAST(p_retailprice, CAST(p_size AS DOUBLE)) AS lo,
+               UPPER(p_brand) AS brand_u,
+               LOWER(p_type) AS type_l,
+               SUBSTRING(p_name, 1, 8) AS name8,
+               LENGTH(p_name) AS name_len,
+               COALESCE(NULLIF(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+               CONCAT(p_brand, '/', p_type) AS brand_type
+        FROM part
+    """,
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 + common scalar surface (round/abs/greatest/least/case
+    folding/string ops) — all Catalyst built-ins, whole-stage codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("rounded"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist"),
+        F.greatest("p_retailprice", F.col("p_size").cast("double")).alias("hi"),
+        F.least("p_retailprice", F.col("p_size").cast("double")).alias("lo"),
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#11")), F.lit("OTHER")).alias("brand_or_other"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@q(
+    "f_date_suite",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               YEAR(l_shipdate) AS y, MONTH(l_shipdate) AS m, DAY(l_shipdate) AS d,
+               CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS month_start,
+               DATEDIFF('day', TIMESTAMP '1995-01-01', l_shipdate) AS days_since
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 date handling beyond literals: extract/trunc/diff — the functions
+    date-partitioned 100 TB layouts key on."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").cast("long").alias("y"),
+        F.month("l_shipdate").cast("long").alias("m"),
+        F.dayofmonth("l_shipdate").cast("long").alias("d"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("month_start"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@q(
+    "f5_hof_filter",
+    oracle="""
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) > 4)) AS n_long_words
+        FROM documents
+    """,
+)
+def f5_hof_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 higher-order array filter with lambda (Mongo $filter,
+    NoSQLQueries.js:43-47): JVM-side HOF — no Python round trip."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 4)).cast("long").alias(
+            "n_long_words"
+        ),
+    )
+
+
+@q(
+    "f6_element_at",
+    oracle="SELECT doc_id, STRING_SPLIT(text, ' ')[1] AS first_word FROM documents",
+)
+def f6_element_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 array element access (Mongo $arrayElemAt, NoSQLQueries.js:43)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.try_element_at(F.split("text", " "), F.lit(1)).alias("first_word"))
+
+
+@q(
+    "f_regexp",
+    oracle="""
+        SELECT p_partkey,
+               REGEXP_EXTRACT(p_name, '[0-9]+') AS first_num,
+               REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               CASE WHEN REGEXP_MATCHES(p_name, '^part_1') THEN 1 ELSE 0 END AS starts_part1
+        FROM part
+    """,
+)
+def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (extract/replace/match) — needed by the text-analysis
+    extensions; Spark regexp_replace is global like DuckDB's 'g' flag."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[0-9]+", 0).alias("first_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^part_1"), 1).otherwise(0).alias("starts_part1"),
+    )

@@ -181,7 +181,7 @@ def _clean_numeric(col: str) -> F.Column:
     number | "NA" | null (NoSQLQueries.js:30-33). Fixtures carry them as
     strings; try_cast maps both "NA" and null to NULL — exactly the rows
     ``$nin: ["NA", null]`` excludes."""
-    return F.try_cast(F.col(col), "double")
+    return F.col(col).try_cast("double")
 
 
 def nosql2_security_screening(securities: DataFrame) -> DataFrame:

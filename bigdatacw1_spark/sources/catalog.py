@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Declared schemas for the driver-provided tables (FIXTURES.md §B).
@@ -135,7 +136,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects. Read nanos as long (runtime-settable conf)
+        # and floor-divide to microseconds — identical to DuckDB's truncation
+        # of nanos to its native µs timestamps, so oracle values line up.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = {f.name for f in TABLES[name].fields}
     actual = set(df.columns)
     if declared != actual:

@@ -13,7 +13,7 @@ import traceback
 
 sys.path.insert(0, ".")
 
-from bigdatacw1_spark.queries.inventory import REGISTRY  # noqa: E402
+from bigdatacw1_spark.queries import REGISTRY  # noqa: E402
 from bigdatacw1_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare  # noqa: E402
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from bigdatacw1_spark.queries.inventory import REGISTRY
+from bigdatacw1_spark.queries import REGISTRY
 from tests.conftest import SF_SMALL
 from tests.oracle import compare
 
