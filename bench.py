@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized (collect) — the timing includes scan,
+shuffle, and result retrieval. A warm-up action runs first so JVM/codegen
+startup is not charged to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatacw1_spark.queries import REGISTRY  # noqa: E402
+from bigdatacw1_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = None
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    spark = get_spark(app_name="bigdatacw1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    # Warm-up: touch the biggest fact once (JVM + codegen + file listing).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(headline):
+        t0 = time.perf_counter()
+        headline[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

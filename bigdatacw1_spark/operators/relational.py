@@ -15,31 +15,49 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def stable_round(value: Column, digits: int = 4) -> Column:
+    """Cross-engine-identical rounding of a double: ``floor(x*10^d + 0.5) / 10^d``.
+
+    Engine ``round(double, d)`` implementations disagree near decimal
+    midpoints: Spark rounds the exact decimal expansion of the double
+    (BigDecimal HALF_UP), DuckDB multiplies by 10^d in double first (which
+    can round up to the midpoint) — for the same input bits they return
+    0.8857 vs 0.8858. Expressing the rounding as plain IEEE arithmetic
+    makes both engines run the identical instruction sequence. DuckDB
+    equivalent: ``FLOOR(x * 10^d + 0.5) / 10^d``.
+
+    Only valid for |x*10^d| < 2^53 (fine for all our ratios/aggregates).
+    """
+    s = float(10**digits)
+    return F.floor(value * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def exact_avg(value: Column | str, scale: int = 4, digits: int | None = 4) -> Column:
     """Cross-engine-deterministic average (SURVEY.md §7.4.4).
 
     ``avg(double)`` sums in partition order, so two engines (or two runs
     with different partitioning) can disagree in the last ulp — which
-    flips the final ``round(x, 4)`` digit whenever the true value sits at
-    a rounding boundary. Instead: quantize to DECIMAL (exact, associative
-    sum — order-independent), then one double division and one round.
-    DuckDB equivalent: ``ROUND(SUM(CAST(x AS DECIMAL(30,s))) / COUNT(x), d)``.
+    flips the final rounded digit whenever the true value sits at a
+    rounding boundary. Instead: quantize to DECIMAL (exact, associative
+    sum — order-independent), then one double division and a stable_round.
+    DuckDB equivalent:
+    ``FLOOR((SUM(CAST(x AS DECIMAL(30,s))) / COUNT(x)) * 10^d + 0.5) / 10^d``.
 
     ``scale`` must be >= the decimals of the data (lossless quantization);
     ``digits=None`` skips the final round (still deterministic).
     """
     c = (F.col(value) if isinstance(value, str) else value).cast(f"decimal(30,{scale})")
     avg = F.sum(c).cast("double") / F.count(c)
-    return F.round(avg, digits) if digits is not None else avg
+    return stable_round(avg, digits) if digits is not None else avg
 
 
 def exact_sum(value: Column | str, scale: int = 4, digits: int | None = 2) -> Column:
     """Order-independent sum of doubles via decimal quantization — same
     rationale as exact_avg. DuckDB equivalent:
-    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE), d)``."""
+    ``FLOOR(CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE) * 10^d + 0.5) / 10^d``."""
     c = (F.col(value) if isinstance(value, str) else value).cast(f"decimal(30,{scale})")
     s = F.sum(c).cast("double")
-    return F.round(s, digits) if digits is not None else s
+    return stable_round(s, digits) if digits is not None else s
 
 
 def conditional_avg(value: Column | str, cond: Column, alias: str) -> Column:

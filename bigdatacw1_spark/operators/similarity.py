@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+  - brute-force cosine top-k: exact baseline; one pass over the table,
+    per-partition top-k heaps (TakeOrderedAndProject), no shuffle of the
+    full score set.
+  - sign-LSH (random hyperplane) bucketing: the scale path — candidates
+    share the query's bucket, so the exact rescoring touches ~n/2^P rows.
+    Hyperplanes are generated from a fixed seed → fully deterministic.
+
+Embeddings stay ``array<float>`` columns; arithmetic is JVM-side
+(functions.vector), cast to double before folding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.functions.vector import as_double, cosine, dot
+from bigdatacw1_spark.operators.relational import stable_round
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of a literal query vector against every row.
+    Output: (id, score) ordered by (-score, id), k rows."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a hash-based PRNG
+    (no library RNG state involved): component ~ Uniform(-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"plane:{seed}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            row.append((u / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def sign_lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = bit vector of sign(v·plane_p) packed into a long."""
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, plit) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """ANN top-k: filter to the query's sign-LSH bucket, then exact cosine
+    within the bucket. At scale the bucket id is a pre-computed partition/
+    cluster column, making this a partition-pruned scan instead of a full
+    pass. Output: (id, score, bucket)."""
+    planes = _hyperplanes(len(query_vec), n_planes)
+    qbucket_bits = 0
+    for p, plane in enumerate(planes):
+        if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
+            qbucket_bits |= 1 << p
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).where(F.col("bucket") == qbucket_bits)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
+    return (
+        bucketed.select(F.col(id_col), score.alias("score"), "bucket")
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

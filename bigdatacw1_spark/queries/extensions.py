@@ -1,0 +1,310 @@
+"""North-star extension queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §2.11; driver contract BASELINE.json).
+
+Oracle-checked wherever ANSI-SQL-expressible; hash-based operators
+(minhash/simhash/sign-LSH) have no DuckDB equivalent of Spark's xxhash64
+and are registered rows-only — their determinism is covered by unit
+tests instead (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.functions.text import (
+    bpe_ish_tokens,
+    lang_id,
+    normalized_fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_quality_score,
+    tokens,
+)
+from bigdatacw1_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_dup_groups,
+    simhash64,
+    verified_near_duplicates,
+)
+from bigdatacw1_spark.operators.multimodal import attach_binary_payload, extract_features
+from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+
+# DuckDB fragments mirrored from functions/text.py (same token/ngram defs).
+_DUCK_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '')"
+_DUCK_GRAMS = (
+    "CASE WHEN LEN(toks) >= 3 THEN LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_dedup_exact",
+    oracle="""
+        SELECT SHA256(text) AS text_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY SHA256(text)
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 digest → hash groupBy, min-id representative.
+    Map-side combine collapses duplicates before the shuffle."""
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_dedup_normalized",
+    oracle="""
+        SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+)
+def ext_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a case/whitespace-normalized md5 fingerprint —
+    also the 'document fingerprinting' primitive of the text suite."""
+    return normalized_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                     / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                    / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.05
+    """,
+)
+def ext_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked by source. The blocking
+    key bounds the self-join; intersection via inclusion–exclusion on
+    distinct shingle sets (one code path both engines)."""
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+@q("ext_neardup_lsh_verified", headline=True)
+def ext_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup pipeline (headline): MinHash+LSH candidates →
+    exact Jaccard verification at 0.5. Linear LSH pass + quadratic step
+    only on candidates — the 100 TB-safe shape. Rows-only (LSH candidate
+    membership is hash-defined, not SQL-expressible)."""
+    return verified_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("a", "b")
+
+
+@q("ext_minhash_lsh_pairs")
+def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8-band LSH candidate pairs over word-3-gram shingles.
+    Hash-based (xxhash64) → no SQL oracle; determinism + recall-vs-jaccard
+    covered in tests/test_extensions.py. Scale path for near-dup at 100 TB:
+    cost is linear + one bucket-keyed shuffle, never all-pairs."""
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs).orderBy("a", "b")
+
+
+@q("ext_simhash")
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (single aggregation pass).
+    Rows-only: xxhash64 has no DuckDB equivalent."""
+    return simhash64(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(
+             LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * SQRT(LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+             6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@q("ext_cosine_topk", oracle=_COSINE_ORACLE, headline=True)
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query vector (vec_id 0) — the exact
+    ANN baseline. zip_with/aggregate fold JVM-side; TakeOrderedAndProject
+    keeps per-partition heaps (no global sort, no full score shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@q("ext_ann_lsh_topk")
+def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10: exact rescoring only within the
+    query's bucket (~n/2^planes candidates). 4 planes here so the bucket
+    holds a meaningful candidate set at test scale; at production scale
+    use more planes and make the bucket id a partition column →
+    partition-pruned scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_text_stats",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, {_DUCK_TOKS} AS toks,
+                   REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+            FROM documents
+        )
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               LEN(bpe) AS n_tokens_bpe,
+               ROUND(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+               ROUND(LEN(LIST_FILTER(toks, t -> t IN ('the','a','and','of','to','in','is','it','that','for')))
+                     / GREATEST(LEN(toks), 1), 4) AS stopword_en
+        FROM base
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation ratio,
+    stopword ratio — the quality-scoring signals, all codegen built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_tokens_bpe"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(toks, "en"), 4).alias("stopword_en"),
+    )
+
+
+@q(
+    "ext_lang_id",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+               LEN(LIST_FILTER(toks, t -> t IN ('the','a','and','of','to','in','is','it','that','for'))) AS s_en,
+               LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr,
+               LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein','zu','ist','nicht','mit','auf'))) AS s_de,
+               LEN(LIST_FILTER(toks, t -> t IN ('el','los','de','y','un','en','es','una','por','con'))) AS s_es
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+                    WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es) THEN 'en'
+                    WHEN s_fr = GREATEST(s_en, s_fr, s_de, s_es) THEN 'fr'
+                    WHEN s_de = GREATEST(s_en, s_fr, s_de, s_es) THEN 'de'
+                    ELSE 'es'
+               END AS pred_lang
+        FROM scored
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax with deterministic tie
+    order (en > fr > de > es), 'und' when no hits."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(tokens("text")).alias("pred_lang"))
+
+
+@q(
+    "ext_quality_score",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   LEN(toks) AS n,
+                   CASE WHEN LEN(toks) > 0
+                        THEN LENGTH(ARRAY_TO_STRING(toks, '')) / LEN(toks)
+                        ELSE 0.0 END AS avg_len,
+                   LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1) AS pr
+            FROM base
+        )
+        SELECT doc_id,
+               ROUND((LEAST(n / 64.0, 1.0) + LEAST(avg_len / 5.0, 1.0)
+                      + (1.0 - LEAST(pr * 5, 1.0))) / 3, 4) AS quality
+        FROM m
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / token-length / punctuation
+    heuristics) — identical arithmetic on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_quality_score(tokens("text"), "text").alias("quality"))
+
+
+@q(
+    "ext_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document normalized fingerprint (md5 of folded text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_mm_binary_meta",
+    oracle="""
+        SELECT doc_id, 'text/plain' AS mime,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+               SHA256(text) AS payload_sha  -- hashes the same utf-8 bytes as Spark's sha2(payload)
+        FROM documents
+    """,
+)
+def ext_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata (the media-column ingestion
+    shape): binary column stays opaque; metadata is queryable."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+@q("ext_mm_features")
+def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) feature extraction over binary payloads
+    with the stubbed codec (operators/multimodal.py). Rows-only: exercises
+    the real batch plumbing; the decode itself is a deterministic fake."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(media).orderBy("doc_id")

@@ -34,6 +34,7 @@ from bigdatacw1_spark.operators.relational import (
     exact_avg,
     group_dedup,
     having,
+    stable_round,
 )
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
@@ -47,7 +48,7 @@ from bigdatacw1_spark.queries.registry import t as _t
     "ref_nosql1_top_group",
     oracle="""
         SELECT o_orderpriority,
-               ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))) / COUNT(o_totalprice), 4) AS avg_totalprice
+               FLOOR((SUM(CAST(o_totalprice AS DECIMAL(30,2))) / COUNT(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_totalprice
         FROM orders
         WHERE o_totalprice > 1000
         GROUP BY o_orderpriority
@@ -75,17 +76,17 @@ def ref_nosql1_top_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH seg_bal AS (
             SELECT c_mktsegment, n_name,
-                   ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,2))) / COUNT(c_acctbal), 4) AS avg_bal
+                   FLOOR((SUM(CAST(c_acctbal AS DECIMAL(30,2))) / COUNT(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
             FROM customer
             LEFT JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name IN ('NATION_1', 'NATION_2')
             GROUP BY c_mktsegment, n_name
         ), pv AS (
             SELECT c_mktsegment,
-                   ROUND(SUM(CAST(CASE WHEN n_name = 'NATION_1' THEN avg_bal END AS DECIMAL(30,4)))
-                         / COUNT(CASE WHEN n_name = 'NATION_1' THEN avg_bal END), 4) AS n1_bal,
-                   ROUND(SUM(CAST(CASE WHEN n_name = 'NATION_2' THEN avg_bal END AS DECIMAL(30,4)))
-                         / COUNT(CASE WHEN n_name = 'NATION_2' THEN avg_bal END), 4) AS n2_bal,
+                   FLOOR((SUM(CAST(CASE WHEN n_name = 'NATION_1' THEN avg_bal END AS DECIMAL(30,4)))
+                         / COUNT(CASE WHEN n_name = 'NATION_1' THEN avg_bal END)) * 10000.0 + 0.5) / 10000.0 AS n1_bal,
+                   FLOOR((SUM(CAST(CASE WHEN n_name = 'NATION_2' THEN avg_bal END AS DECIMAL(30,4)))
+                         / COUNT(CASE WHEN n_name = 'NATION_2' THEN avg_bal END)) * 10000.0 + 0.5) / 10000.0 AS n2_bal,
                    COUNT(DISTINCT n_name) AS __n
             FROM seg_bal
             GROUP BY c_mktsegment
@@ -147,8 +148,8 @@ def ref_sql1_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT pe.cob_date, pe.currency, pe.trader, s.s_name AS trader_name,
                    pe.symbol, pe.net_amount, pe.net_quantity,
                    l2.l_extendedprice AS close_price,
-                   ROUND((((l2.l_extendedprice * pe.net_quantity) - pe.net_amount)
-                         / pe.net_amount) * 100, 4) AS amount_change
+                   FLOOR(((((l2.l_extendedprice * pe.net_quantity) - pe.net_amount)
+                         / pe.net_amount) * 100) * 10000.0 + 0.5) / 10000.0 AS amount_change
             FROM pe
             RIGHT JOIN lineitem l2
               ON pe.cob_date = l2.l_shipdate AND pe.symbol = l2.l_partkey
@@ -157,7 +158,7 @@ def ref_sql1_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9
         )
         SELECT trader_name,
-               ROUND(SUM(CAST(amount_change AS DECIMAL(30,4))) / COUNT(amount_change), 4) AS average_change
+               FLOOR((SUM(CAST(amount_change AS DECIMAL(30,4))) / COUNT(amount_change)) * 10000.0 + 0.5) / 10000.0 AS average_change
         FROM tp
         GROUP BY trader_name
         ORDER BY average_change DESC, trader_name
@@ -206,7 +207,7 @@ def ref_sql2_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cob_date", "currency", "trader",
             F.col("s_name").alias("trader_name"),
             "symbol", "net_amount", "net_quantity", "close_price",
-            F.round(
+            stable_round(
                 ((F.col("close_price") * F.col("net_quantity")) - F.col("net_amount"))
                 / F.col("net_amount") * 100,
                 4,
@@ -228,7 +229,7 @@ _NOSQL2_ORACLE = """
     WITH cleaned AS (
         SELECT p_brand AS _id, p_partkey AS symbol, p_retailprice,
                CAST(p_size AS DOUBLE) AS size_d,
-               ROUND(p_retailprice / (p_size + 1), 4) AS beta
+               FLOOR((p_retailprice / (p_size + 1)) * 10000.0 + 0.5) / 10000.0 AS beta
         FROM part
     ), screened AS (
         SELECT *,
@@ -258,7 +259,7 @@ def ref_nosql2_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("symbol"),
         "p_retailprice",
         F.col("p_size").cast("double").alias("size_d"),
-        F.round(F.col("p_retailprice") / (F.col("p_size") + 1), 4).alias("beta"),
+        stable_round(F.col("p_retailprice") / (F.col("p_size") + 1), 4).alias("beta"),
     )
     w = Window.partitionBy("_id")
     screened = (
@@ -287,7 +288,7 @@ def ref_nosql2_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("symbol"),
         "p_retailprice",
         F.col("p_size").cast("double").alias("size_d"),
-        F.round(F.col("p_retailprice") / (F.col("p_size") + 1), 4).alias("beta"),
+        stable_round(F.col("p_retailprice") / (F.col("p_size") + 1), 4).alias("beta"),
     )
     grouped = cleaned.groupBy("_id").agg(
         F.avg("p_retailprice").alias("avg_price"),

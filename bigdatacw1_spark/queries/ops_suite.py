@@ -256,7 +256,7 @@ def j4_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_multiway_pipeline",
     oracle="""
         SELECT n_name,
-               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2)
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0
                  AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
@@ -297,7 +297,7 @@ def j5_multiway_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_multikey_group",
     oracle="""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty
+               FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -314,8 +314,8 @@ def a1_multikey_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_avg_of_expression",
     oracle="""
         SELECT l_returnflag,
-               ROUND(SUM(CAST(((l_extendedprice - l_quantity * 100) / (l_quantity * 100)) * 100
-                        AS DECIMAL(30,8))) / COUNT(*), 4) AS pct_premium
+               FLOOR((SUM(CAST(((l_extendedprice - l_quantity * 100) / (l_quantity * 100)) * 100
+                        AS DECIMAL(30,8))) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS pct_premium
         FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -336,10 +336,10 @@ def a2_avg_of_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH pv AS (
             SELECT o_orderpriority,
-                   ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,2)))
-                         / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f_avg,
-                   ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,2)))
-                         / COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_avg
+                   FLOOR((SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,2)))
+                         / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 10000.0 + 0.5) / 10000.0 AS f_avg,
+                   FLOOR((SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,2)))
+                         / COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) * 10000.0 + 0.5) / 10000.0 AS o_avg
             FROM orders GROUP BY o_orderpriority
         )
         SELECT o_orderpriority, f_avg, o_avg,
@@ -398,11 +398,11 @@ def a5_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH per_cust AS (
             SELECT o_custkey,
-                   ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))) / COUNT(o_totalprice), 4) AS cust_avg
+                   FLOOR((SUM(CAST(o_totalprice AS DECIMAL(30,2))) / COUNT(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS cust_avg
             FROM orders GROUP BY o_custkey
         )
         SELECT c_nationkey,
-               ROUND(SUM(CAST(cust_avg AS DECIMAL(30,4))) / COUNT(cust_avg), 4) AS nation_avg
+               FLOOR((SUM(CAST(cust_avg AS DECIMAL(30,4))) / COUNT(cust_avg)) * 10000.0 + 0.5) / 10000.0 AS nation_avg
         FROM per_cust JOIN customer ON o_custkey = c_custkey
         GROUP BY c_nationkey
     """,
@@ -424,7 +424,7 @@ def a6_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_group_avg",
     oracle="""
         SELECT lang,
-               ROUND(SUM(CAST(n_chars AS DECIMAL(30,0))) / COUNT(n_chars), 4) AS avg_chars
+               FLOOR((SUM(CAST(n_chars AS DECIMAL(30,0))) / COUNT(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         FROM documents GROUP BY lang
     """,
 )

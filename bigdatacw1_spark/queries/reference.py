@@ -98,10 +98,14 @@ def sql2_fund_performance(
     shuffles are the dedup aggregate and the final groupBy. The right join
     key (cob_date, symbol) is the fact's natural key so AQE handles skew.
     """
+    # positions carry their own cob_date (the 2023-10-27 change date,
+    # README.md:33) — project it away so "cob_date" resolves to the price
+    # date, as the reference's column references do (SQLQueries.sql:37).
+    positions = portfolio_positions.select("trader", "symbol", "net_quantity", "net_amount")
     pe = (
         equity_prices.join(
-            F.broadcast(portfolio_positions),
-            equity_prices["symbol_id"] == portfolio_positions["symbol"],
+            F.broadcast(positions),
+            equity_prices["symbol_id"] == positions["symbol"],
             "left",
         )
         .where(F.col("cob_date").between(F.lit(date_from), F.lit(date_to)))
@@ -166,9 +170,14 @@ def nosql1_best_sector(securities: DataFrame, min_market_cap: float = 100000) ->
     filter → groupBy.avg → orderBy.limit; Catalyst fuses the sort+limit
     into TakeOrderedAndProject (no global sort). Tie-break on sector name
     for determinism (Mongo's result under ties is insertion-order-defined).
+
+    MarketCap is a mixed-type field (number | "NA" | null,
+    NoSQLQueries.js:30-33): Mongo's ``$gt`` type-brackets non-numbers out
+    of the comparison, replicated here with try_cast (NULL > x is never
+    true) — a plain cast would throw under ANSI mode.
     """
     return (
-        securities.where(F.col("MarketData.MarketCap") > min_market_cap)
+        securities.where(_clean_numeric("MarketData.MarketCap") > min_market_cap)
         .groupBy(F.col("StaticData.GICSSector").alias("_id"))
         .agg(F.avg("MarketData.Price").alias("average"))
         .orderBy(F.desc("average"), F.asc("_id"))

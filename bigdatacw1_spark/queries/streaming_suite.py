@@ -1,0 +1,89 @@
+"""Event-time windowing entries (batch semantics of the streaming layer).
+
+Each entry applies the SAME transformation the Structured Streaming path
+uses (streaming/windows.py) to the static events table, so the driver's
+oracle check validates the windowing semantics and the streaming tests
+validate batch/stream equivalence — together closing the loop.
+
+Oracle notes: Spark's tumbling windows are epoch-aligned; DuckDB's
+TIME_BUCKET with a day-divisible interval aligns to the same grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+from bigdatacw1_spark.streaming.windows import (
+    session_aggregate,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@q(
+    "ev_tumbling_10min",
+    oracle="""
+        SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS wstart, event_type,
+               COUNT(*) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_v
+        FROM events
+        GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def ev_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type — the
+    streaming flagship aggregation, applied to the static table."""
+    return tumbling_counts(_t(spark, sf_dir, "events"), minutes=10)
+
+
+@q(
+    "ev_sliding_10_5",
+    oracle="""
+        WITH offs(k) AS (VALUES (0), (1))
+        SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS wstart,
+               COUNT(*) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_v
+        FROM events CROSS JOIN offs
+        GROUP BY 1
+    """,
+)
+def ev_sliding_10_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute width, 5-minute slide): every event
+    belongs to exactly two windows; the oracle enumerates both via a
+    2-offset cross join."""
+    return sliding_counts(_t(spark, sf_dir, "events"), width_min=10, slide_min=5)
+
+
+@q(
+    "ev_session_30min",
+    oracle="""
+        WITH d AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM d
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_v
+        FROM s
+        GROUP BY user_id, sid
+    """,
+)
+def ev_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user via the built-in session_window
+    (stateful merge under streaming); the oracle is the classic
+    gaps-and-islands formulation — same session boundaries (new session
+    iff gap >= 30 min), session_end = last event + gap."""
+    return session_aggregate(_t(spark, sf_dir, "events"), gap_minutes=30)

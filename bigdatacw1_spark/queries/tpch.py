@@ -1,0 +1,198 @@
+"""TPC-H-shaped headline queries over the driver tables.
+
+The driver's testdata is "TPC-H-ish" (TESTDATA.md), so the classic TPC-H
+shapes are the natural macro-benchmarks (SURVEY.md §5): they compose the
+§2 operators into realistic multi-join/aggregation pipelines and anchor
+bench.py. Query constants are adapted to this data's actual ranges
+(orderdates 1995→2001).
+
+Scale notes per query are inline; the common theme: dims broadcast,
+facts shuffle once on their join key, aggregates combine map-side, and
+top-k never sorts globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.relational import exact_avg, exact_sum
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_charge,
+               FLOOR((SUM(CAST(l_quantity AS DECIMAL(30,2))) / COUNT(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               FLOOR((SUM(CAST(l_extendedprice AS DECIMAL(30,2))) / COUNT(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+               FLOOR((SUM(CAST(l_discount AS DECIMAL(30,2))) / COUNT(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan aggregation — the map-side-combine stress test.
+    One scan, one tiny shuffle (6 groups); everything else is partial
+    aggregation inside whole-stage codegen."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", scale=2).alias("sum_qty"),
+            exact_sum("l_extendedprice", scale=2).alias("sum_base_price"),
+            exact_sum(disc_price, scale=6).alias("sum_disc_price"),
+            exact_sum(charge, scale=6).alias("sum_charge"),
+            exact_avg("l_quantity", scale=2).alias("avg_qty"),
+            exact_avg("l_extendedprice", scale=2).alias("avg_price"),
+            exact_avg("l_discount", scale=2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30'
+          AND l_shipdate > TIMESTAMP '1997-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    headline=True,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter → fact join → top-k. The segment
+    filter prunes customer before the join (predicate pushdown to the
+    scan); the final sort+limit is TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5_local_volume",
+    oracle="""
+        SELECT n_name,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    headline=True,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join with the co-nation constraint. nation/region
+    broadcast; the customer⨝supplier nation equality rides along as a
+    join-side filter — no extra shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 120
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    headline=True,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: semi-join against an aggregated subquery (the IN-subquery
+    becomes a left-semi join) + re-aggregation + top-k."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .where(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "big_key"),
+        F.col("o_orderkey") == F.col("big_key"),
+        "left_semi",
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum("l_quantity", scale=2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming layer over the events stream (SURVEY.md §2.9).
+
+The reference is purely batch; this is the driver-contract extension.
+Design rule: every streaming aggregation is defined ONCE as a
+transformation applicable to both a static and a streaming DataFrame —
+the batch entries in queries/streaming_suite.py and the readStream path
+here share the same functions, and tests assert batch/stream equivalence
+(the Structured Streaming correctness contract: a streaming query's
+final result equals the batch query over the same data).
+
+Scale: windowed aggregations shuffle on (window, key); watermarks bound
+state (late events beyond the watermark are dropped); at 100 TB the
+source would be Kafka/files with many partitions and the same code runs
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.relational import exact_sum
+from bigdatacw1_spark.sources.catalog import TABLES
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Tumbling event-time windows: count + exact-decimal sum per
+    (window, event_type). Works on both static and streaming frames."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", scale=2, digits=2).alias("sum_v"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_v")
+    )
+
+
+def sliding_counts(events: DataFrame, width_min: int = 10, slide_min: int = 5) -> DataFrame:
+    """Sliding windows (width > slide ⇒ each event lands in
+    width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", f"{width_min} minutes", f"{slide_min} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", scale=2, digits=2).alias("sum_v"))
+        .select(F.col("w.start").alias("wstart"), "n", "sum_v")
+    )
+
+
+def session_aggregate(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user (gap-based): built-in session_window —
+    stateful merge in streaming, gaps-and-islands equivalent in batch."""
+    return (
+        events.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", scale=2, digits=2).alias("sum_v"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_v",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source streaming read of an events directory (µs-timestamp
+    parquet written by tests or production ingestion)."""
+    return (
+        spark.readStream.schema(TABLES["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def run_windowed_stream_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    table_name: str = "stream_out",
+    minutes: int = 10,
+    watermark: str = "30 minutes",
+):
+    """Watermarked tumbling-window aggregation, streamed to an in-memory
+    sink with availableNow (process-everything-then-stop) semantics.
+    Returns the StreamingQuery; caller awaits termination then reads
+    ``spark.table(table_name)``."""
+    stream = read_events_stream(spark, events_dir)
+    agged = tumbling_counts(stream.withWatermark("ts", watermark), minutes)
+    return (
+        agged.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,100 @@
+"""Property tests for the hash-based extension operators (the rows-only
+entries): determinism across partitionings, LSH recall vs exact Jaccard,
+simhash locality, ANN-vs-brute-force consistency, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatacw1_spark.functions.text import tokens, word_ngrams
+from bigdatacw1_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from bigdatacw1_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_features,
+)
+from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
+from bigdatacw1_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def test_minhash_deterministic_across_partitionings(spark, docs):
+    a = minhash_signatures(docs.repartition(1)).collect()
+    b = minhash_signatures(docs.repartition(8)).collect()
+    assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
+
+
+def test_lsh_recall_of_near_duplicates(spark, docs):
+    # Append exact copies of 3 docs under new ids: LSH must recover them.
+    copies = docs.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    aug = docs.unionByName(copies)
+    pairs = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(minhash_signatures(aug)).collect()
+    }
+    for r in docs.limit(3).collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in pairs
+
+
+def test_simhash_identical_docs_equal_and_deterministic(spark, docs):
+    sh1 = {r["doc_id"]: r["simhash"] for r in simhash64(docs.repartition(2)).collect()}
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash64(docs.repartition(7)).collect()}
+    assert sh1 == sh2
+    # identical text ⇒ identical signature
+    dup = docs.limit(1).select((F.col("doc_id") + 500).alias("doc_id"), "text", "lang", "source", "n_chars")
+    shd = {r["doc_id"]: r["simhash"] for r in simhash64(docs.limit(1).unionByName(dup)).collect()}
+    vals = list(shd.values())
+    assert vals[0] == vals[1]
+
+
+def test_jaccard_pairs_bounds(spark, docs):
+    rows = jaccard_pairs(docs, threshold=0.0).limit(50).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["a"] < r["b"]
+
+
+def test_ann_scores_match_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    bf = {r["vec_id"]: r["score"] for r in brute_force_topk(emb, qvec, k=1000).collect()}
+    ann = lsh_topk(emb, qvec, k=10, n_planes=4).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert bf[r["vec_id"]] == r["score"]  # exact rescoring within bucket
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_binary_payload(docs)
+    feats = extract_features(media, dim=8)
+    rows = feats.limit(5).collect()
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
+    # payload length round-trips
+    joined = feats.join(media.select("doc_id", F.octet_length("payload").alias("nb")), "doc_id")
+    assert joined.where(F.col("n_bytes") != F.col("nb")).count() == 0
+    # the real codec is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_word_ngrams_short_docs_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], ["doc_id", "text"])
+    out = df.select("doc_id", word_ngrams(tokens("text"), 3).alias("g")).collect()
+    by_id = {r["doc_id"]: r["g"] for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == ["a b c", "b c d"]
