@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.functions.text import normalized_fingerprint, tokens, word_ngrams
-from bigdatacw1_spark.operators.relational import stable_round
+from bigdatacw1_spark.operators.relational import fan_out, stable_round
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,9 +43,22 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def _seeded_hash(shingle: Column, seed: int) -> Column:
-    # xxhash64 has a fixed seed in the function API; vary it by prefixing
-    # a per-function tag. Deterministic across runs and partitionings.
-    return F.xxhash64(F.concat(F.lit(f"mh{seed}:"), shingle))
+    # xxhash64 has a fixed seed in the function API; vary it by mixing in
+    # a per-function integer argument (multi-arg xxhash64 chains hashes —
+    # cheaper than string concat). Deterministic across runs/partitionings.
+    return F.xxhash64(F.lit(seed), shingle)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) of DISTINCT word n-gram shingles per doc.
+    Fanned out (projected to id+text) so the CPU-bound shingling uses
+    every core even when the input is one small file."""
+    return fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(tokens(text_col), ngram)).alias("sh"),
+    )
 
 
 def minhash_signatures(
@@ -57,16 +70,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over word n-gram shingles.
 
-    One explode + one groupBy(id): the K minimums are computed as K
-    aggregate expressions in a single hash-aggregate pass (map-side
-    partial mins → tiny shuffle). Output: (id, sig array<long> of K)."""
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(tokens(text_col), ngram)).alias("shingle"),
-    )
-    mins = [F.min(_seeded_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    agged = shingled.groupBy(id_col).agg(*mins)
-    return agged.select(id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    Computed entirely PER ROW — ``array_min(transform(sh, hash_i))`` for
+    each of the K hash functions — so signature generation is a narrow
+    map with NO shuffle at any scale (the earlier explode+groupBy form
+    shuffled every shingle). Docs with no shingle (< n tokens) drop out,
+    matching the exploded formulation. Output: (id, sig array<long> of K)."""
+    shingled = shingle_sets(df, text_col, id_col, ngram).where(F.size("sh") > 0)
+    return _sigs_from_shingles(shingled, id_col, num_hashes)
+
+
+def _sigs_from_shingles(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    mins = [
+        F.array_min(F.transform(F.col("sh"), lambda s, i=i: _seeded_hash(s, i)))
+        for i in range(num_hashes)
+    ]
+    return shingled.select(id_col, F.array(*mins).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -133,12 +151,9 @@ def verified_near_duplicates(
 
     Output: (a, b, jaccard) for candidate pairs with jaccard >= threshold.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    shingles = shingle_sets(df, text_col, id_col, ngram)
+    sigs = _sigs_from_shingles(shingles.where(F.size("sh") > 0), id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    shingles = df.select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams(tokens(text_col), ngram)).alias("sh"),
-    )
     a_sh = shingles.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b_sh = shingles.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     paired = cands.join(a_sh, "a").join(b_sh, "b")
@@ -153,7 +168,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sum +1/-1 across tokens; the sign per position forms the signature.
     Single explode + single aggregation (64 conditional sums fused in one
     hash-aggregate pass). Output: (id, simhash long)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = F.xxhash64(F.col("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
@@ -192,6 +209,7 @@ def jaccard_pairs(
     document-frequency cap on shingles (standard stop-shingle removal).
 
     Output: (a, b, jaccard) for pairs ≥ threshold, a < b."""
+    df = fan_out(df.select(id_col, bucket_col, text_col))
     shingled = df.select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),

@@ -32,6 +32,23 @@ def stable_round(value: Column, digits: int = 4) -> Column:
     return F.floor(value * F.lit(s) + F.lit(0.5)) / F.lit(s)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise scan parallelism for CPU-bound row-expanding stages.
+
+    A small single-file parquet scan plans as ONE input partition, so a
+    downstream explode/tokenize pipeline runs on one core no matter how
+    many the cluster has. Repartition up to ``defaultParallelism`` — but
+    only when the input is under-parallel: on a production many-file scan
+    (100 TB → thousands of splits) this is a no-op, so the conditional
+    never injects a full-corpus shuffle where the scan already fans out.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_avg(value: Column | str, scale: int = 4, digits: int | None = 4) -> Column:
     """Cross-engine-deterministic average (SURVEY.md §7.4.4).
 

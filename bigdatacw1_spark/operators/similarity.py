@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.functions.vector import as_double, cosine, dot
-from bigdatacw1_spark.operators.relational import stable_round
+from bigdatacw1_spark.operators.relational import fan_out, stable_round
 
 
 def brute_force_topk(
@@ -37,7 +37,8 @@ def brute_force_topk(
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
     return (
-        embeddings.select(F.col(id_col), score.alias("score"))
+        fan_out(embeddings.select(id_col, vec_col))
+        .select(F.col(id_col), score.alias("score"))
         .where(F.col("score").isNotNull())
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -89,7 +90,7 @@ def lsh_topk(
     for p, plane in enumerate(planes):
         if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
             qbucket_bits |= 1 << p
-    bucketed = embeddings.select(
+    bucketed = fan_out(embeddings.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
