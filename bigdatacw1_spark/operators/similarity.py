@@ -45,6 +45,40 @@ def brute_force_topk(
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: "F.Column | str | None" = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, score) with
+    cosine(a, b) >= threshold and a < b, self-joined within a blocking
+    key so the pairwise step is never a global cross join.
+
+    ``block`` is any grouping expression: an existing cluster/label
+    column (oracle-checkable), or ``sign_lsh_bucket(...)`` for the
+    100 TB path — there the bucket id is computed in one narrow pass and
+    the join is keyed by it, so work is Σ bucket², and recall is tunable
+    by probing neighboring buckets (multi-probe LSH).
+    """
+    blk = F.col(block) if isinstance(block, str) else block
+    base = fan_out(embeddings.select(id_col, vec_col, blk.alias("__blk")))
+    left = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__blk")
+    right = base.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("__blk").alias("__blk_r")
+    )
+    paired = left.join(
+        right, (left["__blk"] == right["__blk_r"]) & (left["a"] < right["b"])
+    )
+    score = stable_round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), digits)
+    return (
+        paired.select("a", "b", score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a hash-based PRNG
     (no library RNG state involved): component ~ Uniform(-1, 1)."""

@@ -31,7 +31,13 @@ from bigdatacw1_spark.operators.dedup import (
     verified_near_duplicates,
 )
 from bigdatacw1_spark.operators.multimodal import attach_binary_payload, extract_features
-from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
+from bigdatacw1_spark.operators.similarity import (
+    _hyperplanes,
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+    sign_lsh_bucket,
+)
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
 
@@ -151,6 +157,42 @@ def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@q(
+    "ext_embed_neardup",
+    oracle="""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               FLOOR((LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE FLOOR((LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+    """,
+)
+def ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block: the pairwise
+    cosine step is keyed by the block, never a global cross join. Same
+    sequential-fold arithmetic both engines (dot/norm in double)."""
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@q("ext_embed_neardup_lsh")
+def ext_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: block by sign-LSH bucket
+    (4 hyperplanes) instead of a label — linear bucketing pass, bucket-
+    keyed self-join, exact cosine rescoring only within buckets. Rows-only
+    (bucket membership is hash-defined)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = _hyperplanes(dim, 4)
+    return embedding_near_duplicates(
+        emb, threshold=0.35, block=sign_lsh_bucket(F.col("embedding"), planes)
+    ).orderBy("a", "b")
 
 
 @q("ext_ann_lsh_topk")

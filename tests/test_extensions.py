@@ -19,7 +19,11 @@ from bigdatacw1_spark.operators.multimodal import (
     decode_image,
     extract_features,
 )
-from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
+from bigdatacw1_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
 from bigdatacw1_spark.sources.catalog import load_table
 from tests.conftest import SF_SMALL
 from pyspark.sql import functions as F
@@ -76,6 +80,20 @@ def test_ann_scores_match_brute_force(spark):
     assert len(ann) > 0
     for r in ann:
         assert bf[r["vec_id"]] == r["score"]  # exact rescoring within bucket
+
+
+def test_embedding_neardup_finds_planted_duplicate(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # Plant an exact copy of vec_id 0 under a new id in the same label:
+    # cosine(v, v) == 1.0 must surface as a near-dup pair at any threshold.
+    clone = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_duplicates(emb.unionByName(clone), threshold=0.999)
+    got = {(r["a"], r["b"]): r["score"] for r in pairs.collect()}
+    assert got.get((0, 900000)) == 1.0
+    for (a, b), s in got.items():
+        assert a < b and -1.0 <= s <= 1.0
 
 
 def test_multimodal_plumbing(spark, docs):
