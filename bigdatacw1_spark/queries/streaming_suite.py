@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
+from bigdatacw1_spark.streaming.stateful import running_user_totals
 from bigdatacw1_spark.streaming.windows import (
     session_aggregate,
     sliding_counts,
@@ -87,3 +88,22 @@ def ev_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands formulation — same session boundaries (new session
     iff gap >= 30 min), session_end = last event + gap."""
     return session_aggregate(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@q(
+    "ev_stateful_user_totals",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def ev_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) in its batch
+    degenerate form: one micro-batch ⇒ the emitted running totals ARE the
+    per-user totals, so the explicit-state fold is oracle-checkable. The
+    cents quantization makes the sum batching-order-independent. The
+    incremental multi-batch behavior is covered by
+    tests/test_streaming.py::test_stateful_running_totals_match_batch."""
+    return running_user_totals(_t(spark, sf_dir, "events").select("user_id", "value"))

@@ -10,8 +10,12 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from bigdatacw1_spark.sources.catalog import load_table
+from bigdatacw1_spark.streaming.stateful import run_stateful_stream_to_memory
 from bigdatacw1_spark.streaming.windows import (
+    read_events_stream,
     run_windowed_stream_to_memory,
     session_aggregate,
     sliding_counts,
@@ -56,6 +60,60 @@ def test_sliding_each_event_in_two_windows(spark):
     slid = sliding_counts(ev, width_min=10, slide_min=5)
     total = sum(r["n"] for r in slid.collect())
     assert total == 2 * n_events
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState custom operator: per-user cumulative totals
+    folded across micro-batches must equal the batch groupBy."""
+    q = run_stateful_stream_to_memory(spark, events_dir, table_name="state_out")
+    q.awaitTermination(120)
+    assert len(q.recentProgress) > 1  # state really carried across batches
+    # n_events is strictly increasing per user, so the row with max
+    # n_events is the final emitted running total.
+    final = (
+        spark.table("state_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+    static = spark.read.parquet(events_dir)
+    expected = static.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in expected.collect()}
+    assert got == want
+
+
+def test_watermark_append_emits_only_closed_windows(spark, events_dir):
+    """Append mode + watermark: only windows whose end is at or below the
+    final watermark (max event time - delay) are emitted — the mechanism
+    that bounds state and drops late data at scale."""
+    stream = read_events_stream(spark, events_dir)
+    agged = tumbling_counts(stream.withWatermark("ts", "30 minutes"), minutes=10)
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    static = spark.read.parquet(events_dir)
+    max_ts = static.agg(F.max("ts")).head()[0]
+    emitted = spark.table("wm_out").collect()
+    assert len(emitted) > 0
+    all_windows = tumbling_counts(static, minutes=10).count()
+    assert len(emitted) < all_windows  # open windows past the watermark held back
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=30)
+    for r in emitted:
+        # wstart + 10min = window end must be <= final watermark
+        assert r["wstart"] + datetime.timedelta(minutes=10) <= wm
 
 
 def test_session_windows_respect_gap(spark):
