@@ -289,6 +289,45 @@ def j5_multiway_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "j6_left_semi",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+    """,
+)
+def j6_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having at least one high-quantity
+    line. Semi joins never duplicate or widen the left side — one
+    key-hash shuffle, probe-side early-out."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    return o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@q(
+    "j7_left_anti",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): orders with no line above quantity 45.
+    Same single-shuffle shape as the semi join, inverted emit."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_anti").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 Aggregations
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatacw1_spark.operators.relational import exact_avg, exact_sum
+from bigdatacw1_spark.operators.relational import exact_avg, exact_sum, stable_round
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
 
@@ -148,6 +148,111 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter-aggregate. All three predicates push to the
+    parquet scan (PushedFilters); the aggregate is a single partial+final
+    pair with no grouping key — the minimal-shuffle shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "tpch_q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer. Date + returnflag
+    filters push to the scans before the joins; nation broadcasts;
+    top-20 via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q14_promo_effect",
+    oracle="""
+        SELECT FLOOR((100.0 * SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,6)))
+                     / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))) * 10000.0 + 0.5) / 10000.0
+               AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional aggregation over a
+    fact⨝dim join. part broadcasts (it is the small side); the month
+    filter prunes lineitem at the scan. Decimal sums keep the ratio
+    order-independent across engines."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(30,6)"))
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        stable_round(
+            (F.lit(100.0) * F.sum(promo_rev).cast("double")) / F.sum(rev).cast("double"), 4
+        ).alias("promo_revenue_pct")
     )
 
 

@@ -1,0 +1,57 @@
+"""Physical-plan quality gates (SURVEY.md §4, §7.4.6).
+
+Correctness is the oracle's job; these tests pin the plan SHAPES that
+make the same code hold at 100 TB: dimension joins broadcast, filters
+reach the parquet scan, top-k fuses into TakeOrderedAndProject, and no
+Python evaluation appears in reference-parity plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatacw1_spark.plans import (
+    has_broadcast_hash_join,
+    has_python_eval,
+    has_take_ordered,
+    pushed_filters,
+)
+from bigdatacw1_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["tpch_q5_local_volume", "tpch_q10_returned_items", "j5_multiway_pipeline"]:
+        assert has_broadcast_hash_join(_df(spark, name)), f"{name}: no broadcast join in plan"
+
+
+def test_filters_push_to_parquet_scan(spark):
+    # Q6's three predicates must reach the lineitem scan.
+    pushed = pushed_filters(_df(spark, "tpch_q6_forecast_revenue"))
+    joined = ";".join(pushed)
+    assert "l_shipdate" in joined and "l_discount" in joined and "l_quantity" in joined
+
+
+def test_topk_fuses_into_take_ordered(spark):
+    for name in ["tpch_q3_shipping_priority", "tpch_q18_large_orders", "ref_nosql1_top_group"]:
+        assert has_take_ordered(_df(spark, name)), f"{name}: top-k did a global sort"
+
+
+def test_reference_parity_plans_are_python_free(spark):
+    """Every reference-parity query must stay JVM-side end to end
+    (SURVEY.md §2.10 policy: no Python UDFs outside extensions)."""
+    parity = [n for n in REGISTRY if not n.startswith(("ext_", "ev_stateful"))]
+    offenders = [n for n in parity if has_python_eval(_df(spark, n))]
+    assert offenders == []
+
+
+def test_semi_anti_plans_have_single_join(spark):
+    from bigdatacw1_spark.plans import formatted_plan
+
+    for name, kind in [("j6_left_semi", "LeftSemi"), ("j7_left_anti", "LeftAnti")]:
+        plan = formatted_plan(_df(spark, name))
+        assert kind in plan, f"{name}: expected {kind} join in plan"
