@@ -1,0 +1,67 @@
+"""Write paths: partitioned and bucketed parquet sinks.
+
+The reference has no write path at all (results were read off interactive
+clients — SURVEY.md §2.1 S4); an engine meant for 100 TB needs the
+layout-producing side too, because the WRITE layout is what makes later
+reads cheap:
+
+  - partitioning by a low-cardinality column (typically the date) turns
+    time-range predicates into directory pruning — Catalyst's
+    PartitionFilters skip whole partitions before any I/O;
+  - bucketing by a join/group key pre-shuffles the data once at write
+    time, so every later join or aggregation on that key is shuffle-free
+    (Spark reads bucket files aligned by hash).
+
+Both write plain parquet any reader (including the DuckDB oracle) can
+consume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet. Partition columns should be
+    low-cardinality (a date or date-derived bucket, a region, a source);
+    high-cardinality partitioning creates a small-file storm."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Partition a fact table by the DAY of its event-time column — the
+    standard layout for time-series facts (equity_prices-style tables,
+    events): time-range queries prune to the matching day directories."""
+    out = df.withColumn("__day", F.to_date(F.col(ts_col)))
+    out.write.mode(mode).partitionBy("__day").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table: pre-shuffles on the
+    bucket key at write time so subsequent joins/aggregations on that key
+    need no exchange. Requires saveAsTable (bucket metadata lives in the
+    catalog)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
