@@ -160,3 +160,72 @@ def topk(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame
     TakeOrderedAndProject: each partition keeps only k rows, so no full
     sort and no single-node materialization at scale."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (point-in-time) join: for every left row, attach the right
+    row with the greatest ``right_ts <= left_ts`` within the same ``on``
+    key — e.g. "price as of the trade time", "last purchase before this
+    click". Left rows with no prior right row get NULLs (left-outer
+    semantics). Spark has no built-in ASOF join; the scalable shape is
+    union + ordered window, NOT a range self-join:
+
+      1. union the two inputs with a source tag (right rows sort before
+         left rows at equal timestamps, so "at or before" includes ties);
+      2. one window per key ordered by (ts, tag): ``last(value,
+         ignorenulls=True)`` carries the most recent right values forward;
+      3. keep only left rows.
+
+    Cost: ONE shuffle on the key — same as any join — and state per row
+    is O(1), vs. the O(rows_left x rows_right) blow-up of the naive
+    range-join + argmax formulation. Skewed keys split fine under AQE
+    because the window partitions by the same key.
+
+    ``right_cols`` are attached as-is and must not collide with left
+    column names; ``tiebreak`` (a right column, e.g. an event id) makes
+    the winner among equal right timestamps deterministic.
+    """
+    on = list(on)
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
+    lpay = [c for c in left.columns if c not in on and c != left_ts]
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast("long").alias("__tie"),
+        *lpay,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *right_cols,
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.asc("__src"), F.asc_nulls_last("__tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        *on,
+        "__ts",
+        "__src",
+        *lpay,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return carried.where(F.col("__src") == 1).select(
+        *on, F.col("__ts").alias(left_ts), *lpay, *right_cols
+    )

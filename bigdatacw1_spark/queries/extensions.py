@@ -208,6 +208,39 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch (approximate) aggregates — the 100 TB profiling primitives
+# ---------------------------------------------------------------------------
+
+@q("ext_sketch_ndv")
+def ext_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per group: constant memory per group
+    regardless of cardinality — the only way to profile distinct users/
+    docs at 100 TB without a full shuffle of the distinct values.
+    Rows-only (sketch estimates are engine-specific); the <2% error bound
+    vs exact is asserted in tests/test_extensions.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q("ext_sketch_quantiles")
+def ext_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) of order totals:
+    mergeable per-partition sketches, no global sort. Rows-only; rank
+    accuracy asserted in tests."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("quantiles")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from bigdatacw1_spark.operators.relational import (
     above_group_average,
+    as_of_join,
     conditional_avg,
     exact_avg,
     exact_sum,
@@ -328,6 +329,42 @@ def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "j8_asof_join",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.value AS purchase_value, p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click gets the user's most recent
+    purchase at or before it. Implemented as union + ordered window (one
+    key shuffle, O(1) state per row — operators/relational.as_of_join),
+    oracle-checked against DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=["purchase_value", "purchase_id"],
+        tiebreak="purchase_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 Aggregations
 # ---------------------------------------------------------------------------
@@ -494,6 +531,37 @@ def a8_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("p_brand").agg(
         F.array_join(F.sort_array(F.collect_list(member)), "|").alias("members")
     )
+
+
+@q(
+    "a11_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total) in one
+    pass — Spark expands grouping sets inside a single hash aggregate,
+    not one scan per level."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("l_quantity", scale=2).alias("sum_qty")
+    )
+
+
+@q(
+    "a12_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets of the two keys in one aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
 
 
 @q(

@@ -96,6 +96,23 @@ def test_embedding_neardup_finds_planted_duplicate(spark):
         assert a < b and -1.0 <= s <= 1.0
 
 
+def test_sketch_ndv_within_error_bound(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    got = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+        F.countDistinct("user_id").alias("x"),
+    ).head()
+    assert abs(got["a"] - got["x"]) <= max(1, 0.05 * got["x"])
+
+
+def test_sketch_quantiles_bracket_exact(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    qs = o.agg(F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("q")).head()["q"]
+    exact = o.agg(F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("e")).head()["e"]
+    for approx, ex in zip(qs, exact):
+        assert abs(approx - ex) <= 0.05 * ex + 1e-9
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_binary_payload(docs)
     feats = extract_features(media, dim=8)
