@@ -106,6 +106,65 @@ def sign_lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """IVF (inverted-file) index: k-means the corpus into ``n_centroids``
+    cells; each vector is assigned to its nearest centroid. Returns
+    (assigned DataFrame with a __cluster column, list of centroids).
+
+    At production scale this runs ONCE at ingest (the assignment is a
+    narrow map after the fit) and ``__cluster`` is written as a partition
+    column, so a query's probe set becomes partition pruning. Seeded
+    k-means keeps the index deterministic."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = fan_out(embeddings.select(id_col, vec_col)).withColumn(
+        "__v", array_to_vector(as_double(F.col(vec_col)))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__v", predictionCol="__cluster"
+    ).fit(base)
+    assigned = model.transform(base).drop("__v")
+    return assigned, [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """ANN top-k over an IVF index: rank centroids by distance to the
+    query on the driver (centroids are tiny), scan only the ``n_probe``
+    nearest cells, exact cosine rescoring within them. Recall/latency
+    trade-off is the n_probe dial; n_probe = n_centroids degrades to
+    exact brute force (asserted in tests)."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query_vec, centroids[i])),
+    )
+    probe = order[:n_probe]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
+    return (
+        assigned.where(F.col("__cluster").isin(probe))
+        .select(F.col(id_col), score.alias("score"), F.col("__cluster").alias("cluster"))
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -34,7 +34,9 @@ from bigdatacw1_spark.operators.multimodal import attach_binary_payload, extract
 from bigdatacw1_spark.operators.similarity import (
     _hyperplanes,
     brute_force_topk,
+    build_ivf_index,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
     sign_lsh_bucket,
 )
@@ -205,6 +207,18 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)
+
+
+@q("ext_ann_ivf_topk")
+def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: seeded k-means cells (built once, reusable), probe
+    the 4 cells nearest the query, exact cosine rescoring inside them.
+    Rows-only (k-means cells are not SQL-expressible); recall-vs-brute-
+    force is asserted in tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    assigned, centroids = build_ivf_index(emb, n_centroids=8)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,51 @@
+"""Both front ends (SQL string, DataFrame chain) must produce identical
+results from the same catalog — they are the same logical plan to
+Catalyst (SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.engine import Engine
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark=spark, sf_dir=SF_SMALL)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sql_and_dataframe_fronts_converge(eng):
+    sql_res = eng.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > 1000
+        GROUP BY o_orderpriority
+        """
+    )
+    df_res = (
+        eng.table("orders")
+        .where(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _sorted_rows(sql_res) == _sorted_rows(df_res)
+    assert sql_res.schema == df_res.schema
+
+
+def test_unknown_table_rejected(eng):
+    with pytest.raises(KeyError):
+        eng.table("nope")
+
+
+def test_all_tables_resolvable_from_both_fronts(eng):
+    for name in eng.tables():
+        assert eng.sql(f"SELECT * FROM {name} LIMIT 1").count() in (0, 1)
+        assert eng.table(name).limit(1).count() in (0, 1)

@@ -96,6 +96,25 @@ def test_embedding_neardup_finds_planted_duplicate(spark):
         assert a < b and -1.0 <= s <= 1.0
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    from bigdatacw1_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    assigned, centroids = build_ivf_index(emb, n_centroids=4)
+    # probing every cell must recover the exact brute-force top-k
+    full = ivf_topk(assigned, centroids, qvec, k=10, n_probe=4).collect()
+    bf = brute_force_topk(emb, qvec, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in full] == [
+        (r["vec_id"], r["score"]) for r in bf
+    ]
+    # partial probe returns a valid subset with correct internal order
+    part = ivf_topk(assigned, centroids, qvec, k=10, n_probe=1).collect()
+    assert len(part) > 0
+    scores = [r["score"] for r in part]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_sketch_ndv_within_error_bound(spark):
     ev = load_table(spark, SF_SMALL, "events")
     got = ev.agg(
