@@ -92,6 +92,95 @@ def _fake_feature_vec(payload: bytes, dim: int = 8) -> list[float]:
     return feats
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Binary→binary media transform (the resize shape): 1 row in, 1 row
+    out, payload rewritten, metadata updated with the target dimensions.
+    The codec is STUBBED deterministically (payload truncated/cycled to
+    width*height bytes standing in for a decoded-resized-reencoded
+    image); the Arrow batch plumbing and schema evolution are real."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        target = width * height
+
+        def fake_resize(b: bytes) -> bytes:
+            b = bytes(b)
+            if not b:
+                return bytes(target)
+            reps = (target // len(b)) + 1
+            return (b * reps)[:target]
+
+        for pdf in it:
+            out = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "media_meta": [
+                        {"mime": "image/raw", "n_bytes": len(p), "width": width, "height": height}
+                        for p in out
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling (the 1→N video shape): each payload expands to
+    ``n_frames`` output rows. The decode is STUBBED (payload split into
+    equal chunks standing in for decoded frames); what is real — and what
+    matters at scale — is the row-expanding mapInPandas plumbing: output
+    cardinality is decided inside the UDF, batches stay Arrow-sized, and
+    downstream operators see ordinary (doc_id, frame_idx) rows."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step] or b[-step:])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_payload": frames}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 

@@ -135,12 +135,36 @@ def test_sketch_quantiles_bracket_exact(spark):
 def test_multimodal_plumbing(spark, docs):
     media = attach_binary_payload(docs)
     feats = extract_features(media, dim=8)
-    rows = feats.limit(5).collect()
+    rows = feats.collect()
     assert all(len(r["features"]) == 8 for r in rows)
     assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
-    # payload length round-trips
+    # payload length round-trips through the Arrow batches
     joined = feats.join(media.select("doc_id", F.octet_length("payload").alias("nb")), "doc_id")
     assert joined.where(F.col("n_bytes") != F.col("nb")).count() == 0
+
+
+def test_multimodal_resize_shape(spark, docs):
+    from bigdatacw1_spark.operators.multimodal import resize_media
+
+    media = attach_binary_payload(docs.limit(10))
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r["payload"]) == 8 * 4
+        assert r["media_meta"]["width"] == 8 and r["media_meta"]["height"] == 4
+
+
+def test_multimodal_frame_sampling_expands_rows(spark, docs):
+    from bigdatacw1_spark.operators.multimodal import sample_frames
+
+    media = attach_binary_payload(docs.limit(6))
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 6 * 4
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
     # the real codec is an explicit stub
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
