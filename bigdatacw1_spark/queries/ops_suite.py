@@ -330,6 +330,80 @@ def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "f7_json_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               FLOOR(CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string payload column (events.props is
+    JSON): get_json_object stays JVM-side — no Python parse. At scale
+    prefer from_json ONCE into a struct column over repeated path
+    extraction of the same document."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(k.cast("double"), scale=0, digits=2).alias("sum_k"),
+    )
+
+
+@q(
+    "f8_explode_unnest",
+    oracle="""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS tok FROM part)
+        GROUP BY tok
+    """,
+)
+def f8_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (lateral view / UNNEST): split-then-explode with a
+    count per token. The explode is generate-side (no shuffle); only the
+    count aggregation shuffles, after map-side combine."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "f9_pivot",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(CASE WHEN n_name = 'NATION_1' THEN 1 END) AS nation_1,
+               COUNT(CASE WHEN n_name = 'NATION_2' THEN 1 END) AS nation_2,
+               COUNT(CASE WHEN n_name = 'NATION_3' THEN 1 END) AS nation_3
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment
+    """,
+)
+def f9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class pivot (the declarative form of A3's pivot-by-CASE):
+    explicit value list so the plan is a single aggregate — no extra
+    values-discovery pass over the fact."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    piv = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_mktsegment")
+        .pivot("n_name", ["NATION_1", "NATION_2", "NATION_3"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("NATION_1", F.lit(0)).alias("nation_1"),
+        F.coalesce("NATION_2", F.lit(0)).alias("nation_2"),
+        F.coalesce("NATION_3", F.lit(0)).alias("nation_3"),
+    )
+
+
+@q(
     "j8_asof_join",
     oracle="""
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
