@@ -152,6 +152,145 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: ship-after-order instead of the absent
+    commit/receipt dates): EXISTS → left-semi join with a non-equi
+    residual condition, then a tiny grouped count."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q7_volume_shipping",
+    oracle="""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               YEAR(l_shipdate) AS l_year,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name <> sn.n_name
+        GROUP BY cn.n_name, sn.n_name, YEAR(l_shipdate)
+        ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: cross-nation trade volume by year. The two nation dims
+    broadcast under different aliases; the nation-pair inequality is a
+    cheap residual predicate after the broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nations = ["NATION_1", "NATION_2"]
+    cn = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue")
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@q(
+    "tpch_q8_market_share",
+    oracle="""
+        WITH all_rev AS (
+            SELECT YEAR(o_orderdate) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+        )
+        SELECT o_year,
+               FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mkt_share
+        FROM all_rev
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted to available columns): one nation's share of
+    PROMO-part revenue per order year — conditional-over-total aggregation
+    after a 5-way join with broadcast dims."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    base = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(30,6)")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            stable_round(
+                F.sum(nat_vol).cast("double") / F.sum("volume").cast("double"), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
     "tpch_q6_forecast_revenue",
     oracle="""
         SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
