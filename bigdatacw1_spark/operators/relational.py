@@ -162,6 +162,36 @@ def topk(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame
     return df.orderBy(*order_cols).limit(k)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: when one join key value carries a large
+    share of the left side, a plain key-hash shuffle lands that key on one
+    reducer. Salting splits it: the left side gets a deterministic row
+    salt (hash of all columns, mod ``n_salts``), the right side is
+    replicated once per salt, and the join runs on (key, salt) — the hot
+    key spreads across ``n_salts`` reducers. The result is identical to
+    the plain join for any salt assignment, so the oracle is the plain
+    SQL join.
+
+    Use when AQE's runtime skew split is unavailable (e.g. the skewed
+    side feeds a window) or the skew is known ahead of time; cost is
+    ``n_salts`` x the (small) right side's shuffle volume.
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    joined = l.join(
+        r, (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"]), how
+    )
+    return joined.drop(l["__salt"]).drop(r["__salt"])
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -18,6 +18,8 @@ from bigdatacw1_spark.operators.relational import (
     exact_avg,
     exact_sum,
     group_dedup,
+    salted_join,
+    stable_round,
     topk,
 )
 from bigdatacw1_spark.queries.registry import q
@@ -326,6 +328,79 @@ def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
     return o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_anti").select(
         "o_orderkey", "o_orderpriority"
+    )
+
+
+@q(
+    "j9_salted_skew_join",
+    oracle="""
+        SELECT p_brand,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting demonstration (operators/relational.salted_join): lineitem
+    ⨝ part on (l_partkey, salt) with part replicated 8x — a hot part key
+    spreads across 8 reducers instead of one. Result is provably
+    identical to the plain join, so the oracle IS the plain join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        salted_join(l, p, "l_partkey", "p_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "w5_ntile_percent_rank",
+    oracle="""
+        SELECT c_custkey,
+               NTILE(4) OVER w AS quartile,
+               FLOOR(PERCENT_RANK() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile quartiles, percent_rank) over
+    a total order — one shuffle on the partition key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        stable_round(F.percent_rank().over(w), 4).alias("pct_rank"),
+    )
+
+
+@q(
+    "w6_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)
+                              RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar
+        FROM orders
+    """,
+)
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, how many of their orders fall
+    within +-1000 of each order's total — value-based frames, not row
+    counts. (PySpark's Window.rangeBetween only takes integer offsets, so
+    the fractional-valued frame is expressed as a SQL window expression —
+    same Catalyst plan.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)"
+        " RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar",
     )
 
 
