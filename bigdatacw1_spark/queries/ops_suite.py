@@ -331,6 +331,28 @@ def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@q("p9_correlated_subquery", oracle=_CORRELATED_SQL)
+def p9_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front end (Engine.sql
+    lifecycle, SURVEY.md §3.1/§3.3): Catalyst decorrelates it into an
+    aggregate + join — the same plan the hand-written groupBy+join would
+    produce. One query text serves both engines."""
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
 @q(
     "j9_salted_skew_join",
     oracle="""
