@@ -128,6 +128,41 @@ def securities(spark):
     return spark.createDataFrame(rows)
 
 
+def test_sql1_sql_text_front_end_matches_dataframe_port(spark, equity_static, equity_prices):
+    """SURVEY.md §3.3: the same analysis through the SQL front end (the
+    reference's original dialect, SQLQueries.sql:10-31) and through the
+    DataFrame port must produce identical rows — one Catalyst plan, two
+    dialects."""
+    equity_static.createOrReplaceTempView("equity_static_v")
+    equity_prices.createOrReplaceTempView("equity_prices_v")
+    sql_res = spark.sql(
+        """
+        WITH sector_return AS (
+            SELECT gics_sector, country,
+                   ROUND(AVG(((close_price - open_price) / open_price) * 100), 4) AS daily_return
+            FROM equity_static_v
+            LEFT JOIN equity_prices_v ON symbol = symbol_id
+            WHERE country IN ('US', 'FR')
+            GROUP BY gics_sector, country
+        )
+        SELECT gics_sector,
+               ROUND(AVG(CASE WHEN country = 'US' THEN daily_return END), 4) AS us_return,
+               ROUND(AVG(CASE WHEN country = 'FR' THEN daily_return END), 4) AS fr_return,
+               CASE WHEN AVG(CASE WHEN country = 'US' THEN daily_return END)
+                         > AVG(CASE WHEN country = 'FR' THEN daily_return END) THEN 'US'
+                    WHEN AVG(CASE WHEN country = 'US' THEN daily_return END)
+                         < AVG(CASE WHEN country = 'FR' THEN daily_return END) THEN 'FR'
+                    ELSE 'N/A' END AS comparison
+        FROM sector_return
+        GROUP BY gics_sector
+        HAVING COUNT(DISTINCT country) > 1
+        ORDER BY gics_sector
+        """
+    )
+    df_res = sql1_sector_return_comparison(equity_static, equity_prices)
+    assert [tuple(r) for r in sql_res.collect()] == [tuple(r) for r in df_res.collect()]
+
+
 def test_sql1_having_excludes_single_country_sectors(spark, equity_static, equity_prices):
     out = sql1_sector_return_comparison(equity_static, equity_prices).collect()
     sectors = [r["gics_sector"] for r in out]
