@@ -72,6 +72,33 @@ def read_events_stream(spark: SparkSession, events_dir: str, max_files_per_trigg
     )
 
 
+def run_windowed_stream_to_parquet(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    minutes: int = 10,
+    watermark: str = "30 minutes",
+):
+    """Watermarked tumbling windows streamed to a parquet sink via
+    foreachBatch: each micro-batch of completed windows is appended as
+    ordinary parquet any engine can read — the production hand-off shape
+    (stream → columnar lake table). Append mode means a window is written
+    once, when the watermark closes it; state never grows unboundedly."""
+    stream = read_events_stream(spark, events_dir)
+    agged = tumbling_counts(stream.withWatermark("ts", watermark), minutes)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        agged.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_chk")
+        .start()
+    )
+
+
 def run_windowed_stream_to_memory(
     spark: SparkSession,
     events_dir: str,

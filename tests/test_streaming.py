@@ -17,6 +17,7 @@ from bigdatacw1_spark.streaming.stateful import run_stateful_stream_to_memory
 from bigdatacw1_spark.streaming.windows import (
     read_events_stream,
     run_windowed_stream_to_memory,
+    run_windowed_stream_to_parquet,
     session_aggregate,
     sliding_counts,
     tumbling_counts,
@@ -114,6 +115,53 @@ def test_watermark_append_emits_only_closed_windows(spark, events_dir):
     for r in emitted:
         # wstart + 10min = window end must be <= final watermark
         assert r["wstart"] + datetime.timedelta(minutes=10) <= wm
+
+
+@pytest.fixture(scope="module")
+def events_dir_ordered(spark, tmp_path_factory):
+    """events split into 4 TIME-ORDERED files with increasing mtimes, so
+    the file stream replays history in event-time order (the realistic
+    ingestion shape) and no event is late beyond the watermark."""
+    import time as _time
+
+    d = str(tmp_path_factory.mktemp("events_stream_ordered"))
+    ev = load_table(spark, SF_SMALL, "events")
+    tsl = ev.select(F.col("ts").cast("long").alias("t"))
+    lo, q1, q2, q3, hi = (
+        tsl.agg(
+            F.min("t"), F.expr("percentile(t, 0.25)"), F.expr("percentile(t, 0.5)"),
+            F.expr("percentile(t, 0.75)"), F.max("t"),
+        ).head()
+    )
+    bounds = [(lo, q1), (q1, q2), (q2, q3), (q3, hi + 1)]
+    for i, (a, b) in enumerate(bounds):
+        chunk = ev.where((F.col("ts").cast("long") >= a) & (F.col("ts").cast("long") < b))
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes → deterministic processing order
+    return d
+
+
+def test_stream_to_parquet_sink_exact_closed_windows(spark, events_dir_ordered, tmp_path):
+    """foreachBatch parquet sink over an in-order replay: the written
+    files must contain EXACTLY the windows closed by the final watermark
+    (max event time - 30 min), each with the batch aggregate's values,
+    each written once."""
+    import datetime
+
+    out = str(tmp_path / "win_parquet")
+    q = run_windowed_stream_to_parquet(spark, events_dir_ordered, out, minutes=10)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    static = spark.read.parquet(events_dir_ordered)
+    max_ts = static.agg(F.max("ts")).head()[0]
+    wm = max_ts - datetime.timedelta(minutes=30)
+    closed = tumbling_counts(static, minutes=10).where(
+        F.col("wstart") + F.expr("INTERVAL 10 MINUTES") <= F.lit(wm)
+    )
+    got = sorted(tuple(r) for r in written.collect())
+    want = sorted(tuple(r) for r in closed.collect())
+    assert len(got) > 0
+    assert got == want
 
 
 def test_session_windows_respect_gap(spark):
