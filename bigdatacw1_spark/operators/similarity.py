@@ -173,21 +173,32 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """ANN top-k: filter to the query's sign-LSH bucket, then exact cosine
     within the bucket. At scale the bucket id is a pre-computed partition/
     cluster column, making this a partition-pruned scan instead of a full
-    pass. Output: (id, score, bucket)."""
+    pass. Output: (id, score, bucket).
+
+    ``probe_bits`` is the multi-probe recall dial: also scan buckets whose
+    id differs from the query's in up to that many bits (a vector near a
+    hyperplane lands on either side with ~equal probability, so the
+    Hamming-1 neighbors hold most of the misses). probe_bits=0 scans 1
+    bucket; 1 scans 1+n_planes; the candidate set stays an IN-list filter
+    — still a pruned scan, never a cross join."""
     planes = _hyperplanes(len(query_vec), n_planes)
     qbucket_bits = 0
     for p, plane in enumerate(planes):
         if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
             qbucket_bits |= 1 << p
+    probe = {qbucket_bits}
+    for _ in range(probe_bits):
+        probe |= {b ^ (1 << p) for b in probe for p in range(n_planes)}
     bucketed = fan_out(embeddings.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    ).where(F.col("bucket") == qbucket_bits)
+    ).where(F.col("bucket").isin(*sorted(probe)))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
     return (

@@ -396,6 +396,41 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+        SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted): three disjunctive brand/size/quantity branches.
+    Catalyst extracts the common join key and pushes the per-side parts of
+    the OR (brand/size to the part scan, quantity to lineitem) as an
+    OR-of-ranges filter; part broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    branch = lambda brand, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    cond = (
+        branch("Brand#1", 1, 15, 1, 11)
+        | branch("Brand#2", 10, 30, 10, 20)
+        | branch("Brand#3", 20, 50, 20, 30)
+    )
+    return joined.where(cond).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@q(
     "tpch_q18_large_orders",
     oracle="""
         WITH big AS (

@@ -96,6 +96,20 @@ def test_embedding_neardup_finds_planted_duplicate(spark):
         assert a < b and -1.0 <= s <= 1.0
 
 
+def test_multiprobe_lsh_recall_is_monotone(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    bf = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    hits = []
+    for pb in (0, 1, 2):
+        got = {r["vec_id"] for r in lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=pb).collect()}
+        hits.append(len(got & set(bf)))
+    # more probed buckets → recall never decreases; scores stay exact
+    assert hits[0] <= hits[1] <= hits[2]
+    full = lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=4).collect()
+    assert [r["vec_id"] for r in full] == bf  # probing every bucket = brute force
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     from bigdatacw1_spark.operators.similarity import build_ivf_index, ivf_topk
 
