@@ -396,6 +396,160 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed k orders, for every k. Left
+    outer join (customers with no orders count as 0 — COUNT of a nullable
+    key), then a second tiny aggregation over the counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
+    equality against an uncorrelated scalar subquery. The max is a
+    one-row broadcast (cross-join of a scalar), not a sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+        WITH avg_qty AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(30,2))) / COUNT(l_quantity) AS aq
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avg_qty ON l_partkey = pk
+        WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * aq
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: lines below 20% of their part's average quantity — the
+    correlated-aggregate pattern, decorrelated by hand into a per-part
+    aggregate re-joined to the fact (exactly what Catalyst does to the
+    correlated form). Decimal per-part averages keep the 0.2*avg threshold
+    bit-identical across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(30,2)")) / F.count("l_quantity")).alias("aq")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, l["l_partkey"] == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+        WITH pos AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(30,2))) / COUNT(c_acctbal) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS totacctbal
+        FROM customer, pos
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nation key instead of the absent phone prefix):
+    well-funded customers who never ordered — scalar subquery threshold
+    (broadcast one-row cross join) + anti join + grouped totals."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(30,2)")) / F.count("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal", scale=2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@q(
     "tpch_q19_discounted_revenue",
     oracle="""
         SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
