@@ -396,6 +396,44 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "tpch_q9_product_profit",
+    oracle="""
+        SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp table, so profit omits supplycost):
+    revenue on LIKE-matched parts by supplier nation and order year. The
+    contains-pattern prunes part before the broadcast; StartsWith/Contains
+    push to the scan as parquet filters."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@q(
     "tpch_q13_customer_distribution",
     oracle="""
         WITH per_cust AS (
