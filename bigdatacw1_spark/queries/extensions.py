@@ -105,6 +105,35 @@ def ext_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
 
 
+@q(
+    "ext_dedup_keep_latest",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source,
+                   MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id DESC
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, source, fingerprint FROM ranked WHERE rn = 1
+    """,
+)
+def ext_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: one survivor per normalized
+    fingerprint, keeping the highest doc_id (stand-in for 'newest
+    version'). The rank window shuffles once on the fingerprint — the
+    same cost as the dedup groupBy, but it keeps the whole surviving ROW,
+    which the groupBy form cannot."""
+    from bigdatacw1_spark.operators.relational import argmin_per_group
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", normalized_fingerprint("text").alias("fingerprint")
+    )
+    return argmin_per_group(d, ["fingerprint"], [F.desc("doc_id")])
+
+
 @q("ext_neardup_lsh_verified", headline=True)
 def ext_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup pipeline (headline): MinHash+LSH candidates →
