@@ -560,17 +560,22 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
                FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS totacctbal
         FROM customer, pos
         WHERE c_acctbal > avg_bal
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-06-01')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
 )
 def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 (adapted: nation key instead of the absent phone prefix):
-    well-funded customers who never ordered — scalar subquery threshold
-    (broadcast one-row cross join) + anti join + grouped totals."""
+    """TPC-H Q22 (adapted: nation key instead of the absent phone prefix,
+    and 'no RECENT order' so the anti join is non-trivial at test scale):
+    well-funded lapsed customers — scalar subquery threshold (broadcast
+    one-row cross join) + anti join + grouped totals."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
         (F.sum(F.col("c_acctbal").cast("decimal(30,2)")) / F.count("c_acctbal")).alias("avg_bal")
     )
