@@ -672,3 +672,294 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@q(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+        SELECT l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: return-flag ship classes + ship-lag lateness
+    instead of the absent shipmode/commit/receipt dates): equi join with a
+    non-equi residual (shipped >60 days after ordering) + conditional
+    counts. The ship-date range prunes the fact scan before the shuffle;
+    the residual evaluates post-join inside codegen."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l["l_orderkey"] == o["o_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@q(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: lineitem stands in for the absent partsupp;
+    negative account balance is the 'complaints' predicate): NOT IN →
+    broadcast left-anti join, distinct-count of suppliers per part class.
+    Both dims broadcast; the only shuffle is the final distinct-agg."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "tpch_q20_excess_shippers",
+    oracle="""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 300
+          )
+        ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipped volume from lineitem replaces the absent
+    partsupp availability): IN-against-aggregated-subquery → left-semi join
+    on a HAVING-filtered grouped fact; part + nation broadcast."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: 'late' = shipped >60 days after ordering, for
+    the absent commit/receipt dates): the classic EXISTS / NOT EXISTS pair
+    over the same fact — a left-semi then left-anti self-join, both with a
+    suppkey-inequality residual, co-partitioned on l_orderkey so the two
+    self-joins reuse one shuffle of the late set."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            o,
+            (F.col("l_orderkey") == o["o_orderkey"])
+            & (F.col("l_shipdate") > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    l1 = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH offers AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice FROM lineitem
+        ), best AS (
+            SELECT l_partkey AS b_partkey, MIN(l_extendedprice) AS min_price
+            FROM offers GROUP BY l_partkey
+        )
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+        FROM part
+        JOIN best ON p_partkey = b_partkey
+        JOIN offers ON offers.l_partkey = p_partkey AND offers.l_extendedprice = min_price
+        JOIN supplier ON s_suppkey = offers.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: cheapest observed lineitem price replaces the
+    absent partsupp supplycost): correlated-min subquery → grouped min
+    re-joined on (partkey, price), keeping ALL tied suppliers like the
+    spec; region→nation→supplier dim chain broadcasts. DISTINCT guards
+    against the same supplier hitting the min price twice."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    best = l.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        l.join(best, (l["l_partkey"] == F.col("b_partkey")) & (l["l_extendedprice"] == F.col("min_price")))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q11_important_parts",
+    oracle="""
+        WITH val AS (
+            SELECT l_partkey AS ps_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            GROUP BY l_partkey
+        )
+        SELECT ps_partkey, FLOOR(CAST(v AS DOUBLE) * 100.0 + 0.5) / 100.0 AS part_value
+        FROM val
+        WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM val)
+        ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: traded value from lineitem replaces the absent
+    partsupp stock value): grouped exact-decimal sums filtered against a
+    scalar-subquery fraction of the grand total — the one-row total
+    broadcasts as a cross join, so the per-part values are not reshuffled."""
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("v"))
+    )
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("v").cast("double") > F.col("threshold"))
+        .select("ps_partkey", stable_round(F.col("v").cast("double"), 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
