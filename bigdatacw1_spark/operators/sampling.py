@@ -1,0 +1,96 @@
+"""Deterministic sampling operators (north-star extension, SURVEY.md §2.11).
+
+Training-data pipelines need samples that are REPRODUCIBLE (same rows on
+every run, on any cluster size) and JOIN-STABLE (a key lands on the same
+side of a split in every table that carries it). Random `df.sample()`
+gives neither. These operators derive the sampling decision from a
+content hash of the key instead:
+
+    bucket(key) = int(first 8 hex chars of md5(key || salt)) mod B
+
+so membership is a pure per-row predicate — no shuffle, no state, no
+driver round-trip — and pushes down past column pruning like any other
+filter. At 100 TB this is the only sampling strategy that works: the
+sample of a table is computable partition-locally, and two tables
+sampled on the same key agree exactly, so you can sample-then-join.
+
+md5 (not xxhash64/crc32) because it is bit-identical across engines —
+the DuckDB oracle expresses the same bucket as
+``('0x' || substr(md5(key || salt), 1, 8))::BIGINT % B`` — and across
+Spark versions; its cost is irrelevant next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket count giving ~1e-6 fraction granularity; 2^32 hash values
+#: spread over 1e6 buckets keeps per-bucket quantization error < 0.025%.
+DEFAULT_BUCKETS = 1_000_000
+
+
+def md5_bucket(key: Column | str, n_buckets: int = DEFAULT_BUCKETS, salt: str = "") -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from md5(key||salt).
+
+    The first 8 hex chars are a uniform 32-bit value; `conv` parses them
+    big-endian exactly like the oracle's ``('0x'||…)::BIGINT`` cast.
+    Changing ``salt`` re-draws the assignment (a fresh "seed") without
+    touching the data.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    hex8 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("bigint") % F.lit(n_buckets)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    fraction: float,
+    salt: str = "",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, decided per key.
+
+    Rows whose bucket falls below ``fraction * n_buckets`` are kept, so
+    samples at growing fractions are NESTED (the 1% sample is a subset of
+    the 10% sample) — handy for scaling-law runs on the same corpus.
+    """
+    return df.where(md5_bucket(key, n_buckets, salt) < F.lit(int(fraction * n_buckets)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). ``fractions`` maps stratum value →
+    keep fraction; unlisted strata get ``default_fraction``.
+
+    The threshold is a broadcast-free CASE expression — still a pure
+    per-row predicate, still partition-local at any scale.
+    """
+    strata = F.col(strata) if isinstance(strata, str) else strata
+    threshold: Column = F.lit(int(default_fraction * n_buckets))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(strata == value, F.lit(int(frac * n_buckets))).otherwise(threshold)
+    return df.where(md5_bucket(key, n_buckets, salt) < threshold)
+
+
+def train_test_split(
+    df: DataFrame,
+    key: Column | str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Tag every row 'train' or 'test' by key hash — the split survives
+    re-runs, repartitioning, and joins against other tables keyed the
+    same way (no leakage from a document landing on both sides)."""
+    is_test = md5_bucket(key, n_buckets, salt) < F.lit(int(test_fraction * n_buckets))
+    return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))

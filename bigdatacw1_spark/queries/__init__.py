@@ -8,5 +8,6 @@ from bigdatacw1_spark.queries import ops_suite  # noqa: F401  (per-operator micr
 from bigdatacw1_spark.queries import extensions  # noqa: F401  (dedup/similarity/text/multimodal)
 from bigdatacw1_spark.queries import streaming_suite  # noqa: F401  (event-time windows)
 from bigdatacw1_spark.queries import tpch  # noqa: F401  (TPC-H-shaped headliners)
+from bigdatacw1_spark.queries import sampling_suite  # noqa: F401  (deterministic sampling)
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -1,0 +1,90 @@
+"""Deterministic-sampling queries (north-star extension, SURVEY.md §2.11).
+
+Every query here is fully oracle-checked: the md5-bucket predicate is
+bit-identical in DuckDB (``('0x'||substr(md5(k),1,8))::BIGINT``), so the
+driver verifies the EXACT sampled row set, not just its size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_test_split,
+)
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+
+# DuckDB rendering of operators/sampling.md5_bucket (B = 1_000_000).
+_BUCKET = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))::BIGINT % 1000000)"
+
+
+@q(
+    "ext_hash_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_BUCKET.format(salt="")} < 100000
+        ORDER BY doc_id
+    """,
+)
+def ext_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of documents by doc_id hash — the exact
+    row set is oracle-verified, proving the predicate is engine-portable
+    and rerun-stable (SURVEY.md §2.11 sampling)."""
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.10).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@q(
+    "ext_stratified_sample",
+    oracle=f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM documents
+        WHERE {_BUCKET.format(salt="")} <
+              CASE lang WHEN 'de' THEN 1000000 WHEN 'en' THEN 300000 WHEN 'zh' THEN 100000 ELSE 0 END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep all German docs, 30% of
+    English, 10% of Chinese, drop other languages — the downsample-the-
+    dominant-language move of corpus curation, as one partition-local
+    CASE predicate."""
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        d, "doc_id", "lang", {"de": 1.0, "en": 0.3, "zh": 0.1}, default_fraction=0.0
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+@q(
+    "ext_train_test_split",
+    oracle=f"""
+        SELECT CASE WHEN {_BUCKET.format(salt="split")} < 100000 THEN 'test' ELSE 'train' END AS split,
+               lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+)
+def ext_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed 90/10 train/test tagging, counted per (split, lang).
+    Because the tag is a pure function of doc_id, any other table keyed
+    by doc_id splits consistently — no cross-split leakage when joining
+    features to documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(d, "doc_id", test_fraction=0.10)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
