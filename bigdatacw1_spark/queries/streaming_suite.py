@@ -107,3 +107,71 @@ def ev_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental multi-batch behavior is covered by
     tests/test_streaming.py::test_stateful_running_totals_match_batch."""
     return running_user_totals(_t(spark, sf_dir, "events").select("user_id", "value"))
+
+
+@q(
+    "ev_interval_join",
+    oracle="""
+        SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+        JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
+        GROUP BY v.user_id
+        ORDER BY v.user_id
+    """,
+)
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks within 5 minutes after a view by the
+    same user — equi join on user_id with a bounded time residual, the
+    batch semantics of the stream-stream join in streaming/joins.py
+    (incremental execution covered in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.streaming.joins import view_click_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = view_click_pairs(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        horizon_min=5,
+    )
+    return (
+        pairs.groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "ev_dedup_ingest",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_v
+        FROM (
+            SELECT DISTINCT event_id, event_type, value
+            FROM (SELECT event_id, event_type, value FROM events
+                  UNION ALL
+                  SELECT event_id, event_type, value FROM events)
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ev_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest dedup in its batch degenerate form: an at-least-once feed
+    (events unioned with itself) deduped on event_id, then aggregated.
+    The streaming form (dropDuplicatesWithinWatermark, bounded state) is
+    exercised in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.relational import exact_sum
+    from bigdatacw1_spark.streaming.joins import dedup_events
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    deduped = dedup_events(ev.unionAll(ev), ("event_id",))
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", scale=2, digits=2).alias("sum_v"))
+        .orderBy("event_type")
+    )

@@ -171,3 +171,54 @@ def test_session_windows_respect_gap(spark):
     # session_end is always >= session_start + gap (end = last event + gap)
     for s in sess:
         assert (s["session_end"] - s["session_start"]).total_seconds() >= 30 * 60
+
+
+@pytest.fixture(scope="module")
+def doubled_events_dir(spark, tmp_path_factory):
+    """An at-least-once feed: every event delivered twice, replayed in
+    event-time order across 3 files (duplicates land in the same or
+    adjacent micro-batch — within any reasonable watermark)."""
+    import time as _time
+
+    d = str(tmp_path_factory.mktemp("events_doubled"))
+    ev = load_table(spark, SF_SMALL, "events")
+    doubled = ev.unionAll(ev).orderBy("ts", "event_id")
+    n = doubled.count()
+    chunk = (n + 2) // 3
+    rows = doubled.collect()
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    return d
+
+
+def test_streaming_dedup_drops_every_duplicate(spark, doubled_events_dir):
+    from bigdatacw1_spark.streaming.joins import run_dedup_stream_to_memory
+
+    q = run_dedup_stream_to_memory(spark, doubled_events_dir, table_name="dd_out")
+    q.awaitTermination(120)
+    assert len(q.recentProgress) > 1  # really incremental
+    got = spark.table("dd_out")
+    static = spark.read.parquet(doubled_events_dir)
+    assert got.count() == static.select("event_id").distinct().count()
+    assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir_ordered):
+    from bigdatacw1_spark.streaming.joins import run_join_stream_to_memory, view_click_pairs
+
+    q = run_join_stream_to_memory(spark, events_dir_ordered, table_name="ssj_out")
+    q.awaitTermination(120)
+    static = spark.read.parquet(events_dir_ordered)
+    expected = view_click_pairs(
+        static.where(F.col("event_type") == "view"),
+        static.where(F.col("event_type") == "click"),
+        horizon_min=5,
+    )
+    got = sorted((r.view_id, r.click_id) for r in spark.table("ssj_out").collect())
+    want = sorted((r.view_id, r.click_id) for r in expected.collect())
+    assert len(want) > 0
+    assert got == want
