@@ -1,0 +1,78 @@
+"""Distributed connected components (north-star extension, SURVEY.md §2.11).
+
+Near-dup detection yields PAIRS; garbage collection of a corpus needs
+CLUSTERS (the transitive closure: if A~B and B~C, one survivor among
+{A,B,C}). That closure is exactly connected components over the pair
+graph.
+
+Algorithm: iterative min-label propagation — every node adopts the
+smallest component id among itself and its neighbors, repeated to
+fixpoint. Each round is one shuffle join + one min-aggregation, all
+JVM-side. Rounds needed = graph diameter; near-dup clusters are
+quasi-cliques (diameter ≲ 3), so this converges in a handful of rounds
+where a general-purpose large-star/small-star implementation (Kiveris
+et al., "Connected Components in MapReduce and Beyond") would pay its
+constant factors for no benefit. ``max_iter`` bounds pathological
+chains; `localCheckpoint` truncates the otherwise-exponential iterative
+lineage so round N's plan does not replay rounds 1..N-1.
+
+At 100 TB: the edge list (near-dup pairs) is orders of magnitude smaller
+than the corpus; both per-round shuffles key on node id, which is
+uniform. The convergence check is a scalar count per round, not a
+driver-side collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Components of the undirected graph given by (src, dst) pairs.
+
+    Returns (node, component) with component = min node id reachable —
+    a canonical, deterministic cluster id. Isolated nodes (absent from
+    ``edges``) are the caller's concern: they are their own component.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    bi = bi.localCheckpoint(eager=False)
+    cc = (
+        bi.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            bi.join(cc, bi["v"] == cc["node"])
+            .select(bi["u"].alias("node"), F.col("comp"))
+        )
+        new_cc = (
+            cc.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()  # eager: materialize, truncate lineage
+        )
+        changed = (
+            new_cc.join(cc.withColumnRenamed("comp", "prev"), "node")
+            .where(F.col("comp") != F.col("prev"))
+            .count()
+        )
+        cc = new_cc
+        if changed == 0:
+            break
+    return cc
+
+
+def dedup_clusters(
+    pairs: DataFrame, left: str = "a", right: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id): cluster_id is the smallest
+    doc_id in the connected component, i.e. the canonical survivor under
+    a keep-first policy."""
+    cc = connected_components(pairs, src=left, dst=right, max_iter=max_iter)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

@@ -426,3 +426,39 @@ def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real batch plumbing; the decode itself is a deterministic fake."""
     media = attach_binary_payload(_t(spark, sf_dir, "documents"))
     return extract_features(media).orderBy("doc_id")
+
+
+@q(
+    "ext_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS node, r.comp AS comp FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure of the Jaccard pair graph via
+    distributed connected components (operators/graph.py min-label
+    propagation); cluster_id = smallest member doc_id, i.e. the canonical
+    survivor of a keep-first dedup policy. The oracle computes the same
+    closure with a recursive CTE — full cross-engine verification of an
+    iterative distributed algorithm."""
+    from bigdatacw1_spark.operators.graph import dedup_clusters
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
+    return dedup_clusters(pairs).orderBy("doc_id")
