@@ -9,7 +9,7 @@ corpus at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.operators.relational import stable_round
@@ -116,3 +116,58 @@ def token_quality_score(toks: Column, text: Column | str) -> Column:
     tok_score = F.least(avg_len / F.lit(5.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
     return stable_round((len_score + tok_score + punct_score) / 3, 4)
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count / doc length; idf = ln(N / df) (unsmoothed — every
+    term here has df >= 1). All JVM-side: explode → two keyed
+    aggregations (term frequencies shuffle on (doc, term), document
+    frequencies on term) → broadcast the tiny df/N sides back → rank
+    window per doc. At 100 TB the df table is vocabulary-sized (≪ corpus)
+    and broadcasts; the only corpus-sized shuffles are the two grouped
+    counts, both with map-side combine.
+
+    Ranking uses the ROUNDED score (then the term) so ordering is
+    reproducible across engines at rounding boundaries.
+    """
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import fan_out, stable_round
+
+    toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tf", F.col("n") / F.sum("n").over(Window.partitionBy(id_col)))
+    )
+    doc_freq = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            stable_round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_digits
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .orderBy(id_col, "rnk")
+    )

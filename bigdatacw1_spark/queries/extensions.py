@@ -462,3 +462,39 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
     return dedup_clusters(pairs).orderBy("doc_id")
+
+
+@q(
+    "ext_tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term,
+                   COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ), n AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   FLOOR(tf.tf * LN(n.n_docs / dfreq.df) * 10000.0 + 0.5) / 10000.0 AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+)
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (functions/text.tf_idf_top_terms): explode → keyed counts →
+    broadcast-joined vocabulary stats → per-doc rank window. Oracle
+    recomputes the identical pipeline relationally."""
+    from bigdatacw1_spark.functions.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=3)
