@@ -94,3 +94,28 @@ def train_test_split(
     same way (no leakage from a document landing on both sides)."""
     is_test = md5_bucket(key, n_buckets, salt) < F.lit(int(test_fraction * n_buckets))
     return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def hash_sample_n(
+    df: DataFrame,
+    key: Column | str,
+    n: int,
+    salt: str = "",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the n rows with the smallest
+    (bucket, key) hash rank — rendezvous/bottom-k sampling.
+
+    Unlike ``hash_sample`` (fixed fraction) this needs a top-k, not a
+    full sort: Spark plans the limit as TakeOrderedAndProject (per-
+    partition heap + merge of n-row partials), so no global sort and no
+    count pass happen at any scale. Uniform because the hash is; ties
+    broken by the key itself so the result is a function of the data
+    only."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        df.withColumn("__rank", md5_bucket(key, n_buckets, salt))
+        .orderBy(F.col("__rank"), key)
+        .limit(n)
+        .drop("__rank")
+    )

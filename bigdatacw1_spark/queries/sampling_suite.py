@@ -88,3 +88,22 @@ def ext_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@q(
+    "ext_hash_sample_n",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        ORDER BY {_BUCKET.format(salt="")}, doc_id
+        LIMIT 25
+    """,
+)
+def ext_hash_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample (bottom-25 by key hash) — the
+    'give me exactly n uniform rows, reproducibly' primitive; plans as
+    TakeOrderedAndProject, never a global sort."""
+    from bigdatacw1_spark.operators.sampling import hash_sample_n
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample_n(d, "doc_id", 25).select("doc_id", "lang")

@@ -55,3 +55,16 @@ def test_semi_anti_plans_have_single_join(spark):
     for name, kind in [("j6_left_semi", "LeftSemi"), ("j7_left_anti", "LeftAnti")]:
         plan = formatted_plan(_df(spark, name))
         assert kind in plan, f"{name}: expected {kind} join in plan"
+
+
+def test_sampling_is_pure_predicate_and_bottomk_avoids_global_sort(spark):
+    """hash_sample must stay a scan-level filter (no shuffle, no Python);
+    hash_sample_n must fuse its limit into TakeOrderedAndProject."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    frac = _df(spark, "ext_hash_sample")
+    assert not has_python_eval(frac)
+    bottomk = _df(spark, "ext_hash_sample_n")
+    assert has_take_ordered(bottomk), "fixed-size sample did a global sort"
+    plan = formatted_plan(_df(spark, "ext_train_test_split"))
+    assert "Exchange" in plan  # only the final groupBy shuffles — tagging itself is row-local

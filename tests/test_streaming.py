@@ -222,3 +222,29 @@ def test_stream_stream_join_matches_batch(spark, events_dir_ordered):
     want = sorted((r.view_id, r.click_id) for r in expected.collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_rate_source_runs_unbounded_and_aggregates(spark):
+    """Kafka-shaped unbounded source: the stream must still be ACTIVE
+    after several micro-batches (no end-of-input), rows must flow, and
+    the same windowed aggregation code must produce results."""
+    import time as _time
+
+    from bigdatacw1_spark.streaming.rate_source import run_rate_windowed_stream
+
+    q = run_rate_windowed_stream(spark, table_name="rate_out", rows_per_second=200)
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress) and spark.table("rate_out").count() > 0:
+                break
+            _time.sleep(0.5)
+        assert q.isActive  # unbounded: never self-terminates
+        assert any(p["numInputRows"] > 0 for p in q.recentProgress)
+        out = spark.table("rate_out")
+        assert out.count() > 0
+        assert {r.event_type for r in out.select("event_type").distinct().collect()} <= {
+            "view", "click", "purchase", "error"
+        }
+    finally:
+        q.stop()
