@@ -498,3 +498,53 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import tf_idf_top_terms
 
     return tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
+    "ext_quality_filter",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id, lang,
+                   LEN(toks) AS n,
+                   CASE WHEN LEN(toks) > 0
+                        THEN LENGTH(ARRAY_TO_STRING(toks, '')) / LEN(toks)
+                        ELSE 0.0 END AS avg_len,
+                   LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1) AS pr
+            FROM base
+        ), scored AS (
+            SELECT doc_id, lang,
+                   ROUND((LEAST(n / 64.0, 1.0) + LEAST(avg_len / 5.0, 1.0)
+                          + (1.0 - LEAST(pr * 5, 1.0))) / 3, 4) AS quality
+            FROM m
+        )
+        SELECT doc_id, lang, quality
+        FROM (SELECT *, PERCENT_RANK() OVER (PARTITION BY lang
+                                             ORDER BY quality, doc_id) AS prk
+              FROM scored)
+        WHERE prk >= 0.25
+        ORDER BY doc_id
+    """,
+)
+def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: drop the worst quality quartile WITHIN each
+    language (per-stratum percentile, so a low-resource language isn't
+    wiped out by a high-resource one's distribution). One shuffle on
+    lang for the rank window; the quality score itself is row-local."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", token_quality_score(tokens("text"), "text").alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("prk", F.percent_rank().over(w))
+        .where(F.col("prk") >= 0.25)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )

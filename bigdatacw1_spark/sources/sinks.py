@@ -65,3 +65,27 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Idempotent incremental load: overwrite ONLY the partitions present
+    in ``df``, leave every other partition untouched (dynamic partition
+    overwrite). This is the backfill/late-data repair shape for a
+    date-partitioned 100 TB fact table — re-running a day's pipeline
+    replaces that day exactly, without a read-modify-write of the table
+    and without `mode=overwrite`'s truncate-the-world behavior.
+
+    Uses the session-settable `spark.sql.sources.partitionOverwriteMode`
+    conf scoped to this write (restored after)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -50,3 +50,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_upsert_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting one day must not truncate
+    the others, and rewriting it twice must be idempotent."""
+    from bigdatacw1_spark.sources.sinks import upsert_partitions, write_date_partitioned
+
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMALL, "events").withColumn("__day", F.to_date("ts"))
+    write_date_partitioned(ev.drop("__day"), out, "ts")
+    days = sorted(r["__day"] for r in ev.select("__day").distinct().collect())
+    assert len(days) >= 2
+    target = days[0]
+    before_other = spark.read.parquet(out).where(F.col("__day") != F.lit(target)).count()
+
+    # "Repair" the first day: halve its rows, double its value.
+    repaired = (
+        ev.where(F.col("__day") == F.lit(target))
+        .where(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") * 2)
+    )
+    upsert_partitions(repaired, out, ["__day"])
+
+    after = spark.read.parquet(out)
+    assert after.where(F.col("__day") != F.lit(target)).count() == before_other
+    assert after.where(F.col("__day") == F.lit(target)).count() == repaired.count()
+    # Re-running the same upsert changes nothing (idempotent repair).
+    upsert_partitions(repaired, out, ["__day"])
+    assert spark.read.parquet(out).count() == before_other + repaired.count()
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") in ("static", "STATIC")
