@@ -548,3 +548,32 @@ def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_embed_centroids",
+    oracle="""
+        SELECT label, CAST(pos AS INT) AS pos,
+               FLOOR((SUM(CAST(embedding[pos] AS DECIMAL(30,6))) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS c
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(pos)
+        GROUP BY label, pos
+        ORDER BY label, pos
+    """,
+)
+def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the vector-aggregation primitive
+    behind IVF seeding, class prototypes, and cluster summaries. Explode
+    to (label, component, value), exact-decimal average per component
+    (order-independent across any partitioning). Emitted as component
+    rows (1-based, matching SQL array indexing); `F.array_sort` over
+    collected (pos, c) structs reassembles vectors when needed. One
+    corpus-sized keyed shuffle with map-side combine; no Python."""
+    from bigdatacw1_spark.operators.relational import exact_avg
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(exact_avg(F.col("v").cast("double"), scale=6, digits=4).alias("c"))
+        .orderBy("label", "pos")
+    )
