@@ -1054,3 +1054,108 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.when(F.col("p_name").rlike("^part_1"), 1).otherwise(0).alias("starts_part1"),
     )
+
+
+@q(
+    "a13_grouping_sets",
+    oracle="""
+        SELECT n_name, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube): three
+    chosen groupings in one pass — Catalyst expands then aggregates once
+    with map-side combine, instead of three scans + a union."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    j.createOrReplaceTempView("gs_base")
+    return spark.sql("""
+        SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+        FROM gs_base
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+@q(
+    "w7_first_last_nth",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+               NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey
+    """,
+)
+def w7_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value navigation over full-partition frames (the
+    default growing frame would make last/nth row-dependent; the explicit
+    UNBOUNDED frame makes them per-partition constants, hence DISTINCT
+    collapses to one row per customer)."""
+    from pyspark.sql import Window
+
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(full).alias("first_order"),
+            F.last("o_orderkey").over(full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "set_except_all",
+    oracle="""
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 30
+        EXCEPT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-preserving difference) —
+    distinct from the set-semantics EXCEPT in set_except."""
+    l = _t(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_quantity") > 30).select("l_returnflag")
+    b = l.where(F.col("l_discount") > 0.05).select("l_returnflag")
+    return a.exceptAll(b)
+
+
+@q(
+    "set_intersect_all",
+    oracle="""
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 30
+        INTERSECT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (min-multiplicity intersection)."""
+    l = _t(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_quantity") > 30).select("l_returnflag")
+    b = l.where(F.col("l_discount") > 0.05).select("l_returnflag")
+    return a.intersectAll(b)
