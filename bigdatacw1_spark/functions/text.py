@@ -171,3 +171,43 @@ def tf_idf_top_terms(
         .where(F.col("rnk") <= k)
         .orderBy(id_col, "rnk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the LLM
+    context-window prep step. Entirely built-in (sequence → posexplode →
+    slice → array_join): no Python in the hot path, rows expand
+    partition-locally, and downstream repartitioning spreads chunks
+    regardless of source document skew (one 1 GB document cannot pin a
+    task — its chunks flow through the same explode).
+
+    Output: (id, chunk_id, start_tok, n_tokens, chunk_text), one row per
+    window of ``chunk_tokens`` tokens advancing by chunk_tokens-overlap.
+    Empty documents yield one empty chunk (callers filter if unwanted).
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    from bigdatacw1_spark.operators.relational import fan_out
+
+    base = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_tok") + 1, chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("start_tok"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -577,3 +577,38 @@ def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_avg(F.col("v").cast("double"), scale=6, digits=4).alias("c"))
         .orderBy("label", "pos")
     )
+
+
+@q(
+    "ext_chunk_documents",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   UNNEST(RANGE(0, GREATEST(LEN(toks) - 1, 0) + 1, 96)) AS start_tok
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(start_tok / 96 AS INT) AS chunk_id,
+               CAST(start_tok AS INT) AS start_tok,
+               CAST(LEN(toks[start_tok + 1 : start_tok + 128]) AS INT) AS n_tokens,
+               MD5(ARRAY_TO_STRING(toks[start_tok + 1 : start_tok + 128], ' ')) AS chunk_md5
+        FROM c
+        ORDER BY doc_id, chunk_id
+    """,
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-token chunks with 32-token overlap (step 96) over every
+    document; the oracle verifies chunk CONTENT via md5 digest, so
+    windowing, overlap, and tail handling are all pinned cross-engine."""
+    from bigdatacw1_spark.functions.text import chunk_documents
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=128, overlap=32)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
