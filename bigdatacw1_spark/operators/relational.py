@@ -259,3 +259,31 @@ def as_of_join(
     return carried.where(F.col("__src") == 1).select(
         *on, F.col("__ts").alias(left_ts), *lpay, *right_cols
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via window functions (the classic SQL
+    islands pattern): a new session starts whenever the gap to the
+    previous event of the same key exceeds ``gap_seconds``; the running
+    sum of those boundary flags numbers the sessions 1..k per key.
+
+    This is the batch analog of ``F.session_window`` (streaming/windows
+    .py) but additionally yields a stable per-key ``session_seq``, which
+    session_window does not expose. One shuffle (partitionBy key) serves
+    both window passes and the downstream per-session aggregation.
+
+    ``tiebreak`` orders simultaneous events deterministically.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - prev
+    boundary = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq", F.sum(boundary).over(running))

@@ -1159,3 +1159,193 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = l.where(F.col("l_quantity") > 30).select("l_returnflag")
     b = l.where(F.col("l_discount") > 0.05).select("l_returnflag")
     return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: exact moment statistics, percentiles, top-k per group,
+# referential-integrity audit, histogram binning
+# ---------------------------------------------------------------------------
+
+@q(
+    "a14_stats_moments",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(user_id) AS DOUBLE) AS sy,
+                   CAST(SUM(user_id * user_id) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(10,0))) AS DOUBLE) AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               FLOOR(((sxx - sx*sx/n) / (n - 1)) * 10000.0 + 0.5) / 10000.0 AS var_value,
+               FLOOR(SQRT((sxx - sx*sx/n) / (n - 1)) * 10000.0 + 0.5) / 10000.0 AS sd_value,
+               FLOOR(((n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))) * 10000.0 + 0.5) / 10000.0 AS corr_value_uid
+        FROM m ORDER BY event_type
+    """,
+)
+def a14_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact variance / stddev / correlation from decimal
+    moment sums. Built-in stddev/corr stream doubles in partition order,
+    so the last ulp (and hence a rounded digit at a midpoint) can differ
+    between engines and between runs; summing exact decimals first makes
+    the moments order-independent, after which both engines execute the
+    identical double-precision closed forms. One map-side-combinable
+    aggregate — no second pass, scales as a plain groupBy."""
+    e = _t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    du = F.col("user_id").cast("decimal(10,0)")
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(dv).cast("double").alias("sx"),
+        F.sum(dv * dv).cast("double").alias("sxx"),
+        F.sum("user_id").cast("double").alias("sy"),
+        F.sum(F.col("user_id") * F.col("user_id")).cast("double").alias("syy"),
+        F.sum(dv * du).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        stable_round(var, 4).alias("var_value"),
+        stable_round(F.sqrt(var), 4).alias("sd_value"),
+        stable_round(corr, 4).alias("corr_value_uid"),
+    ).orderBy("event_type")
+
+
+@q(
+    "a15_exact_percentiles",
+    oracle="""
+        SELECT event_type,
+               FLOOR(QUANTILE_CONT(value, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+               FLOOR(QUANTILE_CONT(value, 0.50) * 10000.0 + 0.5) / 10000.0 AS p50,
+               FLOOR(QUANTILE_CONT(value, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics): both
+    engines use the same index = p*(n-1) linear-interpolation definition
+    over the same doubles, so results agree bit-for-bit (rounded only as
+    midpoint insurance). Exact percentile is a full-sort-per-group
+    operator — the scale path is ext_sketch_quantiles (GK); this entry is
+    the exactness anchor the sketch's error bound is tested against."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            stable_round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+            stable_round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+            stable_round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "w8_topk_per_group",
+    oracle="""
+        SELECT lang, doc_id, n_chars, rk FROM (
+            SELECT lang, doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rk
+            FROM documents
+        ) WHERE rk <= 3 ORDER BY lang, rk
+    """,
+)
+def w8_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (rank + filter): the grouped counterpart of O4's
+    global TakeOrderedAndProject. One hash-partition shuffle on the group
+    key; the per-partition sort is bounded by partition size, and rows
+    beyond rank k are dropped before the final order — no global sort of
+    the full table. Deterministic under ties via the doc_id tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
+
+
+@q(
+    "j10_orphan_audit",
+    oracle="""
+        SELECT 'customer->nation' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        UNION ALL
+        SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        UNION ALL
+        SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+        UNION ALL
+        SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        ORDER BY fk_edge
+    """,
+)
+def j10_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count child rows with no parent, per
+    FK edge, via LEFT ANTI joins. Small parent sides (nation, customer,
+    part, supplier at their respective ratios) broadcast; the lineitem->
+    orders edge is the only genuine shuffle. A data-quality primitive any
+    ingest pipeline runs before publishing a snapshot."""
+    edges = [
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    parts = []
+    for child, fk, parent, pk in edges:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti")
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+                F.lit(f"{child}->{parent}").alias("fk_edge"),
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("fk_edge")
+
+
+@q(
+    "f10_histogram",
+    oracle="""
+        WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+        SELECT CAST(LEAST(9, FLOOR((value - mn) / ((mx - mn) / 10.0))) AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM events, mm
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def f10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (width_bucket pattern): global min/max from a
+    first pass (a 1-row broadcast, not a driver collect), then a bucket
+    expression every engine evaluates identically in IEEE doubles. lo/hi
+    per bucket are raw input values (no arithmetic), so no rounding is
+    needed for cross-engine agreement."""
+    e = _t(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
+    bucket = F.least(F.lit(9), F.floor((F.col("value") - F.col("mn")) / width)).cast("int")
+    return (
+        e.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .orderBy("bucket")
+    )

@@ -175,3 +175,53 @@ def ev_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", scale=2, digits=2).alias("sum_v"))
         .orderBy("event_type")
     )
+
+
+@q(
+    "ev_sessionize_lag",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                                - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS boundary
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM s
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+)
+def ev_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the lag+running-sum islands pattern
+    (operators/relational.sessionize, 30-minute gap) — the batch
+    counterpart of ev_session_30min's F.session_window, additionally
+    exposing a stable per-user session_seq. The per-user shuffle is
+    reused by both window passes and the per-session aggregation."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.relational import exact_sum, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", scale=2, digits=2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

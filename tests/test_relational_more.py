@@ -1,0 +1,108 @@
+"""Unit tests for sessionize, orphan audit, top-k per group, histogram,
+and exact moment statistics (the batch additions beyond SURVEY §2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.relational import sessionize
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_splits_on_gap_and_numbers_sessions(spark):
+    rows = [
+        (1, _ts(0), 10),
+        (1, _ts(10), 11),   # 10 min gap -> same session
+        (1, _ts(50), 12),   # 40 min gap -> new session
+        (1, _ts(55), 13),
+        (2, _ts(0), 20),    # other user: independent numbering
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    got = {(r.user_id, r.event_id): r.session_seq for r in out.collect()}
+    assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 2, (1, 13): 2, (2, 20): 1}
+
+
+def test_sessionize_gap_is_strictly_greater_than(spark):
+    # gap == gap_seconds exactly must NOT split (boundary is gap > g).
+    rows = [(1, _ts(0), 1), (1, _ts(30), 2)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    assert {r.session_seq for r in out.collect()} == {1}
+
+
+def test_sessionize_tiebreak_orders_simultaneous_events(spark):
+    # Two events at the same timestamp: session assignment must not
+    # depend on input order when a tiebreak column is given.
+    rows = [(1, _ts(0), 2), (1, _ts(0), 1), (1, _ts(45), 3)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int").repartition(4)
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id")
+    got = {r.event_id: r.session_seq for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_orphan_audit_counts_injected_orphans(spark):
+    child = spark.createDataFrame([(1, 10), (2, 10), (3, 99)], "id int, fk int")
+    parent = spark.createDataFrame([(10,)], "pk int")
+    orphans = child.join(parent, child["fk"] == parent["pk"], "left_anti")
+    assert orphans.count() == 1
+    assert orphans.collect()[0].id == 3
+
+
+def test_topk_per_group_tie_break_is_deterministic(spark):
+    rows = [("en", 1, 100), ("en", 2, 100), ("en", 3, 100), ("en", 4, 100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, n_chars int").repartition(4)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    top = (
+        df.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .collect()
+    )
+    assert sorted((r.doc_id, r.rk) for r in top) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_moment_stats_match_python_reference(spark):
+    vals = [(f"t{i % 2}", float(i), i * 3 % 7) for i in range(1, 21)]
+    df = spark.createDataFrame(vals, "event_type string, value double, user_id int")
+    df.createOrReplaceTempView("ev_moments")
+    dv = F.col("value").cast("decimal(18,2)")
+    m = (
+        df.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(dv).cast("double").alias("sx"),
+            F.sum(dv * dv).cast("double").alias("sxx"),
+        )
+        .collect()
+    )
+    for r in m:
+        xs = [v for t, v, _ in vals if t == r.event_type]
+        mean = sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+        got = (r.sxx - r.sx * r.sx / r.n) / (r.n - 1)
+        assert math.isclose(got, var, rel_tol=1e-12)
+
+
+def test_histogram_buckets_cover_all_rows_and_max_lands_in_last(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "value double")
+    mm = df.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
+    bucket = F.least(F.lit(9), F.floor((F.col("value") - F.col("mn")) / width)).cast("int")
+    out = (
+        df.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    counts = {r.bucket: r["count"] for r in out}
+    assert sum(counts.values()) == 101
+    assert set(counts) == set(range(10))
+    assert counts[9] == 11  # 90..100 inclusive: max folds into the last bucket
