@@ -211,3 +211,24 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded/unbounded repetition — no
+# lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9-]{6,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Redact email addresses and phone-shaped digit runs with typed
+    placeholder tokens — the standard scrub pass before publishing a
+    training corpus. Pure regexp_replace chain: JVM-side, codegen'd,
+    no Python in the row path. Emails are replaced before phones so a
+    digit-bearing local part is consumed as part of the email match.
+    DuckDB equivalent: ``REGEXP_REPLACE(s, pat, '<EMAIL>', 'g')`` chained
+    the same way (Spark's regexp_replace is global by default)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c

@@ -17,9 +17,11 @@ from bigdatacw1_spark.functions.text import (
     lang_id,
     normalized_fingerprint,
     punct_ratio,
+    redact_pii,
     stopword_ratio,
     token_quality_score,
     tokens,
+    word_ngrams,
 )
 from bigdatacw1_spark.operators.dedup import (
     exact_dup_groups,
@@ -612,3 +614,143 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: repetition quality signals, cross-document n-gram
+# duplication, PII redaction
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_repetition_signals",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS w FROM documents
+        ), wc AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               FLOOR((1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+               FLOOR((CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+               FLOOR((CAST(SUM(LEN(w) * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_word_len
+        FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ext_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-
+    word fraction, most-frequent-word share, mean word length. Two
+    map-side-combinable aggregations (doc×word, then doc) — the word-
+    count shuffle is bounded by distinct words per doc, not corpus size,
+    and both stages reuse the doc_id hash partitioning. High dup/top
+    fractions mark boilerplate and degenerate generations for filtering."""
+    from bigdatacw1_spark.operators.relational import fan_out, stable_round
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n_words = F.sum("c").cast("bigint")
+    n_distinct = F.count(F.lit(1)).cast("bigint")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            n_words.alias("n_words"),
+            n_distinct.alias("n_distinct"),
+            stable_round(F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double"), 4).alias("dup_word_frac"),
+            stable_round(F.max("c").cast("double") / n_words.cast("double"), 4).alias("top_word_frac"),
+            stable_round(F.sum(F.length("w") * F.col("c")).cast("double") / n_words.cast("double"), 4).alias("mean_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ext_crossdoc_ngram_overlap",
+    oracle=f"""
+        WITH toksrc AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), grams AS (
+            SELECT doc_id, UNNEST({_DUCK_GRAMS}) AS g FROM toksrc
+        ), dfreq AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS dfq FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               FLOOR((CAST(SUM(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_shingle_frac
+        FROM grams JOIN dfreq USING (g)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ext_crossdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated shingle fraction per document: the share of a
+    doc's distinct 3-gram shingles that occur in at least one OTHER doc
+    (shingles are per-doc distinct, so corpus count == document
+    frequency — a plain count, no countDistinct state). The C4/RefinedWeb
+    'duplicated n-gram' contamination signal; docs with a high fraction
+    are near-template. Shingle doc-frequency reuses the same shuffle key
+    (the shingle) as MinHash banding, and the re-join back to docs is on
+    doc_id — both scale linearly in corpus shingle count."""
+    from bigdatacw1_spark.operators.relational import fan_out, stable_round
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(word_ngrams(tokens("text"), 3))).alias("g"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfq"))
+    return (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            stable_round(
+                F.sum(F.when(F.col("dfq") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_shingle_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ext_pii_redact",
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                        || '@example.org or +1-555-01' || CAST(doc_id AS VARCHAR) || ' end' AS raw
+            FROM documents
+        ), red AS (
+            SELECT doc_id,
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM synth
+        )
+        SELECT doc_id,
+               CAST(LENGTH(redacted) AS INTEGER) AS n_chars_redacted,
+               MD5(redacted) AS digest
+        FROM red ORDER BY doc_id
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii) over a deterministic
+    synthetic contact suffix (the corpus itself is PII-free, so the
+    suffix makes the match paths observable and oracle-checkable).
+    Output is the md5 digest + length of the redacted text — small rows,
+    full-content verification."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1-555-01"),
+        F.col("doc_id").cast("string"),
+        F.lit(" end"),
+    )
+    red = redact_pii(raw)
+    return d.select(
+        "doc_id",
+        F.length(red).alias("n_chars_redacted"),
+        F.md5(red).alias("digest"),
+    ).orderBy("doc_id")
