@@ -1349,3 +1349,220 @@ def f10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: range-band join, unpivot, string/array function
+# surface, skew diagnostics, IQR outlier fences
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"), (250.0, 1e9, "high")]
+
+# DuckDB tokenizer fragment mirroring functions/text.tokens (same def as
+# queries/extensions._DUCK_TOKS).
+_DUCK_TOKS_OPS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '')"
+
+
+@q(
+    "j11_range_band_join",
+    oracle="""
+        WITH bands(lo, hi, band) AS (
+            VALUES (0.0, 100.0, 'low'), (100.0, 250.0, 'mid'), (250.0, 1e9, 'high')
+        )
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """,
+)
+def j11_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny bands dimension: the inequality
+    predicate rules out a hash join, so Spark plans a
+    BroadcastNestedLoopJoin — which is exactly right when one side is a
+    handful of rows: each executor scans its events partition once
+    against the in-memory bands table, no shuffle of the fact side at
+    any scale. The dangerous plan (cartesian of two big sides) never
+    arises because the dimension is a literal."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    j = e.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", scale=2, digits=2).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "f13_unpivot",
+    oracle="""
+        SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(val AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total
+        FROM (
+            SELECT l_orderkey, val, metric
+            FROM lineitem UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        )
+        GROUP BY metric ORDER BY metric
+    """,
+)
+def f13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long): the inverse of f9_pivot. Row expansion
+    happens pipelined inside the scan stage (no shuffle until the
+    aggregate), so the 3× row multiplier never hits disk."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("val", scale=2, digits=2).alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
+@q(
+    "f12_string_distance",
+    oracle="""
+        SELECT p_partkey,
+               CAST(LEVENSHTEIN(p_name, REVERSE(p_name)) AS INTEGER) AS lev_to_reverse,
+               TRANSLATE(p_name, 'aeiou', 'AEIOU') AS upvoweled,
+               LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+               SPLIT_PART(p_name, '_', 2) AS second_field
+        FROM part ORDER BY p_partkey
+    """,
+)
+def f12_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond the reference: edit distance
+    (levenshtein — fuzzy-matching primitive), translate, lpad,
+    split_part. All Catalyst built-ins, codegen'd."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.reverse(F.col("p_name"))).alias("lev_to_reverse"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("upvoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split_part(F.col("p_name"), F.lit("_"), F.lit(2)).alias("second_field"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "f11_array_ops",
+    oracle=f"""
+        WITH toksrc AS (SELECT doc_id, {_DUCK_TOKS_OPS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(LEN(toks) AS INTEGER) AS n_toks,
+               CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS n_distinct,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks))[1:5], ',') AS first5_sorted,
+               CASE WHEN LIST_CONTAINS(toks, 'data') THEN 1 ELSE 0 END AS has_data
+        FROM toksrc ORDER BY doc_id
+    """,
+)
+def f11_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: size, distinct, sort, slice, contains,
+    join-to-string. Arrays never reach the output (the driver's hash
+    can't consume them) — they collapse to scalars in the same select."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    toks = F.filter(toks, lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias("first5_sorted"),
+        F.when(F.array_contains(toks, "data"), 1).otherwise(0).alias("has_data"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "diag_key_skew",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+        ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts)
+        SELECT user_id, n,
+               FLOOR((CAST(n AS DOUBLE) / total) * 10000.0 + 0.5) / 10000.0 AS share
+        FROM counts, tot
+        ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the 10 heaviest keys and their share
+    of all rows — the measurement that decides whether a join needs
+    salting (j9) or AQE skew handling. Count-per-key is map-side
+    combined; the total joins back as a 1-row broadcast; top-10 is
+    TakeOrderedAndProject, not a global sort."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            stable_round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "a16_iqr_outliers",
+    oracle="""
+        WITH fences AS (
+            SELECT event_type,
+                   QUANTILE_CONT(value, 0.25) - 1.5 * (QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25)) AS lo,
+                   QUANTILE_CONT(value, 0.75) + 1.5 * (QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25)) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               FLOOR(lo * 10000.0 + 0.5) / 10000.0 AS lo_fence,
+               FLOOR(hi * 10000.0 + 0.5) / 10000.0 AS hi_fence
+        FROM events e JOIN fences f ON e.event_type = f.event_type
+        GROUP BY e.event_type, lo, hi ORDER BY e.event_type
+    """,
+)
+def a16_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per group: exact quartiles → broadcast
+    the per-group fences → one filter pass. The fence arithmetic runs on
+    identical doubles in both engines, so the boundary comparisons agree
+    exactly; only the *reported* fences are rounded. The standard
+    numeric-quality gate before a column enters training features."""
+    e = _t(spark, sf_dir, "events")
+    q25, q75 = F.percentile("value", F.lit(0.25)), F.percentile("value", F.lit(0.75))
+    fences = e.groupBy("event_type").agg(
+        (q25 - 1.5 * (q75 - q25)).alias("lo"),
+        (q75 + 1.5 * (q75 - q25)).alias("hi"),
+    )
+    j = e.join(F.broadcast(fences), "event_type")
+    return (
+        j.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            stable_round(F.col("lo"), 4).alias("lo_fence"),
+            stable_round(F.col("hi"), 4).alias("hi_fence"),
+        )
+        .orderBy("event_type")
+    )

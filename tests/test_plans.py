@@ -68,3 +68,32 @@ def test_sampling_is_pure_predicate_and_bottomk_avoids_global_sort(spark):
     assert has_take_ordered(bottomk), "fixed-size sample did a global sort"
     plan = formatted_plan(_df(spark, "ext_train_test_split"))
     assert "Exchange" in plan  # only the final groupBy shuffles — tagging itself is row-local
+
+
+def test_range_band_join_broadcasts_nested_loop(spark):
+    # Inequality join against a literal dimension: must be a
+    # BroadcastNestedLoopJoin (fact side never shuffles), not a cartesian.
+    from bigdatacw1_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, "j11_range_band_join"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_diag_and_topk_per_group_avoid_global_sort(spark):
+    # diag_key_skew's top-10 must fuse into TakeOrderedAndProject.
+    assert has_take_ordered(_df(spark, "diag_key_skew").limit(10))
+
+
+def test_new_quality_queries_are_python_free(spark):
+    for name in [
+        "ev_sessionize_lag",
+        "a14_stats_moments",
+        "a16_iqr_outliers",
+        "ext_repetition_signals",
+        "ext_crossdoc_ngram_overlap",
+        "ext_pii_redact",
+        "j10_orphan_audit",
+        "f13_unpivot",
+    ]:
+        assert not has_python_eval(_df(spark, name)), f"{name}: Python eval in plan"
