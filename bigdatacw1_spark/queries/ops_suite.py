@@ -1566,3 +1566,58 @@ def a16_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "a17_regression",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1704067200 AS DECIMAL(12,0))) AS DOUBLE) AS st,
+                   CAST(SUM(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1704067200 AS DECIMAL(12,0))
+                          * CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1704067200 AS DECIMAL(12,0))) AS DOUBLE) AS stt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1704067200 AS DECIMAL(12,0))
+                          * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sty
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               FLOOR(((n*sty - st*sy) / (n*stt - st*st)) * 100000000.0 + 0.5) / 100000000.0 AS slope,
+               FLOOR(((sy - ((n*sty - st*sy) / (n*stt - st*st)) * st) / n) * 10000.0 + 0.5) / 10000.0 AS intercept,
+               FLOOR((((n*sty - st*sy) * (n*sty - st*sy)) / ((n*stt - st*st) * (n*syy - sy*sy))) * 1000000.0 + 0.5) / 1000000.0 AS r2
+        FROM m ORDER BY event_type
+    """,
+)
+def a17_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit of value against event time (trend
+    detection over a metric stream), from the same exact-decimal moment
+    sums as a14 — order-independent accumulation, then identical IEEE
+    closed forms in both engines. Seconds are re-based to 2024-01-01 so
+    t² sums stay far from the decimal ceiling at any corpus size. One
+    map-side-combinable pass; no second scan, no window."""
+    e = _t(spark, sf_dir, "events")
+    t = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("decimal(12,0)")
+    v = F.col("value").cast("decimal(18,2)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).cast("double").alias("st"),
+        F.sum(t * t).cast("double").alias("stt"),
+        F.sum(v).cast("double").alias("sy"),
+        F.sum(v * v).cast("double").alias("syy"),
+        F.sum(t * v).cast("double").alias("sty"),
+    )
+    n, st, stt, sy, syy, sty = (F.col(c) for c in ["n", "st", "stt", "sy", "syy", "sty"])
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        stable_round(slope, 8).alias("slope"),
+        stable_round((sy - slope * st) / n, 4).alias("intercept"),
+        stable_round(
+            ((n * sty - st * sy) * (n * sty - st * sy))
+            / ((n * stt - st * st) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")

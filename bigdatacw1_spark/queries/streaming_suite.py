@@ -225,3 +225,39 @@ def ev_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@q(
+    "ev_enrich_static",
+    oracle="""
+        SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/joins.enrich_with_dimension):
+    decorate the event stream with a broadcast customer dimension, then
+    aggregate per segment. Batch entry oracle-checks the join+agg
+    semantics; tests/test_streaming.py runs the same transform as an
+    actual stream (no state, micro-batch × broadcast)."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.relational import exact_sum
+    from bigdatacw1_spark.streaming.joins import enrich_with_dimension
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    j = enrich_with_dimension(ev, dim, ev["user_id"] == dim["c_custkey"])
+    return (
+        j.groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", scale=2, digits=2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -101,3 +101,14 @@ def run_dedup_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to a fact stream. The static side is broadcast, so under
+    streaming each micro-batch joins against the executor-local copy —
+    no streaming state at all (unlike stream-stream joins), and the
+    stream side never shuffles. The canonical 100 TB pattern for
+    decorating an event firehose with account/catalog metadata. Works
+    identically on a batch frame (degenerate single-batch form)."""
+    return events.join(F.broadcast(dim), on, "left")

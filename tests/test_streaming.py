@@ -293,3 +293,39 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(rows)  # second run added ONLY the new file
     assert got.select("event_id").distinct().count() == len(rows)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static broadcast join: enriching a file-replayed event
+    stream with a static dimension gives the same rows as the batch
+    join, and runs with zero streaming state (no watermark needed)."""
+    from bigdatacw1_spark.streaming.joins import enrich_with_dimension
+
+    dim = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_events_stream(spark, events_dir)
+    enriched = enrich_with_dimension(
+        stream, dim, stream["user_id"] == dim["c_custkey"]
+    ).select("event_id", "c_mktsegment")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    static = spark.read.parquet(events_dir)
+    expected = _rows(
+        enrich_with_dimension(static, dim, static["user_id"] == dim["c_custkey"]).select(
+            "event_id", "c_mktsegment"
+        ),
+        None,
+    )
+    got = _rows(spark.table("t_enrich"), None)
+    assert got == expected and len(got) > 0
+    # stateless: every progress entry reports zero state rows
+    assert all(
+        op.get("numRowsTotal", 0) == 0
+        for p in q.recentProgress
+        for op in p.get("stateOperators", []) or []
+    )
