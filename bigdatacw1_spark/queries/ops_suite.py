@@ -1621,3 +1621,58 @@ def a17_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+@q(
+    "diag_profile",
+    oracle="""
+        SELECT 'event_type' AS col, CAST(COUNT(event_type) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(COUNT(user_id) AS BIGINT),
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'value', CAST(COUNT(value) AS BIGINT),
+               CAST(COUNT(*) - COUNT(value) AS BIGINT),
+               CAST(COUNT(DISTINCT value) AS BIGINT)
+        FROM events
+        ORDER BY col
+    """,
+)
+def diag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (long format): non-null / null / exact-distinct
+    counts per column — the first pass any ingest job runs over a new
+    drop. All three columns profile in ONE scan via grouping-sets-free
+    multi-aggregate (Catalyst computes the count-distincts with expand +
+    partial aggregation); the long format comes from a stack/unpivot of
+    the 1-row wide result, not three scans. Exact NDV here; the sketch
+    path for wide tables is ext_sketch_ndv."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.agg(
+        F.count("event_type").alias("nn_event_type"),
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("event_type").alias("nd_event_type"),
+        F.count("user_id").alias("nn_user_id"),
+        F.countDistinct("user_id").alias("nd_user_id"),
+        F.count("value").alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+    )
+    rows = []
+    for c in ["event_type", "user_id", "value"]:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                (F.col("total") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.col", "s.n_nonnull", "s.n_null", "s.n_distinct")
+        .orderBy("col")
+    )

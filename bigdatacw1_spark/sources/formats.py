@@ -1,0 +1,70 @@
+"""Multi-format readers: CSV / JSON-lines / ORC with the catalog's
+declared schemas (SURVEY.md §2.1 — the reference has no file connectors;
+these extend the engine to the formats a real ingest tier receives).
+
+Design rules for 100 TB ingest:
+- Schemas are ALWAYS passed explicitly (catalog.TABLES) — schema
+  inference reads the data twice and can silently widen types between
+  drops; with a declared schema the read is single-pass and stable.
+- Malformed rows are captured, not fatal: PERMISSIVE mode plus a
+  ``_corrupt_record`` rescue column for CSV/JSON, so one bad row in a
+  terabyte drop quarantines instead of failing the job.
+- Timestamps round-trip at microsecond precision via an explicit
+  timestampFormat (CSV writes would otherwise truncate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bigdatacw1_spark.sources.catalog import TABLES
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _schema_with_rescue(name: str) -> T.StructType:
+    base = TABLES[name]
+    return T.StructType(list(base.fields) + [T.StructField("_corrupt_record", T.StringType())])
+
+
+def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """CSV with declared schema, header, and quarantine column."""
+    return (
+        spark.read.schema(_schema_with_rescue(table))
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """JSON-lines with declared schema and quarantine column."""
+    return (
+        spark.read.schema(_schema_with_rescue(table))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """ORC with declared schema (columnar; schema mismatch fails fast)."""
+    return spark.read.schema(TABLES[table]).orc(path)
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a rescued read into (clean, quarantined) frames. The clean
+    side drops the rescue column so downstream schemas match parquet.
+
+    The parsed frame is cached first: Spark refuses queries that touch
+    ONLY ``_corrupt_record`` on a raw file scan (the parser would have
+    nothing else to parse), and both halves re-read the input otherwise.
+    """
+    df = df.cache()
+    bad = df.where(df["_corrupt_record"].isNotNull())
+    good = df.where(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    return good, bad

@@ -1,0 +1,61 @@
+"""Multi-format source tests: CSV/JSON/ORC round-trip the catalog
+schemas exactly, and malformed rows quarantine instead of failing."""
+
+from __future__ import annotations
+
+from bigdatacw1_spark.sources.catalog import load_table
+from bigdatacw1_spark.sources.formats import read_csv, read_jsonl, read_orc, quarantine_split
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    return load_table(spark, SF_SMALL, "events")
+
+
+def _assert_roundtrip(orig, got):
+    assert got.schema == orig.schema
+    a = sorted(map(tuple, orig.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    orig = _events(spark)
+    d = str(tmp_path / "ev_csv")
+    (
+        orig.write.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(d)
+    )
+    good, bad = quarantine_split(read_csv(spark, d, "events"))
+    assert bad.count() == 0
+    _assert_roundtrip(orig, good)
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    orig = _events(spark)
+    d = str(tmp_path / "ev_json")
+    orig.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(d)
+    good, bad = quarantine_split(read_jsonl(spark, d, "events"))
+    assert bad.count() == 0
+    _assert_roundtrip(orig, good)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    orig = _events(spark)
+    d = str(tmp_path / "ev_orc")
+    orig.write.orc(d)
+    _assert_roundtrip(orig, read_orc(spark, d, "events"))
+
+
+def test_malformed_json_rows_quarantine(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"event_id": 1, "ts": "2024-01-01 00:00:00.000000", "user_id": 7,'
+        ' "event_type": "view", "value": 1.5, "props": "{}"}\n'
+        "this is not json at all\n"
+    )
+    good, bad = quarantine_split(read_jsonl(spark, str(p), "events"))
+    assert good.count() == 1
+    assert bad.count() == 1
+    assert good.collect()[0].event_id == 1
