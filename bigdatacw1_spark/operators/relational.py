@@ -287,3 +287,60 @@ def sessionize(
     boundary = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(boundary).over(running))
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Hourly resample + forward fill: one row per (key, hour) over the
+    global observed span, carrying the last observation per key forward
+    across empty hours (null before a key's first observation).
+
+    Scale shape: the per-(key,hour) last-observation rank and the
+    forward-fill window both partition by key, so ONE hash shuffle of the
+    observations serves every step; the dense grid is generated by
+    ``sequence`` + explode on a distinct-keys frame (rows = keys × hours,
+    never materialized on the driver), and the grid↔observation join is
+    on the same key partitioning. The classic time-series densification
+    Spark lacks as a built-in.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    w_last = Window.partitionBy(key, "hour").orderBy(
+        F.desc(ts_col), F.desc(tiebreak)
+    )
+    obs = (
+        df.select(key, hour.alias("hour"), F.col(ts_col), F.col(value_col), F.col(tiebreak))
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select(key, "hour", F.col(value_col).alias("__obs"))
+    )
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    )
+    grid = (
+        df.select(key)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key, "hour"], "left")
+        .select(
+            key,
+            "hour",
+            F.last("__obs", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        )
+    )

@@ -261,3 +261,41 @@ def ev_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@q(
+    "ev_resample_ffill",
+    oracle="""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1 FROM events
+        ), grid AS (
+            SELECT u.user_id, h.h AS hour
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds) h
+        ), obs AS (
+            SELECT user_id, hour, value FROM (
+                SELECT user_id, DATE_TRUNC('hour', ts) AS hour, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )
+        SELECT g.user_id, g.hour,
+               LAST_VALUE(o.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour ROWS UNBOUNDED PRECEDING
+               ) AS value_ffill
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+        ORDER BY g.user_id, g.hour
+    """,
+)
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward fill (operators/relational.resample_ffill):
+    densify each user's event series to one row per hour, carrying the
+    latest value forward. Values pass through un-transformed (no float
+    arithmetic), so the oracle match is exact."""
+    from bigdatacw1_spark.operators.relational import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_ffill(ev, "user_id", "ts", "value", tiebreak="event_id").orderBy(
+        "user_id", "hour"
+    )

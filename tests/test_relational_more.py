@@ -106,3 +106,34 @@ def test_histogram_buckets_cover_all_rows_and_max_lands_in_last(spark):
     assert sum(counts.values()) == 101
     assert set(counts) == set(range(10))
     assert counts[9] == 11  # 90..100 inclusive: max folds into the last bucket
+
+
+def test_resample_ffill_fills_gaps_and_leads_with_null(spark):
+    from bigdatacw1_spark.operators.relational import resample_ffill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 10.0, 100),
+        (1, dt.datetime(2024, 1, 1, 3, 15), 30.0, 101),   # hours 1,2 empty
+        (2, dt.datetime(2024, 1, 1, 2, 0), 99.0, 102),    # first obs at hour 2
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double, event_id int")
+    out = resample_ffill(df, "user_id", "ts", "value", tiebreak="event_id")
+    got = {(r.user_id, r.hour.hour): r.value_ffill for r in out.collect()}
+    # span is hour 0..3 for every user
+    assert got[(1, 0)] == 10.0 and got[(1, 1)] == 10.0 and got[(1, 2)] == 10.0 and got[(1, 3)] == 30.0
+    assert got[(2, 0)] is None and got[(2, 1)] is None   # before first observation
+    assert got[(2, 2)] == 99.0 and got[(2, 3)] == 99.0
+
+
+def test_resample_ffill_takes_latest_observation_within_hour(spark):
+    from bigdatacw1_spark.operators.relational import resample_ffill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1.0, 1),
+        (1, dt.datetime(2024, 1, 1, 0, 50), 2.0, 2),      # later in same hour wins
+        (1, dt.datetime(2024, 1, 1, 1, 0), 3.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double, event_id int")
+    out = resample_ffill(df, "user_id", "ts", "value", tiebreak="event_id")
+    got = {(r.user_id, r.hour.hour): r.value_ffill for r in out.collect()}
+    assert got[(1, 0)] == 2.0 and got[(1, 1)] == 3.0
