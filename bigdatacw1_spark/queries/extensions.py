@@ -754,3 +754,154 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).alias("n_chars_redacted"),
         F.md5(red).alias("digest"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: decontamination, sequence packing, label balancing
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_decontaminate",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh,
+                   (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT % 10 = 0) AS is_test
+            FROM documents
+        ), pairs AS (
+            SELECT t.doc_id AS t,
+                   FLOOR(((LEN(t.sh) + LEN(r.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(t.sh, r.sh))))
+                         / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(t.sh, r.sh))), 1)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM sh t JOIN sh r
+              ON t.source = r.source AND t.doc_id <> r.doc_id
+             AND t.is_test AND NOT r.is_test
+        )
+        SELECT t AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches, MAX(jaccard) AS max_jaccard
+        FROM pairs WHERE jaccard >= 0.01
+        GROUP BY t ORDER BY t
+    """,
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: test-split documents with ≥0.05
+    word-3-gram Jaccard against any train-split document — the leakage
+    check run before an eval set is trusted (exact-match fingerprints
+    alone miss paraphrase-level overlap, and this corpus has no exact
+    dups at all). Composes the deterministic hash split
+    (operators/sampling.md5_bucket) with the inverted-index Jaccard join
+    (operators/dedup.jaccard_pairs) — only shingle-sharing cross-split
+    pairs ever materialize."""
+    from bigdatacw1_spark.operators.sampling import md5_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=0.01)
+    flags = d.select("doc_id", (md5_bucket("doc_id", 10, salt="split") == 0).alias("is_test"))
+    both = pairs.select(F.col("a").alias("t"), F.col("b").alias("r"), "jaccard").unionByName(
+        pairs.select(F.col("b").alias("t"), F.col("a").alias("r"), "jaccard")
+    )
+    t_flag = flags.select(F.col("doc_id").alias("t"), F.col("is_test").alias("t_is_test"))
+    r_flag = flags.select(F.col("doc_id").alias("r"), F.col("is_test").alias("r_is_test"))
+    return (
+        both.join(t_flag, "t")
+        .join(r_flag, "r")
+        .where(F.col("t_is_test") & ~F.col("r_is_test"))
+        .groupBy(F.col("t").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ext_pack_sequences",
+    oracle=f"""
+        WITH toksrc AS (
+            SELECT doc_id, lang, LEN({_DUCK_TOKS}) AS n_toks FROM documents
+        ), packed AS (
+            SELECT doc_id, lang, n_toks,
+                   CAST(FLOOR(CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                                     ROWS UNBOUNDED PRECEDING) - n_toks AS DOUBLE)
+                              / 256.0) AS BIGINT) AS bin
+            FROM toksrc
+        )
+        SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS toks_in_bin
+        FROM packed GROUP BY lang, bin ORDER BY lang, bin
+    """,
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining batch assembly): assign whole
+    documents to fixed-capacity token bins per language by running
+    token offset — bin = floor(offset_before_doc / capacity), the
+    offset-chunking rule production packers use (a bin may overflow by
+    at most one document; no document is split). One window per lang
+    partition, no iteration, no driver state — the sequential-looking
+    greedy pack expressed as a single running sum."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_toks")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "bin",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")).cast("double") / F.lit(256.0)),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("toks_in_bin"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@q(
+    "ext_balance_labels",
+    oracle=r"""
+        WITH tgt AS (
+            SELECT MIN(n) AS target FROM (SELECT COUNT(*) AS n FROM embeddings GROUP BY label)
+        ), ranked AS (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label
+                       ORDER BY ('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR) || 'bal'), 1, 8))::BIGINT, vec_id
+                   ) AS rk
+            FROM embeddings
+        )
+        SELECT vec_id, label FROM ranked, tgt WHERE rk <= target ORDER BY label, vec_id
+    """,
+)
+def ext_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen by deterministic hash rank (stable
+    across runs and cluster sizes, unlike random sampling). The rank
+    window shuffles once on label; the target count joins in as a 1-row
+    broadcast. Output is the balanced id set — join it back to fetch
+    vectors."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.sampling import md5_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    tgt = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("target"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        md5_bucket("vec_id", 2**32, salt="bal"), F.asc("vec_id")
+    )
+    ranked = e.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(tgt))
+        .where(F.col("rk") <= F.col("target"))
+        .select("vec_id", "label")
+        .orderBy("label", "vec_id")
+    )

@@ -71,3 +71,39 @@ def test_crossdoc_overlap_marks_shared_shingles(spark):
     )
     got = {r.doc_id: r.f for r in frac}
     assert got == {1: 1.0, 2: 1.0, 3: 0.0}
+
+
+def test_pack_sequences_offset_rule_never_splits_docs(spark):
+    from pyspark.sql import Window
+
+    # 4 docs of 100 tokens, capacity 256: offsets 0,100,200,300 -> bins 0,0,0,1
+    rows = [(i, "en", 100) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_toks int")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = df.withColumn(
+        "bin",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")).cast("double") / F.lit(256.0)),
+    )
+    got = {r.doc_id: r.bin for r in packed.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_balance_labels_keeps_min_count_per_label(spark):
+    from bigdatacw1_spark.queries.registry import REGISTRY
+
+    out = REGISTRY["ext_balance_labels"].fn(spark, "/root/testdata/sf0.001")
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert len(set(counts.values())) == 1  # every label at the same count
+    assert min(counts.values()) > 0
+
+
+def test_decontaminate_is_stable_across_runs(spark):
+    from bigdatacw1_spark.queries.registry import REGISTRY
+
+    a = REGISTRY["ext_decontaminate"].fn(spark, "/root/testdata/sf0.001").collect()
+    b = REGISTRY["ext_decontaminate"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert a == b
