@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def stable_round(value: Column, digits: int = 4) -> Column:
@@ -60,8 +61,15 @@ def exact_avg(value: Column | str, scale: int = 4, digits: int | None = 4) -> Co
     DuckDB equivalent:
     ``FLOOR((SUM(CAST(x AS DECIMAL(30,s))) / COUNT(x)) * 10^d + 0.5) / 10^d``.
 
-    ``scale`` must be >= the decimals of the data (lossless quantization);
-    ``digits=None`` skips the final round (still deterministic).
+    ``scale`` must be >= the decimals of the data (lossless quantization).
+    Magnitude bound: decimal(30,s) holds |x| < 10^(30-s), so individual
+    values AND the running sum must stay under that bound (s=4 → 10^26;
+    ample for our monetary/quantity columns). Under the default non-ANSI
+    mode a value that overflows the cast becomes NULL and is silently
+    dropped from BOTH sum and count — callers with unbounded inputs
+    should pre-assert the bound or enable spark.sql.ansi.enabled to get
+    an error instead. ``digits=None`` skips the final round (still
+    deterministic).
     """
     c = (F.col(value) if isinstance(value, str) else value).cast(f"decimal(30,{scale})")
     avg = F.sum(c).cast("double") / F.count(c)
@@ -175,14 +183,22 @@ def salted_join(
     reducer. Salting splits it: the left side gets a deterministic row
     salt (hash of all columns, mod ``n_salts``), the right side is
     replicated once per salt, and the join runs on (key, salt) — the hot
-    key spreads across ``n_salts`` reducers. The result is identical to
-    the plain join for any salt assignment, so the oracle is the plain
-    SQL join.
+    key spreads across ``n_salts`` reducers. For inner and left joins the
+    result is identical to the plain join for any salt assignment, so the
+    oracle is the plain SQL join. Right/full-outer joins are rejected:
+    each unmatched right *replica* would emit its own null-extended row
+    (``n_salts`` duplicates), so salting cannot express them — mitigate
+    right-side-preserving skew with AQE skew-join instead.
 
     Use when AQE's runtime skew split is unavailable (e.g. the skewed
     side feeds a window) or the skew is known ahead of time; cost is
     ``n_salts`` x the (small) right side's shuffle volume.
     """
+    if how.lower() not in {"inner", "left", "left_outer", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports inner/left, not {how!r}: replicated "
+            "unmatched right rows would duplicate null-extended output"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l = left.withColumn("__salt", lsalt)
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
@@ -210,9 +226,14 @@ def as_of_join(
 
       1. union the two inputs with a source tag (right rows sort before
          left rows at equal timestamps, so "at or before" includes ties);
-      2. one window per key ordered by (ts, tag): ``last(value,
-         ignorenulls=True)`` carries the most recent right values forward;
-      3. keep only left rows.
+      2. one window per key ordered by (ts, tag): ``last(payload,
+         ignorenulls=True)`` carries the most recent right row forward —
+         the payload is a single STRUCT of all ``right_cols``, so every
+         attached column comes from the SAME right row (forward-filling
+         each column independently would stitch together a composite row
+         that never existed whenever the latest right row holds a NULL
+         in one payload column);
+      3. keep only left rows and unpack the struct.
 
     Cost: ONE shuffle on the key — same as any join — and state per row
     is O(1), vs. the O(rows_left x rows_right) blow-up of the naive
@@ -228,13 +249,14 @@ def as_of_join(
     if overlap:
         raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
     lpay = [c for c in left.columns if c not in on and c != left_ts]
+    rpay_type = T.StructType([right.schema[c] for c in right_cols])
     lt = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__src"),
         F.lit(None).cast("long").alias("__tie"),
         *lpay,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(rpay_type).alias("__rpay"),
     )
     rt = right.select(
         *on,
@@ -242,7 +264,7 @@ def as_of_join(
         F.lit(0).alias("__src"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *right_cols,
+        F.struct(*right_cols).alias("__rpay"),
     )
     w = (
         Window.partitionBy(*on)
@@ -254,10 +276,13 @@ def as_of_join(
         "__ts",
         "__src",
         *lpay,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
     return carried.where(F.col("__src") == 1).select(
-        *on, F.col("__ts").alias(left_ts), *lpay, *right_cols
+        *on,
+        F.col("__ts").alias(left_ts),
+        *lpay,
+        *[F.col("__rpay")[c].alias(c) for c in right_cols],
     )
 
 

@@ -782,7 +782,7 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination: test-split documents with ≥0.05
+    """Train/test decontamination: test-split documents with ≥0.01
     word-3-gram Jaccard against any train-split document — the leakage
     check run before an eval set is trusted (exact-match fingerprints
     alone miss paraphrase-level overlap, and this corpus has no exact

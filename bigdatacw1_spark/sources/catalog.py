@@ -141,8 +141,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet reader rejects. Read nanos as long (runtime-settable conf)
         # and floor-divide to microseconds — identical to DuckDB's truncation
         # of nanos to its native µs timestamps, so oracle values line up.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # The conf is restored right after the read (the scan snapshots it
+        # at DataFrame-creation time, so later execution is unaffected) —
+        # leaving it set would silently change how any OTHER nanos parquet
+        # is read later in the same session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        finally:
+            spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:

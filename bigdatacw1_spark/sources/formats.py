@@ -63,8 +63,23 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     The parsed frame is cached first: Spark refuses queries that touch
     ONLY ``_corrupt_record`` on a raw file scan (the parser would have
     nothing else to parse), and both halves re-read the input otherwise.
+    The cache is deliberately left alive — both returned frames depend on
+    it; callers that are done with BOTH halves should release it with
+    ``good.sparkSession.catalog.clearCache()`` or by unpersisting the
+    shared parent (``release_quarantine``).
     """
     df = df.cache()
     bad = df.where(df["_corrupt_record"].isNotNull())
     good = df.where(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    good._quarantine_parent = df  # handle for release_quarantine
+    bad._quarantine_parent = df
     return good, bad
+
+
+def release_quarantine(half: DataFrame) -> None:
+    """Unpersist the cached parent behind a frame returned by
+    ``quarantine_split``. Call once both halves are consumed; a no-op on
+    frames that did not come from quarantine_split."""
+    parent = getattr(half, "_quarantine_parent", None)
+    if parent is not None:
+        parent.unpersist()

@@ -137,3 +137,42 @@ def test_resample_ffill_takes_latest_observation_within_hour(spark):
     out = resample_ffill(df, "user_id", "ts", "value", tiebreak="event_id")
     got = {(r.user_id, r.hour.hour): r.value_ffill for r in out.collect()}
     assert got[(1, 0)] == 2.0 and got[(1, 1)] == 3.0
+
+
+def test_as_of_join_null_payload_column_stays_atomic(spark):
+    """ADVICE r1 (medium): when the most recent right row holds a NULL in
+    one payload column, the output must attach THAT row's NULL — not
+    forward-fill the column from an older right row (a composite row that
+    never existed)."""
+    from bigdatacw1_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 10, 7.0, "old"), (1, 50, None, "new")],
+        "k int, rts int, price double, tag string",
+    )
+    out = as_of_join(left, right, ["k"], "lts", "rts", ["price", "tag"]).collect()
+    assert len(out) == 1
+    # latest right row (rts=50) has price NULL — must NOT borrow 7.0 from rts=10
+    assert out[0].tag == "new" and out[0].price is None
+
+
+def test_as_of_join_no_prior_right_row_gives_nulls(spark):
+    from bigdatacw1_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame([(1, 5), (1, 60)], "k int, lts int")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, rts int, price double")
+    got = {r.lts: r.price for r in as_of_join(left, right, ["k"], "lts", "rts", ["price"]).collect()}
+    assert got == {5: None, 60: 7.0}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from bigdatacw1_spark.operators.relational import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", "k", how="full")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", "k", how="right")
