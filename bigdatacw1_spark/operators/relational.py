@@ -286,6 +286,51 @@ def as_of_join(
     )
 
 
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range (point-in-interval) join between two BIG sides as an
+    EQUI-join: bin the value axis into fixed-width buckets, tag each
+    point with its single bucket, explode each interval into every
+    bucket it overlaps, join on bucket equality, then re-check the exact
+    predicate ``lo <= point < hi``.
+
+    Why: Spark plans a raw inequality join as BroadcastNestedLoopJoin
+    (fine only when one side fits in memory — see the j11 band-lookup
+    shape) or a cartesian product (never fine). Binning turns it into a
+    plain shuffled hash/sort-merge join: each side shuffles ONCE on the
+    bucket id, work is Σ(points_in_bucket × intervals_overlapping it) —
+    the 100 TB shape, and value-skewed hot buckets split under AQE
+    skew-join like any other equi-key. Each qualifying pair appears
+    exactly once because a point lives in exactly one bucket — no
+    post-join dedup.
+
+    ``bin_width`` tunes replication: intervals are replicated
+    ``ceil(span/bin_width)+1`` times, so pick it near the typical
+    interval span (replication ≈ 2×) — far smaller wins nothing, far
+    larger co-buckets unrelated rows. Inner semantics; compose with a
+    left-anti on the interval keys for the unmatched side.
+    """
+    w = float(bin_width)
+    pb = points.withColumn("__bin", F.floor(F.col(point_col) / w).cast("long"))
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    exact = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    return pb.join(ib, "__bin").where(exact).drop("__bin")
+
+
 def sessionize(
     df: DataFrame,
     key_cols: Sequence[str],

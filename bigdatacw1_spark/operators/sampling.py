@@ -119,3 +119,34 @@ def hash_sample_n(
         .limit(n)
         .drop("__rank")
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of n rows WITHOUT replacement via
+    priority sampling (Duffield, Lund & Thorup, JACM 2007): each row gets
+    priority ``w / u`` with u a deterministic hash-uniform in (0,1), and
+    the n highest priorities win — inclusion probability is ~proportional
+    to weight, repeatable across runs/engines because u comes from
+    md5(key||salt), not an RNG.
+
+    Chosen over the classic A-ES key ``u^(1/w)`` deliberately: that needs
+    ln/exp, whose last-ulp results differ across math libraries, while
+    ``w / u`` is a single IEEE division — bit-identical in any engine, so
+    the exact selected row set is oracle-checkable. Same TakeOrdered
+    shape as hash_sample_n: per-partition top-n heaps, no global sort.
+
+    Zero/negative weights get priority <= 0 and effectively never win.
+    Appends a ``priority`` column (double).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    weight = F.col(weight) if isinstance(weight, str) else weight
+    hex8 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("long") + F.lit(0.5)) / F.lit(4294967296.0)
+    pr = weight.cast("double") / u
+    return df.withColumn("priority", pr).orderBy(F.desc("priority"), key).limit(n)

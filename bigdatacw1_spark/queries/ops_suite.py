@@ -1676,3 +1676,123 @@ def diag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.col", "s.n_nonnull", "s.n_null", "s.n_distinct")
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: binned range join (big-to-big interval join as equi-join)
+# ---------------------------------------------------------------------------
+
+@q(
+    "j12_binned_range_join",
+    oracle="""
+        WITH p AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT value FROM events WHERE event_type = 'click')
+        SELECT p.event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               FLOOR(CAST(SUM(CAST(c.value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0
+                 AS click_value
+        FROM p JOIN c ON c.value >= p.value AND c.value < p.value + 5.0
+        GROUP BY p.event_id ORDER BY p.event_id
+    """,
+)
+def j12_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big range join via binning (operators/relational.
+    binned_range_join): clicks whose value lands in [v, v+5) of each
+    purchase's value v. Unlike j11 (tiny literal dimension → BNLJ is
+    right), BOTH sides here scale with the data, so the nested-loop plan
+    would be quadratic; bucketing the value axis turns it into one
+    shuffled equi-join on the bucket id. Plan gate in tests/test_plans.py
+    asserts no BroadcastNestedLoopJoin/CartesianProduct."""
+    from bigdatacw1_spark.operators.relational import binned_range_join
+
+    e = _t(spark, sf_dir, "events")
+    points = e.where(F.col("event_type") == "click").select(F.col("value").alias("cv"))
+    ivals = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("value").alias("lo"), (F.col("value") + F.lit(5.0)).alias("hi")
+    )
+    j = binned_range_join(points, ivals, "cv", "lo", "hi", bin_width=5.0)
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            exact_sum("cv", scale=2, digits=2).alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "set_union_by_name",
+    oracle="""
+        SELECT * FROM (
+            SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name, 'customer' AS src,
+                   CAST(c_acctbal AS DOUBLE) AS bal
+            FROM customer WHERE c_custkey <= 50
+            UNION ALL BY NAME
+            SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS id, 'nation' AS src
+            FROM nation
+        ) ORDER BY src, id
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns columns BY NAME across inputs whose column order differs and
+    whose schemas drifted (nation has no balance column → NULL-filled) —
+    the append pattern when a new ingest batch gained or lost columns.
+    Positional UNION would silently zip mismatched columns; by-name is
+    the only safe default at scale."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 50)
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_name").alias("name"),
+            F.lit("customer").alias("src"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.lit("nation").alias("src"),
+    )
+    return c.unionByName(n, allowMissingColumns=True).orderBy("src", "id")
+
+
+@q(
+    "f14_map_functions",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events WHERE user_id <= 40
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n_clicks,
+               COALESCE(STRING_AGG(CASE WHEN n >= 5 THEN event_type END, ',' ORDER BY event_type), '')
+                 AS hot_types
+        FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def f14_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build map<event_type, count> per user
+    (map_from_entries over collected structs), then interrogate it with
+    map_filter / map_keys / element_at / size. The map exists only
+    INSIDE the query — the output flattens to scalars because map
+    columns don't hash portably across engines; the oracle computes the
+    same facts relationally, proving the map path is semantics-
+    preserving. map_keys order is collection order (nondeterministic
+    under parallel agg) → always array_sort before serializing."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") <= 40)
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    hot = F.array_sort(F.map_keys(F.map_filter(F.col("m"), lambda k, v: v >= 5)))
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.element_at(F.col("m"), "click").alias("n_clicks"),
+        F.concat_ws(",", hot).alias("hot_types"),
+    ).orderBy("user_id")

@@ -107,3 +107,31 @@ def ext_hash_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return hash_sample_n(d, "doc_id", 25).select("doc_id", "lang")
+
+
+@q(
+    "ext_weighted_sample",
+    oracle="""
+        SELECT doc_id, n_chars,
+               CAST(n_chars AS DOUBLE) /
+                 (((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8))::BIGINT) + 0.5)
+                  / 4294967296.0) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id
+        LIMIT 200
+    """,
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (priority sampling, Duffield et
+    al.): 200 documents drawn with probability ~proportional to length
+    (n_chars) — the corpus-curation move of oversampling long documents
+    — with the EXACT selected row set oracle-verified because priority
+    = w/u is one IEEE division over an md5-derived uniform (no RNG, no
+    ln). Plans as TakeOrderedAndProject: per-partition heaps, no global
+    sort at any scale."""
+    from bigdatacw1_spark.operators.sampling import weighted_sample_n
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_n(d, "doc_id", "n_chars", 200, salt="ws").orderBy(
+        F.desc("priority"), "doc_id"
+    )

@@ -12,7 +12,9 @@ TIME_BUCKET with a day-divisible interval aligns to the same grid.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from bigdatacw1_spark.operators.relational import exact_sum
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
 from bigdatacw1_spark.streaming.stateful import running_user_totals
@@ -298,4 +300,46 @@ def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return resample_ffill(ev, "user_id", "ts", "value", tiebreak="event_id").orderBy(
         "user_id", "hour"
+    )
+
+
+@q(
+    "ev_time_rollup",
+    oracle="""
+        SELECT STRFTIME(d, '%Y-%m-%d') AS day, STRFTIME(h, '%Y-%m-%d %H:%M') AS hour,
+               gid, n_events, total_value
+        FROM (
+            SELECT DATE_TRUNC('day', ts) AS d, DATE_TRUNC('hour', ts) AS h,
+                   CAST(GROUPING(DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts)) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0
+                     AS total_value
+            FROM events
+            GROUP BY ROLLUP (DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts))
+        )
+    """,
+)
+def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hourly, daily, and grand
+    totals in ONE aggregation pass via ROLLUP(day, hour) — Spark expands
+    the grouping sets inside a single hash aggregate (Expand + partial
+    agg before the shuffle), so the raw events are scanned once no
+    matter how many rollup levels, where a continuous-aggregate system
+    would maintain one materialization per level. ``gid`` (grouping_id)
+    distinguishes a real hour row from a day subtotal whose hour is
+    NULL."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    agged = e.rollup(day.alias("day"), hour.alias("hour")).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", scale=2, digits=2).alias("total_value"),
+    )
+    return agged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.date_format("hour", "yyyy-MM-dd HH:mm").alias("hour"),
+        "gid",
+        "n_events",
+        "total_value",
     )

@@ -41,6 +41,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:
+        if pd.isna(a) and pd.isna(b):  # covers NaT (null timestamps) and NaN
+            return True
+    except (TypeError, ValueError):
+        pass  # pd.isna on list-valued cells returns an array; fall through
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -97,3 +97,14 @@ def test_new_quality_queries_are_python_free(spark):
         "f13_unpivot",
     ]:
         assert not has_python_eval(_df(spark, name)), f"{name}: Python eval in plan"
+
+
+def test_binned_range_join_is_equi_shuffle_not_nested_loop(spark):
+    # Two big sides with an interval predicate: binning must yield a plain
+    # shuffled equi-join on the bucket id — the quadratic plans never appear.
+    from bigdatacw1_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, "j12_binned_range_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
