@@ -343,3 +343,76 @@ def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@q(
+    "ev_interval_join_outer",
+    oracle="""
+        SELECT v.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_view_rows,
+               CAST(COUNT(c.event_id) AS BIGINT) AS n_attributed,
+               CAST(COUNT(*) - COUNT(c.event_id) AS BIGINT) AS n_unattributed
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
+        GROUP BY v.user_id
+        ORDER BY v.user_id
+    """,
+)
+def ev_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join: every view keeps a row even when no
+    click follows within 5 minutes — the funnel-drop-off side of the
+    attribution question ev_interval_join answers. Batch semantics of
+    the streaming outer join (streaming/joins.view_click_pairs with
+    how='left_outer'; state-expiry behavior covered in
+    tests/test_streaming.py)."""
+    from bigdatacw1_spark.streaming.joins import view_click_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = view_click_pairs(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        horizon_min=5,
+        how="left_outer",
+    )
+    return (
+        pairs.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_view_rows"),
+            F.count("click_id").alias("n_attributed"),
+            (F.count(F.lit(1)) - F.count("click_id")).alias("n_unattributed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "ev_tws_topk",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, value,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC)
+                        AS INTEGER) AS rank,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+            FROM events
+        )
+        SELECT user_id, n_seen, rank, value
+        FROM ranked WHERE rank <= 3
+        ORDER BY user_id, rank
+    """,
+)
+def ev_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 values per user via the transformWithState fold
+    (streaming/stateful_tws.py) in its batch degenerate form — one
+    applyInPandas pass with empty initial state. The oracle is the
+    equivalent window-rank SQL, pinning the fold's semantics; the
+    incremental multi-batch path (typed RocksDB-backed state) is
+    exercised by tests/test_streaming.py::test_tws_topk_matches_batch.
+
+    Ties are output-safe: equal values ordered arbitrarily by ROW_NUMBER
+    still yield the same (rank, value) rows, and a tie straddling the
+    k boundary keeps one of the equal values in both engines."""
+    from bigdatacw1_spark.streaming.stateful_tws import topk_per_user
+
+    return topk_per_user(_t(spark, sf_dir, "events"), k=3).orderBy("user_id", "rank")

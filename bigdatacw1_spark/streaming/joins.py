@@ -24,10 +24,21 @@ from pyspark.sql import functions as F
 from bigdatacw1_spark.streaming.windows import read_events_stream
 
 
-def view_click_pairs(views: DataFrame, clicks: DataFrame, horizon_min: int = 5) -> DataFrame:
+def view_click_pairs(
+    views: DataFrame, clicks: DataFrame, horizon_min: int = 5, how: str = "inner"
+) -> DataFrame:
     """Attribution-style interval join: for each view, the clicks by the
     same user in (view.ts, view.ts + horizon]. Strict lower bound keeps
-    the pair count stable under self-overlap of event streams."""
+    the pair count stable under self-overlap of event streams.
+
+    ``how="left_outer"`` additionally emits unmatched views with NULL
+    click columns — under streaming, Spark holds a view in state until
+    the CLICK-side watermark passes view.ts + horizon (only then can
+    "no click arrived" be decided), which is why outer stream-stream
+    joins demand watermarks on both inputs; views newer than the final
+    watermark never get their NULL row emitted (they are still
+    undecided), so a streaming outer result is a prefix of the batch
+    one. In batch it is a plain left join."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
@@ -43,7 +54,7 @@ def view_click_pairs(views: DataFrame, clicks: DataFrame, horizon_min: int = 5) 
         & (c["c_ts"] > v["v_ts"])
         & (c["c_ts"] <= v["v_ts"] + F.expr(f"INTERVAL {horizon_min} MINUTES"))
     )
-    return v.join(c, cond)
+    return v.join(c, cond, how)
 
 
 def dedup_events(
@@ -64,6 +75,7 @@ def run_join_stream_to_memory(
     table_name: str = "join_out",
     horizon_min: int = 5,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ):
     """Stream-stream inner join of the view and click slices of one event
     stream, append-mode to a memory sink. Two independent readStream
@@ -75,6 +87,7 @@ def run_join_stream_to_memory(
         views.withWatermark("ts", watermark),
         clicks.withWatermark("ts", watermark),
         horizon_min,
+        how,
     )
     return (
         joined.writeStream.format("memory")

@@ -329,3 +329,68 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
         for p in q.recentProgress
         for op in p.get("stateOperators", []) or []
     )
+
+
+def test_stream_stream_outer_join_emits_null_rows(spark, events_dir_ordered):
+    """LEFT OUTER stream-stream join: matched pairs must equal the batch
+    inner result; null-extended rows appear for views whose horizon fell
+    below the final watermark and must be a subset of the batch outer
+    nulls (views newer than the watermark stay undecided — never wrong,
+    only withheld)."""
+    from bigdatacw1_spark.streaming.joins import run_join_stream_to_memory, view_click_pairs
+
+    q = run_join_stream_to_memory(
+        spark, events_dir_ordered, table_name="ssj_outer", how="left_outer"
+    )
+    q.awaitTermination(120)
+    static = spark.read.parquet(events_dir_ordered)
+    views = static.where(F.col("event_type") == "view")
+    clicks = static.where(F.col("event_type") == "click")
+    batch_outer = view_click_pairs(views, clicks, horizon_min=5, how="left_outer")
+
+    got = spark.table("ssj_outer")
+    got_matched = sorted(
+        (r.view_id, r.click_id) for r in got.where(F.col("click_id").isNotNull()).collect()
+    )
+    want_matched = sorted(
+        (r.view_id, r.click_id) for r in batch_outer.where(F.col("click_id").isNotNull()).collect()
+    )
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    got_nulls = {r.view_id for r in got.where(F.col("click_id").isNull()).collect()}
+    want_nulls = {
+        r.view_id for r in batch_outer.where(F.col("click_id").isNull()).collect()
+    }
+    assert got_nulls <= want_nulls
+    assert len(got_nulls) > 0  # watermark did advance past most of the data
+
+
+def test_tws_topk_matches_batch(spark, events_dir):
+    """transformWithStateInPandas (typed RocksDB-backed state): after the
+    stream drains, the LATEST emission per user (max n_seen) must equal
+    the batch top-3 fold over the same data.
+
+    The streaming path needs the protobuf package (Spark's state-server
+    wire format); absent here, the incremental branch is skipped and
+    ev_tws_topk's oracle check still pins the fold's semantics via the
+    batch form."""
+    pytest.importorskip("google.protobuf")
+    from bigdatacw1_spark.streaming.stateful_tws import run_tws_stream_to_memory, topk_per_user
+
+    q = run_tws_stream_to_memory(spark, events_dir, table_name="tws_out", k=3)
+    q.awaitTermination(180)
+    assert len(q.recentProgress) > 1  # really incremental
+
+    got_all = spark.table("tws_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    latest = (
+        got_all.withColumn("__r", F.dense_rank().over(w)).where(F.col("__r") == 1).drop("__r")
+    )
+    static = spark.read.parquet(events_dir)
+    want = topk_per_user(static, k=3)
+    got_rows = sorted(tuple(r) for r in latest.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert len(want_rows) > 0
+    assert got_rows == want_rows
