@@ -240,6 +240,21 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)
 
 
+@q("ext_ann_multiprobe")
+def ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN top-10: scan the query's bucket PLUS all
+    Hamming-1 neighbor buckets (probe_bits=1 → 7 of 2^6 buckets at 6
+    planes). The recall dial of LSH at scale: near-hyperplane vectors
+    land on either side ~50/50, so probing the 1-bit neighbors recovers
+    most misses for ~n_planes× the scanned fraction — still an IN-list
+    pruned scan, vs doubling the plane count which costs recall.
+    Rows-only (bucket membership is hash-defined); recall monotonicity
+    vs probe_bits is asserted in tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return lsh_topk(emb, qvec, k=10, n_planes=6, probe_bits=1)
+
+
 @q("ext_ann_ivf_topk")
 def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10: seeded k-means cells (built once, reusable), probe

