@@ -394,3 +394,26 @@ def test_tws_topk_matches_batch(spark, events_dir):
     want_rows = sorted(tuple(r) for r in want.collect())
     assert len(want_rows) > 0
     assert got_rows == want_rows
+
+
+def test_continuous_aggregate_upserts_to_final_values(spark, events_dir_ordered, tmp_path):
+    """Update-mode rollup + per-group dynamic partition overwrite: after
+    the stream drains, the materialized table must hold exactly the
+    batch aggregation (every group's LATEST value — groups updated
+    across several micro-batches were overwritten, not duplicated)."""
+    from bigdatacw1_spark.streaming.windows import run_continuous_aggregate, tumbling_counts
+
+    out = str(tmp_path / "cagg")
+    q = run_continuous_aggregate(spark, events_dir_ordered, out, minutes=60)
+    q.awaitTermination(180)
+    assert len(q.recentProgress) > 1  # multiple micro-batches → real upserts
+
+    static = spark.read.parquet(events_dir_ordered)
+    want = sorted(tuple(r) for r in tumbling_counts(static, minutes=60).collect())
+    got_df = spark.read.parquet(out)
+    # partition columns come back as directory keys; re-select in canonical order
+    got = sorted(
+        tuple(r) for r in got_df.select(*tumbling_counts(static, 60).columns).collect()
+    )
+    assert len(got) > 0
+    assert got == want
