@@ -64,12 +64,14 @@ def exact_avg(value: Column | str, scale: int = 4, digits: int | None = 4) -> Co
     ``scale`` must be >= the decimals of the data (lossless quantization).
     Magnitude bound: decimal(30,s) holds |x| < 10^(30-s), so individual
     values AND the running sum must stay under that bound (s=4 → 10^26;
-    ample for our monetary/quantity columns). Under the default non-ANSI
-    mode a value that overflows the cast becomes NULL and is silently
-    dropped from BOTH sum and count — callers with unbounded inputs
-    should pre-assert the bound or enable spark.sql.ansi.enabled to get
-    an error instead. ``digits=None`` skips the final round (still
-    deterministic).
+    ample for our monetary/quantity columns). A value beyond the bound
+    fails the cast: under Spark 4's default ANSI mode (what this engine
+    runs) the query ERRORS — loud and safe; only with
+    spark.sql.ansi.enabled=false does it become NULL and silently drop
+    from BOTH sum and count, skewing the "exact" average — detectable
+    then as F.count(col) != count of the decimal cast (behavior pinned
+    in tests/test_relational_more.py). ``digits=None`` skips the final
+    round (still deterministic).
     """
     c = (F.col(value) if isinstance(value, str) else value).cast(f"decimal(30,{scale})")
     avg = F.sum(c).cast("double") / F.count(c)

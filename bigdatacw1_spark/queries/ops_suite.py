@@ -1796,3 +1796,66 @@ def f14_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("m"), "click").alias("n_clicks"),
         F.concat_ws(",", hot).alias("hot_types"),
     ).orderBy("user_id")
+
+
+@q(
+    "f15_from_json_struct",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f15_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON ingestion: from_json parses ``props`` ONCE into a
+    struct column, and every later reference is a plain (codegen'd)
+    struct field access — the production alternative to re-running
+    get_json_object per path (f7), which re-parses the string each time.
+    At 100 TB the parse happens on scan-adjacent rows exactly once and
+    the struct prunes like any nested column. Malformed JSON yields a
+    NULL struct (PERMISSIVE), which the >= filter then drops — the same
+    null-rejection DuckDB's CAST gives."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k bigint"))
+    return (
+        parsed.where(F.col("p.k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").alias("sum_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "w9_cume_dist_lead",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               FLOOR(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+                     * 10000.0 + 0.5) / 10000.0 AS cdist,
+               CAST(LEAD(c_custkey, 1, -1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+                    AS BIGINT) AS next_cust
+        FROM customer
+        ORDER BY c_mktsegment, c_acctbal, c_custkey
+    """,
+)
+def w9_cume_dist_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist (fraction of partition at-or-below the current row —
+    the ECDF window) and lead WITH an explicit default (-1 instead of
+    NULL at the partition edge). Completes the ranking-window surface
+    beyond w2/w3/w5. Total ordering via the (acctbal, custkey) tiebreak
+    keeps cume_dist deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        stable_round(F.cume_dist().over(w), 4).alias("cdist"),
+        F.lead("c_custkey", 1, -1).over(w).cast("long").alias("next_cust"),
+    ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")

@@ -176,3 +176,42 @@ def test_salted_join_rejects_outer(spark):
         salted_join(df, df, "k", "k", how="full")
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, "k", "k", how="right")
+
+
+def test_exact_avg_overflow_documented_behavior(spark):
+    """Pin the documented decimal(30,s) bound (ADVICE r1): under ANSI
+    mode (this engine's default) an overflowing value ERRORS the query;
+    under non-ANSI it becomes NULL and drops out of BOTH sum and count,
+    detectable as a count mismatch vs the raw column."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.relational import exact_avg
+
+    ok = spark.createDataFrame([(1.5,), (2.5,)], "x double")
+    assert ok.agg(exact_avg("x", scale=4).alias("a")).head()[0] == 2.0
+
+    huge = spark.createDataFrame([(1e27,), (4.0,)], "x double")  # 1e27 > 10^26
+    agg = huge.agg(
+        exact_avg("x", scale=4).alias("a"),
+        F.count("x").alias("n_double"),
+        F.count(F.col("x").cast("decimal(30,4)")).alias("n_decimal"),
+    )
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|cannot be represented"):
+        agg.head()
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        # ANSI-ness is baked into the Cast at ANALYSIS time - rebuild the plan
+        row = huge.agg(
+            exact_avg("x", scale=4).alias("a"),
+            F.count("x").alias("n_double"),
+            F.count(F.col("x").cast("decimal(30,4)")).alias("n_decimal"),
+        ).head()
+        # silent exclusion: avg of the survivor only, count mismatch as signal
+        assert row.a == 4.0
+        assert row.n_double == 2 and row.n_decimal == 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
