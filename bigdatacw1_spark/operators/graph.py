@@ -76,3 +76,67 @@ def dedup_clusters(
     a keep-first policy."""
     cc = connected_components(pairs, src=left, dst=right, max_iter=max_iter)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+PR_SCALE = 1_000_000_000_000  # fixed-point units per 1.0 of rank
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over the undirected (symmetrized) graph, in FIXED-POINT
+    integer arithmetic so the result is bitwise-identical under any
+    partitioning or cluster size.
+
+    Float PageRank is NOT reproducible at scale: each node's incoming
+    contributions are summed in shuffle-arrival order and IEEE addition
+    is non-associative, so two runs (or two cluster layouts) disagree in
+    the last ulps — poison for an oracle-checked engine. Here rank is
+    held in integer units of 1/PR_SCALE; per-iteration:
+
+        contrib(u)  = rank_units(u) DIV degree(u)          -- exact
+        rank'(v)    = (100-d)*SCALE DIV 100
+                    + d * SUM(contrib over in-neighbors) DIV 100
+
+    — all integer ops, order-independent. Each DIV floors away < 1 unit
+    per node per hop (deterministically), so total rank drifts below
+    N*SCALE by a bounded, reproducible amount; with SCALE=1e12 the drift
+    is < 1e-9 of the mass over 10 iterations. Overflow-safe for graphs
+    to ~1e6 nodes (N*SCALE*100 < 2^63).
+
+    Shape per iteration: one join (edges ⋈ ranks, both keyed on node) +
+    one sum aggregation — identical shuffle profile to connected
+    components above; localCheckpoint truncates the iterative lineage.
+    Returns (node, rank_units long, rank double).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    bi = bi.localCheckpoint(eager=False)
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("u", F.lit(PR_SCALE).cast("long").alias("units")).localCheckpoint(
+        eager=False
+    )
+    base = int((100 - damping_pct) * PR_SCALE) // 100
+    for _ in range(iterations):
+        contrib = (
+            bi.join(ranks.join(deg, "u"), "u")
+            .select(F.col("v").alias("u"), F.expr("units DIV deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("u")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "u",
+                (F.lit(base) + F.expr(f"{damping_pct} * s DIV 100")).cast("long").alias("units"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.col("units").alias("rank_units"),
+        (F.col("units").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+    )

@@ -920,3 +920,30 @@ def ext_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("label", "vec_id")
     )
+
+
+@q("ext_pagerank")
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer↔supplier trade graph (an
+    edge per distinct (o_custkey, l_suppkey) pair; supplier ids offset
+    so the two key spaces don't collide). Fixed-point integer arithmetic
+    (operators/graph.pagerank) makes the ranks bitwise-reproducible
+    under any partitioning — asserted in tests/test_graph.py. Rows-only:
+    10-round iterative propagation is not single-statement-SQL-
+    expressible (the driver's documented weaker check for iterative
+    algorithms); invariants (determinism, mass conservation, symmetry)
+    carry the correctness argument. Top 25 by rank."""
+    from bigdatacw1_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=10)
+    return pr.orderBy(F.desc("rank_units"), "node").limit(25)

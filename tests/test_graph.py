@@ -38,3 +38,35 @@ def test_dedup_clusters_column_contract(spark):
     pairs = spark.createDataFrame([(7, 8), (8, 9), (100, 200)], ["a", "b"])
     rows = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert rows == {7: 7, 8: 7, 9: 7, 100: 100, 200: 100}
+
+
+def test_pagerank_star_center_dominates_and_is_deterministic(spark):
+    from bigdatacw1_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "src bigint, dst bigint"
+    )
+    r1 = {r.node: r.rank_units for r in pagerank(edges, iterations=8).collect()}
+    r2 = {r.node: r.rank_units for r in pagerank(edges, iterations=8).collect()}
+    assert r1 == r2  # bitwise reproducible
+    # star center out-ranks its leaves; symmetric pair ranks are equal
+    assert r1[1] > r1[2] == r1[3] == r1[4]
+    assert r1[5] == r1[6]
+    # mass conservation up to deterministic floor drift (< 1 unit/node/hop)
+    total = sum(r1.values())
+    n = len(r1)
+    assert n * PR_SCALE >= total > n * PR_SCALE - n * 8 * 100
+
+
+def test_pagerank_partitioning_invariance(spark):
+    from bigdatacw1_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20)], "src bigint, dst bigint"
+    ).where("src != dst")
+    a = {r.node: r.rank_units for r in pagerank(edges, iterations=6).collect()}
+    b = {
+        r.node: r.rank_units
+        for r in pagerank(edges.repartition(13), iterations=6).collect()
+    }
+    assert a == b
