@@ -922,17 +922,45 @@ def ext_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_pagerank")
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """DuckDB oracle for ext_pagerank: the SAME fixed-point integer
+    recurrence, with the iterations UNROLLED as chained CTEs (pr0..prN).
+    Integer DIV (`//`) on positive operands floors identically in both
+    engines, so rank_units match bit-for-bit — an iterative algorithm
+    made hash-checkable by making every operation exact."""
+    ctes = [
+        "base AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,"
+        " CAST(l_suppkey AS BIGINT) + 1000000 AS v"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u)",
+        "pr0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS units FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.v AS u, CAST(150000000000 +"
+            f" (85 * SUM(pr.units // d.deg)) // 100 AS BIGINT) AS units"
+            f" FROM edges e JOIN pr{i - 1} pr ON e.u = pr.u"
+            f" JOIN deg d ON e.u = d.u GROUP BY e.v)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT u AS node, units AS rank_units,"
+        f" units / 1000000000000.0 AS rank"
+        f" FROM pr{iterations} ORDER BY rank_units DESC, node LIMIT 25"
+    )
+
+
+@q("ext_pagerank", oracle=_pagerank_oracle())
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the customer↔supplier trade graph (an
     edge per distinct (o_custkey, l_suppkey) pair; supplier ids offset
     so the two key spaces don't collide). Fixed-point integer arithmetic
     (operators/graph.pagerank) makes the ranks bitwise-reproducible
-    under any partitioning — asserted in tests/test_graph.py. Rows-only:
-    10-round iterative propagation is not single-statement-SQL-
-    expressible (the driver's documented weaker check for iterative
-    algorithms); invariants (determinism, mass conservation, symmetry)
-    carry the correctness argument. Top 25 by rank."""
+    under any partitioning — asserted in tests/test_graph.py — and, because
+    every operation is exact, the 10-round recurrence is hash-checkable
+    against a DuckDB oracle with the iterations unrolled as chained CTEs
+    (_pagerank_oracle). Top 25 by rank."""
     from bigdatacw1_spark.operators.graph import pagerank
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
