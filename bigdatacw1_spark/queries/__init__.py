@@ -9,5 +9,6 @@ from bigdatacw1_spark.queries import extensions  # noqa: F401  (dedup/similarity
 from bigdatacw1_spark.queries import streaming_suite  # noqa: F401  (event-time windows)
 from bigdatacw1_spark.queries import tpch  # noqa: F401  (TPC-H-shaped headliners)
 from bigdatacw1_spark.queries import sampling_suite  # noqa: F401  (deterministic sampling)
+from bigdatacw1_spark.queries import warehouse  # noqa: F401  (lifecycle + behavioral)
 
 __all__ = ["REGISTRY", "QuerySpec"]

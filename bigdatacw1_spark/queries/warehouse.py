@@ -1,0 +1,223 @@
+"""Warehouse-lifecycle + behavioral-analytics query entries.
+
+Each entry exercises one operators/warehouse.py operator against the
+driver tables, with an ANSI-SQL DuckDB oracle. Cross-engine notes:
+
+  - events.ts is nanos parquet; both engines truncate to microseconds
+    (catalog.load_table / DuckDB native), so timestamps compare equal.
+  - DATE_TRUNC/day arithmetic stays in timestamps in both engines;
+    DuckDB ``DATE_DIFF('day', a, b)`` ≡ Spark ``datediff(b, a)`` on
+    day-truncated values.
+  - ratios divide exact integer counts and stable_round, so value hashes
+    match bitwise (see operators/relational.stable_round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.relational import exact_sum
+from bigdatacw1_spark.operators.warehouse import (
+    cohort_retention,
+    funnel_steps,
+    merge_upsert,
+    missing_buckets,
+    rolling_distinct_per_day,
+    scd2_from_log,
+)
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+
+
+@q(
+    "wh_scd2_history",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ), ch AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM o WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM ch
+    """,
+)
+def wh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: compress each user's event-type change log
+    into validity intervals (operators/warehouse.scd2_from_log). Treats
+    event_type as the tracked attribute — the same two-window pattern
+    builds price/segment history from any change feed."""
+    return scd2_from_log(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+
+
+@q(
+    "wh_merge_upsert",
+    oracle="""
+        WITH tgt AS (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey <= 1200
+        ), src AS (
+            SELECT o_custkey AS k,
+                   FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS bal
+            FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(c_custkey, k) AS c_custkey,
+               COALESCE(c_name, 'Customer#new') AS c_name,
+               COALESCE(bal, c_acctbal) AS c_acctbal,
+               COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+               CASE WHEN c_custkey IS NOT NULL AND k IS NOT NULL THEN 'update'
+                    WHEN k IS NOT NULL THEN 'insert'
+                    ELSE 'keep' END AS merge_action
+        FROM tgt FULL OUTER JOIN src ON c_custkey = k
+    """,
+)
+def wh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (operators/warehouse.merge_upsert): a stale dimension
+    snapshot (custkeys ≤ 1200 — 'loaded before the last batch') receives
+    per-customer balance updates aggregated from recent orders. All three
+    branches fire: matched keys update, new keys insert with defaults,
+    customers without recent orders keep. The merge relation is ONE
+    full-outer join; write-back composes with sinks.upsert_partitions."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    target = c.where(F.col("c_custkey") <= 1200)
+    source = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(exact_sum("o_totalprice", scale=2).alias("c_acctbal"))
+    )
+    return merge_upsert(
+        target,
+        source,
+        key="c_custkey",
+        set_cols=["c_acctbal"],
+        insert_defaults={"c_name": "Customer#new", "c_mktsegment": "UNKNOWN"},
+    )
+
+
+@q(
+    "wh_missing_minutes",
+    oracle="""
+        WITH b AS (
+            SELECT DATE_TRUNC('minute', MIN(ts)) AS b0, DATE_TRUNC('minute', MAX(ts)) AS b1
+            FROM events
+        ), g AS (
+            SELECT UNNEST(GENERATE_SERIES(b0, b1, INTERVAL '1 minute')) AS bucket FROM b
+        )
+        SELECT bucket FROM g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events e WHERE DATE_TRUNC('minute', e.ts) = g.bucket
+        )
+    """,
+)
+def wh_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap audit: minutes in the observed span with no events
+    (operators/warehouse.missing_buckets). Dense calendar via
+    sequence+explode, gap test as a pre-aggregated anti-join."""
+    return missing_buckets(_t(spark, sf_dir, "events"), "ts", unit="minute")
+
+
+@q(
+    "wh_rolling_reach_7d",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT DATE_TRUNC('day', ts) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM ud
+        ), cov AS (
+            SELECT ud.user_id, ud.d + k * INTERVAL '1 day' AS cd
+            FROM ud CROSS JOIN (SELECT UNNEST(RANGE(7)) AS k)
+        )
+        SELECT days.d AS day, COUNT(DISTINCT cov.user_id) AS ids_7d
+        FROM days JOIN cov ON cov.cd = days.d
+        GROUP BY days.d
+    """,
+)
+def wh_rolling_reach_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — exact sliding-window
+    COUNT(DISTINCT) via interval-explode
+    (operators/warehouse.rolling_distinct_per_day)."""
+    return rolling_distinct_per_day(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+@q(
+    "wh_funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id AS id, MIN(ts) AS view_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id AS id, MIN(e.ts) AS click_ts
+            FROM events e JOIN v ON e.user_id = v.id
+            WHERE e.event_type = 'click'
+              AND e.ts >= v.view_ts AND e.ts <= v.view_ts + INTERVAL '24 hours'
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id AS id, MIN(e.ts) AS purchase_ts
+            FROM events e
+            JOIN v ON e.user_id = v.id
+            JOIN c ON e.user_id = c.id
+            WHERE e.event_type = 'purchase'
+              AND e.ts >= c.click_ts AND e.ts <= v.view_ts + INTERVAL '24 hours'
+            GROUP BY e.user_id
+        )
+        SELECT v.id AS user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM v LEFT JOIN c ON v.id = c.id LEFT JOIN p ON v.id = p.id
+    """,
+)
+def wh_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential view→click→purchase funnel within 24h of the first view
+    (operators/warehouse.funnel_steps): conditional-min per step, exact
+    ordered semantics — not same-window co-occurrence."""
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        id_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=("view", "click", "purchase"),
+        within_hours=24,
+    )
+
+
+@q(
+    "wh_cohort_retention",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id AS id, DATE_TRUNC('day', ts) AS d FROM events
+        ), cohorts AS (
+            SELECT id, MIN(d) AS cohort_day FROM ud GROUP BY id
+        ), j AS (
+            SELECT ud.id, cohort_day, DATE_DIFF('day', cohort_day, d) AS k
+            FROM ud JOIN cohorts ON ud.id = cohorts.id
+        ), g AS (
+            SELECT cohort_day, k, COUNT(*) AS n_active FROM j GROUP BY cohort_day, k
+        )
+        SELECT cohort_day, k, n_active,
+               FLOOR((n_active / (MAX(CASE WHEN k = 0 THEN n_active END)
+                                  OVER (PARTITION BY cohort_day))) * 10000.0 + 0.5) / 10000.0 AS retention
+        FROM g
+    """,
+)
+def wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-activity-day cohorts × day-offset retention matrix
+    (operators/warehouse.cohort_retention); the denominator is the
+    cohort's offset-0 size via a partition window."""
+    return cohort_retention(_t(spark, sf_dir, "events"), "user_id", "ts")

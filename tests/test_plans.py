@@ -43,8 +43,10 @@ def test_topk_fuses_into_take_ordered(spark):
 
 def test_reference_parity_plans_are_python_free(spark):
     """Every reference-parity query must stay JVM-side end to end
-    (SURVEY.md §2.10 policy: no Python UDFs outside extensions)."""
-    parity = [n for n in REGISTRY if not n.startswith(("ext_", "ev_stateful"))]
+    (SURVEY.md §2.10 policy: no Python UDFs outside extensions).
+    ev_stateful*/ev_tws* are exempt by design: applyInPandasWithState /
+    transformWithState ARE Python stateful operators (§2.9)."""
+    parity = [n for n in REGISTRY if not n.startswith(("ext_", "ev_stateful", "ev_tws"))]
     offenders = [n for n in parity if has_python_eval(_df(spark, n))]
     assert offenders == []
 

@@ -1,0 +1,180 @@
+"""Unit tests for the warehouse-lifecycle / behavioral operators
+(operators/warehouse.py): SCD2 build, MERGE upsert, calendar gaps,
+rolling distinct reach, funnel, cohort retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from bigdatacw1_spark.operators.warehouse import (
+    cohort_retention,
+    funnel_steps,
+    merge_upsert,
+    missing_buckets,
+    rolling_distinct_per_day,
+    scd2_from_log,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _day(d: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+
+
+# ---------------------------------------------------------------------------
+# scd2_from_log
+# ---------------------------------------------------------------------------
+
+def test_scd2_compresses_runs_and_closes_intervals(spark):
+    rows = [
+        (1, "a", _ts(0), 1),
+        (1, "a", _ts(5), 2),    # same value -> folded into the first run
+        (1, "b", _ts(10), 3),   # change -> closes [0,10), opens [10,·)
+        (1, "a", _ts(20), 4),   # back to 'a': a NEW interval, not a merge
+        (2, "x", _ts(0), 5),
+    ]
+    df = spark.createDataFrame(rows, "k int, attr string, ts timestamp, eid int")
+    out = scd2_from_log(df, ["k"], "attr", "ts", "eid").collect()
+    by_from = {(r.k, r.valid_from): r for r in out}
+    assert len(out) == 4
+    r0 = by_from[(1, _ts(0))]
+    assert (r0.attr, r0.valid_to, r0.is_current) == ("a", _ts(10), 0)
+    r1 = by_from[(1, _ts(10))]
+    assert (r1.attr, r1.valid_to, r1.is_current) == ("b", _ts(20), 0)
+    r2 = by_from[(1, _ts(20))]
+    assert (r2.attr, r2.valid_to, r2.is_current) == ("a", None, 1)
+    r3 = by_from[(2, _ts(0))]
+    assert (r3.attr, r3.valid_to, r3.is_current) == ("x", None, 1)
+
+
+def test_scd2_intervals_partition_time_per_key(spark):
+    # Non-current intervals must tile [first_ts, last_change) with no gaps:
+    # each valid_to equals the next valid_from.
+    rows = [(1, v, _ts(m), m) for m, v in enumerate("aabbaacc")]
+    df = spark.createDataFrame(rows, "k int, attr string, ts timestamp, eid int")
+    out = sorted(scd2_from_log(df, ["k"], "attr", "ts", "eid").collect(),
+                 key=lambda r: r.valid_from)
+    for prev, nxt in zip(out, out[1:]):
+        assert prev.valid_to == nxt.valid_from
+    assert out[-1].valid_to is None and out[-1].is_current == 1
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "one", 10.0), (2, "two", 20.0)], "k int, name string, bal double"
+    )
+    source = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k int, bal double")
+    out = {r.k: r for r in merge_upsert(
+        target, source, "k", ["bal"], insert_defaults={"name": "new"}
+    ).collect()}
+    assert out[1].merge_action == "keep" and out[1].bal == 10.0 and out[1].name == "one"
+    assert out[2].merge_action == "update" and out[2].bal == 99.0 and out[2].name == "two"
+    assert out[3].merge_action == "insert" and out[3].bal == 30.0 and out[3].name == "new"
+
+
+def test_merge_upsert_preserves_target_schema_plus_action(spark):
+    target = spark.createDataFrame([(1, "x", 1.0)], "k int, name string, bal double")
+    source = spark.createDataFrame([(1, 2.0)], "k int, bal double")
+    out = merge_upsert(target, source, "k", ["bal"])
+    assert out.columns == ["k", "name", "bal", "merge_action"]
+
+
+# ---------------------------------------------------------------------------
+# missing_buckets
+# ---------------------------------------------------------------------------
+
+def test_missing_buckets_finds_exact_gaps(spark):
+    # Events in minutes 0,1,4 -> minutes 2 and 3 are the gaps.
+    df = spark.createDataFrame(
+        [(_ts(0),), (_ts(1),), (_ts(1) + dt.timedelta(seconds=30),), (_ts(4),)],
+        "ts timestamp",
+    )
+    got = {r.bucket for r in missing_buckets(df, "ts", unit="minute").collect()}
+    assert got == {_ts(2), _ts(3)}
+
+
+def test_missing_buckets_dense_stream_has_none(spark):
+    df = spark.createDataFrame([(_ts(m),) for m in range(5)], "ts timestamp")
+    assert missing_buckets(df, "ts", unit="minute").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_per_day
+# ---------------------------------------------------------------------------
+
+def test_rolling_distinct_trailing_window(spark):
+    # user 1 active day0; user 2 active day0+day2; user 3 active day8.
+    rows = [(1, _day(0)), (2, _day(0)), (2, _day(2)), (3, _day(8))]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    got = {r.day: r.ids_7d for r in rolling_distinct_per_day(df, "ts", "uid", 7).collect()}
+    # day0: users {1,2}; day2: {1,2} (both day0 actives still in window);
+    # day8: day2 activity still within [day2..day8] -> {2,3}.
+    assert got == {_day(0): 2, _day(2): 2, _day(8): 2}
+
+
+def test_rolling_distinct_dedups_multiday_user(spark):
+    # One user active every day must count once per day, not N times.
+    rows = [(1, _day(d)) for d in range(3)]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    got = {r.day: r.ids_7d for r in rolling_distinct_per_day(df, "ts", "uid", 7).collect()}
+    assert got == {_day(0): 1, _day(1): 1, _day(2): 1}
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps
+# ---------------------------------------------------------------------------
+
+def test_funnel_requires_order_within_deadline(spark):
+    rows = [
+        # user 1: full ordered funnel.
+        (1, "view", _ts(0)), (1, "click", _ts(10)), (1, "purchase", _ts(20)),
+        # user 2: click BEFORE first view -> does not count; no later click.
+        (2, "view", _ts(10)), (2, "click", _ts(5)), (2, "purchase", _ts(20)),
+        # user 3: purchase outside the 24h deadline.
+        (3, "view", _ts(0)), (3, "click", _ts(10)), (3, "purchase", _ts(60 * 25)),
+        # user 4: never viewed -> excluded entirely.
+        (4, "click", _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "uid int, etype string, ts timestamp")
+    out = {r.uid: r for r in funnel_steps(
+        df, "uid", "ts", "etype", ("view", "click", "purchase"), within_hours=24
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].converted == 1 and out[1].purchase_ts == _ts(20)
+    assert out[2].click_ts is None and out[2].purchase_ts is None and out[2].converted == 0
+    assert out[3].click_ts == _ts(10) and out[3].purchase_ts is None and out[3].converted == 0
+
+
+def test_funnel_picks_earliest_qualifying_step(spark):
+    rows = [(1, "view", _ts(0)), (1, "click", _ts(30)), (1, "click", _ts(15))]
+    df = spark.createDataFrame(rows, "uid int, etype string, ts timestamp")
+    out = funnel_steps(df, "uid", "ts", "etype", ("view", "click")).collect()[0]
+    assert out.click_ts == _ts(15) and out.converted == 1
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_counts_and_ratio(spark):
+    rows = [
+        (1, _day(0)), (2, _day(0)),          # cohort day0: 2 users
+        (1, _day(1)),                        # day0 cohort, offset 1: 1 user
+        (3, _day(1)), (3, _day(3)),          # cohort day1: 1 user, back at k=2
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    got = {(r.cohort_day, r.k): (r.n_active, r.retention)
+           for r in cohort_retention(df, "uid", "ts").collect()}
+    assert got == {
+        (_day(0), 0): (2, 1.0),
+        (_day(0), 1): (1, 0.5),
+        (_day(1), 0): (1, 1.0),
+        (_day(1), 2): (1, 1.0),
+    }
