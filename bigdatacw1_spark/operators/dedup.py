@@ -168,11 +168,14 @@ def verified_near_duplicates(
     cands = lsh_candidate_pairs(sigs, id_col, bands).localCheckpoint(eager=False)
     cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
     cand_sh = shingle_sets(
-        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, ngram
+        df.join(F.broadcast(cand_ids), id_col, "left_semi"), text_col, id_col, ngram
     )
     a_sh = cand_sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b_sh = cand_sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    paired = cands.join(a_sh, "a").join(b_sh, "b")
+    # The candidate set is small by construction (that is LSH's point), so
+    # broadcasting it keeps the shingled candidate docs from shuffling at
+    # all: both verification joins stream map-side.
+    paired = F.broadcast(cands).join(a_sh, "a").join(b_sh, "b")
     la, lb = F.size("sh_a"), F.size("sh_b")
     lu = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
     jacc = stable_round((la + lb - lu) / F.greatest(lu, F.lit(1)), 4)

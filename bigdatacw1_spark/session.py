@@ -53,6 +53,13 @@ def get_spark(
         # ones, and demote sort-merge to broadcast when runtime stats allow.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce to the advisory size rather than defaultParallelism:
+        # small intermediate shuffles collapse to few real tasks instead of
+        # 32 near-empty ones (Spark's own recommendation for busy clusters);
+        # large shuffles still split by size, so cluster-scale parallelism
+        # is unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Dimension tables (nation/region/supplier-scale) should broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
