@@ -173,6 +173,50 @@ def tf_idf_top_terms(
     )
 
 
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — a language-model-flavored
+    quality signal (high OOV ⇒ boilerplate, code, junk encodings, or
+    off-domain text) that needs no external model or wordlist.
+
+    Shape: one exploded token pass feeds BOTH the vocabulary (global
+    count → TakeOrdered top-K, deterministic (count DESC, token ASC)
+    tie-break so the K-boundary is reproducible) and the per-doc scoring
+    join. The vocabulary is K rows — broadcast — so scoring never
+    shuffles the corpus tokens a second time; the only corpus-sized
+    shuffles are the two keyed counts, both map-side combined. Output:
+    (id, n_tokens, n_oov, oov_rate)."""
+    from bigdatacw1_spark.operators.relational import fan_out
+
+    toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), oov.alias("n_oov"))
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            stable_round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

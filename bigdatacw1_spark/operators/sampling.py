@@ -121,6 +121,57 @@ def hash_sample_n(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: Column | str,
+    domain: str,
+    weights: dict[str, int],
+    salt: str = "mix",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Domain-mixture sampling: downsample each ``domain`` stratum so the
+    OUTPUT approximates the target mixture ``weights`` (integer parts,
+    e.g. ``{"web": 7, "books": 2, "code": 1}``) — the corpus-mixing step
+    of training-data assembly, without replacement (never upsamples).
+
+    Math, all in BIGINT so the thresholds are bit-identical in any
+    engine: with W = Σw and per-domain counts n_d, the largest feasible
+    output T satisfies T·w_d/W ≤ n_d for every weighted domain, so
+    T = min_d ⌊n_d·W / w_d⌋; the per-domain take is m_d = ⌊T·w_d / W⌋
+    and the keep predicate is ``md5_bucket(key) < ⌊B·m_d / n_d⌋``.
+    The binding (scarcest-relative-to-weight) domain is kept whole; all
+    others are hash-downsampled to match, to bucket granularity.
+
+    The per-domain counts are a tiny aggregate (one row per domain)
+    collected to the driver to derive the global scalar thresholds —
+    the same pattern as histogram bounds; the data-sized pass stays a
+    pure partition-local predicate, so at 100 TB the cost is one
+    map-side-combined count plus a filtered scan. Domains absent from
+    ``weights`` (or with weight 0) are dropped; weighted domains absent
+    from the data are ignored (the mixture renormalizes over the
+    domains that exist).
+    """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be non-negative integers")
+    active = {d: w for d, w in weights.items() if w > 0}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain).agg(F.count(F.lit(1))).collect()
+        if r[0] in active
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    total_w = sum(active[d] for d in counts)
+    t_max = min(counts[d] * total_w // active[d] for d in counts)
+    thresholds = {
+        d: n_buckets * (t_max * active[d] // total_w) // counts[d] for d in counts
+    }
+    thr: Column = F.lit(-1)
+    for d in sorted(thresholds):
+        thr = F.when(F.col(domain) == d, F.lit(thresholds[d])).otherwise(thr)
+    return df.where(md5_bucket(key, n_buckets, salt) < thr)
+
+
 def weighted_sample_n(
     df: DataFrame,
     key: Column | str,

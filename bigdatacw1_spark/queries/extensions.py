@@ -975,3 +975,35 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=10)
     return pr.orderBy(F.desc("rank_units"), "node").limit(25)
+
+
+@q(
+    "ext_oov_rate",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 1000
+            )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               FLOOR((CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                      / CAST(COUNT(*) AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS oov_rate
+        FROM tok t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document vs. the corpus top-1000 token
+    vocabulary (functions/text.oov_rate) — a self-contained LM-style
+    quality signal. The vocabulary's K-boundary is deterministic
+    ((count DESC, token ASC) tie-break), so the exact per-document
+    counts are oracle-verified."""
+    from bigdatacw1_spark.functions.text import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -135,3 +135,44 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_n(d, "doc_id", "n_chars", 200, salt="ws").orderBy(
         F.desc("priority"), "doc_id"
     )
+
+
+@q(
+    "ext_mixture_sample",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        ), w(lang, w) AS (
+            VALUES ('en', CAST(4 AS BIGINT)), ('de', CAST(2 AS BIGINT)),
+                   ('fr', CAST(2 AS BIGINT)), ('es', CAST(1 AS BIGINT)),
+                   ('zh', CAST(1 AS BIGINT))
+        ), j AS (
+            SELECT c.lang, c.n, w.w FROM c JOIN w ON c.lang = w.lang
+        ), tw AS (
+            SELECT CAST(SUM(w) AS BIGINT) AS tw FROM j
+        ), tm AS (
+            SELECT MIN(n * tw // w) AS tm FROM j CROSS JOIN tw
+        ), th AS (
+            SELECT lang, 1000000 * (tm * w // tw) // n AS thr
+            FROM j CROSS JOIN tw CROSS JOIN tm
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN th ON d.lang = th.lang
+        WHERE {_BUCKET.format(salt="mix")} < th.thr
+        ORDER BY d.doc_id
+    """,
+)
+def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/sampling.mixture_sample): draw
+    the largest corpus matching a 4:2:2:1:1 en/de/fr/es/zh target
+    mixture without replacement — the binding language is kept whole,
+    the rest hash-downsampled to proportion. Thresholds are derived in
+    pure BIGINT arithmetic from the per-language counts, so the oracle
+    recomputes them exactly and verifies the EXACT sampled row set."""
+    from bigdatacw1_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, "doc_id", "lang", {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+    )
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")

@@ -78,3 +78,44 @@ def test_bucket_range_and_determinism(spark):
     stats = b.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
     assert 0 <= stats.lo and stats.hi < 1000
     assert b.distinct().count() > 1  # actually spreads
+
+
+def test_mixture_sample_matches_target_proportions(spark):
+    from bigdatacw1_spark.operators.sampling import mixture_sample
+
+    d = _docs(spark)
+    weights = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+    out = mixture_sample(d, "doc_id", "lang", weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # No upsampling, every weighted language present.
+    assert set(got) == set(weights)
+    assert all(got[l] <= avail[l] for l in got)
+    # Achieved mixture tracks the target within hash-bucket noise:
+    # each language's share within ±60% relative of its target share
+    # (sf0.001 strata are tens of docs, so quantization is coarse).
+    total = sum(got.values())
+    wsum = sum(weights.values())
+    for lang, w in weights.items():
+        assert abs(got[lang] / total - w / wsum) < 0.6 * (w / wsum) + 0.05, (lang, got)
+
+
+def test_mixture_sample_keeps_binding_domain_whole(spark):
+    from bigdatacw1_spark.operators.sampling import mixture_sample
+
+    d = _docs(spark)
+    avail = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    weights = {"en": 1, "zh": 1}  # zh is scarce: it binds; en downsamples to match
+    out = mixture_sample(d, "doc_id", "lang", weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("zh", 0) >= int(avail["zh"] * 0.9)  # binding stratum ~whole (bucket floor)
+    assert got["en"] < avail["en"]
+
+
+def test_mixture_sample_ignores_absent_and_zero_weight_domains(spark):
+    from bigdatacw1_spark.operators.sampling import mixture_sample
+
+    d = _docs(spark)
+    out = mixture_sample(d, "doc_id", "lang", {"en": 1, "klingon": 5, "de": 0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}

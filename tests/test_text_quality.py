@@ -107,3 +107,28 @@ def test_decontaminate_is_stable_across_runs(spark):
     a = REGISTRY["ext_decontaminate"].fn(spark, "/root/testdata/sf0.001").collect()
     b = REGISTRY["ext_decontaminate"].fn(spark, "/root/testdata/sf0.001").collect()
     assert a == b
+
+
+def test_oov_rate_bounds_and_signal(spark):
+    from bigdatacw1_spark.functions.text import oov_rate
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    out = oov_rate(load_table(spark, SF_SMALL, "documents"), vocab_size=100).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_oov_rate_junk_doc_scores_higher_than_common_doc(spark):
+    from bigdatacw1_spark.functions.text import oov_rate
+
+    rows = [(1, "the cat sat on the mat the cat sat again")] * 30 + [
+        (100, "zzqj xkwv qqpt zzqj mmvx wrtk")
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)] , ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["oov_rate"] for r in oov_rate(df, vocab_size=8).collect()}
+    assert out[len(rows) - 1] > out[0]
