@@ -79,6 +79,47 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means the embedding space, compare pairs ONLY
+    within a cluster, and keep one representative (the minimum id) per
+    connected group of above-threshold pairs.
+
+    The clustering bounds the pairwise step exactly like SemDeDup's
+    per-cluster scan: work is Σ cluster², never corpus² — with k sized
+    ~√N the expected cluster is √N and the total pairwise cost is ~N^1.5
+    at fixed cluster balance, the published trick that made 100 TB-scale
+    semantic dedup tractable. Cross-cluster near-dups are the recall
+    price (SemDeDup accepts it; raise ``n_centroids`` recall by lowering
+    k or re-running on cluster borders). Group formation uses
+    connected components so A~B~C collapses to one survivor even when
+    cosine(A, C) < threshold (transitive closure, same policy as the
+    MinHash dedup family).
+
+    Returns the DROP list: (vec_id, kept_id) — one row per discarded
+    vector, naming its surviving representative. Anti-join the corpus
+    against it to materialize the deduplicated set.
+    """
+    from bigdatacw1_spark.operators.graph import connected_components
+
+    assigned, _ = build_ivf_index(embeddings, n_centroids, id_col, vec_col, seed)
+    pairs = embedding_near_duplicates(
+        assigned, threshold, id_col=id_col, vec_col=vec_col, block="__cluster"
+    )
+    comp = connected_components(pairs.select("a", "b"), src="a", dst="b")
+    return (
+        comp.where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias(id_col), F.col("comp").alias("kept_id"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a hash-based PRNG
     (no library RNG state involved): component ~ Uniform(-1, 1)."""

@@ -1007,3 +1007,18 @@ def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import oov_rate
 
     return oov_rate(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q("ext_semantic_dedup")
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    k-means clusters bound the pairwise cosine step, connected components
+    collapse transitive near-dup groups, min id survives. Rows-only
+    (k-means assignment is not SQL-expressible); drop-list invariants
+    (kept_id < vec_id, kept_id never itself dropped, clone detection)
+    are pinned in tests/test_extensions.py."""
+    from bigdatacw1_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+    ).orderBy("vec_id")

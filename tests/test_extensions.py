@@ -190,3 +190,30 @@ def test_word_ngrams_short_docs_empty(spark):
     by_id = {r["doc_id"]: r["g"] for r in out}
     assert by_id[1] == []
     assert by_id[2] == ["a b c", "b c d"]
+
+
+def test_semantic_dedup_drops_planted_clone_and_keeps_min_id(spark):
+    from bigdatacw1_spark.operators.similarity import semantic_dedup
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    clone = emb.where(F.col("vec_id") == 3).withColumn("vec_id", F.lit(900001))
+    drops = semantic_dedup(emb.unionByName(clone), threshold=0.999).collect()
+    by_id = {r["vec_id"]: r["kept_id"] for r in drops}
+    # The planted exact clone is dropped in favor of the original.
+    assert by_id.get(900001) == 3
+    # Representatives are group minima and never themselves dropped.
+    assert all(k < v for v, k in by_id.items())
+    assert not (set(by_id.values()) & set(by_id.keys()))
+
+
+def test_semantic_dedup_survivors_are_corpus_minus_drops(spark):
+    from bigdatacw1_spark.operators.similarity import semantic_dedup
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    drops = semantic_dedup(emb, threshold=0.9, n_centroids=4)
+    survivors = emb.join(drops, "vec_id", "left_anti")
+    assert survivors.count() + drops.count() == emb.count()
