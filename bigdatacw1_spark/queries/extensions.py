@@ -1022,3 +1022,28 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
     ).orderBy("vec_id")
+
+
+@q("ext_sketch_ndv_mergeable")
+def ext_sketch_ndv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL built-ins):
+    one fixed-size sketch per day, union-merged into the corpus-wide
+    estimate WITHOUT rescanning the events — the materialized-rollup
+    pattern that answers "distinct users any window" at 100 TB: store
+    per-partition sketches (bytes, not user sets) and merge at query
+    time; the union is associative so any grouping of partials gives
+    the same registers. Rows-only (estimates are sketch-defined);
+    merge-consistency and the error bound vs exact are asserted in
+    tests/test_extensions.py."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    daily = per.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("sk").alias("ndv_users"),
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_users")
+    ).select(F.lit("ALL").alias("day"), "ndv_users")
+    return daily.unionByName(total).orderBy("day")

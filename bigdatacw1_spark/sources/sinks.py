@@ -135,3 +135,80 @@ def compact_parquet(
     for root, _dirs, files in os.walk(path):
         new_files += sum(1 for f in files if f.endswith(".parquet"))
     return new_files
+
+
+def zorder_code(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> tuple[DataFrame, str]:
+    """Append a Morton (Z-order) code column interleaving ``bits``
+    equal-width bucket bits of each column in ``cols``. Returns
+    (df_with_code, code_column_name).
+
+    The per-column bucket is ``width_bucket`` over broadcast global
+    min/max bounds (one tiny agg, same pattern as the histogram
+    operator) — a narrow map at any scale. Bit interleaving is plain
+    integer shifts, fully codegen'd; no Python touches the data.
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    n_buckets = 1 << bits
+    code = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        # width_bucket returns 1..n+1; clamp into [0, n_buckets).
+        b = F.least(
+            F.greatest(
+                F.width_bucket(
+                    F.col(c).cast("double"),
+                    F.col(f"__lo_{c}"),
+                    F.col(f"__hi_{c}"),
+                    F.lit(n_buckets),
+                ) - 1,
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+        for bit in range(bits):
+            code = code.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + i,
+                )
+            )
+    out = with_bounds.withColumn("__zorder", code).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+    return out, "__zorder"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort by the Morton
+    code of ``cols``, so every output file covers a small hyper-rectangle
+    of the value space and parquet min/max stats prune on EVERY z-ordered
+    column, not just a lead sort key.
+
+    This is the multi-dimensional clustering move (Delta/Iceberg OPTIMIZE
+    ZORDER BY) for plain parquet: a point/range predicate on any of the
+    ``cols`` skips most files at planning time via row-group statistics.
+    Lexicographic sorting prunes only the first column; Z-ordering trades
+    a little locality on each column for pruning power on all of them.
+    One range shuffle on the code (sampled bounds, skew-tolerant), one
+    local sort — the same cost as any global sort-write.
+    """
+    coded, code_col = zorder_code(df, cols, bits)
+    (
+        coded.repartitionByRange(n_files, F.col(code_col))
+        .sortWithinPartitions(code_col)
+        .drop(code_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

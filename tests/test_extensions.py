@@ -217,3 +217,24 @@ def test_semantic_dedup_survivors_are_corpus_minus_drops(spark):
     drops = semantic_dedup(emb, threshold=0.9, n_centroids=4)
     survivors = emb.join(drops, "vec_id", "left_anti")
     assert survivors.count() + drops.count() == emb.count()
+
+
+def test_hll_sketch_union_is_merge_consistent_and_accurate(spark):
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = ev.select("user_id").distinct().count()
+    per = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    # Union of per-day partials must agree with the single-pass sketch
+    # (same registers), and both land within the HLL error bound.
+    assert merged == direct
+    assert abs(merged - exact) / exact < 0.05

@@ -118,3 +118,61 @@ def test_read_binary_dir_lists_and_filters(spark, tmp_path):
     assert rows["a.png"].length == 104 and rows["a.png"].content[:4] == b"\x89PNG"
     small = read_binary_dir(spark, str(d), glob="*.png", max_bytes=1000)
     assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.png"]
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from bigdatacw1_spark.sources.catalog import load_table
+    from bigdatacw1_spark.sources.sinks import write_zordered
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value", "event_id")
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lex")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+    # Baseline: lexicographic sort clusters user_id only.
+    (ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+       .write.mode("overwrite").parquet(lpath))
+
+    def span_fraction(path, col):
+        """Mean fraction of the global value range covered per file —
+        lower = tighter min/max stats = more pruning."""
+        spans, lo, hi = [], None, None
+        for f in _glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            s = md.row_group(0).column(names[col]).statistics
+            fmin, fmax = s.min, s.max
+            for rg in range(1, md.num_row_groups):
+                s = md.row_group(rg).column(names[col]).statistics
+                fmin, fmax = min(fmin, s.min), max(fmax, s.max)
+            spans.append((fmin, fmax))
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        width = float(hi - lo) or 1.0
+        return sum(float(b - a) for a, b in spans) / (len(spans) * width)
+
+    # Z-order: BOTH dimensions tighten vs the global range; lexicographic
+    # tightens user_id but leaves value unclustered (~full span per file).
+    assert span_fraction(zpath, "user_id") < 0.6
+    assert span_fraction(zpath, "value") < 0.6
+    # ...and beats the lexicographic layout on the non-lead dimension.
+    assert span_fraction(zpath, "value") < 0.8 * span_fraction(lpath, "value")
+    # Same rows either way.
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_code_is_deterministic_and_jvm_side(spark):
+    from bigdatacw1_spark.sources.catalog import load_table
+    from bigdatacw1_spark.sources.sinks import zorder_code
+    from tests.conftest import SF_SMALL
+    from tests.test_plans import has_python_eval
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    coded, col = zorder_code(ev, ["user_id", "value"], bits=8)
+    assert not has_python_eval(coded)
+    a = coded.agg(F.sum(col)).collect()[0][0]
+    b = coded.agg(F.sum(col)).collect()[0][0]
+    assert a == b and a is not None
