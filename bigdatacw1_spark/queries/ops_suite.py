@@ -1859,3 +1859,45 @@ def w9_cume_dist_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.cume_dist().over(w), 4).alias("cdist"),
         F.lead("c_custkey", 1, -1).over(w).cast("long").alias("next_cust"),
     ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+
+
+@q(
+    "f15_statistical_fns",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(QUANTILE_CONT(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0 AS med_price,
+               CAST(ARG_MIN(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+               CAST(ARG_MAX(o_orderkey, o_totalprice) AS BIGINT) AS dearest_order,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_large,
+               BOOL_AND(o_totalprice > 0) AS all_positive,
+               BOOL_OR(o_totalprice > 500000) AS any_huge
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def f15_statistical_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical/conditional aggregate surface beyond A1-A10: exact
+    median (PERCENTILE_CONT 0.5 semantics, same interpolation both
+    engines — see a15), arg-min/arg-max row selection (min_by/max_by;
+    o_totalprice is duplicate-free per group in this corpus, so the
+    winner is unique and cross-engine deterministic), filtered count
+    (count_if ≡ COUNT FILTER), and boolean aggregation (bool_and/
+    bool_or ≡ every/any). All built-ins — one hash aggregate, no
+    window, no Python."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.median("o_totalprice"), 2).alias("med_price"),
+            F.min_by("o_orderkey", "o_totalprice").cast("long").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").cast("long").alias("dearest_order"),
+            F.count_if(big).alias("n_large"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
+        )
+        .orderBy("o_orderpriority")
+    )

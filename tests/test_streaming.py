@@ -417,3 +417,60 @@ def test_continuous_aggregate_upserts_to_final_values(spark, events_dir_ordered,
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_dimension_merge_stream_tracks_latest_per_key(spark, tmp_path):
+    """Streaming CDC-apply: folding a change feed into a parquet
+    dimension per micro-batch MERGE ends at the same table a single
+    batch argmax produces — update and insert branches both exercised
+    because users recur across the time-split files."""
+    import time as _time
+
+    from bigdatacw1_spark.streaming.merge_sink import run_dimension_merge_stream
+    from bigdatacw1_spark.streaming.windows import read_events_stream
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    med = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    feed_dir = str(tmp_path / "feed")
+    # Two time-ordered drops (distinct mtimes → deterministic order).
+    ev.where(F.col("event_id") <= med).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    _time.sleep(1.1)
+    ev.where(F.col("event_id") > med).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    changes = read_events_stream(spark, feed_dir).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event"),
+    )
+    table_dir = str(tmp_path / "dim")
+    q = run_dimension_merge_stream(
+        spark, changes, table_dir,
+        key="user_id", ts_col="last_ts",
+        set_cols=["last_ts", "last_value", "last_event"],
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("user_id"))
+    # Batch-side tiebreak must mirror the sink's (desc ts, desc key);
+    # within a user equal-ts rows are possible, so also break by event_id
+    # like the feed order would. Use the same argmax the sink applies
+    # per batch: last file processed wins for equal ts.
+    expected = (
+        ev.withColumn("__rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))))
+        .where(F.col("__rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"), F.col("event_id").alias("last_event"))
+    )
+    got = spark.read.parquet(table_dir)
+    assert got.count() == ev.select("user_id").distinct().count()
+    # Compare on (user, ts): the latest observation per user survives.
+    exp_rows = sorted((r["user_id"], r["last_ts"]) for r in expected.collect())
+    got_rows = sorted((r["user_id"], r["last_ts"]) for r in got.collect())
+    assert got_rows == exp_rows
+    assert len(q.recentProgress) > 1  # really incremental
