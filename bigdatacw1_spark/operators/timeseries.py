@@ -1,0 +1,139 @@
+"""Time-series operators beyond resample/ffill (SURVEY.md §2 extensions).
+
+The reference's domain is daily equity prices — a time series — but its
+queries only ever aggregate snapshots. These are the series-native
+operators that domain grows into, shaped for Spark's execution model:
+every one is a window or grid-join keyed by the series id, so the data
+shuffles once on the key regardless of scale, and all arithmetic stays
+in JVM expressions (integer where exactness matters).
+
+See also operators/relational.py: sessionize, resample_ffill,
+as_of_join — the same family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.operators.relational import stable_round
+
+
+def twap(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average of a piecewise-constant series per key:
+    each observation holds until the next one, so
+    TWAP = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N − t₁). The plain AVG over-weights
+    bursts (ten ticks in a minute count ten times); TWAP weights by
+    holding time — the standard fix for irregular financial/telemetry
+    series.
+
+    Exactness: values are quantized to integer ``cents_scale``-ths and
+    durations to whole epoch seconds, so the weighted sum is a BIGINT —
+    order-independent and bit-identical cross-engine; only the final
+    division is floating point. One shuffle on the key serves the lead
+    window and the aggregation. Keys with a single observation have no
+    holding interval and drop out (SQL semantics: zero weight rows).
+
+    Output: (*key_cols, twap, span_seconds, n_obs).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    t = F.unix_timestamp(F.col(ts_col))
+    nxt = F.lead(t).over(w)
+    v_units = F.round(F.col(value_col) * cents_scale).cast("long")
+    seg = df.select(
+        *key_cols,
+        (nxt - t).alias("__dt"),
+        v_units.alias("__v"),
+    ).where(F.col("__dt").isNotNull())
+    return (
+        seg.groupBy(*key_cols)
+        .agg(
+            stable_round(
+                F.sum(F.col("__v") * F.col("__dt")).cast("double")
+                / (F.lit(float(cents_scale)) * F.sum("__dt")),
+                4,
+            ).alias("twap"),
+            F.sum("__dt").alias("span_seconds"),
+            (F.count(F.lit(1)) + 1).alias("n_obs"),
+        )
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Hourly resample with LINEAR interpolation: one row per (key, hour)
+    over the global span; hours between two observations get the
+    straight-line value, hours outside a key's observed range stay NULL.
+    The companion of resample_ffill for continuous quantities (a held
+    price forward-fills; a temperature interpolates).
+
+    Same scalable shape as resample_ffill — the per-(key,hour) last-
+    observation rank, both fill windows, and the grid join all ride ONE
+    hash partitioning by key; the dense grid is sequence+explode (never
+    driver-side). The interpolation fraction uses whole-hour integer
+    offsets, so the only floating-point step is the final
+    prev + (next−prev)·frac — identical IEEE ops in any engine.
+
+    Output: (key, hour, value_interp).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    w_last = Window.partitionBy(key, "hour").orderBy(F.desc(ts_col), F.desc(tiebreak))
+    obs = (
+        df.select(key, hour.alias("hour"), F.col(ts_col), F.col(value_col), F.col(tiebreak))
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select(key, "hour", F.col(value_col).alias("__obs"))
+    )
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    )
+    grid = (
+        df.select(key)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    g = grid.join(obs, [key, "hour"], "left")
+    hnum = (F.unix_timestamp("hour") / F.lit(3600)).cast("long")
+    g = g.withColumn("__h", hnum)
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("__h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("__obs").isNotNull(), F.col("__h"))
+    prev_v = F.last("__obs", ignorenulls=True).over(w_back)
+    prev_h = F.last(obs_h, ignorenulls=True).over(w_back)
+    next_v = F.first("__obs", ignorenulls=True).over(w_fwd)
+    next_h = F.first(obs_h, ignorenulls=True).over(w_fwd)
+    frac = (F.col("__h") - prev_h).cast("double") / (next_h - prev_h).cast("double")
+    interp = (
+        F.when(F.col("__obs").isNotNull(), F.col("__obs"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            stable_round(prev_v + (next_v - prev_v) * frac, 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return g.select(key, "hour", interp.alias("value_interp"))

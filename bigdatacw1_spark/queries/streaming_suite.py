@@ -416,3 +416,94 @@ def ev_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.streaming.stateful_tws import topk_per_user
 
     return topk_per_user(_t(spark, sf_dir, "events"), k=3).orderBy("user_id", "rank")
+
+
+@q(
+    "ev_twap",
+    oracle="""
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CAST(FLOOR(EPOCH(LEAD(ts) OVER w)) AS BIGINT)
+                     - CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS dt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               FLOOR((CAST(SUM(v * dt) AS DOUBLE) / (100.0 * SUM(dt))) * 10000.0 + 0.5)
+                 / 10000.0 AS twap,
+               CAST(SUM(dt) AS BIGINT) AS span_seconds,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_obs
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def ev_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (operators/timeseries.twap):
+    each observation holds until the next, weights are whole seconds and
+    values integer cents, so the weighted sum is exact BIGINT arithmetic
+    and the result hash-matches the oracle bit-for-bit."""
+    from bigdatacw1_spark.operators.timeseries import twap
+
+    return twap(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", tiebreak="event_id"
+    ).orderBy("user_id")
+
+
+@q(
+    "ev_resample_interp",
+    oracle="""
+        WITH bounds AS (
+            SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1 FROM events
+        ), grid AS (
+            SELECT u.user_id, h.h AS hour
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds) h
+        ), obs AS (
+            SELECT user_id, hour, value FROM (
+                SELECT user_id, DATE_TRUNC('hour', ts) AS hour, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ), g AS (
+            SELECT g.user_id, g.hour, o.value AS obs,
+                   CAST(FLOOR(EPOCH(g.hour)) // 3600 AS BIGINT) AS h
+            FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+        ), filled AS (
+            SELECT user_id, hour, obs, h,
+                   LAST_VALUE(obs IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+                   LAST_VALUE(CASE WHEN obs IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+                   FIRST_VALUE(obs IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM g
+        )
+        SELECT user_id, hour,
+               CASE WHEN obs IS NOT NULL THEN obs
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        FLOOR((pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)))
+                              * 10000.0 + 0.5) / 10000.0
+                    ELSE NULL END AS value_interp
+        FROM filled
+        ORDER BY user_id, hour
+    """,
+)
+def ev_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + LINEAR interpolation
+    (operators/timeseries.resample_interpolate): gaps between two
+    observations take the straight-line value; hours outside a user's
+    observed range stay NULL. Whole-hour integer offsets keep the
+    interpolation fraction exact; the blend is the same IEEE expression
+    in both engines."""
+    from bigdatacw1_spark.operators.timeseries import resample_interpolate
+
+    return resample_interpolate(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", tiebreak="event_id"
+    ).orderBy("user_id", "hour")

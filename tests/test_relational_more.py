@@ -215,3 +215,45 @@ def test_exact_avg_overflow_documented_behavior(spark):
         assert row.n_double == 2 and row.n_decimal == 1
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_twap_weights_by_holding_time(spark):
+    from bigdatacw1_spark.operators.timeseries import twap
+
+    rows = [
+        # key 1: value 10 held 90s, value 20 held 10s -> twap 11.0
+        (1, "2024-01-01 00:00:00", 10.0, 1),
+        (1, "2024-01-01 00:01:30", 20.0, 2),
+        (1, "2024-01-01 00:01:40", 99.0, 3),  # last obs: no holding interval
+        # key 2: single observation -> drops out
+        (2, "2024-01-01 00:00:00", 5.0, 4),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value", "eid"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["k"]: r for r in twap(df, ["k"], "ts", "value", "eid").collect()}
+    assert out[1]["twap"] == 11.0
+    assert out[1]["span_seconds"] == 100
+    assert out[1]["n_obs"] == 3
+    assert 2 not in out
+
+
+def test_resample_interpolate_straight_line_and_null_edges(spark):
+    from bigdatacw1_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        (1, "2024-01-01 01:00:00", 10.0, 1),
+        (1, "2024-01-01 04:00:00", 40.0, 2),
+        (2, "2024-01-01 02:00:00", 7.0, 3),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value", "eid"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = resample_interpolate(df, "k", "ts", "value", "eid").collect()
+    vals = {(r["k"], r["hour"].hour): r["value_interp"] for r in out}
+    # Straight line between 10@01h and 40@04h.
+    assert vals[(1, 2)] == 20.0 and vals[(1, 3)] == 30.0
+    # Grid spans the GLOBAL range; outside a key's own observations -> NULL.
+    assert vals[(1, 1)] == 10.0 and vals[(1, 4)] == 40.0
+    assert vals[(2, 1)] is None and vals[(2, 4)] is None
+    assert vals[(2, 2)] == 7.0
