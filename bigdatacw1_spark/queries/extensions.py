@@ -1047,3 +1047,50 @@ def ext_sketch_ndv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_users")
     ).select(F.lit("ALL").alias("day"), "ndv_users")
     return daily.unionByName(total).orderBy("day")
+
+
+@q(
+    "ext_bfs_reach",
+    oracle="""
+        WITH RECURSIVE raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                            CAST(l_suppkey + 1000000 AS BIGINT) AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT c AS u, s AS v FROM raw UNION SELECT s AS u, c AS v FROM raw
+        ), walk(node, hops) AS (
+            SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+            UNION ALL
+            SELECT bi.v, walk.hops + 1
+            FROM walk JOIN bi ON bi.u = walk.node
+            WHERE walk.hops < 2
+        )
+        SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+        FROM walk GROUP BY node
+        ORDER BY hops, node
+    """,
+)
+def ext_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability (operators/graph.bfs_levels): minimum
+    hop count from customer #1 over the undirected customer↔supplier
+    trade graph, within 2 hops — hop 1 = this customer's suppliers,
+    hop 2 = every customer sharing one. Level-synchronous frontier
+    expansion, one keyed shuffle per round; the oracle is the
+    depth-bounded recursive CTE with a MIN-group collapse."""
+    from bigdatacw1_spark.operators.graph import bfs_levels
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.range(1, 2).select(F.col("id").alias("node"))
+    out = bfs_levels(edges, seeds, max_hops=2)
+    return out.select("node", F.col("hops").cast("int").alias("hops")).orderBy(
+        "hops", "node"
+    )

@@ -70,3 +70,17 @@ def test_pagerank_partitioning_invariance(spark):
         for r in pagerank(edges.repartition(13), iterations=6).collect()
     }
     assert a == b
+
+
+def test_bfs_levels_min_hops_and_bounded_depth(spark):
+    from bigdatacw1_spark.operators.graph import bfs_levels
+
+    #    1-2-3-4-5   and 1-3 shortcut; 9-10 disconnected
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (9, 10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_levels(edges, seeds, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}  # 5 beyond bound; 9/10 unreachable
+    full = {r["node"]: r["hops"] for r in bfs_levels(edges, seeds, max_hops=10).collect()}
+    assert full[5] == 3 and 9 not in full
