@@ -218,13 +218,17 @@ def as_of_join(
     right_ts: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of (point-in-time) join: for every left row, attach the right
     row with the greatest ``right_ts <= left_ts`` within the same ``on``
     key — e.g. "price as of the trade time", "last purchase before this
     click". Left rows with no prior right row get NULLs (left-outer
-    semantics). Spark has no built-in ASOF join; the scalable shape is
-    union + ordered window, NOT a range self-join:
+    semantics). ``tolerance_seconds`` bounds staleness: a match older
+    than the bound is treated as no match (all NULLs) — "use the last
+    quote, but never one more than an hour old". Spark has no built-in
+    ASOF join; the scalable shape is union + ordered window, NOT a
+    range self-join:
 
       1. union the two inputs with a source tag (right rows sort before
          left rows at equal timestamps, so "at or before" includes ties);
@@ -251,7 +255,13 @@ def as_of_join(
     if overlap:
         raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
     lpay = [c for c in left.columns if c not in on and c != left_ts]
-    rpay_type = T.StructType([right.schema[c] for c in right_cols])
+    # The carried payload includes the right row's own timestamp so a
+    # staleness bound can be applied AFTER the forward fill (the window
+    # itself always carries the latest row; tolerance is a filter on it).
+    rpay_type = T.StructType(
+        [right.schema[c] for c in right_cols]
+        + [T.StructField("__rts", right.schema[right_ts].dataType)]
+    )
     lt = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -266,7 +276,7 @@ def as_of_join(
         F.lit(0).alias("__src"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        F.struct(*right_cols).alias("__rpay"),
+        F.struct(*right_cols, F.col(right_ts).alias("__rts")).alias("__rpay"),
     )
     w = (
         Window.partitionBy(*on)
@@ -280,6 +290,15 @@ def as_of_join(
         *lpay,
         F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
+    if tolerance_seconds is not None:
+        # Full-precision timestamp comparison (µs), matching how any SQL
+        # engine would evaluate r_ts >= l_ts - INTERVAL tolerance.
+        fresh = F.col("__rpay")["__rts"] >= (
+            F.col("__ts") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        )
+        carried = carried.withColumn(
+            "__rpay", F.when(fresh, F.col("__rpay"))
+        )
     return carried.where(F.col("__src") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),

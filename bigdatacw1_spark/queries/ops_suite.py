@@ -1901,3 +1901,96 @@ def f15_statistical_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "f16_quantile_binning",
+    oracle="""
+        WITH b AS (
+            SELECT QUANTILE_CONT(o_totalprice, 0.25) AS b1,
+                   QUANTILE_CONT(o_totalprice, 0.50) AS b2,
+                   QUANTILE_CONT(o_totalprice, 0.75) AS b3
+            FROM orders
+        )
+        SELECT CASE WHEN o_totalprice < b1 THEN 1
+                    WHEN o_totalprice < b2 THEN 2
+                    WHEN o_totalprice < b3 THEN 3
+                    ELSE 4 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders CROSS JOIN b
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def f16_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (equal-frequency) feature binning: quartile boundaries
+    computed ONCE (exact PERCENTILE_CONT — bitwise cross-engine, see
+    a15) and broadcast, bucket assignment a pure row-local CASE — the
+    discretization step of feature engineering. At 100 TB swap the
+    exact percentile for percentile_approx (same bitwise-broadcast
+    shape, mergeable sketch); counts per bin then verify the
+    equal-frequency property."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("b1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("b2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("b3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p < F.col("b1"), 1)
+        .when(p < F.col("b2"), 2)
+        .when(p < F.col("b3"), 3)
+        .otherwise(4)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "j8b_asof_tolerance",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.value END AS purchase_value,
+               CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.event_id END AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def j8b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: the most recent purchase at or
+    before each click, but only if it happened within the last hour —
+    older state is no state (operators/relational.as_of_join with
+    tolerance_seconds). Same single-shuffle union+window plan; the
+    tolerance is a post-fill filter on the carried row's own timestamp,
+    full µs precision in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=["purchase_value", "purchase_id"],
+        tiebreak="purchase_id",
+        tolerance_seconds=3600,
+    )
