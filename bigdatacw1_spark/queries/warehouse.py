@@ -221,3 +221,98 @@ def wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/warehouse.cohort_retention); the denominator is the
     cohort's offset-0 size via a partition window."""
     return cohort_retention(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@q(
+    "wh_snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey <= 1200
+        ), new AS (
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN FLOOR((c_acctbal + 10.0) * 100.0 + 0.5) / 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey > 100
+        )
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                    WHEN n.c_custkey IS NULL THEN 'delete'
+                    WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                      OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'update'
+               END AS change_type,
+               o.c_acctbal AS old_c_acctbal, o.c_mktsegment AS old_c_mktsegment,
+               n.c_acctbal AS new_c_acctbal, n.c_mktsegment AS new_c_mktsegment
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+        WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                   WHEN n.c_custkey IS NULL THEN 'delete'
+                   WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                     OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'update'
+              END IS NOT NULL
+        ORDER BY c_custkey
+    """,
+)
+def wh_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/warehouse.snapshot_diff): recover the
+    CDC delta between two loads of the customer dimension — keys 1-100
+    disappear (deletes), keys past 1200 appear (inserts), BUILDING-
+    segment balances shift by 10 (updates); unchanged rows are filtered
+    before emission so the delta is change-sized. The synthetic 'new'
+    snapshot uses stable_round arithmetic so both engines derive the
+    identical modified balances."""
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.warehouse import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    old = c.where(F.col("c_custkey") <= 1200)
+    new = c.where(F.col("c_custkey") > 100).select(
+        "c_custkey",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING",
+            stable_round(F.col("c_acctbal") + 10.0, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return snapshot_diff(
+        old, new, key="c_custkey", compare_cols=["c_acctbal", "c_mktsegment"]
+    ).orderBy("c_custkey")
+
+
+@q(
+    "diag_join_size",
+    oracle="""
+        WITH lk AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_l FROM orders GROUP BY 1
+        ), rk AS (
+            SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_r FROM customer GROUP BY 1
+        )
+        SELECT CAST(SUM(n_l * n_r) AS BIGINT) AS est_rows,
+               CAST(MAX(n_l * n_r) AS BIGINT) AS max_key_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_join_keys
+        FROM lk JOIN rk USING (k)
+    """,
+)
+def diag_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimator: the EXACT output cardinality of
+    orders⋈customer computed from per-key counts (Σ n_l·n_r) WITHOUT
+    running the join — plus the hottest key's contribution, the number
+    that tells you whether a shuffle join will explode before you pay
+    for it. Two map-side-combined counts + one key-sized join: at
+    100 TB this costs two aggregations over the join keys, never the
+    join itself. Companion of diag_key_skew."""
+    o = _t(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    c = _t(spark, sf_dir, "customer").groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    j = o.join(c, "k")
+    prod = F.col("n_l") * F.col("n_r")
+    return j.agg(
+        F.sum(prod).alias("est_rows"),
+        F.max(prod).alias("max_key_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )

@@ -178,3 +178,22 @@ def test_cohort_retention_counts_and_ratio(spark):
         (_day(1), 0): (1, 1.0),
         (_day(1), 2): (1, 1.0),
     }
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from bigdatacw1_spark.operators.warehouse import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, None, "d")],
+        ["k", "bal", "seg"],
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 31.0, "c"), (4, 40.0, "d"), (5, 50.0, "e")],
+        ["k", "bal", "seg"],
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k", ["bal", "seg"]).collect()}
+    assert out[1]["change_type"] == "delete"
+    assert 2 not in out  # unchanged rows are not emitted
+    assert out[3]["change_type"] == "update" and out[3]["new_bal"] == 31.0
+    assert out[4]["change_type"] == "update"  # NULL -> value counts as change
+    assert out[5]["change_type"] == "insert" and out[5]["old_bal"] is None
