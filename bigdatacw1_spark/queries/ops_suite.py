@@ -1994,3 +1994,75 @@ def j8b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="purchase_id",
         tolerance_seconds=3600,
     )
+
+
+@q(
+    "f17_variant_json",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def f17_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse the JSON payload
+    ONCE into the binary VARIANT encoding, then typed variant_get
+    extraction — the open-schema ingestion shape (shredded-on-read,
+    no fixed struct declared). Contrast with f7 (repeated string path
+    extraction) and the from_json typed struct: VARIANT keeps documents
+    whose schema drifts without replanning. Aggregated per user so the
+    oracle compares integer sums."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "j13_fuzzy_name_join",
+    oracle="""
+        SELECT a.p_partkey AS a, b.p_partkey AS b,
+               CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 8
+        ORDER BY a, b
+    """,
+)
+def j13_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (entity-resolution) self-join: part names within the same
+    brand block whose edit distance is ≤ 8 — the classic
+    dirty-catalog/customer-matching shape. The brand equality key makes
+    it a plain shuffled equi-join (work Σ block², never corpus², the
+    same blocking discipline as every pairwise operator here); the
+    levenshtein predicate evaluates JVM-side post-join. At production
+    scale tighten blocks further (length bucket + first token) — same
+    plan, smaller blocks."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    joined = a.join(b, (a["brand"] == b["brand_b"]) & (a["a"] < b["b"]))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        joined.where(dist <= 8)
+        .select("a", "b", dist.cast("int").alias("dist"))
+        .orderBy("a", "b")
+    )

@@ -80,3 +80,98 @@ def test_sentinel_trycast_keeps_exactly_parseable_numerics(spark, values):
         except ValueError:
             continue
     assert got == oracle
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # left ts (seconds)
+    ),
+    min_size=1,
+    max_size=15,
+)
+asof_right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # right ts
+        st.integers(min_value=0, max_value=999), # payload
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_rows, asof_right_rows, st.one_of(st.none(), st.integers(min_value=0, max_value=20)))
+def test_as_of_join_matches_bruteforce_oracle(spark, lrows, rrows, tol):
+    """as_of_join (union + ordered window, with and without a staleness
+    tolerance) must agree with the quadratic per-row argmax definition,
+    including ties (largest tiebreak id wins among equal timestamps)."""
+    from bigdatacw1_spark.operators.relational import as_of_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rrows = [(k, t, v, 1000 + i) for i, (k, t, v) in enumerate(rrows)]
+    left = spark.createDataFrame(lrows, ["k", "lts", "lid"]).select(
+        "k", F.timestamp_seconds("lts").alias("lts"), "lid"
+    )
+    right = spark.createDataFrame(
+        rrows, "k int, rts int, v int, rid int"
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "v", "rid")
+    got = {
+        r["lid"]: (r["v"], r["rid"])
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["v", "rid"], tiebreak="rid", tolerance_seconds=tol,
+        ).collect()
+    }
+    for k, t, lid in lrows:
+        cands = [
+            (rt, rid, v) for (rk, rt, v, rid) in rrows
+            if rk == k and rt <= t and (tol is None or t - rt <= tol)
+        ]
+        expect = (max(cands)[2], max(cands)[1]) if cands else (None, None)
+        assert got[lid] == expect, (lid, got[lid], expect)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),    # key
+            st.integers(min_value=0, max_value=400),  # ts seconds
+            st.integers(min_value=0, max_value=9999), # value cents
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_twap_matches_python_fold(spark, rows):
+    """twap must equal the piecewise-constant integral computed by a
+    plain Python loop over the (ts, id)-sorted series."""
+    from collections import defaultdict
+
+    from bigdatacw1_spark.operators.timeseries import twap
+
+    rows = [(k, t, c, i) for i, (k, t, c) in enumerate(rows)]
+    df = spark.createDataFrame(rows, ["k", "t", "cents", "eid"]).select(
+        "k",
+        F.timestamp_seconds("t").alias("ts"),
+        (F.col("cents") / 100.0).alias("value"),
+        "eid",
+    )
+    got = {r["k"]: r for r in twap(df, ["k"], "ts", "value", "eid").collect()}
+    series = defaultdict(list)
+    for k, t, c, i in rows:
+        series[k].append((t, i, c))
+    for k, obs in series.items():
+        obs.sort()
+        num = sum(c * (obs[j + 1][0] - t) for j, (t, _, c) in enumerate(obs[:-1]))
+        den = sum(obs[j + 1][0] - t for j, (t, _, c) in enumerate(obs[:-1]))
+        if den == 0:
+            # zero-length span (all simultaneous) or single obs: drops out
+            assert k not in got or got[k]["span_seconds"] == 0
+            continue
+        import math
+        expect = math.floor((num / (100.0 * den)) * 10000 + 0.5) / 10000
+        assert got[k]["twap"] == expect, (k, got[k]["twap"], expect)
+        assert got[k]["span_seconds"] == den
