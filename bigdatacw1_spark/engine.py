@@ -16,7 +16,8 @@ the constructor: every driver table is registered as a temp view once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from bigdatacw1_spark.session import get_spark
 from bigdatacw1_spark.sources.catalog import DEFAULT_SF_DIR, TABLES, register_views
@@ -48,3 +49,37 @@ class Engine:
 
     def tables(self) -> list[str]:
         return sorted(TABLES)
+
+    def run_query(self, name: str) -> DataFrame:
+        """Run a registered engine query (queries/registry.py) against
+        this engine's sf_dir."""
+        from bigdatacw1_spark.queries import REGISTRY
+
+        return REGISTRY[name].fn(self.spark, self.sf_dir)
+
+    def observe(
+        self, df: DataFrame, watch: dict[str, "F.Column"] | None = None
+    ) -> tuple[DataFrame, "Observation"]:
+        """Attach runtime observability to a plan (pyspark Observation —
+        public API): named aggregate metrics computed DURING the action
+        that materializes ``df``, with zero extra passes over the data.
+        The in-flight counters a production pipeline exports (rows
+        emitted, null rate, value bounds) without paying a second scan
+        or a cache.
+
+        Returns (instrumented_df, observation); read
+        ``observation.get`` AFTER an action has run. Default metrics:
+        row count. Example::
+
+            df, obs = eng.observe(eng.table("orders"),
+                                  {"rows": F.count(F.lit(1)),
+                                   "null_keys": F.count_if(F.col("o_custkey").isNull())})
+            df.write.parquet(...)       # one action
+            obs.get["rows"]             # metrics observed during that action
+        """
+        metrics = watch or {"rows": F.count(F.lit(1))}
+        obs = Observation()
+        instrumented = df.observe(
+            obs, *[c.alias(n) for n, c in metrics.items()]
+        )
+        return instrumented, obs

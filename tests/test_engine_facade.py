@@ -49,3 +49,30 @@ def test_all_tables_resolvable_from_both_fronts(eng):
     for name in eng.tables():
         assert eng.sql(f"SELECT * FROM {name} LIMIT 1").count() in (0, 1)
         assert eng.table(name).limit(1).count() in (0, 1)
+
+
+def test_observe_collects_metrics_during_single_action(spark):
+    from bigdatacw1_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMALL)
+    orders = eng.table("orders")
+    df, obs = eng.observe(
+        orders,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_keys": F.count_if(F.col("o_custkey").isNull()),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    n = df.count()  # the ONE action; metrics ride along
+    got = obs.get
+    assert got["rows"] == n
+    assert got["null_keys"] == 0
+    assert got["max_price"] > 0
+
+
+def test_run_query_uses_engine_sf_dir(spark):
+    from bigdatacw1_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMALL)
+    assert eng.run_query("a10_min_max").count() > 0
