@@ -202,3 +202,71 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _stub_embedding_model(dim: int = 16):
+    """Deterministic stand-in for an expensive-to-load embedding model:
+    'loading' returns a callable mapping text → unit-normalized vector
+    from md5 bytes. Real deployments load ONNX/torch weights here —
+    seconds of cost, which is exactly what batch_embed amortizes."""
+    import hashlib
+
+    def embed(text: str) -> list[float]:
+        h = hashlib.md5(text.encode()).digest()
+        raw = [(h[i % 16] - 127.5) / 127.5 for i in range(dim)]
+        norm = sum(x * x for x in raw) ** 0.5 or 1.0
+        return [float(x / norm) for x in raw]
+
+    return embed
+
+
+def batch_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    model_loader=None,
+    load_counter=None,
+) -> DataFrame:
+    """Batched model inference over documents — the pattern that turns
+    'run an embedding model over 100 TB of text' into a Spark map stage:
+
+      - the model loads ONCE per task (inside the mapInPandas iterator,
+        before the batch loop), amortizing seconds of weight-loading
+        across every Arrow batch that task processes — NOT once per
+        batch, and never per row;
+      - data flows as Arrow record batches sized by
+        spark.sql.execution.arrow.maxRecordsPerBatch, so executor
+        memory is bounded no matter the partition size;
+      - output is ordinary (doc_id, embedding) rows feeding the
+        similarity/dedup operators (operators/similarity.py) directly.
+
+    ``model_loader`` defaults to the deterministic stub (md5-derived
+    unit vectors); ``load_counter`` is a test hook (Spark accumulator)
+    incremented once per model load.
+    """
+    loader = model_loader or (lambda: _stub_embedding_model(dim))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        model = loader()  # once per task — the amortization point
+        if load_counter is not None:
+            load_counter.add(1)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "embedding": pdf[text_col].map(model),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=EMBED_SCHEMA)

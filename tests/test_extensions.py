@@ -238,3 +238,41 @@ def test_hll_sketch_union_is_merge_consistent_and_accurate(spark):
     # (same registers), and both land within the HLL error bound.
     assert merged == direct
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_batch_embed_loads_model_once_per_task_not_per_batch(spark):
+    from bigdatacw1_spark.operators.multimodal import batch_embed
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "20")
+    try:
+        counter = spark.sparkContext.accumulator(0)
+        d = load_table(spark, SF_SMALL, "documents").repartition(4)
+        out = batch_embed(d, load_counter=counter)
+        rows = out.collect()
+        assert len(rows) == d.count()
+        assert len(rows[0]["embedding"]) == 16
+        # ~500 docs / 20-row batches = ~25 Arrow batches, but the model
+        # loaded once per task (4 partitions), proving the amortization.
+        assert counter.value == 4, counter.value
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_batch_embed_vectors_are_deterministic_and_unit_norm(spark):
+    from bigdatacw1_spark.operators.multimodal import batch_embed
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, SF_SMALL, "documents").limit(50)
+    a = {r["doc_id"]: tuple(r["embedding"]) for r in batch_embed(d).collect()}
+    b = {r["doc_id"]: tuple(r["embedding"]) for r in batch_embed(d.repartition(7)).collect()}
+    assert a == b
+    import math
+    for v in a.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
