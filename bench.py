@@ -39,8 +39,13 @@ def main() -> int:
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
-    # Warm-up: touch the biggest fact once (JVM + codegen + file listing).
+    # Warm-up: touch the biggest fact once (JVM + codegen + file listing)
+    # and every table's footer (schema read), so per-query timings measure
+    # the query, not first-contact file listing.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).schema
 
     timings: dict[str, float] = {}
     for name in sorted(headline):

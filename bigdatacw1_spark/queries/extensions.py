@@ -1094,3 +1094,29 @@ def ext_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("hops").cast("int").alias("hops")).orderBy(
         "hops", "node"
     )
+
+
+@q("diag_ann_recall")
+def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: recall@10 of the sign-LSH bucketed
+    search (single-probe and Hamming-1 multi-probe) against exact
+    brute-force cosine, as one diagnostic row — the number you tune
+    n_planes / probe_bits against before trusting the approximate path
+    on the full corpus. Rows-only (recall is defined by the hash
+    buckets); the multiprobe column must dominate single-probe, pinned
+    in tests/test_extensions.py."""
+    from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    exact = brute_force_topk(emb, qvec, k=10).select("vec_id")
+    single = lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=0).select("vec_id")
+    multi = lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=1).select("vec_id")
+    r1 = exact.join(single, "vec_id").count() / 10.0
+    r2 = exact.join(multi, "vec_id").count() / 10.0
+    return spark.createDataFrame(
+        [(10, r1, r2)], "k int, recall_single double, recall_multiprobe double"
+    )

@@ -276,3 +276,12 @@ def test_batch_embed_vectors_are_deterministic_and_unit_norm(spark):
     import math
     for v in a.values():
         assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+
+
+def test_ann_recall_diag_multiprobe_dominates(spark):
+    from bigdatacw1_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    row = REGISTRY["diag_ann_recall"].fn(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= row["recall_single"] <= row["recall_multiprobe"] <= 1.0
+    assert row["recall_multiprobe"] >= 0.5  # probing neighbors recovers most of top-10
