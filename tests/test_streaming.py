@@ -474,3 +474,38 @@ def test_dimension_merge_stream_tracks_latest_per_key(spark, tmp_path):
     got_rows = sorted((r["user_id"], r["last_ts"]) for r in got.collect())
     assert got_rows == exp_rows
     assert len(q.recentProgress) > 1  # really incremental
+
+
+def test_streaming_document_ingest_dedups_and_gates_quality(spark, tmp_path):
+    """Corpus ingest over a stream: a duplicate planted in a LATER file
+    is dropped by the watermarked fingerprint dedup, and the admitted
+    set equals the batch degenerate form of the same transform."""
+    import time as _time
+
+    from bigdatacw1_spark.streaming.ingest import admit_documents, run_ingest_to_parquet
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    feed = str(tmp_path / "docs_feed")
+    first = docs.where(F.col("doc_id") < 250)
+    second = docs.where(F.col("doc_id") >= 250)
+    # Plant dups: 5 docs from the first drop recur (new ids) in the second.
+    dup = first.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    first.coalesce(1).write.mode("overwrite").parquet(feed)
+    _time.sleep(1.1)
+    second.unionByName(dup).coalesce(1).write.mode("append").parquet(feed)
+
+    out = str(tmp_path / "corpus")
+    q = run_ingest_to_parquet(spark, feed, out, min_quality=0.7)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = admit_documents(docs, min_quality=0.7)
+    # Batch-form equivalence on the admitted fingerprint set, and the
+    # planted dups were refused (their fingerprints already admitted).
+    got_fp = {r["fingerprint"] for r in got.select("fingerprint").collect()}
+    exp_fp = {r["fingerprint"] for r in batch.select("fingerprint").collect()}
+    assert got_fp == exp_fp
+    assert got.where(F.col("doc_id") >= 1_000_000).count() == 0
+    # The quality gate actually rejected something.
+    assert got.count() < docs.count()
+    assert len(q.recentProgress) > 1
