@@ -2066,3 +2066,37 @@ def j13_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", dist.cast("int").alias("dist"))
         .orderBy("a", "b")
     )
+
+
+@q(
+    "p10_lateral_topk",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def p10_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL front end: top-2
+    orders per customer, the per-row-subquery idiom SQL users reach for
+    before they know window functions. Catalyst decorrelates it into
+    the same rank-window plan as w8_topk_per_group — run .explain and
+    there is no nested loop — which is exactly why the engine exposes
+    the syntax: the naive formulation still gets the scalable plan.
+    Identical text runs on DuckDB as the oracle."""
+    from bigdatacw1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """)

@@ -110,3 +110,12 @@ def test_binned_range_join_is_equi_shuffle_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lateral_subquery_decorrelates_to_window(spark):
+    """p10's LATERAL ... LIMIT must not plan as a nested-loop or
+    cartesian join: Catalyst decorrelates it into the rank-window +
+    equi-join shape (the 100 TB-safe plan for per-row top-k)."""
+    plan = _df(spark, "p10_lateral_topk")._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
