@@ -50,6 +50,23 @@ class Engine:
     def tables(self) -> list[str]:
         return sorted(TABLES)
 
+    def materialize(
+        self, name: str, df: DataFrame | str, path: str, mode: str = "overwrite"
+    ) -> DataFrame:
+        """Materialized view over plain parquet: compute ``df`` (a frame
+        or a SQL string), persist it at ``path``, and register the
+        MATERIALIZATION — not the defining plan — as view ``name``, so
+        later queries scan the stored result instead of recomputing
+        (with parquet stats/pushdown, unlike an in-memory cache, and
+        durable across sessions). Re-call to refresh; compose with
+        sinks.upsert_partitions or the streaming continuous aggregate
+        for incremental refresh of keyed rollups."""
+        frame = self.sql(df) if isinstance(df, str) else df
+        frame.write.mode(mode).parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        return out
+
     def run_query(self, name: str) -> DataFrame:
         """Run a registered engine query (queries/registry.py) against
         this engine's sf_dir."""

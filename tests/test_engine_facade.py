@@ -76,3 +76,24 @@ def test_run_query_uses_engine_sf_dir(spark):
 
     eng = Engine(spark=spark, sf_dir=SF_SMALL)
     assert eng.run_query("a10_min_max").count() > 0
+
+
+def test_materialize_registers_stored_result_not_plan(spark, tmp_path):
+    from bigdatacw1_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMALL)
+    path = str(tmp_path / "mv_seg")
+    mv = eng.materialize(
+        "mv_segment_totals",
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
+        path,
+    )
+    # Queryable through both front ends, and served from the parquet
+    # materialization (scan of the stored path, no aggregate replay).
+    n1 = eng.sql("SELECT SUM(n) FROM mv_segment_totals").collect()[0][0]
+    assert n1 == eng.table("customer").count()
+    plan = eng.sql("SELECT * FROM mv_segment_totals")._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan and "HashAggregate" not in plan
+    # Refresh picks up new results under the same name.
+    eng.materialize("mv_segment_totals", "SELECT 'x' AS c_mktsegment, 1 AS n", path)
+    assert eng.sql("SELECT COUNT(*) FROM mv_segment_totals").collect()[0][0] == 1
