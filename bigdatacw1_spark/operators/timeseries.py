@@ -137,3 +137,53 @@ def resample_interpolate(
         .otherwise(F.lit(None).cast("double"))
     )
     return g.select(key, "hour", interp.alias("value_interp"))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    window_rows: int = 10,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score anomaly signal: each observation scored against
+    the mean/std of the trailing ``window_rows`` observations of the
+    same key (itself included) — the unsupervised spike detector every
+    telemetry pipeline runs first.
+
+    Exactness discipline: the frame aggregates are Σv and Σv² over
+    integer ``cents_scale``-ths — BIGINT, order-independent, identical
+    in any engine — and mean/variance/z are derived from them with one
+    fixed sequence of IEEE ops, so even this floating-point statistic
+    is hash-checkable cross-engine (same trick as the exact-decimal
+    moments in a14). Population variance (÷n) over the frame; windows
+    shorter than 2 rows or with zero variance yield NULL z. One key
+    shuffle serves the single window pass.
+
+    Output: input keys + (ts, value, roll_mean, roll_std, zscore).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc(ts_col), F.asc(tiebreak))
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.round(F.col(value_col) * cents_scale).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s1.cast("double") / n / cents_scale
+    var = (
+        (s2.cast("double") / n) - (s1.cast("double") / n) * (s1.cast("double") / n)
+    ) / F.lit(float(cents_scale * cents_scale))
+    std = F.sqrt(var)
+    z = F.when((n >= 2) & (std > 0), (F.col(value_col) - mean) / std)
+    return df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        stable_round(mean, 4).alias("roll_mean"),
+        stable_round(std, 4).alias("roll_std"),
+        stable_round(z, 4).alias("zscore"),
+    )

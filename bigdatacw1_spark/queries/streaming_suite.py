@@ -507,3 +507,47 @@ def ev_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         _t(spark, sf_dir, "events"), "user_id", "ts", "value", tiebreak="event_id"
     ).orderBy("user_id", "hour")
+
+
+@q(
+    "ev_anomaly_zscore",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, ts, value,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   COUNT(*) OVER w AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ), m AS (
+            SELECT user_id, ts, value, n,
+                   CAST(s1 AS DOUBLE) / n / 100.0 AS mean,
+                   SQRT(((CAST(s2 AS DOUBLE) / n)
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 10000.0) AS std
+            FROM t
+        )
+        SELECT user_id, ts, value,
+               FLOOR(mean * 10000.0 + 0.5) / 10000.0 AS roll_mean,
+               FLOOR(std * 10000.0 + 0.5) / 10000.0 AS roll_std,
+               CASE WHEN n >= 2 AND std > 0
+                    THEN FLOOR(((value - mean) / std) * 10000.0 + 0.5) / 10000.0
+               END AS zscore
+        FROM m
+        ORDER BY user_id, ts
+    """,
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal over each user's trailing 10
+    observations (operators/timeseries.rolling_zscore). The frame
+    moments are BIGINT Σv and Σv² in cents, so even this floating-point
+    statistic hash-matches the oracle — the a14 exact-moment trick
+    applied to a window frame."""
+    from bigdatacw1_spark.operators.timeseries import rolling_zscore
+
+    return rolling_zscore(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+        tiebreak="event_id", window_rows=10,
+    ).orderBy("user_id", "ts")

@@ -257,3 +257,20 @@ def test_resample_interpolate_straight_line_and_null_edges(spark):
     assert vals[(1, 1)] == 10.0 and vals[(1, 4)] == 40.0
     assert vals[(2, 1)] is None and vals[(2, 4)] is None
     assert vals[(2, 2)] == 7.0
+
+
+def test_rolling_zscore_flags_spike_and_nulls_constant_series(spark):
+    from bigdatacw1_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, f"2024-01-01 00:{m:02d}:00", 10.0, m) for m in range(10)]
+    rows.append((1, "2024-01-01 00:10:00", 100.0, 10))  # spike
+    rows += [(2, f"2024-01-01 00:{m:02d}:00", 5.0, 20 + m) for m in range(5)]  # constant
+    df = spark.createDataFrame(rows, ["k", "ts", "value", "eid"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = rolling_zscore(df, ["k"], "ts", "value", "eid", window_rows=10).collect()
+    by = {(r["k"], r["ts"].minute): r for r in out}
+    assert by[(1, 10)]["zscore"] > 2.5          # the spike stands out
+    assert by[(1, 5)]["zscore"] is None          # flat history: zero variance
+    assert all(by[(2, m)]["zscore"] is None for m in range(5))
+    assert by[(1, 0)]["zscore"] is None          # first row: n == 1
