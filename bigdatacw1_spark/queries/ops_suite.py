@@ -2100,3 +2100,54 @@ def p10_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
     """)
+
+
+@q(
+    "f18_try_functions",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag,
+                   CASE WHEN l_quantity - 25 = 0 THEN NULL
+                        ELSE l_extendedprice / (l_quantity - 25) END AS d,
+                   CASE WHEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 262143 THEN NULL
+                        ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 35184372088832 END AS tm
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(d) AS BIGINT) AS n_div_ok,
+               FLOOR(MIN(d) * 10000.0 + 0.5) / 10000.0 AS min_d,
+               FLOOR(MAX(d) * 10000.0 + 0.5) / 10000.0 AS max_d,
+               CAST(COUNT(*) - COUNT(tm) AS BIGINT) AS n_overflow
+        FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def f18_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling surface: try_divide turns the
+    division-by-zero rows (l_quantity = 25) into NULLs instead of
+    errors, and try_multiply turns data-dependent BIGINT overflow
+    (cents × 2^45 overflows exactly when cents > 262143) into NULLs —
+    under Spark 4's default ANSI mode these are the difference between
+    a poisoned row failing a 100 TB job and a countable quarantine
+    column. The oracle expresses both as explicit CASE guards (DuckDB
+    would error on the raw overflow, proving the guard semantics).
+    min/max over the division results are order-independent, so the
+    doubles hash-match."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    t = l.select(
+        "l_returnflag",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias("d"),
+        F.try_multiply(cents, F.lit(35184372088832).cast("long")).alias("tm"),
+    )
+    return (
+        t.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("d").alias("n_div_ok"),
+            stable_round(F.min("d"), 4).alias("min_d"),
+            stable_round(F.max("d"), 4).alias("max_d"),
+            (F.count(F.lit(1)) - F.count("tm")).alias("n_overflow"),
+        )
+        .orderBy("l_returnflag")
+    )

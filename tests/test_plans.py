@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from bigdatacw1_spark.plans import (
     has_broadcast_hash_join,
     has_python_eval,
@@ -119,3 +121,38 @@ def test_lateral_subquery_decorrelates_to_window(spark):
     plan = _df(spark, "p10_lateral_topk")._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE config must actually split a hot join key at
+    runtime: a key carrying half the left side becomes multiple tasks
+    (SortMergeJoin(skew=true) + 'skewed' AQEShuffleRead in the final
+    adaptive plan) — the behavior the 100 TB posture leans on instead
+    of hand-salting every join. Thresholds are lowered test-locally to
+    make the tiny input register as skew."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(1_000_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 101).alias("k"),
+            F.concat(F.lit("payload-padding-"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 1_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # the AQEShuffleRead actually split it
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
