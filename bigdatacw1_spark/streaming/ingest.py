@@ -55,20 +55,73 @@ def admit_documents(
     min_quality: float = 0.0,
     delay: str = "10 minutes",
     ts_col: str = "ingest_ts",
+    dedup_on: str = "fingerprint",
 ) -> DataFrame:
     """Quality-gate then content-dedup a document feed. Works on static
     frames (plain dropDuplicates — the batch degenerate form) and
     streaming frames (watermarked, state-bounded). Appends the
-    ``fingerprint`` and ``quality`` columns it decided on, for audit."""
+    ``fingerprint`` and ``quality`` columns it decided on, for audit.
+
+    ``dedup_on`` picks the admission key:
+      - 'fingerprint' (default): exact after case/whitespace folding;
+      - 'simhash': the 64-bit SimHash signature computed PER ROW
+        (token-hash sign aggregation via higher-order functions — no
+        explode, no shuffle, streaming-safe), so token-preserving edits
+        (reflowed whitespace, casing, reordered lines with identical
+        token multisets... anything that keeps the per-token hash sums)
+        collapse to one admitted copy. A streaming NEAR-dup gate at
+        exact-match cost; true fuzzy near-dup (edit-distance level)
+        still needs the batch LSH pipeline over the admitted corpus.
+    """
     toks = tokens(F.col("text"))
     scored = docs.withColumn("quality", token_quality_score(toks, F.col("text")))
     kept = scored.where(F.col("quality") >= min_quality)
     fp = kept.withColumn("fingerprint", normalized_fingerprint("text"))
+    if dedup_on == "simhash":
+        fp = fp.withColumn("simhash", rowwise_simhash(tokens(F.col("text"))))
+        key = "simhash"
+    elif dedup_on == "fingerprint":
+        key = "fingerprint"
+    else:
+        raise ValueError(f"dedup_on must be fingerprint|simhash, not {dedup_on!r}")
     if fp.isStreaming:
-        return fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
-            ["fingerprint"]
+        return fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key])
+    return fp.dropDuplicates([key])
+
+
+def rowwise_simhash(toks) -> "F.Column":
+    """64-bit SimHash of a token array as a single row-local expression:
+    one ``aggregate`` pass folds every token's xxhash64 (hashed ONCE per
+    token) into 64 signed bit-counters via zip_with, then the signs pack
+    into one long. No explode, no aggregation state — usable inside a
+    streaming stateless projection, unlike operators/dedup.simhash64
+    (which explodes + groups for the batch path)."""
+
+    def bitvec(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(64)
+            ]
         )
-    return fp.dropDuplicates(["fingerprint"])
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, bitvec(F.xxhash64(t)), lambda a, b: a + b),
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):  # pack: 64 element_ats over the 64-long counters
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(counts, i + 1) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
 
 
 def run_ingest_to_parquet(

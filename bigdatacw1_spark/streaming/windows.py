@@ -80,15 +80,24 @@ def run_windowed_stream_to_parquet(
     watermark: str = "30 minutes",
 ):
     """Watermarked tumbling windows streamed to a parquet sink via
-    foreachBatch: each micro-batch of completed windows is appended as
+    foreachBatch: each micro-batch of completed windows is written as
     ordinary parquet any engine can read — the production hand-off shape
     (stream → columnar lake table). Append mode means a window is written
-    once, when the watermark closes it; state never grows unboundedly."""
+    once, when the watermark closes it; state never grows unboundedly.
+
+    Exactly-once on top of at-least-once foreachBatch: each batch lands
+    in its own ``batch_id=N`` partition directory with overwrite mode,
+    so a micro-batch REPLAYED after a crash (foreachBatch's documented
+    delivery guarantee is at-least-once) overwrites its own previous
+    output instead of appending duplicates. Readers scanning ``out_dir``
+    see batch_id as an ordinary audit partition column."""
     stream = read_events_stream(spark, events_dir)
     agged = tumbling_counts(stream.withWatermark("ts", watermark), minutes)
 
     def write_batch(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         agged.writeStream.foreachBatch(write_batch)
