@@ -156,3 +156,25 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_scans_read_only_needed_columns(spark):
+    """Column pruning must reach the parquet scan: the ReadSchema of
+    each scan carries exactly the columns the query touches, not the
+    table's full width (at 100 TB the difference IS the scan cost)."""
+    import re
+
+    cases = {
+        # query -> max columns any of its scans may read
+        "ref_nosql1_top_group": 2,   # o_totalprice, o_orderpriority
+        "p6_nested_predicate": 2,
+        "a7_group_avg": 2,
+        "ref_nosql2_screening": 4,
+    }
+    for name, max_cols in cases.items():
+        plan = _df(spark, name)._jdf.queryExecution().executedPlan().toString()
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, name
+        for s in schemas:
+            ncols = len([c for c in s.split(",") if ":" in c])
+            assert ncols <= max_cols, (name, s)

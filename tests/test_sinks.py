@@ -176,3 +176,19 @@ def test_zorder_code_is_deterministic_and_jvm_side(spark):
     a = coded.agg(F.sum(col)).collect()[0][0]
     b = coded.agg(F.sum(col)).collect()[0][0]
     assert a == b and a is not None
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution on the read path: files written before a
+    column existed coexist with files written after; mergeSchema=true
+    unions the schemas and back-fills NULL — the add-a-column migration
+    without rewriting history."""
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(p)
+    (spark.range(5, 10)
+        .select(F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2"))
+        .write.mode("append").parquet(p))
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.count() == 10
+    assert merged.where(F.col("v2").isNull()).count() == 5
