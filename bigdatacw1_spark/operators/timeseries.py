@@ -39,7 +39,9 @@ def twap(
     order-independent and bit-identical cross-engine; only the final
     division is floating point. One shuffle on the key serves the lead
     window and the aggregation. Keys with a single observation have no
-    holding interval and drop out (SQL semantics: zero weight rows).
+    holding interval and drop out (SQL semantics: zero weight rows); a
+    key whose observations are ALL simultaneous keeps a row with
+    span_seconds=0 and twap NULL (try_divide — ANSI-safe).
 
     Output: (*key_cols, twap, span_seconds, n_obs).
     """
@@ -56,8 +58,10 @@ def twap(
         seg.groupBy(*key_cols)
         .agg(
             stable_round(
-                F.sum(F.col("__v") * F.col("__dt")).cast("double")
-                / (F.lit(float(cents_scale)) * F.sum("__dt")),
+                F.try_divide(
+                    F.sum(F.col("__v") * F.col("__dt")).cast("double"),
+                    F.lit(float(cents_scale)) * F.sum("__dt"),
+                ),
                 4,
             ).alias("twap"),
             F.sum("__dt").alias("span_seconds"),
