@@ -2151,3 +2151,113 @@ def f18_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "f19_collation",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN p_partkey % 3 = 0 THEN UPPER(p_type)
+                        WHEN p_partkey % 3 = 1 THEN LOWER(p_type)
+                        ELSE p_type END AS mt
+            FROM part
+        )
+        SELECT LOWER(mt) AS type_norm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT mt) AS BIGINT) AS n_case_forms
+        FROM t GROUP BY LOWER(mt) ORDER BY type_norm
+    """,
+)
+def f19_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): group a
+    deterministically case-mangled p_type under UTF8_LCASE so 'STEEL',
+    'steel' and 'Steel' land in one group, while COUNT(DISTINCT) over
+    the raw (binary-collated) string still counts the case variants.
+    This is the engine-level answer to case-insensitive semantics —
+    the collation rides the hash/shuffle (collation-aware hashing, no
+    lower() copy of the key), so at 100 TB the groupBy shuffles once
+    with no extra projection. The oracle lowers the key explicitly:
+    for ASCII case-mangling, GROUP BY collate(x,'UTF8_LCASE') and
+    GROUP BY lower(x) induce identical partitions. The emitted group
+    key is normalized via min(lower(mt)) because the collated group's
+    representative raw string is nondeterministic."""
+    p = _t(spark, sf_dir, "part")
+    mt = (
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_type"))
+        .when(F.col("p_partkey") % 3 == 1, F.lower("p_type"))
+        .otherwise(F.col("p_type"))
+    )
+    return (
+        p.select(mt.alias("mt"))
+        .groupBy(F.collate(F.col("mt"), "UTF8_LCASE").alias("__k"))
+        .agg(
+            F.min(F.lower("mt")).alias("type_norm"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("mt").alias("n_case_forms"),
+        )
+        .drop("__k")
+        .orderBy("type_norm")
+    )
+
+
+@q(
+    "f20_udtf_bigrams",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+                               x -> x <> '') AS ws
+            FROM documents WHERE doc_id % 97 = 0
+        ),
+        b AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, GREATEST(len(ws), 1)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+            FROM w
+        )
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM b GROUP BY bigram
+        HAVING COUNT(*) >= 3
+        ORDER BY n DESC, bigram
+    """,
+)
+def f20_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.10): a table function registered in the
+    SQL catalog and invoked via LATERAL, expanding each document into
+    its word-bigram rows, then aggregated back to corpus bigram counts.
+    UDTFs are the one-to-many escape hatch when no built-in generator
+    fits; this one is deliberately expressible as explode() too, which
+    is what keeps it oracle-checkable. Arrow-optimized (useArrow) so
+    rows cross the Python boundary in batches, and placed AFTER a
+    pushed-down sampling filter so the slow path sees 1/97th of the
+    corpus — the pattern to copy at 100 TB: prune in Catalyst first,
+    then pay Python only on survivors. The tokenizer mirrors
+    functions/text.tokens (lower, strip non-alnum, split)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string", useArrow=True)
+    class BigramUdtf:
+        def eval(self, ws):
+            if ws is not None:
+                for a, b in zip(ws, ws[1:]):
+                    yield (a + " " + b,)
+
+    spark.udtf.register("bigram_udtf", BigramUdtf)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " "),
+            lambda x: x != "",
+        ).alias("ws"),
+    ).createOrReplaceTempView("__udtf_docs")
+    b = spark.sql("SELECT doc_id, b.bigram FROM __udtf_docs, LATERAL bigram_udtf(ws) b")
+    return (
+        b.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n") >= 3)
+        .orderBy(F.desc("n"), "bigram")
+    )
