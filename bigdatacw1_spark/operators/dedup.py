@@ -87,6 +87,32 @@ def _sigs_from_shingles(shingled: DataFrame, id_col: str, num_hashes: int) -> Da
     return shingled.select(id_col, F.array(*mins).alias("sig"))
 
 
+def band_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 6,
+) -> DataFrame:
+    """(id, band_idx, band_hash): each signature split into ``bands``
+    bands, each band hashed to its LSH bucket id. The shared banding
+    step behind lsh_candidate_pairs (batch self-join) and the streaming
+    band-store admission (streaming/lsh_dedup.py) — both sides MUST
+    hash bands identically, so it lives here once."""
+    sig_len_expr = F.size(F.col("sig"))
+    rows_per_band = F.floor(sig_len_expr / bands).cast("int")
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -104,20 +130,7 @@ def lsh_candidate_pairs(
     work is Σ bucket² — never a global cross join.
 
     Output: (a, b) with a < b, distinct."""
-    sig_len_expr = F.size(F.col("sig"))
-    rows_per_band = F.floor(sig_len_expr / bands).cast("int")
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
-                    b,
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = band_rows(signatures, id_col, bands)
     left = banded.select("band_idx", "band_hash", F.col(id_col).alias("a"))
     right = banded.select(
         F.col("band_idx").alias("bi_r"), F.col("band_hash").alias("bh_r"), F.col(id_col).alias("b")

@@ -551,3 +551,18 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
         tiebreak="event_id", window_rows=10,
     ).orderBy("user_id", "ts")
+
+
+@q("ext_lsh_admission")  # rows-only: MinHash signatures are not SQL-expressible
+def ext_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission (streaming/lsh_dedup.py) in its
+    batch degenerate form: one micro-batch against an empty band store
+    admits exactly one representative per LSH component plus every
+    unshingleable doc. The incremental form — band store persisted
+    across micro-batches, replay-idempotent per-batch partitions — is
+    exercised end-to-end in tests/test_streaming.py."""
+    from bigdatacw1_spark.streaming.lsh_dedup import admit_lsh_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    admitted, _bands = admit_lsh_batch(spark, docs, None)
+    return admitted.select("doc_id", "n_chars").orderBy("doc_id")

@@ -555,3 +555,85 @@ def test_simhash_admission_collapses_token_preserving_edits(spark):
     a = {r["doc_id"]: r["s"] for r in via_row.collect()}
     b = {r["doc_id"]: r["simhash"] for r in via_batch.collect()}
     assert a == b
+
+
+def test_streaming_lsh_admission_rejects_near_duplicates(spark, tmp_path):
+    """MinHash-LSH admission over a two-file stream: (a) the streamed
+    result equals the sequential fold of admit_lsh_batch over the same
+    files (the definition of correct incremental behavior), (b) lightly
+    edited copies of already-admitted docs are refused, (c) a near-
+    identical pair arriving in the SAME batch collapses to one
+    representative, (d) a doc too short to shingle passes through."""
+    import time as _time
+
+    from bigdatacw1_spark.streaming.ingest import read_documents_stream
+    from bigdatacw1_spark.streaming.lsh_dedup import (
+        admit_lsh_batch,
+        read_admitted,
+        run_lsh_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").where(
+        F.size(F.split("text", r"\s+")) >= 20
+    )
+    first = docs.where(F.col("doc_id") < 250)
+    second_base = docs.where(F.col("doc_id") >= 250)
+
+    # Near-dup plants: 5 long first-drop docs recur lightly edited
+    # (one appended token ⇒ word-3-gram Jaccard ≈ (k-2)/(k-1)).
+    near = (
+        first.orderBy(F.desc("n_chars"), "doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat("text", F.lit(" zzqx")))
+    )
+    # Within-batch twins: two brand-new near-identical docs, built from
+    # a base doc that is withheld from the feed entirely.
+    base = second_base.orderBy(F.desc("n_chars"), "doc_id").limit(1)
+    base_id = base.collect()[0]["doc_id"]
+    second_base = second_base.where(F.col("doc_id") != base_id)
+    twins = (
+        base.withColumn("doc_id", F.lit(2_000_001))
+        .withColumn("text", F.concat("text", F.lit(" qq")))
+        .unionByName(
+            base.withColumn("doc_id", F.lit(2_000_002)).withColumn(
+                "text", F.concat("text", F.lit(" qq ww"))
+            )
+        )
+    )
+    tiny = base.withColumn("doc_id", F.lit(3_000_000)).withColumn(
+        "text", F.lit("hi")
+    )
+    second = second_base.unionByName(near).unionByName(twins).unionByName(tiny)
+
+    feed = str(tmp_path / "feed")
+    first.coalesce(1).write.mode("overwrite").parquet(feed)
+    _time.sleep(1.1)
+    second.coalesce(1).write.mode("append").parquet(feed)
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "bands")
+    stream = read_documents_stream(spark, feed).drop("ingest_ts")
+    q = run_lsh_dedup_stream(spark, stream, out, state)
+    q.awaitTermination(180)
+
+    got = read_admitted(spark, out)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    # (a) streamed == sequential fold of the batch admission function
+    exp_state = str(tmp_path / "exp_bands")
+    adm1, nb1 = admit_lsh_batch(spark, first, exp_state)
+    exp_ids = {r["doc_id"] for r in adm1.select("doc_id").collect()}
+    nb1.write.mode("overwrite").parquet(f"{exp_state}/batch_id=0")
+    adm2, _ = admit_lsh_batch(spark, second, exp_state)
+    exp_ids |= {r["doc_id"] for r in adm2.select("doc_id").collect()}
+    assert got_ids == exp_ids
+
+    # (b) every lightly-edited recurrence was refused
+    assert not {i for i in got_ids if 1_000_000 <= i < 2_000_000}
+    # (c) the twins collapsed: never both; the min id wins if either
+    twin_hits = got_ids & {2_000_001, 2_000_002}
+    assert twin_hits in (set(), {2_000_001})
+    # (d) the unshingleable doc passed through the no-signature path
+    assert 3_000_000 in got_ids
+    # replay-idempotent layout: one overwrite partition per micro-batch
+    assert len(q.recentProgress) >= 2
