@@ -142,11 +142,14 @@ def mixture_sample(
     The binding (scarcest-relative-to-weight) domain is kept whole; all
     others are hash-downsampled to match, to bucket granularity.
 
-    The per-domain counts are a tiny aggregate (one row per domain)
-    collected to the driver to derive the global scalar thresholds —
-    the same pattern as histogram bounds; the data-sized pass stays a
-    pure partition-local predicate, so at 100 TB the cost is one
-    map-side-combined count plus a filtered scan. Domains absent from
+    The per-domain counts are a tiny aggregate collected to the driver
+    to derive the global scalar thresholds — the same pattern as
+    histogram bounds; the data-sized pass stays a pure partition-local
+    predicate, so at 100 TB the cost is one map-side-combined count plus
+    a filtered scan. The collect is BOUNDED BY THE CALLER, not the data:
+    rows are pre-filtered to the weighted domains, so at most
+    ``len(weights)`` rows ever reach the driver no matter how many
+    distinct domain values the corpus holds. Domains absent from
     ``weights`` (or with weight 0) are dropped; weighted domains absent
     from the data are ignored (the mixture renormalizes over the
     domains that exist).
@@ -154,10 +157,14 @@ def mixture_sample(
     if any(w < 0 for w in weights.values()):
         raise ValueError("mixture weights must be non-negative integers")
     active = {d: w for d, w in weights.items() if w > 0}
+    if not active:
+        return df.where(F.lit(False))
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(domain).agg(F.count(F.lit(1))).collect()
-        if r[0] in active
+        for r in df.where(F.col(domain).isin(list(active)))
+        .groupBy(domain)
+        .agg(F.count(F.lit(1)))
+        .collect()
     }
     if not counts:
         return df.where(F.lit(False))

@@ -2201,7 +2201,7 @@ def f19_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "f20_udtf_bigrams",
+    "ext_udtf_bigrams",
     oracle="""
         WITH w AS (
             SELECT doc_id,
@@ -2221,7 +2221,7 @@ def f19_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, bigram
     """,
 )
-def f20_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (§2.10): a table function registered in the
     SQL catalog and invoked via LATERAL, expanding each document into
     its word-bigram rows, then aggregated back to corpus bigram counts.

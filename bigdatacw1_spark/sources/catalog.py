@@ -78,7 +78,7 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -94,13 +94,13 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -156,10 +156,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    declared = {f.name for f in TABLES[name].fields}
-    actual = set(df.columns)
-    if declared != actual:
-        raise ValueError(f"schema drift for {name}: declared {sorted(declared)}, file has {sorted(actual)}")
+    return _conform(df, name)
+
+
+# Timestamp family: the ONLY read-type drift we normalize silently. Parquet
+# timestamps surface as TIMESTAMP or TIMESTAMP_NTZ depending on the file's
+# isAdjustedToUTC flag and the Spark version's nanos handling; the catalog
+# declares one canonical type (NTZ — the files carry no zone) and the loader
+# casts the other family member over. Any OTHER type mismatch is real schema
+# drift and raises.
+_TS_FAMILY = (T.TimestampType, T.TimestampNTZType)
+
+
+def _conform(df: DataFrame, name: str) -> DataFrame:
+    """Conform a scan to the declared schema: strict on column names and
+    non-timestamp types, normalizing only TIMESTAMP<->TIMESTAMP_NTZ.
+
+    The drift check compares field TYPES, not just the name set — a
+    name-set-only check let an events ``ts`` NTZ/TZ drift ship undetected
+    (round-2 verdict)."""
+    declared = {f.name: f.dataType for f in TABLES[name].fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    if set(declared) != set(actual):
+        raise ValueError(
+            f"schema drift for {name}: declared {sorted(declared)}, file has {sorted(actual)}"
+        )
+    for col, want in declared.items():
+        have = actual[col]
+        if have == want:
+            continue
+        if isinstance(have, _TS_FAMILY) and isinstance(want, _TS_FAMILY):
+            df = df.withColumn(col, F.col(col).cast(want))
+        else:
+            raise ValueError(
+                f"schema drift for {name}.{col}: declared {want.simpleString()}, "
+                f"file has {have.simpleString()}"
+            )
     return df
 
 

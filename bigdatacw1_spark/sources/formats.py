@@ -10,7 +10,10 @@ Design rules for 100 TB ingest:
   ``_corrupt_record`` rescue column for CSV/JSON, so one bad row in a
   terabyte drop quarantines instead of failing the job.
 - Timestamps round-trip at microsecond precision via an explicit
-  timestampFormat (CSV writes would otherwise truncate).
+  timestampFormat AND timestampNTZFormat (CSV writes would otherwise
+  truncate). Both are set because the catalog declares TIMESTAMP_NTZ for
+  the zone-less event/order/shipment times (catalog.TABLES) — a reader
+  that sets only timestampFormat silently quarantines every NTZ row.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
         .csv(path)
     )
 
@@ -48,6 +52,7 @@ def read_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
         .json(path)
     )
 

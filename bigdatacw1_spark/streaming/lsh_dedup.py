@@ -51,8 +51,28 @@ from bigdatacw1_spark.operators.graph import connected_components
 _STORE_COLS = ["band_idx", "band_hash"]
 
 
+def _require_local_path(path: str, what: str) -> None:
+    """The band store is probed/pruned with driver-local os/shutil calls;
+    on a non-local URI (s3a://, hdfs://) ``os.path.isdir`` is always
+    False, so the store would silently read as empty every batch and
+    cross-batch near-dup rejection would silently stop working. Fail
+    loudly at misconfiguration instead; a remote store needs the Hadoop
+    FileSystem API (see module docstring's 100 TB notes)."""
+    from urllib.parse import urlsplit
+
+    scheme = urlsplit(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{what} must be a local filesystem path (driver-local state "
+            f"probing); got scheme {scheme!r} in {path!r}"
+        )
+
+
 def _read_band_store(spark: SparkSession, state_dir: str | None) -> DataFrame | None:
-    if state_dir is None or not os.path.isdir(state_dir) or not any(
+    if state_dir is None:
+        return None
+    _require_local_path(state_dir, "state_dir")
+    if not os.path.isdir(state_dir) or not any(
         name.startswith("batch_id=") for name in os.listdir(state_dir)
     ):
         return None
@@ -94,21 +114,24 @@ def admit_lsh_batch(
         .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
     )
     bad_comps = comp.join(hit_docs, id_col, "left_semi").select("comp").distinct()
-    survivors = comp.join(bad_comps, "comp", "left_anti")
-    # Materialize the (small) admitted-id set once: both outputs join
-    # against it, and without this the second write would replay the
-    # whole signature+CC computation.
-    reps = (
-        survivors.groupBy("comp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-        .localCheckpoint()
-    )
+    # Materialize the (small) survivor id set once: both outputs derive
+    # from it, and without this the second write would replay the whole
+    # signature+CC computation.
+    survivors = comp.join(bad_comps, "comp", "left_anti").localCheckpoint()
+    reps = survivors.groupBy("comp").agg(F.min(id_col).alias(id_col)).select(id_col)
 
     no_sig = batch_df.join(sigs.select(id_col), id_col, "left_anti")
     admitted = batch_df.join(reps, id_col, "left_semi").unionByName(no_sig)
+    # Claim buckets for ALL survivors of admitted components, not just the
+    # written representative: a non-rep member is collapsed into the rep,
+    # and a later light edit of that member may collide only with the
+    # member's own buckets — rep-only claims would admit it and weaken the
+    # corpus-wide guarantee. Cost is marginal (same batch-sized semi-join);
+    # recall strictly improves.
     new_bands = (
-        banded.join(reps, id_col, "left_semi").select(*_STORE_COLS).distinct()
+        banded.join(survivors.select(id_col), id_col, "left_semi")
+        .select(*_STORE_COLS)
+        .distinct()
     )
     return admitted, new_bands
 
@@ -132,6 +155,8 @@ def run_lsh_dedup_stream(
     of duplicating, and a replayed batch recomputes against a store
     that already contains its own buckets only via its OWN batch_id
     partition (overwritten whole), never double-claimed."""
+    _require_local_path(state_dir, "state_dir")
+    _require_local_path(out_dir, "out_dir")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

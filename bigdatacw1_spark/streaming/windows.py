@@ -64,11 +64,20 @@ def session_aggregate(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def read_events_stream(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source streaming read of an events directory (µs-timestamp
-    parquet written by tests or production ingestion)."""
+    parquet written by tests or production ingestion).
+
+    The catalog's canonical event-time type is TIMESTAMP_NTZ (the files
+    carry no zone), but Spark's event-time machinery — withWatermark,
+    stream-stream join bounds — requires zoned TIMESTAMP
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The streaming boundary is
+    therefore where ts picks up its instant semantics: the engine pins
+    spark.sql.session.timeZone=UTC (session.py), so the cast is
+    value-preserving and batch/stream results stay comparable."""
     return (
         spark.readStream.schema(TABLES["events"])
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

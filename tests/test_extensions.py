@@ -72,6 +72,34 @@ def test_jaccard_pairs_bounds(spark, docs):
         assert r["a"] < r["b"]
 
 
+def test_jaccard_shingle_df_cap_bounds_pathological_fanout(spark):
+    """Skew guard: one boilerplate shingle shared by ALL docs must not
+    materialize the k² all-pairs explosion once its document frequency
+    exceeds max_shingle_df — and docs whose only overlap was the capped
+    shingle must produce NO pair row at all."""
+    boiler = "all rights reserved by the original publisher"
+    rows = [(i, f"unique text number {i} alpha beta {boiler}", "en", "s", 0) for i in range(40)]
+    # one genuine near-dup pair sharing real content beyond the boilerplate
+    rows.append((100, "the quick brown fox jumps over the lazy dog " + boiler, "en", "s", 0))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight " + boiler, "en", "s", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    uncapped = jaccard_pairs(docs, threshold=0.0, max_shingle_df=None)
+    assert uncapped.count() > 800  # boilerplate shingles fan out ~42²/2 pairs
+
+    capped = jaccard_pairs(docs, threshold=0.0, max_shingle_df=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    # boilerplate-only overlaps are gone; the real near-dup pair survives
+    # (its 'quick brown fox...' shingles have df=2 <= cap)
+    assert (100, 101) in got
+    assert len(got) < 50
+
+    # cap higher than every df ⇒ bit-identical to the uncapped run
+    wide = {(r["a"], r["b"], r["jaccard"]) for r in jaccard_pairs(docs, threshold=0.0, max_shingle_df=1000).collect()}
+    exact = {(r["a"], r["b"], r["jaccard"]) for r in uncapped.collect()}
+    assert wide == exact
+
+
 def test_ann_scores_match_brute_force(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]

@@ -25,6 +25,7 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     (
         orig.write.option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(d)
     )
     good, bad = quarantine_split(read_csv(spark, d, "events"))
@@ -35,7 +36,9 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
 def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     orig = _events(spark)
     d = str(tmp_path / "ev_json")
-    orig.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(d)
+    orig.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).json(d)
     good, bad = quarantine_split(read_jsonl(spark, d, "events"))
     assert bad.count() == 0
     _assert_roundtrip(orig, good)

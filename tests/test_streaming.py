@@ -40,7 +40,7 @@ def _rows(df, key_cols):
 
 def test_stream_batch_equivalence_tumbling(spark, events_dir):
     q = run_windowed_stream_to_memory(spark, events_dir, table_name="t_out", minutes=10)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     static = spark.read.parquet(events_dir)
     expected = _rows(tumbling_counts(static, minutes=10), None)
     got = _rows(spark.table("t_out"), None)
@@ -50,7 +50,7 @@ def test_stream_batch_equivalence_tumbling(spark, events_dir):
 
 def test_streaming_runs_in_multiple_batches(spark, events_dir):
     q = run_windowed_stream_to_memory(spark, events_dir, table_name="t_multi", minutes=10)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     # maxFilesPerTrigger=1 over a 4-file dir → >1 micro-batch executed
     assert len(q.recentProgress) > 1
 
@@ -67,7 +67,7 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
     """applyInPandasWithState custom operator: per-user cumulative totals
     folded across micro-batches must equal the batch groupBy."""
     q = run_stateful_stream_to_memory(spark, events_dir, table_name="state_out")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     assert len(q.recentProgress) > 1  # state really carried across batches
     # n_events is strictly increasing per user, so the row with max
     # n_events is the final emitted running total.
@@ -102,7 +102,7 @@ def test_watermark_append_emits_only_closed_windows(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     static = spark.read.parquet(events_dir)
     max_ts = static.agg(F.max("ts")).head()[0]
     emitted = spark.table("wm_out").collect()
@@ -126,7 +126,9 @@ def events_dir_ordered(spark, tmp_path_factory):
 
     d = str(tmp_path_factory.mktemp("events_stream_ordered"))
     ev = load_table(spark, SF_SMALL, "events")
-    tsl = ev.select(F.col("ts").cast("long").alias("t"))
+    # ts is TIMESTAMP_NTZ (catalog canonical type); NTZ->long is a
+    # disallowed cast, so hop through TIMESTAMP (session tz = UTC in tests).
+    tsl = ev.select(F.col("ts").cast("timestamp").cast("long").alias("t"))
     lo, q1, q2, q3, hi = (
         tsl.agg(
             F.min("t"), F.expr("percentile(t, 0.25)"), F.expr("percentile(t, 0.5)"),
@@ -135,7 +137,8 @@ def events_dir_ordered(spark, tmp_path_factory):
     )
     bounds = [(lo, q1), (q1, q2), (q2, q3), (q3, hi + 1)]
     for i, (a, b) in enumerate(bounds):
-        chunk = ev.where((F.col("ts").cast("long") >= a) & (F.col("ts").cast("long") < b))
+        tl = F.col("ts").cast("timestamp").cast("long")
+        chunk = ev.where((tl >= a) & (tl < b))
         chunk.coalesce(1).write.mode("append").parquet(d)
         _time.sleep(1.1)  # distinct mtimes → deterministic processing order
     return d
@@ -150,7 +153,7 @@ def test_stream_to_parquet_sink_exact_closed_windows(spark, events_dir_ordered, 
 
     out = str(tmp_path / "win_parquet")
     q = run_windowed_stream_to_parquet(spark, events_dir_ordered, out, minutes=10)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     written = spark.read.parquet(out).drop("batch_id")
     static = spark.read.parquet(events_dir_ordered)
     max_ts = static.agg(F.max("ts")).head()[0]
@@ -199,7 +202,7 @@ def test_streaming_dedup_drops_every_duplicate(spark, doubled_events_dir):
     from bigdatacw1_spark.streaming.joins import run_dedup_stream_to_memory
 
     q = run_dedup_stream_to_memory(spark, doubled_events_dir, table_name="dd_out")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     assert len(q.recentProgress) > 1  # really incremental
     got = spark.table("dd_out")
     static = spark.read.parquet(doubled_events_dir)
@@ -211,7 +214,7 @@ def test_stream_stream_join_matches_batch(spark, events_dir_ordered):
     from bigdatacw1_spark.streaming.joins import run_join_stream_to_memory, view_click_pairs
 
     q = run_join_stream_to_memory(spark, events_dir_ordered, table_name="ssj_out")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     static = spark.read.parquet(events_dir_ordered)
     expected = view_click_pairs(
         static.where(F.col("event_type") == "view"),
@@ -281,14 +284,14 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
         )
 
     q1 = start()
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(120)  # False = timed out with the query still running
     n_first = spark.read.parquet(out).count()
     assert n_first == half
 
     _time.sleep(1.1)  # distinct mtime for the second file
     spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.mode("append").parquet(src)
     q2 = start()
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)  # False = timed out with the query still running
 
     got = spark.read.parquet(out)
     assert got.count() == len(rows)  # second run added ONLY the new file
@@ -313,7 +316,7 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     static = spark.read.parquet(events_dir)
     expected = _rows(
         enrich_with_dimension(static, dim, static["user_id"] == dim["c_custkey"]).select(
@@ -342,7 +345,7 @@ def test_stream_stream_outer_join_emits_null_rows(spark, events_dir_ordered):
     q = run_join_stream_to_memory(
         spark, events_dir_ordered, table_name="ssj_outer", how="left_outer"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
     static = spark.read.parquet(events_dir_ordered)
     views = static.where(F.col("event_type") == "view")
     clicks = static.where(F.col("event_type") == "click")
@@ -378,7 +381,7 @@ def test_tws_topk_matches_batch(spark, events_dir):
     from bigdatacw1_spark.streaming.stateful_tws import run_tws_stream_to_memory, topk_per_user
 
     q = run_tws_stream_to_memory(spark, events_dir, table_name="tws_out", k=3)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out with the query still running
     assert len(q.recentProgress) > 1  # really incremental
 
     got_all = spark.table("tws_out")
@@ -405,7 +408,7 @@ def test_continuous_aggregate_upserts_to_final_values(spark, events_dir_ordered,
 
     out = str(tmp_path / "cagg")
     q = run_continuous_aggregate(spark, events_dir_ordered, out, minutes=60)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out with the query still running
     assert len(q.recentProgress) > 1  # multiple micro-batches → real upserts
 
     static = spark.read.parquet(events_dir_ordered)
@@ -452,7 +455,7 @@ def test_dimension_merge_stream_tracks_latest_per_key(spark, tmp_path):
         key="user_id", ts_col="last_ts",
         set_cols=["last_ts", "last_value", "last_event"],
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
 
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("user_id"))
@@ -496,7 +499,7 @@ def test_streaming_document_ingest_dedups_and_gates_quality(spark, tmp_path):
 
     out = str(tmp_path / "corpus")
     q = run_ingest_to_parquet(spark, feed, out, min_quality=0.7)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
 
     got = spark.read.parquet(out)
     batch = admit_documents(docs, min_quality=0.7)
@@ -614,7 +617,7 @@ def test_streaming_lsh_admission_rejects_near_duplicates(spark, tmp_path):
     out, state = str(tmp_path / "corpus"), str(tmp_path / "bands")
     stream = read_documents_stream(spark, feed).drop("ingest_ts")
     q = run_lsh_dedup_stream(spark, stream, out, state)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out with the query still running
 
     got = read_admitted(spark, out)
     got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
