@@ -446,6 +446,43 @@ def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_sniff",
+    oracle="""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                    ELSE 'audio/x-wav' END AS mime,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN CAST(doc_id % 800 + 1 AS INT)
+                    WHEN 1 THEN CAST(doc_id % 300 + 1 AS INT) END AS width,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN CAST(doc_id % 600 + 1 AS INT)
+                    WHEN 1 THEN CAST(doc_id % 200 + 1 AS INT) END AS height,
+               CASE WHEN doc_id % 3 = 2
+                    THEN CAST((doc_id % 4 + 1) * 8000 AS INT) END AS sample_rate,
+               CASE WHEN doc_id % 3 = 2
+                    THEN CAST(doc_id % 2 + 1 AS INT) END AS n_channels
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-metadata sniffing over a mixed media corpus — the REAL (not
+    stubbed) byte-level parse of PNG/GIF/WAV container headers
+    (operators/multimodal.sniff_media_meta). The corpus is synthesized
+    deterministically from doc_id (synth_media_payload builds structurally
+    valid headers whose dimensions/rate are pure functions of the id), so
+    the DuckDB oracle predicts every sniffed field from arithmetic alone:
+    a parser bug — wrong endianness, wrong offset, wrong chunk walk —
+    breaks the value hash. n_bytes is dropped from the output because it
+    measures the synthetic payload, not the parser."""
+    from bigdatacw1_spark.operators.multimodal import sniff_media_meta, synth_media_payload
+
+    media = synth_media_payload(_t(spark, sf_dir, "documents"))
+    return sniff_media_meta(media).drop("n_bytes").orderBy("doc_id")
+
+
+@q(
     "ext_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE sh AS (

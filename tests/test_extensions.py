@@ -174,6 +174,44 @@ def test_sketch_quantiles_bracket_exact(spark):
         assert abs(approx - ex) <= 0.05 * ex + 1e-9
 
 
+def test_media_sniffer_parses_real_headers(spark):
+    """sniff_media_meta against hand-built REAL container bytes: a valid
+    PNG, JPEG (SOF0 after skipped APP0 segment), GIF, BMP, WAV — plus
+    truncated and junk payloads which must classify as octet-stream, not
+    crash (the corrupt-file posture for a 100 TB corpus)."""
+    import struct
+
+    from bigdatacw1_spark.operators.multimodal import sniff_media_meta
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0))
+    # JPEG: SOI, APP0 (16-byte segment to prove the marker walk skips), SOF0
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920)
+            + b"\x03" + bytes(4))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 800, -600) + bytes(4)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16))
+    cases = [
+        (0, png), (1, jpeg), (2, gif), (3, bmp), (4, wav),
+        (5, png[:10]),       # truncated PNG
+        (6, b"hello world"), # junk
+        (7, b""),            # empty
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in sniff_media_meta(df).collect()}
+    assert (got[0].mime, got[0].width, got[0].height) == ("image/png", 640, 480)
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/jpeg", 1920, 1080)
+    assert (got[2].mime, got[2].width, got[2].height) == ("image/gif", 320, 200)
+    assert (got[3].mime, got[3].width, got[3].height) == ("image/bmp", 800, 600)
+    assert (got[4].mime, got[4].sample_rate, got[4].n_channels) == ("audio/x-wav", 44100, 2)
+    for i in (5, 6, 7):
+        assert got[i].mime == "application/octet-stream"
+        assert got[i].width is None and got[i].sample_rate is None
+    assert got[6].n_bytes == 11
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_binary_payload(docs)
     feats = extract_features(media, dim=8)

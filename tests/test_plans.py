@@ -178,3 +178,68 @@ def test_scans_read_only_needed_columns(spark):
         for s in schemas:
             ncols = len([c for c in s.split(",") if ":" in c])
             assert ncols <= max_cols, (name, s)
+
+
+def test_dynamic_partition_pruning_skips_partitions(spark, tmp_path):
+    """Dynamic partition pruning: on a date-partitioned fact layout (the
+    production layout per sources/catalog.py's scale notes), a join
+    against a filtered dimension must prune fact PARTITIONS at runtime —
+    the subquery-driven skip that makes 'join one month of dims' read one
+    month of a 100 TB fact table. Pinned here because it depends on the
+    layout (partitionBy) + conf + join shape all cooperating."""
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    fact_dir = str(tmp_path / "li_by_month")
+    li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM")).write.partitionBy(
+        "ship_month"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    n_months = fact.select("ship_month").distinct().count()
+    assert n_months > 12  # the layout really fans out
+
+    dim = (
+        fact.select("ship_month").distinct()
+        .where(F.col("ship_month").startswith("1996-0"))  # 9 of ~83 partitions
+    )
+    j = fact.join(dim.hint("broadcast"), "ship_month").groupBy("ship_month").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = j.collect()
+    assert 0 < len(rows) <= 9
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime bloom-filter join pruning: when a selective filter sits on
+    one side of a big-big shuffle join, Spark can inject a bloom filter
+    from that side into the other side's scan, discarding non-matching
+    rows BEFORE the shuffle. At 100 TB this turns 'shuffle everything,
+    match 1%' into 'shuffle ~1%'. The OSS thresholds assume cluster-sized
+    inputs, so the test lowers them to make injection observable, then
+    restores every conf."""
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        got = j.collect()
+        assert len(got) == 1 and got[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
