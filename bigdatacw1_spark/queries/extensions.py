@@ -1086,6 +1086,57 @@ def ext_sketch_ndv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(total).orderBy("day")
 
 
+@q("ext_sketch_audience_overlap")
+def ext_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience SET ALGEBRA on mergeable sketches (DataSketches
+    Theta built-ins): one theta sketch of user_id per event_type, then
+    pairwise union / intersection / difference ESTIMATES between every
+    ordered pair of event types — "how many users who viewed also
+    clicked" at 100 TB without ever materializing a user set. Unlike HLL
+    (union-only), theta sketches close under ∩ and \\, which is what
+    audience-overlap questions need; sketches are fixed-size bytes, so
+    the per-type partials ship to one merge the same way the HLL rollup
+    does. Rows-only (estimates are sketch-defined); the error bound vs
+    exact COUNT(DISTINCT) is asserted in tests/test_extensions.py."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    a = per.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = per.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b.hint("broadcast"), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))).cast("long").alias("users_union"),
+        F.round(F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))).cast("long").alias("users_both"),
+        F.round(F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))).cast("long").alias("users_a_only"),
+    ).orderBy("type_a", "type_b")
+
+
+@q("ext_sketch_kll_mergeable")
+def ext_sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (DataSketches KLL built-ins): one
+    fixed-size KLL sketch of ``value`` per day, merged into corpus-wide
+    p50/p90/p99 WITHOUT rescanning events — the quantile counterpart of
+    the HLL rollup (ext_sketch_ndv_mergeable): store per-partition
+    sketch bytes, answer "latency percentiles over any window" by
+    merging the covered partials at query time. Rows-only; the
+    rank-error bound vs exact percentile_cont is asserted in
+    tests/test_extensions.py."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("sk"))
+    return merged.select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_n_double("sk").alias("n"),
+    )
+
+
 @q(
     "ext_bfs_reach",
     oracle="""

@@ -139,6 +139,32 @@ def run_windowed_stream_to_memory(
     )
 
 
+def run_session_stream_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    table_name: str = "sess_out",
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+):
+    """STREAMING session windows: the same session_aggregate transform,
+    incrementally. Session windows are the one window type whose extent
+    is data-driven (end = last event + gap), so the streaming engine must
+    MERGE windows in state as events arrive and can only emit a session
+    once the watermark passes its end — append mode + watermark is
+    therefore mandatory, and the emitted set is exactly the sessions the
+    watermark has closed (pinned against batch in tests). State per key
+    is bounded by the watermark: closed sessions leave state."""
+    stream = read_events_stream(spark, events_dir)
+    agged = session_aggregate(stream.withWatermark("ts", watermark), gap_minutes)
+    return (
+        agged.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_continuous_aggregate(
     spark: SparkSession,
     events_dir: str,

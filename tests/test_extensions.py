@@ -285,6 +285,57 @@ def test_semantic_dedup_survivors_are_corpus_minus_drops(spark):
     assert survivors.count() + drops.count() == emb.count()
 
 
+def test_theta_sketch_set_algebra_tracks_exact_overlaps(spark):
+    """Theta-sketch union/intersection/difference estimates must track
+    the exact distinct-user overlaps within the sketch's error bound —
+    and exactly when cardinalities sit below the sketch's nominal
+    entries (2^12), as they do at sf0.001."""
+    from bigdatacw1_spark.queries import REGISTRY
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["ext_sketch_audience_overlap"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(got) >= 3  # more than two event types pair up
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    users = {
+        t: {r["user_id"] for r in ev.where(F.col("event_type") == t).select("user_id").distinct().collect()}
+        for t in types
+    }
+    for (ta, tb), r in got.items():
+        ua, ub = users[ta], users[tb]
+        for field, exact in [
+            ("users_union", len(ua | ub)),
+            ("users_both", len(ua & ub)),
+            ("users_a_only", len(ua - ub)),
+        ]:
+            est = r[field]
+            tol = max(2, 0.05 * max(exact, 1))
+            assert abs(est - exact) <= tol, (ta, tb, field, est, exact)
+
+
+def test_kll_sketch_merge_brackets_exact_percentiles(spark):
+    """Merged per-day KLL quantiles must land within the sketch's rank
+    error of the exact percentile: the value at the estimated quantile
+    must hold a rank within eps of the requested one."""
+    from bigdatacw1_spark.queries import REGISTRY
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    row = REGISTRY["ext_sketch_kll_mergeable"].fn(spark, SF_SMALL).collect()[0]
+    n = ev.count()
+    assert row["n"] == n  # every row reached a sketch; merge lost nothing
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    for field, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        est = row[field]
+        rank = sum(1 for v in vals if v <= est) / n
+        assert abs(rank - q) < 0.03, (field, est, rank)
+
+
 def test_hll_sketch_union_is_merge_consistent_and_accurate(spark):
     from bigdatacw1_spark.sources.catalog import load_table
     from tests.conftest import SF_SMALL

@@ -167,6 +167,30 @@ def test_stream_to_parquet_sink_exact_closed_windows(spark, events_dir_ordered, 
     assert got == want
 
 
+def test_streaming_session_windows_emit_closed_sessions(spark, events_dir_ordered):
+    """Streaming session windows (append + watermark) over an in-order
+    replay must emit exactly the sessions the final watermark closed —
+    the batch session_aggregate rows whose end is at or under
+    max event time - delay — with identical aggregates."""
+    from bigdatacw1_spark.streaming.windows import run_session_stream_to_memory
+
+    q = run_session_stream_to_memory(
+        spark, events_dir_ordered, table_name="sess_stream", gap_minutes=30
+    )
+    assert q.awaitTermination(180)  # False = timed out with the query still running
+    got = sorted(tuple(r) for r in spark.table("sess_stream").collect())
+    assert len(got) > 0
+
+    import datetime
+
+    static = spark.read.parquet(events_dir_ordered)
+    max_ts = static.agg(F.max("ts")).head()[0]
+    wm = max_ts - datetime.timedelta(minutes=30)
+    closed = session_aggregate(static, gap_minutes=30).where(F.col("session_end") <= F.lit(wm))
+    want = sorted(tuple(r) for r in closed.collect())
+    assert got == want
+
+
 def test_session_windows_respect_gap(spark):
     ev = load_table(spark, SF_SMALL, "events")
     sess = session_aggregate(ev, gap_minutes=30).collect()
