@@ -2261,3 +2261,37 @@ def ext_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 3)
         .orderBy(F.desc("n"), "bigram")
     )
+
+
+@q(
+    "f23_listagg",
+    oracle="""
+        SELECT n.n_regionkey,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               string_agg(DISTINCT r.r_name, ',') AS region_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_regionkey
+        ORDER BY n.n_regionkey
+    """,
+)
+def f23_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``listagg ... WITHIN GROUP``,
+    ISO/IEC 9075-2:2016 §10.9 ≡ DuckDB/Postgres string_agg): per-region
+    comma-joined nation list. WITHIN GROUP ordering is what makes the
+    concatenation deterministic under ANY partitioning — bare listagg
+    concatenates in partition-arrival order and would flip the value
+    hash run to run. (The pre-4.0 spelling is
+    array_join(sort_array(collect_list(x))) — a8 covers that shape.)
+    JVM-only: SQL front end over the registered views, no Python."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT n.n_regionkey,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               listagg(DISTINCT r.r_name, ',') AS region_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_regionkey
+        ORDER BY n.n_regionkey
+        """
+    )

@@ -62,6 +62,23 @@ def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
     return spark.read.schema(TABLES[table]).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, table: str, row_tag: str = "row") -> DataFrame:
+    """XML with declared schema (Spark 4 built-in xml source; one row per
+    ``row_tag`` element). XML is the interchange format B2B feeds still
+    arrive in; the same declared-schema discipline applies — element text
+    is parsed to the catalog types, and like CSV/JSON the timestamp
+    formats are pinned for µs round-trips. (Avro is NOT wired: its data
+    source module is external to the Spark distribution here; parquet/
+    ORC cover the columnar interchange need.)"""
+    return (
+        spark.read.schema(TABLES[table])
+        .option("rowTag", row_tag)
+        .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
+        .xml(path)
+    )
+
+
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a rescued read into (clean, quarantined) frames. The clean
     side drops the rescue column so downstream schemas match parquet.

@@ -4,7 +4,13 @@ schemas exactly, and malformed rows quarantine instead of failing."""
 from __future__ import annotations
 
 from bigdatacw1_spark.sources.catalog import load_table
-from bigdatacw1_spark.sources.formats import read_csv, read_jsonl, read_orc, quarantine_split
+from bigdatacw1_spark.sources.formats import (
+    quarantine_split,
+    read_csv,
+    read_jsonl,
+    read_orc,
+    read_xml,
+)
 from tests.conftest import SF_SMALL
 
 
@@ -49,6 +55,21 @@ def test_orc_roundtrip(spark, tmp_path):
     d = str(tmp_path / "ev_orc")
     orig.write.orc(d)
     _assert_roundtrip(orig, read_orc(spark, d, "events"))
+
+
+def test_xml_roundtrip_with_schema(spark, tmp_path):
+    """Spark 4 built-in XML source: events round-trip through an XML
+    write/read with the declared schema and pinned timestamp formats."""
+    orig = _events(spark)
+    d = str(tmp_path / "ev_xml")
+    (
+        orig.write.format("xml")
+        .option("rowTag", "row")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .save(d)
+    )
+    _assert_roundtrip(orig, read_xml(spark, d, "events"))
 
 
 def test_malformed_json_rows_quarantine(spark, tmp_path):
