@@ -9,6 +9,8 @@ tests instead (tests/test_extensions.py).
 
 from __future__ import annotations
 
+import pandas as pd  # needed at module scope so pandas-UDF type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1084,6 +1086,85 @@ def ext_sketch_ndv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_users")
     ).select(F.lit("ALL").alias("day"), "ndv_users")
     return daily.unionByName(total).orderBy("day")
+
+
+@q(
+    "ext_udf_scalar_pandas",
+    oracle="""
+        SELECT CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 50) AS BIGINT) AS cents_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def ext_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized SCALAR pandas UDF (§2.10 surface): value → 50-cent
+    bucket, computed on whole Arrow batches with numpy — no per-row
+    Python. Kept to exact integer arithmetic (round-to-cents then floor
+    divide) so the DuckDB oracle matches bitwise, which is also the
+    general lesson: a Python UDF in a correctness-checked pipeline must
+    be numerically pinned, not float-sloppy. Policy note: this bucket is
+    expressible as built-ins (and the parity namespace would REQUIRE
+    that); the entry exists to cover the UDF API surface the way a user
+    ports custom Python logic before migrating it JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_bucket(v: pd.Series) -> pd.Series:
+        return (v.mul(100).round(0).astype("int64") // 50).astype("int64")
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(cents_bucket("value").alias("cents_bucket"))
+        .groupBy("cents_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cents_bucket")
+    )
+
+
+@q(
+    "ext_udaf_grouped_pandas",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ext_udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (§2.10 surface): a custom aggregate fed a
+    whole group's values as one pandas Series, returning one scalar —
+    the escape hatch for aggregation logic no built-in covers (custom
+    robust estimators, domain scores). Arrow moves each group as
+    columnar batches; the aggregate itself is numpy-vectorized.
+    Quantizes to integer cents inside the UDAF so the result is
+    order-independent and oracle-exact. Scale note: GROUPED_AGG holds
+    each GROUP in memory — fine for bounded groups (event types), the
+    wrong tool for billion-row groups, where applyInPandas over
+    pre-combined partials (or a JVM aggregate) takes over. Also pinned
+    here: Spark refuses to MIX grouped-agg pandas UDFs with JVM
+    aggregates in one agg ([INVALID_PANDAS_UDF_PLACEMENT]), so the row
+    count is a second pandas UDAF, not F.count."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sum_cents(v: pd.Series) -> int:
+        return int(v.mul(100).round(0).astype("int64").sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            sum_cents("value").alias("sum_cents"),
+            n_rows("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @q("ext_sketch_audience_overlap")

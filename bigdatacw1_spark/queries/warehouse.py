@@ -316,3 +316,76 @@ def diag_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(prod).alias("max_key_rows"),
         F.count(F.lit(1)).alias("n_join_keys"),
     )
+
+
+@q(
+    "wh_scd2_lookup",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CASE WHEN o_totalprice > 300000 THEN 'gold'
+                        WHEN o_totalprice > 100000 THEN 'silver'
+                        ELSE 'bronze' END AS tier
+            FROM orders
+        ), u AS (
+            SELECT o_orderkey, o_custkey, o_orderdate, tier FROM (
+                SELECT t.*, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey, o_orderdate
+                    ORDER BY o_orderkey DESC) AS rn
+                FROM t
+            ) WHERE rn = 1
+        ), ch AS (
+            SELECT o_custkey, tier, o_orderdate AS valid_from FROM (
+                SELECT u.*, LAG(tier) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM u
+            ) WHERE prev IS NULL OR prev <> tier
+        )
+        SELECT f.o_orderkey, f.o_custkey, f.tier AS tier_now, h.tier AS tier_then
+        FROM t f ASOF LEFT JOIN ch h
+          ON f.o_custkey = h.o_custkey
+         AND f.o_orderdate - INTERVAL 90 DAY >= h.valid_from
+        ORDER BY f.o_orderkey
+    """,
+)
+def wh_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the composition SCD2 history
+    exists FOR: each order is enriched with the customer-tier version
+    valid 90 days earlier ("was this placed by a then-premium
+    customer"). Pipeline: derive a tier change log from the orders
+    themselves (deduped to one row per (customer, instant) so both
+    engines agree on ties), compress to SCD2 validity intervals
+    (operators/warehouse.scd2_from_log), then as-of join facts at
+    t - 90d (operators/relational.as_of_join) — NOT an interval join:
+    the union+window as-of shuffles once on the customer key, O(1)
+    state per row, no per-version fan-out. Orders inside their
+    customer's first 90 days get NULL tier_then (left-outer). Oracle:
+    DuckDB ASOF LEFT JOIN over the identically-derived intervals."""
+    from bigdatacw1_spark.operators.relational import argmin_per_group, as_of_join
+    from bigdatacw1_spark.operators.warehouse import scd2_from_log
+
+    o = _t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") > 300000, "gold")
+        .when(F.col("o_totalprice") > 100000, "silver")
+        .otherwise("bronze")
+    )
+    log = o.select("o_custkey", "o_orderdate", "o_orderkey", tier.alias("tier"))
+    log = argmin_per_group(log, ["o_custkey", "o_orderdate"], [F.desc("o_orderkey")])
+    hist = scd2_from_log(log, ["o_custkey"], "tier", "o_orderdate", tiebreak="o_orderkey")
+    versions = hist.select(
+        "o_custkey", "valid_from", F.col("tier").alias("tier_then")
+    )
+    facts = o.select(
+        "o_orderkey",
+        "o_custkey",
+        tier.alias("tier_now"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("asof_ts"),
+    )
+    out = as_of_join(
+        facts, versions, ["o_custkey"], "asof_ts", "valid_from", ["tier_then"]
+    )
+    return out.select("o_orderkey", "o_custkey", "tier_now", "tier_then").orderBy(
+        "o_orderkey"
+    )
