@@ -1167,6 +1167,35 @@ def ext_udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ext_provenance")
+def ext_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance from the scan itself: Spark's hidden
+    ``_metadata`` struct attaches the source file path/size/mtime to
+    every row at zero I/O cost (it is constant per split) — the lineage
+    hook a training-data pipeline uses to answer "which drop did this
+    document come from" and to quarantine a bad file AFTER ingestion
+    without re-reading anything. Aggregated per file here; rows-only
+    (the oracle engine has no _metadata equivalent). At 100 TB this is
+    the audit query that runs over the manifest-of-record."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+            "doc_id",
+        )
+    )
+    return (
+        d.groupBy("file_name", "file_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("file_name")
+    )
+
+
 @q("ext_sketch_audience_overlap")
 def ext_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-audience SET ALGEBRA on mergeable sketches (DataSketches

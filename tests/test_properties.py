@@ -175,3 +175,60 @@ def test_twap_matches_python_fold(spark, rows):
         expect = math.floor((num / (100.0 * den)) * 10000 + 0.5) / 10000
         assert got[k]["twap"] == expect, (k, got[k]["twap"], expect)
         assert got[k]["span_seconds"] == den
+
+
+fx_prices_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["AAA", "BBB", "CCC"]),   # currency
+        st.integers(min_value=0, max_value=120),  # day offset from epoch base
+        st.integers(min_value=1, max_value=9999), # amount in cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+fx_rates_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["AAA", "BBB"]),          # CCC never gets a rate
+        st.integers(min_value=0, max_value=120),  # publication day offset
+        st.integers(min_value=900, max_value=1100),  # rate in thousandths
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # one publication per (currency, day)
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(fx_prices_strategy, fx_rates_strategy)
+def test_fx_daily_broadcast_plan_equals_generic_asof(spark, prices, rates):
+    """The FX conversion's two physical strategies — the broadcast
+    densified-calendar equi-join (convert_currency_daily) and the
+    union+window as-of join (convert_currency) — must return identical
+    (rate, converted) for ANY sparse rates table and any price set, as
+    long as the daily plan's fill horizon covers the data span.
+    Semantics divergence between a scale optimization and its reference
+    formulation is exactly the bug class property testing catches."""
+    import datetime
+
+    from bigdatacw1_spark.operators.finance import convert_currency, convert_currency_daily
+
+    base = datetime.date(2024, 1, 1)
+    prows = [
+        (i, c, base + datetime.timedelta(days=d), float(cents))
+        for i, (c, d, cents) in enumerate(prices)
+    ]
+    rrows = [
+        (c, base + datetime.timedelta(days=d), k / 1000.0) for (c, d, k) in rates
+    ]
+    pdf = spark.createDataFrame(prows, "pid int, currency string, price_day date, amount double")
+    rdf = spark.createDataFrame(rrows, "currency string, rate_day date, rate double")
+
+    daily = convert_currency_daily(pdf, rdf, horizon_days=121)
+    generic = convert_currency(
+        pdf.withColumn("ts", F.col("price_day").cast("timestamp")),
+        rdf.withColumn("rate_ts", F.col("rate_day").cast("timestamp")),
+    )
+    a = {r.pid: (r.rate, r.converted) for r in daily.collect()}
+    b = {r.pid: (r.rate, r.converted) for r in generic.collect()}
+    assert a == b
