@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatacw1_spark.operators.relational import exact_avg, exact_sum, stable_round
+from bigdatacw1_spark.operators.relational import exact_avg, exact_sum, fan_out, stable_round
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
 
@@ -43,8 +43,17 @@ from bigdatacw1_spark.queries.registry import t as _t
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: full-scan aggregation — the map-side-combine stress test.
     One scan, one tiny shuffle (6 groups); everything else is partial
-    aggregation inside whole-stage codegen."""
-    l = _t(spark, sf_dir, "lineitem")
+    aggregation inside whole-stage codegen.
+
+    fan_out: the exact-decimal aggregate expressions make this the one
+    CPU-bound headline query, and the test parquet is a single row group
+    (scan parallelism 1), so the conditional repartition buys a measured
+    ~35% (interleaved n=8: 1.87s -> 1.21s at sf0.1). On a production
+    many-split scan fan_out is a no-op and the plan stays pure
+    scan -> partial agg -> one exchange of 6 groups. The same A/B on the
+    join/window headliners (q18/q5/ev_tumbling/ref_sql2) showed the
+    injected shuffle LOSES there, so only q1 fans out."""
+    l = fan_out(_t(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
