@@ -195,6 +195,80 @@ def verified_near_duplicates(
     return paired.select("a", "b", jacc.alias("jaccard")).where(F.col("jaccard") >= threshold)
 
 
+def span_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Token-span fingerprints for EXACT-substring dedup (the ExactSubstr
+    pass of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022): slide a ``window``-token window with
+    ``stride`` over each document and md5 the joined span. Whole-doc and
+    near-dup passes miss PARTIAL copies — a quoted paragraph, boilerplate
+    license block, or template intro shared verbatim across otherwise
+    distinct documents; span fingerprints catch exactly those.
+
+    A document shorter than ``window`` contributes one span (its full
+    text), so every doc is representable. Output: (id, span_idx,
+    span_md5) — one narrow map + posexplode, no shuffle; downstream
+    aggregations key on span_md5. md5 (not xxhash) so the DuckDB oracle
+    derives identical fingerprints.
+
+    At 100 TB: rows out ≈ tokens/stride per doc (~n_tokens/10), each row
+    ~50 bytes — the same order as the shingle explode the MinHash path
+    already pays; the duplicate-span groupBy combines map-side since
+    genuinely duplicated spans are rare.
+    """
+    toks = tokens(text_col)
+    n_spans = F.greatest(
+        F.floor((F.size(toks) - F.lit(window)) / F.lit(stride)).cast("int") + 1,
+        F.lit(1),
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i * stride + 1, window), " ")),
+    )
+    return fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(spans).alias("span_idx", "span_md5"),
+    )
+
+
+def span_dup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Per-document exact-substring duplication report: how many of a
+    doc's token spans appear verbatim in at least one OTHER document.
+    ``dup_frac`` ~ 1.0 flags wholesale copies; mid-range values flag
+    shared boilerplate the near-dup passes under-weight. Two shuffles:
+    one on span_md5 (count distinct docs per span), one back on the doc
+    id — both map-side combinable."""
+    fps = span_fingerprints(df, text_col, id_col, window, stride)
+    # distinct-doc count per span as an AGGREGATE (map-side combinable),
+    # not a window collect_set (which would materialize per-span doc sets)
+    span_docs = fps.groupBy("span_md5").agg(
+        F.count_distinct(id_col).alias("__span_docs")
+    )
+    marked = fps.join(span_docs, "span_md5")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__span_docs") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            stable_round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: hash each token to 64 bits; for each bit position
     sum +1/-1 across tokens; the sign per position forms the signature.

@@ -1167,6 +1167,110 @@ def ext_udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ext_span_dedup",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   (SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '')) AS ws
+            FROM documents
+        ), sp AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, GREATEST(CAST(FLOOR((LEN(ws) - 20) / 10.0) AS INT) + 1, 1)),
+                       i -> MD5(ARRAY_TO_STRING(ws[i * 10 + 1 : i * 10 + 20], ' '))
+                   )) AS span_md5
+            FROM w
+        ), sd AS (
+            SELECT span_md5, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY span_md5
+        )
+        SELECT sp.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN sd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               FLOOR((SUM(CASE WHEN sd.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+        FROM sp JOIN sd USING (span_md5)
+        GROUP BY sp.doc_id
+        ORDER BY sp.doc_id
+    """,
+)
+def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span-level duplication report (Lee et al. 2022):
+    20-token windows at stride 10, md5-fingerprinted; a span present
+    verbatim in another document marks partial copying that whole-doc
+    and near-dup passes miss (operators/dedup.span_fingerprints /
+    span_dup_report). Fully oracle-checked: DuckDB derives the identical
+    fingerprints, so a windowing/off-by-one/stride bug breaks the value
+    hash."""
+    from bigdatacw1_spark.operators.dedup import span_dup_report
+
+    out = span_dup_report(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_spans",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        "dup_frac",
+    ).orderBy("doc_id")
+
+
+@q(
+    "ext_token_rank_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+            FROM tok GROUP BY tok
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(v.rnk) AS BIGINT) AS rank_sum,
+               FLOOR((SUM(v.rnk) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS mean_rank
+        FROM tok t JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def ext_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded lexical-commonness quality signal: every token gets its
+    corpus-frequency DENSE RANK (1 = most common), and each document its
+    exact mean token rank — high means the doc is built from rare/
+    garbage vocabulary, the graded complement of the binary OOV rate
+    (ext_oov_rate). Ranks are INTEGERS, so the score is hash-exact
+    cross-engine — the same reason weighted_sample avoids ln/exp: no
+    libm call whose last ulp differs between engines.
+
+    Scale note: the rank window is global-ordered but runs over the
+    VOCABULARY table (tokens × counts), which is orders of magnitude
+    smaller than the corpus — the corpus-sized passes are the explode
+    and one broadcastable join back to tokens."""
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.relational import fan_out, stable_round
+    from pyspark.sql import Window
+
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.dense_rank().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))).cast("long"),
+        )
+        .drop("cnt")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rnk").alias("rank_sum"),
+        )
+        .withColumn("mean_rank", stable_round(F.col("rank_sum") / F.col("n_tokens"), 4))
+        .orderBy("doc_id")
+    )
+
+
 @q("ext_provenance")
 def ext_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level provenance from the scan itself: Spark's hidden

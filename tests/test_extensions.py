@@ -285,6 +285,27 @@ def test_semantic_dedup_survivors_are_corpus_minus_drops(spark):
     assert survivors.count() + drops.count() == emb.count()
 
 
+def test_span_dedup_flags_partial_and_full_copies(spark):
+    """ExactSubstr span report: a shared verbatim paragraph inside
+    otherwise-distinct documents must mark dup spans in BOTH docs; an
+    exact full copy must score dup_frac 1.0; an unrelated doc 0.0."""
+    from bigdatacw1_spark.operators.dedup import span_dup_report
+
+    para = " ".join(f"shared{i}" for i in range(25))  # > window tokens
+    a = " ".join(f"alpha{i}" for i in range(30)) + " " + para
+    b = " ".join(f"beta{i}" for i in range(30)) + " " + para
+    c = " ".join(f"gamma{i}" for i in range(40))
+    rows = [(1, a), (2, b), (3, c), (4, a)]  # 4 = exact copy of 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dup_report(docs, window=20, stride=10).collect()}
+    assert got[1].n_dup_spans > 0 and got[2].n_dup_spans > 0  # shared paragraph
+    assert got[1].dup_frac == 1.0  # every span of 1 also in its copy 4
+    assert got[4].dup_frac == 1.0
+    assert got[3].n_dup_spans == 0 and got[3].dup_frac == 0.0
+    # doc 2 shares ONLY the paragraph spans, not its own prefix
+    assert 0 < got[2].n_dup_spans < got[2].n_spans
+
+
 def test_theta_sketch_set_algebra_tracks_exact_overlaps(spark):
     """Theta-sketch union/intersection/difference estimates must track
     the exact distinct-user overlaps within the sketch's error bound —
