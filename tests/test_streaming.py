@@ -664,3 +664,84 @@ def test_streaming_lsh_admission_rejects_near_duplicates(spark, tmp_path):
     assert 3_000_000 in got_ids
     # replay-idempotent layout: one overwrite partition per micro-batch
     assert len(q.recentProgress) >= 2
+
+
+def test_streaming_asof_enrich_matches_batch_asof(spark, tmp_path):
+    """Streaming as-of enrichment (quote/trade multiplexed feed) folded
+    across micro-batches must equal ONE batch as-of join over the whole
+    feed: cross-batch last-quote state really carries (a trade in file 2
+    picks up a quote from file 1), and trades before any quote stay
+    NULL."""
+    import datetime
+    import time as _time
+
+    from bigdatacw1_spark.operators.relational import as_of_join
+    from bigdatacw1_spark.streaming.asof_enrich import (
+        enrich_trades_batch,
+        read_enriched,
+        run_asof_enrich_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda m: base + datetime.timedelta(minutes=m)
+    # file 1: EUR quote @1.1 then trades; GBP trade BEFORE any GBP quote
+    f1 = [
+        ("EUR", t(0), "quote", 1.1),
+        ("EUR", t(1), "trade", 100.0),
+        ("GBP", t(2), "trade", 50.0),
+        ("EUR", t(3), "quote", 1.2),
+        ("EUR", t(4), "trade", 200.0),
+    ]
+    # file 2: GBP quote arrives; EUR trade must still see 1.2 from file 1
+    f2 = [
+        ("GBP", t(10), "quote", 1.5),
+        ("EUR", t(11), "trade", 300.0),
+        ("GBP", t(12), "trade", 70.0),
+    ]
+    schema = "key string, ts timestamp, kind string, val double"
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(feed)
+    _time.sleep(1.1)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(feed)
+
+    out, state = str(tmp_path / "enriched"), str(tmp_path / "quote_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = run_asof_enrich_stream(spark, stream, out, state)
+    assert q.awaitTermination(120)  # False = timed out with the query still running
+    got = {
+        (r.key, r.ts): (r.rate, r.converted) for r in read_enriched(spark, out).collect()
+    }
+    assert len(got) == 5
+    assert got[("EUR", t(1))] == (1.1, 1.1 * 100.0)
+    assert got[("GBP", t(2))] == (None, None)  # no GBP quote yet
+    assert got[("EUR", t(4))] == (1.2, 1.2 * 200.0)
+    assert got[("EUR", t(11))] == (1.2, 1.2 * 300.0)  # state carried across batches
+    assert got[("GBP", t(12))] == (1.5, 1.5 * 70.0)
+
+    # equivalence with one batch as-of join over the full feed
+    full = spark.read.parquet(feed)
+    quotes = full.where(F.col("kind") == "quote").select(
+        "key", F.col("ts").alias("qts"), F.col("val").alias("rate")
+    )
+    trades = full.where(F.col("kind") == "trade").select(
+        "key", F.col("ts").alias("tts"), F.col("val").alias("amount")
+    )
+    batch = as_of_join(trades, quotes, ["key"], "tts", "qts", ["rate"])
+    want = {
+        (r.key, r.tts): (r.rate, None if r.rate is None else r.rate * r.amount)
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # replay idempotency: the batch fold is pure — rerunning batch 2's
+    # fold against snapshot 1 reproduces the same rows
+    snap1 = spark.read.parquet(state + "/batch_id=0")
+    b2 = spark.createDataFrame(f2, schema)
+    re_enriched, _ = enrich_trades_batch(spark, b2, snap1)
+    re_rows = {(r.key, r.ts): (r.rate, r.converted) for r in re_enriched.collect()}
+    assert re_rows == {k: v for k, v in got.items() if k[1] >= t(10)}
