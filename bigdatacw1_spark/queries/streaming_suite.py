@@ -566,3 +566,58 @@ def ext_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     admitted, _bands = admit_lsh_batch(spark, docs, None)
     return admitted.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "ev_asof_enrich",
+    oracle="""
+        WITH feed AS (
+            SELECT CAST(user_id % 5 AS INT) AS key, ts,
+                   CASE WHEN event_type = 'view' THEN 'quote' ELSE 'trade' END AS kind,
+                   value AS val, event_id
+            FROM events
+        ), q AS (
+            SELECT key, ts AS qts, val AS rate,
+                   ROW_NUMBER() OVER (PARTITION BY key, ts ORDER BY event_id DESC) AS rn
+            FROM feed WHERE kind = 'quote'
+        ), q1 AS (
+            SELECT key, qts, rate FROM q WHERE rn = 1
+        ), t AS (
+            SELECT key, ts, val AS amount, event_id FROM feed WHERE kind = 'trade'
+        )
+        SELECT t.key, t.ts, t.event_id, t.amount, q1.rate
+        FROM t ASOF LEFT JOIN q1 ON t.key = q1.key AND t.ts >= q1.qts
+        ORDER BY t.key, t.ts, t.event_id
+    """,
+)
+def ev_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch anchor for the streaming as-of enrichment
+    (streaming/asof_enrich.py): events multiplexed into a quote/trade
+    feed ('view' rows are quotes, everything else trades, key =
+    user_id%5), each trade attached to the latest at-or-before quote for
+    its key. Quotes deduped to one per (key, instant) — max event_id
+    wins — so both engines agree on ties; DuckDB's native ASOF LEFT JOIN
+    is the oracle for the union+window as-of shape. The incremental
+    foreachBatch fold of the SAME semantics (persistent last-quote
+    snapshot, replay-idempotent partitions) is pinned against this batch
+    form in tests/test_streaming.py."""
+    from bigdatacw1_spark.operators.relational import argmin_per_group, as_of_join
+
+    feed = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).cast("int").alias("key"),
+        "ts",
+        F.when(F.col("event_type") == "view", "quote").otherwise("trade").alias("kind"),
+        F.col("value").alias("val"),
+        "event_id",
+    )
+    quotes = feed.where(F.col("kind") == "quote").select(
+        "key", F.col("ts").alias("qts"), F.col("val").alias("rate"), "event_id"
+    )
+    quotes = argmin_per_group(quotes, ["key", "qts"], [F.desc("event_id")]).drop("event_id")
+    trades = feed.where(F.col("kind") == "trade").select(
+        "key", "ts", "event_id", F.col("val").alias("amount")
+    )
+    out = as_of_join(trades, quotes, ["key"], "ts", "qts", ["rate"])
+    return out.select("key", "ts", "event_id", "amount", "rate").orderBy(
+        "key", "ts", "event_id"
+    )
