@@ -186,3 +186,66 @@ def bfs_levels(
             break
         visited = visited.union(frontier).localCheckpoint(eager=False)
     return visited
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count per node over an undirected simple graph,
+    via the DEGREE-ORDERED two-join formulation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+
+      1. orient every edge from its lower-degree endpoint to the higher
+         (ties by id) — each triangle then has exactly ONE wedge whose
+         center is its minimum-degree vertex, so no triangle is counted
+         twice and, crucially, the wedge fan-out of a hot vertex is
+         bounded by its ORIENTED out-degree ~O(sqrt(m)) instead of its
+         raw degree — the "last reducer" hot-spot killer at scale;
+      2. self-join oriented edges on the wedge center, then one hash
+         join back against the oriented edge set to close each wedge.
+
+    Two shuffles (wedge build, closure probe) + one small degree
+    aggregate. Input edges may carry duplicates/self-loops; both are
+    removed. Output: (node, n_triangles) for every node incident to at
+    least one edge, zero-filled.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # orient low-degree -> high-degree (ties: lower id first)
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "c").where(F.col("x") < F.col("y"))
+    # closing edge: (x, y) with x < y is exactly the normalized edge set
+    tris = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    ).select("c", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("c", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.select(F.col("n").alias("node"))
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

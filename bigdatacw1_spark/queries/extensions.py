@@ -1352,6 +1352,49 @@ def ext_sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_triangle_count",
+    oracle="""
+        WITH su AS (
+            SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s FROM lineitem
+        ), e AS (
+            SELECT DISTINCT x.s AS a, y.s AS b
+            FROM su x JOIN su y ON x.o = y.o AND x.s < y.s
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), pern AS (
+            SELECT UNNEST([x, y, z]) AS node FROM tri
+        ), nodes AS (
+            SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e
+        )
+        SELECT n.node, CAST(COALESCE(COUNT(p.node), 0) AS BIGINT) AS n_triangles
+        FROM nodes n LEFT JOIN pern p USING (node)
+        GROUP BY n.node
+        ORDER BY n.node
+    """,
+)
+def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle count over the co-supplier graph
+    (suppliers sharing an order), using the degree-ordered wedge
+    formulation (operators/graph.triangle_count — Suri & Vassilvitskii
+    2011): orienting edges low-degree→high bounds every node's wedge
+    fan-out at ~O(sqrt(m)), which is what keeps the hot vertex from
+    serializing the job at 100 TB. Oracle: the O(m^1.5)-naive triple
+    self-join in DuckDB — fine at test scale, exactly what the oriented
+    form avoids at production scale."""
+    from bigdatacw1_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
+    x = su.select(F.col("o"), F.col("s").alias("src"))
+    y = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    edges = x.join(y, (x["o"] == y["o2"]) & (x["src"] < y["dst"])).select("src", "dst")
+    return triangle_count(edges).orderBy("node")
+
+
+@q(
     "ext_bfs_reach",
     oracle="""
         WITH RECURSIVE raw AS (

@@ -84,3 +84,16 @@ def test_bfs_levels_min_hops_and_bounded_depth(spark):
     assert out == {1: 0, 2: 1, 3: 1, 4: 2}  # 5 beyond bound; 9/10 unreachable
     full = {r["node"]: r["hops"] for r in bfs_levels(edges, seeds, max_hops=10).collect()}
     assert full[5] == 3 and 9 not in full
+
+
+def test_triangle_count_exact_on_known_graph(spark):
+    """K4 (every node in C(3,2)=3 triangles) + a star center (0
+    triangles) + duplicate and self-loop edges that must be ignored."""
+    from bigdatacw1_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(10, 11), (10, 12), (10, 13), (11, 10)]  # reverse duplicate
+    junk = [(1, 1), (2, 1)]  # self-loop, reverse duplicate of K4 edge
+    edges = spark.createDataFrame(k4 + star + junk, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 0, 11: 0, 12: 0, 13: 0}
