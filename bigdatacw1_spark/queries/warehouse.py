@@ -389,3 +389,51 @@ def wh_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", "tier_now", "tier_then").orderBy(
         "o_orderkey"
     )
+
+
+@q(
+    "wh_incremental_refresh",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def wh_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (IVM): the per-user
+    rollup is built from facts BEFORE 2024-01-15, then the later facts
+    are folded in as a delta via operators/warehouse.incremental_agg_refresh
+    — O(delta) + O(groups), never rescanning the base. The oracle is the
+    semantic contract itself: one plain GROUP BY over ALL events — if the
+    distributive combine (sum+=sum, count+=count, min/max fold) is wrong
+    anywhere, the value hash breaks. Measures are integer cents, so the
+    refreshed sums are bit-identical to the recompute."""
+    from bigdatacw1_spark.operators.warehouse import incremental_agg_refresh
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    measures = {
+        "n": ("count", "cents"),
+        "sum_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    base = (
+        ev.where(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count("cents").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    delta = ev.where(F.col("ts") >= split)
+    return incremental_agg_refresh(base, delta, ["user_id"], measures).orderBy("user_id")

@@ -197,3 +197,38 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     assert out[3]["change_type"] == "update" and out[3]["new_bal"] == 31.0
     assert out[4]["change_type"] == "update"  # NULL -> value counts as change
     assert out[5]["change_type"] == "insert" and out[5]["old_bal"] is None
+
+
+def test_incremental_agg_refresh_matches_recompute_and_rejects_holistic(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.warehouse import incremental_agg_refresh
+
+    base_facts = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1), ("c", 7), ("c", 3)], "k string, v long"  # c: new group
+    )
+    measures = {
+        "n": ("count", "v"), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v"),
+    }
+    base = base_facts.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    got = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in incremental_agg_refresh(base, delta, ["k"], measures).collect()
+    }
+    full = base_facts.unionByName(delta).groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    want = {r.k: (r.n, r.s, r.lo, r.hi) for r in full.collect()}
+    assert got == want  # covers updated (a), untouched (b), inserted (c)
+
+    with pytest.raises(ValueError, match="non-distributive"):
+        incremental_agg_refresh(base, delta, ["k"], {"p50": ("percentile", "v")})
