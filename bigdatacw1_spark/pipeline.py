@@ -1,0 +1,290 @@
+"""Mongo-style aggregation-pipeline front end: compile a stage list (the
+reference's NoSQL dialect, NoSQLQueries.js) into a DataFrame plan.
+
+The reference's document-side users write aggregation PIPELINES — stage
+dicts, not SQL. ``compile_pipeline(df, stages)`` lets those users run
+their pipelines as data on this engine: each stage becomes ordinary
+DataFrame operations, so the whole pipeline still flows through Catalyst
+(pushdown, pruning, join/agg planning) — a thin front end, not a second
+execution engine. tests/test_pipeline.py runs BOTH reference pipelines
+verbatim and pins their results against the hand-ported queries.
+
+Supported surface (the dialect the reference exercises, plus the obvious
+neighbors):
+
+  stages     $match, $group, $project, $addFields, $sort, $limit, $skip,
+             $unwind, $count
+  match ops  equality, $gt $gte $lt $lte $ne $eq, $in $nin (null-aware,
+             the "NA"/null screen of NoSQLQueries.js:30-33), $and $or
+  accums     $sum (1 or expr), $avg, $min, $max, $push, $addToSet,
+             $first/$last (REQUIRE a preceding $sort — Mongo's $first is
+             pipeline-order-defined; here it compiles to min_by/max_by
+             over the sort key, so it is deterministic under ANY
+             partitioning, which raw Mongo does not guarantee)
+  exprs      '$path' refs (dotted), '$$var' refs (inside $filter),
+             literals, $and $or $not, comparison ops, $add $subtract
+             $multiply $divide, $concat, $cond, $ifNull, $arrayElemAt,
+             $filter, $min/$max (scalar pass-through / array fold)
+
+Unsupported stages/operators raise NotImplementedError naming the token —
+fail loudly rather than mis-execute.
+
+Scale notes: $group with $push materializes per-group arrays (exactly
+Mongo's cost); the screening pattern also exists shuffle-free as windows
+(queries/reference.nosql2_security_screening) — the interpreter favors
+fidelity, the native ports favor scale. $first/$last via min_by keeps
+the group one hash aggregate instead of a sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CMP = {
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+    "$eq": lambda a, b: a.eqNullSafe(b) if isinstance(b, Column) else a == b,
+    "$ne": lambda a, b: a != b,
+}
+
+_ARITH = {
+    "$add": lambda cols: reduce(lambda a, b: a + b, cols),
+    "$subtract": lambda cols: cols[0] - cols[1],
+    "$multiply": lambda cols: reduce(lambda a, b: a * b, cols),
+    "$divide": lambda cols: cols[0] / cols[1],
+}
+
+
+def _is_op(d: object) -> bool:
+    return isinstance(d, Mapping) and len(d) >= 1 and next(iter(d)).startswith("$")
+
+
+def compile_expr(e: object, scope: Mapping[str, Column] | None = None) -> Column:
+    """Compile a Mongo aggregation EXPRESSION to a Column. ``scope`` maps
+    $filter/$map variable names to Columns."""
+    scope = scope or {}
+    if isinstance(e, str) and e.startswith("$$"):
+        path = e[2:].split(".")
+        if path[0] not in scope:
+            raise NotImplementedError(f"unbound pipeline variable $${path[0]}")
+        col = scope[path[0]]
+        for p in path[1:]:
+            col = col[p]
+        return col
+    if isinstance(e, str) and e.startswith("$"):
+        return F.col(e[1:])
+    if not isinstance(e, Mapping):
+        return F.lit(e)
+    # document literal (no operator keys) → struct
+    if not _is_op(e):
+        return F.struct(
+            *[compile_expr(v, scope).alias(k) for k, v in e.items()]
+        )
+    op, arg = next(iter(e.items()))
+    if op in _CMP:
+        a, b = (compile_expr(x, scope) for x in arg)
+        return _CMP[op](a, b)
+    if op in _ARITH:
+        return _ARITH[op]([compile_expr(x, scope) for x in arg])
+    if op == "$and":
+        return reduce(lambda a, b: a & b, (compile_expr(x, scope) for x in arg))
+    if op == "$or":
+        return reduce(lambda a, b: a | b, (compile_expr(x, scope) for x in arg))
+    if op == "$not":
+        inner = arg[0] if isinstance(arg, Sequence) and not isinstance(arg, str) else arg
+        return ~compile_expr(inner, scope)
+    if op == "$concat":
+        return F.concat(*[compile_expr(x, scope) for x in arg])
+    if op == "$cond":
+        if isinstance(arg, Mapping):
+            c, t, f_ = arg["if"], arg["then"], arg["else"]
+        else:
+            c, t, f_ = arg
+        return F.when(compile_expr(c, scope), compile_expr(t, scope)).otherwise(
+            compile_expr(f_, scope)
+        )
+    if op == "$ifNull":
+        return F.coalesce(*[compile_expr(x, scope) for x in arg])
+    if op == "$arrayElemAt":
+        arr, idx = arg
+        i = int(idx)
+        # Mongo is 0-based; Spark element_at is 1-based (negatives align)
+        return F.try_element_at(compile_expr(arr, scope), F.lit(i + 1 if i >= 0 else i))
+    if op == "$filter":
+        inp = compile_expr(arg["input"], scope)
+        var = arg.get("as", "this")
+        cond = arg["cond"]
+        return F.filter(inp, lambda x: compile_expr(cond, {**scope, var: x}))
+    if op == "$sortArray":
+        inp = compile_expr(arg["input"], scope)
+        return F.sort_array(inp, asc=arg.get("sortBy", 1) >= 0)
+    if op in ("$min", "$max"):
+        if isinstance(arg, Sequence) and not isinstance(arg, str):
+            cols = [compile_expr(x, scope) for x in arg]
+            return F.least(*cols) if op == "$min" else F.greatest(*cols)
+        return compile_expr(arg, scope)  # single scalar: identity (Mongo)
+    raise NotImplementedError(f"expression operator {op!r}")
+
+
+def _match_predicate(query: Mapping) -> Column:
+    """Compile a $match QUERY document (predicate dialect, distinct from
+    the expression dialect) to a boolean Column."""
+    conjuncts: list[Column] = []
+    for field, spec in query.items():
+        if field == "$and":
+            conjuncts.append(reduce(lambda a, b: a & b, (_match_predicate(q) for q in spec)))
+            continue
+        if field == "$or":
+            conjuncts.append(reduce(lambda a, b: a | b, (_match_predicate(q) for q in spec)))
+            continue
+        col = F.col(field)
+        if not isinstance(spec, Mapping):
+            conjuncts.append(col == F.lit(spec))
+            continue
+        for op, val in spec.items():
+            if op in _CMP:
+                lhs = col
+                if isinstance(val, (int, float)) and not isinstance(val, bool):
+                    # Mongo comparisons TYPE-BRACKET: a numeric $gt never
+                    # matches strings/null. try_cast reproduces that (NULL
+                    # never compares true) where ANSI cast would throw on
+                    # the reference's "NA" sentinels (NoSQLQueries.js:30).
+                    lhs = col.try_cast("double")
+                conjuncts.append(_CMP[op](lhs, F.lit(val)))
+            elif op == "$in":
+                vals = [v for v in val if v is not None]
+                c = col.isin(vals)
+                if any(v is None for v in val):
+                    c = c | col.isNull()
+                conjuncts.append(c)
+            elif op == "$nin":
+                # excludes listed values AND (with null listed) missing/null
+                vals = [v for v in val if v is not None]
+                c = ~col.isin(vals) if vals else F.lit(True)
+                if any(v is None for v in val):
+                    c = c & col.isNotNull()
+                else:
+                    # Mongo keeps docs where the field is null/missing iff
+                    # null is not in the list; Spark's ~isin is NULL on null
+                    c = c | col.isNull()
+                conjuncts.append(c)
+            else:
+                raise NotImplementedError(f"$match operator {op!r}")
+    return reduce(lambda a, b: a & b, conjuncts) if conjuncts else F.lit(True)
+
+
+_PLAIN_ACCUM = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet"}
+
+
+def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]] | None) -> DataFrame:
+    gid = spec["_id"]
+    out = df
+    if gid is None:
+        out = out.withColumn("_id", F.lit(None).cast("string"))
+    else:
+        out = out.withColumn("_id", compile_expr(gid))
+    aggs = []
+    for name, accum in spec.items():
+        if name == "_id":
+            continue
+        op, arg = next(iter(accum.items()))
+        if op == "$sum":
+            aggs.append(
+                (F.count(F.lit(1)) if arg == 1 else F.sum(compile_expr(arg))).alias(name)
+            )
+        elif op == "$avg":
+            aggs.append(F.avg(compile_expr(arg)).alias(name))
+        elif op == "$min":
+            aggs.append(F.min(compile_expr(arg)).alias(name))
+        elif op == "$max":
+            aggs.append(F.max(compile_expr(arg)).alias(name))
+        elif op == "$push":
+            aggs.append(F.collect_list(compile_expr(arg)).alias(name))
+        elif op == "$addToSet":
+            aggs.append(F.collect_set(compile_expr(arg)).alias(name))
+        elif op in ("$first", "$last"):
+            if not sort_keys:
+                raise NotImplementedError(
+                    f"{op} requires a preceding $sort (pipeline order is undefined otherwise)"
+                )
+            ords = []
+            for path, direction in sort_keys:
+                c = F.col(path)
+                want_desc = (direction < 0) if op == "$first" else (direction > 0)
+                if want_desc:
+                    # min_by has no per-key direction; negate numerics
+                    c = -c.cast("double")
+                ords.append(c)
+            aggs.append(F.min_by(compile_expr(arg), F.struct(*ords)).alias(name))
+        else:
+            raise NotImplementedError(f"accumulator {op!r}")
+    return out.groupBy("_id").agg(*aggs)
+
+
+def _compile_project(df: DataFrame, spec: Mapping) -> DataFrame:
+    cols: list[Column] = []
+    nested: dict[str, dict[str, Column]] = {}
+    explicit_id = "_id" in spec
+    for name, v in spec.items():
+        if v == 0:
+            continue  # exclusion of _id (general exclusion unsupported below)
+        if "." in name:
+            top, leaf = name.split(".", 1)
+            if "." in leaf:
+                raise NotImplementedError("projection nesting deeper than 2")
+            expr = F.col(name) if v == 1 else compile_expr(v)
+            nested.setdefault(top, {})[leaf] = expr
+            continue
+        if v == 1:
+            cols.append(F.col(name))
+        else:
+            cols.append(compile_expr(v).alias(name))
+    for top, leaves in nested.items():
+        cols.append(F.struct(*[c.alias(leaf) for leaf, c in leaves.items()]).alias(top))
+    if not explicit_id and "_id" in df.columns:
+        cols.insert(0, F.col("_id"))  # Mongo includes _id unless excluded
+    return df.select(*cols)
+
+
+def compile_pipeline(df: DataFrame, stages: Sequence[Mapping]) -> DataFrame:
+    """Compile a Mongo aggregation pipeline (list of stage dicts) against
+    ``df`` (one row per document). Returns the resulting DataFrame plan —
+    nothing executes until an action, exactly like any other query here."""
+    out = df
+    last_sort: list[tuple[str, int]] | None = None
+    for stage in stages:
+        if len(stage) != 1:
+            raise ValueError(f"each stage must have exactly one operator: {list(stage)}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            out = out.where(_match_predicate(spec))
+        elif op == "$group":
+            out = _compile_group(out, spec, last_sort)
+        elif op == "$project":
+            out = _compile_project(out, spec)
+        elif op == "$addFields":
+            for name, e in spec.items():
+                out = out.withColumn(name, compile_expr(e))
+        elif op == "$sort":
+            last_sort = [(k, v) for k, v in spec.items()]
+            out = out.orderBy(
+                *[F.col(k).desc() if v < 0 else F.col(k).asc() for k, v in spec.items()]
+            )
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$unwind":
+            path = spec[1:] if isinstance(spec, str) else spec["path"][1:]
+            out = out.withColumn(path, F.explode(F.col(path)))
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(spec if isinstance(spec, str) else "count"))
+        else:
+            raise NotImplementedError(f"pipeline stage {op!r}")
+    return out

@@ -317,3 +317,155 @@ def ref_nosql2_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_id", F.col("chosen.symbol").alias("symbol"), F.col("chosen.beta").alias("beta"))
         .orderBy("_id")
     )
+
+
+@q(
+    "ref_nosql1_pipeline",
+    oracle="""
+        WITH docs AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT priority AS _id, AVG(cents) AS average
+        FROM docs
+        WHERE cents > 100000
+        GROUP BY priority
+        ORDER BY average DESC, _id
+        LIMIT 1
+    """,
+)
+def ref_nosql1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NoSQL Query 1 executed through the PIPELINE FRONT END
+    (bigdatacw1_spark/pipeline.compile_pipeline): the reference's stage
+    list (NoSQLQueries.js:8-12) as data — $match → $group $avg → $sort →
+    $limit — against orders nested into a document shape. The document
+    user's dialect runs unchanged; Catalyst still plans it (the sort +
+    limit fuses to TakeOrderedAndProject like the DataFrame port).
+    Amounts are integer cents so $avg divides an EXACT sum — the same
+    cross-engine determinism rule as exact_avg, applied at the data
+    layer since the verbatim pipeline has no rounding stage."""
+    from bigdatacw1_spark.pipeline import compile_pipeline
+
+    orders = _t(spark, sf_dir, "orders")
+    docs = orders.select(
+        F.struct(F.col("o_orderpriority").alias("priority")).alias("Static"),
+        F.struct(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        ).alias("Market"),
+    )
+    return compile_pipeline(
+        docs,
+        [
+            {"$match": {"Market.cents": {"$gt": 100000}}},
+            {"$group": {"_id": "$Static.priority", "average": {"$avg": "$Market.cents"}}},
+            {"$sort": {"average": -1, "_id": 1}},
+            {"$limit": 1},
+        ],
+    )
+
+
+@q(
+    "ref_nosql2_pipeline",
+    oracle="""
+        WITH sec AS (
+            SELECT p_brand AS sector, p_partkey AS symbol,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+                   CAST(p_size AS BIGINT) AS size_c,
+                   FLOOR((p_retailprice / (p_size + 1)) * 10000.0 + 0.5) / 10000.0 AS beta
+            FROM part
+        ), g AS (
+            SELECT sector AS _id,
+                   AVG(price_c) AS avg_price,
+                   AVG(size_c) AS avg_size,
+                   LIST({'symbol': symbol, 'price': price_c, 'size': size_c, 'beta': beta}) AS securities
+            FROM sec GROUP BY sector
+        ), ch AS (
+            SELECT _id,
+                   LIST_FILTER(securities,
+                       s -> s.price > avg_price AND s.size > avg_size) AS qual
+            FROM g
+        ), ranked AS (
+            SELECT _id, UNNEST(qual, recursive := true) FROM ch
+        ), best AS (
+            SELECT _id, symbol, beta,
+                   ROW_NUMBER() OVER (PARTITION BY _id ORDER BY symbol) AS rn
+            FROM ranked
+        )
+        SELECT _id, symbol, beta FROM best WHERE rn = 1
+        ORDER BY _id
+    """,
+)
+def ref_nosql2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NoSQL Query 2 through the pipeline front end: the reference's full
+    6-stage screening pipeline (NoSQLQueries.js:28-51) — $match, $group
+    with $avg + $push of document literals, $project with
+    $filter/$arrayElemAt and $$variable refs, $sort, $group $first
+    (compiled to a deterministic min_by over the sort key), final nested
+    $project — mapped onto part (brand≈sector, cents≈MarketCap,
+    size≈PERatio, beta derived). One faithful-to-Mongo caveat made
+    explicit: $push order is nondeterministic in BOTH engines, so the
+    verbatim $arrayElemAt-0-of-$filter picks an arbitrary qualifier;
+    the entry pins it with $sortArray (symbol-leading struct order),
+    and the oracle ranks qualifiers by symbol to match. Output
+    flattened for the oracle; empty screens drop at the end like the
+    hand port. Measures are integer cents so every $avg divides an
+    exact sum."""
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.pipeline import compile_pipeline
+
+    part = _t(spark, sf_dir, "part")
+    docs = part.select(
+        F.struct(F.col("p_brand").alias("sector")).alias("Static"),
+        F.struct(
+            F.col("p_partkey").alias("symbol"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+            F.col("p_size").cast("long").alias("size_c"),
+            stable_round(F.col("p_retailprice") / (F.col("p_size") + 1), 4).alias("beta"),
+        ).alias("Market"),
+    )
+    out = compile_pipeline(
+        docs,
+        [
+            {"$group": {
+                "_id": "$Static.sector",
+                "avg_price": {"$avg": "$Market.price_c"},
+                "avg_size": {"$avg": "$Market.size_c"},
+                "securities": {"$push": {
+                    "symbol": "$Market.symbol",
+                    "price": "$Market.price_c",
+                    "size": "$Market.size_c",
+                    "beta": "$Market.beta",
+                }},
+            }},
+            {"$project": {
+                "_id": 1,
+                "chosen": {"$arrayElemAt": [
+                    {"$filter": {
+                        # $push order is insertion-order in Mongo and
+                        # partition-order in Spark — BOTH nondeterministic;
+                        # $sortArray pins it (structs order by field order,
+                        # so symbol leads), making $arrayElemAt 0 stable.
+                        "input": {"$sortArray": {"input": "$securities", "sortBy": 1}},
+                        "as": "s",
+                        "cond": {"$and": [
+                            {"$gt": ["$$s.price", "$avg_price"]},
+                            {"$gt": ["$$s.size", "$avg_size"]},
+                        ]},
+                    }},
+                    0,
+                ]},
+            }},
+            {"$sort": {"_id": 1, "chosen.beta": 1, "chosen.symbol": 1}},
+            {"$group": {"_id": "$_id", "chosen": {"$first": "$chosen"}}},
+        ],
+    )
+    return (
+        out.where(F.col("chosen").isNotNull())
+        .select(
+            "_id",
+            F.col("chosen.symbol").alias("symbol"),
+            F.col("chosen.beta").alias("beta"),
+        )
+        .orderBy("_id")
+    )

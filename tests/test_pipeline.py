@@ -1,0 +1,161 @@
+"""Pipeline front-end tests: the reference's ACTUAL NoSQL aggregation
+pipelines (NoSQLQueries.js, transcribed stage-for-stage to Python dicts)
+must run through compile_pipeline and reproduce the hand-ported queries'
+results — the strongest possible parity statement for the document-side
+user: their pipeline text executes on this engine unchanged."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.pipeline import compile_pipeline
+from bigdatacw1_spark.queries.reference import (
+    nosql1_best_sector,
+    nosql2_security_screening,
+)
+
+
+def _sec(symbol, sector, price, mcap, beta, dy, pe):
+    return Row(
+        Symbol=symbol,
+        StaticData=Row(SecurityName=symbol, SECFilings="10-K", GICSSector=sector, GICSSubIndustry="x"),
+        MarketData=Row(Price=price, MarketCap=mcap, Beta=beta),
+        FinancialRatios=Row(DividendYield=dy, PERatio=pe, PayoutRatio=0.5),
+    )
+
+
+@pytest.fixture(scope="module")
+def securities(spark):
+    rows = [
+        _sec("S1", "Tech", 50.0, "200000", "1.1", "3.0", "30.0"),
+        _sec("S2", "Tech", 30.0, "100000", "1.5", "1.0", "10.0"),
+        _sec("S3", "Tech", 10.0, "50000", "0.9", "1.5", "12.0"),
+        _sec("E1", "Energy", 80.0, "300000", "1.2", "4.0", "20.0"),
+        _sec("E2", "Energy", 70.0, "250000", "1.2", "3.5", "18.0"),
+        _sec("E3", "Energy", 20.0, "100000", "0.8", "1.0", "5.0"),
+        _sec("U1", "Util", 40.0, "100000", "1.0", "2.0", "10.0"),
+        _sec("U2", "Util", 40.0, "100000", "1.0", "2.0", "10.0"),
+        _sec("N1", "Tech", 99.0, "NA", "1.0", "2.0", "10.0"),
+        _sec("N2", "Energy", 99.0, None, "1.0", "2.0", "10.0"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# NoSQLQueries.js:8-12, stage for stage
+NOSQL1_PIPELINE = [
+    {"$match": {"MarketData.MarketCap": {"$gt": 100000}}},
+    {"$group": {"_id": "$StaticData.GICSSector", "average": {"$avg": "$MarketData.Price"}}},
+    {"$sort": {"average": -1}},
+    {"$limit": 1},
+]
+
+# NoSQLQueries.js:28-51, stage for stage
+NOSQL2_PIPELINE = [
+    {"$match": {
+        "MarketData.MarketCap": {"$nin": ["NA", None]},
+        "MarketData.Beta": {"$nin": ["NA", None]},
+        "FinancialRatios.DividendYield": {"$nin": ["NA", None]},
+        "FinancialRatios.PERatio": {"$nin": ["NA", None]},
+    }},
+    {"$group": {
+        "_id": "$StaticData.GICSSector",
+        "avgPE": {"$avg": "$FinancialRatios.PERatio"},
+        "avgDY": {"$avg": "$FinancialRatios.DividendYield"},
+        "avgMCap": {"$avg": "$MarketData.MarketCap"},
+        "securities": {"$push": {
+            "symbol": "$Symbol",
+            "MarketCap": "$MarketData.MarketCap",
+            "PE": "$FinancialRatios.PERatio",
+            "DividendYield": "$FinancialRatios.DividendYield",
+            "Beta": "$MarketData.Beta",
+        }},
+    }},
+    {"$project": {
+        "_id": 1,
+        "chosensecurity": {"$arrayElemAt": [
+            {"$filter": {
+                "input": "$securities",
+                "as": "security",
+                "cond": {"$and": [
+                    {"$gt": ["$$security.MarketCap", "$avgMCap"]},
+                    {"$gt": ["$$security.PE", "$avgPE"]},
+                    {"$gt": ["$$security.DividendYield", "$avgDY"]},
+                ]},
+            }},
+            0,
+        ]},
+    }},
+    {"$sort": {"_id": 1, "chosensecurity.Beta": 1}},
+    {"$group": {"_id": "$_id", "chosensecurity": {"$first": "$chosensecurity"}}},
+    {"$project": {
+        "_id": 1,
+        "chosensecurity.symbol": 1,
+        "chosensecurity.Beta": {"$min": "$chosensecurity.Beta"},
+    }},
+]
+
+
+def test_nosql1_pipeline_verbatim_matches_port(spark, securities):
+    got = compile_pipeline(securities, NOSQL1_PIPELINE).collect()
+    want = nosql1_best_sector(securities).collect()
+    assert len(got) == 1
+    assert got[0]["_id"] == want[0]["_id"]
+    assert abs(got[0]["average"] - want[0]["average"]) < 1e-9
+
+
+def test_nosql2_pipeline_verbatim_matches_port(spark, securities):
+    out = compile_pipeline(securities, NOSQL2_PIPELINE)
+    got = {
+        r["_id"]: (r["chosensecurity"]["symbol"], float(r["chosensecurity"]["Beta"]))
+        for r in out.collect()
+        if r["chosensecurity"] is not None and r["chosensecurity"]["symbol"] is not None
+    }
+    want = {
+        r["_id"]: (r["symbol"], r["beta"]) for r in nosql2_security_screening(securities).collect()
+    }
+    # Mongo emits empty-screen groups with a missing chosensecurity; the
+    # hand port drops them — compare the non-empty screens.
+    assert got == want
+    assert got == {"Tech": ("S1", 1.1), "Energy": ("E1", 1.2)}
+
+
+def test_pipeline_match_nin_excludes_na_and_null(spark, securities):
+    out = compile_pipeline(
+        securities, [{"$match": {"MarketData.MarketCap": {"$nin": ["NA", None]}}}]
+    )
+    syms = {r["Symbol"] for r in out.collect()}
+    assert "N1" not in syms and "N2" not in syms
+    assert len(syms) == 8
+
+
+def test_pipeline_unwind_sort_skip_limit_count(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "k long, tags array<string>"
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"$unwind": "$tags"},
+            {"$sort": {"tags": -1}},
+            {"$skip": 1},
+            {"$limit": 2},
+        ],
+    ).collect()
+    assert [r["tags"] for r in out] == ["b", "a"]
+    n = compile_pipeline(df, [{"$unwind": "$tags"}, {"$count": "n"}]).collect()
+    assert n[0]["n"] == 3
+
+
+def test_pipeline_first_without_sort_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(NotImplementedError, match="requires a preceding"):
+        compile_pipeline(df, [{"$group": {"_id": "$k", "f": {"$first": "$v"}}}]).collect()
+
+
+def test_pipeline_unknown_stage_raises(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(NotImplementedError, match="lookup"):
+        compile_pipeline(df, [{"$lookup": {}}])
