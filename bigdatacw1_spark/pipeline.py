@@ -252,11 +252,41 @@ def _compile_project(df: DataFrame, spec: Mapping) -> DataFrame:
     return df.select(*cols)
 
 
-def compile_pipeline(df: DataFrame, stages: Sequence[Mapping]) -> DataFrame:
+def _compile_lookup(out: DataFrame, spec: Mapping, collections: Mapping[str, DataFrame]) -> DataFrame:
+    """$lookup — Mongo's left-outer join: attach, to every document, an
+    ARRAY of the matching foreign documents. Compiled as: pre-aggregate
+    the foreign side per join key (collect_list of its struct — map-side
+    combinable), then ONE equi join; unmatched rows get []. The foreign
+    side aggregates BEFORE the join, so a hot key costs one big array,
+    never a row explosion; the usual Mongo idiom $lookup+$unwind then
+    restores plain join rows and Catalyst sees an ordinary join plan."""
+    from_name = spec["from"]
+    if from_name not in collections:
+        raise NotImplementedError(
+            f"$lookup from unknown collection {from_name!r}; pass it via collections="
+        )
+    foreign = collections[from_name]
+    local, foreign_field, as_name = spec["localField"], spec["foreignField"], spec["as"]
+    fstruct = F.struct(*[F.col(c) for c in foreign.columns])
+    grouped = foreign.groupBy(F.col(foreign_field).alias("__lk")).agg(
+        F.collect_list(fstruct).alias(as_name)
+    )
+    joined = out.join(grouped, F.col(local) == F.col("__lk"), "left").drop("__lk")
+    empty = F.array().cast(joined.schema[as_name].dataType.simpleString())
+    return joined.withColumn(as_name, F.coalesce(F.col(as_name), empty))
+
+
+def compile_pipeline(
+    df: DataFrame,
+    stages: Sequence[Mapping],
+    collections: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
     """Compile a Mongo aggregation pipeline (list of stage dicts) against
-    ``df`` (one row per document). Returns the resulting DataFrame plan —
+    ``df`` (one row per document). ``collections`` names the frames
+    $lookup may join against. Returns the resulting DataFrame plan —
     nothing executes until an action, exactly like any other query here."""
     out = df
+    collections = collections or {}
     last_sort: list[tuple[str, int]] | None = None
     for stage in stages:
         if len(stage) != 1:
@@ -268,9 +298,17 @@ def compile_pipeline(df: DataFrame, stages: Sequence[Mapping]) -> DataFrame:
             out = _compile_group(out, spec, last_sort)
         elif op == "$project":
             out = _compile_project(out, spec)
-        elif op == "$addFields":
+        elif op in ("$addFields", "$set"):
             for name, e in spec.items():
                 out = out.withColumn(name, compile_expr(e))
+        elif op == "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            out = out.drop(*fields)
+        elif op == "$replaceRoot":
+            root = compile_expr(spec["newRoot"])
+            out = out.select(root.alias("__root")).select("__root.*")
+        elif op == "$lookup":
+            out = _compile_lookup(out, spec, collections)
         elif op == "$sort":
             last_sort = [(k, v) for k, v in spec.items()]
             out = out.orderBy(

@@ -157,5 +157,60 @@ def test_pipeline_first_without_sort_raises(spark):
 
 def test_pipeline_unknown_stage_raises(spark):
     df = spark.createDataFrame([(1,)], "k long")
-    with pytest.raises(NotImplementedError, match="lookup"):
-        compile_pipeline(df, [{"$lookup": {}}])
+    with pytest.raises(NotImplementedError, match="facet"):
+        compile_pipeline(df, [{"$facet": {}}])
+    with pytest.raises(NotImplementedError, match="unknown collection"):
+        compile_pipeline(
+            df,
+            [{"$lookup": {"from": "x", "localField": "k", "foreignField": "k", "as": "xs"}}],
+        )
+
+
+def test_pipeline_lookup_unwind_join_idiom(spark):
+    """$lookup + $unwind — Mongo's join idiom — must behave as a left
+    join: matches fan out, non-matches get [] (and drop on unwind)."""
+    orders = spark.createDataFrame(
+        [(1, "c1"), (2, "c2"), (3, "nobody")], "order_id long, cust string"
+    )
+    customers = spark.createDataFrame(
+        [("c1", "Ada"), ("c1", "Ada2"), ("c2", "Bob")], "cust_id string, name string"
+    )
+    staged = compile_pipeline(
+        orders,
+        [{"$lookup": {
+            "from": "customers", "localField": "cust",
+            "foreignField": "cust_id", "as": "cust_docs",
+        }}],
+        collections={"customers": customers},
+    )
+    by_id = {r["order_id"]: r["cust_docs"] for r in staged.collect()}
+    assert sorted(d["name"] for d in by_id[1]) == ["Ada", "Ada2"]
+    assert [d["name"] for d in by_id[2]] == ["Bob"]
+    assert by_id[3] == []  # left-outer: unmatched keeps an empty array
+
+    unwound = compile_pipeline(
+        orders,
+        [
+            {"$lookup": {
+                "from": "customers", "localField": "cust",
+                "foreignField": "cust_id", "as": "cust_docs",
+            }},
+            {"$unwind": "$cust_docs"},
+            {"$replaceRoot": {"newRoot": {
+                "order_id": "$order_id", "name": "$cust_docs.name",
+            }}},
+            {"$sort": {"order_id": 1, "name": 1}},
+        ],
+        collections={"customers": customers},
+    ).collect()
+    assert [(r["order_id"], r["name"]) for r in unwound] == [
+        (1, "Ada"), (1, "Ada2"), (2, "Bob")
+    ]
+
+
+def test_pipeline_set_unset(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = compile_pipeline(
+        df, [{"$set": {"c": {"$add": ["$a", "$b"]}}}, {"$unset": "b"}]
+    ).collect()
+    assert out[0].asDict() == {"a": 1, "c": 3}
