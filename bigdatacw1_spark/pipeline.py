@@ -124,6 +124,30 @@ def compile_expr(e: object, scope: Mapping[str, Column] | None = None) -> Column
     if op == "$sortArray":
         inp = compile_expr(arg["input"], scope)
         return F.sort_array(inp, asc=arg.get("sortBy", 1) >= 0)
+    if op == "$size":
+        return F.size(compile_expr(arg, scope))
+    if op == "$map":
+        inp = compile_expr(arg["input"], scope)
+        var = arg.get("as", "this")
+        body = arg["in"]
+        return F.transform(inp, lambda x: compile_expr(body, {**scope, var: x}))
+    if op == "$reduce":
+        inp = compile_expr(arg["input"], scope)
+        raw_init = arg["initialValue"]
+        init = compile_expr(raw_init, scope)
+        if isinstance(raw_init, (int, float)) and not isinstance(raw_init, bool):
+            # Mongo is dynamically typed; Spark's aggregate() demands the
+            # accumulator type up front. For numeric folds, coerce the
+            # literal init to the ARRAY's element type (element*0 carries
+            # the type; coalesce covers the empty-array case).
+            zero = F.try_element_at(inp, F.lit(1)) * F.lit(0)
+            init = F.coalesce(zero + init, init)
+        body = arg["in"]
+        return F.aggregate(
+            inp,
+            init,
+            lambda acc, x: compile_expr(body, {**scope, "value": acc, "this": x}),
+        )
     if op in ("$min", "$max"):
         if isinstance(arg, Sequence) and not isinstance(arg, str):
             cols = [compile_expr(x, scope) for x in arg]
@@ -276,6 +300,36 @@ def _compile_lookup(out: DataFrame, spec: Mapping, collections: Mapping[str, Dat
     return joined.withColumn(as_name, F.coalesce(F.col(as_name), empty))
 
 
+def _compile_bucket(out: DataFrame, spec: Mapping, sort_keys) -> DataFrame:
+    """$bucket — histogram stage: assign each document to the half-open
+    interval [b_i, b_{i+1}) of explicit ``boundaries``, then run the
+    ``output`` accumulators per bucket (default: count). Out-of-range
+    documents go to ``default`` if given, else ERROR (Mongo semantics).
+    Compiles to one searched CASE + the ordinary $group path — a single
+    hash aggregate, the same plan as the native histogram operator
+    (f10). Mongo's heterogeneous bucket ids (numeric boundaries + an
+    arbitrary default) don't fit one typed column: with a ``default``
+    the _id column is STRING (stringified boundaries), without one it
+    stays the boundaries' numeric type."""
+    group_by = compile_expr(spec["groupBy"])
+    bounds = spec["boundaries"]
+    as_str = "default" in spec
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (group_by >= F.lit(lo)) & (group_by < F.lit(hi))
+        tag = F.lit(str(lo) if as_str else lo)
+        bucket = F.when(cond, tag) if bucket is None else bucket.when(cond, tag)
+    if as_str:
+        bucket = bucket.otherwise(F.lit(str(spec["default"])))
+    else:
+        bucket = bucket.otherwise(
+            F.raise_error(F.lit("$bucket: document outside boundaries and no default"))
+        )
+    out = out.withColumn("__bucket", bucket)
+    group_spec = {"_id": "$__bucket", **spec.get("output", {"count": {"$sum": 1}})}
+    return _compile_group(out, group_spec, sort_keys)
+
+
 def compile_pipeline(
     df: DataFrame,
     stages: Sequence[Mapping],
@@ -309,6 +363,8 @@ def compile_pipeline(
             out = out.select(root.alias("__root")).select("__root.*")
         elif op == "$lookup":
             out = _compile_lookup(out, spec, collections)
+        elif op == "$bucket":
+            out = _compile_bucket(out, spec, last_sort)
         elif op == "$sort":
             last_sort = [(k, v) for k, v in spec.items()]
             out = out.orderBy(

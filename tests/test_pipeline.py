@@ -214,3 +214,46 @@ def test_pipeline_set_unset(spark):
         df, [{"$set": {"c": {"$add": ["$a", "$b"]}}}, {"$unset": "b"}]
     ).collect()
     assert out[0].asDict() == {"a": 1, "c": 3}
+
+
+def test_pipeline_bucket_histogram(spark):
+    df = spark.createDataFrame([(v,) for v in [1, 5, 12, 25, 60, 99, 150]], "v long")
+    out = compile_pipeline(
+        df,
+        [{"$bucket": {
+            "groupBy": "$v",
+            "boundaries": [0, 10, 50, 100],
+            "default": "other",
+            "output": {"n": {"$sum": 1}, "total": {"$sum": "$v"}},
+        }}, {"$sort": {"_id": 1}}],
+    ).collect()
+    got = {str(r["_id"]): (r["n"], r["total"]) for r in out}
+    assert got == {"0": (2, 6), "10": (2, 37), "50": (2, 159), "other": (1, 150)}
+
+
+def test_pipeline_bucket_without_default_errors_on_outlier(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(5,), (500,)], "v long")
+    with pytest.raises(SparkRuntimeException, match="outside boundaries"):
+        compile_pipeline(
+            df, [{"$bucket": {"groupBy": "$v", "boundaries": [0, 10]}}]
+        ).collect()
+
+
+def test_pipeline_map_reduce_size_exprs(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3])], "k long, xs array<long>")
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "k": 1,
+            "n": {"$size": "$xs"},
+            "doubled": {"$map": {"input": "$xs", "as": "x", "in": {"$multiply": ["$$x", 2]}}},
+            "total": {"$reduce": {"input": "$xs", "initialValue": 0,
+                                   "in": {"$add": ["$$value", "$$this"]}}},
+        }}],
+    ).collect()[0]
+    assert out["n"] == 3
+    assert out["doubled"] == [2, 4, 6]
+    assert out["total"] == 6
