@@ -16,72 +16,77 @@ from bigdatacw1_spark.queries import finance_suite  # noqa: F401  (FX + trader l
 # Driver correctness-window rotation.
 #
 # The round driver oracle-checks the FIRST 50 registry entries, in order.
-# Round 1-2 windows covered the ref_* ports plus the p/j/a/w/set/f operator
-# micro-queries (all green in CORRECTNESS_r02.json); this round the window
-# rotates onto the entries that have never had a driver verdict: the TPC-H
-# suite, the event-time (ev_*) oracle entries, the warehouse-lifecycle
-# (wh_*) entries, and the two new finance entries — keeping the 5 reference
-# ports pinned first as the permanent parity anchor. Everything else keeps
-# its registration order after the priority block (locally oracle-checked
-# every run by tests/test_parity.py, which iterates the FULL registry).
+# Rounds 1-2 covered the ref_* ports + the p/j/a/w/set/f operator micros;
+# round 3 covered TPC-H + the ev_* event-time suite + wh_* lifecycle + the
+# finance entries (50/50 green each round, CORRECTNESS_r01-r03). Round 4
+# rotates onto the ext_* LLM-pipeline namespace — dedup, similarity, text
+# quality, sampling, multimodal, graph, pandas-UDF entries — plus the
+# pipeline-front-end reference ports and the remaining lifecycle entries,
+# none of which has ever had a driver verdict. The 5 reference ports stay
+# pinned first as the permanent parity anchor. Everything else keeps its
+# registration order after the priority block (locally oracle-checked every
+# run by tests/test_parity.py, which iterates the FULL registry).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # reference parity anchor (driver-green r1+r2; keep pinned)
+    # reference parity anchor (driver-green r1+r2+r3; keep pinned)
     "ref_nosql1_top_group",
     "ref_sql1_conditional_pivot",
     "ref_sql2_portfolio",
     "ref_nosql2_screening",
     "ref_nosql2_hof",
-    # new this round: described-but-unqueried reference data model
-    "f21_fx_convert",
-    "f22_trader_limit_breach",
-    # TPC-H suite (never driver-checked)
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # event-time suite, oracle-bearing entries (never driver-checked)
-    "ev_tumbling_10min",
-    "ev_sliding_10_5",
-    "ev_session_30min",
-    "ev_stateful_user_totals",
-    "ev_interval_join",
-    "ev_dedup_ingest",
-    "ev_sessionize_lag",
-    "ev_enrich_static",
-    "ev_resample_ffill",
-    "ev_time_rollup",
-    "ev_interval_join_outer",
-    "ev_tws_topk",
-    "ev_twap",
-    "ev_resample_interp",
-    "ev_anomaly_zscore",
-    # warehouse lifecycle (never driver-checked); wh_snapshot_diff is entry
-    # 51 — first in line for the round-4 rotation with the ext_* block
-    "wh_scd2_history",
-    "wh_merge_upsert",
-    "wh_missing_minutes",
-    "wh_rolling_reach_7d",
-    "wh_funnel_conversion",
-    "wh_cohort_retention",
+    # reference pipelines through the Mongo-dialect front end (first time)
+    "ref_nosql1_pipeline",
+    "ref_nosql2_pipeline",
+    # dedup family (first time)
+    "ext_dedup_exact",
+    "ext_dedup_normalized",
+    "ext_dedup_keep_latest",
+    "ext_dedup_clusters",
+    "ext_span_dedup",
+    "ext_jaccard_pairs",
+    "ext_neardup_lsh_verified",
+    # similarity / embeddings (first time)
+    "ext_cosine_topk",
+    "ext_embed_neardup",
+    "ext_embed_centroids",
+    # text-analysis suite (first time)
+    "ext_text_stats",
+    "ext_lang_id",
+    "ext_quality_score",
+    "ext_quality_filter",
+    "ext_fingerprint",
+    "ext_tfidf_top_terms",
+    "ext_chunk_documents",
+    "ext_repetition_signals",
+    "ext_crossdoc_ngram_overlap",
+    "ext_pii_redact",
+    "ext_decontaminate",
+    "ext_oov_rate",
+    "ext_token_rank_score",
+    "ext_pack_sequences",
+    "ext_balance_labels",
+    # deterministic samplers (first time)
+    "ext_hash_sample",
+    "ext_stratified_sample",
+    "ext_train_test_split",
+    "ext_hash_sample_n",
+    "ext_weighted_sample",
+    "ext_mixture_sample",
+    # multimodal (first time)
+    "ext_mm_sniff",
+    "ext_mm_binary_meta",
+    # graph (first time)
+    "ext_pagerank",
+    "ext_bfs_reach",
+    "ext_triangle_count",
+    # pandas-UDF surface (first time)
+    "ext_udf_scalar_pandas",
+    "ext_udaf_grouped_pandas",
+    "ext_udtf_bigrams",
+    # streaming + lifecycle stragglers (first time)
+    "ev_asof_enrich",
+    "wh_incremental_refresh",
+    "wh_scd2_lookup",
     "wh_snapshot_diff",
 ]
 
