@@ -10,12 +10,13 @@ Each query is fully materialized (collect) — the timing includes scan,
 shuffle, and result retrieval. A warm-up action runs first so JVM/codegen
 startup is not charged to the first query.
 
-Each query runs $SPARK_GRAFT_BENCH_N times (default 5) and reports the
-per-query MINIMUM: queries are deterministic and side-effect-free, so the
-min is the least-noise estimate of the plan's true cost (JVM JIT warmup,
-GC pauses and page-cache misses only ever ADD time). Round-over-round
-deltas under ~10% on n=2 runs proved to be JVM noise in round 2; n=5 min
-makes regressions attributable.
+Each query runs $SPARK_GRAFT_BENCH_N times (default 5). The headline
+"queries" map carries the per-query MINIMUM (queries are deterministic and
+side-effect-free, so the min is the least-noise estimate of the plan's true
+cost — JIT warmup, GC pauses and page-cache misses only ever ADD time), and
+"queries_detail" carries {min, mean, runs: [...]} per query so any round can
+be compared to any other on either basis (the r2→r3 single-run → min-of-5
+switch destroyed the trend line; this keeps both statistics forever).
 """
 
 from __future__ import annotations
@@ -56,19 +57,27 @@ def main() -> int:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in sorted(headline):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             headline[name].fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        detail[name] = {
+            "min": min(runs),
+            "mean": round(sum(runs) / len(runs), 3),
+            "runs": runs,
+        }
 
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
+        "method": f"min-of-{n_runs}; first run per query is cold (see runs[0])",
         "sf": sf,
     }
     print(json.dumps(out))
