@@ -50,7 +50,9 @@ _CMP = {
     "$lt": lambda a, b: a < b,
     "$lte": lambda a, b: a <= b,
     "$eq": lambda a, b: a.eqNullSafe(b) if isinstance(b, Column) else a == b,
-    "$ne": lambda a, b: a != b,
+    # Mongo's $ne keeps null/missing (null is just another value to compare);
+    # Spark's a != b is NULL on null and would silently drop those rows.
+    "$ne": lambda a, b: ~a.eqNullSafe(b if isinstance(b, Column) else F.lit(b)),
 }
 
 _ARITH = {
@@ -169,8 +171,9 @@ def _match_predicate(query: Mapping) -> Column:
             continue
         col = F.col(field)
         if not isinstance(spec, Mapping):
-            conjuncts.append(col == F.lit(spec))
-            continue
+            # bare equality routes through $eq so it shares the null-safety
+            # and type-bracketing logic ({f: null} matches null/missing)
+            spec = {"$eq": spec}
         for op, val in spec.items():
             if op in _CMP:
                 lhs = col
@@ -179,6 +182,10 @@ def _match_predicate(query: Mapping) -> Column:
                     # matches strings/null. try_cast reproduces that (NULL
                     # never compares true) where ANSI cast would throw on
                     # the reference's "NA" sentinels (NoSQLQueries.js:30).
+                    # $ne composes correctly because _CMP compiles it
+                    # null-SAFELY: a doc holding "NA" try_casts to NULL,
+                    # eqNullSafe(NULL, 5) is false, so ~ keeps the doc —
+                    # exactly Mongo, which keeps differently-typed values.
                     lhs = col.try_cast("double")
                 conjuncts.append(_CMP[op](lhs, F.lit(val)))
             elif op == "$in":
@@ -206,13 +213,61 @@ def _match_predicate(query: Mapping) -> Column:
 _PLAIN_ACCUM = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet"}
 
 
+def _sort_key_is_numeric(df: DataFrame, path: str) -> bool:
+    from pyspark.sql.types import NumericType
+
+    try:
+        dtype = df.select(F.col(path).alias("__k")).schema[0].dataType
+    except Exception:  # unresolvable path: let the real plan raise later
+        return False
+    return isinstance(dtype, NumericType)
+
+
 def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]] | None) -> DataFrame:
+    """$group. The group key is computed into a reserved __gid column and
+    accumulators are compiled against the UNMODIFIED frame, then __gid is
+    renamed to _id after the agg — so ``{$group: {_id: '$x', ids: {$push:
+    '$_id'}}}`` pushes the document's original _id, not the new key.
+
+    $first/$last compile to min_by/max_by over the preceding $sort's keys
+    (one hash aggregate, no sort). A DESCENDING key is handled by negation
+    only when it is numeric; for any other dtype (string/date/...) the
+    compiler falls back to a row_number() window in sort order and takes
+    min_by/max_by over the row number — direction-correct for every dtype
+    instead of silently ordering by NULL."""
     gid = spec["_id"]
     out = df
     if gid is None:
-        out = out.withColumn("_id", F.lit(None).cast("string"))
+        out = out.withColumn("__gid", F.lit(None).cast("string"))
     else:
-        out = out.withColumn("_id", compile_expr(gid))
+        out = out.withColumn("__gid", compile_expr(gid))
+
+    first_last = [
+        (name, next(iter(accum.items())))
+        for name, accum in spec.items()
+        if name != "_id" and next(iter(accum)) in ("$first", "$last")
+    ]
+    use_window = False
+    if first_last:
+        if not sort_keys:
+            raise NotImplementedError(
+                "$first/$last requires a preceding $sort (pipeline order is undefined otherwise)"
+            )
+        any_first = any(op == "$first" for _, (op, _a) in first_last)
+        any_last = any(op == "$last" for _, (op, _a) in first_last)
+        for path, direction in sort_keys:
+            needs_reversal = (direction < 0 and any_first) or (direction > 0 and any_last)
+            if needs_reversal and not _sort_key_is_numeric(out, path):
+                use_window = True
+                break
+    if use_window:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__gid").orderBy(
+            *[F.col(p).desc() if d < 0 else F.col(p).asc() for p, d in sort_keys]
+        )
+        out = out.withColumn("__rn", F.row_number().over(w))
+
     aggs = []
     for name, accum in spec.items():
         if name == "_id":
@@ -233,31 +288,53 @@ def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]
         elif op == "$addToSet":
             aggs.append(F.collect_set(compile_expr(arg)).alias(name))
         elif op in ("$first", "$last"):
-            if not sort_keys:
-                raise NotImplementedError(
-                    f"{op} requires a preceding $sort (pipeline order is undefined otherwise)"
-                )
+            if use_window:
+                picker = F.min_by if op == "$first" else F.max_by
+                aggs.append(picker(compile_expr(arg), F.col("__rn")).alias(name))
+                continue
             ords = []
             for path, direction in sort_keys:
                 c = F.col(path)
                 want_desc = (direction < 0) if op == "$first" else (direction > 0)
                 if want_desc:
-                    # min_by has no per-key direction; negate numerics
-                    c = -c.cast("double")
+                    # min_by has no per-key direction; negate (numeric-only —
+                    # the window fallback above covers every other dtype)
+                    c = -c
                 ords.append(c)
             aggs.append(F.min_by(compile_expr(arg), F.struct(*ords)).alias(name))
         else:
             raise NotImplementedError(f"accumulator {op!r}")
-    return out.groupBy("_id").agg(*aggs)
+    return out.groupBy("__gid").agg(*aggs).withColumnRenamed("__gid", "_id")
 
 
 def _compile_project(df: DataFrame, spec: Mapping) -> DataFrame:
+    non_id = {k: v for k, v in spec.items() if k != "_id"}
+    if non_id and all(v == 0 for v in non_id.values()):
+        # EXCLUSION projection ({secret: 0, ...}): keep everything except
+        # the listed fields — Mongo's other projection mode. Nested paths
+        # drop struct fields in place (Column.dropFields).
+        out = df
+        for name in non_id:
+            if "." in name:
+                top, rest = name.split(".", 1)
+                out = out.withColumn(top, F.col(top).dropFields(rest))
+            else:
+                out = out.drop(name)
+        if spec.get("_id", 1) == 0:
+            out = out.drop("_id")
+        return out
+    bad = [k for k, v in non_id.items() if v == 0]
+    if bad:
+        # Mongo rejects mixing inclusion and exclusion (except _id: 0)
+        raise ValueError(f"$project cannot mix inclusion with exclusion of {bad}")
+    if not non_id and spec.get("_id", 1) == 0:
+        return df.drop("_id")
     cols: list[Column] = []
     nested: dict[str, dict[str, Column]] = {}
     explicit_id = "_id" in spec
     for name, v in spec.items():
         if v == 0:
-            continue  # exclusion of _id (general exclusion unsupported below)
+            continue  # exclusion of _id within an inclusion projection
         if "." in name:
             top, leaf = name.split(".", 1)
             if "." in leaf:
@@ -376,7 +453,17 @@ def compile_pipeline(
             out = out.offset(int(spec))
         elif op == "$unwind":
             path = spec[1:] if isinstance(spec, str) else spec["path"][1:]
-            out = out.withColumn(path, F.explode(F.col(path)))
+            preserve = isinstance(spec, Mapping) and spec.get("preserveNullAndEmptyArrays", False)
+            exploder = F.explode_outer if preserve else F.explode
+            if "." in path:
+                # withColumn("a.b", ...) would create a LITERAL top-level
+                # column named "a.b"; rebuild the parent struct instead so
+                # later "$a.b" refs resolve to the exploded element.
+                top, rest = path.split(".", 1)
+                out = out.withColumn("__uw", exploder(F.col(path)))
+                out = out.withColumn(top, F.col(top).withField(rest, F.col("__uw"))).drop("__uw")
+            else:
+                out = out.withColumn(path, exploder(F.col(path)))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(spec if isinstance(spec, str) else "count"))
         else:

@@ -257,3 +257,92 @@ def test_pipeline_map_reduce_size_exprs(spark):
     assert out["n"] == 3
     assert out["doubled"] == [2, 4, 6]
     assert out["total"] == 6
+
+
+def test_pipeline_first_desc_on_string_key_matches_mongo(spark):
+    # VERDICT r3 #3 / ADVICE: $sort {name: -1} + $group $first on a STRING
+    # key must pick the lexicographically-last name, not an arbitrary row
+    # (the old -cast("double") negation ordered string keys by NULL).
+    df = spark.createDataFrame(
+        [(1, "alpha", 10), (1, "zeta", 20), (1, "mid", 30), (2, "bb", 1), (2, "aa", 2)],
+        "k long, name string, v long",
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"$sort": {"name": -1}},
+            {"$group": {"_id": "$k", "top_name": {"$first": "$name"},
+                        "top_v": {"$first": "$v"}, "bot_v": {"$last": "$v"}}},
+        ],
+    )
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows[1]["top_name"] == "zeta" and rows[1]["top_v"] == 20
+    assert rows[1]["bot_v"] == 10  # $last under desc sort = asc-first
+    assert rows[2]["top_name"] == "bb" and rows[2]["bot_v"] == 2
+
+
+def test_pipeline_first_desc_numeric_still_single_agg(spark):
+    # numeric desc keys keep the min_by fast path (no window in the plan)
+    df = spark.createDataFrame([(1, 5, "a"), (1, 9, "b"), (2, 3, "c")], "k long, s long, v string")
+    out = compile_pipeline(
+        df,
+        [{"$sort": {"s": -1}}, {"$group": {"_id": "$k", "f": {"$first": "$v"}}}],
+    )
+    assert "Window" not in out._jdf.queryExecution().optimizedPlan().toString()
+    rows = {r["_id"]: r["f"] for r in out.collect()}
+    assert rows == {1: "b", 2: "c"}
+
+
+def test_pipeline_ne_keeps_null_and_differently_typed(spark):
+    # Mongo {f: {$ne: v}} keeps docs where f is null/missing or another type
+    df = spark.createDataFrame(
+        [("d1", "5"), ("d2", "7"), ("d3", "NA"), ("d4", None)], "doc string, f string"
+    )
+    kept = compile_pipeline(df, [{"$match": {"f": {"$ne": 5}}}]).select("doc").collect()
+    assert sorted(r["doc"] for r in kept) == ["d2", "d3", "d4"]
+    kept2 = compile_pipeline(df, [{"$match": {"f": {"$ne": "NA"}}}]).select("doc").collect()
+    assert sorted(r["doc"] for r in kept2) == ["d1", "d2", "d4"]
+    # bare {f: null} matches null/missing (routes through null-safe $eq)
+    kept3 = compile_pipeline(df, [{"$match": {"f": None}}]).select("doc").collect()
+    assert [r["doc"] for r in kept3] == ["d4"]
+
+
+def test_pipeline_group_push_original_id(spark):
+    # ADVICE: {$group: {_id: '$x', ids: {$push: '$_id'}}} must push the
+    # document's ORIGINAL _id, not the new group key.
+    df = spark.createDataFrame([("a", "x"), ("b", "x"), ("c", "y")], "_id string, x string")
+    out = compile_pipeline(df, [{"$group": {"_id": "$x", "ids": {"$push": "$_id"}}}])
+    rows = {r["_id"]: sorted(r["ids"]) for r in out.collect()}
+    assert rows == {"x": ["a", "b"], "y": ["c"]}
+
+
+def test_pipeline_project_exclusion(spark):
+    df = spark.createDataFrame(
+        [("a", 1, Row(u=10, secret=99))], "_id string, keep long, s struct<u:long,secret:long>"
+    )
+    out = compile_pipeline(df, [{"$project": {"s.secret": 0}}])
+    assert out.columns == ["_id", "keep", "s"]
+    assert out.select("s.*").columns == ["u"]
+    out2 = compile_pipeline(df, [{"$project": {"keep": 0, "_id": 0}}])
+    assert out2.columns == ["s"]
+    with pytest.raises(ValueError, match="cannot mix"):
+        compile_pipeline(df, [{"$project": {"keep": 1, "s": 0}}])
+
+
+def test_pipeline_unwind_dotted_path_rebuilds_struct(spark):
+    df = spark.createDataFrame(
+        [Row(_id="d", a=Row(b=[1, 2], c="k")), Row(_id="e", a=Row(b=[], c="m"))]
+    )
+    out = compile_pipeline(
+        df, [{"$unwind": "$a.b"}, {"$project": {"v": "$a.b", "c": "$a.c"}}]
+    )
+    rows = [(r["_id"], r["v"], r["c"]) for r in out.collect()]
+    assert sorted(rows) == [("d", 1, "k"), ("d", 2, "k")]
+    # preserveNullAndEmptyArrays keeps the empty-array doc with null element
+    out2 = compile_pipeline(
+        df,
+        [{"$unwind": {"path": "$a.b", "preserveNullAndEmptyArrays": True}},
+         {"$project": {"v": "$a.b"}}],
+    )
+    got = sorted([(r["_id"], r["v"]) for r in out2.collect()], key=str)
+    assert got == sorted([("d", 1), ("d", 2), ("e", None)], key=str)
