@@ -12,8 +12,11 @@ verbatim and pins their results against the hand-ported queries.
 Supported surface (the dialect the reference exercises, plus the obvious
 neighbors):
 
-  stages     $match, $group, $project, $addFields, $sort, $limit, $skip,
-             $unwind, $count
+  stages     $match, $group, $project (inclusion, exclusion, computed),
+             $addFields/$set, $unset, $replaceRoot, $sort, $limit, $skip,
+             $unwind (incl. dotted paths + preserveNullAndEmptyArrays),
+             $count, $lookup, $bucket, $setWindowFields, $unionWith,
+             $facet, $sortByCount
   match ops  equality, $gt $gte $lt $lte $ne $eq, $in $nin (null-aware,
              the "NA"/null screen of NoSQLQueries.js:30-33), $and $or
   accums     $sum (1 or expr), $avg, $min, $max, $push, $addToSet,
@@ -304,6 +307,9 @@ def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]
             aggs.append(F.min_by(compile_expr(arg), F.struct(*ords)).alias(name))
         else:
             raise NotImplementedError(f"accumulator {op!r}")
+    if not aggs:
+        # {$group: {_id: ...}} with no accumulators is Mongo's DISTINCT
+        return out.select(F.col("__gid").alias("_id")).distinct()
     return out.groupBy("__gid").agg(*aggs).withColumnRenamed("__gid", "_id")
 
 
@@ -407,6 +413,91 @@ def _compile_bucket(out: DataFrame, spec: Mapping, sort_keys) -> DataFrame:
     return _compile_group(out, group_spec, sort_keys)
 
 
+def _window_bound(b: object, upper: bool = False) -> int:
+    from pyspark.sql import Window
+
+    if b == "unbounded":
+        return Window.unboundedFollowing if upper else Window.unboundedPreceding
+    if b == "current":
+        return Window.currentRow
+    return int(b)  # type: ignore[arg-type]
+
+
+def _compile_set_window_fields(out: DataFrame, spec: Mapping) -> DataFrame:
+    """$setWindowFields — Mongo's window-function stage, compiled straight
+    onto Spark's Window API (one exchange on partitionBy + an in-partition
+    sort, exactly the native window plan). Supported output operators:
+    $rank, $denseRank, $documentNumber, $shift (lead/lag), and
+    $sum/$avg/$min/$max/$count with an optional ``window.documents``
+    frame ([lo, hi] of "unbounded"/"current"/int). Mongo's default frame
+    when ``window`` is omitted is the WHOLE partition — note this differs
+    from SQL's default-to-current-row when an ORDER BY is present."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        *([compile_expr(spec["partitionBy"])] if "partitionBy" in spec else [])
+    )
+    sort_by = spec.get("sortBy")
+    if sort_by:
+        w_sorted = w.orderBy(
+            *[F.col(k).desc() if d < 0 else F.col(k).asc() for k, d in sort_by.items()]
+        )
+    for name, odef in spec["output"].items():
+        op = next(k for k in odef if k.startswith("$"))
+        arg = odef[op]
+        if op in ("$rank", "$denseRank", "$documentNumber"):
+            if not sort_by:
+                raise NotImplementedError(f"{op} requires sortBy")
+            fn = {"$rank": F.rank, "$denseRank": F.dense_rank, "$documentNumber": F.row_number}[op]
+            out = out.withColumn(name, fn().over(w_sorted))
+        elif op == "$shift":
+            if not sort_by:
+                raise NotImplementedError("$shift requires sortBy")
+            by = int(arg.get("by", 1))
+            default = F.lit(arg.get("default", None))
+            val = compile_expr(arg["output"])
+            shifted = F.lead(val, by, None) if by >= 0 else F.lag(val, -by, None)
+            out = out.withColumn(name, F.coalesce(shifted.over(w_sorted), default))
+        elif op in ("$sum", "$avg", "$min", "$max", "$count"):
+            agg = {
+                "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+                "$count": lambda c: F.count(F.lit(1)),
+            }[op](compile_expr(arg) if op != "$count" else F.lit(1))
+            frame = odef.get("window", {})
+            if "range" in frame:
+                raise NotImplementedError("$setWindowFields range windows")
+            if "documents" in frame:
+                if not sort_by:
+                    raise NotImplementedError("documents window requires sortBy")
+                lo, hi = frame["documents"]
+                out = out.withColumn(
+                    name,
+                    agg.over(w_sorted.rowsBetween(_window_bound(lo), _window_bound(hi, upper=True))),
+                )
+            else:
+                # Mongo: no window → the ENTIRE partition, sorted or not
+                out = out.withColumn(name, agg.over(w))
+        else:
+            raise NotImplementedError(f"$setWindowFields operator {op!r}")
+    return out
+
+
+def _compile_facet(out: DataFrame, spec: Mapping, collections: Mapping[str, DataFrame]) -> DataFrame:
+    """$facet — run each sub-pipeline on the same input; the result is ONE
+    document whose fields hold each facet's full output as an array of
+    structs. Each facet collapses to a single row (collect_list), then the
+    1-row frames cross-join — trivially cheap joins, but each array is a
+    whole facet result materialized on one row, exactly Mongo's semantics
+    (and its 16 MB document limit is the same warning sign: use $facet for
+    summaries, not bulk data)."""
+    facets: list[DataFrame] = []
+    for name, sub in spec.items():
+        sub_df = compile_pipeline(out, sub, collections)
+        fstruct = F.struct(*[F.col(c) for c in sub_df.columns])
+        facets.append(sub_df.agg(F.collect_list(fstruct).alias(name)))
+    return reduce(lambda a, b: a.crossJoin(b), facets)
+
+
 def compile_pipeline(
     df: DataFrame,
     stages: Sequence[Mapping],
@@ -442,6 +533,23 @@ def compile_pipeline(
             out = _compile_lookup(out, spec, collections)
         elif op == "$bucket":
             out = _compile_bucket(out, spec, last_sort)
+        elif op == "$setWindowFields":
+            out = _compile_set_window_fields(out, spec)
+        elif op == "$unionWith":
+            cname = spec if isinstance(spec, str) else spec["coll"]
+            if cname not in collections:
+                raise NotImplementedError(
+                    f"$unionWith unknown collection {cname!r}; pass it via collections="
+                )
+            other = collections[cname]
+            if isinstance(spec, Mapping) and spec.get("pipeline"):
+                other = compile_pipeline(other, spec["pipeline"], collections)
+            out = out.unionByName(other, allowMissingColumns=True)
+        elif op == "$facet":
+            out = _compile_facet(out, spec, collections)
+        elif op == "$sortByCount":
+            out = _compile_group(out, {"_id": spec, "count": {"$sum": 1}}, last_sort)
+            out = out.orderBy(F.desc("count"), F.asc("_id"))
         elif op == "$sort":
             last_sort = [(k, v) for k, v in spec.items()]
             out = out.orderBy(

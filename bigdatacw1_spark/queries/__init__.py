@@ -11,6 +11,7 @@ from bigdatacw1_spark.queries import tpch  # noqa: F401  (TPC-H-shaped headliner
 from bigdatacw1_spark.queries import sampling_suite  # noqa: F401  (deterministic sampling)
 from bigdatacw1_spark.queries import warehouse  # noqa: F401  (lifecycle + behavioral)
 from bigdatacw1_spark.queries import finance_suite  # noqa: F401  (FX + trader limits)
+from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialect stages)
 
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.

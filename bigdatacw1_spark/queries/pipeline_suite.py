@@ -1,0 +1,156 @@
+"""Pipeline-front-end dialect entries: the Mongo stages BEYOND what the
+reference's own pipelines exercise ($setWindowFields, $unionWith, $facet,
+$sortByCount), each run through compile_pipeline against the driver tables
+with a DuckDB oracle — so the driver verdict covers the dialect surface,
+not just the two reference pipelines.
+
+Everything compiles to Catalyst (the front end emits ordinary DataFrame
+ops): $setWindowFields is one exchange + in-partition sort, $unionWith is
+a plan-level union, $facet's collect_list single rows cross-join for free,
+$sortByCount is a hash aggregate + TakeOrdered-able sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatacw1_spark.pipeline import compile_pipeline
+from bigdatacw1_spark.queries.registry import q
+from bigdatacw1_spark.queries.registry import t as _t
+
+
+@q(
+    "pl_setwindowfields",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+                   FLOOR(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS cum_spend,
+                   FLOOR(SUM(o_totalprice) OVER (PARTITION BY o_custkey) * 100.0 + 0.5) / 100.0 AS total_spend
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, rnk, cum_spend, total_spend
+        FROM base WHERE rnk <= 3
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def pl_setwindowfields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields through the pipeline front end: per-customer order
+    rank, running spend (documents ["unbounded","current"]) and whole-
+    partition total — Mongo's window stage compiled onto Spark's Window
+    API (ONE exchange on o_custkey serves all three outputs)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = compile_pipeline(
+        orders,
+        [
+            {"$setWindowFields": {
+                "partitionBy": "$o_custkey",
+                "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+                "output": {
+                    "rnk": {"$rank": {}},
+                    "cum_spend": {"$sum": "$o_totalprice",
+                                  "window": {"documents": ["unbounded", "current"]}},
+                    "total_spend": {"$sum": "$o_totalprice"},
+                },
+            }},
+            {"$match": {"rnk": {"$lte": 3}}},
+            {"$sort": {"o_custkey": 1, "o_orderkey": 1}},
+        ],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "rnk",
+        F.round("cum_spend", 2).alias("cum_spend"),
+        F.round("total_spend", 2).alias("total_spend"),
+    )
+
+
+@q(
+    "pl_unionwith",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderpriority AS bucket, o_totalprice AS amount FROM orders
+            UNION ALL
+            SELECT event_type AS bucket, value AS amount FROM events WHERE value > 50
+        )
+        SELECT bucket, COUNT(*) AS n,
+               FLOOR(SUM(amount) * 100.0 + 0.5) / 100.0 AS total
+        FROM unioned GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pl_unionwith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$unionWith with an inner pipeline: orders unioned with filtered
+    events (schema aligned by a $project on each side), then $group —
+    a plan-level UNION ALL feeding one hash aggregate; the $match on the
+    foreign collection is pushed into its scan by Catalyst."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    odocs = orders.select(
+        F.col("o_orderpriority").alias("bucket"), F.col("o_totalprice").alias("amount")
+    )
+    out = compile_pipeline(
+        odocs,
+        [
+            {"$unionWith": {"coll": "ev", "pipeline": [
+                {"$match": {"value": {"$gt": 50}}},
+                {"$project": {"bucket": "$event_type", "amount": "$value"}},
+            ]}},
+            {"$group": {"_id": "$bucket", "n": {"$sum": 1}, "total": {"$sum": "$amount"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collections={"ev": events},
+    )
+    return out.select(
+        F.col("_id").alias("bucket"), "n", F.round("total", 2).alias("total")
+    )
+
+
+@q(
+    "pl_facet",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders WHERE o_totalprice > 150000) AS n_big,
+            (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_cust,
+            (SELECT o_orderpriority FROM orders
+             GROUP BY o_orderpriority ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1) AS top_priority
+    """,
+)
+def pl_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$facet: three summary sub-pipelines over the same scan, collapsed
+    to one document. The entry surfaces each facet as a scalar so the
+    oracle is plain SQL; the facet arrays themselves are Mongo's shape."""
+    orders = _t(spark, sf_dir, "orders")
+    out = compile_pipeline(
+        orders,
+        [{"$facet": {
+            "big": [{"$match": {"o_totalprice": {"$gt": 150000}}}, {"$count": "n"}],
+            "cust": [{"$group": {"_id": "$o_custkey"}}, {"$count": "n"}],
+            "prio": [{"$sortByCount": "$o_orderpriority"}, {"$limit": 1}],
+        }}],
+    )
+    return out.select(
+        F.coalesce(F.element_at("big", 1)["n"], F.lit(0)).alias("n_big"),
+        F.coalesce(F.element_at("cust", 1)["n"], F.lit(0)).alias("n_cust"),
+        F.element_at("prio", 1)["_id"].alias("top_priority"),
+    )
+
+
+@q(
+    "pl_sortbycount",
+    oracle="""
+        SELECT lang AS _id, COUNT(*) AS count
+        FROM documents
+        GROUP BY lang
+        ORDER BY count DESC, _id
+    """,
+)
+def pl_sortbycount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$sortByCount — Mongo's group-count-sort idiom in one stage: a hash
+    aggregate on the expression plus an ordered output (count desc with an
+    _id tie-break pinned in the compiler for determinism)."""
+    docs = _t(spark, sf_dir, "documents")
+    return compile_pipeline(docs, [{"$sortByCount": "$lang"}])

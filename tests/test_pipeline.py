@@ -157,8 +157,8 @@ def test_pipeline_first_without_sort_raises(spark):
 
 def test_pipeline_unknown_stage_raises(spark):
     df = spark.createDataFrame([(1,)], "k long")
-    with pytest.raises(NotImplementedError, match="facet"):
-        compile_pipeline(df, [{"$facet": {}}])
+    with pytest.raises(NotImplementedError, match="merge"):
+        compile_pipeline(df, [{"$merge": {"into": "t"}}])
     with pytest.raises(NotImplementedError, match="unknown collection"):
         compile_pipeline(
             df,
@@ -346,3 +346,67 @@ def test_pipeline_unwind_dotted_path_rebuilds_struct(spark):
     )
     got = sorted([(r["_id"], r["v"]) for r in out2.collect()], key=str)
     assert got == sorted([("d", 1), ("d", 2), ("e", None)], key=str)
+
+
+def test_pipeline_set_window_fields(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0), ("b", 2, 5.0)],
+        "k string, seq long, v double",
+    )
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"seq": 1},
+            "output": {
+                "rnk": {"$rank": {}},
+                "cum": {"$sum": "$v", "window": {"documents": ["unbounded", "current"]}},
+                "total": {"$sum": "$v"},          # no window → whole partition
+                "prev": {"$shift": {"output": "$v", "by": -1, "default": -1.0}},
+            },
+        }}],
+    )
+    rows = {(r["k"], r["seq"]): r for r in out.collect()}
+    assert rows[("a", 2)]["rnk"] == 2
+    assert rows[("a", 2)]["cum"] == 30.0 and rows[("a", 3)]["cum"] == 60.0
+    assert rows[("a", 1)]["total"] == 60.0
+    assert rows[("a", 1)]["prev"] == -1.0 and rows[("a", 3)]["prev"] == 20.0
+    # rank with ties
+    rows_b = compile_pipeline(
+        df,
+        [{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"v": 1},
+                               "output": {"r": {"$rank": {}}, "d": {"$denseRank": {}}}}}],
+    ).where(F.col("k") == "b").collect()
+    assert sorted((r["r"], r["d"]) for r in rows_b) == [(1, 1), (1, 1)]
+
+
+def test_pipeline_union_with(spark):
+    a = spark.createDataFrame([("x", 1)], "k string, v long")
+    b = spark.createDataFrame([("y", 2, "extra")], "k string, v long, note string")
+    out = compile_pipeline(
+        a,
+        [{"$unionWith": {"coll": "b", "pipeline": [{"$match": {"v": {"$gte": 2}}}]}},
+         {"$sort": {"k": 1}}],
+        collections={"b": b},
+    )
+    rows = [(r["k"], r["v"], r["note"]) for r in out.collect()]
+    assert rows == [("x", 1, None), ("y", 2, "extra")]
+    with pytest.raises(NotImplementedError, match="unknown collection"):
+        compile_pipeline(a, [{"$unionWith": "missing"}])
+
+
+def test_pipeline_facet_and_sort_by_count(spark):
+    df = spark.createDataFrame(
+        [("t", 5.0), ("t", 15.0), ("u", 25.0), ("u", 30.0), ("u", 1.0)],
+        "k string, v double",
+    )
+    out = compile_pipeline(
+        df,
+        [{"$facet": {
+            "high": [{"$match": {"v": {"$gt": 10}}}, {"$count": "n"}],
+            "by_k": [{"$sortByCount": "$k"}],
+        }}],
+    )
+    row = out.collect()[0]
+    assert row["high"][0]["n"] == 3
+    assert [(d["_id"], d["count"]) for d in row["by_k"]] == [("u", 3), ("t", 2)]
