@@ -69,12 +69,133 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real codec step — STUB. Image/audio decode libraries are not
-    available in this environment; at deployment, swap in PIL/ffmpeg/etc.
-    The Spark plumbing around this function is real and tested."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
+    8-bit non-interlaced gray/RGB/gray+alpha/RGBA images — the real codec
+    step, no external image library. Returns (width, height, channels,
+    raw pixel bytes, row-major, channel-interleaved).
+
+    Chunk walk per PNG spec §5: length + type + data + CRC; IHDR carries
+    the geometry (§11.2.2), IDAT segments concatenate into ONE zlib
+    stream (§11.2.4), filters 0-4 (None/Sub/Up/Average/Paeth, §9.2)
+    reverse per scanline against the previous row. 16-bit, palette, and
+    Adam7-interlaced PNGs raise NotImplementedError (loudly, not a wrong
+    answer). The per-byte unfilter loop is Python — fine for the Arrow
+    batch sizes this runs in (the decode stage is already the 'pay only
+    on triaged survivors' tier; see sniff_media_meta)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        cid = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + CRC
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("PNG decode supports 8-bit non-interlaced only")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} (palette?) unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    for _y in range(h):
+        f = raw[rpos]
+        rpos += 1
+        line = bytearray(raw[rpos : rpos + stride])
+        rpos += stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += line
+        prev = line
+    return int(w), int(h), channels, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (filter 0 scanlines, one IDAT): the
+    fixture-side inverse of decode_png, used to synthesize REAL decodable
+    PNGs deterministically. Correct CRCs via zlib.crc32 — the output is a
+    spec-valid file any external viewer opens."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + cid
+            + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to (width, height, channels, pixel bytes).
+
+    PNG decodes for real (decode_png, stdlib-only). Every other container
+    (JPEG/GIF/BMP/...) still raises NotImplementedError — entropy-coded
+    formats genuinely need codec libraries not present here; at
+    deployment, branch to PIL/libjpeg in this dispatcher. Use
+    sniff_media_meta for the cheap no-decode metadata pass."""
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this environment"
+        "only PNG decode is implemented stdlib-side; other codecs require "
+        "image libraries not present in this environment"
     )
 
 
@@ -358,6 +479,85 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def synth_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of FULL, decodable PNGs (not just headers):
+    per id, an RGB image with w = id%13+4, h = id%11+4 and channel value
+    (x + y + id + 85*c) % 256 at pixel (x, y) — every decoded statistic
+    is a pure function of the id, so a SQL oracle over generate_series
+    can predict pixel sums exactly. Encoded with encode_png (spec-valid
+    zlib IDAT), generated in the same Arrow-batched shape as binaryFile
+    ingestion."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = i % 13 + 4, i % 11 + 4
+            px = bytes(
+                (x + y + i + 85 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            return encode_png(w, h, 3, px)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched image decode: payload → (width, height, n_channels,
+    pixel_sum). pixel_sum is the EXACT integer sum of all decoded channel
+    bytes — chosen over mean so the cross-engine oracle compares integers,
+    never rounded floats. This is the expensive tier of the media triage
+    (run sniff_media_meta first, decode only survivors); one task decodes
+    its whole Arrow batch stream with zero per-row Python call overhead
+    beyond the codec itself."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, ws, hs, cs, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, px = decode_image(bytes(payload))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+                sums.append(int(np.frombuffer(px, dtype=np.uint8).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_channels": pd.array(cs, dtype="int32"),
+                    "pixel_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
 EMBED_SCHEMA = T.StructType(

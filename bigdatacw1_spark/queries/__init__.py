@@ -76,6 +76,7 @@ _DRIVER_WINDOW = [
     # multimodal (first time)
     "ext_mm_sniff",
     "ext_mm_binary_meta",
+    "ext_mm_decode",
     # graph (first time)
     "ext_pagerank",
     "ext_bfs_reach",
@@ -88,7 +89,6 @@ _DRIVER_WINDOW = [
     "ev_asof_enrich",
     "wh_incremental_refresh",
     "wh_scd2_lookup",
-    "wh_snapshot_diff",
 ]
 
 

@@ -485,6 +485,43 @@ def ext_mm_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS g)
+        SELECT d.doc_id,
+               CAST(d.w AS INT) AS width,
+               CAST(d.h AS INT) AS height,
+               CAST(3 AS INT) AS n_channels,
+               CAST(SUM((x.g + y.g + d.doc_id + 85 * c.g) % 256) AS BIGINT) AS pixel_sum
+        FROM dims d
+        JOIN nums x ON x.g < d.w
+        JOIN nums y ON y.g < d.h
+        JOIN nums c ON c.g < 3
+        GROUP BY 1, 2, 3, 4
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no codec library): synth_png_corpus builds
+    spec-valid zlib-compressed PNGs whose every channel byte is
+    (x + y + doc_id + 85c) % 256, and decode_images inflates + unfilters
+    them back to raw pixels (operators/multimodal.decode_png — chunk walk,
+    IDAT zlib stream, filters 0-4). The output is the EXACT integer sum
+    of decoded bytes per image, which the DuckDB oracle recomputes from
+    arithmetic over generate_series — a wrong filter reversal, stride, or
+    chunk offset breaks the value hash. doc_id < 64 bounds the fixture;
+    the operator itself is Arrow-batched and corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import decode_images, synth_png_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = synth_png_corpus(docs)
+    return decode_images(media).orderBy("doc_id")
+
+
+@q(
     "ext_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE sh AS (

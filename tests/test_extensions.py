@@ -423,3 +423,78 @@ def test_ann_recall_diag_multiprobe_dominates(spark):
     row = REGISTRY["diag_ann_recall"].fn(spark, SF_SMALL).collect()[0]
     assert 0.0 <= row["recall_single"] <= row["recall_multiprobe"] <= 1.0
     assert row["recall_multiprobe"] >= 0.5  # probing neighbors recovers most of top-10
+
+
+def test_png_codec_roundtrip_and_filters():
+    """decode_png is a REAL decoder: encode→decode round-trips pixels
+    exactly, and a hand-filtered IDAT stream using Sub/Up/Average/Paeth
+    (one per scanline) reverses to the original bytes."""
+    import struct
+    import zlib
+
+    from bigdatacw1_spark.operators.multimodal import decode_image, decode_png, encode_png
+
+    for i in (0, 5, 17, 63):
+        w, h = i % 13 + 4, i % 11 + 4
+        px = bytes((x + y + i + 85 * c) % 256 for y in range(h) for x in range(w) for c in range(3))
+        assert decode_png(encode_png(w, h, 3, px)) == (w, h, 3, px)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    w, h, ch = 3, 4, 3
+    stride = w * ch
+    rows = [bytes(range(s, s + stride)) for s in (10, 50, 90, 200)]
+    filt, prev = bytearray(), bytes(stride)
+    for f, row in zip((1, 2, 3, 4), rows):
+        filt.append(f)
+        if f == 1:
+            filt += bytes([row[i] if i < ch else (row[i] - row[i - ch]) & 0xFF for i in range(stride)])
+        elif f == 2:
+            filt += bytes([(row[i] - prev[i]) & 0xFF for i in range(stride)])
+        elif f == 3:
+            filt += bytes([(row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1)) & 0xFF
+                           for i in range(stride)])
+        else:
+            filt += bytes([(row[i] - paeth(row[i - ch] if i >= ch else 0, prev[i],
+                                           prev[i - ch] if i >= ch else 0)) & 0xFF
+                           for i in range(stride)])
+        prev = row
+
+    def chunk(cid, data):
+        return struct.pack(">I", len(data)) + cid + data + struct.pack(
+            ">I", zlib.crc32(cid + data) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(filt)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png)[3] == b"".join(rows)
+
+    # non-PNG payloads and unsupported PNG variants fail LOUDLY
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a" + bytes(16))
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(interlaced)
+
+
+def test_decode_images_operator(spark):
+    from bigdatacw1_spark.operators.multimodal import decode_images, synth_png_corpus
+
+    ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in decode_images(synth_png_corpus(ids)).collect()}
+    for i in range(6):
+        w, h = i % 13 + 4, i % 11 + 4
+        want = sum((x + y + i + 85 * c) % 256 for y in range(h) for x in range(w) for c in range(3))
+        r = out[i]
+        assert (r["width"], r["height"], r["n_channels"], r["pixel_sum"]) == (w, h, 3, want)
