@@ -33,8 +33,9 @@ within a batch the as-of join itself orders by (ts, tag).
 
 At 100 TB: the snapshot is keys × 1 row (broadcastable forever); the
 per-batch join cost is batch-sized, never corpus-sized; the snapshot
-store would live on the cluster FS via the same non-local-path guard as
-the band store.
+store lives on whatever filesystem the cluster resolves (statefs routes
+store maintenance through the Hadoop FileSystem API, same as the band
+store).
 """
 
 from __future__ import annotations
@@ -45,22 +46,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.operators.relational import argmin_per_group, as_of_join
-from bigdatacw1_spark.streaming.lsh_dedup import _require_local_path
+from bigdatacw1_spark.streaming.statefs import check_store_path, list_batch_ids
 
 
 def _read_snapshot(
     spark: SparkSession, state_dir: str, before_batch: int
 ) -> DataFrame | None:
     """Latest snapshot written by a batch id strictly below ``before_batch``
-    (so a REPLAYED batch never sees its own earlier output)."""
-    if not os.path.isdir(state_dir):
-        return None
-    ids = [
-        int(name.split("=", 1)[1])
-        for name in os.listdir(state_dir)
-        if name.startswith("batch_id=")
-    ]
-    prior = [i for i in ids if i < before_batch]
+    (so a REPLAYED batch never sees its own earlier output). Partition
+    listing goes through statefs (Hadoop FileSystem API with a local fast
+    path), so the store works on any cluster filesystem."""
+    prior = [i for i in list_batch_ids(spark, state_dir) if i < before_batch]
     if not prior:
         return None
     return spark.read.parquet(os.path.join(state_dir, f"batch_id={max(prior)}"))
@@ -119,8 +115,8 @@ def run_asof_enrich_stream(
     """Drive enrich_trades_batch over a streaming feed (availableNow).
     Enriched trades land in ``out_dir/batch_id=N``; last-quote snapshots
     in ``state_dir/batch_id=N`` — both overwrite-by-batch-id."""
-    _require_local_path(state_dir, "state_dir")
-    _require_local_path(out_dir, "out_dir")
+    check_store_path(spark, state_dir, "state_dir")
+    check_store_path(spark, out_dir, "out_dir")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

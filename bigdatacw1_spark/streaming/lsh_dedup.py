@@ -47,34 +47,17 @@ from bigdatacw1_spark.operators.dedup import (
     minhash_signatures,
 )
 from bigdatacw1_spark.operators.graph import connected_components
+from bigdatacw1_spark.streaming.statefs import check_store_path, delete_dir, list_batch_ids
 
 _STORE_COLS = ["band_idx", "band_hash"]
-
-
-def _require_local_path(path: str, what: str) -> None:
-    """The band store is probed/pruned with driver-local os/shutil calls;
-    on a non-local URI (s3a://, hdfs://) ``os.path.isdir`` is always
-    False, so the store would silently read as empty every batch and
-    cross-batch near-dup rejection would silently stop working. Fail
-    loudly at misconfiguration instead; a remote store needs the Hadoop
-    FileSystem API (see module docstring's 100 TB notes)."""
-    from urllib.parse import urlsplit
-
-    scheme = urlsplit(path).scheme
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"{what} must be a local filesystem path (driver-local state "
-            f"probing); got scheme {scheme!r} in {path!r}"
-        )
 
 
 def _read_band_store(spark: SparkSession, state_dir: str | None) -> DataFrame | None:
     if state_dir is None:
         return None
-    _require_local_path(state_dir, "state_dir")
-    if not os.path.isdir(state_dir) or not any(
-        name.startswith("batch_id=") for name in os.listdir(state_dir)
-    ):
+    # statefs resolves any FS the JVM can (file:, hdfs:, s3a:, ...) and
+    # raises on unresolvable schemes — never a silently-empty store.
+    if not list_batch_ids(spark, state_dir):
         return None
     return spark.read.option("basePath", state_dir).parquet(state_dir).select(*_STORE_COLS)
 
@@ -155,8 +138,8 @@ def run_lsh_dedup_stream(
     of duplicating, and a replayed batch recomputes against a store
     that already contains its own buckets only via its OWN batch_id
     partition (overwritten whole), never double-claimed."""
-    _require_local_path(state_dir, "state_dir")
-    _require_local_path(out_dir, "out_dir")
+    check_store_path(spark, state_dir, "state_dir")
+    check_store_path(spark, out_dir, "out_dir")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -164,10 +147,7 @@ def run_lsh_dedup_stream(
         # A replayed batch must not see the buckets its earlier attempt
         # claimed: drop this batch_id's store partition before probing.
         own = os.path.join(state_dir, f"batch_id={batch_id}")
-        if os.path.isdir(own):
-            import shutil
-
-            shutil.rmtree(own)
+        delete_dir(spark, own)
         admitted, new_bands = admit_lsh_batch(
             spark,
             batch_df,

@@ -745,3 +745,49 @@ def test_streaming_asof_enrich_matches_batch_asof(spark, tmp_path):
     re_enriched, _ = enrich_trades_batch(spark, b2, snap1)
     re_rows = {(r.key, r.ts): (r.rate, r.converted) for r in re_enriched.collect()}
     assert re_rows == {k: v for k, v in got.items() if k[1] >= t(10)}
+
+
+def test_statefs_hadoop_branch_with_file_uri(spark, tmp_path):
+    """The state stores must work on URIs the JVM resolves, not only
+    scheme-less local paths: drive the as-of stream with file:// store
+    URIs (which statefs routes through the Hadoop FileSystem branch —
+    listStatus/exists/delete via py4j) and check the fold still carries
+    state across batches and stays replay-idempotent; an unresolvable
+    scheme still fails loudly at stream start."""
+    import datetime
+    import time as _time
+
+    import pytest as _pytest
+
+    from bigdatacw1_spark.streaming.asof_enrich import read_enriched, run_asof_enrich_stream
+    from bigdatacw1_spark.streaming.statefs import check_store_path, delete_dir, list_batch_ids
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda m: base + datetime.timedelta(minutes=m)
+    schema = "key string, ts timestamp, kind string, val double"
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [("EUR", t(0), "quote", 1.1), ("EUR", t(1), "trade", 100.0)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    _time.sleep(1.1)
+    spark.createDataFrame([("EUR", t(10), "trade", 200.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+
+    out_uri = "file://" + str(tmp_path / "enriched")
+    state_uri = "file://" + str(tmp_path / "state")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = run_asof_enrich_stream(spark, stream, out_uri, state_uri)
+    assert q.awaitTermination(120)
+
+    got = {(r.key, r.ts): r.rate for r in read_enriched(spark, out_uri).collect()}
+    assert got[("EUR", t(1))] == 1.1
+    assert got[("EUR", t(10))] == 1.1  # cross-batch state through the file:// store
+
+    ids = list_batch_ids(spark, state_uri)
+    assert ids and all(isinstance(i, int) for i in ids)
+    delete_dir(spark, "file://" + str(tmp_path / "state" / f"batch_id={max(ids)}"))
+    assert max(ids) not in list_batch_ids(spark, state_uri)
+
+    with _pytest.raises(ValueError, match="cannot resolve"):
+        check_store_path(spark, "nosuchfs://bucket/dir", "state_dir")
