@@ -79,10 +79,19 @@ def minhash_signatures(
     return _sigs_from_shingles(shingled, id_col, num_hashes)
 
 
+def _hash_i(seed: int):
+    # MUST be a 1-arg lambda: pyspark dispatches on lambda ARITY, and a
+    # 2-param `lambda s, i=seed` is treated as the (element, index) form —
+    # the array POSITION silently overrides the seed default, collapsing
+    # all K hash functions into one position-seeded hash (near-dups with
+    # shifted shingle order then NEVER collide; caught by the recall
+    # invariant in tests/test_extensions.py).
+    return lambda s: _seeded_hash(s, seed)
+
+
 def _sigs_from_shingles(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     mins = [
-        F.array_min(F.transform(F.col("sh"), lambda s, i=i: _seeded_hash(s, i)))
-        for i in range(num_hashes)
+        F.array_min(F.transform(F.col("sh"), _hash_i(i))) for i in range(num_hashes)
     ]
     return shingled.select(id_col, F.array(*mins).alias("sig"))
 

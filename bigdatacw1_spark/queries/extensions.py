@@ -138,12 +138,37 @@ def ext_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return argmin_per_group(d, ["fingerprint"], [F.desc("doc_id")])
 
 
-@q("ext_neardup_lsh_verified", headline=True)
+@q(
+    "ext_neardup_lsh_verified",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                     / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                    / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+    """,
+    headline=True,
+)
 def ext_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup pipeline (headline): MinHash+LSH candidates →
     exact Jaccard verification at 0.5. Linear LSH pass + quadratic step
-    only on candidates — the 100 TB-safe shape. Rows-only (LSH candidate
-    membership is hash-defined, not SQL-expressible)."""
+    only on candidates — the 100 TB-safe shape.
+
+    PROMOTED from rows-only to a full oracle (VERDICT r3 #7): after exact
+    verification the output's precision is 1.0 by construction, so the
+    oracle is simply the UNBLOCKED all-pairs exact-Jaccard set at the
+    same threshold; equality additionally asserts LSH recall = 1.0 on
+    this corpus. That is a sound gate here because the planted near-dup
+    pairs all sit at J ≥ 0.89, where an 8-band r=2 scheme misses with
+    probability (1-J²)^8 ≈ 3e-6 — and the round-3 seed bug this oracle
+    would have caught (position-seeded MinHash collapsing all K hash
+    functions; operators/dedup._hash_i) missed 2 of 28 pairs."""
     return verified_near_duplicates(
         _t(spark, sf_dir, "documents"), threshold=0.5
     ).orderBy("a", "b")
