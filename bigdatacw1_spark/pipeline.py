@@ -16,7 +16,7 @@ neighbors):
              $addFields/$set, $unset, $replaceRoot, $sort, $limit, $skip,
              $unwind (incl. dotted paths + preserveNullAndEmptyArrays),
              $count, $lookup, $bucket, $setWindowFields, $unionWith,
-             $facet, $sortByCount
+             $facet, $sortByCount, $graphLookup
   match ops  equality, $gt $gte $lt $lte $ne $eq, $in $nin (null-aware,
              the "NA"/null screen of NoSQLQueries.js:30-33), $and $or
   accums     $sum (1 or expr), $avg, $min, $max, $push, $addToSet,
@@ -482,6 +482,97 @@ def _compile_set_window_fields(out: DataFrame, spec: Mapping) -> DataFrame:
     return out
 
 
+def _compile_graph_lookup(out: DataFrame, spec: Mapping, collections: Mapping[str, DataFrame]) -> DataFrame:
+    """$graphLookup — Mongo's recursive traversal: per document, BFS over
+    the ``from`` collection (startWith value probes connectToField; each
+    matched doc's connectFromField feeds the next frontier) until
+    fixpoint or ``maxDepth``; matches land in ``as`` (optionally tagged
+    with ``depthField`` = first-match depth).
+
+    Compiled level-synchronously over ALL documents at once — the same
+    iterative-join discipline as operators/graph.bfs_levels: traversal
+    state is (root, probe-value) pairs, one keyed shuffle per round,
+    localCheckpoint truncating lineage between rounds, already-probed
+    values anti-joined out so cycles terminate. The closure is computed
+    once per DISTINCT start value and joined back, so a million documents
+    sharing 100 start values pay for 100 traversals. Scalar
+    connectFrom/To fields only (array-valued connectors raise)."""
+    from_name = spec["from"]
+    if from_name not in collections:
+        raise NotImplementedError(
+            f"$graphLookup from unknown collection {from_name!r}; pass it via collections="
+        )
+    from pyspark.sql import Window
+
+    foreign = collections[from_name]
+    start = compile_expr(spec["startWith"])
+    cf, ct, as_name = spec["connectFromField"], spec["connectToField"], spec["as"]
+    for fld in (cf, ct):
+        if foreign.schema[fld].dataType.typeName() == "array":
+            raise NotImplementedError("$graphLookup array-valued connect fields")
+    depth_field = spec.get("depthField")
+    max_depth = spec.get("maxDepth")
+    rounds = int(max_depth) + 1 if max_depth is not None else 100  # loud cap below
+
+    fstruct = F.struct(*[F.col(c) for c in foreign.columns])
+    roots = (
+        out.select(start.alias("__gl_root"))
+        .where(F.col("__gl_root").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = roots.select("__gl_root", F.col("__gl_root").alias("__gl_val"))
+    seen = frontier.localCheckpoint(eager=False)
+    matched: DataFrame | None = None
+    for depth in range(rounds):
+        hits = (
+            foreign.join(frontier, foreign[ct] == frontier["__gl_val"])
+            .select(
+                "__gl_root",
+                fstruct.alias("__gl_doc"),
+                foreign[cf].alias("__gl_next"),
+                F.lit(depth).alias("__gl_depth"),
+            )
+            .dropDuplicates(["__gl_root", "__gl_doc"])
+            .localCheckpoint()  # eager: truncate before the next round
+        )
+        if hits.isEmpty():
+            break
+        matched = hits if matched is None else matched.unionByName(hits)
+        # a doc matched in an earlier round keeps its first-match depth
+        matched = (
+            matched.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__gl_root", "__gl_doc").orderBy("__gl_depth")
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=False)
+        )
+        nxt = hits.select("__gl_root", F.col("__gl_next").alias("__gl_val")).distinct()
+        frontier = nxt.join(seen, ["__gl_root", "__gl_val"], "left_anti").localCheckpoint()
+        if frontier.isEmpty():
+            break
+        seen = seen.unionByName(frontier).localCheckpoint(eager=False)
+    else:
+        if max_depth is None:
+            raise ValueError("$graphLookup did not converge within 100 rounds; set maxDepth")
+
+    if matched is None:
+        return out.withColumn(
+            as_name, F.array().cast(f"array<{foreign.schema.simpleString()}>")
+        )
+    doc = F.col("__gl_doc")
+    if depth_field:
+        doc = doc.withField(depth_field, F.col("__gl_depth").cast("long"))
+    per_root = matched.groupBy("__gl_root").agg(F.collect_list(doc).alias(as_name))
+    joined = out.join(per_root, start == F.col("__gl_root"), "left").drop("__gl_root")
+    empty = F.array().cast(joined.schema[as_name].dataType.simpleString())
+    return joined.withColumn(as_name, F.coalesce(F.col(as_name), empty))
+
+
 def _compile_facet(out: DataFrame, spec: Mapping, collections: Mapping[str, DataFrame]) -> DataFrame:
     """$facet — run each sub-pipeline on the same input; the result is ONE
     document whose fields hold each facet's full output as an array of
@@ -535,6 +626,8 @@ def compile_pipeline(
             out = _compile_bucket(out, spec, last_sort)
         elif op == "$setWindowFields":
             out = _compile_set_window_fields(out, spec)
+        elif op == "$graphLookup":
+            out = _compile_graph_lookup(out, spec, collections)
         elif op == "$unionWith":
             cname = spec if isinstance(spec, str) else spec["coll"]
             if cname not in collections:

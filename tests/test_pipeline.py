@@ -410,3 +410,55 @@ def test_pipeline_facet_and_sort_by_count(spark):
     row = out.collect()[0]
     assert row["high"][0]["n"] == 3
     assert [(d["_id"], d["count"]) for d in row["by_k"]] == [("u", 3), ("t", 2)]
+
+
+def test_pipeline_graph_lookup(spark):
+    """$graphLookup BFS over a reports-to hierarchy (the canonical Mongo
+    example): each employee's closure of managers, with depthField; a
+    CYCLE must terminate; maxDepth bounds the walk."""
+    employees = spark.createDataFrame(
+        [("dev", "lead"), ("lead", "cto"), ("cto", None), ("intern", "dev")],
+        "name string, reports_to string",
+    )
+    docs = spark.createDataFrame([("dev",), ("cto",), ("ghost",)], "who string")
+    out = compile_pipeline(
+        docs,
+        [{"$graphLookup": {
+            "from": "employees", "startWith": "$who",
+            "connectFromField": "reports_to", "connectToField": "name",
+            "as": "chain", "depthField": "d",
+        }}],
+        collections={"employees": employees},
+    )
+    rows = {r["who"]: sorted((d["name"], d["d"]) for d in r["chain"]) for r in out.collect()}
+    # dev's walk: dev (d0) → lead (d1) → cto (d2)
+    assert rows["dev"] == [("cto", 2), ("dev", 0), ("lead", 1)]
+    assert rows["cto"] == [("cto", 0)]
+    assert rows["ghost"] == []
+
+    # maxDepth 0 = only direct matches of startWith
+    out0 = compile_pipeline(
+        docs,
+        [{"$graphLookup": {
+            "from": "employees", "startWith": "$who",
+            "connectFromField": "reports_to", "connectToField": "name",
+            "as": "chain", "maxDepth": 0,
+        }}],
+        collections={"employees": employees},
+    )
+    rows0 = {r["who"]: [d["name"] for d in r["chain"]] for r in out0.collect()}
+    assert rows0["dev"] == ["dev"] and rows0["ghost"] == []
+
+    # cyclic graph terminates (a→b→c→a)
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "name string, nxt string"
+    )
+    outc = compile_pipeline(
+        spark.createDataFrame([("a",)], "who string"),
+        [{"$graphLookup": {
+            "from": "ring", "startWith": "$who",
+            "connectFromField": "nxt", "connectToField": "name", "as": "cycle",
+        }}],
+        collections={"ring": ring},
+    )
+    assert sorted(d["name"] for d in outc.collect()[0]["cycle"]) == ["a", "b", "c"]
