@@ -336,24 +336,30 @@ def _compile_project(df: DataFrame, spec: Mapping) -> DataFrame:
     if not non_id and spec.get("_id", 1) == 0:
         return df.drop("_id")
     cols: list[Column] = []
-    nested: dict[str, dict[str, Column]] = {}
+    nested: dict[str, object] = {}  # path tree: str → Column leaf | sub-dict
     explicit_id = "_id" in spec
     for name, v in spec.items():
         if v == 0:
             continue  # exclusion of _id within an inclusion projection
+        expr = F.col(name) if v == 1 else compile_expr(v)
         if "." in name:
-            top, leaf = name.split(".", 1)
-            if "." in leaf:
-                raise NotImplementedError("projection nesting deeper than 2")
-            expr = F.col(name) if v == 1 else compile_expr(v)
-            nested.setdefault(top, {})[leaf] = expr
+            *parents, leaf = name.split(".")
+            node = nested
+            for p in parents:
+                node = node.setdefault(p, {})
+                if not isinstance(node, dict):
+                    raise ValueError(f"$project path conflict at {p!r} in {name!r}")
+            node[leaf] = expr
             continue
-        if v == 1:
-            cols.append(F.col(name))
-        else:
-            cols.append(compile_expr(v).alias(name))
-    for top, leaves in nested.items():
-        cols.append(F.struct(*[c.alias(leaf) for leaf, c in leaves.items()]).alias(top))
+        cols.append(expr.alias(name) if v != 1 else expr)
+
+    def _build(node: dict) -> list[Column]:
+        return [
+            (F.struct(*_build(v)) if isinstance(v, dict) else v).alias(k)
+            for k, v in node.items()
+        ]
+
+    cols.extend(_build(nested))
     if not explicit_id and "_id" in df.columns:
         cols.insert(0, F.col("_id"))  # Mongo includes _id unless excluded
     return df.select(*cols)
@@ -465,8 +471,20 @@ def _compile_set_window_fields(out: DataFrame, spec: Mapping) -> DataFrame:
             }[op](compile_expr(arg) if op != "$count" else F.lit(1))
             frame = odef.get("window", {})
             if "range" in frame:
-                raise NotImplementedError("$setWindowFields range windows")
-            if "documents" in frame:
+                if "unit" in frame:
+                    raise NotImplementedError("$setWindowFields range window time units")
+                if not sort_by or len(sort_by) != 1:
+                    raise NotImplementedError(
+                        "range window requires exactly one numeric sortBy key"
+                    )
+                lo, hi = frame["range"]
+                out = out.withColumn(
+                    name,
+                    agg.over(
+                        w_sorted.rangeBetween(_window_bound(lo), _window_bound(hi, upper=True))
+                    ),
+                )
+            elif "documents" in frame:
                 if not sort_by:
                     raise NotImplementedError("documents window requires sortBy")
                 lo, hi = frame["documents"]

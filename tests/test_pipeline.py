@@ -462,3 +462,31 @@ def test_pipeline_graph_lookup(spark):
         collections={"ring": ring},
     )
     assert sorted(d["name"] for d in outc.collect()[0]["cycle"]) == ["a", "b", "c"]
+
+
+def test_pipeline_project_deep_nesting(spark):
+    df = spark.createDataFrame(
+        [Row(_id=1, a=Row(b=Row(c=7, drop=8), keep=9), x=5)]
+    )
+    out = compile_pipeline(
+        df, [{"$project": {"a.b.c": 1, "a.keep": 1, "doubled": {"$multiply": ["$x", 2]}}}]
+    )
+    r = out.collect()[0]
+    assert r["_id"] == 1 and r["doubled"] == 10
+    assert r["a"]["b"]["c"] == 7 and r["a"]["keep"] == 9
+    assert "drop" not in r["a"]["b"].asDict()
+
+
+def test_pipeline_set_window_fields_range(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 20.0), ("a", 10, 40.0)], "k string, pos long, v double"
+    )
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"pos": 1},
+            "output": {"nearby": {"$sum": "$v", "window": {"range": [-2, 2]}}},
+        }}],
+    )
+    rows = {r["pos"]: r["nearby"] for r in out.collect()}
+    assert rows == {1: 30.0, 3: 30.0, 10: 40.0}
