@@ -248,3 +248,53 @@ def lsh_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: "F.Column | str | None" = None,
+    digits: int = 6,
+) -> DataFrame:
+    """k-nearest-neighbor graph over the embedding corpus: for EVERY
+    vector, its top-k cosine neighbors — (src, dst, score, rank), ties
+    broken by dst id. The graph primitive under SemDeDup-style semantic
+    clustering and link-based curation.
+
+    Unblocked (``block=None``) this is the exact all-pairs baseline —
+    O(n²) scoring, correct for oracle verification and recall
+    measurement, NEVER for the full corpus. At scale pass
+    ``block=sign_lsh_bucket(...)`` (or an IVF assignment): the self-join
+    keys on the bucket, work drops to Σ bucket², and rank is then
+    per-bucket-approximate exactly like the ANN top-k operators. Both
+    paths share this one implementation, so the scale path is tested by
+    the same code the oracle verifies.
+    """
+    from pyspark.sql import Window
+
+    base = embeddings.select(id_col, vec_col)
+    if block is not None:
+        blk = F.col(block) if isinstance(block, str) else block
+        base = base.withColumn("__blk", blk)
+    else:
+        base = base.withColumn("__blk", F.lit(0))
+    base = fan_out(base)
+    left = base.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"), "__blk")
+    right = base.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"), F.col("__blk").alias("__blk_r")
+    )
+    paired = left.join(
+        right, (left["__blk"] == right["__blk_r"]) & (left["src"] != right["dst"])
+    )
+    score = stable_round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), digits)
+    scored = paired.select("src", "dst", score.alias("score")).where(
+        F.col("score").isNotNull()
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "score", "rank")
+    )

@@ -1503,6 +1503,42 @@ def ext_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ext_knn_graph",
+    oracle="""
+        WITH scored AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(
+                     LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     6) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT src, dst, score,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+            FROM scored
+        )
+        SELECT src, dst, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY src, rank
+    """,
+)
+def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph (k=3) over the embedding corpus — the graph
+    primitive under SemDeDup-style semantic curation, as the ORACLE-
+    checkable all-pairs baseline (operators/similarity.knn_graph). The
+    same implementation takes a sign-LSH/IVF blocking column for the
+    100 TB path (work Σ bucket², per-bucket-approximate rank), so the
+    scale path runs the code this oracle verifies."""
+    from bigdatacw1_spark.operators.similarity import knn_graph
+
+    out = knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+    return out.select("src", "dst", "score", F.col("rank").cast("int").alias("rank")).orderBy(
+        "src", "rank"
+    )
+
+
 @q("diag_ann_recall")
 def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measuring ANN quality: recall@10 of the sign-LSH bucketed
