@@ -315,10 +315,12 @@ def test_theta_sketch_set_algebra_tracks_exact_overlaps(spark):
     from bigdatacw1_spark.sources.catalog import load_table
     from tests.conftest import SF_SMALL
 
+    from bigdatacw1_spark.queries.extensions import audience_overlap_estimates
+
     ev = load_table(spark, SF_SMALL, "events")
     got = {
         (r["type_a"], r["type_b"]): r
-        for r in REGISTRY["ext_sketch_audience_overlap"].fn(spark, SF_SMALL).collect()
+        for r in audience_overlap_estimates(ev).collect()
     }
     assert len(got) >= 3  # more than two event types pair up
     types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
@@ -336,6 +338,9 @@ def test_theta_sketch_set_algebra_tracks_exact_overlaps(spark):
             est = r[field]
             tol = max(2, 0.05 * max(exact, 1))
             assert abs(est - exact) <= tol, (ta, tb, field, est, exact)
+    # the oracle-facing registry entry must agree: every invariant TRUE
+    for r in REGISTRY["ext_sketch_audience_overlap"].fn(spark, SF_SMALL).collect():
+        assert r["union_ok"] and r["both_ok"] and r["a_only_ok"], r
 
 
 def test_kll_sketch_merge_brackets_exact_percentiles(spark):
@@ -346,8 +351,10 @@ def test_kll_sketch_merge_brackets_exact_percentiles(spark):
     from bigdatacw1_spark.sources.catalog import load_table
     from tests.conftest import SF_SMALL
 
+    from bigdatacw1_spark.queries.extensions import kll_merged_quantiles
+
     ev = load_table(spark, SF_SMALL, "events")
-    row = REGISTRY["ext_sketch_kll_mergeable"].fn(spark, SF_SMALL).collect()[0]
+    row = kll_merged_quantiles(ev).collect()[0]
     n = ev.count()
     assert row["n"] == n  # every row reached a sketch; merge lost nothing
     vals = sorted(r["value"] for r in ev.select("value").collect())
@@ -355,6 +362,9 @@ def test_kll_sketch_merge_brackets_exact_percentiles(spark):
         est = row[field]
         rank = sum(1 for v in vals if v <= est) / n
         assert abs(rank - q) < 0.03, (field, est, rank)
+    # the oracle-facing registry entry must agree: n exact, all ranks ok
+    inv = REGISTRY["ext_sketch_kll_mergeable"].fn(spark, SF_SMALL).collect()[0]
+    assert inv["n"] == n and inv["p50_ok"] and inv["p90_ok"] and inv["p99_ok"], inv
 
 
 def test_hll_sketch_union_is_merge_consistent_and_accurate(spark):
