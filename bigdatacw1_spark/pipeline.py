@@ -27,7 +27,18 @@ neighbors):
   exprs      '$path' refs (dotted), '$$var' refs (inside $filter),
              literals, $and $or $not, comparison ops, $add $subtract
              $multiply $divide, $concat, $cond, $ifNull, $arrayElemAt,
-             $filter, $min/$max (scalar pass-through / array fold)
+             $filter, $min/$max (scalar pass-through / array fold),
+             $switch, $literal, $in (array membership),
+             strings: $toLower $toUpper $trim $split $strLenCP $substrCP,
+             dates: $year $month $dayOfMonth $hour $minute $second
+             $dayOfWeek $dayOfYear, $dateToString (%-format translated,
+             unknown specifiers raise),
+             math: $abs $mod $pow $sqrt $exp $ln $log10 $ceil $floor,
+             $round (half-to-EVEN = Mongo, via bround), $trunc (toward 0),
+             casts: $toString $toInt $toLong $toDouble $toDate $toBool
+             (ANSI cast errors on malformed input, matching Mongo $toX);
+             $setWindowFields range frames accept unit: second…week
+             (sort key ordered as epoch seconds, bounds scaled)
 
 Unsupported stages/operators raise NotImplementedError naming the token —
 fail loudly rather than mis-execute.
@@ -158,7 +169,153 @@ def compile_expr(e: object, scope: Mapping[str, Column] | None = None) -> Column
             cols = [compile_expr(x, scope) for x in arg]
             return F.least(*cols) if op == "$min" else F.greatest(*cols)
         return compile_expr(arg, scope)  # single scalar: identity (Mongo)
+    if op == "$literal":
+        return F.lit(arg)
+    if op == "$in":
+        # expression-dialect $in: [needle, haystack-array]
+        needle, hay = (compile_expr(x, scope) for x in arg)
+        return F.array_contains(hay, needle)
+    if op == "$switch":
+        branches = arg["branches"]
+        out = None
+        for br in branches:
+            c, t = compile_expr(br["case"], scope), compile_expr(br["then"], scope)
+            out = F.when(c, t) if out is None else out.when(c, t)
+        if "default" in arg:
+            return out.otherwise(compile_expr(arg["default"], scope))
+        # Mongo errors when no branch matches and no default — surface that
+        return out.otherwise(
+            F.raise_error(F.lit("$switch: no branch matched and no default"))
+        )
+    if op in _STRING_FNS:
+        return _STRING_FNS[op](arg, scope)
+    if op in _DATE_FNS:
+        return _DATE_FNS[op](compile_expr(arg, scope))
+    if op == "$dateToString":
+        return F.date_format(
+            compile_expr(arg["date"], scope), _mongo_date_format(arg["format"])
+        )
+    if op in _MATH_FNS:
+        return _MATH_FNS[op](compile_expr(arg, scope))
+    if op in ("$mod", "$pow"):
+        a, b = (compile_expr(x, scope) for x in arg)
+        return a % b if op == "$mod" else F.pow(a, b)
+    if op in ("$round", "$trunc"):
+        if isinstance(arg, Sequence) and not isinstance(arg, str):
+            x = compile_expr(arg[0], scope)
+            place = int(arg[1]) if len(arg) > 1 else 0
+        else:
+            x, place = compile_expr(arg, scope), 0
+        if op == "$round":
+            # Mongo rounds half-to-EVEN; Spark's bround is exactly that
+            # (F.round is half-up and would silently diverge on .5 ties)
+            return F.bround(x, place)
+        # numeric truncation toward zero at `place` decimal digits:
+        # scale, cast-to-long (truncates toward zero), unscale
+        p = F.lit(float(10**place))
+        return (x * p).cast("long") / p
+    if op in _CONVERT:
+        return compile_expr(arg, scope).cast(_CONVERT[op])
     raise NotImplementedError(f"expression operator {op!r}")
+
+
+def _mongo_date_format(fmt: str) -> str:
+    """Translate a Mongo $dateToString %-format to a Spark datetime
+    pattern; unknown % specifiers raise (fail loudly, never mis-format)."""
+    table = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+        "%S": "ss", "%j": "DDD", "%L": "SSS", "%%": "%",
+    }
+    out: list[str] = []
+    i = 0
+    literal: list[str] = []
+
+    def flush() -> None:
+        if literal:
+            out.append("'" + "".join(literal).replace("'", "''") + "'")
+            literal.clear()
+
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            tok = fmt[i : i + 2]
+            if tok not in table:
+                raise NotImplementedError(f"$dateToString specifier {tok!r}")
+            flush()
+            out.append(table[tok])
+            i += 2
+        else:
+            literal.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _substr_cp(arg, scope) -> Column:
+    s, start, length = (compile_expr(x, scope) for x in arg)
+    # Mongo is 0-based; Spark substring is 1-based (both codepoint-based)
+    return F.substring(s, start + F.lit(1), length)
+
+
+def _trim(arg, scope) -> Column:
+    inp = compile_expr(arg["input"], scope)
+    if "chars" in arg:
+        return F.btrim(inp, compile_expr(arg["chars"], scope))
+    return F.trim(inp)
+
+
+_STRING_FNS = {
+    "$toLower": lambda a, s: F.lower(compile_expr(a, s)),
+    "$toUpper": lambda a, s: F.upper(compile_expr(a, s)),
+    "$strLenCP": lambda a, s: F.length(compile_expr(a, s)),
+    "$split": lambda a, s: F.split(
+        compile_expr(a[0], s), _literal_regex_escape(a[1]), -1
+    ),
+    "$substrCP": _substr_cp,
+    "$trim": _trim,
+}
+
+
+def _literal_regex_escape(delim: object) -> str:
+    # Mongo $split takes a LITERAL delimiter; Spark split takes a regex.
+    import re
+
+    if not isinstance(delim, str):
+        raise NotImplementedError("$split delimiter must be a string literal")
+    return re.escape(delim)
+
+
+# Mongo $dayOfWeek is 1 (Sunday) … 7 (Saturday) — Spark dayofweek matches.
+_DATE_FNS = {
+    "$year": F.year,
+    "$month": F.month,
+    "$dayOfMonth": F.dayofmonth,
+    "$hour": F.hour,
+    "$minute": F.minute,
+    "$second": F.second,
+    "$dayOfWeek": F.dayofweek,
+    "$dayOfYear": F.dayofyear,
+}
+
+_MATH_FNS = {
+    "$abs": F.abs,
+    "$ceil": F.ceil,
+    "$floor": F.floor,
+    "$sqrt": F.sqrt,
+    "$exp": F.exp,
+    "$ln": F.log,
+    "$log10": F.log10,
+}
+
+# Mongo $toX conversions error on malformed input — so does ANSI cast.
+_CONVERT = {
+    "$toString": "string",
+    "$toInt": "int",
+    "$toLong": "long",
+    "$toDouble": "double",
+    "$toDate": "timestamp",
+    "$toBool": "boolean",
+}
 
 
 def _match_predicate(query: Mapping) -> Column:
@@ -419,6 +576,15 @@ def _compile_bucket(out: DataFrame, spec: Mapping, sort_keys) -> DataFrame:
     return _compile_group(out, group_spec, sort_keys)
 
 
+_TIME_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
 def _window_bound(b: object, upper: bool = False) -> int:
     from pyspark.sql import Window
 
@@ -471,13 +637,36 @@ def _compile_set_window_fields(out: DataFrame, spec: Mapping) -> DataFrame:
             }[op](compile_expr(arg) if op != "$count" else F.lit(1))
             frame = odef.get("window", {})
             if "range" in frame:
-                if "unit" in frame:
-                    raise NotImplementedError("$setWindowFields range window time units")
                 if not sort_by or len(sort_by) != 1:
                     raise NotImplementedError(
-                        "range window requires exactly one numeric sortBy key"
+                        "range window requires exactly one sortBy key"
                     )
                 lo, hi = frame["range"]
+                if "unit" in frame:
+                    # time-unit range ([-7, 0] unit:'day'): order by the
+                    # sort key as epoch SECONDS and scale the bounds —
+                    # rangeBetween then spans exactly the unit interval.
+                    unit_s = _TIME_UNIT_SECONDS.get(frame["unit"])
+                    if unit_s is None:
+                        raise NotImplementedError(
+                            f"$setWindowFields range unit {frame['unit']!r}"
+                        )
+                    (key, direction), = sort_by.items()
+                    if direction < 0:
+                        raise NotImplementedError(
+                            "time-range window with descending sortBy"
+                        )
+                    w_time = w.orderBy(F.unix_timestamp(F.col(key)).cast("long"))
+                    scale = lambda b, up: (  # noqa: E731
+                        _window_bound(b, up)
+                        if b in ("unbounded", "current")
+                        else int(b) * unit_s
+                    )
+                    out = out.withColumn(
+                        name,
+                        agg.over(w_time.rangeBetween(scale(lo, False), scale(hi, True))),
+                    )
+                    continue
                 out = out.withColumn(
                     name,
                     agg.over(

@@ -213,3 +213,66 @@ def pl_graphlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         collections={"trades": bi},
     )
     return out.select("root", "u", "v", "d")
+
+
+@q(
+    "pl_expr_suite",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(MONTH(o_orderdate) AS INT) AS month,
+                   CAST(STR_SPLIT(o_orderpriority, '-')[1] AS INT) AS prio_num,
+                   LOWER(STR_SPLIT(o_orderpriority, '-')[2]) AS prio_word,
+                   CASE WHEN o_totalprice >= 200000 THEN 'high'
+                        WHEN o_totalprice >= 50000 THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   TRUNC(o_totalprice / 1000) AS ktr
+            FROM orders
+        )
+        SELECT tier, month, COUNT(*) AS n,
+               MAX(ktr) AS max_k, MIN(prio_num) AS min_prio,
+               MAX(prio_word) AS max_word
+        FROM base WHERE month IN (1, 2, 3)
+        GROUP BY tier, month
+        ORDER BY tier, month
+    """,
+)
+def pl_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 expression-dialect sweep through the pipeline front end:
+    $month, $split + $arrayElemAt + $toInt (string parsing to int),
+    $toLower, $switch (tiering), $trunc (toward-zero at a scale),
+    $divide, $in (match-stage membership via $group key filter), compiled
+    to pure Catalyst expressions — the whole pipeline is one scan + one
+    hash aggregate, no Python. The DuckDB oracle mirrors each function
+    (TRUNC/STR_SPLIT/LOWER/CASE), so the dialect's semantics are
+    hash-checked end to end, not just unit-tested."""
+    orders = _t(spark, sf_dir, "orders")
+    out = compile_pipeline(
+        orders,
+        [
+            {"$addFields": {
+                "month": {"$month": "$o_orderdate"},
+                "prio_num": {"$toInt": {"$arrayElemAt": [{"$split": ["$o_orderpriority", "-"]}, 0]}},
+                "prio_word": {"$toLower": {"$arrayElemAt": [{"$split": ["$o_orderpriority", "-"]}, 1]}},
+                "tier": {"$switch": {
+                    "branches": [
+                        {"case": {"$gte": ["$o_totalprice", 200000]}, "then": "high"},
+                        {"case": {"$gte": ["$o_totalprice", 50000]}, "then": "mid"},
+                    ],
+                    "default": "low",
+                }},
+                "ktr": {"$trunc": [{"$divide": ["$o_totalprice", 1000]}, 0]},
+            }},
+            {"$match": {"month": {"$in": [1, 2, 3]}}},
+            {"$group": {
+                "_id": {"tier": "$tier", "month": "$month"},
+                "n": {"$sum": 1},
+                "max_k": {"$max": "$ktr"},
+                "min_prio": {"$min": "$prio_num"},
+                "max_word": {"$max": "$prio_word"},
+            }},
+            {"$project": {"_id": 0, "tier": "$_id.tier", "month": "$_id.month",
+                          "n": 1, "max_k": 1, "min_prio": 1, "max_word": 1}},
+            {"$sort": {"tier": 1, "month": 1}},
+        ],
+    )
+    return out

@@ -490,3 +490,129 @@ def test_pipeline_set_window_fields_range(spark):
     )
     rows = {r["pos"]: r["nearby"] for r in out.collect()}
     assert rows == {1: 30.0, 3: 30.0, 10: 40.0}
+
+
+def test_pipeline_expr_string_fns(spark):
+    df = spark.createDataFrame([(1, "  Hello World  ", "a,b,c")], "k long, s string, csv string")
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "k": 1,
+            "lo": {"$toLower": {"$trim": {"input": "$s"}}},
+            "up": {"$toUpper": {"$trim": {"input": "$s"}}},
+            "n": {"$strLenCP": {"$trim": {"input": "$s"}}},
+            "parts": {"$split": ["$csv", ","]},
+            "sub": {"$substrCP": [{"$trim": {"input": "$s"}}, 0, 5]},
+        }}],
+    ).collect()[0]
+    assert out["lo"] == "hello world"
+    assert out["up"] == "HELLO WORLD"
+    assert out["n"] == 11
+    assert out["parts"] == ["a", "b", "c"]
+    assert out["sub"] == "Hello"
+
+
+def test_pipeline_expr_date_fns(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2023, 11, 24, 13, 45, 30))], "k long, ts timestamp"
+    )
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "y": {"$year": "$ts"}, "mo": {"$month": "$ts"}, "d": {"$dayOfMonth": "$ts"},
+            "h": {"$hour": "$ts"}, "mi": {"$minute": "$ts"}, "sec": {"$second": "$ts"},
+            "dow": {"$dayOfWeek": "$ts"}, "doy": {"$dayOfYear": "$ts"},
+            "fmt": {"$dateToString": {"format": "%Y-%m-%d %H:%M", "date": "$ts"}},
+        }}],
+    ).collect()[0]
+    # 2023-11-24 was a Friday → Mongo/Spark dayOfWeek 6 (1=Sunday)
+    assert (out["y"], out["mo"], out["d"], out["h"], out["mi"], out["sec"]) == (2023, 11, 24, 13, 45, 30)
+    assert out["dow"] == 6 and out["doy"] == 328
+    assert out["fmt"] == "2023-11-24 13:45"
+
+
+def test_pipeline_expr_date_format_unknown_specifier_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(NotImplementedError, match="dateToString"):
+        compile_pipeline(
+            df, [{"$project": {"x": {"$dateToString": {"format": "%q", "date": "$k"}}}}]
+        )
+
+
+def test_pipeline_expr_math_fns(spark):
+    df = spark.createDataFrame([(1, -2.5, 7.0)], "k long, a double, b double")
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "ab": {"$abs": "$a"},
+            "ce": {"$ceil": "$a"},
+            "fl": {"$floor": "$a"},
+            "md": {"$mod": ["$b", 3]},
+            "pw": {"$pow": ["$b", 2]},
+            "sq": {"$sqrt": "$b"},
+            "l10": {"$log10": {"$literal": 1000}},
+            "rd_even": {"$round": [{"$literal": 2.5}, 0]},
+            "rd_even2": {"$round": [{"$literal": 3.5}, 0]},
+            "tr": {"$trunc": [{"$literal": -2.79}, 1]},
+        }}],
+    ).collect()[0]
+    assert out["ab"] == 2.5 and out["ce"] == -2 and out["fl"] == -3
+    assert out["md"] == 1.0 and out["pw"] == 49.0
+    assert abs(out["sq"] - 7.0 ** 0.5) < 1e-12
+    assert abs(out["l10"] - 3.0) < 1e-12
+    # Mongo $round is half-to-EVEN: 2.5 → 2, 3.5 → 4 (bround, not round)
+    assert out["rd_even"] == 2.0 and out["rd_even2"] == 4.0
+    assert out["tr"] == -2.7  # truncation is toward zero, not floor
+
+
+def test_pipeline_expr_switch_in_convert(spark):
+    df = spark.createDataFrame([(1, "42", 5), (2, "7", 50)], "k long, s string, v long")
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "k": 1,
+            "as_int": {"$toInt": "$s"},
+            "as_str": {"$toString": "$v"},
+            "tier": {"$switch": {
+                "branches": [
+                    {"case": {"$gte": ["$v", 40]}, "then": "big"},
+                    {"case": {"$gte": ["$v", 1]}, "then": "small"},
+                ],
+                "default": "none",
+            }},
+            "known": {"$in": ["$v", {"$literal": [5, 6, 7]}]},
+        }}],
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["as_int"] == 42 and rows[1]["as_str"] == "5"
+    assert rows[1]["tier"] == "small" and rows[2]["tier"] == "big"
+    assert rows[1]["known"] is True and rows[2]["known"] is False
+
+
+def test_pipeline_set_window_fields_time_unit_range(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("u", base, 1.0),
+            ("u", base + datetime.timedelta(days=2), 2.0),
+            ("u", base + datetime.timedelta(days=9), 4.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"ts": 1},
+            "output": {"w7": {"$sum": "$v", "window": {"range": [-7, 0], "unit": "day"}}},
+        }}],
+    )
+    rows = {r["ts"].day: r["w7"] for r in out.collect()}
+    # trailing 7 days, both ends inclusive (Mongo range semantics):
+    # Jan 1 → itself; Jan 3 → Jan 1 + Jan 3; Jan 10 → Jan 3 (exactly -7d) + itself
+    assert rows == {1: 1.0, 3: 3.0, 10: 6.0}
