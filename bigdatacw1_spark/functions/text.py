@@ -276,3 +276,59 @@ def redact_pii(text: Column | str) -> Column:
     c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
     return c
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    blacklist: tuple[str, ...] = ("lorem ipsum", "javascript"),
+    drop_brace_docs: bool = True,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style heuristic corpus cleaning (Raffel et al. 2020, the C4
+    construction rules): LINE-level filtering with document reconstruction
+    plus document-level drops — the canonical pre-training cleanup pass.
+
+    Line rules (a line survives iff ALL hold):
+      - at least ``min_words`` whitespace-separated words
+      - ends with a terminal punctuation mark (``. ! ? "``) when
+        ``require_terminal_punct`` (C4 keeps only sentence-like lines;
+        disable for corpora without punctuation)
+    Document rules (the whole doc drops iff ANY holds):
+      - lowercased text contains any ``blacklist`` phrase (C4 drops
+        lorem-ipsum placeholders and javascript boilerplate)
+      - contains a curly brace when ``drop_brace_docs`` (code, not prose)
+      - fewer than ``min_kept_lines`` lines survive the line rules
+
+    Output: one row per SURVIVING document — original columns plus
+    ``clean_text`` (kept lines rejoined), ``n_lines``, ``n_kept``.
+
+    Everything is array built-ins over ``split(text, '\\n')`` (filter/
+    size/array_join with rlike inside the lambda) — single scan, no
+    shuffle, no Python; at 100 TB this runs entirely inside whole-stage
+    codegen and composes with any downstream dedup/quality stage."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def line_ok(x: Column) -> Column:
+        ok = F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= F.lit(min_words)
+        if require_terminal_punct:
+            ok = ok & F.trim(x).rlike('[.!?"]$')
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    out = df.withColumn("__kept", kept).withColumn("n_lines", F.size(lines))
+    doc_ok = F.size(F.col("__kept")) >= F.lit(min_kept_lines)
+    lowered = F.lower(text)
+    for phrase in blacklist:
+        doc_ok = doc_ok & ~lowered.contains(phrase.lower())
+    if drop_brace_docs:
+        doc_ok = doc_ok & ~text.contains("{") & ~text.contains("}")
+    return (
+        out.where(doc_ok)
+        .withColumn("clean_text", F.array_join(F.col("__kept"), "\n"))
+        .withColumn("n_kept", F.size(F.col("__kept")))
+        .drop("__kept")
+    )

@@ -1779,3 +1779,46 @@ def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(10, r1, r2)], "k int, recall_single double, recall_multiprobe double"
     )
+
+
+@q(
+    "ext_c4_clean",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   STR_SPLIT(text, CHR(10)) AS lines
+            FROM documents
+        ), f AS (
+            SELECT *, LIST_FILTER(lines, x ->
+                       LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\\s+'),
+                                       w -> w <> '')) >= 25) AS kept
+            FROM base
+        )
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(LEN(lines) AS INT) AS n_lines,
+               ARRAY_TO_STRING(kept, CHR(10)) AS clean_text,
+               CAST(LEN(kept) AS INT) AS n_kept
+        FROM f
+        WHERE LEN(kept) >= 1
+          AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+          AND NOT CONTAINS(LOWER(text), 'javascript')
+          AND NOT CONTAINS(text, '{') AND NOT CONTAINS(text, '}')
+        ORDER BY doc_id
+    """,
+)
+def ext_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning (functions/text.c4_line_filter): line-
+    level word-count filter + document-level blacklist/brace drops, with
+    the surviving lines rejoined as clean_text. The driver corpus is
+    single-line and punctuation-free, so the terminal-punctuation rule is
+    disabled here and min_words=25 does the discriminating; full C4
+    semantics (punct rule, multi-line reconstruction, blacklist) are
+    pinned on realistic fixtures in tests/test_text_quality.py. One scan,
+    all array built-ins — no shuffle, no Python."""
+    from bigdatacw1_spark.functions.text import c4_line_filter
+
+    return c4_line_filter(
+        _t(spark, sf_dir, "documents"),
+        min_words=25,
+        require_terminal_punct=False,
+    ).orderBy("doc_id")

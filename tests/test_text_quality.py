@@ -132,3 +132,42 @@ def test_oov_rate_junk_doc_scores_higher_than_common_doc(spark):
     )
     out = {r["doc_id"]: r["oov_rate"] for r in oov_rate(df, vocab_size=8).collect()}
     assert out[len(rows) - 1] > out[0]
+
+
+def test_c4_line_filter_full_semantics(spark):
+    """C4 rules on a realistic multi-line fixture: sentence-like lines
+    survive, short/unpunctuated lines drop, blacklisted and brace docs
+    drop entirely, clean_text is the kept lines rejoined in order."""
+    from bigdatacw1_spark.functions.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a perfectly fine sentence with enough words.\n"
+                "too short.\n"
+                "another good line that ends with a question mark doesn't it?\n"
+                "this line has plenty of words but no terminal punctuation at all"),
+            (2, "Lorem Ipsum dolor sit amet and this sentence is long enough."),
+            (3, "function f() { return 1; } this document looks like code honestly."),
+            (4, "no line here survives.\nshort one."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs, min_words=5).collect()}
+    assert set(out) == {1}  # 2 blacklisted, 3 braces, 4 no surviving lines
+    r = out[1]
+    assert r["n_lines"] == 4 and r["n_kept"] == 2
+    assert r["clean_text"] == (
+        "This is a perfectly fine sentence with enough words.\n"
+        "another good line that ends with a question mark doesn't it?"
+    )
+
+
+def test_c4_line_filter_punct_rule_optional(spark):
+    from bigdatacw1_spark.functions.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "five words but no punctuation here")], "doc_id long, text string"
+    )
+    assert c4_line_filter(docs, min_words=3).count() == 0
+    kept = c4_line_filter(docs, min_words=3, require_terminal_punct=False).collect()
+    assert len(kept) == 1 and kept[0]["clean_text"] == kept[0]["text"]
