@@ -1822,3 +1822,55 @@ def ext_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_words=25,
         require_terminal_punct=False,
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_shortest_path",
+    oracle="""
+        WITH RECURSIVE raw AS (
+            SELECT CAST(o_custkey AS BIGINT) AS c,
+                   CAST(l_suppkey + 1000000 AS BIGINT) AS s,
+                   CAST(1.0 AS DOUBLE) / COUNT(DISTINCT o_orderkey) AS w
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ), bi AS (
+            SELECT c AS u, s AS v, w FROM raw
+            UNION ALL SELECT s AS u, c AS v, w FROM raw
+        ), walk(node, d, hops) AS (
+            SELECT CAST(1 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+            UNION ALL
+            SELECT bi.v, walk.d + bi.w, walk.hops + 1
+            FROM walk JOIN bi ON bi.u = walk.node
+            WHERE walk.hops < 2
+        )
+        SELECT node, FLOOR(MIN(d) * 1000000.0 + 0.5) / 1000000.0 AS dist
+        FROM walk GROUP BY node
+        ORDER BY dist, node
+    """,
+)
+def ext_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (operators/graph.shortest_paths):
+    minimum total edge weight from customer #1 over the undirected
+    customer↔supplier trade graph within 2 hops, edge weight = 1/n_orders
+    linking the pair (strong trading ties are 'short'). Level-synchronous
+    Bellman-Ford relaxation — one keyed shuffle + per-node MIN per round,
+    early-exit on fixpoint. Oracle: the walk-enumerating recursive CTE;
+    float path sums compare exactly because relaxation adds weights in
+    path order (see operator docstring)."""
+    from bigdatacw1_spark.operators.graph import shortest_paths
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+        )
+        .agg((F.lit(1.0) / F.countDistinct("l_orderkey")).alias("weight"))
+    )
+    seeds = spark.range(1, 2).select(F.col("id").alias("node"))
+    out = shortest_paths(edges, seeds, max_hops=2)
+    return out.select("node", stable_round(F.col("dist"), 6).alias("dist")).orderBy(
+        "dist", "node"
+    )

@@ -97,3 +97,41 @@ def test_triangle_count_exact_on_known_graph(spark):
     edges = spark.createDataFrame(k4 + star + junk, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 0, 11: 0, 12: 0, 13: 0}
+
+
+def test_shortest_paths_weighted_beats_fewer_hops(spark):
+    """The 2-hop cheap route (0.1+0.1) must beat the direct 1-hop edge
+    (1.0) — distance is weight, not hop count; and a node beyond
+    max_hops stays unreached."""
+    from bigdatacw1_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1.0),   # direct but expensive
+            (1, 3, 0.1), (3, 2, 0.1),  # two cheap hops
+            (2, 4, 0.1),   # reachable only via 2
+            (4, 5, 0.1),   # 3+ hops from source set at max_hops=3 via cheap chain
+        ],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in shortest_paths(edges, seeds, max_hops=3).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - 0.2) < 1e-12   # cheap 2-hop route wins
+    assert abs(got[3] - 0.1) < 1e-12
+    assert abs(got[4] - 0.30000000000000004) < 1e-15  # path-order float sum
+    # 5 is 4 hops along the CHEAP chain (excluded at max_hops=3) but 3 hops
+    # via the expensive direct edge: 1.0 + 0.1 + 0.1
+    assert abs(got[5] - 1.2) < 1e-9
+    assert shortest_paths(edges, seeds, max_hops=2).where("node = 5").count() == 0
+
+
+def test_shortest_paths_directed_respects_edge_direction(spark):
+    from bigdatacw1_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(2,)], "node long")
+    undirected = shortest_paths(edges, seeds, max_hops=2)
+    directed = shortest_paths(edges, seeds, max_hops=2, directed=True)
+    assert {r["node"] for r in undirected.collect()} == {1, 2}
+    assert {r["node"] for r in directed.collect()} == {2}  # no 2→1 edge
