@@ -437,3 +437,56 @@ def wh_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = ev.where(F.col("ts") >= split)
     return incremental_agg_refresh(base, delta, ["user_id"], measures).orderBy("user_id")
+
+
+@q(
+    "wh_dq_checks",
+    oracle="""
+        WITH checks AS (
+            SELECT 'orderkey_unique' AS rule,
+                   COALESCE(SUM(n - 1), 0) AS n_violations
+            FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1
+            UNION ALL
+            SELECT 'custkey_not_null', COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+            UNION ALL
+            SELECT 'status_accepted', COUNT(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+            UNION ALL
+            SELECT 'totalprice_positive', COUNT(*) FILTER (WHERE o_totalprice IS NULL OR NOT (o_totalprice >= 0.01 AND o_totalprice <= 1000000)) FROM orders
+            UNION ALL
+            SELECT 'priority_format', COUNT(*) FILTER (WHERE o_orderpriority IS NULL OR NOT REGEXP_MATCHES(o_orderpriority, '^[1-5]-[A-Z ]+$')) FROM orders
+            UNION ALL
+            SELECT 'custkey_references_customer', COUNT(*)
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            WHERE o_custkey IS NOT NULL AND c_custkey IS NULL
+        )
+        SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM checks ORDER BY rule
+    """,
+)
+def wh_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/warehouse.dq_checks —
+    the dbt-tests/Deequ pattern): six rules over orders validated in
+    three passes total — the four row-level rules (not_null, accepted
+    values, range, regex) fold into ONE conditional aggregation on a
+    single scan; uniqueness is one hash aggregate on the key; the FK
+    check is one LEFT ANTI join against broadcast customer keys. At
+    100 TB the row-rule pass costs the same scan regardless of how many
+    rules ride it — the reason the engine batches them."""
+    from bigdatacw1_spark.operators.warehouse import dq_checks
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        {"name": "custkey_not_null", "type": "not_null", "column": "o_custkey"},
+        {"name": "status_accepted", "type": "accepted_values", "column": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"name": "totalprice_positive", "type": "range", "column": "o_totalprice",
+         "min": 0.01, "max": 1_000_000},
+        {"name": "priority_format", "type": "regex", "column": "o_orderpriority",
+         "pattern": r"^[1-5]-[A-Z ]+$"},
+        {"name": "orderkey_unique", "type": "unique", "columns": ["o_orderkey"]},
+        {"name": "custkey_references_customer", "type": "references",
+         "column": "o_custkey", "ref": "customer", "ref_column": "c_custkey"},
+    ]
+    return dq_checks(orders, rules, references={"customer": customer}).orderBy("rule")

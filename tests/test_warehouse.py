@@ -232,3 +232,58 @@ def test_incremental_agg_refresh_matches_recompute_and_rejects_holistic(spark):
 
     with pytest.raises(ValueError, match="non-distributive"):
         incremental_agg_refresh(base, delta, ["k"], {"p50": ("percentile", "v")})
+
+
+def test_dq_checks_counts_each_violation_type(spark):
+    """Every rule type must count its violations on deliberately dirty
+    data: nulls, out-of-set values, out-of-range, regex misses,
+    duplicated keys, and orphaned foreign keys (NULL FK ignored)."""
+    from bigdatacw1_spark.operators.warehouse import dq_checks
+
+    rows = [
+        (1, 10, "O", 100.0, "1-URGENT"),
+        (1, 20, "X", -5.0, "bad"),       # dup key, bad status, bad range, bad regex
+        (2, None, "F", 50.0, "2-HIGH"),  # null custkey (FK ignores null)
+        (3, 99, "P", 75.0, "3-MEDIUM"),  # custkey 99 not in ref
+        (1, 10, "O", 100.0, "1-URGENT"), # key 1 now appears 3 times
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, fk long, status string, price double, prio string"
+    )
+    ref = spark.createDataFrame([(10,), (20,)], "ck long")
+    rules = [
+        {"name": "fk_not_null", "type": "not_null", "column": "fk"},
+        {"name": "status_ok", "type": "accepted_values", "column": "status",
+         "values": ["O", "F", "P"]},
+        {"name": "price_pos", "type": "range", "column": "price", "min": 0.0},
+        {"name": "prio_fmt", "type": "regex", "column": "prio",
+         "pattern": r"^[1-5]-[A-Z]+$"},
+        {"name": "k_unique", "type": "unique", "columns": ["k"]},
+        {"name": "fk_refs", "type": "references", "column": "fk",
+         "ref": "dim", "ref_column": "ck"},
+    ]
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in dq_checks(df, rules, references={"dim": ref}).collect()}
+    assert got == {
+        "fk_not_null": (1, False),
+        "status_ok": (1, False),
+        "price_pos": (1, False),
+        "prio_fmt": (1, False),
+        "k_unique": (2, False),   # key 1 ×3 → 2 extra rows
+        "fk_refs": (1, False),    # fk=99; the NULL fk is not an orphan
+    }
+
+
+def test_dq_checks_clean_table_all_pass_and_unknown_rule_raises(spark):
+    import pytest
+
+    from bigdatacw1_spark.operators.warehouse import dq_checks
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    out = dq_checks(df, [
+        {"name": "k_not_null", "type": "not_null", "column": "k"},
+        {"name": "k_unique", "type": "unique", "columns": ["k"]},
+    ]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in out)
+    with pytest.raises(NotImplementedError, match="freshness"):
+        dq_checks(df, [{"name": "x", "type": "freshness", "column": "k"}])
