@@ -1874,3 +1874,21 @@ def ext_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", stable_round(F.col("dist"), 6).alias("dist")).orderBy(
         "dist", "node"
     )
+
+
+@q("ext_ann_pq_topk")
+def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 with exact reranking
+    (operators/similarity.build_pq_index / pq_topk): vectors live as
+    m·nbits-bit codes (the 100 TB memory story — a billion 128-d floats
+    is 512 GB raw, 8 GB as 16-bit codes); the ADC pass is m array
+    lookups per row feeding a top-k heap, and only k·rerank_factor
+    candidates touch the raw vectors for exact cosine. Rows-only
+    (codebooks are k-means-defined); recall@10 vs brute force is
+    asserted in tests/test_extensions.py."""
+    from bigdatacw1_spark.operators.similarity import build_pq_index, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    codes, codebooks = build_pq_index(emb, m=8, nbits=6)
+    return pq_topk(codes, codebooks, qvec, k=10, embeddings=emb, rerank_factor=4)
