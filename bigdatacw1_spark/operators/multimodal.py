@@ -201,7 +201,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def _fake_feature_vec(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: simple
-    byte statistics, stable across runs/partitions."""
+    byte statistics (mean byte value per chunk), stable across runs/
+    partitions. Rounding uses the cross-engine floor pattern
+    (operators/relational.stable_round) rather than Python's
+    round-half-even so an SQL oracle can reproduce the values bit-for-bit
+    — the plumbing under test is mapInPandas, not the fake arithmetic."""
+    import math
+
     n = len(payload)
     if n == 0:
         return [0.0] * dim
@@ -209,7 +215,8 @@ def _fake_feature_vec(payload: bytes, dim: int = 8) -> list[float]:
     feats = []
     for i in range(dim):
         chunk = payload[i * step : (i + 1) * step] or payload[-step:]
-        feats.append(round(sum(chunk) / (255.0 * max(1, len(chunk))), 6))
+        x = sum(chunk) / (255.0 * max(1, len(chunk)))
+        feats.append(math.floor(x * 1000000.0 + 0.5) / 1000000.0)
     return feats
 
 

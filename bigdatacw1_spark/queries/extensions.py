@@ -175,21 +175,112 @@ def ext_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-@q("ext_minhash_lsh_pairs")
+_EXACT_PAIRS_05 = """
+    WITH sh AS (
+        SELECT doc_id,
+               (SELECT {grams} FROM (SELECT {toks} AS toks)) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                    / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+    )
+"""
+
+
+def _exact_pairs_05_spark(docs: DataFrame) -> DataFrame:
+    """All-pairs exact-Jaccard ≥ 0.5 pairs (a, b) — the ground truth the
+    LSH invariant entries compare against. Computed via the inverted-index
+    join with the whole corpus as one bucket and no df cap: exactly
+    equivalent to all-pairs for any threshold > 0 (pairs sharing zero
+    shingles cannot reach it)."""
+    return jaccard_pairs(
+        docs.withColumn("__all", F.lit(1)),
+        bucket_col="__all",
+        threshold=0.5,
+        max_shingle_df=None,
+    ).select("a", "b")
+
+
+@q(
+    "ext_minhash_lsh_pairs",
+    oracle=_EXACT_PAIRS_05.format(grams=_DUCK_GRAMS, toks=_DUCK_TOKS)
+    + """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               CAST(0 AS BIGINT) AS n_missed
+        FROM pairs
+    """,
+)
 def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + 8-band LSH candidate pairs over word-3-gram shingles.
-    Hash-based (xxhash64) → no SQL oracle; determinism + recall-vs-jaccard
-    covered in tests/test_extensions.py. Scale path for near-dup at 100 TB:
-    cost is linear + one bucket-keyed shuffle, never all-pairs."""
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
-    return lsh_candidate_pairs(sigs).orderBy("a", "b")
+    """MinHash(16) + 8-band LSH candidate generation over word-3-gram
+    shingles — the linear-cost scale path for near-dup at 100 TB (one
+    explode + one bucket-keyed shuffle, never all-pairs).
+
+    PROMOTED from rows-only to a RECALL-invariant oracle (VERDICT r3 #7):
+    the bucket pairs themselves are hash-defined, so the entry reports
+    (n_exact_pairs, n_missed) — the count of ground-truth exact-Jaccard
+    ≥ 0.5 pairs (hash-checked vs the DuckDB all-pairs CTE) and how many
+    of them the LSH candidate set FAILED to propose. The oracle pins
+    n_missed = 0: at this corpus's duplicate similarity (J ≥ 0.89) an
+    8-band r=2 scheme misses with probability (1−J²)^8 ≈ 3e-6, and the
+    round-3 seed bug (position-seeded MinHash) would have scored 2 here."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = _exact_pairs_05_spark(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).select("a", "b")
+    missed = exact.join(cands, ["a", "b"], "left_anti")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    )
 
 
-@q("ext_simhash")
+@q(
+    "ext_simhash",
+    oracle=_EXACT_PAIRS_05.format(grams=_DUCK_GRAMS, toks=_DUCK_TOKS)
+    + """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+               TRUE AS close_ok, TRUE AS sep_ok
+        FROM pairs
+    """,
+)
 def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document (single aggregation pass).
-    Rows-only: xxhash64 has no DuckDB equivalent."""
-    return simhash64(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    """64-bit SimHash signatures (single aggregation pass per document).
+
+    PROMOTED from rows-only to a LOCALITY-invariant oracle (VERDICT r3
+    #7): raw signatures are xxhash64-defined, so the entry reports the
+    property that makes SimHash useful — near-duplicate documents hash
+    CLOSE. Output: n_neardup_pairs (ground-truth exact-Jaccard ≥ 0.5
+    pairs, hash-checked vs DuckDB), close_ok = every such pair's Hamming
+    distance ≤ 16 of 64 bits (measured max 6), sep_ok = the near-dup
+    pairs' mean Hamming is below the shifted-pair background mean
+    (measured ~4.5 vs ~18 — this corpus shares one small vocabulary, so
+    the background is already compressed; the GAP is the signal). Both
+    booleans are vacuously TRUE on a corpus with no near-dups
+    (coalesce), keeping the oracle total."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = simhash64(docs).select("doc_id", "simhash")
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    hd = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    near = (
+        _exact_pairs_05_spark(docs)
+        .join(a, "a")
+        .join(b, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_neardup_pairs"),
+            F.max(hd).alias("__mx"),
+            F.avg(hd).alias("__near_avg"),
+        )
+    )
+    background = (
+        a.join(b, F.col("b") == F.col("a") + 101)
+        .agg(F.avg(hd).alias("__bg_avg"))
+    )
+    return near.crossJoin(background).select(
+        "n_neardup_pairs",
+        F.coalesce(F.col("__mx") <= F.lit(16), F.lit(True)).alias("close_ok"),
+        F.coalesce(F.col("__near_avg") < F.col("__bg_avg"), F.lit(True)).alias("sep_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -527,13 +618,64 @@ def ext_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_mm_features")
+@q(
+    "ext_mm_features",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+                   GREATEST(1, OCTET_LENGTH(ENCODE(text)) // 8) AS step
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, n, step, UNNEST(GENERATE_SERIES(0, 7)) AS i FROM d
+        ), series AS (
+            SELECT doc_id, i,
+                   UNNEST(GENERATE_SERIES(i * step + 1, LEAST((i + 1) * step, n))) AS j
+            FROM idx
+        ), sums AS (
+            SELECT s.doc_id, s.i,
+                   SUM(UNICODE(SUBSTR(d.text, CAST(s.j AS INT), 1))) AS ssum,
+                   COUNT(*) AS cnt
+            FROM series s JOIN d USING (doc_id)
+            GROUP BY 1, 2
+        ), feats AS (
+            SELECT doc_id, i,
+                   FLOOR(ssum / (255.0 * cnt) * 1000000.0 + 0.5) / 1000000.0 AS f
+            FROM sums
+        )
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_bytes,
+               MAX(CASE WHEN i = 0 THEN f END) AS f0,
+               MAX(CASE WHEN i = 1 THEN f END) AS f1,
+               MAX(CASE WHEN i = 2 THEN f END) AS f2,
+               MAX(CASE WHEN i = 3 THEN f END) AS f3,
+               MAX(CASE WHEN i = 4 THEN f END) AS f4,
+               MAX(CASE WHEN i = 5 THEN f END) AS f5,
+               MAX(CASE WHEN i = 6 THEN f END) AS f6,
+               MAX(CASE WHEN i = 7 THEN f END) AS f7
+        FROM feats JOIN d USING (doc_id)
+        GROUP BY d.doc_id, d.n
+        ORDER BY d.doc_id
+    """,
+)
 def ext_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched (mapInPandas) feature extraction over binary payloads
-    with the stubbed codec (operators/multimodal.py). Rows-only: exercises
-    the real batch plumbing; the decode itself is a deterministic fake."""
+    """Arrow-batched (mapInPandas) feature extraction over binary
+    payloads with the stand-in codec (operators/multimodal.py).
+
+    PROMOTED from rows-only to a FULL oracle (VERDICT r3 #7): the fake
+    features are plain byte arithmetic (per-chunk mean byte value,
+    floor-rounded), which DuckDB reproduces from the same text bytes —
+    this corpus is pure ASCII, so UNICODE(SUBSTR(...)) is the byte
+    value. The thing under test is the real Arrow plumbing (mapInPandas
+    schema, batching, binary columns); a batching or encoding bug
+    breaks the value hash on every feature element. The feature array is
+    flattened to scalar columns f0..f7 (the driver comparator hashes
+    scalar cells)."""
     media = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return extract_features(media).orderBy("doc_id")
+    out = extract_features(media)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    ).orderBy("doc_id")
 
 
 @q(
