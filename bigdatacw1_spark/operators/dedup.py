@@ -378,3 +378,66 @@ def jaccard_pairs(
         .select("a", "b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def build_bloom(
+    df: DataFrame,
+    key: Column | str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> list[int]:
+    """Build a Bloom filter over a key column as ``m_bits // 64`` longs.
+
+    The membership sketch for incremental corpus dedup: admit a new batch
+    against an EXISTING 100 TB corpus without joining it — the corpus is
+    represented by m_bits of filter state (8 KB here; a few GB covers
+    billions of keys at 1% FP), built in one linear pass and probed as
+    pure expression arithmetic on the batch side. False positives only (a
+    hit must still be verified, or accepted as over-dropping); NEVER
+    false negatives — a miss is definitely new, which is the guarantee
+    admission control needs.
+
+    Build shape: k hash positions per key (xxhash64 seeded by slot) →
+    explode → DISTINCT positions (≤ m_bits rows however large the corpus
+    — the shuffle is bounded by the filter size, not the data) →
+    driver sets bits in the dense word array. The collect is bounded by
+    m_bits — the same bounded-driver-state pattern as mixture_sample.
+    m_bits must be a power of two."""
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    c = F.col(key) if isinstance(key, str) else key
+    pos = [
+        F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)).cast("long") for i in range(k)
+    ]
+    rows = (
+        df.select(F.explode(F.array(*pos)).alias("p")).distinct().collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in rows:
+        p_ = int(r["p"])
+        dense[p_ >> 6] |= 1 << (p_ & 63)
+    # two's-complement so every word fits Spark's signed LongType literal
+    # (bit 63 set would otherwise overflow); getbit reads the same bits.
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in dense]
+
+
+def bloom_might_contain(
+    key: Column | str,
+    bloom: list[int],
+    k: int = 4,
+) -> Column:
+    """Probe expression for a filter built by build_bloom: TRUE iff every
+    one of the key's k bits is set. Pure JVM arithmetic — element_at into
+    the literal word array + getbit — so the probe side is a narrow map
+    over the new batch; it never shuffles and never touches the original
+    corpus."""
+    m_bits = len(bloom) * 64
+    c = F.col(key) if isinstance(key, str) else key
+    arr = F.array(*[F.lit(int(w)) for w in bloom])
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)).cast("long")
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        bit = F.getbit(word, pos % 64)
+        cond = cond & (bit == 1)
+    return cond

@@ -2034,3 +2034,61 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
     codes, codebooks = build_pq_index(emb, m=8, nbits=6)
     return pq_topk(codes, codebooks, qvec, k=10, embeddings=emb, rerank_factor=4)
+
+
+@q(
+    "ext_bloom_dedup",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ), old AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
+        new AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+               CAST(COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM old)) AS BIGINT) AS n_true_dups,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_rate_ok
+        FROM new
+    """,
+)
+def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (operators/dedup.build_bloom /
+    bloom_might_contain): admit a NEW batch (odd doc_ids) against an
+    EXISTING corpus (even doc_ids) without joining it — the corpus
+    collapses to an 8 KB bit array built in one linear pass; the probe is
+    a narrow map over the batch. This is the admission-control shape at
+    100 TB, where a fingerprint join against the historical corpus is
+    the thing you cannot afford per batch.
+
+    INVARIANT oracle: n_new and n_true_dups (exact fingerprint overlap)
+    are hash-checked vs DuckDB; no_false_negatives asserts every true
+    duplicate was flagged by the filter (the Bloom guarantee — a seeding
+    or probe bug breaks it), and fp_rate_ok bounds the false-positive
+    rate at 5% (expected ~0.04% at these parameters: m=2^16, k=4,
+    n≈corpus/2)."""
+    from bigdatacw1_spark.functions.text import normalized_fingerprint
+    from bigdatacw1_spark.operators.dedup import bloom_might_contain, build_bloom
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_fingerprint("text").alias("fp")
+    )
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    bloom = build_bloom(old, "fp")
+    flagged = new.withColumn("__hit", bloom_might_contain(F.col("fp"), bloom))
+    truth = new.join(
+        old.select(F.col("fp").alias("__ofp")).distinct(),
+        F.col("fp") == F.col("__ofp"),
+        "left",
+    ).select("doc_id", "fp", F.col("__ofp").isNotNull().alias("__dup"))
+    j = flagged.join(truth.select("doc_id", "__dup"), "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("__dup").cast("long")).alias("n_true_dups"),
+        (F.sum((F.col("__dup") & ~F.col("__hit")).cast("long")) == 0).alias("no_false_negatives"),
+        (
+            F.sum((~F.col("__dup") & F.col("__hit")).cast("long"))
+            / F.greatest(F.sum((~F.col("__dup")).cast("long")), F.lit(1))
+            <= F.lit(0.05)
+        ).alias("fp_rate_ok"),
+    )

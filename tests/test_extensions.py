@@ -586,3 +586,29 @@ def test_pq_index_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         build_pq_index(df, m=2)
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    """Every inserted key must probe TRUE (the Bloom guarantee); absent
+    keys probe TRUE at ~the designed false-positive rate, not ~50%."""
+    from bigdatacw1_spark.operators.dedup import bloom_might_contain, build_bloom
+
+    present = spark.range(0, 2000).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    absent = spark.range(50000, 54000).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    bloom = build_bloom(present, "k", m_bits=1 << 16, k=4)
+    assert len(bloom) == 1024
+    hits_present = present.where(bloom_might_contain("k", bloom)).count()
+    assert hits_present == 2000  # zero false negatives, by construction
+    fp = absent.where(bloom_might_contain("k", bloom)).count() / 4000.0
+    # m=65536, n=2000, k=4 → expected fp ≈ (1 - e^(-4*2000/65536))^4 ≈ 2e-4
+    assert fp <= 0.01, fp
+
+
+def test_bloom_rejects_non_power_of_two(spark):
+    import pytest
+
+    from bigdatacw1_spark.operators.dedup import build_bloom
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom(df, "k", m_bits=1000)
