@@ -32,7 +32,9 @@ neighbors):
              strings: $toLower $toUpper $trim $split $strLenCP $substrCP,
              dates: $year $month $dayOfMonth $hour $minute $second
              $dayOfWeek $dayOfYear, $dateToString (%-format translated,
-             unknown specifiers raise),
+             unknown specifiers raise), $dateTrunc (binSize 1),
+             $dateAdd (make_interval), $dateDiff (Mongo boundary-
+             crossing counts; week requires startOfWeek:'monday'),
              math: $abs $mod $pow $sqrt $exp $ln $log10 $ceil $floor,
              $round (half-to-EVEN = Mongo, via bround), $trunc (toward 0),
              casts: $toString $toInt $toLong $toDouble $toDate $toBool
@@ -195,6 +197,58 @@ def compile_expr(e: object, scope: Mapping[str, Column] | None = None) -> Column
         return F.date_format(
             compile_expr(arg["date"], scope), _mongo_date_format(arg["format"])
         )
+    if op == "$dateTrunc":
+        unit = arg["unit"]
+        if unit not in _TRUNC_UNITS:
+            raise NotImplementedError(f"$dateTrunc unit {unit!r}")
+        if arg.get("binSize", 1) != 1:
+            raise NotImplementedError("$dateTrunc binSize != 1")
+        return F.date_trunc(unit, compile_expr(arg["date"], scope))
+    if op == "$dateAdd":
+        unit = arg["unit"]
+        amount = compile_expr(arg["amount"], scope).cast("int")
+        start = compile_expr(arg["startDate"], scope)
+        zero = F.lit(0)
+        slots = {
+            "year": 0, "month": 1, "week": 2, "day": 3,
+            "hour": 4, "minute": 5, "second": 6,
+        }
+        if unit not in slots:
+            raise NotImplementedError(f"$dateAdd unit {unit!r}")
+        args = [zero] * 7
+        args[slots[unit]] = amount
+        return start + F.make_interval(*args)
+    if op == "$dateDiff":
+        # Mongo counts UNIT BOUNDARIES CROSSED (calendar semantics), not
+        # whole elapsed intervals — e.g. 23:59 → 00:01 is day diff 1.
+        unit = arg["unit"]
+        if unit == "week" and arg.get("startOfWeek", "sunday").lower() != "monday":
+            # Mongo's default week start is SUNDAY; Spark's week
+            # truncation is ISO (Monday). Only an explicit
+            # startOfWeek:'monday' has identical boundary semantics —
+            # anything else would silently count different weeks.
+            raise NotImplementedError(
+                "$dateDiff week requires explicit startOfWeek:'monday' "
+                "(Spark weeks are ISO; Mongo's default Sunday start is unsupported)"
+            )
+        s = compile_expr(arg["startDate"], scope)
+        e_ = compile_expr(arg["endDate"], scope)
+        if unit in ("second", "minute", "hour", "day", "week"):
+            secs = _TIME_UNIT_SECONDS[unit]
+            ts = F.unix_timestamp(F.date_trunc(unit, s))
+            te = F.unix_timestamp(F.date_trunc(unit, e_))
+            return ((te - ts) / F.lit(secs)).cast("long")
+        if unit == "month":
+            return (
+                (F.year(e_) - F.year(s)) * 12 + (F.month(e_) - F.month(s))
+            ).cast("long")
+        if unit == "quarter":
+            return (
+                (F.year(e_) - F.year(s)) * 4 + (F.quarter(e_) - F.quarter(s))
+            ).cast("long")
+        if unit == "year":
+            return (F.year(e_) - F.year(s)).cast("long")
+        raise NotImplementedError(f"$dateDiff unit {unit!r}")
     if op in _MATH_FNS:
         return _MATH_FNS[op](compile_expr(arg, scope))
     if op in ("$mod", "$pow"):
@@ -583,6 +637,8 @@ _TIME_UNIT_SECONDS = {
     "day": 86400,
     "week": 604800,
 }
+
+_TRUNC_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
 
 
 def _window_bound(b: object, upper: bool = False) -> int:

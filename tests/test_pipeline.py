@@ -616,3 +616,58 @@ def test_pipeline_set_window_fields_time_unit_range(spark):
     # trailing 7 days, both ends inclusive (Mongo range semantics):
     # Jan 1 → itself; Jan 3 → Jan 1 + Jan 3; Jan 10 → Jan 3 (exactly -7d) + itself
     assert rows == {1: 1.0, 3: 3.0, 10: 6.0}
+
+
+def test_pipeline_date_trunc_add_diff(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2023, 11, 24, 13, 45, 30),
+             datetime.datetime(2023, 11, 24, 23, 59, 0))],
+        "k long, ts timestamp, late timestamp",
+    )
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+            "month": {"$dateTrunc": {"date": "$ts", "unit": "month"}},
+            "plus2d": {"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": 2}},
+            "plus3h": {"$dateAdd": {"startDate": "$ts", "unit": "hour", "amount": 3}},
+            # 23:59 same day → 0 boundaries; +2 min crosses midnight → 1
+            "dd0": {"$dateDiff": {"startDate": "$ts", "endDate": "$late", "unit": "day"}},
+            "dd1": {"$dateDiff": {"startDate": "$late",
+                                   "endDate": {"$dateAdd": {"startDate": "$late", "unit": "minute", "amount": 2}},
+                                   "unit": "day"}},
+            "mm": {"$dateDiff": {"startDate": {"$literal": "2023-01-15"},
+                                  "endDate": {"$literal": "2023-03-01"}, "unit": "month"}},
+        }}],
+    ).collect()[0]
+    import datetime as dt
+    assert out["day"] == dt.datetime(2023, 11, 24)
+    assert out["month"] == dt.datetime(2023, 11, 1)
+    assert out["plus2d"] == dt.datetime(2023, 11, 26, 13, 45, 30)
+    assert out["plus3h"] == dt.datetime(2023, 11, 24, 16, 45, 30)
+    assert out["dd0"] == 0 and out["dd1"] == 1  # boundary-crossing, not elapsed
+    assert out["mm"] == 2  # Jan→Mar crosses two month boundaries
+
+
+def test_pipeline_date_diff_week_guards_start_of_week(spark):
+    import datetime
+
+    import pytest
+
+    df = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "k long, ts timestamp")
+    with pytest.raises(NotImplementedError, match="startOfWeek"):
+        compile_pipeline(df, [{"$project": {
+            "w": {"$dateDiff": {"startDate": "$ts", "endDate": "$ts", "unit": "week"}},
+        }}])
+    # Mon Jan 1 2024 → Sun Jan 7 is the same ISO week; Mon Jan 8 is +1
+    out = compile_pipeline(df, [{"$project": {
+        "same": {"$dateDiff": {"startDate": "$ts",
+                                "endDate": {"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": 6}},
+                                "unit": "week", "startOfWeek": "monday"}},
+        "next": {"$dateDiff": {"startDate": "$ts",
+                                "endDate": {"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": 7}},
+                                "unit": "week", "startOfWeek": "monday"}},
+    }}]).collect()[0]
+    assert out["same"] == 0 and out["next"] == 1
