@@ -16,7 +16,9 @@ neighbors):
              $addFields/$set, $unset, $replaceRoot, $sort, $limit, $skip,
              $unwind (incl. dotted paths + preserveNullAndEmptyArrays),
              $count, $lookup, $bucket, $setWindowFields, $unionWith,
-             $facet, $sortByCount, $graphLookup
+             $facet, $sortByCount, $graphLookup, $densify (numeric and
+             time grids, full/partition/explicit-[lo,hi) bounds),
+             $fill (value / locf; linear raises)
   match ops  equality, $gt $gte $lt $lte $ne $eq, $in $nin (null-aware,
              the "NA"/null screen of NoSQLQueries.js:30-33), $and $or
   accums     $sum (1 or expr), $avg, $min, $max, $push, $addToSet,
@@ -836,6 +838,91 @@ def _compile_graph_lookup(out: DataFrame, spec: Mapping, collections: Mapping[st
     return joined.withColumn(as_name, F.coalesce(F.col(as_name), empty))
 
 
+def _compile_densify(out: DataFrame, spec: Mapping) -> DataFrame:
+    """$densify — add documents at every ``step`` of ``field`` that the
+    data skips, per partition. New documents carry ONLY the field and the
+    partition fields (everything else NULL), exactly Mongo: existing
+    off-step documents stay untouched; on-step values already present are
+    not duplicated (anti-join). Numeric steps use sequence(lo, hi, step);
+    time steps use an INTERVAL step over the same bounds. bounds:
+    "full" (corpus min..max), "partition" (per-partition min..max), or
+    [lo, hi) — Mongo's explicit bounds are EXCLUSIVE of the upper end.
+
+    Scale shape: the grid is one sequence-explode over the (small)
+    per-partition bounds frame; the anti-join and union are keyed by
+    (partition, field). The dense grid size is bounds/step per partition
+    — the same cost Mongo pays, chosen by the caller."""
+    field = spec["field"]
+    rng = spec["range"]
+    parts = list(spec.get("partitionByFields", []))
+    step, unit, bounds = rng["step"], rng.get("unit"), rng.get("bounds", "full")
+    if unit is not None:
+        if unit not in _TIME_UNIT_SECONDS and unit not in ("month", "quarter", "year"):
+            raise NotImplementedError(f"$densify unit {unit!r}")
+        step_expr = F.expr(f"INTERVAL {int(step)} {unit}")
+    else:
+        step_expr = F.lit(step)
+    explicit = not isinstance(bounds, str)
+    if explicit:
+        lo, hi = (compile_expr({"$literal": b}) for b in bounds)
+        keys = out.select(*parts).distinct() if parts else out.limit(1).select(F.lit(1).alias("__k")).drop("__k")
+        base = keys.withColumn("__lo", lo).withColumn("__hi", hi)
+    elif bounds == "full":
+        mm = out.agg(F.min(field).alias("__lo"), F.max(field).alias("__hi"))
+        base = out.select(*parts).distinct().crossJoin(F.broadcast(mm)) if parts else mm
+    elif bounds == "partition":
+        if not parts:
+            raise ValueError("$densify bounds:'partition' requires partitionByFields")
+        base = out.groupBy(*parts).agg(F.min(field).alias("__lo"), F.max(field).alias("__hi"))
+    else:
+        raise NotImplementedError(f"$densify bounds {bounds!r}")
+    grid = base.select(
+        *parts,
+        F.col("__hi"),
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step_expr)).alias(field),
+    )
+    # Mongo's explicit [lo, hi) bounds exclude the upper end; sequence()
+    # is inclusive, so trim. Range-derived bounds keep the inclusive max.
+    grid = (grid.where(F.col(field) < F.col("__hi")) if explicit else grid).drop("__hi")
+    new_rows = grid.join(out.select(*parts, field).distinct(), [*parts, field], "left_anti")
+    return out.unionByName(new_rows, allowMissingColumns=True)
+
+
+def _compile_fill(out: DataFrame, spec: Mapping) -> DataFrame:
+    """$fill — fill null/missing values: ``{value: expr}`` substitutes a
+    constant/expression; ``{method: 'locf'}`` carries the last observed
+    value forward in ``sortBy`` order within the partition (one window,
+    last(ignorenulls), running frame — a single exchange serves every
+    locf output). ``method:'linear'`` raises (use the native
+    ev_resample_interp operator for interpolation)."""
+    from pyspark.sql import Window
+
+    parts = spec.get("partitionBy")
+    part_cols = (
+        [compile_expr(parts)] if isinstance(parts, str)
+        else [F.col(c) for c in spec.get("partitionByFields", [])]
+    )
+    needs_locf = any(o.get("method") == "locf" for o in spec["output"].values())
+    w = None
+    if needs_locf:
+        sort_by = spec.get("sortBy")
+        if not sort_by:
+            raise NotImplementedError("$fill method:'locf' requires sortBy")
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(*[F.col(k).desc() if d < 0 else F.col(k).asc() for k, d in sort_by.items()])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    for fld, how in spec["output"].items():
+        if "value" in how:
+            out = out.withColumn(fld, F.coalesce(F.col(fld), compile_expr(how["value"])))
+        elif how.get("method") == "locf":
+            out = out.withColumn(fld, F.last(fld, ignorenulls=True).over(w))
+        else:
+            raise NotImplementedError(f"$fill method {how!r}")
+    return out
+
+
 def _compile_facet(out: DataFrame, spec: Mapping, collections: Mapping[str, DataFrame]) -> DataFrame:
     """$facet — run each sub-pipeline on the same input; the result is ONE
     document whose fields hold each facet's full output as an array of
@@ -891,6 +978,10 @@ def compile_pipeline(
             out = _compile_set_window_fields(out, spec)
         elif op == "$graphLookup":
             out = _compile_graph_lookup(out, spec, collections)
+        elif op == "$densify":
+            out = _compile_densify(out, spec)
+        elif op == "$fill":
+            out = _compile_fill(out, spec)
         elif op == "$unionWith":
             cname = spec if isinstance(spec, str) else spec["coll"]
             if cname not in collections:

@@ -276,3 +276,45 @@ def pl_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+@q(
+    "pl_densify_fill",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+        ), grid AS (
+            SELECT event_type, UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS day
+            FROM span
+        )
+        SELECT g.event_type, g.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN daily d USING (event_type, day)
+        ORDER BY g.event_type, g.day
+    """,
+)
+def pl_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify + $fill through the pipeline front end: per-event-type
+    daily counts densified onto each type's full day grid (partition
+    bounds, 1-day time step) with missing days filled as zero — Mongo's
+    gap-filling stages compiled to sequence-explode + anti-join + union
+    and a coalesce; the day grid is bounded by span/step, the joins are
+    keyed by (type, day). Oracle: DuckDB GENERATE_SERIES left join."""
+    ev = _t(spark, sf_dir, "events")
+    out = compile_pipeline(
+        ev,
+        [
+            {"$group": {"_id": {"event_type": "$event_type",
+                                 "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+                        "n": {"$sum": 1}}},
+            {"$project": {"_id": 0, "event_type": "$_id.event_type",
+                          "day": "$_id.day", "n": 1}},
+            {"$densify": {"field": "day", "partitionByFields": ["event_type"],
+                           "range": {"step": 1, "unit": "day", "bounds": "partition"}}},
+            {"$fill": {"output": {"n": {"value": 0}}}},
+            {"$sort": {"event_type": 1, "day": 1}},
+        ],
+    )
+    return out.select("event_type", "day", F.col("n").cast("long").alias("n"))

@@ -671,3 +671,62 @@ def test_pipeline_date_diff_week_guards_start_of_week(spark):
                                 "unit": "week", "startOfWeek": "monday"}},
     }}]).collect()[0]
     assert out["same"] == 0 and out["next"] == 1
+
+
+def test_pipeline_densify_numeric_partition_bounds(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 20.0)], "k string, pos long, v double"
+    )
+    out = compile_pipeline(
+        df,
+        [{"$densify": {"field": "pos",
+                        "partitionByFields": ["k"],
+                        "range": {"step": 1, "bounds": "partition"}}}],
+    )
+    rows = {(r["k"], r["pos"]): r["v"] for r in out.collect()}
+    # a gets 2,3 added with NULL v; b's range is a single point
+    assert set(rows) == {("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 2)}
+    assert rows[("a", 2)] is None and rows[("a", 3)] is None
+    assert rows[("a", 1)] == 10.0  # existing docs untouched
+
+
+def test_pipeline_densify_explicit_bounds_exclusive_upper(spark):
+    df = spark.createDataFrame([("a", 5)], "k string, pos long")
+    out = compile_pipeline(
+        df,
+        [{"$densify": {"field": "pos", "range": {"step": 2, "bounds": [0, 6]}}}],
+    )
+    # [0, 6) step 2 → 0, 2, 4 added; existing 5 kept; 6 excluded
+    assert sorted(r["pos"] for r in out.collect()) == [0, 2, 4, 5]
+
+
+def test_pipeline_densify_time_unit_and_fill_locf(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [("s", base, 1.0), ("s", base + dt.timedelta(hours=3), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"$densify": {"field": "ts", "partitionByFields": ["k"],
+                           "range": {"step": 1, "unit": "hour", "bounds": "partition"}}},
+            {"$fill": {"partitionByFields": ["k"], "sortBy": {"ts": 1},
+                        "output": {"v": {"method": "locf"}}}},
+        ],
+    )
+    rows = {r["ts"].hour: r["v"] for r in out.collect()}
+    assert rows == {0: 1.0, 1: 1.0, 2: 1.0, 3: 4.0}  # gaps carried forward
+
+
+def test_pipeline_fill_value_and_linear_raises(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "k long, v double")
+    out = compile_pipeline(
+        df, [{"$fill": {"output": {"v": {"value": 0.0}}}}]
+    )
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: 0.0, 2: 5.0}
+    with pytest.raises(NotImplementedError, match="fill method"):
+        compile_pipeline(df, [{"$fill": {"sortBy": {"k": 1},
+                                          "output": {"v": {"method": "linear"}}}}])
