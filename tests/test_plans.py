@@ -243,3 +243,41 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_c4_clean_is_single_scan_no_shuffle(spark):
+    """The C4 cleaner is line-level array work inside one scan: no
+    Exchange may appear before the (presentation-only) orderBy, and no
+    Python eval anywhere — at 100 TB this stage must ride the ingest
+    scan for free."""
+    from bigdatacw1_spark.functions.text import c4_line_filter
+    from bigdatacw1_spark.plans import formatted_plan
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    out = c4_line_filter(
+        load_table(spark, SF_SMALL, "documents"),
+        min_words=25,
+        require_terminal_punct=False,
+    )
+    plan = formatted_plan(out)
+    assert "Exchange" not in plan, plan
+    assert not has_python_eval(out)
+
+
+def test_bloom_probe_is_narrow_filter_no_shuffle(spark):
+    """bloom_might_contain compiles to literal-array arithmetic: the
+    probe side plan is scan → filter, no Exchange, no join — the whole
+    point of screening a batch against the corpus filter."""
+    from bigdatacw1_spark.operators.dedup import bloom_might_contain, build_bloom
+    from bigdatacw1_spark.functions.text import normalized_fingerprint
+    from bigdatacw1_spark.plans import formatted_plan
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", normalized_fingerprint("text").alias("fp")
+    )
+    bloom = build_bloom(docs.where(F.col("doc_id") % 2 == 0), "fp")
+    probe = docs.where(F.col("doc_id") % 2 == 1).where(bloom_might_contain("fp", bloom))
+    plan = formatted_plan(probe)
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert not has_python_eval(probe)
