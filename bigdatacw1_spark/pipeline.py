@@ -688,10 +688,16 @@ def _compile_set_window_fields(out: DataFrame, spec: Mapping) -> DataFrame:
             val = compile_expr(arg["output"])
             shifted = F.lead(val, by, None) if by >= 0 else F.lag(val, -by, None)
             out = out.withColumn(name, F.coalesce(shifted.over(w_sorted), default))
-        elif op in ("$sum", "$avg", "$min", "$max", "$count"):
+        elif op in ("$sum", "$avg", "$min", "$max", "$count", "$first", "$last"):
+            if op in ("$first", "$last") and not sort_by:
+                raise NotImplementedError(f"windowed {op} requires sortBy")
             agg = {
                 "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
                 "$count": lambda c: F.count(F.lit(1)),
+                # frame-positional first/last in sortBy order (Mongo:
+                # first/last document of the window)
+                "$first": lambda c: F.first(c, ignorenulls=False),
+                "$last": lambda c: F.last(c, ignorenulls=False),
             }[op](compile_expr(arg) if op != "$count" else F.lit(1))
             frame = odef.get("window", {})
             if "range" in frame:
@@ -738,6 +744,18 @@ def _compile_set_window_fields(out: DataFrame, spec: Mapping) -> DataFrame:
                 out = out.withColumn(
                     name,
                     agg.over(w_sorted.rowsBetween(_window_bound(lo), _window_bound(hi, upper=True))),
+                )
+            elif op in ("$first", "$last"):
+                # no explicit frame: whole partition, but the value is
+                # positional so the frame MUST carry the sortBy order —
+                # first/last over the unsorted window would be arbitrary
+                out = out.withColumn(
+                    name,
+                    agg.over(
+                        w_sorted.rowsBetween(
+                            Window.unboundedPreceding, Window.unboundedFollowing
+                        )
+                    ),
                 )
             else:
                 # Mongo: no window → the ENTIRE partition, sorted or not

@@ -730,3 +730,29 @@ def test_pipeline_fill_value_and_linear_raises(spark):
     with pytest.raises(NotImplementedError, match="fill method"):
         compile_pipeline(df, [{"$fill": {"sortBy": {"k": 1},
                                           "output": {"v": {"method": "linear"}}}}])
+
+
+def test_pipeline_set_window_fields_first_last(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("a", 3, "z"), ("b", 9, "q")],
+        "k string, pos long, v string",
+    )
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"pos": 1},
+            "output": {
+                "fst": {"$first": "$v"},
+                "lst": {"$last": "$v"},
+                "prev2": {"$first": "$v", "window": {"documents": [-1, 0]}},
+            },
+        }}],
+    )
+    rows = {(r["k"], r["pos"]): r for r in out.collect()}
+    assert all(rows[("a", p)]["fst"] == "x" and rows[("a", p)]["lst"] == "z" for p in (1, 2, 3))
+    assert rows[("b", 9)]["fst"] == "q" and rows[("b", 9)]["lst"] == "q"
+    # framed $first: first doc of the trailing-2 window
+    assert rows[("a", 1)]["prev2"] == "x" and rows[("a", 3)]["prev2"] == "y"
+    with pytest.raises(NotImplementedError, match="requires sortBy"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$k", "output": {"f": {"$first": "$v"}}}}])
