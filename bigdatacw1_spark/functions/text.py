@@ -332,3 +332,26 @@ def c4_line_filter(
         .withColumn("n_kept", F.size(F.col("__kept")))
         .drop("__kept")
     )
+
+
+def char_entropy(text: Column | str, digits: int = 4) -> Column:
+    """Shannon entropy (bits) of the character distribution — the cheap
+    gibberish/boilerplate detector: natural prose sits ~4 bits, repeated
+    padding near 0, random base64 near 6. All array built-ins: split to
+    chars, SORTED distinct alphabet, per-char counts via filter/size,
+    then -Σ p·log2 p folded in alphabet order. The sorted alphabet makes
+    the float summation order deterministic and engine-reproducible (the
+    DuckDB oracle folds the same sorted list), so results hash-compare
+    exactly after stable rounding. One scan, no shuffle, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    alphabet = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars)
+    counts = F.transform(alphabet, lambda a: F.size(F.filter(chars, lambda x: x == a)))
+    p = lambda cnt: cnt.cast("double") / n.cast("double")  # noqa: E731
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + p(cnt) * F.log2(p(cnt)),
+    )
+    return stable_round(ent, digits)

@@ -2092,3 +2092,78 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("fp_rate_ok"),
     )
+
+
+@q(
+    "ext_char_entropy",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   LIST_SORT(LIST_DISTINCT(STR_SPLIT(text, ''))) AS alpha,
+                   STR_SPLIT(text, '') AS chars
+            FROM documents
+        ), ent AS (
+            SELECT doc_id,
+                   -LIST_SUM(LIST_TRANSFORM(alpha, a ->
+                       (LEN(LIST_FILTER(chars, x -> x = a)) / CAST(LEN(chars) AS DOUBLE))
+                       * LOG2(LEN(LIST_FILTER(chars, x -> x = a)) / CAST(LEN(chars) AS DOUBLE))
+                   )) AS h
+            FROM base
+        )
+        SELECT doc_id, FLOOR(h * 10000.0 + 0.5) / 10000.0 AS entropy_bits
+        FROM ent ORDER BY doc_id
+    """,
+)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document
+    (functions/text.char_entropy) — the cheap gibberish / padding /
+    base64 detector in a pre-training quality stack. Folded over the
+    SORTED alphabet so the float summation order is identical in both
+    engines; hash-checked bit-for-bit after stable rounding. Single
+    scan, array built-ins only."""
+    from bigdatacw1_spark.functions.text import char_entropy
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", char_entropy("text").alias("entropy_bits")
+    ).orderBy("doc_id")
+
+
+@q(
+    "ext_freq_items",
+    oracle="""
+        WITH c AS (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1),
+             t AS (SELECT COUNT(*) AS n FROM orders)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_heavy, TRUE AS all_found
+        FROM c, t WHERE c.cnt > 0.1 * t.n
+    """,
+)
+def ext_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via Spark's built-in freqItems
+    (Karp-Schenker-Papadimitriou counting — the streaming-mergeable
+    frequent-items sketch): candidate set is at most 1/support items
+    regardless of cardinality, found in one pass with per-partition
+    summaries. The sketch may return FALSE positives but guarantees NO
+    false negatives above the support threshold — exactly the invariant
+    this entry's oracle pins: n_true_heavy (exact count of values with
+    frequency > 10%, hash-checked vs DuckDB) and all_found = every true
+    heavy value appears in the sketch's candidate list."""
+    o = _t(spark, sf_dir, "orders")
+    candidates = [
+        x for x in o.stat.freqItems(["o_orderstatus"], 0.1).head()[0] if x is not None
+    ]
+    total = o.agg(F.count(F.lit(1)).alias("n"))
+    heavy = (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("c") > F.lit(0.1) * F.col("n"))
+    )
+    return heavy.agg(
+        F.count(F.lit(1)).alias("n_true_heavy"),
+        (
+            F.coalesce(
+                F.sum((~F.col("o_orderstatus").isin(candidates)).cast("long")), F.lit(0)
+            )
+            == 0
+        ).alias("all_found"),
+    )

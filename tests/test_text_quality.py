@@ -171,3 +171,24 @@ def test_c4_line_filter_punct_rule_optional(spark):
     assert c4_line_filter(docs, min_words=3).count() == 0
     kept = c4_line_filter(docs, min_words=3, require_terminal_punct=False).collect()
     assert len(kept) == 1 and kept[0]["clean_text"] == kept[0]["text"]
+
+
+def test_char_entropy_orders_gibberish_vs_padding(spark):
+    """Entropy must rank: repeated padding ~0 < natural-ish prose <
+    high-alphabet noise; and a uniform 4-char string is exactly 2 bits."""
+    from bigdatacw1_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "abcd" * 8),
+            (4, "q8Zx!pL2mV9sKw3TyR7uB5nJ0hG6fD1c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["e"] for r in docs.select(
+        "doc_id", char_entropy("text").alias("e")).collect()}
+    assert got[1] == 0.0
+    assert got[3] == 2.0  # uniform 4-symbol alphabet
+    assert got[1] < got[2] < got[4]
