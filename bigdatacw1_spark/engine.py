@@ -50,6 +50,29 @@ class Engine:
     def tables(self) -> list[str]:
         return sorted(TABLES)
 
+    def pipeline(
+        self,
+        table: str,
+        stages: list[dict],
+        collections: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        """Mongo aggregation-pipeline front end (the reference's NoSQL
+        dialect, lifecycle §3.2): run a stage list against a catalog
+        table via bigdatacw1_spark.pipeline.compile_pipeline. Every
+        catalog table is implicitly available to $lookup/$unionWith/
+        $graphLookup; pass ``collections`` to add or override frames.
+
+            eng.pipeline("orders", [
+                {"$match": {"o_totalprice": {"$gt": 100000}}},
+                {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}}},
+            ])
+        """
+        from bigdatacw1_spark.pipeline import compile_pipeline
+
+        colls: dict[str, DataFrame] = {t: self.spark.table(t) for t in TABLES}
+        colls.update(collections or {})
+        return compile_pipeline(self.table(table), stages, colls)
+
     def materialize(
         self, name: str, df: DataFrame | str, path: str, mode: str = "overwrite"
     ) -> DataFrame:

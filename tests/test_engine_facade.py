@@ -97,3 +97,27 @@ def test_materialize_registers_stored_result_not_plan(spark, tmp_path):
     # Refresh picks up new results under the same name.
     eng.materialize("mv_segment_totals", "SELECT 'x' AS c_mktsegment, 1 AS n", path)
     assert eng.sql("SELECT COUNT(*) FROM mv_segment_totals").collect()[0][0] == 1
+
+
+def test_engine_pipeline_front_end_with_implicit_lookup(spark):
+    """Engine.pipeline runs the Mongo dialect against catalog tables,
+    with every catalog table implicitly joinable via $lookup."""
+    from bigdatacw1_spark.engine import Engine
+    from tests.conftest import SF_SMALL
+
+    eng = Engine(spark, sf_dir=SF_SMALL)
+    out = eng.pipeline("orders", [
+        {"$match": {"o_totalprice": {"$gt": 100000}}},
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                      "foreignField": "c_custkey", "as": "cust"}},
+        {"$unwind": "$cust"},
+        {"$group": {"_id": "$cust.c_mktsegment", "n": {"$sum": 1}}},
+    ])
+    rows = out.collect()
+    assert len(rows) > 1 and all(r["n"] > 0 for r in rows)
+    sql = eng.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 100000 GROUP BY c_mktsegment
+    """)
+    assert {(r["_id"], r["n"]) for r in rows} == {(r["c_mktsegment"], r["n"]) for r in sql.collect()}
