@@ -27,6 +27,16 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # pinned first as the permanent parity anchor. Everything else keeps its
 # registration order after the priority block (locally oracle-checked every
 # run by tests/test_parity.py, which iterates the FULL registry).
+#
+# ROUND-5 ROTATION PLAN (do this first next round): swap the 45 non-anchor
+# slots onto the remaining never-driver-checked entries — the f5-f23/f10-f17
+# scalar suites, a13-a17, j6-j13, w5-w9, set ops, p9/p10, diag_*, pl_* (incl.
+# round-4's pl_expr_suite / pl_densify_fill), the round-4 promotions
+# (ext_sketch_* ×5, ext_minhash_lsh_pairs, ext_simhash, ext_mm_features) and
+# round-4 additions (ext_c4_clean, ext_shortest_path, ext_bloom_dedup,
+# ext_char_entropy, ext_freq_items, ext_knn_graph, wh_dq_checks,
+# wh_snapshot_diff, ev_* leftovers). That covers nearly everything still
+# unchecked; round 6 mops up the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)
