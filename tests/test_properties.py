@@ -232,3 +232,92 @@ def test_fx_daily_broadcast_plan_equals_generic_asof(spark, prices, rates):
     a = {r.pid: (r.rate, r.converted) for r in daily.collect()}
     b = {r.pid: (r.rate, r.converted) for r in generic.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# (f) $match predicate compiler vs a Python Mongo-semantics evaluator:
+#     random documents (numbers, numeric strings, "NA", null) × random
+#     predicates must agree with Mongo's rules — type-bracketed numeric
+#     comparisons, null-keeping $ne, null-aware $in/$nin.
+# ---------------------------------------------------------------------------
+
+_doc_value = st.one_of(
+    st.none(),
+    st.just("NA"),
+    st.integers(min_value=-5, max_value=10).map(float),
+    st.sampled_from(["3", "7.5", "-2"]),  # numeric STRINGS: castable
+    st.sampled_from(["abc", "xyz"]),
+)
+
+_pred = st.one_of(
+    st.sampled_from(["$gt", "$gte", "$lt", "$lte", "$ne", "$eq"]).flatmap(
+        lambda op: st.integers(min_value=-3, max_value=8).map(lambda v: {op: float(v)})
+    ),
+    st.just({"$in": ["NA", None]}),
+    st.just({"$nin": ["NA", None]}),
+    st.just({"$in": ["abc", "3"]}),
+)
+
+
+def _mongo_eval(val, spec) -> bool:
+    """Reference evaluator for one field predicate, Mongo rules as the
+    compiler documents them: numeric comparisons type-bracket (a doc
+    whose value isn't numeric — including numeric STRINGS failing only
+    by type in Mongo, but our dialect ingests mixed columns as strings
+    and try_casts, so castable strings compare numerically); $ne keeps
+    nulls; $in/$nin treat null in the list as is-null/is-not-null."""
+    import math
+
+    def as_num(x):
+        if isinstance(x, float):
+            return x
+        if isinstance(x, str):
+            try:
+                return float(x)
+            except ValueError:
+                return None
+        return None
+
+    for op, rhs in spec.items():
+        if op in ("$gt", "$gte", "$lt", "$lte"):
+            n = as_num(val)
+            if n is None:
+                return False
+            ok = {"$gt": n > rhs, "$gte": n >= rhs, "$lt": n < rhs, "$lte": n <= rhs}[op]
+            if not ok:
+                return False
+        elif op == "$eq":
+            n = as_num(val)
+            if not (n is not None and n == rhs):
+                return False
+        elif op == "$ne":
+            n = as_num(val)
+            if n is not None and n == rhs:
+                return False
+        elif op == "$in":
+            vals = [v for v in rhs if v is not None]
+            hit = val in vals or (val is None and None in rhs)
+            if not hit:
+                return False
+        elif op == "$nin":
+            vals = [v for v in rhs if v is not None]
+            if val in vals:
+                return False
+            if None in rhs and val is None:
+                return False
+    return True
+
+
+@given(vals=st.lists(_doc_value, min_size=1, max_size=15), pred=_pred)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_match_predicate_compiler_matches_mongo_eval(spark, vals, pred):
+    from bigdatacw1_spark.pipeline import _match_predicate
+
+    rows = [(i, ("%g" % v) if isinstance(v, float) else v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, f string")
+    got = {r["i"] for r in df.where(_match_predicate({"f": pred})).collect()}
+    want = {
+        i for i, v in enumerate(vals)
+        if _mongo_eval(("%g" % v) if isinstance(v, float) else v, pred)
+    }
+    assert got == want, (vals, pred)
