@@ -18,7 +18,11 @@ neighbors):
              $count, $lookup, $bucket, $setWindowFields, $unionWith,
              $facet, $sortByCount, $graphLookup, $densify (numeric and
              time grids, full/partition/explicit-[lo,hi) bounds),
-             $fill (value / locf; linear raises)
+             $fill (value / locf; linear raises), terminal $merge
+             (plan-level MERGE into a named collection: replace/
+             keepExisting/field-merge × insert/discard) and $out
+             (result IS the new collection; persistence is the
+             caller's choice)
   match ops  equality, $gt $gte $lt $lte $ne $eq, $in $nin (null-aware,
              the "NA"/null screen of NoSQLQueries.js:30-33), $and $or
   accums     $sum (1 or expr), $avg, $min, $max, $push, $addToSet,
@@ -1039,6 +1043,67 @@ def compile_pipeline(
                 out = out.withColumn(path, exploder(F.col(path)))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(spec if isinstance(spec, str) else "count"))
+        elif op in ("$merge", "$out"):
+            if stage is not stages[-1]:
+                raise ValueError(f"{op} must be the final pipeline stage")
+            if op == "$out":
+                # $out REPLACES the target collection with the result —
+                # at the plan level the result simply IS the new
+                # collection; persistence is the caller's choice
+                # (Engine.materialize / sources.sinks).
+                continue
+            out = _compile_merge(out, spec, collections)
         else:
             raise NotImplementedError(f"pipeline stage {op!r}")
     return out
+
+
+def _compile_merge(out: DataFrame, spec: Mapping, collections: Mapping[str, DataFrame]) -> DataFrame:
+    """$merge — Mongo's terminal upsert: fold the pipeline result into an
+    existing collection on a key. Compiled onto the warehouse MERGE
+    operator (one full-outer join — operators/warehouse.merge_upsert):
+    whenMatched 'replace' takes the incoming document, 'keepExisting'
+    keeps the target's; whenNotMatched 'insert' adds new documents,
+    'discard' drops them. The merged FRAME is returned (Mongo writes it;
+    here persistence is the caller's choice). Unsupported modes —
+    pipeline-valued whenMatched, 'fail' — raise."""
+    into = spec["into"] if isinstance(spec, Mapping) else spec
+    if not isinstance(into, str):
+        raise NotImplementedError("$merge into a namespaced {db, coll} target")
+    if into not in collections:
+        raise NotImplementedError(
+            f"$merge into unknown collection {into!r}; pass it via collections="
+        )
+    target = collections[into]
+    on = spec.get("on", "_id") if isinstance(spec, Mapping) else "_id"
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = spec.get("whenMatched", "merge") if isinstance(spec, Mapping) else "merge"
+    when_not = spec.get("whenNotMatched", "insert") if isinstance(spec, Mapping) else "insert"
+    if when_matched not in ("replace", "keepExisting", "merge"):
+        raise NotImplementedError(f"$merge whenMatched {when_matched!r}")
+    if when_not not in ("insert", "discard"):
+        raise NotImplementedError(f"$merge whenNotMatched {when_not!r}")
+    t = target.withColumn("__t_here", F.lit(1)).alias("t")
+    s = out.withColumn("__s_here", F.lit(1)).alias("s")
+    joined = t.join(s, keys, "full_outer" if when_not == "insert" else "left_outer")
+    src_here = F.col("s.__s_here").isNotNull()
+    tgt_here = F.col("t.__t_here").isNotNull()
+    cols: list[Column] = [F.col(c) for c in keys]
+    value_cols = sorted((set(out.columns) | set(target.columns)) - set(keys))
+    for c in value_cols:
+        in_s, in_t = c in out.columns, c in target.columns
+        if in_s and in_t:
+            if when_matched == "replace":
+                pick = F.when(src_here, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            elif when_matched == "keepExisting":
+                pick = F.when(tgt_here, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}"))
+            else:  # field-wise merge: incoming non-null fields overwrite
+                pick = F.when(
+                    src_here & F.col(f"s.{c}").isNotNull(), F.col(f"s.{c}")
+                ).otherwise(F.col(f"t.{c}"))
+            cols.append(pick.alias(c))
+        elif in_s:
+            cols.append(F.col(f"s.{c}").alias(c))
+        else:
+            cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*cols)

@@ -756,3 +756,43 @@ def test_pipeline_set_window_fields_first_last(spark):
     with pytest.raises(NotImplementedError, match="requires sortBy"):
         compile_pipeline(df, [{"$setWindowFields": {
             "partitionBy": "$k", "output": {"f": {"$first": "$v"}}}}])
+
+
+def test_pipeline_merge_upsert_modes(spark):
+    """Terminal $merge folds the pipeline result into a named collection:
+    replace takes incoming values on matched keys, keepExisting keeps the
+    target's, whenNotMatched insert/discard controls new keys."""
+    target = spark.createDataFrame(
+        [(1, "old1", 10), (2, "old2", 20)], "_id long, name string, v long"
+    )
+    incoming = spark.createDataFrame(
+        [(2, "new2"), (3, "new3")], "_id long, name string"
+    )
+    merged = compile_pipeline(
+        incoming,
+        [{"$merge": {"into": "dim", "on": "_id", "whenMatched": "replace"}}],
+        collections={"dim": target},
+    )
+    rows = {r["_id"]: (r["name"], r["v"]) for r in merged.collect()}
+    assert rows == {1: ("old1", 10), 2: ("new2", 20), 3: ("new3", None)}
+
+    kept = compile_pipeline(
+        incoming,
+        [{"$merge": {"into": "dim", "on": "_id", "whenMatched": "keepExisting",
+                      "whenNotMatched": "discard"}}],
+        collections={"dim": target},
+    )
+    rows = {r["_id"]: r["name"] for r in kept.collect()}
+    assert rows == {1: "old1", 2: "old2"}  # no insert of 3, no overwrite of 2
+
+
+def test_pipeline_merge_must_be_final_and_out_is_identity(spark):
+    df = spark.createDataFrame([(1, "a")], "_id long, v string")
+    with pytest.raises(ValueError, match="final"):
+        compile_pipeline(
+            df,
+            [{"$merge": {"into": "t"}}, {"$limit": 1}],
+            collections={"t": df},
+        )
+    out = compile_pipeline(df, [{"$match": {"_id": 1}}, {"$out": "t"}])
+    assert [r["v"] for r in out.collect()] == ["a"]
