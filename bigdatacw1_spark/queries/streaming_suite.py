@@ -621,3 +621,27 @@ def ev_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ts", "event_id", "amount", "rate").orderBy(
         "key", "ts", "event_id"
     )
+
+
+@q(
+    "ev_tumbling_distinct_users",
+    oracle="""
+        SELECT TIME_BUCKET(INTERVAL '60 minutes', ts) AS wstart, event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def ev_tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hourly distinct users per event type in the streaming-legal
+    two-phase shape (streaming/windows.tumbling_distinct_users):
+    dropDuplicates on (window, type, user) then an ordinary windowed
+    count — the form that runs unchanged as a watermarked stream, where
+    count(distinct) itself is banned. Stream/batch equivalence is pinned
+    in tests/test_streaming.py; the oracle is the direct COUNT(DISTINCT)."""
+    from bigdatacw1_spark.streaming.windows import tumbling_distinct_users
+
+    return tumbling_distinct_users(_t(spark, sf_dir, "events"), minutes=60).orderBy(
+        "wstart", "event_type"
+    )

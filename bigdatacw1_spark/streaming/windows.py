@@ -204,3 +204,50 @@ def run_continuous_aggregate(
         .option("checkpointLocation", out_dir + "_chk")
         .start()
     )
+
+
+def tumbling_distinct_users(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Exact windowed COUNT DISTINCT in the streaming-legal two-phase
+    form: Spark forbids count(distinct) inside a streaming aggregation,
+    so phase 1 DEDUPLICATES (window, event_type, user_id) — keyed state
+    of one row per distinct triple, watermark-expirable — and phase 2 is
+    an ordinary windowed count of the survivors. Same transformation
+    works on static frames (the batch-equivalence anchor). Two keyed
+    exchanges over the same key family; at 100 TB the state is bounded
+    by distinct users per live window, not by events."""
+    b = events.select(
+        F.window("ts", f"{minutes} minutes").alias("w"), "event_type", "user_id"
+    )
+    dedup = b.dropDuplicates(["w", "event_type", "user_id"])
+    return dedup.groupBy(F.col("w.start").alias("wstart"), "event_type").agg(
+        F.count(F.lit(1)).alias("distinct_users")
+    )
+
+
+def run_distinct_users_stream_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    table_name: str = "ndv_out",
+    minutes: int = 60,
+    watermark: str | None = None,
+):
+    """tumbling_distinct_users as a real stream (dropDuplicates state +
+    windowed count, complete mode to an in-memory sink).
+
+    Watermark note: unlike windowed AGGREGATION (where complete mode
+    retains all state and accepts late rows), a watermarked
+    dropDuplicates drops late INPUT rows in every output mode — replay
+    from unordered files would silently lose data. Default is therefore
+    no watermark (exact replay, unbounded dedup state); pass one in a
+    real deployment to bound state, accepting the late-drop trade."""
+    stream = read_events_stream(spark, events_dir)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    agged = tumbling_distinct_users(stream, minutes)
+    return (
+        agged.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -791,3 +791,26 @@ def test_statefs_hadoop_branch_with_file_uri(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="cannot resolve"):
         check_store_path(spark, "nosuchfs://bucket/dir", "state_dir")
+
+
+def test_stream_batch_equivalence_distinct_users(spark, events_dir):
+    """The two-phase dedup-then-count windowed DISTINCT must produce the
+    same result streamed (dropDuplicates state) as on the static table,
+    and match a direct countDistinct on the batch side."""
+    from bigdatacw1_spark.streaming.windows import (
+        run_distinct_users_stream_to_memory,
+        tumbling_distinct_users,
+    )
+
+    q = run_distinct_users_stream_to_memory(spark, events_dir, table_name="ndv_out")
+    assert q.awaitTermination(120)
+    static = spark.read.parquet(events_dir)
+    expected = _rows(tumbling_distinct_users(static, minutes=60), None)
+    got = _rows(spark.table("ndv_out"), None)
+    assert got == expected and len(got) > 0
+    direct = static.groupBy(
+        F.window("ts", "60 minutes").alias("w"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("distinct_users")).select(
+        F.col("w.start").alias("wstart"), "event_type", "distinct_users"
+    )
+    assert _rows(direct, None) == expected
