@@ -441,3 +441,49 @@ def bloom_might_contain(
         bit = F.getbit(word, pos % 64)
         cond = cond & (bit == 1)
     return cond
+
+
+def substr_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-split EXACT-SUBSTRING decontamination: flag training
+    documents sharing any verbatim ``window``-token span with the
+    evaluation set — the n-gram-overlap screen (GPT-3 appendix C /
+    PaLM style) that catches benchmark text pasted inside otherwise
+    novel documents, which whole-doc and near-dup decontamination miss.
+    Complements ext_decontaminate (cross-split Jaccard): Jaccard finds
+    mostly-similar docs; this finds verbatim fragments.
+
+    Shape: the TEST side collapses to its DISTINCT span fingerprints —
+    eval sets are small, so this side broadcasts; the train side is the
+    same linear fingerprint pass span_dup_report uses, LEFT-joined to
+    the broadcast and aggregated per doc. The 100 TB train corpus is
+    never shuffled. Output (contaminated docs only — change-sized):
+    (id, n_spans, n_contaminated_spans, contam_frac)."""
+    tr = span_fingerprints(train, text_col, id_col, window, stride)
+    te = (
+        span_fingerprints(test, text_col, id_col, window, stride)
+        .select("span_md5")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = tr.join(F.broadcast(te), "span_md5", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated_spans"),
+        )
+        .where(F.col("n_contaminated_spans") > 0)
+        .withColumn(
+            "contam_frac",
+            stable_round(
+                F.col("n_contaminated_spans") / F.col("n_spans").cast("double"), 4
+            ),
+        )
+    )

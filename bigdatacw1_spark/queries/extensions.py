@@ -2167,3 +2167,49 @@ def ext_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("all_found"),
     )
+
+
+@q(
+    "ext_substr_decontaminate",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   (SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> '')) AS ws
+            FROM documents
+        ), sp AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, GREATEST(CAST(FLOOR((LEN(ws) - 20) / 10.0) AS INT) + 1, 1)),
+                       i -> MD5(ARRAY_TO_STRING(ws[i * 10 + 1 : i * 10 + 20], ' '))
+                   )) AS span_md5
+            FROM w
+        ), te AS (
+            SELECT DISTINCT span_md5 FROM sp WHERE doc_id % 10 = 0
+        ), tr AS (
+            SELECT * FROM sp WHERE doc_id % 10 <> 0
+        ), agg AS (
+            SELECT tr.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN te.span_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_spans
+            FROM tr LEFT JOIN te USING (span_md5)
+            GROUP BY tr.doc_id
+        )
+        SELECT doc_id, n_spans, n_contaminated_spans,
+               FLOOR((n_contaminated_spans * 1.0 / n_spans) * 10000.0 + 0.5) / 10000.0 AS contam_frac
+        FROM agg WHERE n_contaminated_spans > 0
+        ORDER BY doc_id
+    """,
+)
+def ext_substr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring train/test decontamination
+    (operators/dedup.substr_decontaminate): training docs (doc_id % 10
+    != 0) sharing any verbatim 20-token window with the held-out split
+    (doc_id % 10 == 0). The eval split collapses to broadcast
+    fingerprints; the train corpus never shuffles. Fully oracle-checked
+    — DuckDB derives identical md5 span fingerprints."""
+    from bigdatacw1_spark.operators.dedup import substr_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return substr_decontaminate(train, test).orderBy("doc_id")
