@@ -487,3 +487,58 @@ def substr_decontaminate(
             ),
         )
     )
+
+
+def build_count_min(
+    df: DataFrame,
+    key: Column | str,
+    width: int = 4096,
+    depth: int = 4,
+) -> list[list[int]]:
+    """Build a Count-Min sketch over a key column: ``depth`` rows of
+    ``width`` counters (Cormode & Muthukrishnan 2005). The frequency
+    companion of build_bloom: per-key OCCURRENCE-count estimates for an
+    unbounded key universe in depth×width integers of state — "how often
+    does this URL/user/shingle appear in the 100 TB corpus" answerable
+    from kilobytes, never underestimating (every counter a key hashes to
+    counts at least all its occurrences).
+
+    Build shape: explode each row to its depth (row, position) cells,
+    ONE sum aggregate over ≤ depth·width groups (bounded by sketch size,
+    not data), driver packs the dense table — the same bounded-collect
+    pattern as build_bloom. Counter updates are associative sums, so
+    per-partition partials combine map-side and sketches of disjoint
+    batches could be merged by elementwise addition."""
+    c = F.col(key) if isinstance(key, str) else key
+    cells = [
+        F.struct(
+            F.lit(j).alias("row"),
+            F.pmod(F.xxhash64(c, F.lit(1000 + j)), F.lit(width)).cast("int").alias("pos"),
+        )
+        for j in range(depth)
+    ]
+    rows = (
+        df.select(F.explode(F.array(*cells)).alias("s"))
+        .groupBy(F.col("s.row").alias("row"), F.col("s.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    table = [[0] * width for _ in range(depth)]
+    for r in rows:
+        table[r["row"]][r["pos"]] = r["n"]
+    return table
+
+
+def cm_estimate(key: Column | str, table: list[list[int]]) -> Column:
+    """Point-estimate expression for a Count-Min sketch built by
+    build_count_min: min over the depth counters the key hashes to.
+    Pure JVM arithmetic against the literal counter table — a narrow
+    map, no shuffle, no join."""
+    depth, width = len(table), len(table[0])
+    c = F.col(key) if isinstance(key, str) else key
+    flat = F.array(*[F.lit(int(v)) for row in table for v in row])
+    ests = []
+    for j in range(depth):
+        pos = F.pmod(F.xxhash64(c, F.lit(1000 + j)), F.lit(width)).cast("int")
+        ests.append(F.element_at(flat, F.lit(j * width) + pos + 1))
+    return F.least(*ests)

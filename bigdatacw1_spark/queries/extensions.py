@@ -2213,3 +2213,42 @@ def ext_substr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.where(F.col("doc_id") % 10 == 0)
     train = docs.where(F.col("doc_id") % 10 != 0)
     return substr_decontaminate(train, test).orderBy("doc_id")
+
+
+@q(
+    "ext_count_min",
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+               TRUE AS no_underestimate, TRUE AS overest_ok
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ext_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over event user_ids
+    (operators/dedup.build_count_min / cm_estimate) — the per-key
+    frequency companion of the Bloom membership filter and the KSP
+    heavy-hitters sketch: depth×width counters answer "how often does
+    this key occur" for an unbounded key universe from kilobytes of
+    state, probed as pure literal-table arithmetic.
+
+    INVARIANT oracle: per key, the exact count (hash-checked vs DuckDB)
+    plus the sketch's two guarantees — ``no_underestimate`` (every
+    counter a key hashes to counts all its occurrences; a hash-seed or
+    packing bug breaks it) and ``overest_ok`` (estimate within the
+    e·N/width collision envelope, 8× slack). At driver scale the 4096
+    counters exceed the key cardinality, so estimates are exactly the
+    counts and both booleans are deterministic."""
+    from bigdatacw1_spark.operators.dedup import build_count_min, cm_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cm = build_count_min(ev, "user_id", width=4096, depth=4)
+    n_total = sum(v for v in cm[0])
+    bound = 8 * 2.718281828 * n_total / 4096 + 1
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cm_estimate("user_id", cm)
+    return exact.select(
+        "user_id",
+        "exact_n",
+        (est >= F.col("exact_n")).alias("no_underestimate"),
+        (est - F.col("exact_n") <= F.lit(bound)).alias("overest_ok"),
+    ).orderBy("user_id")
