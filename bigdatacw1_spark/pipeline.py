@@ -647,6 +647,42 @@ _TIME_UNIT_SECONDS = {
 _TRUNC_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
 
 
+def _compile_bucket_auto(out: DataFrame, spec: Mapping, sort_keys) -> DataFrame:
+    """$bucketAuto — equal-FREQUENCY bucketing: distribute documents into
+    ``buckets`` groups of ~equal population and report each bucket's
+    [min, max] boundary struct as _id, plus the ``output`` accumulators.
+    Compiled as ntile() over the groupBy expression, then one hash
+    aggregate. The ntile window is a GLOBAL sort — the same full-order
+    pass Mongo performs for this stage; for a scale-safe approximation
+    use f16_quantile_binning (broadcast exact-percentile boundaries)
+    instead. ``granularity`` (rounded boundary series) is unsupported
+    and raises."""
+    if "granularity" in spec:
+        raise NotImplementedError("$bucketAuto granularity")
+    from pyspark.sql import Window
+
+    gb = compile_expr(spec["groupBy"])
+    n = int(spec["buckets"])
+    out = out.withColumn("__bav", gb).withColumn(
+        "__bkt", F.ntile(n).over(Window.orderBy(F.col("__bav")))
+    )
+    group_spec = {"_id": "$__bkt", **spec.get("output", {"count": {"$sum": 1}})}
+    agged = _compile_group(
+        out,
+        {**group_spec, "__min": {"$min": "$__bav"}, "__max": {"$max": "$__bav"}},
+        sort_keys,
+    )
+    # Mongo chains the boundaries: each bucket's max IS the next bucket's
+    # min; only the last bucket closes at its own max. The post-agg frame
+    # is n buckets — the fix-up window is trivial.
+    wb = Window.orderBy(F.col("_id"))
+    return (
+        agged.withColumn("__hi", F.coalesce(F.lead("__min").over(wb), F.col("__max")))
+        .withColumn("_id", F.struct(F.col("__min").alias("min"), F.col("__hi").alias("max")))
+        .drop("__min", "__max", "__hi")
+    )
+
+
 def _window_bound(b: object, upper: bool = False) -> int:
     from pyspark.sql import Window
 
@@ -996,6 +1032,8 @@ def compile_pipeline(
             out = _compile_lookup(out, spec, collections)
         elif op == "$bucket":
             out = _compile_bucket(out, spec, last_sort)
+        elif op == "$bucketAuto":
+            out = _compile_bucket_auto(out, spec, last_sort)
         elif op == "$setWindowFields":
             out = _compile_set_window_fields(out, spec)
         elif op == "$graphLookup":

@@ -635,3 +635,28 @@ def test_count_min_never_underestimates_even_under_collisions(spark):
     # collisions must actually occur at this width — otherwise the
     # regime under test isn't exercised
     assert checked.where(F.col("est") > F.col("n")).count() > 0
+
+
+def test_pq_index_persists_as_table_and_reloads_identically(spark, tmp_path):
+    """The PQ index is a TABLE (codes parquet + codebooks): built once at
+    ingest, persisted, reloaded in a later session, and queried — the
+    reloaded index must return exactly the results of the in-memory one."""
+    import json
+
+    from bigdatacw1_spark.operators.similarity import build_pq_index, pq_topk
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    codes, codebooks = build_pq_index(emb, m=8, nbits=6)
+    want = [(r["vec_id"], r["score"]) for r in
+            pq_topk(codes, codebooks, qvec, k=10, embeddings=emb).collect()]
+
+    codes.write.mode("overwrite").parquet(str(tmp_path / "pq_codes"))
+    (tmp_path / "codebooks.json").write_text(json.dumps(codebooks))
+
+    reloaded_codes = spark.read.parquet(str(tmp_path / "pq_codes"))
+    reloaded_books = json.loads((tmp_path / "codebooks.json").read_text())
+    got = [(r["vec_id"], r["score"]) for r in
+           pq_topk(reloaded_codes, reloaded_books, qvec, k=10, embeddings=emb).collect()]
+    assert got == want and len(got) == 10

@@ -796,3 +796,23 @@ def test_pipeline_merge_must_be_final_and_out_is_identity(spark):
         )
     out = compile_pipeline(df, [{"$match": {"_id": 1}}, {"$out": "t"}])
     assert [r["v"] for r in out.collect()] == ["a"]
+
+
+def test_pipeline_bucket_auto_equal_frequency_chained_boundaries(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(12)], "k long, v double")
+    out = compile_pipeline(
+        df,
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                           "output": {"count": {"$sum": 1}, "avg_v": {"$avg": "$v"}}}}],
+    ).orderBy("_id.min")
+    rows = out.collect()
+    assert [r["count"] for r in rows] == [4, 4, 4]  # equal population
+    # boundaries chain: each max equals the next bucket's min; the last
+    # closes at the actual maximum
+    assert [(r["_id"]["min"], r["_id"]["max"]) for r in rows] == [
+        (0.0, 4.0), (4.0, 8.0), (8.0, 11.0)
+    ]
+    assert abs(rows[0]["avg_v"] - 1.5) < 1e-12
+    with pytest.raises(NotImplementedError, match="granularity"):
+        compile_pipeline(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+                                                "granularity": "R20"}}])
