@@ -353,7 +353,9 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's bucket (~n/2^planes candidates). 4 planes here so the bucket
     holds a meaningful candidate set at test scale; at production scale
     use more planes and make the bucket id a partition column →
-    partition-pruned scan."""
+    partition-pruned scan. Rows-only: bucket membership is hash-defined
+    (no SQL equivalent); scores-are-exact and recall-vs-brute-force are
+    pinned in tests/test_extensions.py and diag_ann_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)

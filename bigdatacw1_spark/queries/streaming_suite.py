@@ -558,9 +558,11 @@ def ext_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup admission (streaming/lsh_dedup.py) in its
     batch degenerate form: one micro-batch against an empty band store
     admits exactly one representative per LSH component plus every
-    unshingleable doc. The incremental form — band store persisted
-    across micro-batches, replay-idempotent per-batch partitions — is
-    exercised end-to-end in tests/test_streaming.py."""
+    unshingleable doc. Rows-only: the admitted set is LSH-bucket-defined
+    (which component representative survives depends on xxhash64 band
+    collisions — no SQL equivalent). The incremental form — band store
+    persisted across micro-batches, replay-idempotent per-batch
+    partitions — is exercised end-to-end in tests/test_streaming.py."""
     from bigdatacw1_spark.streaming.lsh_dedup import admit_lsh_batch
 
     docs = _t(spark, sf_dir, "documents")
