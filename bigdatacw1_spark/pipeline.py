@@ -18,7 +18,9 @@ neighbors):
              $count, $lookup, $bucket, $setWindowFields, $unionWith,
              $facet, $sortByCount, $graphLookup, $densify (numeric and
              time grids, full/partition/explicit-[lo,hi) bounds),
-             $fill (value / locf; linear raises), terminal $merge
+             $fill (value / locf; linear raises), $sample (DETERMINISTIC
+             hash-rank bottom-k — see inline note on the Mongo-randomness
+             divergence), terminal $merge
              (plan-level MERGE into a named collection: replace/
              keepExisting/field-merge × insert/discard) and $out
              (result IS the new collection; persistence is the
@@ -1081,6 +1083,23 @@ def compile_pipeline(
                 out = out.withColumn(path, exploder(F.col(path)))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(spec if isinstance(spec, str) else "count"))
+        elif op == "$sample":
+            # DELIBERATE divergence, documented: Mongo's $sample is random
+            # per execution; a distributed engine re-executes stages on
+            # retry/speculation, so a nondeterministic sample can break
+            # exactly-once semantics downstream. Compiled instead as the
+            # deterministic rendezvous bottom-k (hash-rank over the whole
+            # row) — uniform like Mongo's, but a pure function of the
+            # data: re-runs, retries, and repartitioning all agree.
+            # TakeOrderedAndProject, no global sort.
+            size = int(spec["size"])
+            rank = F.xxhash64(F.struct(*[F.col(c) for c in out.columns]))
+            out = (
+                out.withColumn("__rank", rank)
+                .orderBy("__rank")
+                .limit(size)
+                .drop("__rank")
+            )
         elif op in ("$merge", "$out"):
             if stage is not stages[-1]:
                 raise ValueError(f"{op} must be the final pipeline stage")

@@ -816,3 +816,13 @@ def test_pipeline_bucket_auto_equal_frequency_chained_boundaries(spark):
     with pytest.raises(NotImplementedError, match="granularity"):
         compile_pipeline(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
                                                 "granularity": "R20"}}])
+
+
+def test_pipeline_sample_is_uniform_sized_and_deterministic(spark):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    a = compile_pipeline(df, [{"$sample": {"size": 10}}]).collect()
+    b = compile_pipeline(df.repartition(7), [{"$sample": {"size": 10}}]).collect()
+    assert len(a) == 10
+    # deterministic under repartitioning — the documented Mongo divergence
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+    assert set(df.columns) == {"k", "v"}  # helper column dropped
