@@ -28,6 +28,7 @@ neighbors):
   match ops  equality, $gt $gte $lt $lte $ne $eq, $in $nin (null-aware,
              the "NA"/null screen of NoSQLQueries.js:30-33), $and $or
   accums     $sum (1 or expr), $avg, $min, $max, $push, $addToSet,
+             $count ({}), $stdDevPop, $stdDevSamp,
              $first/$last (REQUIRE a preceding $sort — Mongo's $first is
              pipeline-order-defined; here it compiles to min_by/max_by
              over the sort key, so it is deterministic under ANY
@@ -509,6 +510,13 @@ def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]
             aggs.append(F.collect_list(compile_expr(arg)).alias(name))
         elif op == "$addToSet":
             aggs.append(F.collect_set(compile_expr(arg)).alias(name))
+        elif op == "$count":
+            # Mongo 5's {$count: {}} accumulator — counts documents
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif op == "$stdDevPop":
+            aggs.append(F.stddev_pop(compile_expr(arg)).alias(name))
+        elif op == "$stdDevSamp":
+            aggs.append(F.stddev_samp(compile_expr(arg)).alias(name))
         elif op in ("$first", "$last"):
             if use_window:
                 picker = F.min_by if op == "$first" else F.max_by

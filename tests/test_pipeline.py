@@ -826,3 +826,20 @@ def test_pipeline_sample_is_uniform_sized_and_deterministic(spark):
     # deterministic under repartitioning — the documented Mongo divergence
     assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
     assert set(df.columns) == {"k", "v"}  # helper column dropped
+
+
+def test_pipeline_group_count_and_stddev_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 5.0)], "k string, v double"
+    )
+    out = compile_pipeline(
+        df,
+        [{"$group": {"_id": "$k", "n": {"$count": {}},
+                      "sd_pop": {"$stdDevPop": "$v"},
+                      "sd_samp": {"$stdDevSamp": "$v"}}}],
+    )
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows["a"]["n"] == 3 and rows["b"]["n"] == 1
+    assert abs(rows["a"]["sd_pop"] - (8 / 3) ** 0.5) < 1e-12
+    assert abs(rows["a"]["sd_samp"] - 2.0) < 1e-12
+    assert rows["b"]["sd_pop"] == 0.0 and rows["b"]["sd_samp"] is None  # Mongo: samp of 1 doc is absent/null
