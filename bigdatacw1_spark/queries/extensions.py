@@ -2254,3 +2254,46 @@ def ext_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est >= F.col("exact_n")).alias("no_underestimate"),
         (est - F.col("exact_n") <= F.lit(bound)).alias("overest_ok"),
     ).orderBy("user_id")
+
+
+@q(
+    "diag_observed_metrics",
+    oracle="""
+        SELECT COUNT(*) AS rows_scanned,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS rows_kept,
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_keys,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_price
+        FROM orders
+    """,
+)
+def diag_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime observability as a first-class result (Engine.observe /
+    pyspark Observation): named aggregate metrics computed DURING the
+    action that materializes a filtered query — rows scanned, rows kept,
+    null keys, exact price mass — with ZERO extra passes over the data.
+    This is the in-flight counter surface a production pipeline exports;
+    the entry materializes the instrumented plan once, then returns the
+    observed metrics as a 1-row frame the driver hash-checks against
+    direct SQL — proving the piggybacked metrics equal a dedicated
+    scan's answers."""
+    from pyspark.sql import Observation
+
+    from bigdatacw1_spark.operators.relational import exact_sum
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation()
+    instrumented = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("rows_kept"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_keys"),
+        exact_sum("o_totalprice", scale=2, digits=2).alias("sum_price"),
+    )
+    instrumented.where(F.col("o_totalprice") > 100000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_scanned"], m["rows_kept"], m["null_keys"], float(m["sum_price"]))],
+        "rows_scanned long, rows_kept long, null_keys long, sum_price double",
+    )
