@@ -37,7 +37,11 @@ neighbors):
              literals, $and $or $not, comparison ops, $add $subtract
              $multiply $divide, $concat, $cond, $ifNull, $arrayElemAt,
              $filter, $min/$max (scalar pass-through / array fold),
-             $switch, $literal, $in (array membership),
+             $switch, $literal, $in (array membership), $let,
+             arrays: $concatArrays $slice (2- and 3-arg) $range
+             (exclusive end) $indexOfArray $setUnion $setIntersection
+             $setDifference, expression-dialect $first/$last (array
+             element — distinct from the $group accumulators),
              strings: $toLower $toUpper $trim $split $strLenCP $substrCP,
              dates: $year $month $dayOfMonth $hour $minute $second
              $dayOfWeek $dayOfYear, $dateToString (%-format translated,
@@ -180,6 +184,47 @@ def compile_expr(e: object, scope: Mapping[str, Column] | None = None) -> Column
             cols = [compile_expr(x, scope) for x in arg]
             return F.least(*cols) if op == "$min" else F.greatest(*cols)
         return compile_expr(arg, scope)  # single scalar: identity (Mongo)
+    if op == "$let":
+        bound = dict(scope)
+        for name, e2 in arg["vars"].items():
+            # Mongo evaluates vars against the OUTER scope (no
+            # self-reference between siblings) — compile against `scope`
+            bound[name] = compile_expr(e2, scope)
+        return compile_expr(arg["in"], bound)
+    if op == "$concatArrays":
+        return F.concat(*[compile_expr(x, scope) for x in arg])
+    if op == "$slice":
+        if len(arg) == 2:
+            arr, n = compile_expr(arg[0], scope), int(arg[1])
+            # Mongo 2-arg form: first n, or LAST n when negative
+            return F.slice(arr, F.lit(1), F.lit(n)) if n >= 0 else F.slice(
+                arr, F.lit(n), F.lit(-n)
+            )
+        arr, pos, n = (compile_expr(arg[0], scope), int(arg[1]), int(arg[2]))
+        # 3-arg form: 0-based position (Spark slice is 1-based)
+        return F.slice(arr, F.lit(pos + 1 if pos >= 0 else pos), F.lit(n))
+    if op == "$range":
+        start, end = (compile_expr(x, scope) for x in arg[:2])
+        step = compile_expr(arg[2], scope) if len(arg) > 2 else F.lit(1)
+        # Mongo's end is EXCLUSIVE; sequence() is inclusive and only
+        # lands on `end` when the step divides exactly — filter it out
+        seq = F.sequence(start, end, step)
+        return F.filter(seq, lambda x: x != end)
+    if op == "$indexOfArray":
+        arr, val = (compile_expr(x, scope) for x in arg[:2])
+        # array_position is 1-based and 0 on miss → -1 on miss, Mongo's code
+        return (F.array_position(arr, val) - 1).cast("int")
+    if op == "$setUnion":
+        return reduce(F.array_union, (compile_expr(x, scope) for x in arg))
+    if op == "$setIntersection":
+        return reduce(F.array_intersect, (compile_expr(x, scope) for x in arg))
+    if op == "$setDifference":
+        a, b = (compile_expr(x, scope) for x in arg)
+        return F.array_except(a, b)
+    if op in ("$first", "$last"):
+        # expression dialect (Mongo 4.4+): first/last ARRAY element;
+        # distinct from the $group accumulator of the same name
+        return F.try_element_at(compile_expr(arg, scope), F.lit(1 if op == "$first" else -1))
     if op == "$literal":
         return F.lit(arg)
     if op == "$in":

@@ -843,3 +843,38 @@ def test_pipeline_group_count_and_stddev_accumulators(spark):
     assert abs(rows["a"]["sd_pop"] - (8 / 3) ** 0.5) < 1e-12
     assert abs(rows["a"]["sd_samp"] - 2.0) < 1e-12
     assert rows["b"]["sd_pop"] == 0.0 and rows["b"]["sd_samp"] is None  # Mongo: samp of 1 doc is absent/null
+
+
+def test_pipeline_array_expression_ops(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], [3, 4])], "k long, xs array<long>, ys array<long>"
+    )
+    out = compile_pipeline(
+        df,
+        [{"$project": {
+            "cat": {"$concatArrays": ["$xs", "$ys"]},
+            "first2": {"$slice": ["$xs", 2]},
+            "last2": {"$slice": ["$xs", -2]},
+            "mid": {"$slice": ["$xs", 1, 2]},
+            "rng": {"$range": [0, 6, 2]},
+            "rng_neg": {"$range": [4, 0, -2]},
+            "idx": {"$indexOfArray": ["$xs", 2]},
+            "idx_miss": {"$indexOfArray": ["$xs", 99]},
+            "un": {"$setUnion": ["$xs", "$ys"]},
+            "inter": {"$setIntersection": ["$xs", "$ys"]},
+            "diff": {"$setDifference": ["$xs", "$ys"]},
+            "fst": {"$first": "$xs"},
+            "lst": {"$last": "$xs"},
+            "lets": {"$let": {"vars": {"a": {"$size": "$xs"}},
+                               "in": {"$multiply": ["$$a", 10]}}},
+        }}],
+    ).collect()[0]
+    assert out["cat"] == [1, 2, 3, 3, 4]
+    assert out["first2"] == [1, 2] and out["last2"] == [2, 3] and out["mid"] == [2, 3]
+    assert out["rng"] == [0, 2, 4]       # 6 excluded
+    assert out["rng_neg"] == [4, 2]      # 0 excluded, descending
+    assert out["idx"] == 1 and out["idx_miss"] == -1
+    assert sorted(out["un"]) == [1, 2, 3, 4]
+    assert out["inter"] == [3] and out["diff"] == [1, 2]
+    assert out["fst"] == 1 and out["lst"] == 3
+    assert out["lets"] == 30
