@@ -34,6 +34,8 @@ neighbors):
              over the sort key, so it is deterministic under ANY
              partitioning, which raw Mongo does not guarantee)
   exprs      '$path' refs (dotted), '$$var' refs (inside $filter),
+             '$$ROOT' (whole-document struct — in $group accumulators,
+             $addFields/$set, $replaceRoot/$replaceWith),
              literals, $and $or $not, comparison ops, $add $subtract
              $multiply $divide, $concat, $cond, $ifNull, $arrayElemAt,
              $filter, $min/$max (scalar pass-through / array fold),
@@ -504,11 +506,14 @@ def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]
     min_by/max_by over the row number — direction-correct for every dtype
     instead of silently ordering by NULL."""
     gid = spec["_id"]
+    # $$ROOT = the document as it entered this stage (before the __gid /
+    # __rn helper columns exist) — the ubiquitous {$push: '$$ROOT'} idiom
+    root_scope = {"ROOT": F.struct(*[F.col(c) for c in df.columns])}
     out = df
     if gid is None:
         out = out.withColumn("__gid", F.lit(None).cast("string"))
     else:
-        out = out.withColumn("__gid", compile_expr(gid))
+        out = out.withColumn("__gid", compile_expr(gid, root_scope))
 
     first_last = [
         (name, next(iter(accum.items())))
@@ -543,29 +548,29 @@ def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]
         op, arg = next(iter(accum.items()))
         if op == "$sum":
             aggs.append(
-                (F.count(F.lit(1)) if arg == 1 else F.sum(compile_expr(arg))).alias(name)
+                (F.count(F.lit(1)) if arg == 1 else F.sum(compile_expr(arg, root_scope))).alias(name)
             )
         elif op == "$avg":
-            aggs.append(F.avg(compile_expr(arg)).alias(name))
+            aggs.append(F.avg(compile_expr(arg, root_scope)).alias(name))
         elif op == "$min":
-            aggs.append(F.min(compile_expr(arg)).alias(name))
+            aggs.append(F.min(compile_expr(arg, root_scope)).alias(name))
         elif op == "$max":
-            aggs.append(F.max(compile_expr(arg)).alias(name))
+            aggs.append(F.max(compile_expr(arg, root_scope)).alias(name))
         elif op == "$push":
-            aggs.append(F.collect_list(compile_expr(arg)).alias(name))
+            aggs.append(F.collect_list(compile_expr(arg, root_scope)).alias(name))
         elif op == "$addToSet":
-            aggs.append(F.collect_set(compile_expr(arg)).alias(name))
+            aggs.append(F.collect_set(compile_expr(arg, root_scope)).alias(name))
         elif op == "$count":
             # Mongo 5's {$count: {}} accumulator — counts documents
             aggs.append(F.count(F.lit(1)).alias(name))
         elif op == "$stdDevPop":
-            aggs.append(F.stddev_pop(compile_expr(arg)).alias(name))
+            aggs.append(F.stddev_pop(compile_expr(arg, root_scope)).alias(name))
         elif op == "$stdDevSamp":
-            aggs.append(F.stddev_samp(compile_expr(arg)).alias(name))
+            aggs.append(F.stddev_samp(compile_expr(arg, root_scope)).alias(name))
         elif op in ("$first", "$last"):
             if use_window:
                 picker = F.min_by if op == "$first" else F.max_by
-                aggs.append(picker(compile_expr(arg), F.col("__rn")).alias(name))
+                aggs.append(picker(compile_expr(arg, root_scope), F.col("__rn")).alias(name))
                 continue
             ords = []
             for path, direction in sort_keys:
@@ -576,7 +581,7 @@ def _compile_group(df: DataFrame, spec: Mapping, sort_keys: list[tuple[str, int]
                     # the window fallback above covers every other dtype)
                     c = -c
                 ords.append(c)
-            aggs.append(F.min_by(compile_expr(arg), F.struct(*ords)).alias(name))
+            aggs.append(F.min_by(compile_expr(arg, root_scope), F.struct(*ords)).alias(name))
         else:
             raise NotImplementedError(f"accumulator {op!r}")
     if not aggs:
@@ -1076,12 +1081,15 @@ def compile_pipeline(
             out = _compile_project(out, spec)
         elif op in ("$addFields", "$set"):
             for name, e in spec.items():
-                out = out.withColumn(name, compile_expr(e))
+                scope = {"ROOT": F.struct(*[F.col(c) for c in out.columns])}
+                out = out.withColumn(name, compile_expr(e, scope))
         elif op == "$unset":
             fields = [spec] if isinstance(spec, str) else list(spec)
             out = out.drop(*fields)
-        elif op == "$replaceRoot":
-            root = compile_expr(spec["newRoot"])
+        elif op in ("$replaceRoot", "$replaceWith"):
+            new_root = spec["newRoot"] if op == "$replaceRoot" else spec
+            scope = {"ROOT": F.struct(*[F.col(c) for c in out.columns])}
+            root = compile_expr(new_root, scope)
             out = out.select(root.alias("__root")).select("__root.*")
         elif op == "$lookup":
             out = _compile_lookup(out, spec, collections)

@@ -878,3 +878,27 @@ def test_pipeline_array_expression_ops(spark):
     assert out["inter"] == [3] and out["diff"] == [1, 2]
     assert out["fst"] == 1 and out["lst"] == 3
     assert out["lets"] == 30
+
+
+def test_pipeline_root_variable_and_replace_with(spark):
+    df = spark.createDataFrame([(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k long, v string, n long")
+    grouped = compile_pipeline(
+        df,
+        [
+            {"$sort": {"n": 1}},
+            {"$group": {"_id": "$k", "docs": {"$push": "$$ROOT"},
+                        "best": {"$first": "$$ROOT"}}},
+        ],
+    )
+    rows = {r["_id"]: r for r in grouped.collect()}
+    assert sorted(d["v"] for d in rows[1]["docs"]) == ["a", "b"]
+    assert rows[1]["docs"][0].asDict().keys() == {"k", "v", "n"}  # no helper cols
+    assert rows[1]["best"]["v"] == "a"  # lowest n per $sort
+
+    wrapped = compile_pipeline(
+        df,
+        [{"$addFields": {"wrapped": "$$ROOT"}},
+         {"$replaceWith": {"doc": "$$ROOT", "tag": "x"}}],
+    ).collect()[0]
+    assert wrapped["tag"] == "x"
+    assert wrapped["doc"]["wrapped"]["v"] == wrapped["doc"]["v"]
