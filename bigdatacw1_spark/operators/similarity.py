@@ -404,3 +404,38 @@ def pq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_near_duplicates_multiband(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-TABLE sign-LSH near-dup pairs (the E2LSH amplification
+    design): ``n_bands`` independent hyperplane sets each bucket the
+    corpus; a pair is a candidate if it collides in ANY band, and every
+    candidate is exactly rescored inside its bucket. One band of k
+    planes catches a pair at angle θ with probability p^k (p = 1−θ/π),
+    hopeless for moderate thresholds — cosine 0.35 → p≈0.61, p⁴≈0.14;
+    L bands lift recall to 1−(1−p^k)^L ≈ 0.9 at L=16 while each band
+    stays a LINEAR bucketing pass + bucket-keyed self-join. This is the
+    standard recall dial for LSH over embeddings: scan cost grows L×,
+    never quadratically. Output (a, b, score), deduplicated across
+    bands."""
+    dim = len(embeddings.select(vec_col).head()[0])
+    out: DataFrame | None = None
+    for band in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * band)
+        pairs = embedding_near_duplicates(
+            embeddings,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            block=sign_lsh_bucket(F.col(vec_col), planes),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.dropDuplicates(["a", "b"])

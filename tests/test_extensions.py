@@ -660,3 +660,33 @@ def test_pq_index_persists_as_table_and_reloads_identically(spark, tmp_path):
     got = [(r["vec_id"], r["score"]) for r in
            pq_topk(reloaded_codes, reloaded_books, qvec, k=10, embeddings=emb).collect()]
     assert got == want and len(got) == 10
+
+
+def test_multiband_embedding_lsh_dominates_single_band(spark):
+    """Multi-table LSH recall is monotone in bands: every pair the
+    single-band blocking finds is also found at 16 bands (band 0 shares
+    the same seed), and 16 bands find strictly more on this corpus."""
+    from bigdatacw1_spark.operators.similarity import (
+        _hyperplanes,
+        embedding_near_duplicates,
+        embedding_near_duplicates_multiband,
+        sign_lsh_bucket,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    single = {
+        (r["a"], r["b"])
+        for r in embedding_near_duplicates(
+            emb, threshold=0.35,
+            block=sign_lsh_bucket(F.col("embedding"), _hyperplanes(dim, 4)),
+        ).collect()
+    }
+    multi = {
+        (r["a"], r["b"])
+        for r in embedding_near_duplicates_multiband(
+            emb, threshold=0.35, n_planes=4, n_bands=16
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)
