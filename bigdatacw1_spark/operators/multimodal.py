@@ -3,10 +3,13 @@
 Media (image/audio/video) are opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing — schemas, partition-sized Arrow
 batches through ``mapInPandas``, deterministic pass-through of keys — is
-real and tested; the actual codec step is STUBBED (decode libraries are
-not in this container): ``decode_image`` raises NotImplementedError, and
-``fake_features`` is the deterministic stand-in used by tests so the
-batch shape, schema, and partitioning behavior are exercised end to end.
+real and tested. Two codecs decode FOR REAL with the stdlib alone:
+``decode_png`` (zlib inflate + filter reversal) and ``decode_wav`` (RIFF
+chunk walk + 16-bit PCM samples); entropy-coded formats (JPEG/MP3/...)
+still raise NotImplementedError because they genuinely need codec
+libraries not present in this container — at deployment the dispatchers
+branch to PIL/libsndfile. ``_fake_feature_vec`` remains the deterministic
+stand-in for learned-embedding features.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row Python
 cost, bounded memory via spark.sql.execution.arrow.maxRecordsPerBatch);
@@ -565,6 +568,155 @@ def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = 
             )
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("square_sum", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Spec-valid RIFF/WAVE container around 16-bit little-endian PCM.
+
+    ``samples`` is the interleaved frame stream. A throwaway LIST chunk is
+    written BETWEEN fmt and data so any decoder exercised against these
+    fixtures must actually walk chunks by declared length (a decoder that
+    assumes data starts at byte 36 reads garbage)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + list_chunk
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode with the struct module only: RIFF chunk walk →
+    (sample_rate, n_channels, interleaved int16 samples).
+
+    Only uncompressed 16-bit PCM (audio_format == 1, bits == 16) decodes —
+    that IS the WAV baseline; compressed variants (ADPCM, float, mp3-in-
+    RIFF) raise NotImplementedError loudly rather than returning garbage.
+    Truncated containers raise ValueError. Word-aligned chunk skipping
+    per the RIFF spec (odd-length chunks carry a pad byte)."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    sr = ch = bits = fmt_code = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_code, ch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if sr is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM decodes stdlib-side (format={fmt_code}, bits={bits}); "
+            "compressed WAV needs codec libraries not present here"
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return (sr, ch, samples)
+
+
+def synth_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of FULL, decodable mono WAVs (not just
+    headers): per id, sample_rate = (id%4+1)*8000 and n = id%50+10 PCM
+    samples with sample[i] = ((id*31 + i*7) % 65536) - 32768 — every
+    decoded statistic is a pure function of the id, so a SQL oracle over
+    generate_series predicts abs/square sums and zero-crossing counts
+    exactly. Same Arrow-batched generation shape as binaryFile ingestion."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            sr = (i % 4 + 1) * 8000
+            n = i % 50 + 10
+            samples = [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+            return encode_wav(sr, 1, samples)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_audio(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched audio decode: payload → sample-level statistics.
+
+    All outputs are INTEGER-exact (abs_sum = Σ|x|, square_sum = Σx² over
+    int16 samples, zero_crossings = count of sign flips between adjacent
+    samples, duration_ms = floor(n·1000/rate)) — chosen over float RMS/dB
+    so the cross-engine oracle compares integers, never rounded floats.
+    This is the expensive tier of the audio triage: sniff_media_meta
+    reads rate/channels from the header for the whole corpus; decode only
+    survivors. One task decodes its whole Arrow batch stream; the numpy
+    reductions are vectorized per payload."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                sr, ch, samples = decode_wav(bytes(payload))
+                x = np.asarray(samples, dtype=np.int64)
+                zc = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))) if x.size > 1 else 0
+                rows.append(
+                    (
+                        doc_id,
+                        sr,
+                        ch,
+                        int(x.size),
+                        int(x.size // max(ch, 1)) * 1000 // sr,
+                        int(np.abs(x).sum()),
+                        int((x * x).sum()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "abs_sum", "square_sum", "zero_crossings",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 EMBED_SCHEMA = T.StructType(

@@ -791,6 +791,53 @@ def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_audio",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   CAST((doc_id % 4 + 1) * 8000 AS INT) AS sample_rate,
+                   doc_id % 50 + 10 AS n
+            FROM documents WHERE doc_id < 96
+        ), s AS (
+            SELECT doc_id, sample_rate, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i
+            FROM p
+        ), v AS (
+            SELECT doc_id, sample_rate, n, i,
+                   ((doc_id * 31 + i * 7) % 65536) - 32768 AS x
+            FROM s
+        ), w AS (
+            SELECT *, LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM v
+        )
+        SELECT doc_id, sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms,
+               CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+               CAST(SUM(x * x) AS BIGINT) AS square_sum,
+               CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM w GROUP BY doc_id, sample_rate, n ORDER BY doc_id
+    """,
+)
+def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no codec library): synth_wav_corpus builds
+    spec-valid RIFF/WAVE containers (with a decoy LIST chunk so the
+    chunk walk is actually exercised) whose PCM sample i is
+    ((doc_id*31 + i*7) % 65536) - 32768, and decode_audio walks the
+    chunks, unpacks int16 samples, and reduces them to integer-exact
+    statistics (Σ|x|, Σx², sign-flip count, floor duration). The DuckDB
+    oracle recomputes every statistic from arithmetic over
+    generate_series — a wrong chunk offset, endianness, or sign handling
+    breaks the value hash. doc_id < 96 bounds the fixture; the operator
+    itself is Arrow-batched and corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import decode_audio, synth_wav_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_wav_corpus(docs)
+    return decode_audio(media).orderBy("doc_id")
+
+
+@q(
     "ext_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE sh AS (

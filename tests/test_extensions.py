@@ -510,6 +510,55 @@ def test_decode_images_operator(spark):
         assert (r["width"], r["height"], r["n_channels"], r["pixel_sum"]) == (w, h, 3, want)
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """decode_wav is a REAL decoder: encode→decode round-trips samples
+    bit-for-bit (mono and stereo, odd-length data → pad byte), the decoy
+    LIST chunk forces an actual chunk walk, and non-PCM / truncated
+    containers fail loudly instead of returning garbage."""
+    import struct
+
+    from bigdatacw1_spark.operators.multimodal import decode_wav, encode_wav
+
+    for sr, ch, samples in [
+        (8000, 1, [0, 1, -1, 32767, -32768]),  # odd count → pad byte path
+        (44100, 2, [100, -200, 300, -400, 500, -600]),  # interleaved stereo
+        (16000, 1, []),  # empty data chunk
+    ]:
+        assert decode_wav(encode_wav(sr, ch, samples)) == (sr, ch, samples)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(16))
+    # IEEE-float WAV (format code 3) must refuse, not mis-decode
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 28 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(float_wav)
+
+
+def test_decode_audio_operator(spark):
+    from bigdatacw1_spark.operators.multimodal import decode_audio, synth_wav_corpus
+
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in decode_audio(synth_wav_corpus(ids)).collect()}
+    for i in range(8):
+        sr, n = (i % 4 + 1) * 8000, i % 50 + 10
+        xs = [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+        r = out[i]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (sr, 1, n)
+        assert r["duration_ms"] == n * 1000 // sr
+        assert r["abs_sum"] == sum(abs(x) for x in xs)
+        assert r["square_sum"] == sum(x * x for x in xs)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(xs, xs[1:]) if (a < 0) != (b < 0)
+        )
+
+
 def test_minhash_agreement_tracks_jaccard_under_shingle_shift(spark):
     """Regression for the position-seeded MinHash bug: two documents with
     near-identical shingle SETS but shifted array order (one extra
