@@ -204,6 +204,93 @@ def verified_near_duplicates(
     return paired.select("a", "b", jacc.alias("jaccard")).where(F.col("jaccard") >= threshold)
 
 
+def incremental_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Batch-incremental near-dup ADMISSION: screen a NEW batch of
+    documents against an EXISTING corpus (and against itself) without
+    ever re-pairing the corpus — the shape a continuously-ingesting
+    training-data pipeline actually runs. ``verified_near_duplicates``
+    answers "which pairs in this corpus are dups"; this answers "which
+    of today's N new docs may enter a corpus of M docs", and its cost
+    must scale with N, not M².
+
+    Plan: the corpus's band rows are a precomputable, persistable INDEX
+    (band_rows output keyed by (band_idx, band_hash) — in production,
+    written bucketed on band_hash once and appended per admitted batch).
+    The new batch computes its own signatures (linear in N), probes the
+    index with one equi join (shuffle sized by the batch side), and only
+    the surviving candidate pairs pay exact-Jaccard verification.
+    Batch-internal dups resolve keep-first (lowest id wins), so an
+    admitted batch never introduces a pair the next probe would flag.
+
+    Output, one row per batch doc: (doc_id, n_dup_corpus, n_dup_batch,
+    admitted) — admitted ⇔ no verified match ≥ threshold against either
+    the corpus or an earlier-id batch doc.
+    """
+    c_sh = shingle_sets(corpus, text_col, id_col, ngram)
+    b_sh = shingle_sets(batch, text_col, id_col, ngram)
+    c_sigs = _sigs_from_shingles(c_sh.where(F.size("sh") > 0), id_col, num_hashes)
+    b_sigs = _sigs_from_shingles(b_sh.where(F.size("sh") > 0), id_col, num_hashes)
+
+    # Probe the corpus band index with the batch's band rows. The join is
+    # keyed by the bucket id; the batch side is the small prober.
+    c_bands = band_rows(c_sigs, id_col, bands)
+    b_bands = band_rows(b_sigs, id_col, bands)
+    cand_bc = (
+        b_bands.select("band_idx", "band_hash", F.col(id_col).alias("b"))
+        .join(c_bands.select("band_idx", "band_hash", F.col(id_col).alias("a")),
+              ["band_idx", "band_hash"])
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    # Batch-internal candidates: standard LSH self-join on the batch only.
+    cand_bb = lsh_candidate_pairs(b_sigs, id_col, bands)
+
+    def verified(cands: DataFrame, a_side: DataFrame) -> DataFrame:
+        a_sh = a_side.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+        bb_sh = b_sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+        paired = F.broadcast(cands).join(a_sh, "a").join(bb_sh, "b")
+        la, lb = F.size("sh_a"), F.size("sh_b")
+        lu = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+        jacc = stable_round((la + lb - lu) / F.greatest(lu, F.lit(1)), 4)
+        return paired.select("a", "b", jacc.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
+
+    n_corpus = (
+        verified(cand_bc, c_sh)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("n_dup_corpus"))
+    )
+    # Keep-first within the batch: the LATER id of a verified pair is the dup.
+    n_batch = (
+        verified(cand_bb, b_sh)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("n_dup_batch"))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(n_corpus.withColumnRenamed("b", id_col), id_col, "left")
+        .join(n_batch.withColumnRenamed("b", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_corpus", F.lit(0)).alias("n_dup_corpus"),
+            F.coalesce("n_dup_batch", F.lit(0)).alias("n_dup_batch"),
+            (
+                F.coalesce("n_dup_corpus", F.lit(0))
+                + F.coalesce("n_dup_batch", F.lit(0))
+                == 0
+            ).alias("admitted"),
+        )
+    )
+
+
 def span_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -175,6 +175,58 @@ def ext_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+@q(
+    "ext_incremental_admission",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), b AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+           c AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+        nc AS (
+            SELECT b.doc_id AS bid, COUNT(*) AS n
+            FROM b JOIN c ON
+                FLOOR(((LEN(b.sh) + LEN(c.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(b.sh, c.sh))))
+                      / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(b.sh, c.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+            GROUP BY 1
+        ), nb AS (
+            SELECT b2.doc_id AS bid, COUNT(*) AS n
+            FROM b b1 JOIN b b2 ON b1.doc_id < b2.doc_id AND
+                FLOOR(((LEN(b1.sh) + LEN(b2.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(b1.sh, b2.sh))))
+                      / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(b1.sh, b2.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_dup_corpus,
+               CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_dup_batch,
+               (COALESCE(nc.n, 0) + COALESCE(nb.n, 0) = 0) AS admitted
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        LEFT JOIN nc ON nc.bid = d.doc_id
+        LEFT JOIN nb ON nb.bid = d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def ext_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental near-dup admission (operators/dedup.py::
+    incremental_admission): docs with id % 3 == 0 arrive as the NEW batch
+    and are screened against the id % 3 != 0 corpus via a probe of the
+    corpus's (precomputable) LSH band index, plus a batch-internal LSH
+    self-join — cost linear in the batch, never M² in the corpus. The
+    oracle recomputes the ground truth with UNBLOCKED exact Jaccard on
+    both the batch×corpus cross and the batch's internal pairs, so
+    equality asserts end-to-end recall 1.0 of the index probe at the
+    same (16-hash, 8-band) operating point as ext_neardup_lsh_verified."""
+    from bigdatacw1_spark.operators.dedup import incremental_admission
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_admission(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        threshold=0.5,
+    ).orderBy("doc_id")
+
+
 _EXACT_PAIRS_05 = """
     WITH sh AS (
         SELECT doc_id,

@@ -510,6 +510,34 @@ def test_decode_images_operator(spark):
         assert (r["width"], r["height"], r["n_channels"], r["pixel_sum"]) == (w, h, 3, want)
 
 
+def test_incremental_admission_screens_corpus_and_batch_dups(spark):
+    """Planted scenario: the batch holds (a) a near-copy of a corpus doc,
+    (b) two near-copies of each other (keep-first drops the later id),
+    and (c) a fresh doc. Only (c) and the earlier of (b) are admitted."""
+    from bigdatacw1_spark.operators.dedup import incremental_admission
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about distributed query engines at scale"
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),          # near-dup of corpus doc 1
+            (11, other),                    # earlier internal twin → admitted
+            (12, other + " padded"),        # later internal twin → dropped
+            (13, "a totally unrelated note on wavelet transforms and audio"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_admission(corpus, batch, threshold=0.5).collect()
+    }
+    assert not out[10]["admitted"] and out[10]["n_dup_corpus"] >= 1
+    assert out[11]["admitted"]
+    assert not out[12]["admitted"] and out[12]["n_dup_batch"] == 1
+    assert out[13]["admitted"]
+
+
 def test_wav_codec_roundtrip_and_chunk_walk():
     """decode_wav is a REAL decoder: encode→decode round-trips samples
     bit-for-bit (mono and stereo, odd-length data → pad byte), the decoy
