@@ -173,6 +173,70 @@ def tf_idf_top_terms(
     )
 
 
+def bigram_lm_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document surprisal under a corpus-trained bigram LM — the
+    CCNet-style quality signal: documents whose word transitions are
+    atypical for the corpus (gibberish, keyword stuffing, wrong-language
+    fragments) score HIGH; formulaic boilerplate scores LOW.
+
+    Model: P(w2|w1) = c(w1 w2) / c(w1 ·) with counts over the corpus
+    itself (no smoothing needed — every scored bigram is in the training
+    counts by construction). surprisal = -(1/N) Σ ln P over the doc's N
+    bigram occurrences, i.e. ln(perplexity). Caveat of the self-trained
+    unsmoothed form: a document of entirely corpus-unique words scores 0
+    (hapax contexts make every transition deterministic) — "atypical"
+    here means rare continuations of COMMON contexts; pair with oov_rate
+    to catch the all-novel-vocabulary case.
+
+    Scale shape: one corpus-sized explode feeds two grouped counts (both
+    map-side combined); the bigram/context count tables are
+    vocabulary²-bounded (≪ corpus) and join back on the bigram key. The
+    per-doc float fold runs over the SORTED bigram list (sort_array →
+    aggregate), so summation order — and therefore the rounded value —
+    is engine-reproducible, same discipline as char_entropy."""
+    bg_occ = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"),
+    ).withColumn("w1", F.split("bigram", " ")[0])
+
+    bg_counts = bg_occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    ctx_counts = bg_occ.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+
+    doc_bg = bg_occ.groupBy(id_col, "bigram", "w1").agg(F.count(F.lit(1)).alias("n"))
+    terms = (
+        doc_bg.join(bg_counts, "bigram")
+        .join(ctx_counts, "w1")
+        .select(
+            F.col(id_col),
+            F.col("bigram"),
+            F.col("n"),
+            (F.col("n") * F.log(F.col("c").cast("double") / F.col("ctx").cast("double"))).alias("term"),
+        )
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bigram", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("s"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            stable_round(-F.col("s") / F.col("n_bigrams"), round_digits).alias("surprisal"),
+        )
+    )
+
+
 def oov_rate(
     df: DataFrame,
     text_col: str = "text",

@@ -2232,6 +2232,50 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_lm_surprisal",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), idx AS (
+            SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+            FROM tk WHERE LEN(toks) >= 2
+        ), bg AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram, toks[i] AS w1
+            FROM idx
+        ), c AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+        ctx AS (SELECT w1, COUNT(*) AS ctx FROM bg GROUP BY 1),
+        docbg AS (
+            SELECT doc_id, bigram, w1, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+        ), terms AS (
+            SELECT d.doc_id, d.bigram, d.n,
+                   d.n * LN(CAST(c.c AS DOUBLE) / ctx.ctx) AS term
+            FROM docbg d JOIN c USING (bigram) JOIN ctx USING (w1)
+        ), agg AS (
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                   LIST_SUM(LIST(term ORDER BY bigram)) AS s
+            FROM terms GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               FLOOR((-a.s / a.n_bigrams) * 10000.0 + 0.5) / 10000.0 AS surprisal
+        FROM tk t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+)
+def ext_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-document surprisal (ln perplexity)
+    under a bigram LM trained on the corpus itself
+    (functions/text.bigram_lm_surprisal). Gibberish and wrong-register
+    documents surface as outliers without any external model. The float
+    fold runs over the SORTED per-doc bigram list in both engines, so
+    the rounded value hash-compares exactly (char_entropy discipline);
+    counts are corpus-exact, the count tables are vocabulary-bounded."""
+    from bigdatacw1_spark.functions.text import bigram_lm_surprisal
+
+    return bigram_lm_surprisal(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
     "ext_char_entropy",
     oracle="""
         WITH base AS (

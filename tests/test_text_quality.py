@@ -192,3 +192,37 @@ def test_char_entropy_orders_gibberish_vs_padding(spark):
     assert got[1] == 0.0
     assert got[3] == 2.0  # uniform 4-symbol alphabet
     assert got[1] < got[2] < got[4]
+
+
+def test_bigram_lm_surprisal_ranks_atypical_docs_higher(spark):
+    """The corpus LM assigns low surprisal to documents made of the
+    corpus's dominant transitions and high surprisal to one-off wording;
+    a doc with < 2 tokens has no bigrams → NULL score, n_bigrams 0.
+    Exact anchor: a corpus whose every bigram is deterministic (c = ctx)
+    scores exactly 0."""
+    from bigdatacw1_spark.functions.text import bigram_lm_surprisal
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, common),
+            # Shares the corpus's dominant CONTEXT word ("the") but takes
+            # one-off continuations — the unsmoothed self-LM's definition
+            # of atypical. (A doc of entirely unique words scores 0:
+            # hapax contexts make every transition deterministic.)
+            (4, "the zebra on the paradox"),
+            (5, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_surprisal(docs).collect()}
+    assert got[5]["n_bigrams"] == 0 and got[5]["surprisal"] is None
+    assert got[1]["surprisal"] == got[2]["surprisal"] == got[3]["surprisal"]
+    assert got[4]["surprisal"] > got[1]["surprisal"]
+
+    uniq = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    assert bigram_lm_surprisal(uniq).collect()[0]["surprisal"] == 0.0
