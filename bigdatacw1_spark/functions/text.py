@@ -173,6 +173,26 @@ def tf_idf_top_terms(
     )
 
 
+def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
+    """Intra-document duplicate-line removal (the C4/Gopher repetition
+    trim): drop every line that already occurred EARLIER in the same
+    document, preserving first-occurrence order, and rebuild the text.
+
+    Returns struct(clean_text, n_lines, n_dup_lines). Pure array
+    built-ins — split, indexed filter (keep line l at 0-based position i
+    iff array_position's first hit is i+1), array_join — so the whole
+    pass is JVM-side per row with no shuffle and no Python; at 100 TB
+    this composes with c4_line_filter in the same projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, sep)
+    kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+    return F.struct(
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_dup_lines"),
+    )
+
+
 def bigram_lm_surprisal(
     df: DataFrame,
     text_col: str = "text",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from bigdatacw1_spark.functions.text import (
     bpe_ish_tokens,
+    dedup_lines,
     lang_id,
     normalized_fingerprint,
     punct_ratio,
@@ -2228,6 +2229,66 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum((~F.col("__dup")).cast("long")), F.lit(1))
             <= F.lit(0.05)
         ).alias("fp_rate_ok"),
+    )
+
+
+@q(
+    "ext_line_dedup",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), ln AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / 5.0) AS BIGINT)),
+                       i -> ARRAY_TO_STRING(
+                           toks[CAST(i * 5 + 1 AS BIGINT):CAST(i * 5 + 5 AS BIGINT)], ' ')) AS lines
+            FROM tk
+        ), sp AS (
+            SELECT doc_id, STR_SPLIT(ARRAY_TO_STRING(lines, CHR(10)), CHR(10)) AS ls
+            FROM ln
+        ), kp AS (
+            SELECT doc_id, ls,
+                   LIST_FILTER(ls, (l, i) -> LIST_POSITION(ls, l) = i) AS kept
+            FROM sp
+        )
+        SELECT doc_id,
+               CAST(LEN(ls) AS INT) AS n_lines,
+               CAST(LEN(ls) - LEN(kept) AS INT) AS n_dup_lines,
+               MD5(ARRAY_TO_STRING(kept, CHR(10))) AS digest
+        FROM kp ORDER BY doc_id
+    """,
+)
+def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (functions/text.dedup_lines).
+    The corpus is single-line, so the fixture synthesizes lines
+    deterministically — every 5-token window becomes one line (tiny
+    vocabulary ⇒ repeats are common) — and the operator drops lines that
+    already occurred earlier in the SAME document, keeping first-
+    occurrence order. Output digests the reconstructed text (md5) plus
+    exact line counts; the oracle replays the same synthesis and filter
+    with DuckDB list lambdas (index 1-based there, 0-based in Spark)."""
+    toks = tokens(F.col("text"))
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    raw = F.array_join(
+        F.when(
+            nl > 0,
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+        "\n",
+    )
+    d = dedup_lines(raw)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            d["n_lines"].alias("n_lines"),
+            d["n_dup_lines"].alias("n_dup_lines"),
+            F.md5(d["clean_text"]).alias("digest"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -226,3 +226,27 @@ def test_bigram_lm_surprisal_ranks_atypical_docs_higher(spark):
         [(1, "alpha beta gamma delta")], "doc_id long, text string"
     )
     assert bigram_lm_surprisal(uniq).collect()[0]["surprisal"] == 0.0
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from bigdatacw1_spark.functions.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (2, "solo"),
+            (3, "x\nx\nx\nx"),
+        ],
+        "doc_id long, text string",
+    )
+    d = dedup_lines("text")
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", d["clean_text"].alias("c"),
+            d["n_lines"].alias("n"), d["n_dup_lines"].alias("k"),
+        ).collect()
+    }
+    assert (got[1]["c"], got[1]["n"], got[1]["k"]) == ("alpha\nbeta\ngamma", 5, 2)
+    assert (got[2]["c"], got[2]["n"], got[2]["k"]) == ("solo", 1, 0)
+    assert (got[3]["c"], got[3]["n"], got[3]["k"]) == ("x", 4, 3)
