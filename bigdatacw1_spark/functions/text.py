@@ -362,6 +362,30 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+def luhn_valid(digits: Column | str) -> Column:
+    """Luhn checksum validation of a digit string — the precision filter
+    behind credit-card PII detection: a 13-19 digit run is only worth
+    redacting/flagging if its check digit verifies, which cuts the false
+    positives from order ids and timestamps by ~10×. Pure array
+    built-ins (reverse → indexed transform doubling every second digit,
+    subtracting 9 on overflow → fold), JVM-side and codegen'd; DuckDB
+    mirrors with list lambdas (1-based index there). NULL/empty or
+    non-digit input yields false, not an error."""
+    c = F.col(digits) if isinstance(digits, str) else digits
+    ds = F.filter(F.split(F.reverse(c), ""), lambda x: x != "")
+    # try_cast, not cast: ANSI mode would otherwise throw on non-digit
+    # input before the validity guard can reject it.
+    vals = F.transform(
+        ds,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            ch.try_cast("int") * 2 - F.when(ch.try_cast("int") * 2 > 9, 9).otherwise(0),
+        ).otherwise(ch.try_cast("int")),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return F.coalesce((F.size(ds) > 0) & (total % 10 == 0), F.lit(False))
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",

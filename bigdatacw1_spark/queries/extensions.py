@@ -1173,6 +1173,46 @@ def ext_crossdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_pii_luhn",
+    oracle="""
+        WITH cand AS (
+            SELECT doc_id, LPAD(CAST(doc_id * 7919 AS VARCHAR), 16, '0') AS candidate
+            FROM documents
+        ), v AS (
+            SELECT doc_id, candidate,
+                   LIST_SUM(LIST_TRANSFORM(STR_SPLIT(REVERSE(candidate), ''), (ch, i) ->
+                       CASE WHEN (i - 1) % 2 = 1
+                            THEN CAST(ch AS INT) * 2
+                                 - CASE WHEN CAST(ch AS INT) * 2 > 9 THEN 9 ELSE 0 END
+                            ELSE CAST(ch AS INT) END)) AS s
+            FROM cand
+        )
+        SELECT doc_id, candidate, (s % 10 = 0) AS luhn_ok
+        FROM v ORDER BY doc_id
+    """,
+)
+def ext_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number PII detection with checksum precision
+    (functions/text.luhn_valid): a 16-digit candidate synthesized from
+    the doc id is flagged only if its Luhn check digit verifies — the
+    filter that separates actual card numbers from order-id lookalikes.
+    Both engines run the same reverse → indexed double-every-second →
+    fold arithmetic; integer-exact, full value oracle."""
+    from bigdatacw1_spark.functions.text import luhn_valid
+
+    cand = F.lpad((F.col("doc_id") * 7919).cast("string"), 16, "0")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            cand.alias("candidate"),
+            luhn_valid(cand).alias("luhn_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ext_pii_redact",
     oracle=r"""
         WITH synth AS (

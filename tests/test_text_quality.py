@@ -250,3 +250,27 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert (got[1]["c"], got[1]["n"], got[1]["k"]) == ("alpha\nbeta\ngamma", 5, 2)
     assert (got[2]["c"], got[2]["n"], got[2]["k"]) == ("solo", 1, 0)
     assert (got[3]["c"], got[3]["n"], got[3]["k"]) == ("x", 4, 3)
+
+
+def test_luhn_valid_known_vectors(spark):
+    """Known Luhn vectors: the classic test PAN 4111111111111111 and
+    79927398713 validate; off-by-one check digits, non-digit input,
+    empty and NULL all reject (no ANSI cast error)."""
+    from bigdatacw1_spark.functions.text import luhn_valid
+
+    rows = [
+        (1, "4111111111111111", True),
+        (2, "4111111111111112", False),
+        (3, "79927398713", True),
+        (4, "79927398714", False),
+        (5, "4111-1111", False),  # non-digit chars
+        (6, "", False),
+        (7, None, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, num string"
+    )
+    got = {r["doc_id"]: r["ok"] for r in df.select(
+        "doc_id", luhn_valid("num").alias("ok")).collect()}
+    for i, _, want in rows:
+        assert got[i] is want, (i, got[i], want)
