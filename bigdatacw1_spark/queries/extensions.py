@@ -2273,6 +2273,75 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_dataset_card",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang, n_chars,
+                   LEN({_DUCK_TOKS}) AS n_toks,
+                   MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ), base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   FLOOR(QUANTILE_CONT(CAST(n_toks AS DOUBLE), 0.50) * 10000.0 + 0.5) / 10000.0 AS p50_tokens,
+                   FLOOR(QUANTILE_CONT(CAST(n_toks AS DOUBLE), 0.95) * 10000.0 + 0.5) / 10000.0 AS p95_tokens,
+                   FLOOR((1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_rate,
+                   FLOOR((SUM(CAST(n_chars AS DECIMAL(30,2))) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+            FROM d
+        ), top AS (
+            SELECT lang AS top_lang, COUNT(*) AS top_cnt
+            FROM d GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+        )
+        SELECT base.*, top.top_lang,
+               FLOOR((top.top_cnt / CAST(base.n_docs AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS pct_top_lang
+        FROM base, top
+    """,
+)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATASHEET — the summary a dataset card publishes:
+    doc/token counts, language spread and dominance, exact token-length
+    percentiles, exact-dup rate (normalized fingerprints), mean length.
+    One corpus scan feeds a single global aggregate (countDistinct and
+    exact percentiles are the only non-streaming pieces; at 100 TB swap
+    them for the HLL/GK sketch entries — this is the exactness anchor).
+    The tiny per-language table broadcasts for the dominant-language
+    argmax; every float is decimal-quantized or percentile-interpolated
+    identically in both engines."""
+    from bigdatacw1_spark.operators.relational import exact_avg
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        stable_round(F.percentile(F.col("n_toks").cast("double"), F.lit(0.50)), 4).alias("p50_tokens"),
+        stable_round(F.percentile(F.col("n_toks").cast("double"), F.lit(0.95)), 4).alias("p95_tokens"),
+        stable_round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("dup_rate"),
+        exact_avg("n_chars", scale=2).alias("avg_chars"),
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_cnt"))
+        .orderBy(F.desc("top_cnt"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_cnt")
+    )
+    return base.crossJoin(F.broadcast(top)).select(
+        "n_docs", "n_tokens", "n_langs", "p50_tokens", "p95_tokens",
+        "dup_rate", "avg_chars", "top_lang",
+        stable_round(F.col("top_cnt") / F.col("n_docs").cast("double"), 4).alias("pct_top_lang"),
+    )
+
+
+@q(
     "ext_line_dedup",
     oracle=f"""
         WITH tk AS (
