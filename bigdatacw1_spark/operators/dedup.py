@@ -291,6 +291,87 @@ def incremental_admission(
     )
 
 
+def contrastive_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Training-pair ASSEMBLY for embedding/retrieval models: one row per
+    verified near-duplicate pair (anchor, positive) plus a reproducible
+    hard-negative drawn from the corpus — the (a, p, n) triple format
+    contrastive losses consume.
+
+    Positives come from the scale-safe LSH pipeline
+    (verified_near_duplicates). Negatives must be "random but
+    deterministic" WITHOUT a global sort or per-anchor corpus scan, so
+    the draw is bucketed: every doc hashes into one of ``n_buckets``
+    md5-derived buckets; each bucket keeps its 3 smallest (md5, id) docs
+    (a bucket-partitioned window over a vocabulary-sized table →
+    broadcastable); the anchor probes ONE bucket (a different salt, so
+    probe and placement are independent) and takes the first candidate
+    that is neither itself nor one of its near-dup partners. NULL
+    negative only if the probed bucket is empty or exhausted (bounded,
+    loud in the output rather than silently re-sampled).
+    """
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.sampling import md5_bucket
+
+    # pos feeds both the triples and the partner-exclusion sets; truncate
+    # the LSH lineage once so the verification pipeline runs once, not
+    # once per consumer.
+    pos = verified_near_duplicates(df, text_col, id_col, threshold).localCheckpoint(
+        eager=False
+    )
+
+    ids = df.select(id_col)
+    ranked = ids.select(
+        F.col(id_col),
+        md5_bucket(id_col, n_buckets, salt).alias("bkt"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("h"),
+    )
+    w = Window.partitionBy("bkt").orderBy("h", id_col)
+    bucket_cands = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("bkt")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", F.col(id_col).alias("cid")))),
+                lambda s: s["cid"],
+            ).alias("cands")
+        )
+    )
+    partners = (
+        pos.select(F.col("a").alias("anchor"), F.col("b").alias("p"))
+        .union(pos.select(F.col("b").alias("anchor"), F.col("a").alias("p")))
+        .groupBy("anchor")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    triples = (
+        pos.select(F.col("a").alias("anchor"), F.col("b").alias("positive"))
+        .withColumn("bkt", md5_bucket("anchor", n_buckets, "probe" + salt))
+        .join(F.broadcast(bucket_cands), "bkt", "left")
+        .join(partners, "anchor", "left")
+        .select(
+            "anchor",
+            "positive",
+            F.try_element_at(
+                F.filter(
+                    F.coalesce("cands", F.array().cast("array<long>")),
+                    lambda c: (c != F.col("anchor"))
+                    & ~F.array_contains(F.coalesce("ps", F.array().cast("array<long>")), c),
+                ),
+                F.lit(1),
+            ).alias("negative"),
+        )
+    )
+    return triples
+
+
 def span_fingerprints(
     df: DataFrame,
     text_col: str = "text",

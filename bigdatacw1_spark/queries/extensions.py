@@ -228,6 +228,61 @@ def ext_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@q(
+    "ext_contrastive_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), pos AS MATERIALIZED (
+            SELECT a.doc_id AS anchor, b.doc_id AS positive
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+        ), rk AS (
+            SELECT doc_id,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'neg'), 1, 8))::BIGINT % 64 AS bkt,
+                   MD5(CAST(doc_id AS VARCHAR) || 'neg') AS h
+            FROM documents
+        ), rn AS (
+            SELECT doc_id, bkt,
+                   ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY h, doc_id) AS rn
+            FROM rk
+        ), bc AS (
+            SELECT bkt, LIST(doc_id ORDER BY rn) AS cands FROM rn WHERE rn <= 3 GROUP BY bkt
+        ), ptn AS (
+            SELECT anchor, LIST(p) AS ps FROM (
+                SELECT anchor, positive AS p FROM pos
+                UNION ALL SELECT positive AS anchor, anchor AS p FROM pos
+            ) GROUP BY anchor
+        )
+        SELECT pos.anchor, pos.positive,
+               LIST_FILTER(
+                   COALESCE(bc.cands, CAST([] AS BIGINT[])),
+                   c -> c != pos.anchor
+                        AND NOT LIST_CONTAINS(COALESCE(ptn.ps, CAST([] AS BIGINT[])), c)
+               )[1] AS negative
+        FROM pos
+        LEFT JOIN bc ON bc.bkt =
+            ('0x' || SUBSTR(MD5(CAST(pos.anchor AS VARCHAR) || 'probeneg'), 1, 8))::BIGINT % 64
+        LEFT JOIN ptn ON ptn.anchor = pos.anchor
+        ORDER BY pos.anchor, pos.positive
+    """,
+)
+def ext_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, negative) triple assembly
+    (operators/dedup.contrastive_pairs): positives are the verified
+    near-dup pairs; negatives are reproducible bucketed draws — no
+    global sort, no per-anchor corpus scan, probe-vs-placement salts
+    independent. The oracle replays the identical md5 ring arithmetic
+    and the unblocked exact-Jaccard positive set, so the value hash
+    pins the whole triple, negative included."""
+    from bigdatacw1_spark.operators.dedup import contrastive_pairs
+
+    return contrastive_pairs(_t(spark, sf_dir, "documents")).orderBy("anchor", "positive")
+
+
 _EXACT_PAIRS_05 = """
     WITH sh AS (
         SELECT doc_id,

@@ -767,3 +767,27 @@ def test_multiband_embedding_lsh_dominates_single_band(spark):
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_contrastive_pairs_triples_are_valid(spark):
+    """Every triple: positive is a verified near-dup of the anchor; the
+    negative is never the anchor, the positive, or ANY near-dup partner
+    of the anchor; and the draw is reproducible across runs."""
+    from bigdatacw1_spark.operators.dedup import contrastive_pairs, verified_near_duplicates
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pos = {(r["a"], r["b"]) for r in verified_near_duplicates(docs).collect()}
+    partners = {}
+    for a, b in pos:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    t1 = contrastive_pairs(docs).orderBy("anchor", "positive").collect()
+    t2 = contrastive_pairs(docs).orderBy("anchor", "positive").collect()
+    assert t1 == t2 and len(t1) == len(pos) > 0
+    for r in t1:
+        assert (r["anchor"], r["positive"]) in pos
+        if r["negative"] is not None:
+            assert r["negative"] != r["anchor"]
+            assert r["negative"] not in partners.get(r["anchor"], set())
