@@ -35,8 +35,10 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # (ext_sketch_* ×5, ext_minhash_lsh_pairs, ext_simhash, ext_mm_features) and
 # round-4 additions (ext_c4_clean, ext_shortest_path, ext_bloom_dedup,
 # ext_char_entropy, ext_freq_items, ext_knn_graph, wh_dq_checks,
-# wh_snapshot_diff, ev_* leftovers). That covers nearly everything still
-# unchecked; round 6 mops up the tail.
+# wh_snapshot_diff, ev_* leftovers) plus the late-round-4 batch
+# (ext_mm_audio, ext_incremental_admission, ext_lm_surprisal,
+# ext_line_dedup, ext_pii_luhn, ext_dataset_card, ext_contrastive_pairs).
+# That covers nearly everything still unchecked; round 6 mops up the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)
