@@ -362,6 +362,56 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+def gopher_rules(text: Column | str, lang: str = "en") -> Column:
+    """Gopher-style document quality RULES as one struct of verdicts —
+    the composed keep/drop gate (with per-rule reasons) a pre-training
+    pipeline applies after line cleaning and before dedup:
+
+      r_word_count     10 <= n_words <= 100000
+      r_mean_word_len  3 <= mean word length <= 10
+      r_stopwords      >= 2 stopword hits (natural-language evidence)
+      r_top_word       most frequent word <= 30% of tokens
+      r_distinct       distinct words >= 30% of tokens
+      keep             AND of all rules
+
+    Every threshold is evaluated by INTEGER cross-multiplication
+    (3·n <= Σlen <= 10·n, 10·top <= 3·n, ...), so the verdicts are exact
+    in any engine — no float ratios to drift at rule boundaries. Pure
+    array built-ins, one projection, no shuffle; per-rule booleans let
+    the drop-reason histogram come from the same scan."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    sumlen = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    distinct_toks = F.array_distinct(toks)
+    n_distinct = F.size(distinct_toks)
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(distinct_toks, lambda w: F.size(F.filter(toks, lambda x: x == w)))
+        ),
+        F.lit(0),
+    )
+    return F.struct(
+        n.alias("n_words"),
+        ((n >= 10) & (n <= 100000)).alias("r_word_count"),
+        ((sumlen >= 3 * n) & (sumlen <= 10 * n) & (n > 0)).alias("r_mean_word_len"),
+        (n_stop >= 2).alias("r_stopwords"),
+        ((10 * top_cnt <= 3 * n) & (n > 0)).alias("r_top_word"),
+        ((10 * n_distinct >= 3 * n) & (n > 0)).alias("r_distinct"),
+        (
+            (n >= 10) & (n <= 100000)
+            & (sumlen >= 3 * n) & (sumlen <= 10 * n)
+            & (n_stop >= 2)
+            & (10 * top_cnt <= 3 * n)
+            & (10 * n_distinct >= 3 * n)
+        ).alias("keep"),
+    )
+
+
 def luhn_valid(digits: Column | str) -> Column:
     """Luhn checksum validation of a digit string — the precision filter
     behind credit-card PII detection: a 13-19 digit run is only worth

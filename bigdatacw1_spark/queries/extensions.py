@@ -2328,6 +2328,62 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_gopher_filter",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   LEN(toks) AS n,
+                   COALESCE(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))), 0) AS sumlen,
+                   LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                       ['the','a','and','of','to','in','is','it','that','for'], t))) AS n_stop,
+                   LEN(LIST_DISTINCT(toks)) AS n_distinct,
+                   COALESCE(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(toks),
+                       w -> LEN(LIST_FILTER(toks, x -> x = w)))), 0) AS top_cnt
+            FROM tk
+        )
+        SELECT doc_id,
+               CAST(n AS INT) AS n_words,
+               (n >= 10 AND n <= 100000) AS r_word_count,
+               (sumlen >= 3 * n AND sumlen <= 10 * n AND n > 0) AS r_mean_word_len,
+               (n_stop >= 2) AS r_stopwords,
+               (10 * top_cnt <= 3 * n AND n > 0) AS r_top_word,
+               (10 * n_distinct >= 3 * n AND n > 0) AS r_distinct,
+               (n >= 10 AND n <= 100000
+                AND sumlen >= 3 * n AND sumlen <= 10 * n
+                AND n_stop >= 2
+                AND 10 * top_cnt <= 3 * n
+                AND 10 * n_distinct >= 3 * n) AS keep
+        FROM m ORDER BY doc_id
+    """,
+)
+def ext_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (functions/text.gopher_rules):
+    five repetition/length/natural-language rules plus the final keep
+    verdict, one row per document with per-rule reasons. Integer
+    cross-multiplied thresholds make every boolean exact in both
+    engines; single projection, no shuffle."""
+    from bigdatacw1_spark.functions.text import gopher_rules
+
+    g = gopher_rules(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            g["n_words"].alias("n_words"),
+            g["r_word_count"].alias("r_word_count"),
+            g["r_mean_word_len"].alias("r_mean_word_len"),
+            g["r_stopwords"].alias("r_stopwords"),
+            g["r_top_word"].alias("r_top_word"),
+            g["r_distinct"].alias("r_distinct"),
+            g["keep"].alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ext_dataset_card",
     oracle=f"""
         WITH d AS (

@@ -274,3 +274,29 @@ def test_luhn_valid_known_vectors(spark):
         "doc_id", luhn_valid("num").alias("ok")).collect()}
     for i, _, want in rows:
         assert got[i] is want, (i, got[i], want)
+
+
+def test_gopher_rules_flag_crafted_pathologies(spark):
+    from bigdatacw1_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a field of green grass today it was warm"),
+            (2, "word " * 40),                      # top-word + distinct collapse
+            (3, "the of to in is"),                 # too few words
+            (4, "supercalifragilisticexpialidocious " * 12 + "the a and of"),  # long words
+            (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),   # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    g = gopher_rules("text")
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id", g["keep"].alias("keep"),
+        g["r_word_count"].alias("wc"), g["r_mean_word_len"].alias("mwl"),
+        g["r_stopwords"].alias("sw"), g["r_top_word"].alias("tw"),
+        g["r_distinct"].alias("dw")).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["keep"] and not got[2]["tw"] and not got[2]["dw"]
+    assert not got[3]["keep"] and not got[3]["wc"]
+    assert not got[4]["keep"] and not got[4]["mwl"]
+    assert not got[5]["keep"] and not got[5]["sw"]
