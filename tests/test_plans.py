@@ -281,3 +281,23 @@ def test_bloom_probe_is_narrow_filter_no_shuffle(spark):
     plan = formatted_plan(probe)
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert not has_python_eval(probe)
+
+
+def test_late_round4_quality_entries_are_python_free_and_join_safe(spark):
+    """The late-round-4 text/assembly entries stay JVM-side (no Python
+    eval in the row path) and never degenerate to a cartesian product —
+    the two plan properties that keep them 100 TB-safe. (ext_mm_audio is
+    deliberately absent: its decode is an Arrow mapInPandas stage.)"""
+    for name in [
+        "ext_lm_surprisal",
+        "ext_line_dedup",
+        "ext_pii_luhn",
+        "ext_gopher_filter",
+        "ext_dataset_card",
+        "ext_incremental_admission",
+        "ext_contrastive_pairs",
+    ]:
+        df = _df(spark, name)
+        assert not has_python_eval(df), f"{name}: Python eval in plan"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
