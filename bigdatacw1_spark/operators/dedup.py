@@ -235,15 +235,13 @@ def incremental_admission(
     admitted) — admitted ⇔ no verified match ≥ threshold against either
     the corpus or an earlier-id batch doc.
     """
-    c_sh = shingle_sets(corpus, text_col, id_col, ngram)
-    b_sh = shingle_sets(batch, text_col, id_col, ngram)
-    c_sigs = _sigs_from_shingles(c_sh.where(F.size("sh") > 0), id_col, num_hashes)
-    b_sigs = _sigs_from_shingles(b_sh.where(F.size("sh") > 0), id_col, num_hashes)
+    c_sh_all = shingle_sets(corpus, text_col, id_col, ngram)
+    c_sigs = _sigs_from_shingles(c_sh_all.where(F.size("sh") > 0), id_col, num_hashes)
 
     # Probe the corpus band index with the batch's band rows. The join is
     # keyed by the bucket id; the batch side is the small prober.
     c_bands = band_rows(c_sigs, id_col, bands)
-    b_bands = band_rows(b_sigs, id_col, bands)
+    b_sigs, b_bands = _batch_bands(batch, text_col, id_col, num_hashes, bands, ngram)
     cand_bc = (
         b_bands.select("band_idx", "band_hash", F.col(id_col).alias("b"))
         .join(c_bands.select("band_idx", "band_hash", F.col(id_col).alias("a")),
@@ -253,6 +251,40 @@ def incremental_admission(
     )
     # Batch-internal candidates: standard LSH self-join on the batch only.
     cand_bb = lsh_candidate_pairs(b_sigs, id_col, bands)
+    return _admission_report(
+        corpus, batch, cand_bc, cand_bb, text_col, id_col, threshold, ngram
+    )
+
+
+def _batch_bands(
+    batch: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, ngram: int
+):
+    b_sh = shingle_sets(batch, text_col, id_col, ngram)
+    b_sigs = _sigs_from_shingles(b_sh.where(F.size("sh") > 0), id_col, num_hashes)
+    return b_sigs, band_rows(b_sigs, id_col, bands)
+
+
+def _admission_report(
+    corpus: DataFrame,
+    batch: DataFrame,
+    cand_bc: DataFrame,
+    cand_bb: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    ngram: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of admission candidates → per-batch-doc
+    report. Corpus shingling is PRUNED to candidate ids via a broadcast
+    semi-join before any shingle is computed (the verified_near_duplicates
+    discipline): the candidate set is small by LSH construction, so the
+    corpus never pays a full re-shingle for verification."""
+    cand_bc = cand_bc.localCheckpoint(eager=False)
+    cand_ids = cand_bc.select(F.col("a").alias(id_col)).distinct()
+    c_sh = shingle_sets(
+        corpus.join(F.broadcast(cand_ids), id_col, "left_semi"), text_col, id_col, ngram
+    )
+    b_sh = shingle_sets(batch, text_col, id_col, ngram)
 
     def verified(cands: DataFrame, a_side: DataFrame) -> DataFrame:
         a_sh = a_side.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
@@ -289,6 +321,79 @@ def incremental_admission(
             ).alias("admitted"),
         )
     )
+
+
+def build_band_index(
+    corpus: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the corpus's LSH band rows as a PERSISTED, BUCKETED
+    index table — the piece that makes admission a service instead of a
+    job: built once over the corpus, appended per admitted batch, probed
+    by every incoming batch with no corpus-side shuffle (the table is
+    bucketed on band_hash, so the probe join only exchanges the batch
+    side). band_hash folds the band index into the hash seed
+    (band_rows), so the single-column bucket key is sufficient; the rare
+    cross-band seed collision only adds a candidate that exact
+    verification discards."""
+    from bigdatacw1_spark.sources.sinks import write_bucketed
+
+    _, rows = _batch_bands(corpus, text_col, id_col, num_hashes, bands, ngram)
+    write_bucketed(rows, table_name, ["band_hash"], num_buckets, sort_cols=["band_hash"])
+
+
+def admit_batch(
+    spark,
+    table_name: str,
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    num_buckets: int = 32,
+    append: bool = True,
+) -> DataFrame:
+    """Admission against the PERSISTED band index (build_band_index):
+    probe → verify → report, then append the admitted docs' band rows so
+    the next batch screens against them too. ``corpus`` supplies text
+    only for the exact-verification step (pruned to candidate ids) and
+    must cover every doc the index currently holds — i.e. the original
+    corpus plus previously admitted batches; the candidate join itself
+    reads the index, never the corpus. Returns the same report schema as
+    incremental_admission; with ``append`` the index after the call
+    covers corpus ∪ admitted batch docs."""
+    idx = spark.table(table_name)
+    b_sigs, b_bands = _batch_bands(batch, text_col, id_col, num_hashes, bands, ngram)
+    cand_bc = (
+        b_bands.select("band_hash", F.col(id_col).alias("b"))
+        .join(idx.select("band_hash", F.col(id_col).alias("a")), "band_hash")
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    cand_bb = lsh_candidate_pairs(b_sigs, id_col, bands)
+    report = _admission_report(
+        corpus, batch, cand_bc, cand_bb, text_col, id_col, threshold, ngram
+    ).localCheckpoint(eager=False)
+    if append:
+        admitted_ids = report.where(F.col("admitted")).select(id_col)
+        new_rows = b_bands.join(F.broadcast(admitted_ids), id_col, "left_semi")
+        (
+            new_rows.write.mode("append")
+            .bucketBy(num_buckets, "band_hash")
+            .sortBy("band_hash")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+    return report
 
 
 def contrastive_pairs(

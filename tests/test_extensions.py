@@ -791,3 +791,46 @@ def test_contrastive_pairs_triples_are_valid(spark):
         if r["negative"] is not None:
             assert r["negative"] != r["anchor"]
             assert r["negative"] not in partners.get(r["anchor"], set())
+
+
+def test_band_index_lifecycle_matches_inmemory_and_screens_across_batches(spark, tmp_path):
+    """The persisted band index is the admission SERVICE: (1) probing it
+    yields exactly the in-memory incremental_admission report; (2) after
+    an admitted batch is appended, the NEXT batch is screened against
+    those admissions too — an exact copy of a batch-1 admit must be
+    rejected in batch 2 with n_dup_corpus >= 1."""
+    from bigdatacw1_spark.operators.dedup import (
+        admit_batch,
+        build_band_index,
+        incremental_admission,
+    )
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch1 = docs.where(F.col("doc_id") % 3 == 0)
+
+    spark.sql("DROP TABLE IF EXISTS band_idx_test")
+    build_band_index(corpus, "band_idx_test")
+
+    got = admit_batch(spark, "band_idx_test", corpus, batch1).collect()
+    want = incremental_admission(corpus, batch1).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+    admitted1 = [r["doc_id"] for r in got if r["admitted"]]
+    assert admitted1, "fixture must admit at least one batch-1 doc"
+    # batch 2 = exact copies of admitted batch-1 docs under new ids
+    clone_src = batch1.where(F.col("doc_id").isin(admitted1[:3]))
+    batch2 = clone_src.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    # verification corpus now = original corpus + batch1 (docs the index holds)
+    full_corpus = corpus.unionByName(batch1)
+    rep2 = {r["doc_id"]: r for r in
+            admit_batch(spark, "band_idx_test", full_corpus, batch2, append=False).collect()}
+    for did in admitted1[:3]:
+        r = rep2[did + 1_000_000]
+        assert not r["admitted"] and r["n_dup_corpus"] >= 1
+    spark.sql("DROP TABLE IF EXISTS band_idx_test")
