@@ -834,3 +834,43 @@ def test_band_index_lifecycle_matches_inmemory_and_screens_across_batches(spark,
         r = rep2[did + 1_000_000]
         assert not r["admitted"] and r["n_dup_corpus"] >= 1
     spark.sql("DROP TABLE IF EXISTS band_idx_test")
+
+
+def test_media_triage_composition_sniff_then_decode(spark):
+    """The mandatory 100 TB media order — cheap header sniff over the
+    WHOLE mixed corpus, then pay full decode only on rows routed to a
+    codec that exists: PNGs to decode_images, WAVs to decode_audio,
+    GIF-headers (no decoder here) filtered out by mime BEFORE any decode
+    runs. Every routed row decodes; nothing raises."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_audio,
+        decode_images,
+        sniff_media_meta,
+        synth_media_payload,
+        synth_png_corpus,
+        synth_wav_corpus,
+    )
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    media = (
+        synth_png_corpus(ids.where(F.col("doc_id") % 3 == 0))
+        .unionByName(synth_wav_corpus(ids.where(F.col("doc_id") % 3 == 2)))
+        # header-only GIFs: sniffable, not decodable here
+        .unionByName(synth_media_payload(ids.where(F.col("doc_id") % 3 == 1)))
+    )
+    meta = sniff_media_meta(media).select("doc_id", "mime")
+    routed = media.join(meta, "doc_id")
+
+    pngs = routed.where(F.col("mime") == "image/png").drop("mime")
+    wavs = routed.where(F.col("mime") == "audio/x-wav").drop("mime")
+    gifs = routed.where(F.col("mime") == "image/gif")
+
+    decoded_px = decode_images(pngs).collect()
+    decoded_au = decode_audio(wavs).collect()
+    assert {r["doc_id"] for r in decoded_px} == set(range(0, 30, 3))
+    assert {r["doc_id"] for r in decoded_au} == set(range(2, 30, 3))
+    assert gifs.count() == 10
+    for r in decoded_px:
+        assert r["pixel_sum"] > 0 and r["n_channels"] == 3
+    for r in decoded_au:
+        assert r["n_samples"] > 0 and r["sample_rate"] % 8000 == 0
