@@ -321,3 +321,72 @@ def test_match_predicate_compiler_matches_mongo_eval(spark, vals, pred):
         if _mongo_eval(("%g" % v) if isinstance(v, float) else v, pred)
     }
     assert got == want, (vals, pred)
+
+
+luhn_strategy = st.lists(
+    st.one_of(
+        st.from_regex(r"[0-9]{1,20}", fullmatch=True),
+        st.text(alphabet="0123456789-x ", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(luhn_strategy)
+def test_luhn_valid_matches_python_reference(spark, strings):
+    """luhn_valid (array-builtin fold) ≡ the textbook Python Luhn over
+    arbitrary digit-ish strings, including non-digit and empty input
+    (both reject, never raise)."""
+    from bigdatacw1_spark.functions.text import luhn_valid
+
+    def ref(s: str) -> bool:
+        if not s or not s.isdigit():
+            return False
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i long, s string"
+    )
+    got = {r["i"]: r["ok"] for r in df.select("i", luhn_valid("s").alias("ok")).collect()}
+    for i, s in enumerate(strings):
+        assert got[i] is ref(s), (s, got[i])
+
+
+lines_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lines_strategy)
+def test_dedup_lines_matches_python_reference(spark, docs):
+    """dedup_lines ≡ Python dict.fromkeys first-occurrence dedup for any
+    line multiset/order."""
+    from bigdatacw1_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in enumerate(docs)], "i long, text string"
+    )
+    d = dedup_lines("text")
+    got = {
+        r["i"]: (r["c"], r["n"], r["k"])
+        for r in df.select(
+            "i", d["clean_text"].alias("c"), d["n_lines"].alias("n"),
+            d["n_dup_lines"].alias("k"),
+        ).collect()
+    }
+    for i, ls in enumerate(docs):
+        kept = list(dict.fromkeys(ls))
+        assert got[i] == ("\n".join(kept), len(ls), len(ls) - len(kept)), (ls, got[i])
