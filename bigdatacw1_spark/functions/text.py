@@ -362,6 +362,38 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+#: Tracking parameters stripped during URL canonicalization.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL for web-corpus dedup — the highest-leverage dedup
+    key a crawl pipeline has: lowercase scheme+host, keep the path
+    verbatim (paths are case-significant), drop the fragment, strip
+    tracking parameters (utm_*/fbclid/gclid/ref), and SORT the surviving
+    query parameters so parameter order never splits a dup group.
+    Pure regexp_extract + array ops in one projection; DuckDB mirrors
+    each step 1:1 for the oracle. Unparseable input degrades to
+    lowercase-trimmed passthrough rather than NULL."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    base = F.concat(F.lower(scheme), F.lit("://"), F.lower(host), path)
+    canon = F.when(
+        scheme == "", F.lower(F.trim(c))
+    ).otherwise(
+        F.when(qcanon == "", base).otherwise(F.concat(base, F.lit("?"), qcanon))
+    )
+    return canon
+
+
 def gopher_rules(text: Column | str, lang: str = "en") -> Column:
     """Gopher-style document quality RULES as one struct of verdicts —
     the composed keep/drop gate (with per-rule reasons) a pre-training

@@ -2328,6 +2328,83 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_url_canonicalize",
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 'HTTP://WWW.Example.COM/Path' || CAST(doc_id AS VARCHAR)
+                                    || '?b=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_source=feed&a=1#sec'
+                        WHEN 1 THEN 'https://example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+                                    || '?a=1&b=' || CAST(doc_id % 50 AS VARCHAR)
+                        WHEN 2 THEN 'https://Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR)
+                                    || '?b=' || CAST(doc_id % 50 AS VARCHAR) || '&a=1&gclid=xyz#frag'
+                        ELSE 'Not A Url ' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, url,
+                   REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                   REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                   REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                   REGEXP_EXTRACT(url, '\?([^#]*)', 1) AS query
+            FROM synth
+        ), canon AS (
+            SELECT doc_id,
+                   CASE WHEN scheme = '' THEN LOWER(TRIM(url))
+                        ELSE LOWER(scheme) || '://' || LOWER(host) || path ||
+                             CASE WHEN ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STR_SPLIT(query, '&'),
+                                       p -> p <> '' AND NOT REGEXP_MATCHES(p, '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&') = ''
+                                  THEN ''
+                                  ELSE '?' || ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STR_SPLIT(query, '&'),
+                                       p -> p <> '' AND NOT REGEXP_MATCHES(p, '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&')
+                             END
+                   END AS canonical
+            FROM parts
+        )
+        SELECT doc_id, canonical,
+               COUNT(*) OVER (PARTITION BY canonical) AS group_size
+        FROM canon ORDER BY doc_id
+    """,
+)
+def ext_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup
+    (functions/text.canonicalize_url): lowercase scheme/host, fragment
+    dropped, tracking params stripped, query params SORTED — the
+    synthesized fixture plants case-variant + param-reordered twins
+    (doc_id%4∈{1,2} with equal doc_id%50) that must land in one
+    canonical group, plus unparseable strings that degrade to trimmed
+    lowercase. group_size is the per-canonical dup-group cardinality
+    (one window, shuffle keyed on the canonical URL)."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import canonicalize_url
+
+    did = F.col("doc_id")
+    url = (
+        F.when(did % 4 == 0, F.concat(
+            F.lit("HTTP://WWW.Example.COM/Path"), did.cast("string"),
+            F.lit("?b="), (did % 50).cast("string"), F.lit("&utm_source=feed&a=1#sec")))
+        .when(did % 4 == 1, F.concat(
+            F.lit("https://example.com/p/"), (did % 50).cast("string"),
+            F.lit("?a=1&b="), (did % 50).cast("string")))
+        .when(did % 4 == 2, F.concat(
+            F.lit("https://Example.COM/p/"), (did % 50).cast("string"),
+            F.lit("?b="), (did % 50).cast("string"), F.lit("&a=1&gclid=xyz#frag")))
+        .otherwise(F.concat(F.lit("Not A Url "), did.cast("string")))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", canonicalize_url(url).alias("canonical"))
+        .withColumn(
+            "group_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ext_gopher_filter",
     oracle=f"""
         WITH tk AS (

@@ -300,3 +300,24 @@ def test_gopher_rules_flag_crafted_pathologies(spark):
     assert not got[3]["keep"] and not got[3]["wc"]
     assert not got[4]["keep"] and not got[4]["mwl"]
     assert not got[5]["keep"] and not got[5]["sw"]
+
+
+def test_canonicalize_url_dedup_semantics(spark):
+    from bigdatacw1_spark.functions.text import canonicalize_url
+
+    cases = [
+        # case-variant host + reordered params + tracking junk + fragment
+        (1, "HTTP://WWW.Example.COM/A?b=2&utm_source=x&a=1#frag", "http://www.example.com/A?a=1&b=2"),
+        (2, "http://www.example.com/A?a=1&b=2", "http://www.example.com/A?a=1&b=2"),
+        # path case is PRESERVED (paths are case-significant)
+        (3, "https://example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+        # all params stripped -> no '?'
+        (4, "https://example.com/x?utm_campaign=c&gclid=1", "https://example.com/x"),
+        # unparseable -> trimmed lowercase passthrough
+        (5, "  Not A URL  ", "not a url"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    assert got[1] == got[2]  # the dedup property the operator exists for
