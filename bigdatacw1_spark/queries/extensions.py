@@ -2328,6 +2328,64 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_embed_norm_outliers",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id,
+                   FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)))
+                         * 10000.0 + 0.5) / 10000.0 AS l2_norm
+            FROM embeddings
+        ), m AS (
+            SELECT FLOOR(QUANTILE_CONT(l2_norm, 0.5) * 10000.0 + 0.5) / 10000.0 AS med FROM n
+        ), d AS (
+            SELECT vec_id, l2_norm,
+                   FLOOR(ABS(l2_norm - med) * 10000.0 + 0.5) / 10000.0 AS absdev
+            FROM n, m
+        ), md AS (
+            SELECT FLOOR(QUANTILE_CONT(absdev, 0.5) * 10000.0 + 0.5) / 10000.0 AS mad FROM d
+        )
+        SELECT vec_id, l2_norm, (absdev > 3 * mad) AS is_outlier
+        FROM d, md ORDER BY vec_id
+    """,
+)
+def ext_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity QA: flag vectors whose L2 norm sits outside the
+    median ± 3·MAD fence — the cheap detector for truncated/zeroed/
+    exploded vectors before they poison ANN indexes or k-means. Norms
+    fold each array in element order (identical in both engines) and
+    every statistic is rounded before comparison, so the fence verdicts
+    hash-match; the two medians are exact percentiles (the scale path
+    swaps them for the KLL/GK sketch entries). Two tiny broadcast
+    scalars, no corpus re-shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = emb.select("vec_id", stable_round(norm, 4).alias("l2_norm"))
+    med = d.agg(
+        stable_round(F.percentile("l2_norm", F.lit(0.5)), 4).alias("med")
+    )
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "vec_id", "l2_norm",
+        stable_round(F.abs(F.col("l2_norm") - F.col("med")), 4).alias("absdev"),
+    )
+    mad = dev.agg(
+        stable_round(F.percentile("absdev", F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id", "l2_norm", (F.col("absdev") > 3 * F.col("mad")).alias("is_outlier")
+        )
+        .orderBy("vec_id")
+    )
+
+
+@q(
     "ext_url_canonicalize",
     oracle=r"""
         WITH synth AS (

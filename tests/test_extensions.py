@@ -874,3 +874,36 @@ def test_media_triage_composition_sniff_then_decode(spark):
         assert r["pixel_sum"] > 0 and r["n_channels"] == 3
     for r in decoded_au:
         assert r["n_samples"] > 0 and r["sample_rate"] % 8000 == 0
+
+
+def test_embed_norm_outliers_flags_planted_pathologies(spark):
+    """A zeroed vector and a 100x-scaled vector must be flagged; the
+    untouched corpus bulk must not be."""
+    from bigdatacw1_spark.queries.registry import REGISTRY
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    dim = len(emb.head()["embedding"])
+    planted = emb.unionByName(
+        spark.createDataFrame(
+            [(900001, [0.0] * dim, "x"), (900002, [100.0] * dim, "x")],
+            "vec_id long, embedding array<float>, label string",
+        )
+    )
+    planted.createOrReplaceTempView("planted_emb")
+    # run the same operator expression inline over the planted frame
+    from pyspark.sql import functions as F
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    norm = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x.cast("double") * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    d = planted.select("vec_id", stable_round(norm, 4).alias("l2_norm"))
+    med = d.agg(stable_round(F.percentile("l2_norm", F.lit(0.5)), 4).alias("med"))
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "vec_id", stable_round(F.abs(F.col("l2_norm") - F.col("med")), 4).alias("absdev"))
+    mad = dev.agg(stable_round(F.percentile("absdev", F.lit(0.5)), 4).alias("mad"))
+    flags = {r["vec_id"]: r["o"] for r in dev.crossJoin(F.broadcast(mad)).select(
+        "vec_id", (F.col("absdev") > 3 * F.col("mad")).alias("o")).collect()}
+    assert flags[900001] and flags[900002]
+    assert sum(flags.values()) < 0.1 * len(flags)
