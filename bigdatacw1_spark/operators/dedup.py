@@ -572,6 +572,96 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agged.select(id_col, sig.alias("simhash"))
 
 
+def simhash60_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit token-SET SimHash with an md5-derived token hash — the
+    cross-engine-REPRODUCIBLE variant of simhash64 (which uses xxhash64
+    and therefore can only be invariant-checked): every bit is the
+    majority vote of the corresponding token-hash bit, md5 is
+    bit-identical in any engine, so a SQL oracle recomputes the exact
+    signature. 60 bits (15 hex chars) keeps the value positive in a
+    signed BIGINT in both engines. Ties (even token count, split vote)
+    resolve to 1 in both. Cost: 60 counted traversals of the per-doc
+    token-hash array — heavier than simhash64's single pass; use this
+    where verifiability matters, simhash64 in the hot path."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(hs)
+    sig = F.lit(0).cast("long")
+    for b in range(60):
+        cnt = F.size(F.filter(hs, lambda x: F.shiftright(x, b) % 2 == 1))
+        sig = sig + F.when(2 * cnt >= n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunk_bits: int = 15,
+) -> DataFrame:
+    """EXACT SimHash near-dup pairs via Manku-style chunk bucketing:
+    split the 60-bit signature into 60/chunk_bits chunks; any pair
+    within Hamming distance ``max_hamming`` differs in at most
+    max_hamming chunks, so with chunks > max_hamming the PIGEONHOLE
+    principle guarantees they share at least one chunk — candidate
+    recall is exactly 1.0 BY CONSTRUCTION, not probabilistically (the
+    contrast with MinHash banding). Candidates then pay one xor+popcount
+    verification. Defaults give 4 chunks for Hamming <= 3, the classic
+    web-dedup operating point. Join work is Σ bucket² over 2^chunk_bits
+    buckets per chunk position; hot buckets (boilerplate-heavy corpora)
+    are bounded the same way as jaccard_pairs' df cap — raise
+    chunk_bits or pre-split hot chunks at production scale.
+
+    Output: (a, b, hamming) with a < b, hamming <= max_hamming.
+    """
+    n_chunks = 60 // chunk_bits
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"need more than {max_hamming} chunks for exact recall; "
+            f"got {n_chunks} ({chunk_bits}-bit chunks of a 60-bit signature)"
+        )
+    sigs = simhash60_md5(df, text_col, id_col).localCheckpoint(eager=False)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("sig", i * chunk_bits) % F.lit(2 ** chunk_bits))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select("chunk_idx", "chunk_val", F.col(id_col).alias("a"))
+    right = chunks.select(
+        F.col("chunk_idx").alias("ci_r"),
+        F.col("chunk_val").alias("cv_r"),
+        F.col(id_col).alias("b"),
+    )
+    cands = (
+        left.join(
+            right,
+            (left["chunk_idx"] == right["ci_r"])
+            & (left["chunk_val"] == right["cv_r"])
+            & (left["a"] < right["b"]),
+        )
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    a_sig = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b_sig = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.join(a_sig, "a")
+        .join(b_sig, "b")
+        .select("a", "b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

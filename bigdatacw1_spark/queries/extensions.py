@@ -2328,6 +2328,45 @@ def ext_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_simhash_pairs",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, LIST_DISTINCT({_DUCK_TOKS}) AS toks FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(toks, t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT) AS hs
+            FROM tk
+        ), sig AS (
+            SELECT doc_id,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(0, 60), b ->
+                       CASE WHEN 2 * LEN(LIST_FILTER(hs,
+                                x -> (x // (2::BIGINT ^ b)::BIGINT) % 2 = 1)) >= LEN(hs)
+                            THEN (2::BIGINT ^ b)::BIGINT ELSE 0 END))::BIGINT AS s
+            FROM h
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+        ORDER BY a, b
+    """,
+)
+def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SimHash near-dup pairs (operators/dedup.simhash_pairs):
+    md5-derived 60-bit signatures (cross-engine bit-identical, unlike
+    the xxhash simhash64), Manku 4-chunk bucketing whose candidate
+    recall at Hamming <= 3 is 1.0 by PIGEONHOLE — so the bucketed
+    distributed plan must equal the oracle's brute-force all-pairs scan
+    exactly, signature bits, votes, tie rule and all. The strongest
+    correctness gate in the dedup family: any drift in tokenization,
+    hash slicing, majority vote, chunking, or popcount breaks the value
+    hash."""
+    from bigdatacw1_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+@q(
     "ext_embed_norm_outliers",
     oracle="""
         WITH n AS (

@@ -907,3 +907,30 @@ def test_embed_norm_outliers_flags_planted_pathologies(spark):
         "vec_id", (F.col("absdev") > 3 * F.col("mad")).alias("o")).collect()}
     assert flags[900001] and flags[900002]
     assert sum(flags.values()) < 0.1 * len(flags)
+
+
+def test_simhash_pairs_pigeonhole_recall_is_exact(spark, docs):
+    """The bucketed plan must equal brute force exactly: compare
+    simhash_pairs against an all-pairs xor/popcount over the same
+    signatures, and check the planted exact-copy lands at Hamming 0."""
+    from bigdatacw1_spark.operators.dedup import simhash60_md5, simhash_pairs
+
+    clone = docs.limit(1).select(
+        (F.col("doc_id") + 777000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    aug = docs.unionByName(clone)
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(aug).collect()}
+
+    sigs = simhash60_md5(aug)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb"))
+    brute = {
+        (r["a"], r["b"]): r["h"]
+        for r in a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("h"))
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
+    base_id = docs.limit(1).head()["doc_id"]
+    assert got[(base_id, base_id + 777000)] == 0
