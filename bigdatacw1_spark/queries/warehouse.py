@@ -490,3 +490,46 @@ def wh_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
          "column": "o_custkey", "ref": "customer", "ref_column": "c_custkey"},
     ]
     return dq_checks(orders, rules, references={"customer": customer}).orderBy("rule")
+
+
+@q(
+    "wh_drift_ks",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS fa
+            FROM events
+        ), c AS (
+            SELECT event_type, value, fa,
+                   SUM(fa) OVER (PARTITION BY event_type ORDER BY value
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                   SUM(1 - fa) OVER (PARTITION BY event_type ORDER BY value
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                   SUM(fa) OVER (PARTITION BY event_type) AS na,
+                   SUM(1 - fa) OVER (PARTITION BY event_type) AS nb
+            FROM s
+        )
+        SELECT event_type,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               FLOOR(MAX(ABS(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS ks_stat
+        FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def wh_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/warehouse.ks_drift): exact
+    two-sample KS statistic of the value distribution, first half of the
+    month vs second, per event type. RANGE-framed ECDFs handle
+    cross-sample ties identically in both engines; integer cumulative
+    counts + one double division per row keep the rounded statistic
+    hash-stable."""
+    from bigdatacw1_spark.operators.warehouse import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_drift(
+        ev,
+        "value",
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        ["event_type"],
+    ).orderBy("event_type")

@@ -287,3 +287,25 @@ def test_dq_checks_clean_table_all_pass_and_unknown_rule_raises(spark):
     assert all(r["passed"] and r["n_violations"] == 0 for r in out)
     with pytest.raises(NotImplementedError, match="freshness"):
         dq_checks(df, [{"name": "x", "type": "freshness", "column": "k"}])
+
+
+def test_ks_drift_detects_planted_shift_and_zero_for_identical(spark):
+    """KS ≈ 0 when both samples draw the same values; a planted +10 shift
+    pushes KS to 1.0 (disjoint supports); ties across samples must not
+    break the ECDF (RANGE frame semantics)."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.warehouse import ks_drift
+
+    rows = []
+    for i in range(200):
+        # value from i//2 so both parities (= both samples) see the same
+        # value multiset — a naive i%10 would correlate value with flag
+        v = float((i // 2) % 10)
+        rows.append(("same", v, i % 2 == 0))
+        rows.append(("shift", v + (10.0 if i % 2 == 0 else 0.0), i % 2 == 0))
+    df = spark.createDataFrame(rows, "grp string, value double, is_a boolean")
+    got = {r["grp"]: r for r in ks_drift(df, "value", F.col("is_a"), ["grp"]).collect()}
+    assert got["same"]["ks_stat"] == 0.0
+    assert got["shift"]["ks_stat"] == 1.0
+    assert got["same"]["n_a"] == got["same"]["n_b"] == 100
