@@ -439,13 +439,43 @@ def _match_predicate(query: Mapping) -> Column:
         if field == "$or":
             conjuncts.append(reduce(lambda a, b: a | b, (_match_predicate(q) for q in spec)))
             continue
+        if field == "$expr":
+            # expression-dialect escape hatch inside $match
+            conjuncts.append(compile_expr(spec))
+            continue
         col = F.col(field)
         if not isinstance(spec, Mapping):
             # bare equality routes through $eq so it shares the null-safety
             # and type-bracketing logic ({f: null} matches null/missing)
             spec = {"$eq": spec}
         for op, val in spec.items():
-            if op in _CMP:
+            if op == "$options":
+                continue  # consumed together with the sibling $regex below
+            if op == "$regex":
+                pat = str(val)
+                opts = spec.get("$options", "")
+                if any(o not in "i" for o in opts):
+                    raise NotImplementedError(f"$options {opts!r} (only 'i' supported)")
+                if "i" in opts:
+                    pat = "(?i)" + pat
+                # Mongo $regex is a FIND (substring) match, as is rlike;
+                # null/missing fields don't match (rlike NULL → row dropped)
+                conjuncts.append(col.rlike(pat))
+            elif op == "$exists":
+                # relational mapping: missing ≡ null
+                conjuncts.append(col.isNotNull() if val else col.isNull())
+            elif op == "$mod":
+                d, r = val
+                # type-bracketed like the numeric comparisons: non-numeric
+                # strings try_cast to NULL and never match
+                conjuncts.append(col.try_cast("bigint") % F.lit(int(d)) == F.lit(int(r)))
+            elif op == "$not":
+                inner = _match_predicate({field: val})
+                # Mongo $not matches when the inner predicate does NOT,
+                # INCLUDING null/missing fields (where the inner predicate
+                # evaluates to NULL, not false)
+                conjuncts.append(~F.coalesce(inner, F.lit(False)))
+            elif op in _CMP:
                 lhs = col
                 if isinstance(val, (int, float)) and not isinstance(val, bool):
                     # Mongo comparisons TYPE-BRACKET: a numeric $gt never

@@ -902,3 +902,34 @@ def test_pipeline_root_variable_and_replace_with(spark):
     ).collect()[0]
     assert wrapped["tag"] == "x"
     assert wrapped["doc"]["wrapped"]["v"] == wrapped["doc"]["v"]
+
+
+def test_match_regex_exists_mod_expr_not(spark):
+    """The $match predicate extensions follow Mongo semantics: $regex is
+    a substring find (case-insensitive with $options i; null never
+    matches), $exists maps missing≡null, $mod type-brackets, $expr
+    escapes to the expression dialect, and field-level $not keeps
+    null/missing docs (the inner predicate's NULL is not a match)."""
+    from bigdatacw1_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha Trading", 10.0),
+            (2, "beta corp", 15.0),
+            (3, None, 20.0),
+            (4, "gamma alpha", None),
+        ],
+        "id long, name string, score double",
+    )
+
+    def ids(stages):
+        return sorted(r["id"] for r in compile_pipeline(df, stages).select("id").collect())
+
+    assert ids([{"$match": {"name": {"$regex": "alpha"}}}]) == [4]
+    assert ids([{"$match": {"name": {"$regex": "alpha", "$options": "i"}}}]) == [1, 4]
+    assert ids([{"$match": {"name": {"$exists": True}}}]) == [1, 2, 4]
+    assert ids([{"$match": {"name": {"$exists": False}}}]) == [3]
+    assert ids([{"$match": {"id": {"$mod": [2, 0]}}}]) == [2, 4]
+    assert ids([{"$match": {"$expr": {"$gt": ["$score", 12]}}}]) == [2, 3]
+    # $not of a regex keeps the null-name doc (Mongo semantics)
+    assert ids([{"$match": {"name": {"$not": {"$regex": "alpha", "$options": "i"}}}}]) == [2, 3]
