@@ -253,6 +253,30 @@ def compile_expr(e: object, scope: Mapping[str, Column] | None = None) -> Column
         return F.date_format(
             compile_expr(arg["date"], scope), _mongo_date_format(arg["format"])
         )
+    if op == "$dateFromString":
+        if "format" not in arg:
+            raise NotImplementedError(
+                "$dateFromString requires an explicit format (Mongo's "
+                "inference over mixed ISO layouts is not reproducible)"
+            )
+        # try_to_timestamp ≈ Mongo's onError:null when the extra key is
+        # given; the default (no onError) fails loudly like Mongo.
+        fn = F.try_to_timestamp if "onError" in arg else F.to_timestamp
+        if arg.get("onError") is not None and "onError" in arg:
+            raise NotImplementedError("$dateFromString onError supports only null")
+        return fn(
+            compile_expr(arg["dateString"], scope),
+            F.lit(_mongo_date_format(arg["format"])),
+        )
+    if op == "$regexMatch":
+        pat = arg["regex"]
+        opts = arg.get("options", "")
+        if any(o not in "i" for o in opts):
+            raise NotImplementedError(f"$regexMatch options {opts!r} (only 'i')")
+        if "i" in opts:
+            pat = "(?i)" + pat
+        # Mongo regexMatch is a FIND; null input → false (not null)
+        return F.coalesce(compile_expr(arg["input"], scope).rlike(pat), F.lit(False))
     if op == "$dateTrunc":
         unit = arg["unit"]
         if unit not in _TRUNC_UNITS:

@@ -933,3 +933,33 @@ def test_match_regex_exists_mod_expr_not(spark):
     assert ids([{"$match": {"$expr": {"$gt": ["$score", 12]}}}]) == [2, 3]
     # $not of a regex keeps the null-name doc (Mongo semantics)
     assert ids([{"$match": {"name": {"$not": {"$regex": "alpha", "$options": "i"}}}}]) == [2, 3]
+
+
+def test_expr_regex_match_and_date_from_string(spark):
+    from bigdatacw1_spark.pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "Alpha", "2024-03-05"), (2, "beta", "2024-12-31"), (3, None, "oops")],
+        "id long, name string, d string",
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"$addFields": {
+                "m": {"$regexMatch": {"input": "$name", "regex": "alp", "options": "i"}},
+                "ts": {"$dateFromString": {"dateString": "$d", "format": "%Y-%m-%d",
+                                            "onError": None}},
+            }},
+            {"$project": {"id": 1, "m": 1, "y": {"$year": "$ts"}}},
+        ],
+    ).collect()
+    got = {r["id"]: (r["m"], r["y"]) for r in out}
+    assert got[1] == (True, 2024)
+    assert got[2] == (False, 2024)
+    assert got[3] == (False, None)  # null input regex -> false; bad date -> null
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        # no onError and an unparseable date must fail loudly (ANSI), not null
+        compile_pipeline(df, [{"$addFields": {
+            "ts": {"$dateFromString": {"dateString": "$d", "format": "%Y-%m-%d"}}}}]).collect()
