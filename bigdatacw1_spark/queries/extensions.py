@@ -946,6 +946,45 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_spectral",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n
+            FROM documents WHERE doc_id < 96
+        ), s AS (
+            SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i FROM p
+        ), v AS (
+            SELECT doc_id, n, ((doc_id * 31 + i * 7) % 65536) - 32768 AS x FROM s
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(x * x) AS BIGINT) AS square_sum,
+               TRUE AS parseval_ok
+        FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def ext_mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features over decodable WAV fixtures
+    (operators/multimodal.spectral_features): a REAL numpy FFT per
+    payload, verified through the PARSEVAL invariant — Σ|X|² must equal
+    N·Σx², and Σx² is integer-exact arithmetic the DuckDB oracle
+    recomputes from generate_series. The oracle cannot run an FFT, but
+    energy conservation catches a wrong transform length, dropped bins,
+    or one-sided doubling mistakes on every row. The spectral centroid
+    itself is exposed by the operator (unit-tested on pure tones) and
+    excluded here because no SQL engine can predict it."""
+    from bigdatacw1_spark.operators.multimodal import spectral_features, synth_wav_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_wav_corpus(docs)
+    return (
+        spectral_features(media)
+        .select("doc_id", "n_samples", "square_sum", "parseval_ok")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ext_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE sh AS (

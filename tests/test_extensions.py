@@ -934,3 +934,24 @@ def test_simhash_pairs_pigeonhole_recall_is_exact(spark, docs):
     assert got == brute
     base_id = docs.limit(1).head()["doc_id"]
     assert got[(base_id, base_id + 777000)] == 0
+
+
+def test_spectral_centroid_locates_pure_tone(spark):
+    """A pure sine at f0 must put the spectral centroid at ~f0; white-ish
+    modular noise sits far higher; Parseval holds on both."""
+    import math
+    import struct
+
+    from bigdatacw1_spark.operators.multimodal import encode_wav, spectral_features
+
+    sr, n = 8000, 800
+    tone = [int(20000 * math.sin(2 * math.pi * 250 * t / sr)) for t in range(n)]
+    noise = [((t * 7919) % 65536) - 32768 for t in range(n)]
+    df = spark.createDataFrame(
+        [(1, encode_wav(sr, 1, tone)), (2, encode_wav(sr, 1, noise))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in spectral_features(df).collect()}
+    assert got[1]["parseval_ok"] and got[2]["parseval_ok"]
+    assert abs(got[1]["spectral_centroid_hz"] - 250.0) < 5.0
+    assert got[2]["spectral_centroid_hz"] > 1000.0
