@@ -439,3 +439,83 @@ def embedding_near_duplicates_multiband(
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.dropDuplicates(["a", "b"])
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means whose assignments are EXACTLY
+    reproducible in any engine — the verifiable anchor for the k-means
+    the IVF index and SemDeDup use internally (those use float
+    arithmetic and can only be invariant-checked).
+
+    Determinism recipe, applied identically on both sides of the oracle:
+      * vectors quantize to integers (floor(x·scale + 0.5)) — every
+        distance is an exact BIGINT, no float summation order anywhere;
+      * init = the k smallest ids' vectors (no RNG);
+      * assignment ties break on the lowest centroid index (sorted
+        struct (dist, idx));
+      * updated centroids re-quantize: floor(sum/n + 0.5) with one
+        double division of exact integers (< 2^53, so the division and
+        rounding are bit-identical across engines); empty clusters keep
+        their previous centroid.
+
+    Plan per iteration: one broadcast-literal assignment pass (centroids
+    are k×d literals in the plan, no join) + one posexplode/groupBy for
+    the per-dimension sums (k·d rows collected to the driver — the
+    canonical bounded Lloyd collect). Output: (id, cluster) after
+    ``iters`` update rounds.
+    """
+    import math
+
+    xq = F.transform(vec_col, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long"))
+    v = emb.select(F.col(id_col), xq.alias("xq")).localCheckpoint(eager=False)
+
+    cents = [list(r["xq"]) for r in v.orderBy(id_col).limit(k).collect()]
+
+    def assign(centroids: list[list[int]]) -> DataFrame:
+        alts = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "xq",
+                            F.array(*[F.lit(int(c)) for c in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(i).alias("cidx"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+        return v.select(
+            F.col(id_col), F.sort_array(alts)[0]["cidx"].alias("cluster")
+        )
+
+    for _ in range(iters):
+        upd = (
+            assign(cents)
+            .join(v, id_col)
+            .select("cluster", F.posexplode("xq").alias("j", "val"))
+            .groupBy("cluster", "j")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        by_cluster: dict[int, list] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        for cl, rows in by_cluster.items():
+            for r in sorted(rows, key=lambda r: r["j"]):
+                new_cents[cl][r["j"]] = int(math.floor(r["s"] / r["n"] + 0.5))
+        cents = new_cents
+
+    return assign(cents)

@@ -2406,6 +2406,77 @@ def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_kmeans_verified",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS xq
+            FROM embeddings
+        ), dims AS (SELECT UNNEST(RANGE(1, 65)) AS j),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, xq AS c
+            FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT 4)
+        ),
+        a1 AS (
+            SELECT v.vec_id,
+                   MIN_BY(c0.cidx,
+                          LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                              j -> (v.xq[j] - c0.c[j]) * (v.xq[j] - c0.c[j]))) * 8 + c0.cidx) AS cluster
+            FROM v CROSS JOIN c0 GROUP BY v.vec_id
+        ),
+        u1 AS (
+            SELECT a1.cluster AS cidx, dims.j,
+                   CAST(FLOOR(SUM(v.xq[dims.j]) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cj
+            FROM a1 JOIN v USING (vec_id) CROSS JOIN dims
+            GROUP BY a1.cluster, dims.j
+        ),
+        c1 AS (
+            SELECT c0.cidx, COALESCE(u.c, c0.c) AS c
+            FROM c0 LEFT JOIN (SELECT cidx, LIST(cj ORDER BY j) AS c FROM u1 GROUP BY cidx) u
+            USING (cidx)
+        ),
+        a2 AS (
+            SELECT v.vec_id,
+                   MIN_BY(c1.cidx,
+                          LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                              j -> (v.xq[j] - c1.c[j]) * (v.xq[j] - c1.c[j]))) * 8 + c1.cidx) AS cluster
+            FROM v CROSS JOIN c1 GROUP BY v.vec_id
+        ),
+        u2 AS (
+            SELECT a2.cluster AS cidx, dims.j,
+                   CAST(FLOOR(SUM(v.xq[dims.j]) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cj
+            FROM a2 JOIN v USING (vec_id) CROSS JOIN dims
+            GROUP BY a2.cluster, dims.j
+        ),
+        c2 AS (
+            SELECT c1.cidx, COALESCE(u.c, c1.c) AS c
+            FROM c1 LEFT JOIN (SELECT cidx, LIST(cj ORDER BY j) AS c FROM u2 GROUP BY cidx) u
+            USING (cidx)
+        )
+        SELECT v.vec_id,
+               CAST(MIN_BY(c2.cidx,
+                    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                        j -> (v.xq[j] - c2.c[j]) * (v.xq[j] - c2.c[j]))) * 8 + c2.cidx) AS INT) AS cluster
+        FROM v CROSS JOIN c2 GROUP BY v.vec_id ORDER BY v.vec_id
+    """,
+)
+def ext_kmeans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFIED distributed k-means (operators/similarity.
+    kmeans_quantized, k=4, two Lloyd rounds): integer-quantized vectors
+    make every distance an exact BIGINT, init and tie-breaks are
+    deterministic, and centroid updates re-quantize through one exact
+    double division — so the oracle's fully UNROLLED two-iteration SQL
+    replay must land every one of the 500 vectors in the same cluster.
+    Cross-engine verification of an iterative ML algorithm end to end;
+    the float k-means inside IVF/SemDeDup is this algorithm minus the
+    quantization."""
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    return kmeans_quantized(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+@q(
     "ext_embed_norm_outliers",
     oracle="""
         WITH n AS (

@@ -955,3 +955,16 @@ def test_spectral_centroid_locates_pure_tone(spark):
     assert got[1]["parseval_ok"] and got[2]["parseval_ok"]
     assert abs(got[1]["spectral_centroid_hz"] - 250.0) < 5.0
     assert got[2]["spectral_centroid_hz"] > 1000.0
+
+
+def test_kmeans_quantized_deterministic_and_nondegenerate(spark):
+    """Same assignments under any input partitioning; more than one
+    cluster actually populated; every vector assigned exactly once."""
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_quantized(emb.repartition(1)).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in kmeans_quantized(emb.repartition(13)).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+    assert len(set(a.values())) >= 2
