@@ -533,3 +533,53 @@ def wh_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
         ["event_type"],
     ).orderBy("event_type")
+
+
+@q(
+    "wh_drift_psi",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bucket,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS fa
+            FROM events
+        ), cnt AS (
+            SELECT event_type, bucket, SUM(fa) AS ca, SUM(1 - fa) AS cb
+            FROM s GROUP BY event_type, bucket
+        ), dense AS (
+            SELECT et.event_type, d.bucket,
+                   COALESCE(cnt.ca, 0) AS ca, COALESCE(cnt.cb, 0) AS cb
+            FROM (SELECT DISTINCT event_type FROM s) et
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 10)) AS bucket) d
+            LEFT JOIN cnt ON cnt.event_type = et.event_type AND cnt.bucket = d.bucket
+        ), terms AS (
+            SELECT event_type, bucket,
+                   SUM(ca) OVER (PARTITION BY event_type) AS na,
+                   SUM(cb) OVER (PARTITION BY event_type) AS nb,
+                   ca, cb
+            FROM dense
+        ), t2 AS (
+            SELECT event_type, bucket, na, nb,
+                   ((ca + 1) / CAST(na + 10 AS DOUBLE) - (cb + 1) / CAST(nb + 10 AS DOUBLE))
+                   * LN(((ca + 1) / CAST(na + 10 AS DOUBLE)) / ((cb + 1) / CAST(nb + 10 AS DOUBLE))) AS term
+            FROM terms
+        )
+        SELECT event_type,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               FLOOR(LIST_SUM(LIST(term ORDER BY bucket)) * 10000.0 + 0.5) / 10000.0 AS psi
+        FROM t2 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def wh_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed PSI drift monitor (operators/warehouse.psi_drift) —
+    one hash aggregation instead of KS's per-group sort: the
+    scale-friendly half of the drift toolkit, same first-vs-second half
+    split as wh_drift_ks. Laplace-smoothed exact counts, densified
+    buckets, bucket-ordered float fold ⇒ hash-stable psi."""
+    from bigdatacw1_spark.operators.warehouse import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev, "value", F.col("ts") < F.lit("2024-01-16").cast("timestamp"), ["event_type"]
+    ).orderBy("event_type")

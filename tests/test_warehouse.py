@@ -309,3 +309,20 @@ def test_ks_drift_detects_planted_shift_and_zero_for_identical(spark):
     assert got["same"]["ks_stat"] == 0.0
     assert got["shift"]["ks_stat"] == 1.0
     assert got["same"]["n_a"] == got["same"]["n_b"] == 100
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.warehouse import psi_drift
+
+    rows = []
+    for i in range(400):
+        v = float((i // 2) % 8) * 50.0 + 1.0  # spread across buckets 0..7
+        rows.append(("same", v, i % 2 == 0))
+        rows.append(("shift", v + (100.0 if i % 2 == 0 else 0.0), i % 2 == 0))
+    df = spark.createDataFrame(rows, "grp string, value double, is_a boolean")
+    got = {r["grp"]: r for r in psi_drift(df, "value", F.col("is_a"), ["grp"]).collect()}
+    assert got["same"]["psi"] == 0.0
+    assert got["shift"]["psi"] > 0.5
+    assert got["same"]["n_a"] == got["same"]["n_b"] == 200
