@@ -36,8 +36,11 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # round-4 additions (ext_c4_clean, ext_shortest_path, ext_bloom_dedup,
 # ext_char_entropy, ext_freq_items, ext_knn_graph, wh_dq_checks,
 # wh_snapshot_diff, ev_* leftovers) plus the late-round-4 batch
-# (ext_mm_audio, ext_incremental_admission, ext_lm_surprisal,
-# ext_line_dedup, ext_pii_luhn, ext_dataset_card, ext_contrastive_pairs).
+# (ext_mm_audio, ext_mm_spectral, ext_incremental_admission,
+# ext_lm_surprisal, ext_line_dedup, ext_pii_luhn, ext_dataset_card,
+# ext_contrastive_pairs, ext_gopher_filter, ext_url_canonicalize,
+# ext_embed_norm_outliers, ext_simhash_pairs, ext_kmeans_verified,
+# wh_drift_ks, wh_drift_psi).
 # That covers nearly everything still unchecked; round 6 mops up the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
