@@ -2406,6 +2406,70 @@ def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_source_overlap",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   UNNEST((SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks))) AS g
+            FROM documents
+        ), ns AS (
+            SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+        ), pc AS (
+            SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT pc.source_a, pc.source_b,
+               CAST(na.n AS BIGINT) AS n_a,
+               CAST(nb.n AS BIGINT) AS n_b,
+               CAST(pc.c AS BIGINT) AS n_common,
+               FLOOR((pc.c / CAST(na.n + nb.n - pc.c AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM pc
+        JOIN ns na ON na.source = pc.source_a
+        JOIN ns nb ON nb.source = pc.source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix — the corpus-governance
+    analytic behind "which feeds re-publish each other": Jaccard of the
+    distinct word-3-gram sets of every source pair. The shingle
+    self-join is keyed by the shingle and its fan-out is bounded by
+    source-count² per shingle (sources ≪ documents by definition), so
+    the operator stays cheap at corpus scale where a doc-pair join
+    would not. Counts exact, one rounded division per pair."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("g"))
+        .distinct()
+    )
+    ns = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    pc = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = ns.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = ns.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pc.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_common",
+            stable_round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@q(
     "ext_kmeans_verified",
     oracle="""
         WITH v AS (
