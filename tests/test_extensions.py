@@ -839,9 +839,11 @@ def test_band_index_lifecycle_matches_inmemory_and_screens_across_batches(spark,
 def test_media_triage_composition_sniff_then_decode(spark):
     """The mandatory 100 TB media order — cheap header sniff over the
     WHOLE mixed corpus, then pay full decode only on rows routed to a
-    codec that exists: PNGs to decode_images, WAVs to decode_audio,
-    GIF-headers (no decoder here) filtered out by mime BEFORE any decode
-    runs. Every routed row decodes; nothing raises."""
+    codec AND carrying decodable payloads: PNGs to decode_images, WAVs
+    to decode_audio, while the header-only GIF stubs (sniffable metadata
+    but no pixel data — the 'corrupt/truncated asset' case) are filtered
+    out by mime before any decode runs. Every routed row decodes;
+    nothing raises."""
     from bigdatacw1_spark.operators.multimodal import (
         decode_audio,
         decode_images,
