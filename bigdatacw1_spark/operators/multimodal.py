@@ -199,9 +199,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
     raise NotImplementedError(
-        "only PNG and GIF decode stdlib-side; other codecs require "
-        "image libraries not present in this environment"
+        "only PNG, GIF and BMP decode stdlib-side; entropy-coded codecs "
+        "(JPEG/...) require image libraries not present in this environment"
     )
 
 
@@ -501,6 +503,7 @@ DECODE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_checksum", T.LongType()),
     ]
 )
 
@@ -526,6 +529,89 @@ def synth_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for c in range(3)
             )
             return encode_png(w, h, 3, px)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Spec-valid 24-bit uncompressed BMP (BITMAPINFOHEADER): bottom-up
+    row order, BGR channel order, rows padded to 4 bytes — the three
+    traps a naive reader falls into, all exercised by the fixtures."""
+    import struct
+
+    pad = (-(width * 3)) % 4
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        for x in range(width):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            rows += bytes((b, g, r))  # BGR
+        rows += b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP decode, stdlib-only: BITMAPINFOHEADER parse, bottom-up
+    (or top-down when height < 0) row order, BGR→RGB swizzle, 4-byte row
+    padding. 24-bit uncompressed only — palettized/compressed variants
+    raise loudly."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", b[14:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    comp = struct.unpack("<I", b[30:34])[0]
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodes stdlib-side (bpp={bpp}, compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rgb = bytearray()
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        row = b[data_off + src_y * stride : data_off + src_y * stride + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(w):
+            bb, gg, rr = row[x * 3 : x * 3 + 3]
+            rgb += bytes((rr, gg, bb))
+    return (w, h, 3, bytes(rgb))
+
+
+def synth_bmp_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of FULL, decodable 24-bit BMPs with the same
+    channel formula as the PNG fixtures ((x + y + id + 85c) % 256), so
+    the same arithmetic oracle applies; encode_bmp stores them
+    bottom-up/BGR/padded, which the decoder must undo exactly."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = i % 13 + 4, i % 11 + 4
+            px = bytes(
+                (x + y + i + 85 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            return encode_bmp(w, h, px)
 
         for pdf in it:
             yield pd.DataFrame(
@@ -570,11 +656,15 @@ def synth_gif_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched image decode: payload → (width, height, n_channels,
-    pixel_sum). pixel_sum is the EXACT integer sum of all decoded channel
-    bytes — chosen over mean so the cross-engine oracle compares integers,
-    never rounded floats. This is the expensive tier of the media triage
-    (run sniff_media_meta first, decode only survivors); one task decodes
-    its whole Arrow batch stream with zero per-row Python call overhead
+    pixel_sum, pixel_checksum). pixel_sum is the EXACT integer sum of all
+    decoded channel bytes; pixel_checksum is the POSITION-WEIGHTED sum
+    Σ byte·(k+1) over the canonical top-down RGB byte order — the sum
+    alone is permutation-invariant and would miss a row-order or
+    channel-swizzle bug (BMP's bottom-up BGR!), the checksum cannot.
+    Both integers, so the cross-engine oracle never compares rounded
+    floats. This is the expensive tier of the media triage (run
+    sniff_media_meta first, decode only survivors); one task decodes its
+    whole Arrow batch stream with zero per-row Python call overhead
     beyond the codec itself."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -582,14 +672,16 @@ def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = 
         import pandas as pd
 
         for pdf in it:
-            ids, ws, hs, cs, sums = [], [], [], [], []
+            ids, ws, hs, cs, sums, cks = [], [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 w, h, ch, px = decode_image(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
                 cs.append(ch)
-                sums.append(int(np.frombuffer(px, dtype=np.uint8).sum()))
+                sums.append(int(arr.sum()))
+                cks.append(int((arr * (np.arange(arr.size) + 1)).sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -597,6 +689,7 @@ def decode_images(media: DataFrame, payload_col: str = "payload", id_col: str = 
                     "height": pd.array(hs, dtype="int32"),
                     "n_channels": pd.array(cs, dtype="int32"),
                     "pixel_sum": pd.array(sums, dtype="int64"),
+                    "pixel_checksum": pd.array(cks, dtype="int64"),
                 }
             )
 

@@ -872,7 +872,9 @@ def ext_mm_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(d.w AS INT) AS width,
                CAST(d.h AS INT) AS height,
                CAST(3 AS INT) AS n_channels,
-               CAST(SUM((x.g + y.g + d.doc_id + 85 * c.g) % 256) AS BIGINT) AS pixel_sum
+               CAST(SUM((x.g + y.g + d.doc_id + 85 * c.g) % 256) AS BIGINT) AS pixel_sum,
+               CAST(SUM(((x.g + y.g + d.doc_id + 85 * c.g) % 256)
+                        * ((y.g * d.w + x.g) * 3 + c.g + 1)) AS BIGINT) AS pixel_checksum
         FROM dims d
         JOIN nums x ON x.g < d.w
         JOIN nums y ON y.g < d.h
@@ -946,6 +948,40 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_bmp",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS g)
+        SELECT d.doc_id,
+               CAST(d.w AS INT) AS width,
+               CAST(d.h AS INT) AS height,
+               CAST(3 AS INT) AS n_channels,
+               CAST(SUM((x.g + y.g + d.doc_id + 85 * c.g) % 256) AS BIGINT) AS pixel_sum,
+               CAST(SUM(((x.g + y.g + d.doc_id + 85 * c.g) % 256)
+                        * ((y.g * d.w + x.g) * 3 + c.g + 1)) AS BIGINT) AS pixel_checksum
+        FROM dims d
+        JOIN nums x ON x.g < d.w
+        JOIN nums y ON y.g < d.h
+        JOIN nums c ON c.g < 3
+        GROUP BY 1, 2, 3, 4
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode: 24-bit bottom-up BGR rows with 4-byte padding,
+    undone exactly by decode_bmp through the decode_images dispatcher;
+    same channel formula (and therefore same arithmetic oracle) as the
+    PNG fixtures, so a row-order or channel-swizzle mistake shows up as
+    a different pixel_sum than PNG's for the same id."""
+    from bigdatacw1_spark.operators.multimodal import decode_images, synth_bmp_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    return decode_images(synth_bmp_corpus(docs)).orderBy("doc_id")
+
+
+@q(
     "ext_mm_gif",
     oracle="""
         WITH dims AS (
@@ -956,12 +992,18 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(d.w AS INT) AS width,
                CAST(d.h AS INT) AS height,
                CAST(3 AS INT) AS n_channels,
-               CAST(SUM(((x.g + y.g + d.doc_id) % 16) * 17
-                        + (((x.g + y.g + d.doc_id) % 16) * 29) % 256
-                        + (((x.g + y.g + d.doc_id) % 16) * 53) % 256) AS BIGINT) AS pixel_sum
+               CAST(SUM(CASE c.g WHEN 0 THEN ((x.g + y.g + d.doc_id) % 16) * 17
+                                 WHEN 1 THEN (((x.g + y.g + d.doc_id) % 16) * 29) % 256
+                                 ELSE (((x.g + y.g + d.doc_id) % 16) * 53) % 256 END)
+                    AS BIGINT) AS pixel_sum,
+               CAST(SUM((CASE c.g WHEN 0 THEN ((x.g + y.g + d.doc_id) % 16) * 17
+                                  WHEN 1 THEN (((x.g + y.g + d.doc_id) % 16) * 29) % 256
+                                  ELSE (((x.g + y.g + d.doc_id) % 16) * 53) % 256 END)
+                        * ((y.g * d.w + x.g) * 3 + c.g + 1)) AS BIGINT) AS pixel_checksum
         FROM dims d
         JOIN nums x ON x.g < d.w
         JOIN nums y ON y.g < d.h
+        JOIN nums c ON c.g < 3
         GROUP BY 1, 2, 3, 4
         ORDER BY doc_id
     """,

@@ -1025,3 +1025,23 @@ def test_decode_images_routes_gif_and_png(spark):
     assert len(png) == len(gif) == 4
     for r in gif:
         assert r["n_channels"] == 3 and r["pixel_sum"] > 0
+
+
+def test_bmp_codec_roundtrip_and_guards():
+    """encode→decode round-trips pixels through bottom-up BGR padded
+    rows; a decoder that skipped the swizzle or row flip would break the
+    position-weighted checksum (pinned via decode_images oracle); 32-bit
+    or compressed BMPs refuse loudly."""
+    import struct
+
+    from bigdatacw1_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for w, h in [(4, 4), (5, 3), (1, 7)]:  # width 5 exercises row padding
+        px = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(3))
+        assert decode_bmp(encode_bmp(w, h, px)) == (w, h, 3, px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(60))
+    bad = bytearray(encode_bmp(4, 4, bytes(48)))
+    struct.pack_into("<H", bad, 28, 32)  # declare 32 bpp
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
