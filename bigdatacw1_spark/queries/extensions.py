@@ -2485,6 +2485,48 @@ def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_k_anonymity",
+    oracle="""
+        WITH g AS (
+            SELECT lang, source, COUNT(*) AS n,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang, source,
+               CAST(n AS BIGINT) AS group_size,
+               (n < 5) AS below_k,
+               CASE WHEN n < 5 THEN CAST(n AS BIGINT) ELSE 0 END AS n_suppressed,
+               min_doc_id
+        FROM g ORDER BY lang, source
+    """,
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-audit primitive: k-anonymity (k=5) over the
+    (lang, source) quasi-identifier pair — every equivalence class
+    smaller than k is re-identification risk and its documents would be
+    suppressed or generalized before release. One hash aggregation with
+    map-side combine; the flag and suppression counts are exact
+    integers. The operator generalizes to any quasi-identifier column
+    set; this entry pins the fixture's class structure end to end."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        "group_size",
+        (F.col("group_size") < 5).alias("below_k"),
+        F.when(F.col("group_size") < 5, F.col("group_size"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_suppressed"),
+        "min_doc_id",
+    ).orderBy("lang", "source")
+
+
+@q(
     "ext_source_overlap",
     oracle=f"""
         WITH sh AS (
@@ -2617,6 +2659,51 @@ def ext_kmeans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.operators.similarity import kmeans_quantized
 
     return kmeans_quantized(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+@q(
+    "ext_simhash_clusters",
+    oracle=f"""
+        WITH RECURSIVE tk AS (
+            SELECT doc_id, LIST_DISTINCT({_DUCK_TOKS}) AS toks FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(toks, t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT) AS hs
+            FROM tk
+        ), sig AS (
+            SELECT doc_id,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(0, 60), b ->
+                       CASE WHEN 2 * LEN(LIST_FILTER(hs,
+                                x -> (x // (2::BIGINT ^ b)::BIGINT) % 2 = 1)) >= LEN(hs)
+                            THEN (2::BIGINT ^ b)::BIGINT ELSE 0 END))::BIGINT AS s
+            FROM h
+        ), pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS node, r.comp AS comp FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def ext_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive SimHash dedup CLUSTERS: connected components
+    (operators/graph.dedup_clusters) over the EXACT Hamming ≤ 3 pair
+    graph from ext_simhash_pairs — two independently verified
+    distributed algorithms composed, checked against a recursive-CTE
+    closure over the oracle-recomputed signatures. cluster_id = smallest
+    member doc_id (the keep-first survivor)."""
+    from bigdatacw1_spark.operators.dedup import simhash_pairs
+    from bigdatacw1_spark.operators.graph import dedup_clusters
+
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents")).select("a", "b")
+    return dedup_clusters(pairs).orderBy("doc_id")
 
 
 @q(
