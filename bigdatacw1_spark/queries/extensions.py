@@ -2591,6 +2591,60 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_embed_decontaminate",
+    oracle="""
+        WITH ev AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id % 5 = 0
+        ), tr AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id % 5 <> 0
+        ), cos AS (
+            SELECT tr.vec_id,
+                   MAX(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), j -> tr.v[j] * ev.v[j]))
+                       / (SQRT(LIST_SUM(LIST_TRANSFORM(tr.v, x -> x * x)))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(ev.v, x -> x * x))))) AS mc
+            FROM tr CROSS JOIN ev GROUP BY tr.vec_id
+        )
+        SELECT vec_id,
+               FLOOR(mc * 10000.0 + 0.5) / 10000.0 AS max_cos,
+               (FLOOR(mc * 10000.0 + 0.5) / 10000.0 >= 0.9) AS leaked
+        FROM cos ORDER BY vec_id
+    """,
+)
+def ext_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-level train/eval decontamination — the third screen in
+    the trio (n-gram Jaccard catches paraphrase-light leaks,
+    exact-substring catches verbatim spans, cosine catches semantic
+    near-copies that share no tokens): every train vector's max cosine
+    against the broadcast eval split, flagged at 0.9 on the ROUNDED
+    value in both engines. The brute-force cross product is
+    eval-side-broadcast and linear in the train side; at production
+    scale the eval probe goes through the sign-LSH index instead
+    (ext_embed_neardup_lsh) — this entry is its exactness anchor.
+    Sequential-fold dot products (functions/vector) keep every float
+    engine-reproducible; MAX is order-independent."""
+    from bigdatacw1_spark.functions.vector import as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("eid"), as_double("embedding").alias("ev")
+    )
+    tr = emb.where(F.col("vec_id") % 5 != 0).select(
+        "vec_id", as_double("embedding").alias("tv")
+    )
+    mc = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", cosine(F.col("tv"), F.col("ev")).alias("c"))
+        .groupBy("vec_id")
+        .agg(stable_round(F.max("c"), 4).alias("max_cos"))
+    )
+    return mc.select(
+        "vec_id", "max_cos", (F.col("max_cos") >= 0.9).alias("leaked")
+    ).orderBy("vec_id")
+
+
+@q(
     "ext_kmeans_verified",
     oracle="""
         WITH v AS (
