@@ -40,7 +40,8 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # ext_lm_surprisal, ext_line_dedup, ext_pii_luhn, ext_dataset_card,
 # ext_contrastive_pairs, ext_gopher_filter, ext_url_canonicalize,
 # ext_embed_norm_outliers, ext_simhash_pairs, ext_kmeans_verified,
-# wh_drift_ks, wh_drift_psi).
+# wh_drift_ks, wh_drift_psi, ext_mm_gif, ext_mm_bmp, ext_k_anonymity,
+# ext_simhash_clusters, ext_source_overlap, ext_embed_decontaminate).
 # That covers nearly everything still unchecked; round 6 mops up the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
