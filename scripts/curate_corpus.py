@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Corpus curation CLI: the composed training-data pipeline as a runnable
 tool — C4 cleaning → normalized dedup → LSH near-dup removal →
-entropy/length quality screen → leak-free split → exact-substring
+entropy/length quality screen → Gopher composite gate → leak-free split → exact-substring
 decontamination → parquet out, printing a per-stage funnel report.
 
     python scripts/curate_corpus.py [--sf-dir DIR] [--out DIR]
@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bigdatacw1_spark.functions.text import c4_line_filter, char_entropy, tokens  # noqa: E402
+from bigdatacw1_spark.functions.text import (  # noqa: E402
+    c4_line_filter,
+    char_entropy,
+    gopher_rules,
+    tokens,
+)
 from bigdatacw1_spark.operators.dedup import (  # noqa: E402
     normalized_dup_groups,
     substr_decontaminate,
@@ -68,7 +73,10 @@ def main() -> int:
     )
     funnel.append(("quality_screen", screened.count()))
 
-    split = train_test_split(screened, "doc_id", test_fraction=args.test_fraction)
+    gated = screened.where(gopher_rules("text")["keep"])
+    funnel.append(("gopher_gate", gated.count()))
+
+    split = train_test_split(gated, "doc_id", test_fraction=args.test_fraction)
     train = split.where(F.col("split") == "train")
     test = split.where(F.col("split") == "test")
     funnel.append(("train_split", train.count()))

@@ -1,7 +1,7 @@
 """End-to-end corpus curation: the composed training-data pipeline the
 individual operators exist for — C4 cleaning → exact dedup → near-dup
-LSH+verify → quality/entropy screens → decontamination → deterministic
-split → sequence packing — run as ONE chained flow over the driver
+LSH+verify → quality/entropy screens → Gopher gate → decontamination →
+deterministic split → sequence packing — run as ONE chained flow over the driver
 corpus, asserting the stage-by-stage invariants (monotone shrinkage,
 no survivors violating any upstream rule, pack integrity)."""
 
@@ -51,11 +51,18 @@ def test_corpus_curation_end_to_end(spark):
     n4 = screened.count()
     assert 0 < n4 <= n3
 
+    # 4b. Gopher composite gate (stopword evidence, repetition, length)
+    from bigdatacw1_spark.functions.text import gopher_rules
+
+    gated = screened.where(gopher_rules("text")["keep"])
+    n4b = gated.count()
+    assert 0 < n4b <= n4
+
     # 5. split, then decontaminate train against the held-out split
-    split = train_test_split(screened, "doc_id", test_fraction=0.2)
+    split = train_test_split(gated, "doc_id", test_fraction=0.2)
     train = split.where(F.col("split") == "train")
     test = split.where(F.col("split") == "test")
-    assert train.count() + test.count() == n4
+    assert train.count() + test.count() == n4b
     contaminated = substr_decontaminate(train, test).select("doc_id")
     final_train = train.join(contaminated, "doc_id", "left_anti")
     # after removal, the train split shares no 20-token span with test
