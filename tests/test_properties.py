@@ -390,3 +390,102 @@ def test_dedup_lines_matches_python_reference(spark, docs):
     for i, ls in enumerate(docs):
         kept = list(dict.fromkeys(ls))
         assert got[i] == ("\n".join(kept), len(ls), len(ls) - len(kept)), (ls, got[i])
+
+
+gopher_strategy = st.lists(
+    st.one_of(
+        st.sampled_from(["the", "a", "and", "of", "to"]),  # stopwords
+        st.sampled_from(["cat", "dog", "table", "window"]),
+        st.just("w" * 15),  # long word pushes mean word length
+        st.just("x"),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(gopher_strategy, min_size=1, max_size=12))
+def test_gopher_rules_match_python_reference(spark, docs):
+    from collections import Counter
+
+    from bigdatacw1_spark.functions.text import STOPWORDS, gopher_rules
+
+    stops = set(STOPWORDS["en"])
+
+    def ref(words):
+        n = len(words)
+        sumlen = sum(map(len, words))
+        n_stop = sum(1 for t in words if t in stops)
+        dist = len(set(words))
+        top = max(Counter(words).values()) if words else 0
+        return (
+            10 <= n <= 100000,
+            3 * n <= sumlen <= 10 * n and n > 0,
+            n_stop >= 2,
+            10 * top <= 3 * n and n > 0,
+            10 * dist >= 3 * n and n > 0,
+        )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "i long, text string"
+    )
+    g = gopher_rules("text")
+    got = {
+        r["i"]: (r["wc"], r["mwl"], r["sw"], r["tw"], r["dw"], r["keep"])
+        for r in df.select(
+            "i", g["r_word_count"].alias("wc"), g["r_mean_word_len"].alias("mwl"),
+            g["r_stopwords"].alias("sw"), g["r_top_word"].alias("tw"),
+            g["r_distinct"].alias("dw"), g["keep"].alias("keep"),
+        ).collect()
+    }
+    for i, ws in enumerate(docs):
+        want = ref(ws)
+        assert got[i][:5] == want, (ws, got[i], want)
+        assert got[i][5] == all(want)
+
+
+url_strategy = st.builds(
+    lambda scheme, host, path, params, frag: (
+        f"{scheme}://{host}{path}"
+        + ("?" + "&".join(params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    st.sampled_from(["Example.COM", "www.site.org", "A.B.c"]),
+    st.sampled_from(["", "/", "/Path/To", "/x"]),
+    st.lists(
+        st.sampled_from(["a=1", "b=2", "z=9", "utm_source=x", "gclid=42", "ref=feed"]),
+        max_size=4,
+        unique=True,
+    ),
+    st.sampled_from(["", "frag", "sec2"]),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(url_strategy, min_size=1, max_size=20))
+def test_canonicalize_url_matches_python_reference(spark, urls):
+    import re
+
+    from bigdatacw1_spark.functions.text import canonicalize_url
+
+    def ref(u):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)", u)
+        if not m:
+            return u.strip().lower()
+        scheme, host, path = m.groups()
+        qm = re.search(r"\?([^#]*)", u)
+        params = [
+            p for p in (qm.group(1).split("&") if qm else [])
+            if p and not re.match(r"^(utm_[a-z]+|fbclid|gclid|ref)=", p)
+        ]
+        base = scheme.lower() + "://" + host.lower() + path
+        return base + ("?" + "&".join(sorted(params)) if params else "")
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string"
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == ref(u), (u, got[i], ref(u))
