@@ -814,3 +814,46 @@ def test_stream_batch_equivalence_distinct_users(spark, events_dir):
         F.col("w.start").alias("wstart"), "event_type", "distinct_users"
     )
     assert _rows(direct, None) == expected
+
+
+def test_psi_monitor_stream_equals_batch_psi(spark, events_dir, tmp_path):
+    """The streaming PSI monitor's final table must equal the batch PSI
+    of (full observed stream) vs (frozen reference histogram): the
+    update-mode running histogram plus histogram-level recomputation
+    loses nothing versus a from-scratch batch pass."""
+    from bigdatacw1_spark.operators.warehouse import psi_from_histograms, value_bucket
+    from bigdatacw1_spark.streaming.drift_monitor import (
+        reference_histogram,
+        run_psi_monitor,
+    )
+
+    static = spark.read.parquet(events_dir)
+    ref = static.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    ref_hist = reference_histogram(ref)
+
+    out = str(tmp_path / "psi_monitor")
+    q = run_psi_monitor(spark, events_dir, ref_hist, out)
+    assert q.awaitTermination(300)
+
+    got = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["psi"])
+        for r in spark.read.parquet(out + "/psi").collect()
+    }
+
+    obs = (
+        static.select("event_type", value_bucket("value").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    merged = obs.join(ref_hist, ["event_type", "bucket"], "full").select(
+        "event_type", "bucket",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    want = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["psi"])
+        for r in psi_from_histograms(merged, ["event_type"]).collect()
+    }
+    assert got == want and len(got) > 0
+    # observed totals cover the full stream (every event counted once)
+    assert sum(v[0] for v in got.values()) == static.count()
