@@ -208,3 +208,53 @@ def test_nosql2_hof_variant_agrees(spark, securities):
     a = sorted(map(tuple, nosql2_security_screening(securities).collect()))
     b = sorted(map(tuple, nosql2_security_screening_hof(securities).collect()))
     assert a == b
+
+
+def test_sql2_sql_text_front_end_matches_dataframe_port(
+    spark, equity_prices, portfolio_positions, trader_static
+):
+    """SURVEY.md §3.3 for the HARDEST reference query (SQLQueries.sql:35-57):
+    nested CTEs, RIGHT JOIN on the compound (cob_date, symbol) key,
+    group-by-as-dedup, string-sentinel trader filter, two-stage
+    aggregation — the verbatim SQL dialect and the DataFrame port must
+    produce the same rows from one Catalyst planner."""
+    equity_prices.createOrReplaceTempView("ep_v")
+    portfolio_positions.createOrReplaceTempView("pp_v")
+    trader_static.createOrReplaceTempView("ts_v")
+    sql_res = spark.sql(
+        """
+        WITH portfolio_equity AS (
+            SELECT ep.cob_date, ep.currency, pp.trader, pp.symbol,
+                   pp.net_amount, pp.net_quantity
+            FROM ep_v ep
+            LEFT JOIN pp_v pp ON ep.symbol_id = pp.symbol
+            WHERE ep.cob_date BETWEEN '2023-10-28' AND '2023-11-24'
+            GROUP BY ep.cob_date, ep.currency, pp.trader, pp.symbol,
+                     pp.net_amount, pp.net_quantity
+        ), trader_performance AS (
+            SELECT pe.cob_date, pe.currency, pe.trader, ts.fund_name,
+                   ts.fund_focus, ts.trader_name, pe.symbol, pe.net_amount,
+                   pe.net_quantity, ep.close_price,
+                   ep.close_price * pe.net_quantity AS new_net_amount,
+                   ROUND(((ep.close_price * pe.net_quantity) - pe.net_amount)
+                         / pe.net_amount * 100, 4) AS amount_change
+            FROM portfolio_equity pe
+            RIGHT JOIN ep_v ep
+              ON pe.cob_date = ep.cob_date AND pe.symbol = ep.symbol_id
+            LEFT JOIN ts_v ts ON pe.trader = ts.trader_id
+            WHERE pe.trader IS NOT NULL AND pe.trader <> 'null'
+            GROUP BY pe.cob_date, pe.currency, pe.trader, ts.fund_name,
+                     ts.fund_focus, ts.trader_name, pe.symbol, pe.net_amount,
+                     pe.net_quantity, ep.close_price
+        )
+        SELECT trader_name, fund_name, fund_focus,
+               AVG(amount_change) AS average_change
+        FROM trader_performance
+        GROUP BY trader_name, fund_name, fund_focus
+        ORDER BY average_change DESC
+        """
+    )
+    df_res = sql2_fund_performance(equity_prices, portfolio_positions, trader_static)
+    assert sorted(tuple(r) for r in sql_res.collect()) == sorted(
+        tuple(r) for r in df_res.collect()
+    )
