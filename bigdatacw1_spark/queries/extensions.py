@@ -948,6 +948,48 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_warc_parse",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+                   CAST(NULL AS VARCHAR) AS target_uri,
+                   CAST(28 AS BIGINT) AS content_len,
+                   MD5('software: bigdatacw1-spark' || CHR(13) || CHR(10)) AS content_md5
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'response',
+                   'http://example.com/' || CAST(doc_id AS VARCHAR),
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT), MD5(text)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'metadata',
+                   'http://example.com/' || CAST(doc_id AS VARCHAR),
+                   CAST(LENGTH('doc_id: ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+                   MD5('doc_id: ' || CAST(doc_id AS VARCHAR))
+            FROM documents
+        )
+        SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx, rec_type, target_uri,
+               content_len, content_md5
+        FROM r ORDER BY doc_id, rec_idx
+    """,
+)
+def ext_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingestion (sources/formats.parse_warc): the
+    Common Crawl container parsed LENGTH-DRIVEN (bodies consumed by
+    their declared Content-Length, never by splitting on record markers
+    — the classic corruption bug when a body contains the marker), one
+    output row per record with the body digested. The fixture builds
+    spec-shaped files whose every record length and md5 the DuckDB
+    oracle predicts from the documents table alone; a header-parse,
+    offset, or length bug breaks the value hash. At corpus scale the
+    WARC file is the unit of parallelism, the record the unit of work."""
+    from bigdatacw1_spark.sources.formats import explode_warc, synth_warc_corpus
+
+    media = synth_warc_corpus(_t(spark, sf_dir, "documents"))
+    return explode_warc(media).orderBy("doc_id", "rec_idx")
+
+
+@q(
     "ext_mm_bmp",
     oracle="""
         WITH dims AS (

@@ -134,3 +134,144 @@ def read_binary_dir(
     if max_bytes is not None:
         df = df.where(F.col("length") <= max_bytes)
     return df
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("rec_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_len", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def parse_warc(payload: bytes) -> list[tuple[str, str | None, bytes]]:
+    """LENGTH-DRIVEN WARC record parser (ISO 28500, the Common Crawl
+    container), stdlib-only: each record is 'WARC/1.0\\r\\n' + headers +
+    blank line + exactly Content-Length body bytes + '\\r\\n\\r\\n'.
+    Bodies are consumed by their declared length — never by splitting on
+    record markers, which corrupts any body that itself contains the
+    marker (the classic naive-WARC-reader bug). Malformed version lines,
+    missing Content-Length, or truncated bodies raise ValueError loudly.
+
+    Returns [(warc_type, target_uri_or_None, body_bytes), ...].
+    """
+    b = bytes(payload)
+    out: list[tuple[str, str | None, bytes]] = []
+    i = 0
+    while i < len(b):
+        if b[i : i + 2] == b"\r\n":  # inter-record padding
+            i += 2
+            continue
+        eol = b.find(b"\r\n", i)
+        if eol < 0 or not b[i:eol].startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at offset {i}")
+        i = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = b.find(b"\r\n", i)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = b[i:eol]
+            i = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            headers[k.decode("ascii").strip().lower()] = v.decode("utf-8").strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC record without Content-Length")
+        n = int(headers["content-length"])
+        if i + n > len(b):
+            raise ValueError("truncated WARC body")
+        body = b[i : i + n]
+        i += n
+        out.append((headers.get("warc-type", ""), headers.get("warc-target-uri"), body))
+    return out
+
+
+def build_warc(records: list[tuple[str, str | None, bytes]]) -> bytes:
+    """Assemble a spec-shaped WARC file from (type, uri, body) triples —
+    the fixture-side inverse of parse_warc."""
+    chunks = []
+    for rec_type, uri, body in records:
+        hdrs = [b"WARC/1.0", b"WARC-Type: " + rec_type.encode()]
+        if uri is not None:
+            hdrs.append(b"WARC-Target-URI: " + uri.encode())
+        hdrs.append(b"Content-Length: " + str(len(body)).encode())
+        chunks.append(b"\r\n".join(hdrs) + b"\r\n\r\n" + body + b"\r\n\r\n")
+    return b"".join(chunks)
+
+
+def explode_warc(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched WARC explosion: one input file row → one output row
+    per record, with the body digested (md5) rather than carried — the
+    ingestion shape for crawl archives where downstream stages only need
+    the response bodies they select by type/uri. One parser call per
+    payload inside mapInPandas; at corpus scale, WARC files are the unit
+    of parallelism (binaryFile source), records the unit of work."""
+    import hashlib
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, (rtype, uri, body) in enumerate(parse_warc(bytes(payload))):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            rtype,
+                            uri,
+                            len(body),
+                            hashlib.md5(body).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_idx", "rec_type", "target_uri",
+                    "content_len", "content_md5",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=WARC_SCHEMA)
+
+
+def synth_warc_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WARC fixtures: per id, a file holding a warcinfo
+    record (constant body), a response record whose body is the
+    document's utf-8 text at uri http://example.com/{id}, and a metadata
+    record 'doc_id: {id}' — every record's length and md5 is predictable
+    from the documents table alone, so a SQL oracle verifies the parse."""
+
+    def batches(it):
+        import pandas as pd
+
+        def make(i: int, text: str) -> bytes:
+            return build_warc(
+                [
+                    ("warcinfo", None, b"software: bigdatacw1-spark\r\n"),
+                    ("response", f"http://example.com/{i}", text.encode("utf-8")),
+                    ("metadata", f"http://example.com/{i}", f"doc_id: {i}".encode()),
+                ]
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        make(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

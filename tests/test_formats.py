@@ -83,3 +83,48 @@ def test_malformed_json_rows_quarantine(spark, tmp_path):
     assert good.count() == 1
     assert bad.count() == 1
     assert good.collect()[0].event_id == 1
+
+
+def test_warc_parser_is_length_driven_and_guards():
+    """A body CONTAINING the record marker must parse intact (the
+    length-driven property); missing Content-Length and truncated
+    bodies raise loudly."""
+    import pytest
+
+    from bigdatacw1_spark.sources.formats import build_warc, parse_warc
+
+    tricky = b"embedded\r\n\r\nWARC/1.0\r\nlooks-like-a-record\r\n\r\nstill body"
+    recs = [
+        ("warcinfo", None, b"software: x\r\n"),
+        ("response", "http://e.com/1", tricky),
+        ("metadata", "http://e.com/1", b""),
+    ]
+    got = parse_warc(build_warc(recs))
+    assert got == recs  # marker-in-body survives; empty body ok
+
+    with pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody-without-length")
+    ok = build_warc([("response", None, b"0123456789")])
+    with pytest.raises(ValueError):
+        parse_warc(ok[:-6])  # truncated body
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not a WARC
+
+
+def test_explode_warc_operator(spark):
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.sources.formats import explode_warc, synth_warc_corpus
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    out = explode_warc(synth_warc_corpus(docs)).collect()
+    assert len(out) == 15  # 3 records per file
+    by = {(r["doc_id"], r["rec_idx"]): r for r in out}
+    import hashlib
+    for r in docs.collect():
+        resp = by[(r["doc_id"], 1)]
+        assert resp["rec_type"] == "response"
+        assert resp["target_uri"] == f"http://example.com/{r['doc_id']}"
+        assert resp["content_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
