@@ -948,6 +948,37 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_zip_parse",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, 'doc.txt' AS member_name,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS member_len,
+                   MD5(text) AS member_md5
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'meta.json',
+                   CAST(LENGTH('{"doc_id": ' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT),
+                   MD5('{"doc_id": ' || CAST(doc_id AS VARCHAR) || '}')
+            FROM documents
+        )
+        SELECT doc_id, member_name, member_len, member_md5
+        FROM r ORDER BY doc_id, member_name
+    """,
+)
+def ext_zip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP crawl-dump ingestion (sources/formats.explode_zip): stdlib
+    central-directory walk + DEFLATE inflate, one row per member with
+    the content digested. The fixture compresses the document text, so
+    equality with the oracle's md5 verifies the inflate round-trip, not
+    just the listing. Companion to ext_warc_parse — the two containers
+    crawl data actually ships in."""
+    from bigdatacw1_spark.sources.formats import explode_zip, synth_zip_corpus
+
+    media = synth_zip_corpus(_t(spark, sf_dir, "documents"))
+    return explode_zip(media).orderBy("doc_id", "member_name")
+
+
+@q(
     "ext_warc_parse",
     oracle="""
         WITH r AS (

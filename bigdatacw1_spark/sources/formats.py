@@ -275,3 +275,80 @@ def synth_warc_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+ZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("member_name", T.StringType()),
+        T.StructField("member_len", T.LongType()),
+        T.StructField("member_md5", T.StringType()),
+    ]
+)
+
+
+def explode_zip(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """ZIP archive explosion (stdlib zipfile — central-directory walk +
+    DEFLATE): one output row per member with the content digested.
+    Together with explode_warc this covers the two containers crawl
+    dumps actually arrive in. Corrupt archives raise loudly
+    (zipfile.BadZipFile) rather than yielding partial listings."""
+    import hashlib
+    import io
+    import zipfile
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+                    for name in zf.namelist():
+                        body = zf.read(name)
+                        rows.append(
+                            (doc_id, name, len(body), hashlib.md5(body).hexdigest())
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "member_name", "member_len", "member_md5"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=ZIP_SCHEMA)
+
+
+def synth_zip_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ZIP fixtures: per id, an archive with the document
+    text DEFLATE-compressed under doc.txt plus a stored meta.json —
+    member lengths and md5s predictable from the documents table, so
+    the oracle verifies the central-directory walk AND the inflate."""
+
+    def batches(it):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        def make(i: int, text: str) -> bytes:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                zf.writestr(
+                    zipfile.ZipInfo("doc.txt"), text.encode("utf-8"),
+                    compress_type=zipfile.ZIP_DEFLATED,
+                )
+                zf.writestr(zipfile.ZipInfo("meta.json"), f'{{"doc_id": {i}}}'.encode())
+            return buf.getvalue()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        make(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

@@ -128,3 +128,33 @@ def test_explode_warc_operator(spark):
         assert resp["rec_type"] == "response"
         assert resp["target_uri"] == f"http://example.com/{r['doc_id']}"
         assert resp["content_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_explode_zip_rejects_corrupt_archive(spark):
+    import pytest
+    import zipfile
+
+    from bigdatacw1_spark.sources.formats import explode_zip
+
+    bad = spark.createDataFrame(
+        [(1, b"PK\x03\x04 not a real zip")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        explode_zip(bad).collect()
+    assert "BadZipFile" in str(ei.value) or "zip" in str(ei.value).lower()
+
+
+def test_explode_zip_inflates_members(spark):
+    import hashlib
+
+    from bigdatacw1_spark.sources.catalog import load_table
+    from bigdatacw1_spark.sources.formats import explode_zip, synth_zip_corpus
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(4)
+    out = {(r["doc_id"], r["member_name"]): r
+           for r in explode_zip(synth_zip_corpus(docs)).collect()}
+    for r in docs.collect():
+        m = out[(r["doc_id"], "doc.txt")]
+        assert m["member_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+        assert m["member_len"] == len(r["text"].encode())
