@@ -979,6 +979,45 @@ def ext_zip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_warc_gz",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+                   CAST(NULL AS VARCHAR) AS target_uri,
+                   CAST(28 AS BIGINT) AS content_len,
+                   MD5('software: bigdatacw1-spark' || CHR(13) || CHR(10)) AS content_md5
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'response',
+                   'http://example.com/' || CAST(doc_id AS VARCHAR),
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT), MD5(text)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'metadata',
+                   'http://example.com/' || CAST(doc_id AS VARCHAR),
+                   CAST(LENGTH('doc_id: ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+                   MD5('doc_id: ' || CAST(doc_id AS VARCHAR))
+            FROM documents
+        )
+        SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx, rec_type, target_uri,
+               content_len, content_md5
+        FROM r ORDER BY doc_id, rec_idx
+    """,
+)
+def ext_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .warc.gz layout Common Crawl actually ships: every record
+    compressed as its OWN gzip member, members concatenated (so a reader
+    can seek to a record offset and inflate one member). explode_warc
+    inflates through member boundaries and must recover the identical
+    record stream — same oracle as ext_warc_parse, so equality proves
+    the compression layout is transparent to the parse."""
+    from bigdatacw1_spark.sources.formats import explode_warc, synth_warc_corpus
+
+    media = synth_warc_corpus(_t(spark, sf_dir, "documents"), gzipped=True)
+    return explode_warc(media, gzipped=True).orderBy("doc_id", "rec_idx")
+
+
+@q(
     "ext_warc_parse",
     oracle="""
         WITH r AS (

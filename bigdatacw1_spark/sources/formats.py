@@ -205,13 +205,25 @@ def build_warc(records: list[tuple[str, str | None, bytes]]) -> bytes:
     return b"".join(chunks)
 
 
-def explode_warc(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+def explode_warc(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    gzipped: bool = False,
+) -> DataFrame:
     """Arrow-batched WARC explosion: one input file row → one output row
     per record, with the body digested (md5) rather than carried — the
     ingestion shape for crawl archives where downstream stages only need
     the response bodies they select by type/uri. One parser call per
     payload inside mapInPandas; at corpus scale, WARC files are the unit
-    of parallelism (binaryFile source), records the unit of work."""
+    of parallelism (binaryFile source), records the unit of work.
+
+    ``gzipped=True`` handles the .warc.gz layout Common Crawl actually
+    ships: a CONCATENATION of per-record gzip members (so a reader can
+    seek to a record offset and inflate just that member). Python's gzip
+    module decompresses straight through member boundaries, recovering
+    the full record stream."""
+    import gzip
     import hashlib
 
     def batches(it):
@@ -220,7 +232,10 @@ def explode_warc(media: DataFrame, payload_col: str = "payload", id_col: str = "
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                for idx, (rtype, uri, body) in enumerate(parse_warc(bytes(payload))):
+                raw = bytes(payload)
+                if gzipped:
+                    raw = gzip.decompress(raw)
+                for idx, (rtype, uri, body) in enumerate(parse_warc(raw)):
                     rows.append(
                         (
                             doc_id,
@@ -242,24 +257,36 @@ def explode_warc(media: DataFrame, payload_col: str = "payload", id_col: str = "
     return media.select(id_col, payload_col).mapInPandas(batches, schema=WARC_SCHEMA)
 
 
-def synth_warc_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def synth_warc_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gzipped: bool = False,
+) -> DataFrame:
     """Deterministic WARC fixtures: per id, a file holding a warcinfo
     record (constant body), a response record whose body is the
     document's utf-8 text at uri http://example.com/{id}, and a metadata
     record 'doc_id: {id}' — every record's length and md5 is predictable
-    from the documents table alone, so a SQL oracle verifies the parse."""
+    from the documents table alone, so a SQL oracle verifies the parse.
+    ``gzipped=True`` emits the Common Crawl .warc.gz layout: each record
+    compressed as its own gzip member, members concatenated."""
 
     def batches(it):
+        import gzip
+
         import pandas as pd
 
+        def one_record(rec) -> bytes:
+            blob = build_warc([rec])
+            return gzip.compress(blob, mtime=0) if gzipped else blob
+
         def make(i: int, text: str) -> bytes:
-            return build_warc(
-                [
-                    ("warcinfo", None, b"software: bigdatacw1-spark\r\n"),
-                    ("response", f"http://example.com/{i}", text.encode("utf-8")),
-                    ("metadata", f"http://example.com/{i}", f"doc_id: {i}".encode()),
-                ]
-            )
+            recs = [
+                ("warcinfo", None, b"software: bigdatacw1-spark\r\n"),
+                ("response", f"http://example.com/{i}", text.encode("utf-8")),
+                ("metadata", f"http://example.com/{i}", f"doc_id: {i}".encode()),
+            ]
+            return b"".join(one_record(r) for r in recs)
 
         for pdf in it:
             yield pd.DataFrame(
