@@ -366,6 +366,27 @@ def redact_pii(text: Column | str) -> Column:
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
 
 
+def html_to_text(html: Column | str) -> Column:
+    """HTML → text extraction, the first pass of every web-corpus
+    pipeline: drop <script>/<style> blocks and comments WITH their
+    content, strip remaining tags, decode the common entities, collapse
+    whitespace. A pure regexp_replace chain — JVM-side, codegen'd, no
+    Python — deliberately ordered so named entities decode before &amp;
+    (otherwise '&amp;lt;' would double-decode). This is the cheap
+    structural pass (trafilatura-class boilerplate MODELS are a
+    different, heavier tier); it is lossy by design: markup is treated
+    as whitespace, never content."""
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical URL for web-corpus dedup — the highest-leverage dedup
     key a crawl pipeline has: lowercase scheme+host, keep the path

@@ -948,6 +948,81 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_html_extract",
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   '<html><head><title>T' || CAST(doc_id AS VARCHAR)
+                   || '</title><script type="text/javascript">var x = 1 < 2;</script>'
+                   || '<style>.c { color: red; }</style></head><body>'
+                   || '<!-- nav boilerplate --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</h1><p>' || text || '</p><p>Q&amp;A &lt;ok&gt;&nbsp;end</p></body></html>'
+                   AS html
+            FROM documents
+        ), ex AS (
+            SELECT doc_id,
+                   TRIM(REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                       REGEXP_REPLACE(html,
+                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                           '&lt;', '<', 'g'),
+                           '&gt;', '>', 'g'),
+                           '&quot;', '"', 'g'),
+                           '&#39;', CHR(39), 'g'),
+                           '&nbsp;', ' ', 'g'),
+                           '&amp;', '&', 'g'),
+                           '\s+', ' ', 'g')) AS txt
+            FROM synth
+        )
+        SELECT doc_id,
+               CAST(LENGTH(txt) AS INT) AS n_chars_extracted,
+               MD5(txt) AS extracted_md5
+        FROM ex ORDER BY doc_id
+    """,
+)
+def ext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/text.html_to_text) over
+    synthesized pages that wrap the document text in realistic traps: a
+    <script> whose BODY contains '<' (a naive tag stripper truncates
+    there), a <style> block, comments, and entity-encoded punctuation.
+    Output digests the extracted text; the oracle replays the identical
+    ordered regex chain in DuckDB, so any divergence in block removal,
+    entity order, or whitespace collapse breaks the value hash."""
+    from bigdatacw1_spark.functions.text import html_to_text
+
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>T"), did,
+        F.lit('</title><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<style>.c { color: red; }</style></head><body>"),
+        F.lit("<!-- nav boilerplate --><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>Q&amp;A &lt;ok&gt;&nbsp;end</p></body></html>"),
+    )
+    txt = html_to_text(html)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length(txt).alias("n_chars_extracted"),
+            F.md5(txt).alias("extracted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ext_zip_parse",
     oracle="""
         WITH r AS (

@@ -321,3 +321,23 @@ def test_canonicalize_url_dedup_semantics(spark):
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
     assert got[1] == got[2]  # the dedup property the operator exists for
+
+
+def test_html_to_text_survives_script_with_angle_bracket(spark):
+    from bigdatacw1_spark.functions.text import html_to_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<p>Hello <b>world</b></p><script>if (a < b) { x(); }</script>done'),
+            (2, 'Q&amp;A &lt;tag&gt; &#39;quoted&#39;&nbsp;end'),
+            (3, '<!-- secret -->visible<style>h1 { font-size: 2em; }</style>'),
+            (4, 'plain text, no markup'),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r["t"] for r in docs.select(
+        "doc_id", html_to_text("html").alias("t")).collect()}
+    assert got[1] == "Hello world done"      # script body with '<' fully removed
+    assert got[2] == "Q&A <tag> 'quoted' end"
+    assert got[3] == "visible"               # comment + style content gone
+    assert got[4] == "plain text, no markup"
