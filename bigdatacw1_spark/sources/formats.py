@@ -147,6 +147,10 @@ WARC_SCHEMA = T.StructType(
     ]
 )
 
+WARC_BODY_SCHEMA = T.StructType(
+    WARC_SCHEMA.fields + [T.StructField("body", T.BinaryType())]
+)
+
 
 def parse_warc(payload: bytes) -> list[tuple[str, str | None, bytes]]:
     """LENGTH-DRIVEN WARC record parser (ISO 28500, the Common Crawl
@@ -210,6 +214,7 @@ def explode_warc(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     gzipped: bool = False,
+    with_body: bool = False,
 ) -> DataFrame:
     """Arrow-batched WARC explosion: one input file row → one output row
     per record, with the body digested (md5) rather than carried — the
@@ -222,7 +227,9 @@ def explode_warc(
     ships: a CONCATENATION of per-record gzip members (so a reader can
     seek to a record offset and inflate just that member). Python's gzip
     module decompresses straight through member boundaries, recovering
-    the full record stream."""
+    the full record stream. ``with_body=True`` carries the record body
+    as a binary column for downstream extraction stages (select the
+    record types you need FIRST — bodies are the heavy column)."""
     import gzip
     import hashlib
 
@@ -236,25 +243,23 @@ def explode_warc(
                 if gzipped:
                     raw = gzip.decompress(raw)
                 for idx, (rtype, uri, body) in enumerate(parse_warc(raw)):
-                    rows.append(
-                        (
-                            doc_id,
-                            idx,
-                            rtype,
-                            uri,
-                            len(body),
-                            hashlib.md5(body).hexdigest(),
-                        )
+                    row = (
+                        doc_id,
+                        idx,
+                        rtype,
+                        uri,
+                        len(body),
+                        hashlib.md5(body).hexdigest(),
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "rec_idx", "rec_type", "target_uri",
-                    "content_len", "content_md5",
-                ],
-            )
+                    rows.append(row + (body,) if with_body else row)
+            cols = [
+                "doc_id", "rec_idx", "rec_type", "target_uri",
+                "content_len", "content_md5",
+            ] + (["body"] if with_body else [])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.select(id_col, payload_col).mapInPandas(batches, schema=WARC_SCHEMA)
+    schema = WARC_BODY_SCHEMA if with_body else WARC_SCHEMA
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=schema)
 
 
 def synth_warc_corpus(

@@ -158,3 +158,55 @@ def test_explode_zip_inflates_members(spark):
         m = out[(r["doc_id"], "doc.txt")]
         assert m["member_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
         assert m["member_len"] == len(r["text"].encode())
+
+
+def test_common_crawl_path_end_to_end(spark):
+    """The real web-ingestion flow composed: .warc.gz files → inflate +
+    length-driven record parse (bodies carried) → select responses →
+    HTML-to-text extraction → Gopher quality gate. Every response body
+    survives extraction with its payload text intact; the quality gate
+    runs on extracted text, not markup."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.functions.text import gopher_rules, html_to_text
+    from bigdatacw1_spark.sources.catalog import load_table
+    from bigdatacw1_spark.sources.formats import build_warc, explode_warc
+    from tests.conftest import SF_SMALL
+
+    import gzip
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(6).collect()
+
+    def page(i, text):
+        return (
+            f'<html><head><title>T{i}</title><script>if (1 < 2) x();</script>'
+            f"</head><body><p>{text}</p></body></html>"
+        ).encode()
+
+    def warc_gz(i, text):
+        recs = [
+            ("warcinfo", None, b"software: test\r\n"),
+            ("response", f"http://e.com/{i}", page(i, text)),
+        ]
+        return b"".join(gzip.compress(build_warc([r]), mtime=0) for r in recs)
+
+    media = spark.createDataFrame(
+        [(r["doc_id"], warc_gz(r["doc_id"], r["text"])) for r in docs],
+        "doc_id long, payload binary",
+    )
+    records = explode_warc(media, gzipped=True, with_body=True)
+    responses = records.where(F.col("rec_type") == "response")
+    extracted = responses.select(
+        "doc_id",
+        "target_uri",
+        html_to_text(F.col("body").cast("string")).alias("clean_text"),
+    )
+    gated = extracted.withColumn("keep", gopher_rules("clean_text")["keep"])
+
+    rows = {r["doc_id"]: r for r in gated.collect()}
+    assert len(rows) == 6
+    for r in docs:
+        got = rows[r["doc_id"]]
+        assert r["text"] in got["clean_text"]          # payload text survives
+        assert "<" not in got["clean_text"].replace("< 2", "")  # markup gone
+        assert got["target_uri"] == f"http://e.com/{r['doc_id']}"
