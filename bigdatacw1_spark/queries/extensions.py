@@ -948,6 +948,78 @@ def ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_http_parse",
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN 'HTTP/1.1 404 Not Found' || CHR(13) || CHR(10)
+                             || 'Content-Type: text/plain' || CHR(13) || CHR(10)
+                             || CHR(13) || CHR(10) || 'not here'
+                        ELSE 'HTTP/1.1 200 OK' || CHR(13) || CHR(10)
+                             || 'Server: demo' || CHR(13) || CHR(10)
+                             || 'content-type: text/html; charset=utf-8' || CHR(13) || CHR(10)
+                             || CHR(13) || CHR(10)
+                             || '<html><body><p>' || text || '</p></body></html>'
+                   END AS resp
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   TRY_CAST(REGEXP_EXTRACT(resp, 'HTTP/[0-9.]+ ([0-9]{3})', 1) AS INT) AS status,
+                   NULLIF(TRIM(REGEXP_EXTRACT(resp, '(?im)^content-type:[ \t]*([^\r\n;]+)', 1)), '') AS content_type,
+                   REGEXP_REPLACE(resp, '(?s)\AHTTP/.*?\r\n\r\n', '', 'g') AS body
+            FROM synth
+        )
+        SELECT doc_id, status, content_type,
+               (status = 200 AND content_type = 'text/html') AS extractable,
+               MD5(body) AS body_md5
+        FROM p ORDER BY doc_id
+    """,
+)
+def ext_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response splitting (sources/formats.http_response_parts) —
+    the layer between a WARC response record and HTML extraction:
+    status line, case-insensitive Content-Type (charset parameter
+    dropped), body after the CRLFCRLF divider. The fixture mixes 200
+    text/html pages with 404 text/plain bodies; 'extractable' is the
+    routing predicate the Common Crawl path filters on before paying
+    html_to_text. Mirrored regex oracle; body md5 pins the divider
+    handling exactly."""
+    from bigdatacw1_spark.sources.formats import http_response_parts
+
+    crlf = "\r\n"
+    resp = F.when(
+        F.col("doc_id") % 4 == 3,
+        F.concat(
+            F.lit("HTTP/1.1 404 Not Found" + crlf),
+            F.lit("Content-Type: text/plain" + crlf + crlf),
+            F.lit("not here"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf),
+            F.lit("Server: demo" + crlf),
+            F.lit("content-type: text/html; charset=utf-8" + crlf + crlf),
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+        )
+    )
+    parts = http_response_parts(resp)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            parts["status"].alias("status"),
+            parts["content_type"].alias("content_type"),
+            (
+                (parts["status"] == 200) & (parts["content_type"] == "text/html")
+            ).alias("extractable"),
+            F.md5(parts["body"]).alias("body_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ext_html_extract",
     oracle=r"""
         WITH synth AS (

@@ -384,3 +384,25 @@ def synth_zip_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def http_response_parts(resp: "F.Column | str"):
+    """Split a raw HTTP response (as carried in a WARC response record:
+    status line + headers + CRLFCRLF + body) into a struct of
+    (status INT, content_type STRING, body STRING) — pure JVM regex, no
+    Python: the middle layer between the WARC record and HTML
+    extraction. Header lookup is case-insensitive and parameters after
+    ';' (charset=...) are dropped; a payload without a header block
+    yields status NULL and the whole payload as body (robustness over
+    strictness at corpus scale — filter on status afterwards)."""
+    c = F.col(resp) if isinstance(resp, str) else resp
+    status = F.regexp_extract(c, r"\AHTTP/[0-9.]+ ([0-9]{3})", 1).try_cast("int")
+    ctype = F.regexp_extract(c, r"(?im)^content-type:[ \t]*([^\r\n;]+)", 1)
+    body = F.when(
+        c.rlike(r"\AHTTP/"), F.regexp_replace(c, r"(?s)\AHTTP/.*?\r\n\r\n", "")
+    ).otherwise(c)
+    return F.struct(
+        status.alias("status"),
+        F.nullif(F.trim(ctype), F.lit("")).alias("content_type"),
+        body.alias("body"),
+    )

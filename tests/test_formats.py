@@ -210,3 +210,27 @@ def test_common_crawl_path_end_to_end(spark):
         assert r["text"] in got["clean_text"]          # payload text survives
         assert "<" not in got["clean_text"].replace("< 2", "")  # markup gone
         assert got["target_uri"] == f"http://e.com/{r['doc_id']}"
+
+
+def test_http_response_parts_edges(spark):
+    """Status/content-type parse, charset parameter dropped, headerless
+    payload degrades to body-only with NULL status (never lost rows)."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.sources.formats import http_response_parts
+
+    rows = [
+        (1, "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<p>hi</p>"),
+        (2, "HTTP/1.0 301 Moved\r\nLocation: /x\r\n\r\n"),
+        (3, "just raw bytes, no http envelope"),
+        (4, "HTTP/1.1 200 OK\r\ncontent-TYPE: application/json\r\n\r\n{}"),
+    ]
+    df = spark.createDataFrame(rows, "i long, resp string")
+    p = http_response_parts("resp")
+    got = {r["i"]: r for r in df.select(
+        "i", p["status"].alias("s"), p["content_type"].alias("ct"), p["body"].alias("b")
+    ).collect()}
+    assert (got[1]["s"], got[1]["ct"], got[1]["b"]) == (200, "text/html", "<p>hi</p>")
+    assert (got[2]["s"], got[2]["ct"], got[2]["b"]) == (301, None, "")
+    assert (got[3]["s"], got[3]["b"]) == (None, "just raw bytes, no http envelope")
+    assert (got[4]["s"], got[4]["ct"], got[4]["b"]) == (200, "application/json", "{}")
