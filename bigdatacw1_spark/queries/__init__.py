@@ -108,6 +108,32 @@ _DRIVER_WINDOW = [
 ]
 
 
+# Staged for round 5 (swap into _DRIVER_WINDOW first thing next round,
+# keeping the 5 ref_* anchors pinned first): the 45 highest-value
+# never-driver-checked oracle-bearing entries — crawl ingestion, media
+# codecs, sketches, drift, governance, and this round's promotions.
+# Validated against REGISTRY by tests/test_parity.py so a rename here
+# fails CI, not the driver. Round 6 mops up the remaining micro-operator
+# and pl_* tail (all locally green since their round of introduction).
+ROUND5_WINDOW = [
+    "ext_incremental_admission", "ext_contrastive_pairs",
+    "ext_minhash_lsh_pairs", "ext_simhash", "ext_embed_neardup_lsh",
+    "ext_sketch_ndv", "ext_sketch_quantiles", "ext_sketch_ndv_mergeable",
+    "ext_sketch_audience_overlap", "ext_sketch_kll_mergeable",
+    "ext_mm_features", "ext_mm_audio", "ext_mm_spectral", "ext_mm_gif",
+    "ext_mm_bmp", "ext_warc_parse", "ext_warc_gz", "ext_zip_parse",
+    "ext_http_parse", "ext_html_extract", "ext_pii_luhn", "ext_c4_clean",
+    "ext_char_entropy", "ext_freq_items", "ext_count_min",
+    "ext_bloom_dedup", "ext_substr_decontaminate", "ext_embed_decontaminate",
+    "ext_shortest_path", "ext_knn_graph", "ext_simhash_pairs",
+    "ext_simhash_clusters", "ext_kmeans_verified", "ext_embed_norm_outliers",
+    "ext_url_canonicalize", "ext_gopher_filter", "ext_dataset_card",
+    "ext_line_dedup", "ext_lm_surprisal", "ext_k_anonymity",
+    "ext_source_overlap", "wh_drift_ks", "wh_drift_psi", "wh_dq_checks",
+    "wh_snapshot_diff",
+]
+
+
 def _rotate_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     if missing:  # fail loudly at import: a typo here silently shrinks coverage

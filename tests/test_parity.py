@@ -36,3 +36,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_round5_window_is_valid_and_novel():
+    """The staged round-5 rotation list must (a) name only real registry
+    entries, (b) be oracle-bearing (driver hash checks, not rows-only),
+    (c) contain no entry already covered by the round-4 window, and
+    (d) fill exactly the 45 non-anchor slots."""
+    import json
+
+    from bigdatacw1_spark.queries import REGISTRY, ROUND5_WINDOW
+
+    assert len(ROUND5_WINDOW) == 45
+    assert len(set(ROUND5_WINDOW)) == 45
+    r4_window = set(list(REGISTRY)[:50])
+    for name in ROUND5_WINDOW:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle is not None, name
+        assert name not in r4_window, name
