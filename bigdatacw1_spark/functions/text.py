@@ -566,3 +566,72 @@ def char_entropy(text: Column | str, digits: int = 4) -> Column:
         lambda acc, cnt: acc + p(cnt) * F.log2(p(cnt)),
     )
     return stable_round(ent, digits)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 top-k full-text retrieval over a corpus — the classic
+    sparse-ranking half of a retrieval stack (the dense half is
+    operators/similarity.cosine_topk). Lucene-style IDF:
+    ln(1 + (N - df + 0.5)/(df + 0.5)), so scores are always positive.
+
+    Scale shape: per-term tf is a row-local array filter (no explode, no
+    per-term shuffle); the corpus statistics (N, avgdl, per-term df) are
+    ONE tiny aggregate broadcast back as a single row, so the scoring
+    pass is scan → broadcast-nested-loop(1 row) → TakeOrderedAndProject.
+    Nothing shuffles on a per-token key; at 100 TB the cost is two scans
+    of (id, tokens) and a top-k. The per-document score folds the query
+    terms in their given (fixed) order, so float summation order — and
+    the rounded value — is engine-reproducible.
+
+    avgdl is computed as exact-integer SUM(dl)/N rather than AVG(dl) so
+    both engines derive the identical double.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    def _tf(term: str) -> Column:
+        # NB: the lambda must stay single-arg — a two-arg lambda is the
+        # (element, index) filter variant and the index would shadow term.
+        return F.size(F.filter(F.col("toks"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)]
+    per_doc = base.select(id_col, "dl", *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        s_i = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        )
+        score = s_i if score is None else score + s_i
+    return (
+        j.select(F.col(id_col), F.col("dl"), stable_round(score, round_digits).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

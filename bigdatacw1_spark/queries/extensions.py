@@ -3584,3 +3584,57 @@ def diag_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_scanned"], m["rows_kept"], m["null_keys"], float(m["sum_price"]))],
         "rows_scanned long, rows_kept long, null_keys long, sum_price double",
     )
+
+
+_BM25_TERMS = ["spark", "stream", "join"]
+_BM25_TF = "\n".join(
+    f"LEN(LIST_FILTER(toks, w -> w = '{t}')) AS tf_{i},"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ",\n".join(
+    f"COUNT(*) FILTER (tf_{i} > 0) AS df_{i}" for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE = "\n + ".join(
+    f"LN(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * (CAST(tf_{i} AS DOUBLE) * 2.2)"
+    f" / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@q(
+    "ext_bm25_topk",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), d AS (
+            SELECT doc_id, LEN(toks) AS dl,
+                   {_BM25_TF}
+            FROM base
+        ), s AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {_BM25_DF}
+            FROM d
+        ), scored AS (
+            SELECT doc_id, dl,
+                   {_BM25_SCORE} AS raw
+            FROM d CROSS JOIN s
+        )
+        SELECT doc_id, dl, FLOOR(raw * 10000.0 + 0.5) / 10000.0 AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the fixed query "spark stream join"
+    (functions/text.bm25_topk) — the sparse-retrieval companion to
+    ext_cosine_topk. Per-term tf is a row-local array filter; corpus
+    stats (N, avgdl, df) are one broadcast row; top-k fuses to
+    TakeOrderedAndProject. The score folds query terms in fixed order
+    with 1.0-b / k1+1 folded to literals, so both engines execute the
+    identical IEEE sequence and the rounded values hash-compare."""
+    from bigdatacw1_spark.functions.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)

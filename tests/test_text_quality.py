@@ -341,3 +341,25 @@ def test_html_to_text_survives_script_with_angle_bracket(spark):
     assert got[2] == "Q&A <tag> 'quoted' end"
     assert got[3] == "visible"               # comment + style content gone
     assert got[4] == "plain text, no markup"
+
+
+def test_bm25_ranks_stuffed_doc_first_and_fuses_topk(spark):
+    from bigdatacw1_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "spark stream join " * 5),
+        (2, "spark table scan filter sort merge window batch"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "join join join padding padding padding padding padding"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["spark", "stream", "join"], k=3)
+    got = out.collect()
+    assert [r.doc_id for r in got][0] == 1  # all three terms, high tf
+    assert len(got) == 3
+    assert 3 not in {r.doc_id for r in got}  # no query term at all
+    assert all(got[i].score >= got[i + 1].score for i in range(len(got) - 1))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
