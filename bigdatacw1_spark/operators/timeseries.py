@@ -191,3 +191,70 @@ def rolling_zscore(
         stable_round(std, 4).alias("roll_std"),
         stable_round(z, 4).alias("zscore"),
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lookback: int = 64,
+    tiebreak: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the smoothed
+    "current level" signal (monitoring, anomaly baselines, trading
+    marks): s_1 = x_1, s_t = (1-alpha)*s_{t-1} + alpha*x_t over the
+    time-ordered observations; returns the final s per key.
+
+    The fold is truncated to the most recent ``lookback`` observations.
+    That bounds per-key state (rank window -> filter -> bounded
+    collect), and with the default alpha=0.5 / lookback=64 the dropped
+    tail's weight is 2^-64 — below double-precision resolution, so the
+    truncation is exact in IEEE terms. The kept values fold in ascending
+    time order via ``F.aggregate`` seeded with the oldest kept value,
+    the same left fold DuckDB's ``LIST_REDUCE`` runs, so the rounded
+    result hash-compares across engines.
+
+    Scale shape: one shuffle on the key for the rank window; the groupBy
+    that follows reuses the same hash partitioning. State is
+    lookback-bounded per key, never history-bounded. The streaming
+    companion is transformWithState with the same bounded deque.
+    """
+    order = [F.col("__ts").desc()] + (
+        [F.col("__tb").desc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wall = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        *( [F.col(tiebreak).alias("__tb")] if tiebreak else [] ),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+        "n_obs", F.count(F.lit(1)).over(wall)
+    ).withColumn("last_ts", F.max("__ts").over(wall))
+
+    obs_struct = F.struct(
+        F.col("__ts").alias("ts"),
+        *( [F.col("__tb").alias("tb")] if tiebreak else [] ),
+        F.col("__v").alias("v"),
+    )
+    kept = ranked.where(F.col("__rn") <= lookback)
+    agg = kept.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(obs_struct)).alias("os"),
+        F.max("n_obs").alias("n_obs"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    folded = F.aggregate(
+        F.slice(F.col("os"), 2, F.size("os") - 1),
+        F.element_at(F.col("os"), 1)["v"],
+        lambda acc, o: acc * F.lit(1.0 - alpha) + o["v"] * F.lit(alpha),
+    )
+    return agg.select(
+        *keys,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("last_ts"),
+        stable_round(folded, round_digits).alias("ewma"),
+    )

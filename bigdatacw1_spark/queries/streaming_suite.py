@@ -647,3 +647,41 @@ def ev_tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_distinct_users(_t(spark, sf_dir, "events"), minutes=60).orderBy(
         "wstart", "event_type"
     )
+
+
+@q(
+    "ev_ewma",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_obs,
+                   MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+            FROM events
+        ), kept AS (
+            SELECT * FROM ranked WHERE rn <= 64
+        ), folded AS (
+            SELECT user_id, MAX(n_obs) AS n_obs, MAX(last_ts) AS last_ts,
+                   LIST_REDUCE(LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                               (acc, x) -> acc * 0.5 + x * 0.5) AS s
+            FROM kept GROUP BY user_id
+        )
+        SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs, last_ts,
+               FLOOR(s * 10000.0 + 0.5) / 10000.0 AS ewma
+        FROM folded ORDER BY user_id
+    """,
+)
+def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/timeseries.ewma_last),
+    alpha=0.5 over the 64 most recent observations — the bounded-state
+    smoothed-level signal. Both engines seed the left fold with the
+    oldest kept value and fold acc*0.5 + x*0.5 in ascending
+    (ts, event_id) order, so the rounded result hash-compares exactly;
+    the 2^-64 truncated tail is below double resolution."""
+    from bigdatacw1_spark.operators.timeseries import ewma_last
+
+    return ewma_last(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+        alpha=0.5, lookback=64, tiebreak="event_id",
+    ).orderBy("user_id")
