@@ -583,3 +583,58 @@ def wh_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(
         ev, "value", F.col("ts") < F.lit("2024-01-16").cast("timestamp"), ["event_type"]
     ).orderBy("event_type")
+
+
+@q(
+    "wh_ivm_join_delta",
+    oracle="""
+        WITH a_base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+             a_delta AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+             b_base AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+             b_delta AS (SELECT * FROM customer WHERE c_custkey % 7 = 0),
+             new_v AS (
+                 SELECT o_orderkey, o_custkey, c_name, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+             ),
+             old_v AS (
+                 SELECT o_orderkey, o_custkey, c_name, o_totalprice
+                 FROM a_base JOIN b_base ON o_custkey = c_custkey
+             ),
+             delta AS (SELECT * FROM new_v EXCEPT SELECT * FROM old_v)
+        SELECT o_orderkey, o_custkey, c_name, o_totalprice,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'delta_fact'
+                    ELSE 'delta_dim' END AS src
+        FROM delta
+        ORDER BY o_orderkey
+    """,
+)
+def wh_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/warehouse.
+    ivm_join_delta): orders ending in 0 and customers divisible by 7
+    play the insert batches; the maintained delta for the denormalized
+    orders-x-customer view comes from two delta-broadcast joins, never a
+    full recompute. The oracle derives the same delta INDEPENDENTLY as
+    full-new-view EXCEPT full-old-view, validating the incremental
+    algebra, not mirroring it. Change-sized output."""
+    from bigdatacw1_spark.operators.warehouse import ivm_join_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dv = ivm_join_delta(
+        o.where(F.col("o_orderkey") % 10 != 0),
+        o.where(F.col("o_orderkey") % 10 == 0),
+        c.where(F.col("c_custkey") % 7 != 0),
+        c.where(F.col("c_custkey") % 7 == 0),
+        on=[("o_custkey", "c_custkey")],
+    )
+    return dv.select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("delta_fact"))
+        .otherwise(F.lit("delta_dim"))
+        .alias("src"),
+    ).orderBy("o_orderkey")

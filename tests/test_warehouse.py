@@ -326,3 +326,30 @@ def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
     assert got["same"]["psi"] == 0.0
     assert got["shift"]["psi"] > 0.5
     assert got["same"]["n_a"] == got["same"]["n_b"] == 200
+
+
+def test_ivm_join_delta_broadcasts_both_deltas_and_matches_recompute(spark):
+    """The two delta legs must plan as broadcast joins (neither full-size
+    side shuffles), and the incremental delta must equal the brute-force
+    new-view-minus-old-view recompute."""
+    from bigdatacw1_spark.operators.warehouse import ivm_join_delta
+
+    a = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(1, 101)], "ok long, ck long, amt double"
+    )
+    b = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(5)], "bk long, name string"
+    )
+    a_base, a_delta = a.where("ok % 10 != 0"), a.where("ok % 10 = 0")
+    b_base, b_delta = b.where("bk % 2 != 0"), b.where("bk % 2 = 0")
+
+    dv = ivm_join_delta(a_base, a_delta, b_base, b_delta, on=[("ck", "bk")])
+    plan = dv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+    new_v = a.join(b, a.ck == b.bk).select("ok", "ck", "name", "amt")
+    old_v = a_base.join(b_base, a_base.ck == b_base.bk).select("ok", "ck", "name", "amt")
+    expect = {tuple(r) for r in new_v.exceptAll(old_v).collect()}
+    got = {tuple(r) for r in dv.select("ok", "ck", "name", "amt").collect()}
+    assert got == expect and len(got) > 0
