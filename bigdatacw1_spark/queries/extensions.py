@@ -3638,3 +3638,53 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@q(
+    "ext_l_diversity",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   COUNT(DISTINCT user_id) AS l, COUNT(*) AS n_rows
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT SUM(l) AS sum_l, COUNT(*) AS n_classes FROM g
+        )
+        SELECT event_type, day,
+               CAST(l AS BIGINT) AS l,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               (l * n_classes < sum_l) AS below_mean_l
+        FROM g CROSS JOIN s
+        ORDER BY event_type, day
+    """,
+)
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-audit companion to ext_k_anonymity: l-diversity of the
+    sensitive attribute (user_id) within each (event_type, day)
+    quasi-identifier class. A class can be k-anonymous yet still leak if
+    nearly all its rows share one sensitive value; l counts the distinct
+    sensitive values per class. The release gate flags classes whose l
+    sits below the corpus mean via integer cross-multiplication
+    (l * n_classes < sum_l) — exact in any engine, no float threshold
+    (gopher_filter discipline). Exact per-class COUNT DISTINCT shuffles
+    on (class, user): at 100 TB swap in the HLL sketch
+    (ext_sketch_ndv) exactly as the dataset-card entry documents."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("l"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    s = g.agg(
+        F.sum("l").alias("sum_l"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return (
+        g.crossJoin(F.broadcast(s))
+        .select(
+            "event_type",
+            "day",
+            "l",
+            "n_rows",
+            (F.col("l") * F.col("n_classes") < F.col("sum_l")).alias("below_mean_l"),
+        )
+        .orderBy("event_type", "day")
+    )
