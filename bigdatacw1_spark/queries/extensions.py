@@ -491,21 +491,120 @@ def ext_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_ann_lsh_topk")
+def _ann_planes_values_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """The sign-LSH hyperplanes as a SQL VALUES list. The planes are
+    derived from sha256 in pure Python at import time (operators/
+    similarity._hyperplanes), so they can be embedded as literals —
+    repr() round-trips doubles exactly and DuckDB parses decimal
+    literals to the nearest double, giving both engines identical
+    plane bits and therefore identical bucket assignments."""
+    from bigdatacw1_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    return ",\n".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}])"
+        for p, plane in enumerate(planes)
+    )
+
+
+# Left-fold dot product: LIST_REDUCE seeds with the first element and adds
+# left-to-right — the same IEEE sequence as Spark's F.aggregate(zip_with)
+# fold (0.0 + x1 is exactly x1), so near-zero dot products sign identically.
+_DUCK_FOLD_DOT = (
+    "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {n} + 1), i -> {a}[i] * {b}[i]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@q(
+    "ext_ann_lsh_topk",
+    oracle=f"""
+        WITH p(pid, pv) AS (VALUES {_ann_planes_values_sql(4, 64)}),
+        vb AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT v AS qv FROM vb WHERE vec_id = 0
+        ), dots AS (
+            SELECT vb.vec_id, p.pid,
+                   {_DUCK_FOLD_DOT.format(n=64, a='v', b='pv')} AS d
+            FROM vb CROSS JOIN p
+        ), buckets AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << pid)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ), scored AS (
+            SELECT vb.vec_id, b.bucket,
+                   {_DUCK_FOLD_DOT.format(n=64, a='v', b='qv')} AS dq,
+                   SQRT({_DUCK_FOLD_DOT.format(n=64, a='v', b='v')}) AS nv,
+                   SQRT({_DUCK_FOLD_DOT.format(n=64, a='qv', b='qv')}) AS nq
+            FROM vb JOIN buckets b USING (vec_id) CROSS JOIN q
+        )
+        SELECT vec_id,
+               FLOOR((dq / (nv * nq)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+               bucket
+        FROM scored
+        WHERE bucket = (SELECT bucket FROM buckets WHERE vec_id = 0)
+          AND nv > 0 AND nq > 0
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+)
 def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-10: exact rescoring only within the
     query's bucket (~n/2^planes candidates). 4 planes here so the bucket
     holds a meaningful candidate set at test scale; at production scale
     use more planes and make the bucket id a partition column →
-    partition-pruned scan. Rows-only: bucket membership is hash-defined
-    (no SQL equivalent); scores-are-exact and recall-vs-brute-force are
-    pinned in tests/test_extensions.py and diag_ann_recall."""
+    partition-pruned scan. FULL oracle (promoted from rows-only): the
+    sha256-derived hyperplanes are embedded as SQL literals and both
+    engines compute every dot product with the identical left fold, so
+    bucket membership AND rounded scores hash-compare exactly; the
+    recall-vs-brute-force invariant stays pinned in
+    tests/test_extensions.py and diag_ann_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_topk(emb, [float(x) for x in qvec], k=10, n_planes=4)
 
 
-@q("ext_ann_multiprobe")
+@q(
+    "ext_ann_multiprobe",
+    oracle=f"""
+        WITH p(pid, pv) AS (VALUES {_ann_planes_values_sql(6, 64)}),
+        vb AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT v AS qv FROM vb WHERE vec_id = 0
+        ), dots AS (
+            SELECT vb.vec_id, p.pid,
+                   {_DUCK_FOLD_DOT.format(n=64, a='v', b='pv')} AS d
+            FROM vb CROSS JOIN p
+        ), buckets AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << pid)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ), scored AS (
+            SELECT vb.vec_id, b.bucket,
+                   {_DUCK_FOLD_DOT.format(n=64, a='v', b='qv')} AS dq,
+                   SQRT({_DUCK_FOLD_DOT.format(n=64, a='v', b='v')}) AS nv,
+                   SQRT({_DUCK_FOLD_DOT.format(n=64, a='qv', b='qv')}) AS nq
+            FROM vb JOIN buckets b USING (vec_id) CROSS JOIN q
+        )
+        SELECT vec_id,
+               FLOOR((dq / (nv * nq)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+               bucket
+        FROM scored
+        WHERE BIT_COUNT(XOR(bucket,
+                (SELECT bucket FROM buckets WHERE vec_id = 0))) <= 1
+          AND nv > 0 AND nq > 0
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+)
 def ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH ANN top-10: scan the query's bucket PLUS all
     Hamming-1 neighbor buckets (probe_bits=1 → 7 of 2^6 buckets at 6
@@ -513,8 +612,10 @@ def ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     land on either side ~50/50, so probing the 1-bit neighbors recovers
     most misses for ~n_planes× the scanned fraction — still an IN-list
     pruned scan, vs doubling the plane count which costs recall.
-    Rows-only (bucket membership is hash-defined); recall monotonicity
-    vs probe_bits is asserted in tests/test_extensions.py."""
+    FULL oracle (promoted from rows-only): literal-embedded planes +
+    identical left-fold dots, probe set expressed as
+    BIT_COUNT(XOR(bucket, qbucket)) <= 1; recall monotonicity vs
+    probe_bits stays asserted in tests/test_extensions.py."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
     return lsh_topk(emb, qvec, k=10, n_planes=6, probe_bits=1)
