@@ -201,9 +201,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_gif(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only PNG, GIF and BMP decode stdlib-side; entropy-coded codecs "
-        "(JPEG/...) require image libraries not present in this environment"
+        "only PNG, GIF, BMP and baseline JPEG decode here; other "
+        "entropy-coded codecs (MP3/HEIC/...) require libraries not "
+        "present in this environment"
     )
 
 
@@ -1138,3 +1141,458 @@ def batch_embed(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=EMBED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — real entropy-coded codec, numpy + stdlib only.
+# Closes the "entropy-coded codecs raise loudly" gap for the most common
+# crawl image format. Encoder exists to build fixtures; decoder is general
+# baseline (canonical Huffman from DHT, dequant, de-zigzag, float IDCT,
+# restart markers), grayscale or 4:4:4 YCbCr. Progressive (SOF2), arithmetic
+# coding and subsampled chroma still raise loudly.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K Table K.1 (luminance quantization, natural row-major order).
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K Tables K.3 / K.5: luminance DC and AC Huffman specs
+# (counts per code length 1..16, then symbol values in code order).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_basis():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude-bits) per T.81 F.1.2.1: negatives store v + 2^t - 1."""
+    t = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _encode_jpeg_planes(width: int, height: int, planes: list, quant: list[int] | None = None) -> bytes:
+    """Baseline-JPEG core shared by the grayscale and 4:4:4 encoders:
+    2D orthonormal DCT per 8x8 block, floor(x/q + 0.5) quantization,
+    zigzag, per-component DC predictors, run-length AC, canonical
+    Annex-K Huffman tables (shared by all components), interleaved MCUs,
+    stuffed entropy stream. Dimensions must be block-aligned (fixture
+    generator's limitation, not the decoder's)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("JPEG encoder requires 8-aligned dimensions")
+    q = np.array(quant or _JPEG_QL, dtype=np.float64).reshape(8, 8)
+    a = _dct_basis()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    preds = [0] * len(planes)
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci, plane in enumerate(planes):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                s = a @ block @ a.T
+                c = np.floor(s / q + 0.5).astype(np.int64)
+                zz = [int(c.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                t, bits = _jpeg_magnitude(diff)
+                code, length = dc_codes[t]
+                w.write(code, length)
+                if t:
+                    w.write(bits, t)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]  # ZRL
+                        w.write(zc, zl)
+                        run -= 16
+                    t, bits = _jpeg_magnitude(zz[k])
+                    code, length = ac_codes[(run << 4) | t]
+                    w.write(code, length)
+                    w.write(bits, t)
+                    run = 0
+                if last_nz < 63:
+                    ec, el = ac_codes[0x00]  # EOB
+                    w.write(ec, el)
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    n = len(planes)
+    qzz = bytes(int(q.flat[_JPEG_ZIGZAG[k]]) for k in range(64))
+    dqt = seg(0xFFDB, b"\x00" + qzz)
+    sof_comps = b"".join(bytes((cid + 1, 0x11, 0)) for cid in range(n))
+    sof = seg(0xFFC0, _struct.pack(">BHHB", 8, height, width, n) + sof_comps)
+    dht = seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
+        0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos_comps = b"".join(bytes((cid + 1, 0x00)) for cid in range(n))
+    sos = seg(0xFFDA, bytes((n,)) + sos_comps + bytes((0, 63, 0)))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant: list[int] | None = None) -> bytes:
+    """Spec-valid baseline grayscale JPEG (see _encode_jpeg_planes)."""
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64).reshape(height, width)
+    return _encode_jpeg_planes(width, height, [img], quant)
+
+
+def encode_jpeg_ycbcr444(width: int, height: int, rgb: bytes, quant: list[int] | None = None) -> bytes:
+    """Spec-valid baseline 4:4:4 color JPEG: JFIF full-range RGB→YCbCr,
+    then three interleaved components through the shared core — exists
+    so the decoder's color path is exercised by real fixtures."""
+    import numpy as np
+
+    img = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64).reshape(height, width, 3)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return _encode_jpeg_planes(width, height, [y, cb, cr], quant)
+
+
+class _BitReader:
+    """MSB-first entropy-stream reader with 0xFF00 unstuffing. Restart
+    markers (FFD0-FFD7) byte-align and signal via ``restart_seen``;
+    any other marker ends the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+        self.restart_seen = False
+
+    def _fill(self) -> None:
+        if self.done or self.pos >= len(self.data):
+            self.done = True
+            return
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                self.acc, self.nbits = 0, 0  # byte-align at restart
+                self.restart_seen = True
+                self._fill()
+                return
+            else:
+                self.done = True  # real marker: scan over
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("JPEG entropy stream truncated")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(bits: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t amplitude bits back to a signed value."""
+    if t == 0:
+        return 0
+    return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG decode (ITU-T T.81), numpy + stdlib only:
+    marker walk, canonical Huffman tables from DHT, DC-difference +
+    run-length AC entropy decode with byte unstuffing and restart
+    markers, dequantize, de-zigzag, float IDCT (orthonormal basis),
+    level shift with floor(x + 0.5) rounding, clamp. Grayscale returns
+    1 channel; 4:4:4 three-component scans convert YCbCr->RGB (JFIF
+    full-range). Progressive (SOF2), arithmetic coding (SOF9+),
+    hierarchical and subsampled chroma raise NotImplementedError —
+    loudly, never a wrong pixel."""
+    import struct as _struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    width = height = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, td, ta)
+    data_start = -1
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = _struct.unpack(">H", b[pos : pos + 2])
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                sp += 1
+                if pq == 0:
+                    vals = list(seg[sp : sp + 64])
+                    sp += 64
+                else:
+                    vals = [
+                        _struct.unpack(">H", seg[sp + 2 * k : sp + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    sp += 128
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZIGZAG[k]] = vals[k]
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + n])
+                sp += 17 + n
+                codes = _jpeg_canonical_codes(bits, vals)
+                htables[(tc, th)] = {(c, l): sym for sym, (c, l) in codes.items()}
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = _struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision}")
+            for k in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if any(h != 1 or v != 1 for _, h, v, _ in comps) and ncomp > 1:
+                raise NotImplementedError("subsampled chroma (only 4:4:4 supported)")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0) decodes"
+            )
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, tdta >> 4, tdta & 0x0F))
+            data_start = pos + seglen
+            break
+        pos += seglen
+    if not comps or data_start < 0:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    a = _dct_basis()
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    planes = [np.zeros((mcuy * 8, mcux * 8)) for _ in comps]
+    br = _BitReader(b, data_start)
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if br.restart_seen:
+                preds = [0] * len(comps)
+                br.restart_seen = False
+            for ci, td, ta in scan:
+                dc_t = htables[(0, td)]
+                ac_t = htables[(1, ta)]
+                q = qtables[comps[ci][3]]
+                zz = [0] * 64
+                t = _huff_decode(br, dc_t)
+                diff = _jpeg_extend(br.read_bits(t), t)
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    zz[k] = _jpeg_extend(br.read_bits(sym & 0x0F), sym & 0x0F)
+                    k += 1
+                s = np.zeros((8, 8))
+                for k in range(64):
+                    s.flat[_JPEG_ZIGZAG[k]] = zz[k] * q[_JPEG_ZIGZAG[k]]
+                block = a.T @ s @ a + 128.0
+                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+    out = [np.clip(np.floor(p[:height, :width] + 0.5), 0, 255) for p in planes]
+    if len(out) == 1:
+        return width, height, 1, out[0].astype(np.uint8).tobytes()
+    if len(out) == 3:
+        y, cb, cr = out
+        r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        g = np.clip(
+            np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0, 255
+        )
+        bl = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        rgb = np.stack([r, g, bl], axis=-1).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
+    raise NotImplementedError(f"JPEG with {len(out)} components")
+
+
+def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of FULL, decodable baseline JPEGs: per id a
+    grayscale image of (id%4+1)*8 x (id%3+1)*8 whose 8x8 block (bx, by)
+    is the constant EVEN value 2*((id*17 + by*5 + bx*11) % 128).
+    Even-valued constant blocks quantize and reconstruct EXACTLY under
+    the Annex-K table (DC = 8(v-128), q00 = 16, all float floor
+    boundaries land strictly inside intervals), so the lossy codec is
+    lossless on these fixtures and a SQL oracle predicts every decoded
+    pixel as p = v. The decoder path exercised is the fully general one
+    (Huffman, zigzag, dequant, IDCT); gradient round-trip tests cover
+    the nonzero-AC path where exactness is replaced by error bounds."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = (i % 4 + 1) * 8, (i % 3 + 1) * 8
+            px = bytes(
+                2 * ((i * 17 + (y // 8) * 5 + (x // 8) * 11) % 128)
+                for y in range(h)
+                for x in range(w)
+            )
+            return encode_jpeg_gray(w, h, px)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)

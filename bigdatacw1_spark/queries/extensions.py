@@ -3789,3 +3789,45 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@q(
+    "ext_mm_jpeg",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 8 AS h
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS g),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, x.g AS x, y.g AS y,
+                   2 * ((d.doc_id * 17 + (y.g // 8) * 5 + (x.g // 8) * 11) % 128) AS p
+            FROM dims d
+            JOIN nums x ON x.g < d.w
+            JOIN nums y ON y.g < d.h
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(1 AS INT) AS n_channels,
+               CAST(SUM(p) AS BIGINT) AS pixel_sum,
+               CAST(SUM(p * (y * w + x + 1)) AS BIGINT) AS pixel_checksum
+        FROM px
+        GROUP BY 1, 2, 3, 4
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (operators/multimodal.decode_jpeg —
+    canonical Huffman from DHT, DC-diff + run-length AC entropy decode
+    with byte unstuffing, dequantize, de-zigzag, float IDCT). Fixtures
+    (synth_jpeg_corpus) are even-valued constant-block images, which the
+    Annex-K quantizer reconstructs EXACTLY (p = v), so the DuckDB oracle
+    predicts every decoded pixel arithmetically; sum + position-weighted
+    checksum catch a wrong Huffman table, zigzag, stride, or predictor
+    reset. The nonzero-AC lossy path is bounded-error round-trip tested
+    in tests/test_formats.py. Same Arrow-batched decode_images plumbing
+    as PNG/GIF/BMP."""
+    from bigdatacw1_spark.operators.multimodal import decode_images, synth_jpeg_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    return decode_images(synth_jpeg_corpus(docs)).orderBy("doc_id")

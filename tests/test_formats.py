@@ -234,3 +234,79 @@ def test_http_response_parts_edges(spark):
     assert (got[2]["s"], got[2]["ct"], got[2]["b"]) == (301, None, "")
     assert (got[3]["s"], got[3]["b"]) == (None, "just raw bytes, no http envelope")
     assert (got[4]["s"], got[4]["ct"], got[4]["b"]) == (200, "application/json", "{}")
+
+
+def test_jpeg_dc_only_fixtures_roundtrip_exactly():
+    """Even-valued constant-block images survive the Annex-K quantizer
+    exactly (DC = 8(v-128), q00 = 16), so the REAL lossy codec must be
+    lossless on the synth_jpeg_corpus fixture family."""
+    from bigdatacw1_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    for i in (0, 5, 17, 40, 63):
+        w, h = (i % 4 + 1) * 8, (i % 3 + 1) * 8
+        px = bytes(
+            2 * ((i * 17 + (y // 8) * 5 + (x // 8) * 11) % 128)
+            for y in range(h)
+            for x in range(w)
+        )
+        dw, dh, ch, out = decode_jpeg(encode_jpeg_gray(w, h, px))
+        assert (dw, dh, ch) == (w, h, 1)
+        assert out == px
+
+
+def test_jpeg_gradient_roundtrip_error_bounds():
+    """Nonzero-AC path (runs, ZRL, EOB, magnitude coding both signs):
+    q=1 must be near-lossless (|err| <= 1 from DCT float rounding);
+    the standard table stays a bounded lossy approximation."""
+    import numpy as np
+
+    from bigdatacw1_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(3)
+    w, h = 32, 24
+    img = (
+        (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5 + rng.randint(0, 30, (h, w)))
+        % 256
+    ).astype(np.uint8)
+    _, _, _, out = decode_jpeg(encode_jpeg_gray(w, h, img.tobytes(), quant=[1] * 64))
+    err = np.abs(np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(int) - img.astype(int))
+    assert err.max() <= 1
+    _, _, _, out = decode_jpeg(encode_jpeg_gray(w, h, img.tobytes()))
+    err = np.abs(np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(int) - img.astype(int))
+    assert err.mean() < 20
+
+
+def test_jpeg_color_444_roundtrip_and_loud_failures():
+    import numpy as np
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr444,
+    )
+
+    rng = np.random.RandomState(5)
+    w, h = 16, 16
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dw, dh, ch, out = decode_jpeg(encode_jpeg_ycbcr444(w, h, rgb.tobytes(), quant=[1] * 64))
+    assert (dw, dh, ch) == (w, h, 3)
+    err = np.abs(np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int) - rgb.astype(int))
+    assert err.max() <= 4  # YCbCr<->RGB rounding only
+
+    # progressive (SOF2) must refuse loudly, not misdecode
+    jp = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    sof = jp.index(b"\xff\xc0")
+    jp[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(jp))
+
+    # subsampled chroma (4:2:0) must refuse loudly
+    jp = bytearray(encode_jpeg_ycbcr444(8, 8, bytes(192)))
+    sof = jp.index(b"\xff\xc0")
+    jp[sof + 11] = 0x22  # Y component h=2, v=2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(jp))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + bytes(16))
