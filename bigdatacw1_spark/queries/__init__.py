@@ -42,7 +42,10 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # ext_embed_norm_outliers, ext_simhash_pairs, ext_kmeans_verified,
 # wh_drift_ks, wh_drift_psi, ext_mm_gif, ext_mm_bmp, ext_k_anonymity,
 # ext_simhash_clusters, ext_source_overlap, ext_embed_decontaminate).
-# That covers nearly everything still unchecked; round 6 mops up the tail.
+# That covers nearly everything still unchecked; round 6 mops up the tail,
+# including this session's post-staging additions (ext_bm25_topk, ev_ewma,
+# wh_ivm_join_delta, ext_l_diversity, ext_mm_jpeg, and the promoted
+# ext_ann_lsh_topk / ext_ann_multiprobe full oracles).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)
