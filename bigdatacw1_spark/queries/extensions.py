@@ -3831,3 +3831,55 @@ def ext_mm_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
     return decode_images(synth_jpeg_corpus(docs)).orderBy("doc_id")
+
+
+def _bpe_oracle_replaces(expr: str) -> str:
+    from bigdatacw1_spark.functions.text import BPE_MERGES_DEFAULT
+
+    for a, b in BPE_MERGES_DEFAULT:
+        expr = f"REPLACE({expr}, '{a}  {b}', '{a}{b}')"
+    return expr
+
+
+@q(
+    "ext_bpe_tokenize",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   LIST_FILTER({_DUCK_TOKS},
+                               w -> REGEXP_MATCHES(w, '^[a-z0-9]+$')) AS ws
+            FROM documents
+        ), f AS (
+            SELECT doc_id, ws,
+                   {_bpe_oracle_replaces(
+                       "ARRAY_TO_STRING(LIST_TRANSFORM(ws, "
+                       "w -> ARRAY_TO_STRING(STR_SPLIT(w, ''), '  ')), ' | ')"
+                   )} AS s
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(LEN(ws) AS BIGINT) AS n_words,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, w -> LENGTH(w))), 0)
+                    AS BIGINT) AS n_chars,
+               CAST(CASE WHEN LEN(ws) = 0 THEN 0
+                         ELSE (LENGTH(s) - LENGTH(REPLACE(s, '  ', ''))) // 2
+                              + LEN(ws) END AS BIGINT) AS n_tokens,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, w -> LENGTH(w))), 0)
+                    - CASE WHEN LEN(ws) = 0 THEN 0
+                           ELSE (LENGTH(s) - LENGTH(REPLACE(s, '  ', ''))) // 2
+                                + LEN(ws) END AS BIGINT) AS chars_saved
+        FROM f
+        ORDER BY doc_id
+    """,
+)
+def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocabulary BPE token counting (functions/text.bpe_segment):
+    characters flattened with word boundaries, the merge table applied
+    as sequential left-to-right non-overlapping replacements — greedy
+    BPE merge semantics, identical to REPLACE in both engines, so the
+    counts are integer-exact. One row-local expression chain per doc: a
+    100 TB corpus tokenizes in a single scan with no shuffle. The
+    context-window budgeting primitive behind ext_pack_sequences."""
+    from bigdatacw1_spark.functions.text import bpe_segment
+
+    return bpe_segment(_t(spark, sf_dir, "documents")).orderBy("doc_id")

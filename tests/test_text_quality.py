@@ -363,3 +363,20 @@ def test_bm25_ranks_stuffed_doc_first_and_fuses_topk(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_segment_merge_semantics(spark):
+    """Pinned greedy-merge arithmetic: 'the'→1 token (t+h→th, th+e→the),
+    'scan'→1 (s+c→sc, sc+a→sca, sca+n→scan), 'window'→4 (w+i→wi,
+    wi+n→win, d, o, w — later merges never re-pair across the consumed
+    prefix), punctuation-bearing words are excluded from segmentation."""
+    from bigdatacw1_spark.functions.text import bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "The scan WINDOW"), (2, "a, b!"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_segment(df).collect()}
+    assert (rows[1].n_words, rows[1].n_chars, rows[1].n_tokens, rows[1].chars_saved) == (3, 13, 6, 7)
+    assert (rows[2].n_words, rows[2].n_tokens) == (0, 0)  # 'a,'/'b!' not alnum
+    assert (rows[3].n_words, rows[3].n_chars, rows[3].n_tokens) == (0, 0, 0)
