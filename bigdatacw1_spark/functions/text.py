@@ -700,3 +700,64 @@ def bpe_segment(
         n_tokens.cast("long").alias("n_tokens"),
         (n_chars - n_tokens).cast("long").alias("chars_saved"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train a BPE merge table on the corpus itself — the real
+    Sennrich-style algorithm, distributed: start from characters, then
+    per round (1) count every adjacent symbol pair across the corpus
+    (explode → hash aggregate with map-side combine), (2) take the
+    most frequent pair (ties break lexicographically for determinism),
+    (3) apply that merge corpus-wide as a left-to-right replacement,
+    repeat. Returns a DataFrame (rank, mleft, mright, pair_count).
+
+    Each round is one shuffle over pair counts; the argmax is a ONE-ROW
+    driver collect per round (bounded by n_merges, the mixture_sample
+    discipline), which then folds into the next round's expression as a
+    literal. Cost is n_merges corpus scans — the published trade-off of
+    exact BPE training; production vocabularies batch multiple merges
+    per count round, trading exactness for passes, and the fixed-table
+    applier (bpe_segment) is the hot-path consumer either way.
+    """
+    words0 = F.filter(tokens(text_col), lambda w: w.rlike("^[a-z0-9]+$"))
+    flat0 = F.array_join(
+        F.transform(words0, lambda w: F.array_join(F.split(w, ""), "  ")), " | "
+    )
+    state = df.select(F.col(id_col), flat0.alias("s"))
+    spark = df.sparkSession
+    found: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        word = F.explode(F.split(F.col("s"), r" \| ")).alias("w")
+        syms = F.split(F.col("w"), "  ")
+        pairs = F.array_compact(
+            F.zip_with(
+                syms,
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r"))),
+            )
+        )
+        top = (
+            state.select(word)
+            .where(F.col("w") != "")
+            .select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0].l, top[0].r, int(top[0].c)
+        found.append((rank, l, r, c))
+        state = state.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f"{l}  {r}"), F.lit(l + r))
+        )
+    return spark.createDataFrame(
+        found, "rank long, mleft string, mright string, pair_count long"
+    )

@@ -3883,3 +3883,52 @@ def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import bpe_segment
 
     return bpe_segment(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_BPE_FLAT = (
+    "ARRAY_TO_STRING(LIST_TRANSFORM("
+    f"LIST_FILTER({_DUCK_TOKS}, w -> REGEXP_MATCHES(w, '^[a-z0-9]+$')), "
+    "w -> ARRAY_TO_STRING(STR_SPLIT(w, ''), '  ')), ' | ')"
+)
+
+
+def _bpe_train_oracle(n_merges: int = 3) -> str:
+    """Unrolled replay of exact BPE training: per round, pair counts from
+    the current state, deterministic argmax, literal merge application."""
+    parts = [f"WITH s0 AS (SELECT doc_id, {_BPE_FLAT} AS s FROM documents)"]
+    for i in range(n_merges):
+        parts.append(f"""
+        , pc{i} AS (
+            SELECT sy[i] AS l, sy[i + 1] AS r, COUNT(*) AS c
+            FROM (
+                SELECT STR_SPLIT(w, '  ') AS sy
+                FROM (SELECT UNNEST(STR_SPLIT(s, ' | ')) AS w FROM s{i})
+                WHERE w <> ''
+            ), UNNEST(GENERATE_SERIES(1, LEN(sy) - 1)) AS t(i)
+            GROUP BY 1, 2
+        ), m{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1)
+        , s{i + 1} AS (
+            SELECT doc_id,
+                   REPLACE(s, (SELECT l || '  ' || r FROM m{i}),
+                              (SELECT l || r FROM m{i})) AS s
+            FROM s{i}
+        )""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS rank, l AS mleft, r AS mright, CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(n_merges)
+    )
+    return "".join(parts) + sel + "\nORDER BY rank"
+
+
+@q("ext_bpe_train", oracle=_bpe_train_oracle(3))
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed BPE training (functions/text.bpe_train): three
+    rounds of corpus-wide adjacent-pair counting, deterministic argmax,
+    corpus-wide merge application. The oracle replays every round
+    UNROLLED in SQL — pair counts, tie-broken argmax, and the literal
+    replacement — so the learned table matches exactly, not just
+    plausibly. Each round is one map-side-combined pair aggregate plus a
+    one-row driver collect (bounded by n_merges)."""
+    from bigdatacw1_spark.functions.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=3).orderBy("rank")
