@@ -448,7 +448,8 @@ def kmeans_quantized(
     scale: int = 10000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Distributed Lloyd k-means whose assignments are EXACTLY
     reproducible in any engine — the verifiable anchor for the k-means
     the IVF index and SemDeDup use internally (those use float
@@ -518,4 +519,5 @@ def kmeans_quantized(
                 new_cents[cl][r["j"]] = int(math.floor(r["s"] / r["n"] + 0.5))
         cents = new_cents
 
-    return assign(cents)
+    out = assign(cents)
+    return (out, cents) if return_centroids else out

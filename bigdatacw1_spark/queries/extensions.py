@@ -3932,3 +3932,138 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=3).orderBy("rank")
+
+
+# The unrolled two-iteration quantized-Lloyd replay shared with
+# ext_kmeans_verified, exposed as a CTE block so the verified-IVF oracle
+# can build probe + candidate sets on top of the identical clustering.
+_KMEANS_REPLAY_CTES = """
+        v AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS xq
+            FROM embeddings
+        ), dims AS (SELECT UNNEST(RANGE(1, 65)) AS j),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, xq AS c
+            FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT 4)
+        ),
+        a1 AS (
+            SELECT v.vec_id,
+                   MIN_BY(c0.cidx,
+                          LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                              j -> (v.xq[j] - c0.c[j]) * (v.xq[j] - c0.c[j]))) * 8 + c0.cidx) AS cluster
+            FROM v CROSS JOIN c0 GROUP BY v.vec_id
+        ),
+        u1 AS (
+            SELECT a1.cluster AS cidx, dims.j,
+                   CAST(FLOOR(SUM(v.xq[dims.j]) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cj
+            FROM a1 JOIN v USING (vec_id) CROSS JOIN dims
+            GROUP BY a1.cluster, dims.j
+        ),
+        c1 AS (
+            SELECT c0.cidx, COALESCE(u.c, c0.c) AS c
+            FROM c0 LEFT JOIN (SELECT cidx, LIST(cj ORDER BY j) AS c FROM u1 GROUP BY cidx) u
+            USING (cidx)
+        ),
+        a2 AS (
+            SELECT v.vec_id,
+                   MIN_BY(c1.cidx,
+                          LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                              j -> (v.xq[j] - c1.c[j]) * (v.xq[j] - c1.c[j]))) * 8 + c1.cidx) AS cluster
+            FROM v CROSS JOIN c1 GROUP BY v.vec_id
+        ),
+        u2 AS (
+            SELECT a2.cluster AS cidx, dims.j,
+                   CAST(FLOOR(SUM(v.xq[dims.j]) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cj
+            FROM a2 JOIN v USING (vec_id) CROSS JOIN dims
+            GROUP BY a2.cluster, dims.j
+        ),
+        c2 AS (
+            SELECT c1.cidx, COALESCE(u.c, c1.c) AS c
+            FROM c1 LEFT JOIN (SELECT cidx, LIST(cj ORDER BY j) AS c FROM u2 GROUP BY cidx) u
+            USING (cidx)
+        ),
+        a3 AS (
+            SELECT v.vec_id,
+                   MIN_BY(c2.cidx,
+                          LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                              j -> (v.xq[j] - c2.c[j]) * (v.xq[j] - c2.c[j]))) * 8 + c2.cidx) AS cluster
+            FROM v CROSS JOIN c2 GROUP BY v.vec_id
+        )
+"""
+
+
+@q(
+    "ext_ann_ivf_verified",
+    oracle=f"""
+        WITH {_KMEANS_REPLAY_CTES},
+        qv AS (SELECT xq FROM v WHERE vec_id = 0),
+        probe AS (
+            SELECT c2.cidx FROM c2 CROSS JOIN qv
+            ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                         j -> (qv.xq[j] - c2.c[j]) * (qv.xq[j] - c2.c[j]))) * 8 + c2.cidx
+            LIMIT 2
+        ),
+        vb AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ),
+        q2 AS (SELECT vd AS qd FROM vb WHERE vec_id = 0),
+        scored AS (
+            SELECT a3.vec_id, CAST(a3.cluster AS INT) AS cluster,
+                   {_DUCK_FOLD_DOT.format(n=64, a='vd', b='qd')} AS dq,
+                   SQRT({_DUCK_FOLD_DOT.format(n=64, a='vd', b='vd')}) AS nv,
+                   SQRT({_DUCK_FOLD_DOT.format(n=64, a='qd', b='qd')}) AS nq
+            FROM a3 JOIN vb USING (vec_id) CROSS JOIN q2
+            WHERE a3.cluster IN (SELECT cidx FROM probe)
+        )
+        SELECT vec_id,
+               FLOOR((dq / (nv * nq)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+               cluster
+        FROM scored
+        WHERE nv > 0 AND nq > 0
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+)
+def ext_ann_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FULLY VERIFIED index: cells come from the
+    integer-quantized Lloyd clustering (kmeans_quantized, the
+    ext_kmeans_verified algorithm), the query probes its 2 nearest
+    cells by exact BIGINT centroid distance (dist*8 + cidx tie-break,
+    same discipline as assignment), and exact cosine rescoring runs
+    inside the probed cells with the engine-identical left-fold dot.
+    The oracle replays the ENTIRE pipeline — two Lloyd rounds, final
+    assignment, probe selection, scoring — so this is an end-to-end
+    hash-checked ANN index, complementing the float-kmeans
+    ext_ann_ivf_topk whose recall is invariant-checked only."""
+    import math
+
+    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_quantized(emb, k=4, iters=2, return_centroids=True)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qq = [int(math.floor(x * 10000.0 + 0.5)) for x in qvec]
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, c)) * 8 + i, i)
+        for i, c in enumerate(cents)
+    )
+    probe = [i for _, i in ranked[:2]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    return (
+        assigned.where(F.col("cluster").isin(probe))
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            stable_round(cosine(as_double(F.col("embedding")), qlit), 6).alias("score"),
+            F.col("cluster").cast("int").alias("cluster"),
+        )
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
