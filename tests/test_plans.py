@@ -301,3 +301,35 @@ def test_late_round4_quality_entries_are_python_free_and_join_safe(spark):
         assert not has_python_eval(df), f"{name}: Python eval in plan"
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_session_r4b_entries_are_python_free_and_join_safe(spark):
+    """The retrieval/IVM/tokenizer batch stays JVM-side and
+    cartesian-free (one-row broadcast stats plan as BroadcastNestedLoop,
+    never CartesianProduct). ext_mm_jpeg is deliberately absent: its
+    decode is an Arrow mapInPandas stage."""
+    for name in [
+        "ext_bm25_topk",
+        "ext_bpe_tokenize",
+        "ext_l_diversity",
+        "ev_ewma",
+        "wh_ivm_join_delta",
+    ]:
+        df = _df(spark, name)
+        assert not has_python_eval(df), f"{name}: Python eval in plan"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_bpe_tokenize_is_single_scan_no_shuffle(spark):
+    """bpe_segment is a row-local expression chain: the counting plan
+    must contain no Exchange at all (the orderBy in the registry entry
+    is presentation; the operator itself never shuffles)."""
+    from bigdatacw1_spark.functions.text import bpe_segment
+    from bigdatacw1_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    df = bpe_segment(load_table(spark, SF_SMALL, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan

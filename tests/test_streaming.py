@@ -857,3 +857,32 @@ def test_psi_monitor_stream_equals_batch_psi(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
     # observed totals cover the full stream (every event counted once)
     assert sum(v[0] for v in got.values()) == static.count()
+
+
+def test_streaming_ewma_matches_batch_operator(spark, events_dir):
+    """Bounded-state streaming EWMA: after the 4-micro-batch stream
+    drains, the LATEST emission per user must equal the pure-SQL batch
+    operator (ewma_last) — two independent implementations of the same
+    bounded fold, one incremental with merge-truncated state, one a
+    rank-window + array fold. Values, counts and last_ts all match."""
+    from bigdatacw1_spark.operators.timeseries import ewma_last
+    from bigdatacw1_spark.streaming.ewma_state import run_ewma_stream_to_memory
+
+    q = run_ewma_stream_to_memory(spark, events_dir, table_name="ewma_out")
+    assert q.awaitTermination(120)  # False = timed out with the query still running
+    assert len(q.recentProgress) > 1  # really incremental
+
+    from pyspark.sql import Window
+
+    got_all = spark.table("ewma_out")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_obs"))
+    latest = (
+        got_all.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1).drop("__r")
+    )
+    static = spark.read.parquet(events_dir)
+    want = ewma_last(static, ["user_id"], "ts", "value", alpha=0.5, lookback=64,
+                     tiebreak="event_id")
+    got_rows = sorted(tuple(r) for r in latest.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert len(want_rows) > 0
+    assert got_rows == want_rows
