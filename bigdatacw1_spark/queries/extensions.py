@@ -4067,3 +4067,116 @@ def ext_ann_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@q(
+    "ext_hybrid_rrf",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), d AS (
+            SELECT doc_id, LEN(toks) AS dl,
+                   {_BM25_TF}
+            FROM base
+        ), s AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {_BM25_DF}
+            FROM d
+        ), bm AS (
+            SELECT doc_id, FLOOR(({_BM25_SCORE}) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM d CROSS JOIN s
+        ), sparse AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                                AS BIGINT) AS r
+            FROM bm ORDER BY score DESC, doc_id LIMIT 20
+        ), vb AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q2 AS (SELECT v AS qv FROM vb WHERE vec_id = 0),
+        cos AS (
+            SELECT vec_id,
+                   FLOOR(({_DUCK_FOLD_DOT.format(n=64, a='v', b='qv')}
+                          / (SQRT({_DUCK_FOLD_DOT.format(n=64, a='v', b='v')})
+                             * SQRT({_DUCK_FOLD_DOT.format(n=64, a='qv', b='qv')})))
+                         * 1000000.0 + 0.5) / 1000000.0 AS score
+            FROM vb CROSS JOIN q2
+            WHERE {_DUCK_FOLD_DOT.format(n=64, a='v', b='v')} > 0
+        ), dense AS (
+            SELECT vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id)
+                        AS BIGINT) AS r
+            FROM cos ORDER BY score DESC, vec_id LIMIT 20
+        ), fused AS (
+            SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+                   sp.r AS sparse_rank, de.r AS dense_rank,
+                   COALESCE(1.0 / (60 + sp.r), 0.0)
+                     + COALESCE(1.0 / (60 + de.r), 0.0) AS rrf
+            FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
+        )
+        SELECT doc_id, sparse_rank, dense_rank,
+               FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
+    """,
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 sparse list
+    (query "spark stream join") and the dense cosine list (probe vector
+    vec_id 0, vec_id doubling as the document's embedding id in the
+    driver's synthetic pairing) each contribute 1/(60+rank) over their
+    top-20, fused with a FULL OUTER join so single-leg hits still score.
+    Both legs reuse the engine-identical scoring folds of their parent
+    entries (ext_bm25_topk, ext_cosine_topk), ranks are integers, and
+    the two fusion terms add in fixed order — so the fused ordering
+    hash-compares exactly. The standard first-stage ranker of a RAG
+    stack, all JVM-side."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import bm25_topk
+    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    sparse = bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("sparse_rank"),
+    )
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    dense = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            stable_round(cosine(as_double(F.col("embedding")), qlit), 6).alias("score"),
+        )
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long")
+            .alias("dense_rank"),
+        )
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sparse_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "sparse_rank",
+            "dense_rank",
+            stable_round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
