@@ -4180,3 +4180,78 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@q(
+    "ext_semantic_dedup_verified",
+    oracle=f"""
+        WITH {_KMEANS_REPLAY_CTES},
+        vb AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ),
+        av AS (
+            SELECT a3.vec_id, a3.cluster, vb.vd
+            FROM a3 JOIN vb USING (vec_id)
+        ),
+        dom AS (
+            SELECT b.vec_id, COUNT(*) AS n_dominators
+            FROM av a JOIN av b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE FLOOR(({_DUCK_FOLD_DOT.format(n=64, a='a.vd', b='b.vd')}
+                         / (SQRT({_DUCK_FOLD_DOT.format(n=64, a='a.vd', b='a.vd')})
+                            * SQRT({_DUCK_FOLD_DOT.format(n=64, a='b.vd', b='b.vd')})))
+                        * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+            GROUP BY b.vec_id
+        )
+        SELECT av.vec_id,
+               CAST(av.cluster AS INT) AS cluster,
+               CAST(COALESCE(dom.n_dominators, 0) AS BIGINT) AS n_dominators,
+               (dom.vec_id IS NULL) AS kept
+        FROM av LEFT JOIN dom USING (vec_id)
+        ORDER BY av.vec_id
+    """,
+)
+def ext_semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a fully hash-checked pipeline: cells from the
+    integer-quantized Lloyd clustering, then within each cell a vector
+    is dropped when a LOWER-id neighbor scores rounded-cosine >= 0.3
+    (the deterministic min-id dominance rule; the threshold is the
+    diversity dial — this corpus has no planted embedding near-dups, so
+    0.3 prunes the most redundant directions rather than literal
+    copies). Pairwise work is cluster-bounded, never corpus-quadratic.
+    The oracle replays clustering, pair generation and the fold-cosine
+    threshold exactly — the verified companion to the float-kmeans
+    ext_semantic_dedup, same relationship as ext_ann_ivf_verified to
+    ext_ann_ivf_topk."""
+    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_quantized(emb, k=4, iters=2)
+    av = assigned.join(emb, "vec_id").select(
+        "vec_id", "cluster", as_double(F.col("embedding")).alias("vd")
+    )
+    a = av.select(
+        F.col("vec_id").alias("a_id"), F.col("cluster").alias("a_cl"), F.col("vd").alias("a_vd")
+    )
+    b = av.select(
+        F.col("vec_id").alias("b_id"), F.col("cluster").alias("b_cl"), F.col("vd").alias("b_vd")
+    )
+    dom = (
+        a.join(b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")))
+        .where(stable_round(cosine(F.col("a_vd"), F.col("b_vd")), 6) >= 0.3)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dominators"))
+    )
+    return (
+        av.join(dom, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce("n_dominators", F.lit(0)).cast("long").alias("n_dominators"),
+            F.col("n_dominators").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
