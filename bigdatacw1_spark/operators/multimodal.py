@@ -1596,3 +1596,117 @@ def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def split_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream (back-to-back baseline JPEGs — the
+    simplest real video container) into its frames. Sound because JPEG
+    entropy coding byte-stuffs 0xFF (FF00) and restart markers are
+    FFD0-D7, so FFD8 (SOI) and FFD9 (EOI) can never occur inside a
+    frame's entropy data; scanning for EOI boundaries is exact, not
+    heuristic. Raises on trailing garbage or an unterminated frame."""
+    frames: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at byte {pos}")
+        end = payload.find(b"\xff\xd9", pos + 2)
+        if end < 0:
+            raise ValueError("MJPEG: unterminated frame (no EOI)")
+        frames.append(payload[pos : end + 2])
+        pos = end + 2
+    return frames
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_checksum", T.LongType()),
+    ]
+)
+
+
+def decode_video_frames(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Frame extraction for video-modality training data: split each
+    MJPEG payload into frames, decode every ``sample_every``-th one
+    (frame sampling is the standard cost dial — decode 1-in-N, not
+    all), and emit per-frame integer statistics (sum + position-weighted
+    checksum, the decode_images discipline). One Arrow batch stream per
+    task; the codec cost dominates, exactly as production frame
+    extraction behaves."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = split_mjpeg_frames(bytes(payload))
+                for idx in range(0, len(frames), sample_every):
+                    w, h, _ch, px = decode_jpeg(frames[idx])
+                    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            len(frames),
+                            w,
+                            h,
+                            int(arr.sum()),
+                            int((arr * (np.arange(arr.size) + 1)).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "pixel_sum", "pixel_checksum",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+def synth_mjpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG fixtures: per id, (id%3+2) concatenated
+    frames of (id%2+1)*8 x 8, each frame's 8x8 block (bx) holding the
+    even value 2*((id*17 + f*29 + bx*11) % 128) — the synth_jpeg_corpus
+    exactness argument per frame, with the frame index mixed in so a
+    frame-order bug breaks the checksum."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = (i % 2 + 1) * 8, 8
+            out = b""
+            for f in range(i % 3 + 2):
+                px = bytes(
+                    2 * ((i * 17 + f * 29 + (x // 8) * 11) % 128)
+                    for _y in range(h)
+                    for x in range(w)
+                )
+                out += encode_jpeg_gray(w, h, px)
+            return out
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)

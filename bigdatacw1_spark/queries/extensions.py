@@ -4255,3 +4255,55 @@ def ext_semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@q(
+    "ext_mm_video_frames",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, (doc_id % 2 + 1) * 8 AS w, 8 AS h,
+                   doc_id % 3 + 2 AS nf
+            FROM documents WHERE doc_id < 64
+        ), fr AS (
+            SELECT d.*, g.g AS frame_idx
+            FROM dims d JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS g) g
+              ON g.g < d.nf AND g.g % 2 = 0
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS g),
+        px AS (
+            SELECT fr.doc_id, fr.frame_idx, fr.nf, fr.w, fr.h,
+                   x.g AS x, y.g AS y,
+                   2 * ((fr.doc_id * 17 + fr.frame_idx * 29 + (x.g // 8) * 11) % 128) AS p
+            FROM fr
+            JOIN nums x ON x.g < fr.w
+            JOIN nums y ON y.g < fr.h
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(nf AS INT) AS n_frames,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(SUM(p) AS BIGINT) AS pixel_sum,
+               CAST(SUM(p * (y * w + x + 1)) AS BIGINT) AS pixel_checksum
+        FROM px
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def ext_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality frame extraction: MJPEG payloads (back-to-back
+    baseline JPEGs — byte stuffing makes SOI/EOI marker-scan splitting
+    exact, not heuristic) split into frames, every 2nd frame decoded
+    through the real JPEG codec (frame sampling = the standard decode
+    cost dial). Per-frame integer sum + position-weighted checksum with
+    the frame index mixed into the fixture pixels, so a frame-order or
+    sampling-stride bug breaks the hash. Closes the video row of the
+    multimodal matrix with a real decode path."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_video_frames,
+        synth_mjpeg_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    return decode_video_frames(synth_mjpeg_corpus(docs), sample_every=2).orderBy(
+        "doc_id", "frame_idx"
+    )

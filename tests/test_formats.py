@@ -310,3 +310,16 @@ def test_jpeg_color_444_roundtrip_and_loud_failures():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01" + bytes(16))
+
+
+def test_mjpeg_split_rejects_garbage_and_truncation():
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import encode_jpeg_gray, split_mjpeg_frames
+
+    a = encode_jpeg_gray(8, 8, bytes(64))
+    assert split_mjpeg_frames(a * 3) == [a, a, a]
+    with pytest.raises(ValueError):
+        split_mjpeg_frames(a + b"junk")
+    with pytest.raises(ValueError):
+        split_mjpeg_frames(a[:-2])  # EOI stripped -> unterminated
