@@ -1710,3 +1710,37 @@ def synth_mjpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def synth_jpeg_color_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 4:4:4 COLOR JPEG fixtures that decode exactly:
+    neutral-gray constant blocks (R=G=B=v, v even). Y = v·(0.299+0.587+
+    0.114) = v up to one ulp — inside the safe floor interval for even
+    v-128 — while Cb/Cd collapse to 128±ε whose DC quantizes to exactly
+    0, so the decoder reconstructs R=G=B=v bit-for-bit and the SQL
+    oracle predicts every channel byte. Exercises the full color path:
+    three interleaved components, per-component DC predictors,
+    YCbCr→RGB conversion."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+            rgb = bytes(
+                b
+                for y in range(h)
+                for x in range(w)
+                for b in [2 * ((i * 13 + (y // 8) * 7 + (x // 8) * 5) % 128)] * 3
+            )
+            return encode_jpeg_ycbcr444(w, h, rgb)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)

@@ -4307,3 +4307,46 @@ def ext_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(synth_mjpeg_corpus(docs), sample_every=2).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@q(
+    "ext_mm_jpeg_color",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, (doc_id % 3 + 1) * 8 AS w, (doc_id % 2 + 1) * 8 AS h
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 23)) AS g),
+        chans AS (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, x.g AS x, y.g AS y, c.c,
+                   2 * ((d.doc_id * 13 + (y.g // 8) * 7 + (x.g // 8) * 5) % 128) AS p
+            FROM dims d
+            JOIN nums x ON x.g < d.w
+            JOIN nums y ON y.g < d.h
+            CROSS JOIN chans c
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS n_channels,
+               CAST(SUM(p) AS BIGINT) AS pixel_sum,
+               CAST(SUM(p * ((y * w + x) * 3 + c + 1)) AS BIGINT) AS pixel_checksum
+        FROM px
+        GROUP BY 1, 2, 3, 4
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The color half of the JPEG codec, hash-checked: 4:4:4 fixtures of
+    neutral-gray constant blocks decode EXACTLY (chroma DC quantizes to
+    0, luma rides the even-value safe interval), so the oracle predicts
+    all three interleaved channels; per-component DC predictors and the
+    YCbCr→RGB conversion are on the verified path. Lossy-color accuracy
+    on arbitrary images is bounded in tests/test_formats.py."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_images,
+        synth_jpeg_color_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    return decode_images(synth_jpeg_color_corpus(docs)).orderBy("doc_id")
