@@ -761,3 +761,69 @@ def bpe_train(
     return spark.createDataFrame(
         found, "rank long, mleft string, mright string, pair_count long"
     )
+
+
+def robots_star_rules(robots: Column | str) -> Column:
+    """Parse a robots.txt body into the `User-agent: *` group's rules:
+    array<struct<allow boolean, prefix string>>. Group selection is real
+    (rules belong to the most recent User-agent line, so a preceding
+    `User-agent: Googlebot` group is skipped and a following group
+    terminates the `*` block); empty-prefix rules are ignored per RFC
+    9309. Prefixes are treated as LITERAL strings — the RFC's
+    longest-match core; Google's *-and-$ wildcard extension is out of
+    scope and such rules should be pre-filtered upstream. Pure array
+    built-ins, row-local."""
+    c = F.col(robots) if isinstance(robots, str) else robots
+    lines = F.transform(F.split(c, "\n"), lambda l: F.lower(F.trim(l)))
+    ua_idx = F.array_position(lines, "user-agent: *")
+    after = F.when(ua_idx > 0, F.slice(lines, ua_idx + 1, F.size(lines))).otherwise(
+        F.array().cast("array<string>")
+    )
+    next_ua = F.array_compact(
+        F.transform(
+            after,
+            lambda l, i: F.when(l.startswith("user-agent:"), i + 1),
+        )
+    )
+    cut = F.coalesce(F.try_element_at(next_ua, F.lit(1)) - 1, F.size(after))
+    group = F.slice(after, 1, cut)
+    rules = F.transform(
+        group,
+        lambda l: F.when(
+            l.startswith("allow:"),
+            F.struct(
+                F.lit(True).alias("allow"),
+                F.trim(F.substring_index(l, "allow:", -1)).alias("prefix"),
+            ),
+        ).when(
+            l.startswith("disallow:"),
+            F.struct(
+                F.lit(False).alias("allow"),
+                F.trim(F.substring_index(l, "disallow:", -1)).alias("prefix"),
+            ),
+        ),
+    )
+    return F.filter(F.array_compact(rules), lambda r: r["prefix"] != "")
+
+
+def robots_allowed(rules: Column, path: Column) -> Column:
+    """RFC 9309 decision: the longest matching prefix wins; at equal
+    length Allow beats Disallow; no match → allowed. Returns
+    struct<allowed boolean, match_len int>. The fold key len*2+allow
+    encodes both tie-break levels in one integer."""
+    matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    best = F.aggregate(
+        matches,
+        F.struct(F.lit(-1).alias("key"), F.lit(True).alias("allow"), F.lit(-1).alias("mlen")),
+        lambda acc, r: F.when(
+            F.length(r["prefix"]) * 2 + r["allow"].cast("int") > acc["key"],
+            F.struct(
+                (F.length(r["prefix"]) * 2 + r["allow"].cast("int")).alias("key"),
+                r["allow"].alias("allow"),
+                F.length(r["prefix"]).alias("mlen"),
+            ),
+        ).otherwise(acc),
+    )
+    return F.struct(
+        best["allow"].alias("allowed"), best["mlen"].alias("match_len")
+    )

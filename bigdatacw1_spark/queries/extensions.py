@@ -4350,3 +4350,103 @@ def ext_mm_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
     return decode_images(synth_jpeg_color_corpus(docs)).orderBy("doc_id")
+
+
+@q(
+    "ext_robots_filter",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   'User-agent: Googlebot' || CHR(10) || 'Disallow: /' || CHR(10)
+                     || CHR(10) || 'User-agent: *' || CHR(10)
+                     || 'Disallow: /private-' || CAST(doc_id % 7 AS VARCHAR) || CHR(10)
+                     || 'Allow: /private-' || CAST(doc_id % 7 AS VARCHAR) || '/ok' || CHR(10)
+                     || 'Disallow: /tmp' AS robots,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+                        WHEN 1 THEN '/private-' || CAST(doc_id % 7 AS VARCHAR)
+                                    || '/x' || CAST(doc_id AS VARCHAR)
+                        WHEN 2 THEN '/private-' || CAST(doc_id % 7 AS VARCHAR) || '/ok/y'
+                        ELSE '/tmp/z'
+                   END AS path
+            FROM documents
+        ), ls AS (
+            SELECT doc_id, path,
+                   LIST_TRANSFORM(STR_SPLIT(robots, CHR(10)), l -> LOWER(TRIM(l))) AS lines
+            FROM synth
+        ), grp AS (
+            SELECT doc_id, path,
+                   CASE WHEN LIST_POSITION(lines, 'user-agent: *') IS NULL
+                        THEN []::VARCHAR[]
+                        ELSE LIST_SLICE(lines, LIST_POSITION(lines, 'user-agent: *') + 1,
+                                        LEN(lines)) END AS after
+            FROM ls
+        ), cutg AS (
+            SELECT doc_id, path, after,
+                   COALESCE(LIST_FILTER(RANGE(1, LEN(after) + 1),
+                                        i -> after[i] LIKE 'user-agent:%')[1] - 1,
+                            LEN(after)) AS cut
+            FROM grp
+        ), rules AS (
+            SELECT doc_id, path, r['allow'] AS allow, r['prefix'] AS prefix
+            FROM (
+                SELECT doc_id, path,
+                       UNNEST(LIST_TRANSFORM(LIST_SLICE(after, 1, cut), l ->
+                           CASE WHEN l LIKE 'allow:%'
+                                THEN {'allow': TRUE, 'prefix': TRIM(SUBSTR(l, 7))}
+                                WHEN l LIKE 'disallow:%'
+                                THEN {'allow': FALSE, 'prefix': TRIM(SUBSTR(l, 10))}
+                           END)) AS r
+                FROM cutg
+            )
+            WHERE r IS NOT NULL AND r['prefix'] <> ''
+        ), best AS (
+            SELECT doc_id,
+                   MAX(LENGTH(prefix) * 2 + CAST(allow AS INT)) AS bkey
+            FROM rules
+            WHERE STARTS_WITH(path, prefix)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.path,
+               COALESCE(b.bkey % 2 = 1, TRUE) AS allowed,
+               CAST(COALESCE(b.bkey // 2, -1) AS INT) AS match_len
+        FROM synth s LEFT JOIN best b USING (doc_id)
+        ORDER BY s.doc_id
+    """,
+)
+def ext_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance gate (functions/text.robots_star_rules /
+    robots_allowed): parse each host's robots.txt, select the
+    `User-agent: *` group (a decoy Googlebot `Disallow: /` group
+    precedes it in every fixture, so wrong group selection fails
+    everything), and apply RFC 9309 longest-prefix-match with
+    Allow-wins-ties. Row-local array expressions, no shuffle; the
+    policy layer between HTML extraction and quality filtering in the
+    Common Crawl path. Fixtures hit all four outcomes: no match,
+    disallowed, re-allowed by a longer Allow, and disallowed by a
+    second rule."""
+    from bigdatacw1_spark.functions.text import robots_allowed, robots_star_rules
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    robots = F.concat(
+        F.lit("User-agent: Googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /private-"),
+        k,
+        F.lit("\nAllow: /private-"),
+        k,
+        F.lit("/ok\nDisallow: /tmp"),
+    )
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/public/page"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private-"), k, F.lit("/x"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private-"), k, F.lit("/ok/y")))
+        .otherwise(F.lit("/tmp/z"))
+    )
+    base = d.select("doc_id", robots.alias("robots"), path.alias("path"))
+    verdict = robots_allowed(robots_star_rules("robots"), F.col("path"))
+    return base.select(
+        "doc_id",
+        "path",
+        verdict["allowed"].alias("allowed"),
+        verdict["match_len"].cast("int").alias("match_len"),
+    ).orderBy("doc_id")

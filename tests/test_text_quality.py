@@ -380,3 +380,27 @@ def test_bpe_segment_merge_semantics(spark):
     assert (rows[1].n_words, rows[1].n_chars, rows[1].n_tokens, rows[1].chars_saved) == (3, 13, 6, 7)
     assert (rows[2].n_words, rows[2].n_tokens) == (0, 0)  # 'a,'/'b!' not alnum
     assert (rows[3].n_words, rows[3].n_chars, rows[3].n_tokens) == (0, 0, 0)
+
+
+def test_robots_group_selection_and_tiebreaks(spark):
+    from pyspark.sql import functions as F2
+
+    from bigdatacw1_spark.functions.text import robots_allowed, robots_star_rules
+
+    cases = [
+        # (robots, path, expect_allowed, expect_match_len)
+        (1, "User-Agent: *\nDisallow: /a\nAllow: /a/b", "/a/bc", True, 4),
+        (2, "User-Agent: *\nDisallow: /a\nAllow: /a/b", "/a/x", False, 2),
+        (3, "User-agent: Googlebot\nDisallow: /", "/anything", True, -1),  # no * group
+        (4, "User-agent: *\nDisallow:\n", "/x", True, -1),  # empty prefix ignored
+        (5, "User-agent: *\nAllow: /p\nDisallow: /p", "/pq", True, 2),  # tie -> Allow
+        (6, "User-agent: *\nDisallow: /a\nUser-agent: Bing\nDisallow: /", "/b", True, -1),
+    ]
+    df = spark.createDataFrame(
+        [(i, r, p, ea, em) for i, r, p, ea, em in cases],
+        "id long, robots string, path string, ea boolean, em int",
+    )
+    v = robots_allowed(robots_star_rules("robots"), F2.col("path"))
+    out = df.select("id", "ea", "em", v["allowed"].alias("ga"), v["match_len"].alias("gm"))
+    for r in out.collect():
+        assert (r.ga, r.gm) == (r.ea, r.em), f"case {r.id}: got {(r.ga, r.gm)}"
