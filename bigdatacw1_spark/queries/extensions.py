@@ -4450,3 +4450,74 @@ def ext_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict["allowed"].alias("allowed"),
         verdict["match_len"].cast("int").alias("match_len"),
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_domain_cap",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   'sub' || CAST(doc_id % 3 AS VARCHAR) || '.host'
+                     || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS host
+            FROM documents
+        ), dom AS (
+            SELECT doc_id, host,
+                   ARRAY_TO_STRING(STR_SPLIT(host, '.')[-2:], '.') AS domain
+            FROM synth
+        ), ranked AS (
+            SELECT doc_id, host, domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'domcap'),
+                                               1, 8))::BIGINT, doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY domain) AS n_domain_docs
+            FROM dom
+        )
+        SELECT doc_id, domain,
+               CAST(n_domain_docs AS BIGINT) AS n_domain_docs,
+               (rk <= 30) AS kept
+        FROM ranked
+        ORDER BY doc_id
+    """,
+)
+def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap — the C4/Gopher-style guard against a
+    single registrable domain dominating the corpus: group by the
+    registrable domain (last two host labels; a public-suffix list
+    refines this at deployment), rank each domain's documents by salted
+    md5 (deterministic, order-free), keep the first 30. The md5 rank
+    makes the KEPT ROW SET itself engine-portable and rerun-stable —
+    the sampler discipline applied to rate capping. One shuffle on the
+    domain key. (Hosts are synthesized from doc_id: every doc_id%11
+    domain holds ~45 docs at sf0.001, so the cap genuinely bites.)"""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".host"), (F.col("doc_id") % 11).cast("string"),
+        F.lit(".example.com"),
+    )
+    parts = F.split(host, r"\.")
+    domain = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    from pyspark.sql import Window
+
+    rk_key = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("domcap"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("domain").orderBy("rk_key", "doc_id")
+    wall = Window.partitionBy("domain")
+    return (
+        d.select("doc_id", domain.alias("domain"), rk_key.alias("rk_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_domain_docs", F.count(F.lit(1)).over(wall))
+        .select(
+            "doc_id",
+            "domain",
+            F.col("n_domain_docs").cast("long").alias("n_domain_docs"),
+            (F.col("rk") <= 30).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
