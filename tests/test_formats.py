@@ -163,12 +163,19 @@ def test_explode_zip_inflates_members(spark):
 def test_common_crawl_path_end_to_end(spark):
     """The real web-ingestion flow composed: .warc.gz files → inflate +
     length-driven record parse (bodies carried) → select responses →
-    HTML-to-text extraction → Gopher quality gate. Every response body
-    survives extraction with its payload text intact; the quality gate
-    runs on extracted text, not markup."""
+    robots.txt compliance gate on the request path → HTML-to-text
+    extraction → Gopher quality gate. Every response body survives
+    extraction with its payload text intact; the quality gate runs on
+    extracted text, not markup; odd-id pages land on a disallowed path
+    and are dropped BEFORE paying for extraction."""
     from pyspark.sql import functions as F
 
-    from bigdatacw1_spark.functions.text import gopher_rules, html_to_text
+    from bigdatacw1_spark.functions.text import (
+        gopher_rules,
+        html_to_text,
+        robots_allowed,
+        robots_star_rules,
+    )
     from bigdatacw1_spark.sources.catalog import load_table
     from bigdatacw1_spark.sources.formats import build_warc, explode_warc
     from tests.conftest import SF_SMALL
@@ -186,9 +193,12 @@ def test_common_crawl_path_end_to_end(spark):
     def warc_gz(i, text):
         recs = [
             ("warcinfo", None, b"software: test\r\n"),
-            ("response", f"http://e.com/{i}", page(i, text)),
+            ("response", uri(i), page(i, text)),
         ]
         return b"".join(gzip.compress(build_warc([r]), mtime=0) for r in recs)
+
+    def uri(i):  # odd ids land under the disallowed /private prefix
+        return f"http://e.com/{'private/' if i % 2 else ''}{i}"
 
     media = spark.createDataFrame(
         [(r["doc_id"], warc_gz(r["doc_id"], r["text"])) for r in docs],
@@ -196,6 +206,11 @@ def test_common_crawl_path_end_to_end(spark):
     )
     records = explode_warc(media, gzipped=True, with_body=True)
     responses = records.where(F.col("rec_type") == "response")
+    robots = F.lit("User-agent: *\nDisallow: /private")
+    path = F.regexp_replace(F.col("target_uri"), r"^https?://[^/]*", "")
+    responses = responses.withColumn(
+        "allowed", robots_allowed(robots_star_rules(robots), path)["allowed"]
+    ).where(F.col("allowed"))
     extracted = responses.select(
         "doc_id",
         "target_uri",
@@ -204,8 +219,10 @@ def test_common_crawl_path_end_to_end(spark):
     gated = extracted.withColumn("keep", gopher_rules("clean_text")["keep"])
 
     rows = {r["doc_id"]: r for r in gated.collect()}
-    assert len(rows) == 6
+    assert set(rows) == {r["doc_id"] for r in docs if r["doc_id"] % 2 == 0}
     for r in docs:
+        if r["doc_id"] % 2:
+            continue  # robots-disallowed, dropped pre-extraction
         got = rows[r["doc_id"]]
         assert r["text"] in got["clean_text"]          # payload text survives
         assert "<" not in got["clean_text"].replace("< 2", "")  # markup gone
