@@ -4521,3 +4521,67 @@ def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_token_budget_mix",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, LEN({_DUCK_TOKS}) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'mix'),
+                                               1, 8))::BIGINT, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_before AS BIGINT) AS cum_before,
+               (cum_before < 1000) AS kept
+        FROM ranked
+        ORDER BY doc_id
+    """,
+)
+def ext_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing — the pretraining-mix primitive: give
+    every source a token budget (1000 here) and keep its md5-ordered
+    documents while the EXCLUSIVE prefix sum stays under budget, so
+    each source contributes ~budget tokens regardless of its raw size
+    and the first document always survives. All integers (token counts,
+    running sums, the md5 order), so the kept row set is exact
+    cross-engine — the sampler discipline applied to mixture weights.
+    One shuffle on source; compose with ext_mixture_sample (count-based)
+    and ext_pack_sequences (packing the survivors)."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    rk = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("mix"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    base = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens"), rk.alias("rk")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_before").cast("long").alias("cum_before"),
+            (F.col("cum_before") < 1000).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
