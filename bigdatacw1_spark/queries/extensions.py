@@ -4585,3 +4585,56 @@ def ext_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_repeat_epochs",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS epochs
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(e.g AS INT) AS epoch,
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#' || CAST(e.g AS VARCHAR)),
+                               1, 8))::BIGINT AS order_key
+        FROM w, UNNEST(GENERATE_SERIES(1, epochs)) AS e(g)
+        ORDER BY doc_id, epoch
+    """,
+)
+def ext_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up-sampling half of data mixing: per-source epoch weights (src0
+    x3, src1 x2, rest x1) expand each document into one row per epoch
+    via sequence+explode — change-sized, no join — and every copy gets
+    an md5-derived order_key so the interleaved training order is
+    deterministic and copies of one document land at DISTINCT positions
+    (epoch index is inside the hash). Exact integer output; the
+    down-sampling complement is ext_token_budget_mix."""
+    d = _t(spark, sf_dir, "documents")
+    epochs = (
+        F.when(F.col("source") == "src0", F.lit(3))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    order_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#"), F.col("epoch").cast("string")
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        d.select("doc_id", "source", epochs.alias("epochs"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("epochs"))))
+        .select(
+            "doc_id",
+            "source",
+            F.col("epoch").cast("int").alias("epoch"),
+            order_key.alias("order_key"),
+        )
+        .orderBy("doc_id", "epoch")
+    )
