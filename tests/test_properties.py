@@ -489,3 +489,106 @@ def test_canonicalize_url_matches_python_reference(spark, urls):
     got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
     for i, u in enumerate(urls):
         assert got[i] == ref(u), (u, got[i], ref(u))
+
+
+# --- BPE segmentation vs a pure-Python greedy-merge reference -------------
+
+_bpe_words = st.lists(
+    st.text(alphabet="abc01", min_size=1, max_size=6), min_size=0, max_size=8
+)
+_bpe_merge_tables = st.just(None)  # default table; merges chain (s,c),(sc,a)...
+
+
+def _py_bpe_counts(words: list[str], merges) -> tuple[int, int, int]:
+    from bigdatacw1_spark.functions.text import BPE_MERGES_DEFAULT
+
+    merges = merges or BPE_MERGES_DEFAULT
+    n_chars = sum(len(w) for w in words)
+    n_tokens = 0
+    for w in words:
+        syms = list(w)
+        for a, b in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n_tokens += len(syms)
+    return len(words), n_chars, n_tokens
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_bpe_words, _bpe_merge_tables)
+def test_bpe_segment_matches_python_reference(spark, words, merges):
+    """The string-replacement implementation must equal an independent
+    list-walking greedy merger on arbitrary word sequences (including
+    the 'a a a' overlap case the left-to-right rule defines)."""
+    from bigdatacw1_spark.functions.text import bpe_segment
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = bpe_segment(df, merges).collect()[0]
+    want = _py_bpe_counts(words, merges)
+    assert (r.n_words, r.n_chars, r.n_tokens) == want
+
+
+# --- robots.txt decision vs a pure-Python reference -----------------------
+
+_robots_prefixes = st.lists(
+    st.tuples(st.booleans(), st.text(alphabet="/abp", min_size=1, max_size=5)),
+    min_size=0,
+    max_size=6,
+)
+_robots_paths = st.text(alphabet="/abp", min_size=1, max_size=8)
+
+
+def _py_robots(rules: list[tuple[bool, str]], path: str) -> tuple[bool, int]:
+    best_key = -1
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            key = len(prefix) * 2 + int(allow)
+            best_key = max(best_key, key)
+    if best_key < 0:
+        return True, -1
+    return best_key % 2 == 1, best_key // 2
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_robots_prefixes, _robots_paths)
+def test_robots_decision_matches_python_reference(spark, rules, path):
+    from bigdatacw1_spark.functions.text import robots_allowed, robots_star_rules
+
+    body = "User-agent: *\n" + "\n".join(
+        ("Allow: " if a else "Disallow: ") + p for a, p in rules
+    )
+    df = spark.createDataFrame([(body, path)], "robots string, path string")
+    v = robots_allowed(robots_star_rules("robots"), F.col("path"))
+    r = df.select(v["allowed"].alias("a"), v["match_len"].alias("m")).collect()[0]
+    assert (r.a, r.m) == _py_robots(rules, path)
+
+
+# --- JPEG exact round-trip on random even constant-block images -----------
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=3),
+    st.lists(st.integers(min_value=0, max_value=127), min_size=12, max_size=12),
+)
+def test_jpeg_even_constant_blocks_roundtrip_exactly(bw, bh, block_vals):
+    """ANY even-valued constant-block image must survive the lossy codec
+    bit-for-bit (the analytic exactness claim behind ext_mm_jpeg, tested
+    beyond the fixture family's specific value formula)."""
+    from bigdatacw1_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    w, h = bw * 8, bh * 8
+    px = bytes(
+        2 * block_vals[(y // 8) * bw + (x // 8)]
+        for y in range(h)
+        for x in range(w)
+    )
+    assert decode_jpeg(encode_jpeg_gray(w, h, px))[3] == px
