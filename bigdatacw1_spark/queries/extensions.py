@@ -4638,3 +4638,77 @@ def ext_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "epoch")
     )
+
+
+@q(
+    "ext_cluster_quality",
+    oracle=f"""
+        WITH {_KMEANS_REPLAY_CTES},
+        dists AS (
+            SELECT a3.cluster, v.vec_id,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                       j -> (v.xq[j] - c2.c[j]) * (v.xq[j] - c2.c[j]))) AS d2
+            FROM a3 JOIN v USING (vec_id) JOIN c2 ON c2.cidx = a3.cluster
+        )
+        SELECT CAST(cluster AS INT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(d2) AS BIGINT) AS sum_sq_dist,
+               CAST(MAX(d2) AS BIGINT) AS max_sq_dist,
+               FLOOR(((SUM(d2) / CAST(COUNT(*) AS DOUBLE)) * 0.0001) * 10000.0 + 0.5)
+                 / 10000.0 AS mean_sq_dist_scaled
+        FROM dists
+        GROUP BY cluster
+        ORDER BY cluster
+    """,
+)
+def ext_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health monitor for the verified IVF cells: per cluster, the
+    exact BIGINT sum/max of squared quantized distances to the final
+    centroid, plus a scaled mean. Watches for cell imbalance and
+    inflating within-cell variance — the signals that tell an operator
+    to re-train the index as the corpus drifts. Distances reuse the
+    integer-exact quantization, so every statistic is a hash-exact
+    integer (the mean divides two exact integers and rounds with the
+    floor pattern). One broadcast-literal distance pass + one hash
+    aggregate."""
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_quantized(emb, k=4, iters=2, return_centroids=True)
+    xq = F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000.0 + 0.5).cast("long"))
+    v = emb.select("vec_id", xq.alias("xq"))
+    d2 = None
+    alts = []
+    for i, cent in enumerate(cents):
+        dist = F.aggregate(
+            F.zip_with(
+                "xq",
+                F.array(*[F.lit(int(c)) for c in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        alts.append(F.when(F.col("cluster") == i, dist))
+    d2 = F.coalesce(*alts)
+    joined = assigned.join(v, "vec_id").select("cluster", d2.alias("d2"))
+    return (
+        joined.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("d2").alias("sum_sq_dist"),
+            F.max("d2").alias("max_sq_dist"),
+            stable_round(
+                (F.sum("d2") / F.count(F.lit(1)).cast("double")) * F.lit(0.0001), 4
+            ).alias("mean_sq_dist_scaled"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("sum_sq_dist").cast("long").alias("sum_sq_dist"),
+            F.col("max_sq_dist").cast("long").alias("max_sq_dist"),
+            "mean_sq_dist_scaled",
+        )
+        .orderBy("cluster")
+    )
