@@ -2295,3 +2295,45 @@ def f23_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_regionkey
         """
     )
+
+
+@q(
+    "f24_sql_udf",
+    oracle="""
+        SELECT o_orderkey,
+               FLOOR((o_totalprice * CASE WHEN o_totalprice > 200000 THEN 0.9
+                                          WHEN o_totalprice > 100000 THEN 0.95
+                                          ELSE 1.0 END) * 100.0 + 0.5) / 100.0
+                 AS discounted
+        FROM orders
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey
+    """,
+)
+def f24_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>): the user-function escape hatch that STAYS Catalyst-native —
+    the body inlines into the plan at analysis time, so unlike a Python
+    UDF it costs nothing (whole-stage codegen, pushdown and pruning all
+    still apply; plan-gated Python-free in tests/test_plans.py). The
+    tiered-discount function is the classic business-logic-as-UDF
+    shape."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__f24_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION tiered_discount(price DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * CASE WHEN price > 200000 THEN 0.9
+                            WHEN price > 100000 THEN 0.95
+                            ELSE 1.0 END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(FLOOR(tiered_discount(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS discounted
+        FROM __f24_orders
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey
+        """
+    )

@@ -333,3 +333,12 @@ def test_bpe_tokenize_is_single_scan_no_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_udf_inlines_python_free(spark):
+    """The SQL scalar UDF must inline into the Catalyst plan (no Python
+    eval anywhere) and keep the key-range filter pushed to the scan."""
+    df = _df(spark, "f24_sql_udf")
+    assert not has_python_eval(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
