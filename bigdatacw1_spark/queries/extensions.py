@@ -4712,3 +4712,90 @@ def ext_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@q(
+    "ext_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS node, r.comp AS comp FROM reach r JOIN edges e ON r.node = e.src
+        ), comp AS (
+            SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+        ), base AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks,
+                   text
+            FROM documents
+        ), m AS (
+            SELECT doc_id, LEN(toks) AS n,
+                   CASE WHEN LEN(toks) > 0
+                        THEN LENGTH(ARRAY_TO_STRING(toks, '')) / LEN(toks)
+                        ELSE 0.0 END AS avg_len,
+                   LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1) AS pr
+            FROM base
+        ), scored AS (
+            SELECT doc_id, ROUND((LEAST(n / 64.0, 1.0) + LEAST(avg_len / 5.0, 1.0)
+                                  + (1.0 - LEAST(pr * 5, 1.0))) / 3, 4) AS quality
+            FROM m
+        ), grp AS (
+            SELECT s.doc_id, s.quality, c.cluster_id,
+                   COALESCE(c.cluster_id, s.doc_id) AS g
+            FROM scored s LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               quality,
+               (ROW_NUMBER() OVER (PARTITION BY g ORDER BY quality DESC, doc_id) = 1)
+                 AS kept
+        FROM grp
+        ORDER BY doc_id
+    """,
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection for near-dup clusters: instead of keep-first
+    (min id), keep the HIGHEST-QUALITY member of each transitive
+    cluster (tie → lowest id) — the curation policy that retains the
+    cleanest copy of duplicated content. Composition of three verified
+    pieces: the Jaccard pair graph, distributed connected components,
+    and the quality score; singletons form their own group via
+    COALESCE(cluster_id, doc_id) (collision-free: a cluster id is some
+    clustered doc's id, never a singleton's). One extra rank window on
+    the cluster key."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import token_quality_score, tokens
+    from bigdatacw1_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.01).select("a", "b")
+    clusters = dedup_clusters(pairs)
+    scored = docs.select(
+        "doc_id", token_quality_score(tokens("text"), "text").alias("quality")
+    )
+    j = scored.join(clusters, "doc_id", "left")
+    g = F.coalesce("cluster_id", "doc_id")
+    w = Window.partitionBy(g).orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        j.withColumn("kept", F.row_number().over(w) == 1)
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "quality",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
