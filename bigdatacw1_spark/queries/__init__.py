@@ -43,9 +43,14 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # wh_drift_ks, wh_drift_psi, ext_mm_gif, ext_mm_bmp, ext_k_anonymity,
 # ext_simhash_clusters, ext_source_overlap, ext_embed_decontaminate).
 # That covers nearly everything still unchecked; round 6 mops up the tail,
-# including this session's post-staging additions (ext_bm25_topk, ev_ewma,
-# wh_ivm_join_delta, ext_l_diversity, ext_mm_jpeg, and the promoted
-# ext_ann_lsh_topk / ext_ann_multiprobe full oracles).
+# including this session's post-staging additions (ext_bm25_topk,
+# ext_hybrid_rrf, ext_bpe_tokenize, ext_bpe_train, ev_ewma,
+# wh_ivm_join_delta, ext_l_diversity, ext_mm_jpeg, ext_mm_jpeg_color,
+# ext_mm_video_frames, ext_robots_filter, ext_domain_cap,
+# ext_token_budget_mix, ext_repeat_epochs, ext_ann_ivf_verified,
+# ext_semantic_dedup_verified, ext_cluster_quality, ext_dedup_keep_best,
+# f24_sql_udf, and the promoted ext_ann_lsh_topk / ext_ann_multiprobe
+# full oracles).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)
