@@ -827,3 +827,78 @@ def robots_allowed(rules: Column, path: Column) -> Column:
     return F.struct(
         best["allow"].alias("allowed"), best["mlen"].alias("match_len")
     )
+
+
+def bm25_corpus_stats(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Collect the frozen BM25 index statistics (N, avgdl, per-term df)
+    as one driver-side row — the 'build the index offline' half of
+    online scoring. Bounded: one row regardless of corpus size."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+    def _tf(term: str) -> Column:
+        # single-arg lambda only: a second (even defaulted) parameter is
+        # the (element, index) filter variant and would shadow the term.
+        return F.size(F.filter(F.col("toks"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t) for t in query_terms]
+    row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count_if(tf_cols[i] > 0).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    ).head()
+    return {
+        "n_docs": int(row["n_docs"]),
+        "avgdl": float(row["avgdl"]),
+        "df": [int(row[f"df_{i}"]) for i in range(len(query_terms))],
+    }
+
+
+def bm25_score_frozen(
+    df: DataFrame,
+    stats: dict,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Score documents against FROZEN index statistics embedded as plan
+    literals — the online-indexing shape: the index stats are built
+    offline (bm25_corpus_stats), new documents score statelessly as
+    they arrive, so the same expression runs on a batch frame or a
+    streaming micro-batch with no join and no state. Identical IEEE
+    sequence to bm25_topk's scoring pass."""
+    toks = tokens(text_col)
+    dl = F.size(toks)
+
+    def _tf(term: str) -> Column:
+        # single-arg lambda only (see bm25_corpus_stats)
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    score = None
+    for i, term in enumerate(query_terms):
+        tf = _tf(term).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(stats["n_docs"]) - F.lit(stats["df"][i]) + F.lit(0.5))
+            / (F.lit(stats["df"][i]) + F.lit(0.5))
+        )
+        s_i = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(stats["avgdl"])))
+        )
+        score = s_i if score is None else score + s_i
+    return df.select(
+        F.col(id_col), dl.alias("dl"), stable_round(score, round_digits).alias("score")
+    )

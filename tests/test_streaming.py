@@ -886,3 +886,40 @@ def test_streaming_ewma_matches_batch_operator(spark, events_dir):
     want_rows = sorted(tuple(r) for r in want.collect())
     assert len(want_rows) > 0
     assert got_rows == want_rows
+
+
+def test_streaming_bm25_frozen_stats_scores_equal_batch(spark, tmp_path_factory):
+    """Online-indexing shape: BM25 index statistics are built offline
+    from the corpus and frozen as plan literals, then new documents
+    score STATELESSLY as they stream in (no join, no state). The
+    streamed scores must equal applying the same frozen scorer to the
+    static frame — and the frozen scorer itself is pinned equal to the
+    inline bm25_topk scoring pass."""
+    from bigdatacw1_spark.functions.text import bm25_corpus_stats, bm25_score_frozen
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    terms = ["spark", "stream", "join"]
+    stats = bm25_corpus_stats(docs, terms)
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        bm25_score_frozen(stream, stats, terms)
+        .writeStream.format("memory")
+        .queryName("bm25_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(q.recentProgress) > 1  # really incremental
+    got = sorted(tuple(r) for r in spark.table("bm25_out").collect())
+    want = sorted(tuple(r) for r in bm25_score_frozen(static, stats, terms).collect())
+    assert len(want) > 0
+    assert got == want
