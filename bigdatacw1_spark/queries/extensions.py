@@ -4799,3 +4799,151 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _kmeans_replay_sub(sfx: str, lo: int, n: int) -> str:
+    """Parameterized replay of the quantized-Lloyd clustering over a DIM
+    SLICE [lo, lo+n) of the embedding (1-based SQL indexing), k=4,
+    iters=2 — the per-subspace building block of verified PQ. Emits CTEs
+    v{sfx}, c0{sfx}, a1{sfx}, u1{sfx}, c1{sfx}, a2{sfx}, u2{sfx},
+    c2{sfx}, a3{sfx} mirroring _KMEANS_REPLAY_CTES."""
+    rng = f"RANGE(1, {n} + 1)"
+    return f"""
+        v{sfx} AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(RANGE({lo}, {lo} + {n}),
+                       j -> CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0 + 0.5)
+                                 AS BIGINT)) AS xq
+            FROM embeddings
+        ), dims{sfx} AS (SELECT UNNEST({rng}) AS j),
+        c0{sfx} AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, xq AS c
+            FROM (SELECT vec_id, xq FROM v{sfx} ORDER BY vec_id LIMIT 4)
+        ),
+        a1{sfx} AS (
+            SELECT v.vec_id,
+                   MIN_BY(c0{sfx}.cidx,
+                          LIST_SUM(LIST_TRANSFORM({rng},
+                              j -> (v.xq[j] - c0{sfx}.c[j]) * (v.xq[j] - c0{sfx}.c[j]))) * 8
+                          + c0{sfx}.cidx) AS cluster
+            FROM v{sfx} v CROSS JOIN c0{sfx} GROUP BY v.vec_id
+        ),
+        u1{sfx} AS (
+            SELECT a.cluster AS cidx, d.j,
+                   CAST(FLOOR(SUM(v.xq[d.j]) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cj
+            FROM a1{sfx} a JOIN v{sfx} v USING (vec_id) CROSS JOIN dims{sfx} d
+            GROUP BY a.cluster, d.j
+        ),
+        c1{sfx} AS (
+            SELECT c0{sfx}.cidx, COALESCE(u.c, c0{sfx}.c) AS c
+            FROM c0{sfx} LEFT JOIN (SELECT cidx, LIST(cj ORDER BY j) AS c
+                                    FROM u1{sfx} GROUP BY cidx) u USING (cidx)
+        ),
+        a2{sfx} AS (
+            SELECT v.vec_id,
+                   MIN_BY(c1{sfx}.cidx,
+                          LIST_SUM(LIST_TRANSFORM({rng},
+                              j -> (v.xq[j] - c1{sfx}.c[j]) * (v.xq[j] - c1{sfx}.c[j]))) * 8
+                          + c1{sfx}.cidx) AS cluster
+            FROM v{sfx} v CROSS JOIN c1{sfx} GROUP BY v.vec_id
+        ),
+        u2{sfx} AS (
+            SELECT a.cluster AS cidx, d.j,
+                   CAST(FLOOR(SUM(v.xq[d.j]) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cj
+            FROM a2{sfx} a JOIN v{sfx} v USING (vec_id) CROSS JOIN dims{sfx} d
+            GROUP BY a.cluster, d.j
+        ),
+        c2{sfx} AS (
+            SELECT c1{sfx}.cidx, COALESCE(u.c, c1{sfx}.c) AS c
+            FROM c1{sfx} LEFT JOIN (SELECT cidx, LIST(cj ORDER BY j) AS c
+                                    FROM u2{sfx} GROUP BY cidx) u USING (cidx)
+        ),
+        a3{sfx} AS (
+            SELECT v.vec_id,
+                   MIN_BY(c2{sfx}.cidx,
+                          LIST_SUM(LIST_TRANSFORM({rng},
+                              j -> (v.xq[j] - c2{sfx}.c[j]) * (v.xq[j] - c2{sfx}.c[j]))) * 8
+                          + c2{sfx}.cidx) AS cluster
+            FROM v{sfx} v CROSS JOIN c2{sfx} GROUP BY v.vec_id
+        ),
+        adc{sfx} AS (
+            SELECT c2{sfx}.cidx,
+                   LIST_SUM(LIST_TRANSFORM({rng},
+                       j -> (q.xq[j] - c2{sfx}.c[j]) * (q.xq[j] - c2{sfx}.c[j]))) AS d
+            FROM c2{sfx} CROSS JOIN (SELECT xq FROM v{sfx} WHERE vec_id = 0) q
+        )"""
+
+
+@q(
+    "ext_ann_pq_verified",
+    oracle=f"""
+        WITH {','.join(_kmeans_replay_sub(f'_s{s}', s * 16 + 1, 16) for s in range(4))}
+        , codes AS (
+            SELECT a3_s0.vec_id,
+                   a3_s0.cluster AS k0, a3_s1.cluster AS k1,
+                   a3_s2.cluster AS k2, a3_s3.cluster AS k3
+            FROM a3_s0 JOIN a3_s1 USING (vec_id)
+                       JOIN a3_s2 USING (vec_id)
+                       JOIN a3_s3 USING (vec_id)
+        ), scored AS (
+            SELECT c.vec_id,
+                   CAST(c.k0 + 4 * c.k1 + 16 * c.k2 + 64 * c.k3 AS BIGINT) AS code,
+                   CAST(d0.d + d1.d + d2.d + d3.d AS BIGINT) AS adc_dist
+            FROM codes c
+            JOIN adc_s0 d0 ON d0.cidx = c.k0
+            JOIN adc_s1 d1 ON d1.cidx = c.k1
+            JOIN adc_s2 d2 ON d2.cidx = c.k2
+            JOIN adc_s3 d3 ON d3.cidx = c.k3
+        )
+        SELECT vec_id, code, adc_dist
+        FROM scored
+        ORDER BY adc_dist, vec_id
+        LIMIT 10
+    """,
+)
+def ext_ann_pq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, END-TO-END hash-checked — completing the
+    verified-ANN trilogy (sign-LSH, IVF, now PQ): the 64-dim space
+    splits into 4 subspaces of 16, each clustered by the quantized-Lloyd
+    algorithm (exact BIGINT distances, deterministic init/tie-breaks);
+    every vector's code is its 4 sub-centroid indices, and the query
+    scores candidates by the ADC table — exact integer distances from
+    the query's sub-vectors to each centroid, summed via 4 lookups. All
+    integers end to end, so codes, distances and the top-10 hash-compare
+    exactly; the oracle replays all four sub-clusterings, the code
+    assignment and the ADC scan. The float-codebook ext_ann_pq_topk
+    keeps its recall invariant; this is its verifiable anchor."""
+    import math
+
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qq = [int(math.floor(x * 10000.0 + 0.5)) for x in qvec]
+
+    joined = None
+    adc: list[list[int]] = []
+    for s in range(4):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+        )
+        assigned, cents = kmeans_quantized(sub, k=4, iters=2, return_centroids=True)
+        assigned = assigned.withColumnRenamed("cluster", f"k{s}")
+        joined = assigned if joined is None else joined.join(assigned, "vec_id")
+        qs = qq[s * 16 : s * 16 + 16]
+        adc.append([sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in cents])
+
+    code = (
+        F.col("k0") + 4 * F.col("k1") + 16 * F.col("k2") + 64 * F.col("k3")
+    ).cast("long")
+    dist = None
+    for s in range(4):
+        lookup = F.coalesce(
+            *[F.when(F.col(f"k{s}") == i, F.lit(adc[s][i])) for i in range(4)]
+        )
+        dist = lookup if dist is None else dist + lookup
+    return (
+        joined.select("vec_id", code.alias("code"), dist.cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
