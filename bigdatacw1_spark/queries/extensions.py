@@ -4947,3 +4947,42 @@ def ext_ann_pq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@q(
+    "ext_bpe_train_apply",
+    oracle=f"""
+        {_bpe_train_oracle(3).rsplit("SELECT 1 AS rank", 1)[0]}
+        SELECT doc_id,
+               CAST(LENGTH(s) - LENGTH(REPLACE(s, '|', '')) + 1 AS BIGINT) AS n_words_nonempty,
+               CAST(CASE WHEN s = '' THEN 0
+                         ELSE (LENGTH(s) - LENGTH(REPLACE(s, '  ', ''))) // 2
+                              + LENGTH(s) - LENGTH(REPLACE(s, '|', '')) + 1 END
+                    AS BIGINT) AS n_tokens
+        FROM s3
+        ORDER BY doc_id
+    """,
+)
+def ext_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed tokenizer loop: TRAIN three merges on the corpus
+    (bpe_train), then APPLY the learned table back to every document
+    (bpe_segment with the learned merges) and report post-merge token
+    counts. The oracle replays training AND application — its s3 state
+    is exactly the corpus after the three learned replacements, so the
+    counts only match if both the learned pairs and their application
+    order are identical. (Counting treats the flat state directly:
+    words = pipe separators + 1 when non-empty.)"""
+    from bigdatacw1_spark.functions.text import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.mleft, r.mright) for r in bpe_train(d, n_merges=3).orderBy("rank").collect()
+    ]
+    seg = bpe_segment(d, merges)
+    return seg.select(
+        "doc_id",
+        F.when(F.col("n_words") == 0, F.lit(1)).otherwise(F.col("n_words"))
+        .cast("long")
+        .alias("n_words_nonempty"),
+        "n_tokens",
+    ).orderBy("doc_id")
