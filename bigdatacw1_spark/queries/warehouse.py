@@ -638,3 +638,85 @@ def wh_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("delta_dim"))
         .alias("src"),
     ).orderBy("o_orderkey")
+
+
+@q(
+    "wh_bitemporal_lookup",
+    oracle="""
+        WITH versions AS (
+            SELECT user_id, DATE_TRUNC('day', ts) AS valid_day, ts AS tx_ts, value
+            FROM events
+        ), known1 AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY valid_day DESC, tx_ts DESC) AS rn
+            FROM versions
+            WHERE valid_day <= TIMESTAMP '2024-01-10 00:00:00'
+              AND tx_ts <= TIMESTAMP '2024-01-12 00:00:00'
+        ), known2 AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY valid_day DESC, tx_ts DESC) AS rn
+            FROM versions
+            WHERE valid_day <= TIMESTAMP '2024-01-10 00:00:00'
+              AND tx_ts <= TIMESTAMP '2024-01-25 00:00:00'
+        )
+        SELECT COALESCE(k1.user_id, k2.user_id) AS user_id,
+               k1.value AS value_known_early,
+               k2.value AS value_known_late,
+               (k1.value IS DISTINCT FROM k2.value) AS corrected
+        FROM (SELECT user_id, value FROM known1 WHERE rn = 1) k1
+        FULL OUTER JOIN (SELECT user_id, value FROM known2 WHERE rn = 1) k2
+          USING (user_id)
+        ORDER BY user_id
+    """,
+)
+def wh_bitemporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal audit query — "what did we believe THEN vs what do we
+    believe NOW about the same business date": each event is a version
+    (valid_day = business validity, tx_ts = when the warehouse learned
+    it); the same business-time lookup runs at two transaction times and
+    the diff flags values that late-arriving corrections changed. The
+    missing axis in plain SCD2 (wh_scd2_lookup tracks validity only):
+    regulators ask for as-known-at reports, and this is that query. Two
+    rank windows sharing one partitioning + a full outer join; values
+    pass through untouched so the hash is exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    versions = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("valid_day"),
+        F.col("ts").alias("tx_ts"),
+        "value",
+    )
+    t_b = F.lit("2024-01-10 00:00:00").cast("timestamp")
+
+    def known(tx_cut: str):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("valid_day"), F.desc("tx_ts")
+        )
+        return (
+            versions.where(
+                (F.col("valid_day") <= t_b)
+                & (F.col("tx_ts") <= F.lit(tx_cut).cast("timestamp"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    k1 = known("2024-01-12 00:00:00").withColumnRenamed("value", "value_known_early")
+    k2 = known("2024-01-25 00:00:00").withColumnRenamed("value", "value_known_late")
+    return (
+        k1.join(k2, "user_id", "full_outer")
+        .select(
+            "user_id",
+            "value_known_early",
+            "value_known_late",
+            (~F.col("value_known_early").eqNullSafe(F.col("value_known_late"))).alias(
+                "corrected"
+            ),
+        )
+        .orderBy("user_id")
+    )
