@@ -4986,3 +4986,97 @@ def ext_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_words_nonempty"),
         "n_tokens",
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_feature_hash",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   ('0x' || SUBSTR(MD5(event_type), 1, 8))::BIGINT % 8 AS bucket
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (bucket = 0) AS BIGINT) AS f0,
+               CAST(COUNT(*) FILTER (bucket = 1) AS BIGINT) AS f1,
+               CAST(COUNT(*) FILTER (bucket = 2) AS BIGINT) AS f2,
+               CAST(COUNT(*) FILTER (bucket = 3) AS BIGINT) AS f3,
+               CAST(COUNT(*) FILTER (bucket = 4) AS BIGINT) AS f4,
+               CAST(COUNT(*) FILTER (bucket = 5) AS BIGINT) AS f5,
+               CAST(COUNT(*) FILTER (bucket = 6) AS BIGINT) AS f6,
+               CAST(COUNT(*) FILTER (bucket = 7) AS BIGINT) AS f7
+        FROM b
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer — fixed-width vectors from unbounded
+    categorical vocabularies with NO vocabulary table: each category
+    hashes (md5, engine-portable) into one of 8 buckets and the feature
+    is the per-entity bucket count. One hash aggregate with map-side
+    combine; vocabulary growth never changes the schema or requires a
+    fit step, which is why the trick survives 100 TB feature pipelines.
+    Integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("long") % 8)
+    return (
+        ev.select("user_id", bucket.alias("bucket"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.count_if(F.col("bucket") == i).cast("long").alias(f"f{i}")
+                for i in range(8)
+            ]
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "ext_label_encode",
+    oracle="""
+        WITH vocab AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) - 1 AS label_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(v.label_id AS INT) AS label_id,
+               CAST(v.n AS BIGINT) AS class_count
+        FROM events e JOIN vocab v USING (event_type)
+        WHERE e.event_id < 500
+        ORDER BY e.event_id
+    """,
+)
+def ext_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered label encoding: the categorical vocabulary
+    ranks by (count DESC, value) so id 0 is always the most common
+    class — the convention that keeps downstream class-weight arrays
+    and embedding tables stable as long as the frequency order holds.
+    The vocabulary is a tiny aggregate BROADCAST back onto the fact
+    rows (the fact side never shuffles); deterministic tie-break makes
+    the mapping engine-exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vocab = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "label_id",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("event_type"))) - 1,
+        )
+    )
+    return (
+        ev.where(F.col("event_id") < 500)
+        .join(F.broadcast(vocab), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("label_id").cast("int").alias("label_id"),
+            F.col("n").cast("long").alias("class_count"),
+        )
+        .orderBy("event_id")
+    )
