@@ -793,3 +793,85 @@ def wh_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("post_adjusted"),
     ).orderBy("user_id")
+
+
+@q(
+    "wh_survival_km",
+    oracle="""
+        WITH life AS (
+            SELECT user_id, event_type,
+                   DATE_DIFF('day', MIN(DATE_TRUNC('day', ts)),
+                             MAX(DATE_TRUNC('day', ts))) AS dur,
+                   (MAX(DATE_TRUNC('day', ts)) <
+                    (SELECT MAX(DATE_TRUNC('day', ts)) FROM events)
+                      - INTERVAL 2 DAY) AS churned
+            FROM events GROUP BY user_id, event_type
+        ), by_t AS (
+            SELECT dur AS t,
+                   COUNT(*) AS ending,
+                   COUNT(*) FILTER (churned) AS d
+            FROM life GROUP BY dur
+        ), risk AS (
+            SELECT t, d,
+                   SUM(ending) OVER (ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n
+            FROM by_t
+        ), km AS (
+            SELECT t, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n,
+                   SUM(LN(1.0 - CAST(d AS DOUBLE) / n))
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns
+            FROM risk
+        )
+        SELECT CAST(t AS INT) AS t, d, n,
+               FLOOR(EXP(lns) * 10000.0 + 0.5) / 10000.0 AS survival
+        FROM km
+        ORDER BY t
+    """,
+)
+def wh_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimation over (user, activity-type)
+    lifetimes — the
+    retention curve with CENSORING handled correctly: users still
+    active near the observation edge (last activity within 2 days of
+    the corpus end) are censored, not counted as churn, which is what
+    separates KM from a naive retention ratio. Risk sets come from a
+    reverse running sum over the duration axis, and the product
+    Π(1 - d/n) folds as a RUNNING SUM OF LOGS over the same ordered
+    frame — a sequential deterministic fold in both engines (the
+    char_entropy discipline applied to a window), so the rounded curve
+    hash-compares. Aggregation is duration-bounded (≤ observation
+    days), tiny regardless of user count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    life = ev.groupBy("user_id", "event_type").agg(
+        F.datediff(F.max(day), F.min(day)).alias("dur"),
+        F.max(day).alias("last_day"),
+    )
+    max_day = ev.agg(F.max(day).alias("gmax"))
+    life = life.crossJoin(F.broadcast(max_day)).select(
+        "dur",
+        (F.col("last_day") < F.col("gmax") - F.expr("INTERVAL 2 DAYS")).alias("churned"),
+    )
+    by_t = life.groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).alias("ending"),
+        F.count_if("churned").alias("d"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    risk = by_t.withColumn("n", F.sum("ending").over(w_rev))
+    km = risk.withColumn(
+        "lns",
+        F.sum(F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n"))).over(w_fwd),
+    )
+    return km.select(
+        F.col("t").cast("int").alias("t"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        stable_round(F.exp("lns"), 4).alias("survival"),
+    ).orderBy("t")
