@@ -5080,3 +5080,68 @@ def ext_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@q(
+    "ext_tokenizer_fertility",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER({_DUCK_TOKS},
+                               w -> REGEXP_MATCHES(w, '^[a-z0-9]+$')) AS ws
+            FROM documents
+        ), f AS (
+            SELECT doc_id, lang, ws,
+                   {_bpe_oracle_replaces(
+                       "ARRAY_TO_STRING(LIST_TRANSFORM(ws, "
+                       "w -> ARRAY_TO_STRING(STR_SPLIT(w, ''), '  ')), ' | ')"
+                   )} AS s
+            FROM w
+        ), per_doc AS (
+            SELECT lang,
+                   COALESCE(LIST_SUM(LIST_TRANSFORM(ws, w -> LENGTH(w))), 0) AS n_chars,
+                   CASE WHEN LEN(ws) = 0 THEN 0
+                        ELSE (LENGTH(s) - LENGTH(REPLACE(s, '  ', ''))) // 2
+                             + LEN(ws) END AS n_tokens
+            FROM f
+        )
+        SELECT lang,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               FLOOR((CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens)) * 10000.0 + 0.5)
+                 / 10000.0 AS chars_per_token
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the multilingual-fairness
+    audit: chars-per-token under the fixed merge table, by language. A
+    tokenizer whose merges favor one language gives other languages
+    fewer characters per token, i.e. more tokens (and more compute and
+    context budget) for the same text; this is the metric that surfaces
+    it. Exact integer char/token totals from bpe_segment's single-scan
+    counting, one tiny group-by-language aggregate, the ratio divided
+    and rounded identically in both engines."""
+    from bigdatacw1_spark.functions.text import bpe_segment
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    seg = bpe_segment(d).join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        seg.groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_chars",
+            "n_tokens",
+            stable_round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
