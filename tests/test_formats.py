@@ -340,3 +340,28 @@ def test_mjpeg_split_rejects_garbage_and_truncation():
         split_mjpeg_frames(a + b"junk")
     with pytest.raises(ValueError):
         split_mjpeg_frames(a[:-2])  # EOI stripped -> unterminated
+
+
+def test_jpeg_bitreader_unstuffing_restarts_and_truncation():
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import _BitReader
+
+    # FF00 unstuffs to a literal FF byte
+    br = _BitReader(b"\xff\x00\x80", 0)
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bits(8) == 0x80
+
+    # a restart marker is consumed transparently at the next byte fetch
+    # and flags itself; valid streams only hit restarts at symbol
+    # boundaries, so leftover bits of the current byte still serve first
+    br = _BitReader(b"\xa0\xff\xd3\x55", 0)
+    assert br.read_bits(4) == 0xA
+    assert br.read_bits(8) == 0x05  # 4 leftover zero bits, then 0101 of 0x55
+    assert br.restart_seen
+    assert br.read_bits(4) == 0x5  # low nibble of 0x55 continues
+
+    # any other marker ends the scan; reading past it raises
+    br = _BitReader(b"\xff\xd9", 0)
+    with pytest.raises(ValueError):
+        br.read_bit()
