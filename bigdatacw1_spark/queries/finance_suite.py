@@ -205,3 +205,71 @@ def f22_trader_limit_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_notional",
         "breach_seq",
     ).orderBy("trader_id", "period")
+
+
+@q(
+    "f25_historical_var",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id AS trader_id, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS pnl_cents
+            FROM events GROUP BY 1, 2
+        ), wq AS (
+            SELECT *, QUANTILE_CONT(pnl_cents, 0.05)
+                          OVER (PARTITION BY trader_id) AS q05
+            FROM daily
+        )
+        SELECT trader_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               FLOOR((MAX(q05) / 100.0) * 10000.0 + 0.5) / 10000.0 AS var95,
+               FLOOR(((SUM(pnl_cents) FILTER (pnl_cents <= q05)
+                       / CAST(COUNT(*) FILTER (pnl_cents <= q05) AS DOUBLE))
+                      / 100.0) * 10000.0 + 0.5) / 10000.0 AS expected_shortfall
+        FROM wq
+        GROUP BY trader_id
+        ORDER BY trader_id
+    """,
+)
+def f25_historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation Value-at-Risk per trader — the classic
+    risk analytic the reference's cash-equity domain stops short of:
+    daily P&L in exact integer cents, VaR95 = the exact interpolated 5th
+    percentile of the daily distribution (a15 percentile discipline:
+    identical index = p*(n-1) interpolation in both engines over the
+    same values), and expected shortfall = the exact-integer mean of the
+    tail at-or-below VaR. The tail membership test compares integer
+    cents to the shared percentile double, so the tail SET is identical
+    cross-engine before any float math. Two grouped aggregates; the
+    percentile's full per-group sort is day-bounded, not event-bounded."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("trader_id"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("pnl_cents"))
+    q05 = F.percentile("pnl_cents", F.lit(0.05))
+    tail = F.col("pnl_cents") <= q05
+    # Spark aggregates can't nest; compute the percentile once per group
+    # via a window, then aggregate the tail in a second pass.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("trader_id")
+    d = daily.withColumn("q05", q05.over(w))
+    return (
+        d.groupBy("trader_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("q05").alias("__q05"),
+            F.sum(F.when(F.col("pnl_cents") <= F.col("q05"), F.col("pnl_cents"))).alias("__tail_sum"),
+            F.count_if(F.col("pnl_cents") <= F.col("q05")).alias("__tail_n"),
+        )
+        .select(
+            "trader_id",
+            "n_days",
+            stable_round(F.col("__q05") / 100.0, 4).alias("var95"),
+            stable_round(
+                (F.col("__tail_sum") / F.col("__tail_n").cast("double")) / 100.0, 4
+            ).alias("expected_shortfall"),
+        )
+        .orderBy("trader_id")
+    )
