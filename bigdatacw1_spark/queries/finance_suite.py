@@ -273,3 +273,71 @@ def f25_historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trader_id")
     )
+
+
+@q(
+    "f26_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id AS trader_id, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS pnl_cents
+            FROM events GROUP BY 1, 2
+        ), path AS (
+            SELECT trader_id, day,
+                   SUM(pnl_cents) OVER (PARTITION BY trader_id ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+            FROM daily
+        ), dd AS (
+            SELECT trader_id, day,
+                   MAX(cum) OVER (PARTITION BY trader_id ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - cum AS drawdown_cents
+            FROM path
+        )
+        SELECT trader_id,
+               CAST(MAX(drawdown_cents) AS BIGINT) AS max_drawdown_cents,
+               ARG_MIN(day, -drawdown_cents * 10000000000
+                            + CAST(FLOOR(EPOCH(day)) AS BIGINT)) AS trough_day
+        FROM dd
+        GROUP BY trader_id
+        ORDER BY trader_id
+    """,
+)
+def f26_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per trader — peak-to-trough loss along the
+    cumulative P&L path, the risk statistic VaR misses (sequencing
+    matters: the same daily distribution in a different order draws down
+    differently). Running sum and running peak share one window sort;
+    drawdown stays in exact integer cents end to end, and the trough day
+    reports the EARLIEST day attaining the maximum (min_by with an
+    integer key), so the answer is engine-exact with no float anywhere."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("trader_id"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("pnl_cents"))
+    w = (
+        Window.partitionBy("trader_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    path = daily.withColumn("cum", F.sum("pnl_cents").over(w))
+    dd = path.select(
+        "trader_id",
+        "day",
+        (F.max("cum").over(w) - F.col("cum")).alias("drawdown_cents"),
+    )
+    return (
+        dd.groupBy("trader_id")
+        .agg(
+            F.max("drawdown_cents").cast("long").alias("max_drawdown_cents"),
+            F.min_by(
+                "day",
+                -F.col("drawdown_cents") * F.lit(10000000000)
+                + F.unix_timestamp("day"),
+            ).alias("trough_day"),
+        )
+        .orderBy("trader_id")
+    )
