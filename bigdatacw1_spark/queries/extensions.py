@@ -5145,3 +5145,44 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "ext_dedup_clusters_jump",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS node, r.comp AS comp FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def ext_dedup_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pointer-jumping connected components
+    (operators/graph.connected_components_jump) on the same Jaccard pair
+    graph as ext_dedup_clusters, against the SAME recursive-CTE closure
+    oracle — two published distributed CC algorithms (O(diameter)
+    propagation and O(log n) doubling) independently verified to the
+    same canonical labels. The doubling form is the one that survives a
+    1M-node near-dup chain; the chain-vs-budget separation is observed
+    in tests/test_graph.py."""
+    from bigdatacw1_spark.operators.graph import connected_components_jump
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
+    cc = connected_components_jump(pairs, src="a", dst="b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")

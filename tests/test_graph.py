@@ -135,3 +135,38 @@ def test_shortest_paths_directed_respects_edge_direction(spark):
     directed = shortest_paths(edges, seeds, max_hops=2, directed=True)
     assert {r["node"] for r in undirected.collect()} == {1, 2}
     assert {r["node"] for r in directed.collect()} == {2}  # no 2→1 edge
+
+
+def test_pointer_jumping_cc_equals_propagation_and_converges_faster(spark):
+    """On a long chain (worst case for plain propagation) the jumping
+    variant must produce identical canonical labels while plain
+    propagation at the same round budget has NOT yet converged — the
+    O(log n) vs O(diameter) separation, observed rather than claimed."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.graph import (
+        connected_components,
+        connected_components_jump,
+    )
+
+    n = 64  # chain 0-1-2-...-63: diameter 63
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    jump = connected_components_jump(chain, max_iter=10)
+    got = {(r.node, r.comp) for r in jump.collect()}
+    assert got == {(i, 0) for i in range(n)}  # one component, min-id label
+
+    slow = connected_components(chain, max_iter=10)
+    not_done = slow.where(F.col("comp") != 0).count()
+    assert not_done > 0  # same budget, propagation still mid-flight
+
+    # random graph: both algorithms agree exactly
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    e = spark.createDataFrame(edges, "src long, dst long").where("src != dst")
+    a = {(r.node, r.comp) for r in connected_components(e, max_iter=25).collect()}
+    b = {(r.node, r.comp) for r in connected_components_jump(e).collect()}
+    assert a == b
