@@ -366,3 +366,47 @@ def connected_components_jump(
         if changed == 0:
             break
     return cc
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes whose degree in
+    the SURVIVING subgraph is < k. The k-core is where densely
+    interconnected structure lives — on a near-dup graph it separates
+    template/boilerplate cliques from incidental pairwise matches; on a
+    web graph it is the classic spam-farm signal.
+
+    Runs a FIXED number of peel rounds so a SQL oracle can replay the
+    loop exactly; emits ``stable`` = (last round removed nothing), i.e.
+    whether the fixed budget reached the true k-core. Each round is one
+    degree aggregate + one semi-join on the surviving set — the
+    surviving edge set only shrinks, so rounds get cheaper, and
+    localCheckpoint truncates the iterative lineage."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    live = bi.localCheckpoint(eager=False)
+    prev_n = None
+    last_removed = None
+    for _ in range(rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        live = (
+            live.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+        n = live.count()
+        last_removed = prev_n is not None and n < prev_n
+        prev_n = n
+    members = live.select("u").distinct()
+    stable = not last_removed
+    return members.select(
+        F.col("u").alias("node"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(stable).alias("stable"),
+    )

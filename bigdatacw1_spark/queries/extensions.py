@@ -5186,3 +5186,53 @@ def ext_dedup_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    head = f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+        ), e0 AS (
+            SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+        )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        , keep{r} AS (
+            SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {k}
+        ), e{r} AS (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN keep{r} ka ON e.u = ka.u
+            JOIN keep{r} kb ON e.v = kb.u
+        )""")
+    parts.append(f"""
+        SELECT DISTINCT u AS node, CAST({k} AS INT) AS k,
+               ((SELECT COUNT(*) FROM e{rounds}) =
+                (SELECT COUNT(*) FROM e{rounds - 1})) AS stable
+        FROM e{rounds}
+        ORDER BY node""")
+    return "".join(parts)
+
+
+@q("ext_kcore", oracle=_kcore_oracle(2, 4))
+def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph (operators/graph.kcore_membership):
+    fixed-round peeling drops nodes with fewer than 2 surviving
+    neighbors, leaving the densely interlinked duplicate structure —
+    template/boilerplate cliques rather than incidental pairwise
+    matches (the web-graph spam-farm primitive applied to corpus
+    hygiene). Fixed 4-round budget so the oracle replays the loop
+    exactly; the emitted `stable` flag certifies the budget reached the
+    true core. Per-round cost: one degree aggregate + two semi-joins on
+    a shrinking edge set."""
+    from bigdatacw1_spark.operators.graph import kcore_membership
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
+    return kcore_membership(pairs, k=2, rounds=4, src="a", dst="b").orderBy("node")

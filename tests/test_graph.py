@@ -170,3 +170,21 @@ def test_pointer_jumping_cc_equals_propagation_and_converges_faster(spark):
     a = {(r.node, r.comp) for r in connected_components(e, max_iter=25).collect()}
     b = {(r.node, r.comp) for r in connected_components_jump(e).collect()}
     assert a == b
+
+
+def test_kcore_peels_tails_keeps_clique(spark):
+    """A triangle with a pendant tail: the 2-core is exactly the
+    triangle; the tail (degree 1) peels in round one. A path graph has
+    an EMPTY 2-core."""
+    from bigdatacw1_spark.operators.graph import kcore_membership
+
+    tri_tail = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = kcore_membership(tri_tail, k=2, rounds=4)
+    rows = got.collect()
+    assert {r.node for r in rows} == {1, 2, 3}
+    assert all(r.stable for r in rows)
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert kcore_membership(path, k=2, rounds=4).count() == 0
