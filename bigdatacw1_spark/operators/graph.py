@@ -410,3 +410,47 @@ def kcore_membership(
         F.lit(k).cast("int").alias("k"),
         F.lit(stable).alias("stable"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (community
+    detection): labels start as node ids; each round every node adopts
+    the most frequent label among its neighbors, ties broken by the
+    smallest label. Communities are finer than connected components —
+    they split a component along its sparse cuts, which on a near-dup
+    graph separates distinct template families that happen to share a
+    bridge document.
+
+    Classic LPA is randomized and order-dependent; this form is
+    reproducible: synchronous rounds, a total tie-break, and a FIXED
+    round budget (community detection has no natural fixed point — the
+    budget IS the algorithm, and the oracle replays it exactly). The
+    argmax is one integer key (label - count * 2^20), valid while
+    labels stay below 2^20 — at larger id spaces widen the shift.
+    Per round: one join + one (node, label) count + one min_by."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    bi = bi.localCheckpoint(eager=False)
+    labels = bi.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        neigh = bi.join(labels, bi["v"] == labels["node"]).select(
+            bi["u"].alias("node"), F.col("label")
+        )
+        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min_by(
+                    "label", F.col("label") - F.col("cnt") * F.lit(1048576)
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

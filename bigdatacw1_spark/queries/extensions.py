@@ -5236,3 +5236,52 @@ def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
     return kcore_membership(pairs, k=2, rounds=4, src="a", dst="b").orderBy("node")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    head = f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
+                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+        ), e0 AS (
+            SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+        ), l0 AS (
+            SELECT DISTINCT u AS node, u AS label FROM e0
+        )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        , c{r} AS (
+            SELECT e.u AS node, l.label, COUNT(*) AS cnt
+            FROM e0 e JOIN l{r - 1} l ON e.v = l.node
+            GROUP BY e.u, l.label
+        ), l{r} AS (
+            SELECT node, ARG_MIN(label, label - cnt * 1048576) AS label
+            FROM c{r} GROUP BY node
+        )""")
+    parts.append(f"""
+        SELECT node, CAST(label AS BIGINT) AS community
+        FROM l{rounds}
+        ORDER BY node""")
+    return "".join(parts)
+
+
+@q("ext_lpa_communities", oracle=_lpa_oracle(3))
+def ext_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the near-dup
+    graph (operators/graph.label_propagation): synchronous rounds,
+    total tie-break, fixed budget — the reproducible form of the
+    classically-randomized algorithm, with the 3-round replay as its
+    oracle. Communities split duplicate components along sparse cuts,
+    separating template families that share only a bridge document —
+    finer-grained corpus structure than ext_dedup_clusters."""
+    from bigdatacw1_spark.operators.graph import label_propagation
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
+    return label_propagation(pairs, rounds=3, src="a", dst="b").orderBy("node")

@@ -188,3 +188,20 @@ def test_kcore_peels_tails_keeps_clique(spark):
 
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     assert kcore_membership(path, k=2, rounds=4).count() == 0
+
+
+def test_lpa_splits_two_cliques_joined_by_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each clique
+    its own community (CC would merge them into one component)."""
+    from bigdatacw1_spark.operators.graph import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(e, rounds=3).collect()}
+    left = {got[n] for n in (1, 2, 3)}
+    right = {got[n] for n in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge does NOT merge the communities
