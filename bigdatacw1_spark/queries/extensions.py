@@ -5285,3 +5285,85 @@ def ext_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.01).select("a", "b")
     return label_propagation(pairs, rounds=3, src="a", dst="b").orderBy("node")
+
+
+@q(
+    "ext_readability",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {_DUCK_TOKS} AS toks,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '[.!?]+'),
+                                   s -> TRIM(s) <> '')) AS n_sents
+            FROM documents
+        ), syl AS (
+            SELECT doc_id, n_sents,
+                   LEN(toks) AS n_words,
+                   LIST_SUM(LIST_TRANSFORM(toks,
+                       w -> GREATEST(LEN(REGEXP_EXTRACT_ALL(w, '[aeiouy]+')), 1)))
+                     AS n_syllables
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(GREATEST(n_sents, 1) AS BIGINT) AS n_sents,
+               CAST(COALESCE(n_syllables, 0) AS BIGINT) AS n_syllables,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE FLOOR((206.835
+                                - 1.015 * (CAST(n_words AS DOUBLE) / GREATEST(n_sents, 1))
+                                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                               * 10000.0 + 0.5) / 10000.0 END AS flesch
+        FROM syl
+        ORDER BY doc_id
+    """,
+)
+def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality feature: 206.835 - 1.015(words/sentence) -
+    84.6(syllables/word), with syllables approximated as vowel-group
+    runs (min 1 per word, the standard heuristic). Sentences split on
+    [.!?]+ with a floor of 1 so fragment documents still score. All
+    row-local expressions; the float computes in one fixed operation
+    order with shared literals, so rounded scores hash-compare. Slots
+    beside quality_score/char_entropy/lm_surprisal in the quality
+    ensemble — readability catches keyword-stuffed and run-on text the
+    others pass."""
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.size(F.filter(F.split("text", r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    n_syll = F.coalesce(
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda w: F.greatest(
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0),
+    )
+    flesch = F.when(
+        n_words > 0,
+        stable_round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sents)
+            - F.lit(84.6) * (n_syll.cast("double") / n_words),
+            4,
+        ),
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        n_syll.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    ).orderBy("doc_id")
