@@ -685,3 +685,56 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
         alpha=0.5, lookback=64, tiebreak="event_id",
     ).orderBy("user_id")
+
+
+@q(
+    "ev_seasonal_dow",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(DAYOFWEEK(ts) + 1 AS INT) AS dow,
+                   COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+               FLOOR((sx / n) * 10000.0 + 0.5) / 10000.0 AS seasonal_mean,
+               FLOOR(((sxx - sx * sx / n) / (n - 1)) * 10000.0 + 0.5) / 10000.0
+                 AS residual_var
+        FROM m
+        ORDER BY event_type, dow
+    """,
+)
+def ev_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition by day of week: per (event_type,
+    weekday) the seasonal mean and the residual variance around it —
+    the baseline that turns 'Monday is always slow' into a subtractable
+    component before anomaly scoring (pair with ev_anomaly_zscore,
+    which assumes a stationary level). Decimal moment sums make the
+    statistics order-independent (a14 discipline), then both engines
+    run the identical closed forms. One map-side-combinable aggregate
+    over at most |types| x 7 groups."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(dv).cast("double").alias("sx"),
+        F.sum(dv * dv).cast("double").alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "dow",
+        F.col("n").cast("long").alias("n"),
+        stable_round(F.col("sx") / F.col("n"), 4).alias("seasonal_mean"),
+        stable_round(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1),
+            4,
+        ).alias("residual_var"),
+    ).orderBy("event_type", "dow")
