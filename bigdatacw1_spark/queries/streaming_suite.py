@@ -738,3 +738,76 @@ def ev_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("residual_var"),
     ).orderBy("event_type", "dow")
+
+
+@q(
+    "ev_anomaly_seasonal",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(DAYOFWEEK(ts) + 1 AS INT) AS dow,
+                   COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+            FROM events GROUP BY 1, 2
+        ), season AS (
+            SELECT event_type, dow, sx / n AS mu,
+                   SQRT((sxx - sx * sx / n) / (n - 1)) AS sigma
+            FROM m
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(DAYOFWEEK(e.ts) + 1 AS INT) AS dow,
+               FLOOR(((e.value - s.mu) / s.sigma) * 10000.0 + 0.5) / 10000.0
+                 AS seasonal_z
+        FROM events e
+        JOIN season s
+          ON s.event_type = e.event_type
+         AND s.dow = CAST(DAYOFWEEK(e.ts) + 1 AS INT)
+        WHERE ABS((e.value - s.mu) / s.sigma) > 2.5
+        ORDER BY e.event_id
+    """,
+)
+def ev_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly screen: z-score each event against
+    ITS weekday's (event_type, dow) baseline instead of a stationary
+    level — 'high for a Monday' replaces 'high' (the ev_anomaly_zscore
+    gap the seasonal decomposition exists to close). The 35-row
+    seasonal table broadcasts; flagging is row-local; output is
+    change-sized (|z| > 2.5 only). Means/sigmas come from the exact
+    decimal moments, so both engines divide the same doubles and the
+    rounded z-scores hash-compare."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    season = (
+        ev.groupBy("event_type", F.dayofweek("ts").cast("int").alias("dow"))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(dv).cast("double").alias("sx"),
+            F.sum(dv * dv).cast("double").alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            (F.col("sx") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.withColumn("dow", F.dayofweek("ts").cast("int"))
+        .join(F.broadcast(season), ["event_type", "dow"])
+        .where(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "dow",
+            stable_round(z, 4).alias("seasonal_z"),
+        )
+        .orderBy("event_id")
+    )
