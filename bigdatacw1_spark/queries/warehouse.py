@@ -875,3 +875,90 @@ def wh_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         stable_round(F.exp("lns"), 4).alias("survival"),
     ).orderBy("t")
+
+
+@q(
+    "wh_association_rules",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day, event_type
+            FROM events
+        ), nb AS (
+            SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM baskets
+        ), item AS (
+            SELECT event_type, COUNT(*) AS cnt FROM baskets GROUP BY event_type
+        ), pair AS (
+            SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                   COUNT(*) AS support_cnt
+            FROM baskets a
+            JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                          AND a.event_type <> b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.antecedent, p.consequent,
+               CAST(p.support_cnt AS BIGINT) AS support_cnt,
+               FLOOR((CAST(p.support_cnt AS DOUBLE) / ia.cnt) * 10000.0 + 0.5)
+                 / 10000.0 AS confidence,
+               FLOOR(((CAST(p.support_cnt AS DOUBLE) * nb.n_baskets)
+                      / (CAST(ia.cnt AS DOUBLE) * ic.cnt)) * 10000.0 + 0.5)
+                 / 10000.0 AS lift
+        FROM pair p
+        JOIN item ia ON ia.event_type = p.antecedent
+        JOIN item ic ON ic.event_type = p.consequent
+        CROSS JOIN nb
+        ORDER BY p.antecedent, p.consequent
+    """,
+)
+def wh_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) baskets of
+    activity types: support, confidence = P(B|A), and lift =
+    P(A∧B)/(P(A)P(B)) for every ordered pair — lift > 1 is genuine
+    co-occurrence beyond popularity, the classic
+    recommendation/cross-sell primitive. All counts are exact integers
+    (pair fan-out bounded by |types|² per basket); the two float ratios
+    divide the same exact integers in the same order, so rounded values
+    hash-compare. Item and basket totals broadcast back onto the pair
+    table."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(
+        "user_id", "day", F.col("event_type").alias("antecedent")
+    )
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("consequent")
+    )
+    pair = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+    )
+    ia = item.select(F.col("event_type").alias("antecedent"), F.col("cnt").alias("cnt_a"))
+    ic = item.select(F.col("event_type").alias("consequent"), F.col("cnt").alias("cnt_c"))
+    return (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support_cnt").cast("long").alias("support_cnt"),
+            stable_round(
+                F.col("support_cnt").cast("double") / F.col("cnt_a"), 4
+            ).alias("confidence"),
+            stable_round(
+                (F.col("support_cnt").cast("double") * F.col("n_baskets"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_c")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
