@@ -962,3 +962,61 @@ def wh_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@q(
+    "wh_abc_analysis",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey AS custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY o_custkey
+        ), tot AS (SELECT SUM(rev_cents) AS total FROM rev),
+        ranked AS (
+            SELECT custkey, rev_cents,
+                   SUM(rev_cents) OVER (ORDER BY rev_cents DESC, custkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+            FROM rev
+        )
+        SELECT custkey,
+               CAST(rev_cents AS BIGINT) AS rev_cents,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked CROSS JOIN tot
+        ORDER BY custkey
+    """,
+)
+def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue classification: customers sorted by revenue,
+    classed A while the running share stays within 80% of total, B to
+    95%, C after — the 'which 20% of customers carry 80% of revenue'
+    analysis. Revenue and running totals stay exact integer cents and
+    the class boundaries compare via integer cross-multiplication
+    (cum*100 <= total*80), so the class assignment is exact in any
+    engine — no float share anywhere. One aggregate + one global-order
+    window (rank windows over customer counts, not order counts)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.withColumn("cum", F.sum("rev_cents").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "custkey",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+            .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+        .orderBy("custkey")
+    )
