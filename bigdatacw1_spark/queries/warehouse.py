@@ -1020,3 +1020,82 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@q(
+    "wh_rfm_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey,
+                   DATE_DIFF('day', MAX(o_orderdate),
+                             (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT custkey, recency_days, frequency, monetary_cents,
+                   NTILE(4) OVER (ORDER BY recency_days ASC, custkey) AS r,
+                   NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f,
+                   NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m
+            FROM per_cust
+        )
+        SELECT custkey,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary_cents,
+               CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+               CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+                 AS segment
+        FROM scored
+        ORDER BY custkey
+    """,
+)
+def wh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: per customer the
+    Recency (days since last order vs the corpus edge), Frequency
+    (order count) and Monetary (integer-cent revenue) quartiles, each
+    from an NTILE over a TOTALLY ordered frame (metric then custkey),
+    so bucket edges are deterministic and engine-identical; quartile 1
+    is always the best (most recent / most frequent / highest spend).
+    The '111' cell is the champions segment every lifecycle campaign
+    starts from. One aggregate + three customer-bounded rank windows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    gmax = o.agg(F.max("o_orderdate").alias("gmax"))
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "custkey",
+            F.datediff("gmax", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
+    return (
+        per_cust.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+        .select(
+            "custkey",
+            F.col("recency_days").cast("long").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary_cents",
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            F.concat(
+                F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+            ).alias("segment"),
+        )
+        .orderBy("custkey")
+    )
