@@ -1099,3 +1099,148 @@ def wh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@q(
+    "wh_journey_ngrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, LIST(event_type ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        ), tri AS (
+            SELECT s[i] || '>' || s[i + 1] || '>' || s[i + 2] AS path
+            FROM seq, UNNEST(GENERATE_SERIES(1, LEN(s) - 2)) AS t(i)
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
+)
+def wh_journey_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 20 most common event-type TRIGRAMS
+    across all users' time-ordered activity streams — 'what do people
+    do right before X' without hand-specifying a funnel. The per-user
+    sequence is an ordered collect (bounded by per-user history);
+    trigrams come from the zip-with-shifted-slices trick (the
+    word_ngrams machinery applied to behavior), then one corpus count
+    and a fused top-k. Deterministic: total (ts, event_id) order and
+    a (count, path) tie-break."""
+    from bigdatacw1_spark.functions.text import word_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("s")
+    )
+    tri = seq.select(
+        F.explode(word_ngrams(F.col("s"), 3)).alias("spaced")
+    ).select(F.replace(F.col("spaced"), F.lit(" "), F.lit(">")).alias("path"))
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@q(
+    "wh_attribution_touch",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), purchases AS (
+            SELECT user_id, ts, event_id, cents FROM ordered
+            WHERE event_type = 'purchase'
+        ), touches AS (
+            SELECT o.user_id, o.event_type, o.ts, o.event_id,
+                   p.ts AS p_ts, p.event_id AS p_eid, p.cents
+            FROM ordered o
+            JOIN purchases p ON o.user_id = p.user_id
+            WHERE o.event_type <> 'purchase'
+              AND (o.ts < p.ts OR (o.ts = p.ts AND o.event_id < p.event_id))
+        ), ranked AS (
+            SELECT user_id, p_ts, p_eid, cents, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, p_eid
+                                      ORDER BY ts, event_id) AS rn_first,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, p_eid
+                                      ORDER BY ts DESC, event_id DESC) AS rn_last
+            FROM touches
+        ), picks AS (
+            SELECT user_id, p_ts, p_eid, cents,
+                   MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch,
+                   MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch
+            FROM ranked
+            GROUP BY user_id, p_ts, p_eid, cents
+        ), split AS (
+            SELECT first_touch AS channel, cents FROM picks
+            UNION ALL
+            SELECT last_touch AS channel, cents FROM picks
+        )
+        SELECT channel,
+               CAST(SUM(cents) AS BIGINT) AS attributed_cents_x2,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM split
+        GROUP BY channel
+        ORDER BY channel
+    """,
+)
+def wh_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase's value credited to the
+    FIRST and the LAST preceding touch (non-purchase event) of that
+    user — the two bookend models every attribution debate starts
+    from, reported side by side (summed together here, so a channel
+    strong at opening and closing shows double weight). Touch picks
+    come from rank windows over the total (ts, event_id) order —
+    no ties possible. Exact integer cents; the
+    per-purchase scan is user-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ordered = ev.select(
+        "user_id", "event_type", "ts", "event_id", cents.alias("cents")
+    )
+    purchases = ordered.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+        "cents",
+    )
+    touches = (
+        ordered.where(F.col("event_type") != "purchase")
+        .drop("cents")
+        .join(purchases, "user_id")
+        .where(
+            (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_eid")))
+        )
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("user_id", "p_eid")
+    ranked = touches.withColumn(
+        "rn_first", F.row_number().over(wp.orderBy(F.asc("ts"), F.asc("event_id")))
+    ).withColumn(
+        "rn_last", F.row_number().over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+    )
+    picks = ranked.groupBy("user_id", "p_ts", "p_eid", "cents").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("event_type"))).alias("first_touch"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("event_type"))).alias("last_touch"),
+    )
+    split = picks.select(
+        F.col("first_touch").alias("channel"), "cents"
+    ).unionByName(picks.select(F.col("last_touch").alias("channel"), "cents"))
+    return (
+        split.groupBy("channel")
+        .agg(
+            F.sum("cents").cast("long").alias("attributed_cents_x2"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
