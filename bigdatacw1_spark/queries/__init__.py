@@ -49,8 +49,15 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # ext_mm_video_frames, ext_robots_filter, ext_domain_cap,
 # ext_token_budget_mix, ext_repeat_epochs, ext_ann_ivf_verified,
 # ext_semantic_dedup_verified, ext_cluster_quality, ext_dedup_keep_best,
-# f24_sql_udf, and the promoted ext_ann_lsh_topk / ext_ann_multiprobe
-# full oracles).
+# f24_sql_udf, the promoted ext_ann_lsh_topk / ext_ann_multiprobe full
+# oracles, and the analytics wave: wh_cuped_adjusted, wh_survival_km,
+# wh_association_rules, wh_abc_analysis, wh_rfm_segments,
+# wh_journey_ngrams, wh_attribution_touch, wh_bitemporal_lookup,
+# ev_seasonal_dow, ev_anomaly_seasonal, ext_readability,
+# ext_tokenizer_fertility, ext_bpe_train_apply, ext_ann_pq_verified,
+# ext_kcore, ext_lpa_communities, ext_dedup_clusters_jump,
+# ext_dedup_keep_best, ext_feature_hash, ext_label_encode,
+# ext_cluster_quality, f25_historical_var, f26_max_drawdown).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)
