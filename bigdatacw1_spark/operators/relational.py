@@ -435,3 +435,52 @@ def resample_ffill(
             F.last("__obs", ignorenulls=True).over(w_fill).alias("value_ffill"),
         )
     )
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Pareto-optimal (skyline) set over two minimize-dimensions.
+
+    A point p is on the skyline iff no other point q has q.x <= p.x AND
+    q.y <= p.y with at least one strict inequality — the classic "cheapest
+    AND smallest" multi-criteria pick (Börzsönyi et al., ICDE 2001). The
+    naive formulation is the O(n²) NOT EXISTS anti-join; at 100 TB that is
+    a self cross join and dead on arrival.
+
+    Distributed shape (exact, two passes):
+      1. distinct (x, y) — duplicates are mutually non-dominating noise
+         and one hash aggregate removes them (after dedup "dominates"
+         simplifies to: earlier in (x ASC, y ASC) order with y <= p.y);
+      2. LOCAL prune: per input partition, sort by (x ASC, y ASC) and keep
+         rows whose y is strictly below the running minimum — each
+         partition's skyline. Dominance is transitive, so a point dominated
+         in ANY subset is dominated globally: pruning is sound regardless
+         of how rows landed in partitions, and the result is independent
+         of the partitioning even though spark_partition_id() itself is not
+         deterministic.
+      3. GLOBAL pass: the same running-minimum scan over the union of the
+         (small) local skylines — a single-partition window, but only over
+         the pruned set, which is the fundamental skyline trade: the final
+         merge touches candidate points only.
+
+    The running-minimum formulation works ONLY in 2-D (the skyline of a
+    sorted sequence is a monotone staircase); d>2 needs the
+    block-nested-loops generalization and is out of scope here.
+    """
+    xc, yc = F.col(x), F.col(y)
+    pts = df.select(xc.alias(x), yc.alias(y)).dropDuplicates()
+
+    def prune(frame: DataFrame, part_cols: list[Column]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(xc.asc(), yc.asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rm = F.min(yc).over(w)
+        return (
+            frame.withColumn("__rm", rm)
+            .where(F.col("__rm").isNull() | (yc < F.col("__rm")))
+            .drop("__rm")
+        )
+
+    local = prune(pts, [F.spark_partition_id()])
+    return prune(local, [])

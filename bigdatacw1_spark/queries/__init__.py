@@ -57,7 +57,9 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # ext_tokenizer_fertility, ext_bpe_train_apply, ext_ann_pq_verified,
 # ext_kcore, ext_lpa_communities, ext_dedup_clusters_jump,
 # ext_dedup_keep_best, ext_feature_hash, ext_label_encode,
-# ext_cluster_quality, f25_historical_var, f26_max_drawdown).
+# ext_cluster_quality, f25_historical_var, f26_max_drawdown, and the
+# round-4 additions: ext_variant_extract, ext_fuzzy_match,
+# ext_skyline_parts).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)

@@ -5367,3 +5367,144 @@ def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_syll.cast("long").alias("n_syllables"),
         flesch.alias("flesch"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured payloads, record linkage, multi-criteria selection (round 4)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_variant_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL)
+                   AS n_with_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS max_k,
+               COUNT(json_extract(props, '$.missing')) AS n_missing_path
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ext_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: ``events.props`` is a JSON
+    STRING column (the driver data's schema-flexible tail — the same
+    mixed-shape problem as the reference's Mongo documents,
+    NoSQLQueries.js:30-33). Parsed once per row into Spark 4's VARIANT
+    type (``parse_json``: a binary semi-structured encoding, NOT a
+    string re-parse per path access), then typed paths come out with
+    ``variant_get`` — the shredded-access pattern that at 100 TB beats
+    per-query ``get_json_object`` string scans: one parse, many cheap
+    typed reads, all JVM-side.
+
+    ``try_variant_get`` on a missing path yields NULL (counted here as
+    0 per group via COUNT of the extraction) — the null-safe probe a
+    curation pipeline uses to split conforming from drifting payloads.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(k).alias("n_with_k"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(missing).alias("n_missing_path"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "ext_fuzzy_match",
+    oracle="""
+        WITH names AS (
+            SELECT c_custkey AS id,
+                   REGEXP_REPLACE(LOWER(TRIM(c_name)), '\\s+', ' ', 'g') AS nm
+            FROM customer
+        ),
+        grams AS (
+            SELECT id, nm, gram
+            FROM names,
+                 UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                     RANGE(1, GREATEST(LEN(nm) - 2, 0) + 1),
+                     i -> SUBSTR(nm, CAST(i AS INT), 3)))) AS g(gram)
+        ),
+        dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+        ranked AS (
+            SELECT g.id, g.gram,
+                   ROW_NUMBER() OVER (PARTITION BY g.id
+                                      ORDER BY d.df ASC, g.gram ASC) AS rn
+            FROM grams g JOIN dfreq d USING (gram)
+        ),
+        prefix AS (SELECT id, gram FROM ranked WHERE rn <= 4),
+        cands AS (
+            SELECT DISTINCT p1.id AS a, p2.id AS b
+            FROM prefix p1 JOIN prefix p2 USING (gram)
+            WHERE p1.id < p2.id
+        )
+        SELECT c.a, c.b,
+               CAST(LEVENSHTEIN(na.nm, nb.nm) AS INT) AS dist
+        FROM cands c
+        JOIN names na ON na.id = c.a
+        JOIN names nb ON nb.id = c.b
+        WHERE ABS(LEN(na.nm) - LEN(nb.nm)) <= 1
+          AND LEVENSHTEIN(na.nm, nb.nm) <= 1
+        ORDER BY a, b
+    """,
+)
+def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via prefix-filter blocking (operators/linkage.py):
+    find every customer-name pair within edit distance 1 WITHOUT a cross
+    join. Each name keeps only its k*q+1 = 4 globally-rarest character
+    3-grams; the count-filtering lemma guarantees any true pair shares
+    one of them, so the block join is complete while its buckets are the
+    rare grams — tiny by construction. Candidates verify with the JVM
+    ``levenshtein`` built-in. The oracle replicates blocking + verify
+    step for step: both engines rank grams by (document_frequency, gram)
+    — fully deterministic, no hash functions involved."""
+    from bigdatacw1_spark.operators.linkage import blocked_fuzzy_pairs
+
+    names = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return blocked_fuzzy_pairs(names, "c_custkey", "c_name", q=3, k=1).orderBy(
+        "a", "b"
+    )
+
+
+@q(
+    "ext_skyline_parts",
+    oracle="""
+        WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS psize
+                     FROM part)
+        SELECT price, psize
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.price <= p.price AND q.psize <= p.psize
+              AND (q.price < p.price OR q.psize < p.psize)
+        )
+        ORDER BY price, psize
+    """,
+)
+def ext_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts — cheapest AND smallest (skyline over
+    minimize(p_retailprice), minimize(p_size)). The engine side is the
+    distributed two-pass running-minimum skyline
+    (operators/relational.skyline_2d): local per-partition prune, then
+    the same scan over the pruned union — O(n log n) sorts and one
+    bounded final pass. The oracle is the textbook O(n²) NOT EXISTS
+    dominance anti-join — readable, obviously correct, and exactly the
+    formulation the distributed plan exists to avoid."""
+    from bigdatacw1_spark.operators.relational import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    )
+    return skyline_2d(part, "price", "psize").orderBy("price", "psize")

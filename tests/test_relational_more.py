@@ -274,3 +274,88 @@ def test_rolling_zscore_flags_spike_and_nulls_constant_series(spark):
     assert by[(1, 5)]["zscore"] is None          # flat history: zero variance
     assert all(by[(2, m)]["zscore"] is None for m in range(5))
     assert by[(1, 0)]["zscore"] is None          # first row: n == 1
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d
+# ---------------------------------------------------------------------------
+
+def test_skyline_2d_dominance_and_ties(spark):
+    from bigdatacw1_spark.operators.relational import skyline_2d
+
+    pts = [
+        (1.0, 5), (2.0, 3), (3.0, 1),      # staircase: all on the skyline
+        (2.0, 4),                          # dominated by (2.0, 3)
+        (4.0, 1),                          # dominated by (3.0, 1) (tie on y)
+        (1.0, 5),                          # duplicate of a skyline point
+        (0.5, 9),                          # cheapest overall: on the skyline
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {(0.5, 9), (1.0, 5), (2.0, 3), (3.0, 1)}
+
+
+def test_skyline_2d_partition_invariant(spark):
+    """Local pruning is sound under ANY partitioning: a repartitioned
+    input yields the identical skyline."""
+    from bigdatacw1_spark.operators.relational import skyline_2d
+
+    rows = [(float(i % 17), (i * 7) % 13) for i in range(500)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    a = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    b = {(r["x"], r["y"]) for r in skyline_2d(df.repartition(13), "x", "y").collect()}
+    assert a == b and len(a) > 0
+    # brute-force check on the distinct points
+    pts = set(rows)
+    expect = {
+        p for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in pts
+        )
+    }
+    assert a == expect
+
+
+# ---------------------------------------------------------------------------
+# blocked_fuzzy_pairs (prefix-filter record linkage)
+# ---------------------------------------------------------------------------
+
+def test_blocked_fuzzy_pairs_finds_all_true_pairs(spark):
+    """Completeness on a hand-built corpus: blocking must not lose any
+    pair within the edit-distance budget (the prefix-filter guarantee),
+    and verification must reject everything beyond it."""
+    from bigdatacw1_spark.operators.linkage import blocked_fuzzy_pairs
+
+    names = [
+        (1, "Jonathan Smith"),
+        (2, "Jonathan Smyth"),      # dist 1 from 1
+        (3, "jonathan  smith"),     # dist 0 from 1 after normalization
+        (4, "Marianne Keller"),
+        (5, "Marianne Kellér"),     # dist 1 from 4
+        (6, "Completely Different"),
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    out = {(r["a"], r["b"]): r["dist"] for r in
+           blocked_fuzzy_pairs(df, "id", "name", q=3, k=1).collect()}
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 0
+    assert out[(2, 3)] == 1
+    assert out[(4, 5)] == 1
+    assert all(6 not in pair for pair in out)
+
+
+def test_blocked_fuzzy_pairs_prefix_is_bounded(spark):
+    """Every string contributes at most k*q+1 = 4 blocking grams — the
+    candidate fan-out bound the scale story rests on."""
+    from bigdatacw1_spark.operators.linkage import qgram_prefix
+
+    df = spark.createDataFrame(
+        [(i, f"Customer Number {i:06d} with a long tail") for i in range(50)],
+        ["id", "name"],
+    )
+    counts = (
+        qgram_prefix(df, "id", "name", q=3, k=1)
+        .groupBy("id").count().collect()
+    )
+    assert counts and all(r["count"] <= 4 for r in counts)
