@@ -59,7 +59,7 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # ext_dedup_keep_best, ext_feature_hash, ext_label_encode,
 # ext_cluster_quality, f25_historical_var, f26_max_drawdown, and the
 # round-4 additions: ext_variant_extract, ext_fuzzy_match,
-# ext_skyline_parts).
+# ext_skyline_parts, ext_warc_datasource).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)

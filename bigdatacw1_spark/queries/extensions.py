@@ -5508,3 +5508,98 @@ def ext_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
     )
     return skyline_2d(part, "price", "psize").orderBy("price", "psize")
+
+
+@q(
+    "ext_warc_datasource",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+                   CAST(NULL AS VARCHAR) AS target_uri,
+                   CAST(28 AS BIGINT) AS content_len,
+                   MD5('software: bigdatacw1-spark' || CHR(13) || CHR(10)) AS content_md5
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'response',
+                   'http://example.com/' || CAST(doc_id AS VARCHAR),
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT), MD5(text)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'metadata',
+                   'http://example.com/' || CAST(doc_id AS VARCHAR),
+                   CAST(LENGTH('doc_id: ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+                   MD5('doc_id: ' || CAST(doc_id AS VARCHAR))
+            FROM documents
+        )
+        SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx, rec_type, target_uri,
+               content_len, content_md5
+        FROM r ORDER BY doc_id, rec_idx
+    """,
+)
+def ext_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC as a FIRST-CLASS SOURCE: ``spark.read.format("warc")`` via
+    the Spark 4 Python DataSource API (sources/warc_datasource.py) —
+    one InputPartition per crawl file, rec_type/target_uri predicates
+    pushed into the parser loop, bodies never materialized unless asked.
+    Same record stream and oracle as ext_warc_parse (which goes through
+    binaryFile + mapInPandas), so equality across the two access paths
+    proves the connector parses identically to the transformation.
+    Fixture: one deterministic .warc file per document, written once per
+    sf_dir to a local cache dir (fixture construction, not the measured
+    read path)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from bigdatacw1_spark.sources.formats import build_warc
+    from bigdatacw1_spark.sources.warc_datasource import WarcDataSource
+
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatacw1_warc_fixture_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    done = os.path.join(fixture_dir, "_FIXTURE_COMPLETE")
+    if not os.path.exists(done):
+        os.makedirs(fixture_dir, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for row in docs.toLocalIterator():  # fixture-side only
+            i, text = int(row["doc_id"]), row["text"]
+            blob = build_warc(
+                [
+                    ("warcinfo", None, b"software: bigdatacw1-spark\r\n"),
+                    ("response", f"http://example.com/{i}", text.encode("utf-8")),
+                    ("metadata", f"http://example.com/{i}", f"doc_id: {i}".encode()),
+                ]
+            )
+            with open(os.path.join(fixture_dir, f"doc-{i:09d}.warc"), "wb") as fh:
+                fh.write(blob)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    # Python-source pushdown is gated by a (runtime-settable) SQL conf;
+    # a reader that implements pushFilters() errors loudly when it's off.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcDataSource)
+    raw = (
+        spark.read.format("warc")
+        # tiny fixture files: pack ~64 KiB per split so the local run gets
+        # real parallelism without one task per 2 KB file (production
+        # crawl files are ≥ the default 128 MiB target and split 1:1)
+        .option("target_partition_bytes", str(64 * 1024))
+        # opt-in pushdown (see WarcReaderBase: single-query-per-load usage)
+        .option("pushdown", "true")
+        .load(os.path.join(fixture_dir, "*.warc"))
+    )
+    return (
+        raw.select(
+            F.regexp_extract("warc_file", r"doc-(\d+)\.warc", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "rec_idx",
+            "rec_type",
+            "target_uri",
+            "content_len",
+            "content_md5",
+        )
+        .orderBy("doc_id", "rec_idx")
+    )

@@ -11,6 +11,8 @@ from bigdatacw1_spark.sources.formats import (
     read_orc,
     read_xml,
 )
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMALL
 
 
@@ -365,3 +367,107 @@ def test_jpeg_bitreader_unstuffing_restarts_and_truncation():
     br = _BitReader(b"\xff\xd9", 0)
     with pytest.raises(ValueError):
         br.read_bit()
+
+
+# ---------------------------------------------------------------------------
+# WARC Python DataSource (spark.read.format("warc"))
+# ---------------------------------------------------------------------------
+
+def _write_warc_fixture_dir(tmp_path, n_files=6):
+    from bigdatacw1_spark.sources.formats import build_warc
+
+    for i in range(n_files):
+        blob = build_warc(
+            [
+                ("warcinfo", None, b"fixture\r\n"),
+                ("response", f"http://a.example/{i}", f"body {i}".encode()),
+                ("response", f"http://b.example/{i}", f"other {i}".encode()),
+                ("metadata", f"http://a.example/{i}", b"m"),
+            ]
+        )
+        (tmp_path / f"f{i}.warc").write_bytes(blob)
+    return str(tmp_path)
+
+
+def test_warc_datasource_reads_all_records(spark, tmp_path):
+    from bigdatacw1_spark.sources.warc_datasource import WarcDataSource
+
+    d = _write_warc_fixture_dir(tmp_path)
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(d + "/*.warc")
+    assert df.count() == 6 * 4
+    assert "body" not in df.columns  # bodies pruned unless asked
+    # default reader: stateless — a filtered query on the SAME DataFrame
+    # never contaminates a later unfiltered one
+    assert df.where(F.col("rec_type") == "response").count() == 12
+    assert df.count() == 6 * 4
+    with_body = (
+        spark.read.format("warc").option("with_body", "true").load(d + "/*.warc")
+    )
+    row = with_body.where(
+        (F.col("warc_file") == "f2.warc") & (F.col("rec_idx") == 1)
+    ).collect()[0]
+    assert bytes(row["body"]) == b"body 2"
+
+
+def test_warc_datasource_pushdown_matches_post_filter(spark, tmp_path):
+    """Opt-in pushdown is an optimization, not a semantics change: each
+    pushed predicate returns exactly what filtering the full scan would
+    (one fresh load() per query — the documented usage contract)."""
+    from bigdatacw1_spark.sources.warc_datasource import WarcDataSource
+
+    d = _write_warc_fixture_dir(tmp_path)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcDataSource)
+
+    def fresh():
+        return (
+            spark.read.format("warc")
+            .option("pushdown", "true")
+            .load(d + "/*.warc")
+        )
+
+    pushed = fresh().where(
+        (F.col("rec_type") == "response")
+        & F.col("target_uri").startswith("http://a.example/")
+    ).collect()
+    assert len(pushed) == 6
+    assert all(r["rec_type"] == "response" for r in pushed)
+    assert all(r["target_uri"].startswith("http://a.example/") for r in pushed)
+    # IN-list pushes; unsupported predicate (content_len) evaluates post-scan
+    assert fresh().where(
+        F.col("rec_type").isin("response", "metadata")
+    ).count() == 18
+    lens = [r["content_len"] for r in fresh().collect()]
+    assert fresh().where(F.col("content_len") > 6).count() == sum(
+        1 for x in lens if x > 6
+    )
+
+
+def test_warc_datasource_partitions_bin_pack(tmp_path):
+    from pyspark.sql.types import StructType
+
+    from bigdatacw1_spark.sources.warc_datasource import WarcReaderBase, _warc_schema
+
+    d = _write_warc_fixture_dir(tmp_path, n_files=10)
+    import os
+
+    sz = os.path.getsize(os.path.join(d, "f0.warc"))
+    # target = 3 files' worth -> ceil(10/3) = 4 partitions
+    r = WarcReaderBase(
+        _warc_schema(False),
+        {"path": d + "/*.warc", "target_partition_bytes": str(3 * sz + 1)},
+    )
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert sorted(p for part in parts for p in part.paths) == sorted(
+        os.path.join(d, f"f{i}.warc") for i in range(10)
+    )
+    # one giant target -> a single partition; zero matches -> loud error
+    r1 = WarcReaderBase(_warc_schema(False), {"path": d + "/*.warc"})
+    assert len(r1.partitions()) == 1
+    import pytest
+
+    r2 = WarcReaderBase(_warc_schema(False), {"path": d + "/nope-*.warc"})
+    with pytest.raises(FileNotFoundError):
+        r2.partitions()
