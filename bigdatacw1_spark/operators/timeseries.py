@@ -258,3 +258,82 @@ def ewma_last(
         F.col("last_ts"),
         stable_round(folded, round_digits).alias("ewma"),
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    steps: list[str],
+    window_micros: int,
+) -> DataFrame:
+    """Ordered-funnel depth per user (ClickHouse ``windowFunnel``
+    semantics): the largest k such that the user has events of types
+    ``steps[0] < steps[1] < … < steps[k-1]`` in that order under the
+    total order (ts, tiebreak), with the whole chain inside
+    ``window_micros``: t_k − t_1 ≤ W. Intermediate spacing is
+    unconstrained — only the end-to-end span is.
+
+    Instead of the naive k-way self-join (k shuffles, quadratic blowup
+    on hot users), this runs k−1 CASCADED RUNNING-MAX WINDOW PASSES
+    over one (user, ts, tiebreak) sort:
+
+      c₁(row)  = ts                       if type = steps[0]
+      cₖ(row)  = max cₖ₋₁ over EARLIER rows   if type = steps[k−1]
+
+    cₖ at a row of type steps[k−1] is the LATEST possible chain start
+    t_1 among all ordered chains steps[0..k−1] ending at this row —
+    and maximizing t_1 is exactly optimal because the only window
+    constraint is t_1 ≥ t_k − W (a chain exists within W iff the
+    max-t_1 chain is within W). Satisfiability is monotone in k (a
+    within-window chain's prefix is within window), so
+    depth = max{k : some row has cₖ ≠ null ∧ ts − cₖ ≤ W}.
+
+    All k−1 window passes share ONE partitioning and sort (user key) —
+    a single shuffle regardless of k, per-user state is O(1) per pass,
+    and hot users cost n·k row visits, never n^k. Exact integer
+    microsecond arithmetic end to end.
+
+    Output: (user_col, funnel_depth ∈ [0, len(steps)]).
+    """
+    if len(steps) < 2:
+        raise ValueError("window_funnel needs at least 2 steps")
+    w_excl = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # ts arrives as TIMESTAMP_NTZ (catalog normalization); the UTC session
+    # timezone makes the cast a pure reinterpretation, and only DIFFERENCES
+    # of t_us are compared, so the epoch basis cancels either way.
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    out = df.select(user_col, ts_col, tiebreak_col, type_col).withColumn(
+        "__c1", F.when(F.col(type_col) == steps[0], t_us)
+    )
+    for k in range(2, len(steps) + 1):
+        out = out.withColumn(
+            f"__c{k}",
+            F.when(
+                F.col(type_col) == steps[k - 1],
+                F.max(F.col(f"__c{k-1}")).over(w_excl),
+            ),
+        )
+    oks = [
+        F.max(
+            (
+                F.col(f"__c{k}").isNotNull()
+                & ((t_us - F.col(f"__c{k}")) <= F.lit(window_micros))
+            ).cast("int")
+        ).alias(f"__ok{k}")
+        for k in range(1, len(steps) + 1)
+    ]
+    per_user = out.groupBy(user_col).agg(*oks)
+    depth = F.greatest(
+        F.lit(0),
+        *[F.col(f"__ok{k}") * k for k in range(1, len(steps) + 1)],
+    )
+    return per_user.select(
+        user_col, depth.cast("int").alias("funnel_depth")
+    )

@@ -811,3 +811,66 @@ def ev_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@q(
+    "ev_window_funnel",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type, EPOCH_US(ts) AS t
+            FROM events
+        ), s1 AS (
+            SELECT *, CASE WHEN event_type = 'view' THEN t END AS c1 FROM o
+        ), s2 AS (
+            SELECT *, CASE WHEN event_type = 'click' THEN
+                MAX(c1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            END AS c2 FROM s1
+        ), s3 AS (
+            SELECT *, CASE WHEN event_type = 'purchase' THEN
+                MAX(c2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            END AS c3 FROM s2
+        ), u AS (
+            SELECT user_id,
+                MAX(CASE WHEN c1 IS NOT NULL AND t - c1 <= 86400000000 THEN 1 ELSE 0 END) AS ok1,
+                MAX(CASE WHEN c2 IS NOT NULL AND t - c2 <= 86400000000 THEN 1 ELSE 0 END) AS ok2,
+                MAX(CASE WHEN c3 IS NOT NULL AND t - c3 <= 86400000000 THEN 1 ELSE 0 END) AS ok3
+            FROM s3 GROUP BY user_id
+        ), d AS (
+            SELECT user_id,
+                   GREATEST(0, ok1 * 1, ok2 * 2, ok3 * 3) AS funnel_depth
+            FROM u
+        )
+        SELECT CAST(funnel_depth AS INT) AS funnel_depth,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM d GROUP BY funnel_depth ORDER BY funnel_depth
+    """,
+)
+def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per user, the deepest ordered
+    view → click → purchase chain whose END-TO-END span fits in 24 h
+    (operators/timeseries.window_funnel), reported as a depth
+    distribution. The naive formulation is a k-way self-join (k
+    shuffles, n^k on hot users); this compiles to k−1 cascaded
+    running-max window passes sharing ONE (user, ts, event_id) sort —
+    one shuffle total, O(n·k) work, exact integer microseconds. The
+    oracle replays the identical cascade, which is also the equivalence
+    proof: max-t₁ chains are optimal because the only window constraint
+    is t₁ ≥ t_k − W."""
+    from bigdatacw1_spark.operators.timeseries import window_funnel
+
+    depths = window_funnel(
+        _t(spark, sf_dir, "events"),
+        user_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+        window_micros=86_400_000_000,
+    )
+    return (
+        depths.groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("funnel_depth")
+    )

@@ -923,3 +923,43 @@ def test_streaming_bm25_frozen_stats_scores_equal_batch(spark, tmp_path_factory)
     want = sorted(tuple(r) for r in bm25_score_frozen(static, stats, terms).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_window_funnel_depths_and_window_boundary(spark):
+    """Hand-built chains: depth must honor order AND the end-to-end span;
+    the boundary t_k - t_1 == W counts as inside."""
+    from datetime import datetime
+
+    from bigdatacw1_spark.operators.timeseries import window_funnel
+
+    def ev(uid, eid, sec, typ):
+        return (uid, eid, datetime(2024, 1, 1, 0, 0, sec), typ)
+
+    rows = [
+        # u1: perfect in-order chain inside window -> depth 3
+        ev(1, 1, 0, "view"), ev(1, 2, 10, "click"), ev(1, 3, 20, "purchase"),
+        # u2: purchase BEFORE click -> only view+click chain -> depth 2
+        ev(2, 1, 0, "view"), ev(2, 2, 5, "purchase"), ev(2, 3, 10, "click"),
+        # u3: chain exists but span 31s > 30s window -> the click at 10s
+        #     still closes a depth-2 chain; purchase at 31s is out -> depth 2
+        ev(3, 1, 0, "view"), ev(3, 2, 10, "click"), ev(3, 3, 31, "purchase"),
+        # u4: a LATER view rescues the window (max-t1 optimality):
+        #     view@0, view@20, click@25, purchase@40, W=30 -> chain 20/25/40
+        ev(4, 1, 0, "view"), ev(4, 2, 20, "view"),
+        ev(4, 3, 25, "click"), ev(4, 4, 40, "purchase"),
+        # u5: exactly-at-window boundary: 0 -> 30 span == W -> depth 3
+        ev(5, 1, 0, "view"), ev(5, 2, 15, "click"), ev(5, 3, 30, "purchase"),
+        # u6: no first step at all -> depth 0
+        ev(6, 1, 0, "click"), ev(6, 2, 10, "purchase"),
+        # u7: same-ts order decided by the tiebreak column
+        ev(7, 1, 0, "view"), ev(7, 2, 0, "click"), ev(7, 3, 0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz, event_type string")
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in window_funnel(
+            df, "user_id", "ts", "event_id", "event_type",
+            ["view", "click", "purchase"], 30_000_000,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 3, 5: 3, 6: 0, 7: 3}
