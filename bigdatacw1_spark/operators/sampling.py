@@ -208,3 +208,96 @@ def weighted_sample_n(
     u = (F.conv(hex8, 16, 10).cast("long") + F.lit(0.5)) / F.lit(4294967296.0)
     pr = weight.cast("double") / u
     return df.withColumn("priority", pr).orderBy(F.desc("priority"), key).limit(n)
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how target-like it is
+    under two bag-of-HASHED-unigrams language models, one fit on the
+    target subset (rows where ``target_pred``), one on the whole corpus:
+
+        score(d) = Σ_tokens ln p_target(bucket(tok)) − ln p_raw(bucket(tok))
+                 = Σ_buckets count_d(b) · lr(b)
+
+    with add-1-smoothed bucket probabilities. High scores = documents
+    the target model finds likelier — DSIR selects those to up-weight a
+    domain without a trained classifier.
+
+    Scale shape: the expensive pass is ONE tokenize+explode over the
+    corpus feeding three hash aggregates (per-bucket raw counts, target
+    counts, per-doc-bucket counts). The model itself is ``n_buckets``
+    rows — broadcast back onto the per-doc counts, so the fact side
+    never reshuffles. Hashing is md5 (engine-portable, see md5_bucket);
+    the per-doc float sum folds over the SORTED bucket list (≤ n_buckets
+    elements) so summation order is engine-identical, and the single
+    division + two ln calls per bucket mirror the oracle expression
+    shape exactly (lm_surprisal discipline).
+
+    Output: (id_col, dsir_score) for documents with ≥1 token.
+    """
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(tokens(F.col(text_col))).alias("__w"),
+    ).withColumn("__b", md5_bucket(F.col("__w"), n_buckets))
+
+    raw_counts = tok.groupBy("__b").agg(F.count(F.lit(1)).alias("nr"))
+    tgt_counts = (
+        tok.where(F.col("__is_target"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    spark = docs.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").alias("__b"))
+    model = (
+        grid.join(raw_counts, "__b", "left")
+        .join(tgt_counts, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
+            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+        )
+    )
+    # denominators: corpus-wide token totals (computed once, broadcast with
+    # the model rows via a cross-joinable 1-row aggregate)
+    totals = model.agg(
+        F.sum("nr").alias("xr"), F.sum("nt").alias("xt")
+    )
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("nt") + F.lit(1.0)) / (F.col("xt") + F.lit(float(n_buckets))))
+            - F.log((F.col("nr") + F.lit(1.0)) / (F.col("xr") + F.lit(float(n_buckets))))
+        ).alias("lr"),
+    )
+
+    doc_counts = tok.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = doc_counts.join(F.broadcast(lr), "__b").select(
+        id_col, "__b", (F.col("cnt") * F.col("lr")).alias("term")
+    )
+    folded = (
+        terms.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__b", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__score")
+        )
+    )
+    return folded.select(
+        id_col, stable_round(F.col("__score"), round_digits).alias("dsir_score")
+    )

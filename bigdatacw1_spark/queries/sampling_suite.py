@@ -176,3 +176,76 @@ def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "lang", {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
     )
     return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@q(
+    "ext_dsir_select",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, lang, UNNEST(toks) AS w FROM tk
+        ), b AS (
+            SELECT doc_id, lang,
+                   ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT % 16 AS bucket
+            FROM tok
+        ), rawc AS (
+            SELECT bucket, COUNT(*) AS nr FROM b GROUP BY bucket
+        ), tgtc AS (
+            SELECT bucket, COUNT(*) AS nt FROM b WHERE lang = 'en' GROUP BY bucket
+        ), grid AS (
+            SELECT UNNEST(GENERATE_SERIES(0, 15)) AS bucket
+        ), tot AS (
+            SELECT (SELECT COUNT(*) FROM b) AS xr,
+                   (SELECT COUNT(*) FROM b WHERE lang = 'en') AS xt
+        ), lr AS (
+            SELECT g.bucket,
+                   LN((COALESCE(t.nt, 0) + 1.0) / (tot.xt + 16.0))
+                 - LN((COALESCE(r.nr, 0) + 1.0) / (tot.xr + 16.0)) AS lr
+            FROM grid g
+            LEFT JOIN tgtc t ON g.bucket = t.bucket
+            LEFT JOIN rawc r ON g.bucket = r.bucket
+            CROSS JOIN tot
+        ), dc AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY doc_id, bucket
+        ), terms AS (
+            SELECT dc.doc_id, dc.bucket, dc.cnt * lr.lr AS term
+            FROM dc JOIN lr ON dc.bucket = lr.bucket
+        ), s AS (
+            SELECT doc_id, LIST_SUM(LIST(term ORDER BY bucket)) AS score
+            FROM terms GROUP BY doc_id
+        ), r AS (
+            SELECT s.doc_id, d.lang,
+                   FLOOR(s.score * 10000.0 + 0.5) / 10000.0 AS dsir_score
+            FROM s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang, dsir_score
+        FROM r
+        ORDER BY dsir_score DESC, doc_id
+        LIMIT 40
+    """,
+)
+def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023 — operators/
+    sampling.dsir_scores): rank raw documents by the log-likelihood
+    ratio between a hashed-unigram LM of the TARGET domain (here:
+    lang='en') and of the whole corpus, then keep the top 40. This is
+    the classifier-free way to tilt a 100 TB crawl toward a domain: one
+    tokenize+explode pass, three hash aggregates, and a 16-row model
+    broadcast back onto per-doc counts — the corpus never shuffles
+    twice. Engine-exact: md5 bucketing, sorted per-doc float fold,
+    identical ln/division shapes, stable rounding (the top-40 cut
+    happens on the ROUNDED score with a doc_id tie-break in both
+    engines)."""
+    from bigdatacw1_spark.operators.sampling import dsir_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = dsir_scores(d, target_pred=F.col("lang") == "en")
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "dsir_score")
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(40)
+    )

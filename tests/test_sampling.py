@@ -119,3 +119,26 @@ def test_mixture_sample_ignores_absent_and_zero_weight_domains(spark):
     out = mixture_sample(d, "doc_id", "lang", {"en": 1, "klingon": 5, "de": 0})
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_dsir_scores_rank_target_language_higher(spark):
+    """Documents from the target domain (lang='en') must land higher on
+    average: the importance weight is literally a target-vs-raw
+    log-likelihood ratio, so the target subset's mean score is positive
+    and exceeds the non-target mean."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.sampling import dsir_scores
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = dsir_scores(d, target_pred=F.col("lang") == "en").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["is_en"]: r["m"]
+        for r in scored.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    }
+    assert means[True] > 0 > means[False]
+    assert means[True] > means[False]
