@@ -1244,3 +1244,76 @@ def wh_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@q(
+    "wh_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'signup' THEN 'I'
+                        WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   CASE WHEN event_type IN ('signup', 'click', 'purchase')
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS a_cents,
+                   CASE WHEN event_type IN ('signup', 'view', 'purchase')
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS b_cents
+            FROM events
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM log
+        ), f AS (
+            SELECT *,
+                   MAX(CASE WHEN op = 'D' THEN rn END) OVER (PARTITION BY user_id) AS md,
+                   MAX(CASE WHEN op = 'I' THEN rn END) OVER (PARTITION BY user_id) AS mi
+            FROM r
+        ), keep AS (
+            SELECT * FROM f
+            WHERE mi IS NOT NULL AND mi > COALESCE(md, 0) AND rn >= mi
+        )
+        SELECT user_id,
+               MAX(CASE WHEN a_cents IS NOT NULL THEN {'rn': rn, 'v': a_cents} END).v AS a_cents,
+               MAX(CASE WHEN b_cents IS NOT NULL THEN {'rn': rn, 'v': b_cents} END).v AS b_cents,
+               CAST(COUNT(*) AS BIGINT) AS applied_ops
+        FROM keep
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log replay (operators/warehouse.cdc_materialize):
+    events become a Debezium-style log — signup=INSERT (full row),
+    error=DELETE (tombstone), click/view/purchase=sparse UPDATEs
+    touching only some columns — and the operator materializes the
+    final table state: a key survives iff an insert follows the last
+    tombstone; each column keeps its last non-null write since that
+    insert. The whole replay is one keyed shuffle: row_number + two
+    window maxima + a struct-max hash aggregate ('last non-null write'
+    made associative, so partial aggregation applies). Exact integer
+    cents throughout."""
+    ev = _t(spark, sf_dir, "events")
+    from bigdatacw1_spark.operators.warehouse import cdc_materialize
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.when(
+            F.col("event_type").isin("signup", "click", "purchase"), cents
+        ).alias("a_cents"),
+        F.when(
+            F.col("event_type").isin("signup", "view", "purchase"), cents
+        ).alias("b_cents"),
+    )
+    return cdc_materialize(
+        log,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="op",
+        value_cols=["a_cents", "b_cents"],
+    ).orderBy("user_id")

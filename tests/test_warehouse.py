@@ -353,3 +353,33 @@ def test_ivm_join_delta_broadcasts_both_deltas_and_matches_recompute(spark):
     expect = {tuple(r) for r in new_v.exceptAll(old_v).collect()}
     got = {tuple(r) for r in dv.select("ok", "ck", "name", "amt").collect()}
     assert got == expect and len(got) > 0
+
+
+def test_cdc_materialize_tombstone_and_sparse_merge_semantics(spark):
+    """Crafted logs: tombstone clears, orphan updates don't resurrect,
+    sparse updates merge column-wise, re-insert after delete restarts."""
+    from bigdatacw1_spark.operators.warehouse import cdc_materialize
+
+    rows = [
+        # k1: I(a=1,b=1) U(a=2) U(b=3) -> a=2 b=3, 3 ops applied
+        (1, 1, "I", 1, 1), (1, 2, "U", 2, None), (1, 3, "U", None, 3),
+        # k2: I then D -> gone
+        (2, 1, "I", 9, 9), (2, 2, "D", None, None),
+        # k3: D then U (orphan) -> gone (no live insert)
+        (3, 1, "D", None, None), (3, 2, "U", 5, None),
+        # k4: I(1,1) D I(7,None) U(b=8) -> restart: a=7 b=8
+        (4, 1, "I", 1, 1), (4, 2, "D", None, None),
+        (4, 3, "I", 7, None), (4, 4, "U", None, 8),
+        # k5: U only (orphan from before log horizon) -> gone
+        (5, 1, "U", 4, 4),
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, seq long, op string, a long, b long"
+    )
+    got = {
+        r["k"]: (r["a"], r["b"], r["applied_ops"])
+        for r in cdc_materialize(
+            log, ["k"], ["seq"], "op", ["a", "b"]
+        ).collect()
+    }
+    assert got == {1: (2, 3, 3), 4: (7, 8, 2)}
