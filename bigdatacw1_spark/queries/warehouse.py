@@ -1317,3 +1317,158 @@ def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_col="op",
         value_cols=["a_cents", "b_cents"],
     ).orderBy("user_id")
+
+
+@q(
+    "wh_zorder_layout",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dt
+            FROM orders
+        ), ext AS (
+            SELECT MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
+                   MIN(dt) AS dt_lo, MAX(dt) AS dt_hi
+            FROM base
+        ), norm AS (
+            SELECT o_orderkey, o_custkey, dt,
+                   CAST(FLOOR((o_custkey - ck_lo) * 1024 / (ck_hi - ck_lo + 1)) AS BIGINT) AS an,
+                   CAST(FLOOR((dt - dt_lo) * 1024 / (dt_hi - dt_lo + 1)) AS BIGINT) AS bn
+            FROM base CROSS JOIN ext
+        ), z AS (
+            SELECT o_orderkey, o_custkey, dt,
+                   (  ((an >> 0) & 1) << 1)  + (((bn >> 0) & 1) << 0)
+                 + (((an >> 1) & 1) << 3)  + (((bn >> 1) & 1) << 2)
+                 + (((an >> 2) & 1) << 5)  + (((bn >> 2) & 1) << 4)
+                 + (((an >> 3) & 1) << 7)  + (((bn >> 3) & 1) << 6)
+                 + (((an >> 4) & 1) << 9)  + (((bn >> 4) & 1) << 8)
+                 + (((an >> 5) & 1) << 11) + (((bn >> 5) & 1) << 10)
+                 + (((an >> 6) & 1) << 13) + (((bn >> 6) & 1) << 12)
+                 + (((an >> 7) & 1) << 15) + (((bn >> 7) & 1) << 14)
+                 + (((an >> 8) & 1) << 17) + (((bn >> 8) & 1) << 16)
+                 + (((an >> 9) & 1) << 19) + (((bn >> 9) & 1) << 18) AS zv
+            FROM norm
+        ), filed AS (
+            SELECT *, NTILE(16) OVER (ORDER BY zv, o_orderkey) AS file_id
+            FROM z
+        )
+        SELECT CAST(file_id AS INT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+               CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+               CAST(MIN(dt) AS BIGINT) AS dt_min,
+               CAST(MAX(dt) AS BIGINT) AS dt_max
+        FROM filed
+        GROUP BY file_id
+        ORDER BY file_id
+    """,
+)
+def wh_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER layout planning (operators/warehouse.zorder_key):
+    orders laid out along a Morton curve over (custkey, order date) —
+    both dims exact-integer min-max scaled to 10 bits, bits interleaved
+    by pure shift/mask arithmetic, rows NTILE'd into 16 'files' along
+    the curve. The per-file min/max columns ARE the point: under
+    z-order both dimensions' spans stay narrow per file, so min/max
+    file statistics prune scans filtered on EITHER column (a date-
+    sorted layout prunes only date). Everything is one pass + one
+    global sort; the 4-value extent aggregate broadcasts. Engine-exact
+    integers; NTILE determinized by the unique orderkey tie-break."""
+    from bigdatacw1_spark.operators.warehouse import minmax_normalize, zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("dt"),
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min("dt").alias("dt_lo"),
+        F.max("dt").alias("dt_hi"),
+    )
+    norm = base.crossJoin(F.broadcast(ext)).select(
+        "o_orderkey",
+        "o_custkey",
+        "dt",
+        minmax_normalize(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")).alias("an"),
+        minmax_normalize(F.col("dt"), F.col("dt_lo"), F.col("dt_hi")).alias("bn"),
+    )
+    z = norm.withColumn("zv", zorder_key(F.col("an"), F.col("bn")))
+    from pyspark.sql import Window
+
+    filed = z.withColumn(
+        "file_id", F.ntile(16).over(Window.orderBy(F.asc("zv"), F.asc("o_orderkey")))
+    )
+    return (
+        filed.groupBy(F.col("file_id").cast("int").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_custkey").cast("long").alias("ck_min"),
+            F.max("o_custkey").cast("long").alias("ck_max"),
+            F.min("dt").cast("long").alias("dt_min"),
+            F.max("dt").cast("long").alias("dt_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+@q(
+    "wh_compaction_plan",
+    oracle="""
+        WITH files AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+            FROM orders GROUP BY day
+        ), c AS (
+            SELECT day, bytes,
+                   COALESCE(SUM(bytes) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM files
+        )
+        SELECT CAST(cum_before // 131072 AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               CAST(MIN(day) AS VARCHAR) AS day_min,
+               CAST(MAX(day) AS VARCHAR) AS day_max
+        FROM c
+        GROUP BY bin_id
+        ORDER BY bin_id
+    """,
+)
+def wh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the metadata-only operation that
+    keeps a 100 TB table scannable: daily ingests leave one small file
+    per day (modeled here as per-day orders byte sizes at 128 B/row);
+    the planner bin-packs consecutive days into ~128 KiB compaction
+    groups via a cumulative-sum prefix division, so each group is a
+    merge job touching adjacent files only (date locality preserved →
+    partition pruning still works after compaction). Pure window +
+    hash aggregate over a file INVENTORY, never the data — exactly how
+    OPTIMIZE schedulers plan before touching a byte. Exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    files = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.count(F.lit(1)) * 128).cast("long").alias("bytes")
+    )
+    cum_before = F.coalesce(
+        F.sum("bytes").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    c = files.withColumn("cum_before", cum_before)
+    return (
+        c.groupBy(
+            F.floor(F.col("cum_before") / 131072).cast("long").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("day").cast("string").alias("day_min"),
+            F.max("day").cast("string").alias("day_max"),
+        )
+        .orderBy("bin_id")
+    )

@@ -383,3 +383,32 @@ def test_cdc_materialize_tombstone_and_sparse_merge_semantics(spark):
         ).collect()
     }
     assert got == {1: (2, 3, 3), 4: (7, 8, 2)}
+
+
+def test_zorder_layout_prunes_both_dimensions_vs_date_sort(spark):
+    """The point of z-order: per-file custkey spans must be far narrower
+    than under a date-sorted layout (where each file covers nearly the
+    whole custkey range), while date spans stay bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.queries.registry import REGISTRY
+
+    zl = REGISTRY["wh_zorder_layout"].fn(spark, "/root/testdata/sf0.001").collect()
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    date_sorted = (
+        o.withColumn(
+            "file_id",
+            F.ntile(16).over(Window.orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))),
+        )
+        .groupBy("file_id")
+        .agg((F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"))
+        .collect()
+    )
+    ck_extent = o.agg(F.max("o_custkey") - F.min("o_custkey")).first()[0]
+    z_mean_span = sum(r["ck_max"] - r["ck_min"] for r in zl) / len(zl)
+    d_mean_span = sum(r["ck_span"] for r in date_sorted) / len(date_sorted)
+    # date-sorted files each cover ~the full custkey range; z-order files
+    # must do meaningfully better (narrower min/max stats => pruning works)
+    assert d_mean_span > 0.8 * ck_extent
+    assert z_mean_span < 0.6 * d_mean_span
