@@ -902,3 +902,46 @@ def bm25_score_frozen(
     return df.select(
         F.col(id_col), dl.alias("dl"), stable_round(score, round_digits).alias("score")
     )
+
+
+#: UTF-8 bytes mis-decoded as a single-byte codec ("mojibake") → the
+#: intended character. Generated from the characters themselves for BOTH
+#: common wrong codecs — cp1252 (yields the familiar visible "â€™", "Ã©")
+#: and latin-1 (same idea but the C1 range stays as control characters) —
+#: and ordered longest-first so 3-byte sequences repair before their
+#: 2-byte prefixes can match. Covers the high-frequency cases ftfy fixes
+#: in web crawl text: curly punctuation (E2 80 xx), ellipsis/dashes, and
+#: Latin-1 accents (C3 xx).
+_MOJIBAKE_TARGETS = "’ ‘ “ ” – — … é è ê á à ó ò ú ü ö ä ñ ç í ß".split()
+
+def _mojibake_table() -> list[tuple[str, str]]:
+    fixes: list[tuple[str, str]] = []
+    for ch in _MOJIBAKE_TARGETS:
+        raw = ch.encode("utf-8")
+        for codec in ("cp1252", "latin-1"):
+            try:
+                bad = raw.decode(codec)
+            except UnicodeDecodeError:
+                continue  # bytes unmapped in cp1252 (0x81/0x8D/0x8F/0x90/0x9D)
+            if bad != ch and (bad, ch) not in fixes:
+                fixes.append((bad, ch))
+    # longest corruption first; deterministic tie-break for reproducibility
+    fixes.sort(key=lambda p: (-len(p[0]), p[0]))
+    return fixes
+
+
+MOJIBAKE_FIXES: list[tuple[str, str]] = _mojibake_table()
+
+
+def fix_mojibake(text: Column | str) -> Column:
+    """Repair UTF-8-decoded-as-Latin-1 mojibake (the ftfy core case):
+    each known corruption sequence is replaced by the character the
+    original bytes encoded. A pure ordered REPLACE chain — row-local,
+    JVM-side, no UDF — so it runs at scan speed and composes with any
+    quality filter. Sequences are matched longest-first; characters
+    outside the table pass through untouched (repair is conservative:
+    never guess, never drop)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for bad, good in MOJIBAKE_FIXES:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c

@@ -5603,3 +5603,65 @@ def ext_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rec_idx")
     )
+
+
+@q(
+    "ext_mojibake_fix",
+    oracle="""
+        WITH corrupted AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                        WHEN 0 THEN REPLACE(text, 'e', 'Ã©')
+                        WHEN 1 THEN REPLACE(text, 'a', 'Ã¡')
+                        ELSE REPLACE(text, 'o', 'â€™')
+                   END AS bad
+            FROM documents
+        ), fixed AS (
+            SELECT doc_id, bad,
+                   REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                   REPLACE(REPLACE(REPLACE(bad,
+                       'â€™', '’'), 'â€œ', '“'), 'â€“', '–'),
+                       'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¡', 'á'), 'Ã³', 'ó'),
+                       'Ã¼', 'ü'), 'Ã¶', 'ö'), 'Ã±', 'ñ') AS good
+            FROM corrupted
+        )
+        SELECT doc_id,
+               CAST(LENGTH(bad) - LENGTH(good) AS BIGINT) AS n_fixed,
+               SUBSTR(good, 1, 40) AS repaired_prefix
+        FROM fixed
+        WHERE LENGTH(bad) <> LENGTH(good)
+        ORDER BY doc_id
+    """,
+)
+def ext_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (functions/text.fix_mojibake — the ftfy core
+    case): crawl text that went through a UTF-8→Latin-1 mis-decode
+    shows signature byte-pair sequences (Ã©, â€™, …); the fixer maps
+    each back to the intended character via an ordered longest-first
+    REPLACE chain — row-local, scan-speed, no UDF, conservative (never
+    guesses). Fixtures: deterministic per-doc corruptions injected
+    in-query (2- and 3-char sequences by doc_id class); every repair
+    shrinks the string, so n_fixed falls out of exact length
+    arithmetic; the oracle replays the sub-chain of MOJIBAKE_FIXES that
+    can fire on these fixtures (the other patterns are no-ops here —
+    no â/Ã lead byte appears in or is produced by any replacement)."""
+    from bigdatacw1_spark.functions.text import fix_mojibake
+
+    d = _t(spark, sf_dir, "documents")
+    bad = (
+        F.when(F.col("doc_id") % 3 == 0, F.replace(F.col("text"), F.lit("e"), F.lit("Ã©")))
+        .when(F.col("doc_id") % 3 == 1, F.replace(F.col("text"), F.lit("a"), F.lit("Ã¡")))
+        .otherwise(F.replace(F.col("text"), F.lit("o"), F.lit("â€™")))
+    )
+    c = d.select("doc_id", bad.alias("bad")).withColumn(
+        "good", fix_mojibake(F.col("bad"))
+    )
+    return (
+        c.where(F.length("bad") != F.length("good"))
+        .select(
+            "doc_id",
+            (F.length("bad") - F.length("good")).cast("long").alias("n_fixed"),
+            F.substring("good", 1, 40).alias("repaired_prefix"),
+        )
+        .orderBy("doc_id")
+    )

@@ -404,3 +404,33 @@ def test_robots_group_selection_and_tiebreaks(spark):
     out = df.select("id", "ea", "em", v["allowed"].alias("ga"), v["match_len"].alias("gm"))
     for r in out.collect():
         assert (r.ga, r.gm) == (r.ea, r.em), f"case {r.id}: got {(r.ga, r.gm)}"
+
+
+def test_fix_mojibake_repairs_real_double_decode(spark):
+    """Round-trip ground truth: take real unicode strings, corrupt them
+    the way the bug actually happens (utf-8 bytes decoded as latin-1),
+    and assert the fixer restores the original exactly."""
+    from bigdatacw1_spark.functions.text import fix_mojibake
+
+    originals = [
+        "café touché",
+        "don’t “quote” me – ever",
+        "mañana übermäßig?",  # ß not in the table: must survive untouched
+        "plain ascii stays plain",
+    ]
+    # both wrong codecs seen in the wild: cp1252 (visible â€™/Ã© forms)
+    # and latin-1 (C1 bytes stay control characters)
+    corrupted = [s.encode("utf-8").decode("latin-1") for s in originals] + [
+        s.encode("utf-8").decode("cp1252", errors="strict")
+        for s in originals
+        if all(b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) for b in s.encode("utf-8"))
+    ]
+    origs = originals + [
+        s for s in originals
+        if all(b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) for b in s.encode("utf-8"))
+    ]
+    df = spark.createDataFrame(
+        list(zip(origs, corrupted)), "orig string, bad string"
+    ).select("orig", fix_mojibake("bad").alias("fixed"))
+    for r in df.collect():
+        assert r["fixed"] == r["orig"]
