@@ -9,6 +9,7 @@ corpus at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -945,3 +946,34 @@ def fix_mojibake(text: Column | str) -> Column:
     for bad, good in MOJIBAKE_FIXES:
         c = F.replace(c, F.lit(bad), F.lit(good))
     return c
+
+
+def compression_ratio(text: Column | str) -> Column:
+    """DEFLATE compression ratio per document: len(zlib(text)) /
+    len(text-bytes) — the cheap universal redundancy detector
+    (RefinedWeb/CCNet family): boilerplate, repeated spans, and
+    templated spam compress far below ~0.4 while natural prose sits
+    around 0.5–0.8. zlib is per-row imperative work no JVM built-in
+    expresses, so this is a legitimate escape-hatch case — an
+    Arrow-batched pandas UDF (one Python call per ~10k-row batch),
+    never a row-at-a-time Python UDF. Deterministic for a fixed zlib
+    (level pinned at 6); empty/null text maps to ratio 0.0."""
+    # pd must be a MODULE-level import: with `from __future__ import
+    # annotations` these hints are strings pandas_udf resolves against
+    # module globals
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(v) -> float:
+            if v is None:
+                return 0.0
+            b = str(v).encode("utf-8")
+            if not b:
+                return 0.0
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return s.map(one)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _ratio(c)

@@ -5665,3 +5665,26 @@ def ext_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q("ext_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (functions/text.
+    compression_ratio): per-document DEFLATE ratio plus a repetitive
+    flag at the 0.3 cutoff — the redundancy screen a crawl pipeline
+    runs next to gopher_filter/char_entropy (entropy sees character
+    skew; compression sees REPEATED STRUCTURE at any span length).
+    Arrow-batched pandas UDF, one Python invocation per batch;
+    everything around it stays JVM-side. Invariant properties
+    (repetition ⇒ low ratio, prose band, determinism) are pinned in
+    tests/test_text_quality.py."""
+    from bigdatacw1_spark.functions.text import compression_ratio
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    r = stable_round(compression_ratio("text"), 4)
+    return d.select(
+        "doc_id",
+        r.alias("comp_ratio"),
+        (r < 0.3).alias("is_repetitive"),
+    ).orderBy("doc_id")

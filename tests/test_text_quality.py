@@ -434,3 +434,27 @@ def test_fix_mojibake_repairs_real_double_decode(spark):
     ).select("orig", fix_mojibake("bad").alias("fixed"))
     for r in df.collect():
         assert r["fixed"] == r["orig"]
+
+
+def test_compression_ratio_flags_repetition_not_prose(spark):
+    """Invariants: heavy repetition compresses way below prose; prose
+    stays in the natural-language band; the measure is deterministic."""
+    from bigdatacw1_spark.functions.text import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps on running through fields"),
+        (2, "spam spam spam " * 50),
+        (3, "a" * 1000),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", compression_ratio("text").alias("r")
+    )
+    got = {r["id"]: r["r"] for r in df.collect()}
+    assert 0.4 < got[1] <= 1.2          # prose band
+    assert got[2] < 0.1 < got[1]        # templated repetition crushed
+    assert got[3] < 0.05                # degenerate run
+    assert got[4] == 0.0 and got[5] == 0.0
+    again = {r["id"]: r["r"] for r in df.collect()}
+    assert got == again                 # deterministic
