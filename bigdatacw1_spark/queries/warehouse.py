@@ -1472,3 +1472,71 @@ def wh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@q(
+    "wh_time_to_convert",
+    oracle="""
+        WITH v0 AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ), conv AS (
+            SELECT v.user_id, v.first_view, MIN(e.ts) AS first_purchase
+            FROM v0 v JOIN events e
+              ON e.user_id = v.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts > v.first_view
+            GROUP BY v.user_id, v.first_view
+        ), lat AS (
+            SELECT STRFTIME(DATE_TRUNC('month', first_view), '%Y-%m') AS cohort,
+                   EPOCH_US(first_purchase) // 1000000
+                 - EPOCH_US(first_view) // 1000000 AS latency_s
+            FROM conv
+        )
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               MEDIAN(latency_s) AS median_s,
+               QUANTILE_CONT(latency_s, 0.9) AS p90_s
+        FROM lat
+        GROUP BY cohort
+        ORDER BY cohort
+    """,
+)
+def wh_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from FIRST
+    view to the first purchase strictly after it, summarized as
+    median/p90 per first-view month cohort — the funnel-health metric
+    behind 'how long does intent take to close'. Two keyed hash
+    aggregates and one equi join on user_id (the first-view table is a
+    per-user single row, broadcastable at any scale). Latencies are
+    exact integer seconds; both engines linear-interpolate
+    median/percentile over the same integer multiset, so the values
+    hash-compare exactly (f15/f16 precedent)."""
+    ev = _t(spark, sf_dir, "events")
+    v0 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(v0), "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    sec = lambda c: F.floor(F.unix_micros(F.col(c).cast("timestamp")) / 1_000_000)  # noqa: E731
+    lat = conv.select(
+        F.date_format(F.date_trunc("month", "first_view"), "yyyy-MM").alias("cohort"),
+        (sec("first_purchase") - sec("first_view")).cast("long").alias("latency_s"),
+    )
+    return (
+        lat.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.median("latency_s").alias("median_s"),
+            F.percentile("latency_s", F.lit(0.9)).alias("p90_s"),
+        )
+        .orderBy("cohort")
+    )
