@@ -1540,3 +1540,116 @@ def wh_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+def _hilbert_cte_chain(bits: int = 10) -> str:
+    """Generate the DuckDB CTE chain mirroring operators/warehouse.
+    hilbert_key level by level — ONE source of truth for the iteration
+    structure, so the oracle cannot drift from the Spark expression
+    tree by hand-editing."""
+    ctes = []
+    prev = "norm0"
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        name = f"it{i + 1}"
+        ctes.append(f"""{name} AS (
+            SELECT o_orderkey, o_custkey, dt,
+                   d + {s * s} * XOR(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                                     (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d,
+                   CASE WHEN (y & {s}) > 0 THEN x
+                        WHEN (x & {s}) > 0 THEN {s - 1} - y
+                        ELSE y END AS x,
+                   CASE WHEN (y & {s}) > 0 THEN y
+                        WHEN (x & {s}) > 0 THEN {s - 1} - x
+                        ELSE x END AS y
+            FROM {prev}
+        )""")
+        prev = name
+    return ",\n".join(ctes), prev
+
+
+_HILBERT_CTES, _HILBERT_LAST = _hilbert_cte_chain(10)
+
+@q(
+    "wh_hilbert_layout",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dt
+            FROM orders
+        ), ext AS (
+            SELECT MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
+                   MIN(dt) AS dt_lo, MAX(dt) AS dt_hi
+            FROM base
+        ), norm0 AS (
+            SELECT o_orderkey, o_custkey, dt,
+                   CAST(FLOOR((o_custkey - ck_lo) * 1024 / (ck_hi - ck_lo + 1)) AS BIGINT) AS x,
+                   CAST(FLOOR((dt - dt_lo) * 1024 / (dt_hi - dt_lo + 1)) AS BIGINT) AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM base CROSS JOIN ext
+        ),
+        {_HILBERT_CTES},
+        filed AS (
+            SELECT *, NTILE(16) OVER (ORDER BY d, o_orderkey) AS file_id
+            FROM {_HILBERT_LAST}
+        )
+        SELECT CAST(file_id AS INT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+               CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+               CAST(MIN(dt) AS BIGINT) AS dt_min,
+               CAST(MAX(dt) AS BIGINT) AS dt_max
+        FROM filed
+        GROUP BY file_id
+        ORDER BY file_id
+    """,
+)
+def wh_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering (operators/warehouse.hilbert_key) over
+    the same (custkey, order date) plane as wh_zorder_layout — the
+    jump-free curve liquid-clustering engines prefer: consecutive index
+    ranges are compact regions, so the 16 'files' cut along the curve
+    carry even tighter min/max stats than Morton on both dims. The key
+    is 10 chained CASE/shift/mask expression layers (no UDF); the
+    oracle's CTE chain is GENERATED from the same iteration spec, and
+    the expression tree itself is property-tested against the textbook
+    xy→d reference in tests/test_warehouse.py. Exact BIGINT end to
+    end."""
+    from bigdatacw1_spark.operators.warehouse import minmax_normalize, with_hilbert_key
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("dt"),
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min("dt").alias("dt_lo"),
+        F.max("dt").alias("dt_hi"),
+    )
+    norm = base.crossJoin(F.broadcast(ext)).select(
+        "o_orderkey",
+        "o_custkey",
+        "dt",
+        minmax_normalize(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")).alias("x"),
+        minmax_normalize(F.col("dt"), F.col("dt_lo"), F.col("dt_hi")).alias("y"),
+    )
+    keyed = with_hilbert_key(norm, "x", "y", out_col="d")
+    from pyspark.sql import Window
+
+    filed = keyed.withColumn(
+        "file_id", F.ntile(16).over(Window.orderBy(F.asc("d"), F.asc("o_orderkey")))
+    )
+    return (
+        filed.groupBy(F.col("file_id").cast("int").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_custkey").cast("long").alias("ck_min"),
+            F.max("o_custkey").cast("long").alias("ck_max"),
+            F.min("dt").cast("long").alias("dt_min"),
+            F.max("dt").cast("long").alias("dt_max"),
+        )
+        .orderBy("file_id")
+    )

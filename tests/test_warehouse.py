@@ -412,3 +412,47 @@ def test_zorder_layout_prunes_both_dimensions_vs_date_sort(spark):
     # must do meaningfully better (narrower min/max stats => pruning works)
     assert d_mean_span > 0.8 * ck_extent
     assert z_mean_span < 0.6 * d_mean_span
+
+
+def test_hilbert_key_matches_textbook_reference(spark):
+    """The chained-Project expression tree must agree with the classic
+    xy→d loop on random grid points (and the 4 corners)."""
+    import random
+
+    from bigdatacw1_spark.operators.warehouse import with_hilbert_key
+
+    def ref_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    random.seed(7)
+    pts = [(0, 0), (1023, 0), (0, 1023), (1023, 1023)] + [
+        (random.randrange(1024), random.randrange(1024)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["d"] for r in with_hilbert_key(df, "x", "y").collect()}
+    for x, y in pts:
+        assert got[(x, y)] == ref_xy2d(1024, x, y), (x, y)
+
+
+def test_hilbert_locality_no_worse_than_morton(spark):
+    """Files cut along the Hilbert curve must keep per-file 2-D extents
+    at least as tight overall as Morton's (the no-jump property)."""
+    from bigdatacw1_spark.queries.registry import REGISTRY
+
+    def spans(name):
+        rows = REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()
+        return sum(
+            (r["ck_max"] - r["ck_min"]) + (r["dt_max"] - r["dt_min"]) for r in rows
+        )
+
+    assert spans("wh_hilbert_layout") <= 1.1 * spans("wh_zorder_layout")
