@@ -963,3 +963,71 @@ def test_window_funnel_depths_and_window_boundary(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 2, 3: 2, 4: 3, 5: 3, 6: 0, 7: 3}
+
+
+def _cdc_log(df):
+    """events → the Debezium-style log the wh_cdc_apply entry derives."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.when(F.col("event_type").isin("signup", "click", "purchase"), cents).alias("a_cents"),
+        F.when(F.col("event_type").isin("signup", "view", "purchase"), cents).alias("b_cents"),
+    )
+
+
+def test_streaming_cdc_state_equals_batch_materialize(spark, events_dir_ordered):
+    """Incremental CDC replay across ordered micro-batches must land on
+    the same final state as the batch window-formulated operator."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.warehouse import cdc_materialize
+    from bigdatacw1_spark.streaming.cdc import cdc_running_state
+
+    static = spark.read.parquet(events_dir_ordered)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir_ordered)
+    )
+    q = (
+        cdc_running_state(_cdc_log(stream))
+        .writeStream.format("memory")
+        .queryName("cdc_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert len(q.recentProgress) > 1  # really incremental
+    # final streaming state per key = the max-upd_seq emitted row
+    emitted = {
+        r["user_id"]: (r["live"], r["a_cents"], r["b_cents"], r["applied_ops"])
+        for r in spark.table("cdc_out")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("upd_seq"))),
+        )
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["a_cents"], r["b_cents"], r["applied_ops"])
+        for r in cdc_materialize(
+            _cdc_log(static), ["user_id"], ["ts", "event_id"], "op", ["a_cents", "b_cents"]
+        ).collect()
+    }
+    stream_live = {k: v[1:] for k, v in emitted.items() if v[0]}
+    assert stream_live == batch
+    assert len(emitted) > len(batch)  # some keys ended tombstoned
+    # batch fallback (static input, same fold) agrees too
+    fold = {
+        r["user_id"]: (r["live"], r["a_cents"], r["b_cents"], r["applied_ops"])
+        for r in cdc_running_state(_cdc_log(static)).collect()
+    }
+    assert {k: v[1:] for k, v in fold.items() if v[0]} == batch
