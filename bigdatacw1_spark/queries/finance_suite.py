@@ -341,3 +341,84 @@ def f26_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trader_id")
     )
+
+
+@q(
+    "f27_beta_covariance",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id AS trader_id, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ), market AS (
+            SELECT day, SUM(x) AS y FROM daily GROUP BY day
+        ), j AS (
+            SELECT d.trader_id, d.x, m.y FROM daily d JOIN market m USING (day)
+        ), moms AS (
+            SELECT trader_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM j GROUP BY trader_id
+        )
+        SELECT trader_id, n AS n_days,
+               FLOOR(((n * sxy - sx * sy) / CAST(n * syy - sy * sy AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS beta,
+               FLOOR(((n * sxy - sx * sy)
+                      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS corr
+        FROM moms
+        WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+        ORDER BY trader_id
+    """,
+)
+def f27_beta_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trader market beta and correlation — cov(trader P&L, market
+    P&L)/var(market) over daily observations, the CAPM-style exposure
+    number the reference's portfolio query is one step away from. ALL
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT cents
+    cross-products, so summation order is irrelevant and the only
+    floats are the final two divisions (+ one sqrt) — bit-identical
+    cross-engine, then stable-rounded. The market series is a per-day
+    aggregate (tiny, broadcast back onto trader-days); two keyed hash
+    aggregates total. Degenerate traders (one active day or zero
+    variance) are excluded by exact integer predicates, never by float
+    comparison."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.groupBy(
+            F.col("user_id").alias("trader_id"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.sum(cents).alias("x"))
+    )
+    market = daily.groupBy("day").agg(F.sum("x").alias("y"))
+    j = daily.join(F.broadcast(market), "day")
+    n = F.count(F.lit(1)).cast("long")
+    moms = j.groupBy("trader_id").agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        moms.where((F.col("n") >= 2) & (var_x > 0) & (var_y > 0))
+        .select(
+            "trader_id",
+            F.col("n").alias("n_days"),
+            stable_round(cov_n / var_y.cast("double"), 4).alias("beta"),
+            stable_round(
+                cov_n / F.sqrt(var_x.cast("double") * var_y.cast("double")), 4
+            ).alias("corr"),
+        )
+        .orderBy("trader_id")
+    )
