@@ -2337,3 +2337,56 @@ def f24_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@q(
+    "f28_recursive_bom",
+    oracle="""
+        WITH RECURSIVE bom AS (
+            SELECT p_partkey AS root, p_partkey AS part, 0 AS depth
+            FROM part WHERE p_partkey <= 3
+            UNION ALL
+            SELECT b.root, c.p_partkey, b.depth + 1
+            FROM bom b
+            JOIN part c ON c.p_partkey = b.part * 2 OR c.p_partkey = b.part * 2 + 1
+            WHERE b.depth < 6
+        )
+        SELECT CAST(root AS BIGINT) AS root,
+               CAST(depth AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(part) AS BIGINT) AS sum_keys
+        FROM bom
+        GROUP BY root, depth
+        ORDER BY root, depth
+    """,
+)
+def f28_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the SQL-surface recursion Spark gained in 4.x,
+    exercised as a bill-of-materials explosion: parts contain parts
+    2k/2k+1 (a derived binary containment), roots 1-3 expand level by
+    level to depth 6, aggregated per (root, depth). Each recursion step
+    is one equi-joinable pass over the closed frontier (level-synchronous
+    — the same execution shape as operators/graph BFS, but written
+    declaratively); the depth guard bounds the iteration. DuckDB runs
+    the IDENTICAL statement. Complements the DataFrame-API recursions
+    (ext_bfs_reach, ext_dedup_clusters) by covering the SQL entry
+    point."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("""
+        WITH RECURSIVE bom AS (
+            SELECT p_partkey AS root, p_partkey AS part, 0 AS depth
+            FROM part WHERE p_partkey <= 3
+            UNION ALL
+            SELECT b.root, c.p_partkey, b.depth + 1
+            FROM bom b
+            JOIN part c ON c.p_partkey = b.part * 2 OR c.p_partkey = b.part * 2 + 1
+            WHERE b.depth < 6
+        )
+        SELECT CAST(root AS BIGINT) AS root,
+               CAST(depth AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(part) AS BIGINT) AS sum_keys
+        FROM bom
+        GROUP BY root, depth
+        ORDER BY root, depth
+    """)
