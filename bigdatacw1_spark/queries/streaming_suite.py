@@ -874,3 +874,72 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("funnel_depth")
     )
+
+
+@q(
+    "ev_pattern_match",
+    oracle="""
+        WITH coded AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'e' END AS ch
+            FROM events
+        ), seq AS (
+            SELECT user_id, STRING_AGG(ch, '' ORDER BY ts, event_id) AS s
+            FROM coded GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(LENGTH(s) AS BIGINT) AS n_events,
+               CAST(LENGTH(s) - LENGTH(REGEXP_REPLACE(s, 'v+cp', '', 'g')) AS BIGINT) AS matched_len,
+               CAST(LEN(REGEXP_EXTRACT_ALL(s, 'v+cp')) AS BIGINT) AS n_matches
+        FROM seq
+        WHERE REGEXP_MATCHES(s, 'v+cp')
+        ORDER BY user_id
+    """,
+)
+def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence CEP: encode each user's
+    time-ordered event stream as a one-char-per-event string and run
+    the pattern 'v+cp' (one-or-more views, then a click, then a
+    purchase, CONTIGUOUSLY — the adjacency constraint window functions
+    and funnels cannot express) as a regex over it. Reported per user:
+    stream length, total matched span, and non-overlapping match count
+    (both engines' regex engines scan left-to-right leftmost-longest
+    for this pattern class, so counts agree). The encode is one
+    ordered collect per user (history-bounded); the regex is row-local
+    after that — a 100 TB CEP pass is one keyed shuffle + linear
+    scans. DuckDB mirrors via STRING_AGG ORDER BY."""
+    ev = _t(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("ch"),
+    )
+    seq = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return (
+        seq.where(F.col("s").rlike("v+cp"))
+        .select(
+            "user_id",
+            F.length("s").cast("long").alias("n_events"),
+            (F.length("s") - F.length(F.regexp_replace("s", "v+cp", "")))
+            .cast("long")
+            .alias("matched_len"),
+            F.regexp_count("s", F.lit("v+cp")).cast("long").alias("n_matches"),
+        )
+        .orderBy("user_id")
+    )

@@ -1653,3 +1653,101 @@ def wh_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@q(
+    "wh_fifo_allocation",
+    oracle="""
+        WITH dep AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_hi
+            FROM events WHERE event_type = 'view'
+        ), wd AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_hi
+            FROM events WHERE event_type = 'purchase'
+        ), d AS (
+            SELECT user_id, event_id AS dep_id, cum_hi - cents AS lo, cum_hi AS hi FROM dep
+        ), w AS (
+            SELECT user_id, event_id AS wd_id, cum_hi - cents AS lo, cum_hi AS hi FROM wd
+        ), matched AS (
+            SELECT d.user_id, d.dep_id, w.wd_id,
+                   LEAST(d.hi, w.hi) - GREATEST(d.lo, w.lo) AS m
+            FROM d JOIN w ON d.user_id = w.user_id
+                        AND d.lo < w.hi AND w.lo < d.hi
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lots,
+               CAST(COUNT(DISTINCT wd_id) AS BIGINT) AS n_withdrawals_touched,
+               CAST(SUM(m) AS BIGINT) AS matched_cents,
+               CAST(MAX(m) AS BIGINT) AS largest_lot
+        FROM matched
+        WHERE m > 0
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def wh_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching WITHOUT iteration — the cost-basis / inventory
+    allocation every finance warehouse needs: per user, 'view' events
+    are deposits and 'purchase' events withdrawals; FIFO says each
+    withdrawal consumes the OLDEST unconsumed deposit cents. The classic
+    formulation is a sequential loop; the distributed identity is that a
+    deposit maps to the interval [cum_before, cum_after) on the user's
+    cumulative-deposit axis, a withdrawal likewise on the cumulative-
+    withdrawal axis, and FIFO matches are EXACTLY the pairwise interval
+    overlaps — so the whole allocation is two prefix-sum windows + one
+    per-user interval join, associative and shuffle-keyed (the same
+    trick as binned_range_join for the band condition at scale). Exact
+    integer cents; per-user fan-out bounded by lots×withdrawals that
+    actually overlap."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+
+    def side(event_type: str, id_alias: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .select("user_id", "ts", "event_id", cents.alias("cents"))
+            .withColumn("hi", F.sum("cents").over(w))
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                (F.col("hi") - F.col("cents")).alias("lo"),
+                "hi",
+            )
+        )
+
+    d = side("view", "dep_id").alias("d")
+    wd = side("purchase", "wd_id").alias("w")
+    matched = d.join(
+        wd,
+        (F.col("d.user_id") == F.col("w.user_id"))
+        & (F.col("d.lo") < F.col("w.hi"))
+        & (F.col("w.lo") < F.col("d.hi")),
+    ).select(
+        F.col("d.user_id").alias("user_id"),
+        "dep_id",
+        "wd_id",
+        (
+            F.least(F.col("d.hi"), F.col("w.hi"))
+            - F.greatest(F.col("d.lo"), F.col("w.lo"))
+        ).alias("m"),
+    )
+    return (
+        matched.where(F.col("m") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lots"),
+            F.countDistinct("wd_id").cast("long").alias("n_withdrawals_touched"),
+            F.sum("m").cast("long").alias("matched_cents"),
+            F.max("m").cast("long").alias("largest_lot"),
+        )
+        .orderBy("user_id")
+    )

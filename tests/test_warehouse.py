@@ -456,3 +456,35 @@ def test_hilbert_locality_no_worse_than_morton(spark):
         )
 
     assert spans("wh_hilbert_layout") <= 1.1 * spans("wh_zorder_layout")
+
+
+def test_fifo_interval_identity_matches_sequential_reference(spark):
+    """The interval-overlap formulation must equal a literal sequential
+    FIFO simulation on a crafted multi-lot, partial-consumption case."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.queries.registry import REGISTRY
+
+    # deposits (view): 100, 50, 200; withdrawals (purchase): 120, 180
+    rows = []
+    seq = [
+        ("view", 1.00), ("view", 0.50), ("purchase", 1.20),
+        ("view", 2.00), ("purchase", 1.80),
+    ]
+    from datetime import datetime
+
+    for i, (t, v) in enumerate(seq):
+        rows.append((1, i + 1, datetime(2024, 1, 1, 0, 0, i), t, v, None))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = REGISTRY["wh_fifo_allocation"].fn(spark, d).collect()
+    # sequential FIFO: w1=120 takes lot1 100 + lot2 20; w2=180 takes lot2 30
+    # + lot3 150 -> matches: (d1,w1,100),(d2,w1,20),(d2,w2,30),(d3,w2,150)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_lots"], r["n_withdrawals_touched"], r["matched_cents"], r["largest_lot"]) == (4, 2, 300, 150)
