@@ -337,3 +337,65 @@ def window_funnel(
     return per_user.select(
         user_col, depth.cast("int").alias("funnel_depth")
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key
+    (α = β = 0.5): level and trend evolve as
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    seeded the standard way (l_2 = x_2, b_2 = x_2 − x_1); the one-step
+    forecast is l + b. This is the next rung above ewma_last: EWMA
+    tracks a LEVEL and lags any trend systematically, Holt tracks the
+    slope too — the default short-horizon forecaster for capacity and
+    load series.
+
+    Exactness discipline (ewma_last family): the per-key series is a
+    SORTED bounded collect folded left-to-right with the exact same
+    expression shapes the DuckDB oracle's LIST_REDUCE runs (α/β = 0.5
+    are exact binary fractions; l_new is inlined twice identically in
+    both engines), so the rounded outputs hash-compare. One shuffle on
+    the key; per-key state is the series (day-bounded), fold state is
+    two doubles.
+
+    Output: (*keys, n_obs, level, trend, forecast_next).
+    """
+    obs = F.struct(F.col(ts_col).alias("t"), F.col(value_col).cast("double").alias("v"))
+    agg = df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(obs)).alias("os"),
+    )
+    xs = F.transform(F.col("os"), lambda o: o["v"])
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    a = F.lit(0.5)
+
+    def step(acc, x):
+        l_new = a * x + a * (acc["l"] + acc["b"])
+        return F.when(
+            acc["b"].isNull(),
+            F.struct(x.alias("l"), (x - acc["l"]).alias("b")),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (a * (l_new - acc["l"]) + a * acc["b"]).alias("b"),
+            )
+        )
+
+    folded = F.aggregate(F.slice(xs, 2, F.size(xs) - 1), init, step)
+    return agg.where(F.size("os") >= 2).select(
+        *keys,
+        F.size("os").cast("long").alias("n_obs"),
+        stable_round(folded["l"], round_digits).alias("level"),
+        stable_round(folded["b"], round_digits).alias("trend"),
+        stable_round(folded["l"] + folded["b"], round_digits).alias("forecast_next"),
+    )

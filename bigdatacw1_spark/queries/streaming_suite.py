@@ -943,3 +943,57 @@ def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "ev_holt_forecast",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ), fold AS (
+            SELECT d2.event_type, 2 AS i, d2.x AS l, d2.x - d1.x AS b, d2.n
+            FROM idx d1 JOIN idx d2
+              ON d1.event_type = d2.event_type AND d1.i = 1 AND d2.i = 2
+            UNION ALL
+            SELECT f.event_type, f.i + 1,
+                   0.5 * d.x + 0.5 * (f.l + f.b),
+                   0.5 * ((0.5 * d.x + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b,
+                   f.n
+            FROM fold f JOIN idx d
+              ON d.event_type = f.event_type AND d.i = f.i + 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+               FLOOR(l * 10000.0 + 0.5) / 10000.0 AS level,
+               FLOOR(b * 10000.0 + 0.5) / 10000.0 AS trend,
+               FLOOR((l + b) * 10000.0 + 0.5) / 10000.0 AS forecast_next
+        FROM fold
+        WHERE i = n
+        ORDER BY event_type
+    """,
+)
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (operators/timeseries.
+    holt_forecast) over each event type's daily integer-cents series:
+    level + trend + one-step forecast — the slope-aware upgrade of
+    ev_ewma for capacity/load forecasting. Identical left fold in both
+    engines (α=β=0.5 exact binary fractions, standard l₂/b₂ seeding,
+    l_new inlined twice the same way), so the rounded state
+    hash-compares exactly. Oracle note: the fold is expressed as a
+    RECURSIVE CTE, not LIST_REDUCE — DuckDB's LIST_REDUCE with a
+    STRUCT accumulator silently diverges from a sequential fold at
+    ≥4 elements (scalar accumulators are fine, cf. ev_ewma), so
+    struct-state folds must use the recursive formulation."""
+    from bigdatacw1_spark.operators.timeseries import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double").alias("x"))
+    return holt_forecast(daily, ["event_type"], "day", "x").orderBy("event_type")

@@ -1031,3 +1031,24 @@ def test_streaming_cdc_state_equals_batch_materialize(spark, events_dir_ordered)
         for r in cdc_running_state(_cdc_log(static)).collect()
     }
     assert {k: v[1:] for k, v in fold.items() if v[0]} == batch
+
+
+def test_holt_forecast_matches_python_reference(spark):
+    """The array-fold Holt state must equal a literal sequential Python
+    fold on a crafted series (trend-following sanity included)."""
+    from datetime import datetime
+
+    from bigdatacw1_spark.operators.timeseries import holt_forecast
+
+    xs = [10.0, 12.0, 15.0, 14.0, 18.0, 21.0, 25.0]
+    rows = [("k", datetime(2024, 1, 1 + i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t timestamp_ntz, v double")
+    got = holt_forecast(df, ["k"], "t", "v").collect()[0]
+    l, b = xs[1], xs[1] - xs[0]
+    for x in xs[2:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (ln - l) + 0.5 * b
+        l = ln
+    rnd = lambda v: __import__("math").floor(v * 10000 + 0.5) / 10000  # noqa: E731
+    assert (got["level"], got["trend"], got["forecast_next"]) == (rnd(l), rnd(b), rnd(l + b))
+    assert got["trend"] > 0  # rising series ⇒ positive learned slope
