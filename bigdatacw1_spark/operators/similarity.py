@@ -521,3 +521,106 @@ def kmeans_quantized(
 
     out = assign(cents)
     return (out, cents) if return_centroids else out
+
+
+def pca_fit_project(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+):
+    """Distributed PCA for embedding columns — the standard whitening /
+    compaction step before clustering, ANN indexing, or SemDeDup:
+
+      1. ONE mapInPandas pass computes per-task partial sufficient
+         statistics with numpy (count, Σx, and the d×d Gram XᵀX as one
+         BLAS call per Arrow batch) — the only data-sized stage, and it
+         is embarrassingly parallel with model-sized output per task.
+      2. The partials (tasks × d² rows after explode) reduce in a JVM
+         hash aggregate; the driver assembles cov = S/n − μμᵀ and
+         eigendecomposes the d×d matrix (numpy, d=64 ⇒ trivial) —
+         EXACTLY the kmeans/centroid precedent: the MODEL is collected,
+         never the data.
+      3. Components broadcast back as literal arrays; each row's k
+         scores are JVM ``aggregate``/``zip_with`` folds over
+         (x − μ)·v_c — scan-speed, no Python on the projection path.
+
+    Eigenvector signs are canonicalized (first nonzero coordinate
+    positive) so results are deterministic across runs/BLAS builds up
+    to eigenvalue ties. Returns (projected DataFrame with score_1..k,
+    explained variance ratios list, components list-of-lists).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(emb.select(vec_col).first()[0])
+
+    def gram_partials(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(m):
+                n += m.shape[0]
+                s += m.sum(axis=0)
+                g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        gram_partials, schema=f"n long, s array<double>, g array<double>"
+    )
+    sums = (
+        partials.select("n", F.posexplode("g").alias("ij", "val"))
+        .groupBy("ij")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    mean_rows = (
+        partials.select("n", F.posexplode("s").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    n_total = partials.agg(F.sum("n")).first()[0]
+    gram = np.zeros((d, d))
+    for r in sums:
+        gram[r["ij"] // d, r["ij"] % d] = r["v"]
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["i"]] = r["v"] / n_total
+    cov = gram / n_total - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    ratios = []
+    total_var = float(evals.sum())
+    for idx in order:
+        v = evecs[:, idx]
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ratios.append(float(evals[idx]) / total_var if total_var > 0 else 0.0)
+
+    x_centered = F.zip_with(
+        as_double(F.col(vec_col)),
+        F.lit(mu.tolist()).cast("array<double>"),
+        lambda a, b: a - b,
+    )
+    out = emb.withColumn("__xc", x_centered)
+    for c, comp in enumerate(comps, start=1):
+        score = F.aggregate(
+            F.zip_with(
+                F.col("__xc"),
+                F.lit(comp).cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"score_{c}", score)
+    return out.drop("__xc"), ratios, comps

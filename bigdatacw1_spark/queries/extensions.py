@@ -5688,3 +5688,32 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("comp_ratio"),
         (r < 0.3).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+@q("ext_embed_pca")  # rows-only: eigendecomposition is not SQL-expressible
+def ext_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table (operators/similarity.
+    pca_fit_project): sufficient statistics (count, Σx, Gram XᵀX) from
+    ONE numpy-per-Arrow-batch mapInPandas pass, d×d eigensolve on the
+    driver (the model, never the data), components broadcast back and
+    every row projected by JVM array folds. Output: top-2 scores per
+    vector plus each component's explained-variance ratio — the
+    whitening/compaction step ahead of clustering, ANN, SemDeDup.
+    Invariants (variance ordering, orthonormality, centered-score mean
+    ≈ 0, determinism) pinned in tests/test_extensions.py."""
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.similarity import pca_fit_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    projected, ratios, _ = pca_fit_project(e, k=2)
+    return (
+        projected.select(
+            "vec_id",
+            "label",
+            stable_round(F.col("score_1"), 4).alias("pc1"),
+            stable_round(F.col("score_2"), 4).alias("pc2"),
+            F.lit(round(ratios[0], 4)).alias("evr1"),
+            F.lit(round(ratios[1], 4)).alias("evr2"),
+        )
+        .orderBy("vec_id")
+    )

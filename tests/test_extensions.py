@@ -1045,3 +1045,29 @@ def test_bmp_codec_roundtrip_and_guards():
     struct.pack_into("<H", bad, 28, 32)  # declare 32 bpp
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(bad))
+
+
+def test_pca_invariants_on_embeddings(spark):
+    """PCA contract: components orthonormal, explained variance sorted,
+    projected scores centered, and score variance = eigenvalue order."""
+    import numpy as np
+
+    from bigdatacw1_spark.operators.similarity import pca_fit_project
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out, ratios, comps = pca_fit_project(e, k=3)
+    c = np.array(comps)
+    # orthonormal rows
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-8)
+    # sorted, positive, summing below 1
+    assert ratios[0] >= ratios[1] >= ratios[2] > 0
+    assert sum(ratios) <= 1.0 + 1e-9
+    rows = out.select("score_1", "score_2", "score_3").collect()
+    m = np.array([[r[0], r[1], r[2]] for r in rows])
+    # centered projections; empirical variances follow component order
+    assert np.allclose(m.mean(axis=0), 0, atol=1e-6)
+    v = m.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
+    # deterministic across a second fit
+    _, ratios2, comps2 = pca_fit_project(e, k=3)
+    assert ratios == ratios2 and comps == comps2
