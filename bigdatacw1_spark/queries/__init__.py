@@ -59,7 +59,12 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # ext_dedup_keep_best, ext_feature_hash, ext_label_encode,
 # ext_cluster_quality, f25_historical_var, f26_max_drawdown, and the
 # round-4 additions: ext_variant_extract, ext_fuzzy_match,
-# ext_skyline_parts, ext_warc_datasource).
+# ext_skyline_parts, ext_warc_datasource, and the round-4 closing wave:
+# ev_window_funnel, ext_dsir_select, wh_cdc_apply, wh_zorder_layout,
+# wh_hilbert_layout, wh_compaction_plan, wh_time_to_convert,
+# wh_fifo_allocation, ext_mojibake_fix, ext_compression_ratio,
+# f27_beta_covariance, f28_recursive_bom, ev_pattern_match,
+# ev_holt_forecast, ext_embed_pca).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)

@@ -997,3 +997,62 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double").alias("x"))
     return holt_forecast(daily, ["event_type"], "day", "x").orderBy("event_type")
+
+
+@q(
+    "ev_lateness_audit",
+    oracle="""
+        WITH arr AS (
+            SELECT event_id, event_type, ts,
+                   MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_wm
+            FROM events
+        ), lat AS (
+            SELECT event_type,
+                   (EPOCH_US(high_wm) - EPOCH_US(ts)) // 1000000 AS late_s
+            FROM arr
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (late_s > 0) AS BIGINT) AS n_late,
+               CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+               QUANTILE_CONT(late_s, 0.99) AS p99_late_s
+        FROM lat
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: treating event_id as ARRIVAL order, each
+    event's lateness is how far it sits behind the running max event
+    time (the high watermark) at its arrival — exactly the quantity a
+    withWatermark delay must exceed to avoid dropping it. Reported per
+    type: late count, max, and interpolated p99 (the number you set the
+    delay from). One global arrival-order running max (a prefix scan;
+    at scale this audit runs per ingestion partition where arrival
+    order is actually defined) + one hash aggregate; exact integer
+    seconds."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    arr = ev.withColumn(
+        "high_wm",
+        F.max("ts").over(
+            Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    lat = arr.select(
+        "event_type",
+        F.floor((us("high_wm") - us("ts")) / 1_000_000).cast("long").alias("late_s"),
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("late_s") > 0).cast("long").alias("n_late"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+            F.percentile("late_s", F.lit(0.99)).alias("p99_late_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -1751,3 +1751,66 @@ def wh_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "wh_file_stats",
+    oracle="""
+        WITH filed AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+                   CAST(o_orderdate AS DATE) AS day,
+                   NTILE(12) OVER (ORDER BY o_orderdate, o_orderkey) AS file_id
+            FROM orders
+        )
+        SELECT CAST(file_id AS INT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+               CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+               CAST(MIN(day) AS VARCHAR) AS day_min,
+               CAST(MAX(day) AS VARCHAR) AS day_max,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS prio_ndv,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents_sum,
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS price_nulls
+        FROM filed
+        GROUP BY file_id
+        ORDER BY file_id
+    """,
+)
+def wh_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping manifest collection — the third leg of the
+    lakehouse-metadata triangle next to wh_zorder_layout (where rows
+    go) and wh_compaction_plan (when files merge): per 'file' (a
+    date-ordered NTILE stand-in for the physical split), the stats a
+    manifest stores so scans can prune without opening the file —
+    row count, min/max per filterable column, exact NDV for the
+    low-cardinality dictionary column, sum + null count for the
+    measure. ONE hash aggregation per file population; every value
+    exact integers/strings."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    filed = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).withColumn(
+        "file_id", F.ntile(12).over(Window.orderBy(F.asc("day"), F.asc("o_orderkey")))
+    )
+    return (
+        filed.groupBy(F.col("file_id").cast("int").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_custkey").cast("long").alias("ck_min"),
+            F.max("o_custkey").cast("long").alias("ck_max"),
+            F.min("day").cast("string").alias("day_min"),
+            F.max("day").cast("string").alias("day_max"),
+            F.countDistinct("o_orderpriority").cast("long").alias("prio_ndv"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents_sum"),
+            (F.count(F.lit(1)) - F.count("o_totalprice")).cast("long").alias("price_nulls"),
+        )
+        .orderBy("file_id")
+    )
