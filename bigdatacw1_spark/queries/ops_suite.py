@@ -2390,3 +2390,51 @@ def f28_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY root, depth
         ORDER BY root, depth
     """)
+
+
+@q(
+    "f29_from_csv",
+    oracle="""
+        WITH expect AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS c,
+                   o_orderpriority || ',x' AS p
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (c IS NULL) AS BIGINT) AS n_corrupt,
+               CAST(SUM(c) AS BIGINT) AS sum_cust,
+               CAST(COUNT(DISTINCT p) AS BIGINT) AS n_priorities
+        FROM expect
+    """,
+)
+def f29_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion surface (``from_csv``): each order serialized to a
+    CSV line — including a QUOTED field with an embedded comma and, for
+    every 97th key, a deliberately non-numeric value in the BIGINT
+    column — then parsed back with a typed schema under PERMISSIVE
+    mode (bad field → NULL, row survives: the posture a 100 TB raw
+    ingest needs, where one mangled line must not kill the job). The
+    oracle computes the EXPECTED parse from the original columns, so
+    this checks round-trip semantics (quote handling + corrupt-field
+    nulling) against ground truth rather than mirroring a parser."""
+    o = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit(","),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("abc")).otherwise(
+            F.col("o_custkey").cast("string")
+        ),
+        F.lit(',"'),
+        F.col("o_orderpriority"),
+        F.lit(',x"'),
+    )
+    parsed = o.select(
+        F.from_csv(line, "k bigint, c bigint, p string").alias("r")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_if(F.col("r.c").isNull()).cast("long").alias("n_corrupt"),
+        F.sum("r.c").cast("long").alias("sum_cust"),
+        F.countDistinct("r.p").cast("long").alias("n_priorities"),
+    )
