@@ -1071,3 +1071,24 @@ def test_pca_invariants_on_embeddings(spark):
     # deterministic across a second fit
     _, ratios2, comps2 = pca_fit_project(e, k=3)
     assert ratios == ratios2 and comps == comps2
+
+
+def test_dp_release_noise_is_laplace_shaped(spark):
+    """The inverse-CDF draw must actually produce Laplace(b=2) noise:
+    symmetric about 0 and with tail mass P(|x|>t) = exp(-t/2) at a few
+    t values (within Monte-Carlo tolerance over 2000 seeded draws)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    hex8 = F.substring(F.md5(F.concat(F.col("k"), F.lit("|dp-seed-r4"))), 1, 8)
+    uu = (F.conv(hex8, 16, 10).cast("long") + F.lit(0.5)) / F.lit(4294967296.0)
+    sign = F.when(uu >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = F.lit(-2.0) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5)))
+    xs = [r[0] for r in df.select(lap).collect()]
+    n = len(xs)
+    assert abs(sum(1 for x in xs if x > 0) / n - 0.5) < 0.03   # symmetric
+    for t in (1.0, 2.0, 4.0):
+        frac = sum(1 for x in xs if abs(x) > t) / n
+        assert abs(frac - math.exp(-t / 2.0)) < 0.04, (t, frac)
