@@ -523,6 +523,59 @@ def kmeans_quantized(
     return (out, cents) if return_centroids else out
 
 
+def fit_mean_cov(emb: DataFrame, vec_col: str = "embedding"):
+    """Distributed sufficient statistics for an embedding column: ONE
+    mapInPandas pass accumulates per-task (count, Σx, Gram XᵀX) with
+    numpy (a BLAS call per Arrow batch); the partials reduce in a JVM
+    hash aggregate and the driver assembles (n, μ, Σ) with the biased
+    /n covariance — model-sized collect, never the data. Shared by
+    pca_fit_project and mahalanobis_outliers."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(emb.select(vec_col).first()[0])
+
+    def gram_partials(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(m):
+                n += m.shape[0]
+                s += m.sum(axis=0)
+                g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        gram_partials, schema="n long, s array<double>, g array<double>"
+    )
+    sums = (
+        partials.select("n", F.posexplode("g").alias("ij", "val"))
+        .groupBy("ij")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    mean_rows = (
+        partials.select("n", F.posexplode("s").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    n_total = partials.agg(F.sum("n")).first()[0]
+    gram = np.zeros((d, d))
+    for r in sums:
+        gram[r["ij"] // d, r["ij"] % d] = r["v"]
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["i"]] = r["v"] / n_total
+    cov = gram / n_total - np.outer(mu, mu)
+    return n_total, mu, cov
+
+
 def pca_fit_project(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -551,48 +604,8 @@ def pca_fit_project(
     explained variance ratios list, components list-of-lists).
     """
     import numpy as np
-    import pandas as pd
 
-    d = len(emb.select(vec_col).first()[0])
-
-    def gram_partials(batches):
-        n = 0
-        s = np.zeros(d)
-        g = np.zeros((d, d))
-        for pdf in batches:
-            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if len(m):
-                n += m.shape[0]
-                s += m.sum(axis=0)
-                g += m.T @ m
-        if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
-            )
-
-    partials = emb.select(vec_col).mapInPandas(
-        gram_partials, schema=f"n long, s array<double>, g array<double>"
-    )
-    sums = (
-        partials.select("n", F.posexplode("g").alias("ij", "val"))
-        .groupBy("ij")
-        .agg(F.sum("val").alias("v"))
-        .collect()
-    )
-    mean_rows = (
-        partials.select("n", F.posexplode("s").alias("i", "val"))
-        .groupBy("i")
-        .agg(F.sum("val").alias("v"))
-        .collect()
-    )
-    n_total = partials.agg(F.sum("n")).first()[0]
-    gram = np.zeros((d, d))
-    for r in sums:
-        gram[r["ij"] // d, r["ij"] % d] = r["v"]
-    mu = np.zeros(d)
-    for r in mean_rows:
-        mu[r["i"]] = r["v"] / n_total
-    cov = gram / n_total - np.outer(mu, mu)
+    n_total, mu, cov = fit_mean_cov(emb, vec_col)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = []
@@ -624,3 +637,41 @@ def pca_fit_project(
         )
         out = out.withColumn(f"score_{c}", score)
     return out.drop("__xc"), ratios, comps
+
+
+def mahalanobis_outliers(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Mahalanobis out-of-distribution score per embedding:
+    m²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) against the corpus's own (μ, Σ) — the
+    covariance-aware upgrade of ext_embed_norm_outliers (a plain norm
+    misses directions the corpus never varies in; Mahalanobis weights
+    each direction by its inverse variance). Fit is the shared
+    fit_mean_cov sufficient-statistics pass; Σ⁻¹ (d×d, ridge-
+    regularized) inverts on the driver and ships to ONE vectorized
+    mapInPandas scoring pass (numpy einsum per Arrow batch).
+
+    Exact self-test identity: with the biased /n covariance fit on the
+    SAME data being scored, mean(m²) = d exactly (trace(Σ⁻¹Σ) = d) up
+    to the ridge — pinned in tests as an algebraic, distribution-free
+    invariant. Output: (id_col, m2).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, mu, cov = fit_mean_cov(emb, vec_col)
+    d = len(mu)
+    inv = np.linalg.inv(cov + ridge * np.eye(d))
+
+    def score(batches):
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(m):
+                c = m - mu
+                m2 = np.einsum("ij,jk,ik->i", c, inv, c)
+                yield pd.DataFrame({id_col: pdf[id_col], "m2": m2})
+
+    return emb.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, m2 double")

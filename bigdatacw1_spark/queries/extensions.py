@@ -5772,3 +5772,25 @@ def ext_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q("ext_embed_mahalanobis")  # rows-only: matrix inverse is not SQL-expressible
+def ext_embed_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis OOD screening (operators/similarity.
+    mahalanobis_outliers): covariance-aware distance of every embedding
+    from the corpus distribution — flags vectors that are extreme in
+    LOW-variance directions a plain norm check cannot see. Top 25
+    outliers by m² with a deterministic id tie-break; the fit is the
+    shared sufficient-statistics pass, scoring is one vectorized
+    mapInPandas. The distribution-free identity mean(m²)=d is pinned in
+    tests."""
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.similarity import mahalanobis_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        mahalanobis_outliers(e)
+        .select("vec_id", stable_round(F.col("m2"), 4).alias("m2"))
+        .orderBy(F.desc("m2"), F.asc("vec_id"))
+        .limit(25)
+    )

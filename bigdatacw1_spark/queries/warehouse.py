@@ -1814,3 +1814,57 @@ def wh_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@q("wh_bt_preference")  # rows-only: the MM fixed point is not SQL-expressible
+def wh_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference ranking (operators/warehouse.
+    bradley_terry_strengths): within each (user, day), event type A
+    'beats' B when A's daily cents exceed B's; the distributed stage
+    aggregates the items×items win matrix (ONE self-join on the tiny
+    per-day type totals + a hash count), and the MM fixed point runs
+    driver-side on that model-sized matrix — the same collect-the-
+    model-not-the-data shape as kmeans/PCA. This is the estimator
+    behind RLHF pair curation and eval win-rate leaderboards.
+    Invariants (dominance recovery, probability normalization) pinned
+    in tests/test_warehouse.py."""
+    ev = _t(spark, sf_dir, "events")
+    from bigdatacw1_spark.operators.warehouse import bradley_terry_strengths
+
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            (F.col("a.cents") > F.col("b.cents")).alias("a_wins"),
+            (F.col("b.cents") > F.col("a.cents")).alias("b_wins"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count_if("a_wins").cast("long").alias("nab"),
+            F.count_if("b_wins").cast("long").alias("nba"),
+        )
+        .collect()
+    )
+    wins = [(r["ta"], r["tb"], r["nab"]) for r in pairs] + [
+        (r["tb"], r["ta"], r["nba"]) for r in pairs
+    ]
+    strengths = bradley_terry_strengths(wins)
+    total_wins = {}
+    for t, _, c in wins:
+        total_wins[t] = total_wins.get(t, 0) + c
+    rows = [
+        (t, round(s, 6), int(total_wins.get(t, 0))) for t, s in sorted(strengths.items())
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, bt_strength double, total_wins long"
+    ).orderBy("event_type")

@@ -1092,3 +1092,17 @@ def test_dp_release_noise_is_laplace_shaped(spark):
     for t in (1.0, 2.0, 4.0):
         frac = sum(1 for x in xs if abs(x) > t) / n
         assert abs(frac - math.exp(-t / 2.0)) < 0.04, (t, frac)
+
+
+def test_mahalanobis_mean_equals_dimension(spark):
+    """Algebraic invariant: scoring the fit data with the biased /n
+    covariance gives mean(m²) = d exactly (trace identity), regardless
+    of the data's distribution."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.similarity import mahalanobis_outliers
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = len(e.select("embedding").first()[0])
+    m = mahalanobis_outliers(e).agg(F.avg("m2")).first()[0]
+    assert abs(m - d) < 1e-4  # exact up to the 1e-9 ridge + float accumulation

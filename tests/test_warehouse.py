@@ -488,3 +488,19 @@ def test_fifo_interval_identity_matches_sequential_reference(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["n_lots"], r["n_withdrawals_touched"], r["matched_cents"], r["largest_lot"]) == (4, 2, 300, 150)
+
+
+def test_bradley_terry_recovers_dominance_order():
+    """On a crafted win matrix with clear dominance a≻b≻c, the fitted
+    strengths must reproduce that order, normalize to 1, and match the
+    analytic two-item solution on a balanced duel."""
+    from bigdatacw1_spark.operators.warehouse import bradley_terry_strengths
+
+    wins = [("a", "b", 8), ("b", "a", 2), ("b", "c", 7), ("c", "b", 3),
+            ("a", "c", 9), ("c", "a", 1)]
+    s = bradley_terry_strengths(wins)
+    assert s["a"] > s["b"] > s["c"] > 0
+    assert abs(sum(s.values()) - 1.0) < 1e-9
+    # two items, 3:1 wins -> p_a/(p_a+p_b) = 0.75 exactly
+    s2 = bradley_terry_strengths([("x", "y", 3), ("y", "x", 1)])
+    assert abs(s2["x"] / (s2["x"] + s2["y"]) - 0.75) < 1e-6
