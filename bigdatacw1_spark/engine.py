@@ -90,6 +90,21 @@ class Engine:
         out.createOrReplaceTempView(name)
         return out
 
+    def sql_script(
+        self, script: str, tables: dict[str, DataFrame] | None = None
+    ) -> list[DataFrame]:
+        """psql-script front end (reference lifecycle §3.1, the FILE
+        form): run a multi-statement SQL script VERBATIM against the
+        registered catalog via bigdatacw1_spark.sqlfile.run_sql_script —
+        quote/comment-aware splitting, ``set search_path`` honored as
+        namespace binding. Returns one DataFrame per query statement.
+
+            eng.sql_script(open("SQLQueries.sql").read())
+        """
+        from bigdatacw1_spark.sqlfile import run_sql_script
+
+        return run_sql_script(self.spark, script, tables=tables)
+
     def run_query(self, name: str) -> DataFrame:
         """Run a registered engine query (queries/registry.py) against
         this engine's sf_dir."""

@@ -121,3 +121,22 @@ def test_engine_pipeline_front_end_with_implicit_lookup(spark):
         WHERE o_totalprice > 100000 GROUP BY c_mktsegment
     """)
     assert {(r["_id"], r["n"]) for r in rows} == {(r["c_mktsegment"], r["n"]) for r in sql.collect()}
+
+
+def test_engine_sql_script_front_end(spark):
+    """Multi-statement script through the facade: search_path consumed,
+    one DataFrame per query, catalog views visible."""
+    from bigdatacw1_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir="/root/testdata/sf0.001")
+    out = eng.sql_script(
+        """
+        set search_path = cash_equity, "$user", public;
+        -- count orders; semicolon in a literal: ';'
+        select count(*) as n from orders;
+        select o_orderpriority, count(*) as n from orders group by 1 order by 1;
+        """
+    )
+    assert len(out) == 2
+    assert out[0].first()["n"] > 0
+    assert len(out[1].collect()) >= 2
