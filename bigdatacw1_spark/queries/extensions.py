@@ -5794,3 +5794,92 @@ def ext_embed_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("m2"), F.asc("vec_id"))
         .limit(25)
     )
+
+
+@q(
+    "ext_active_learning",
+    oracle="""
+        WITH cents AS (
+            SELECT label, CAST(pos AS INT) AS pos,
+                   FLOOR((SUM(CAST(embedding[pos] AS DECIMAL(30,6))) / COUNT(*))
+                         * 10000.0 + 0.5) / 10000.0 AS c
+            FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(pos)
+            GROUP BY label, pos
+        ), dist AS (
+            SELECT e.vec_id, cn.label,
+                   LIST_SUM(LIST(
+                       (CAST(e.embedding[cn.pos] AS DOUBLE) - cn.c)
+                     * (CAST(e.embedding[cn.pos] AS DOUBLE) - cn.c)
+                       ORDER BY cn.pos)) AS d2
+            FROM embeddings e JOIN cents cn ON TRUE
+            GROUP BY e.vec_id, cn.label
+        ), ranked AS (
+            SELECT vec_id, label, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+            FROM dist
+        ), m AS (
+            SELECT a.vec_id,
+                   a.label AS predicted,
+                   FLOOR((b.d2 - a.d2) * 10000.0 + 0.5) / 10000.0 AS margin
+            FROM ranked a JOIN ranked b
+              ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        )
+        SELECT vec_id, CAST(predicted AS INT) AS predicted, margin
+        FROM m
+        ORDER BY margin, vec_id
+        LIMIT 20
+    """,
+)
+def ext_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning acquisition (margin / BvSB sampling): label-class
+    prototypes from exact-decimal component averages (the
+    ext_embed_centroids primitive, rounded so both engines hold
+    IDENTICAL prototypes), every vector scored by squared distance to
+    each prototype via an index-ordered fold, and the 20 vectors whose
+    best-vs-second-best margin is smallest — the ones a labeling budget
+    buys the most from — selected with deterministic tie-breaks. The
+    prototype table is labels×dims (broadcast; the data never shuffles
+    twice), distances are one ordered zip_with fold per (vec, label).
+    The acquisition loop every data-annotation pipeline runs, as three
+    hash aggregates + a window."""
+    from bigdatacw1_spark.operators.relational import exact_avg, stable_round
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(exact_avg(F.col("v").cast("double"), scale=6, digits=4).alias("c"))
+    )
+    cvec = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dist = e.crossJoin(F.broadcast(cvec.withColumnRenamed("label", "clabel"))).select(
+        "vec_id",
+        "clabel",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.col("cv"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    ranked = dist.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("clabel"))
+        ),
+    )
+    a, b = ranked.where(F.col("rn") == 1).alias("a"), ranked.where(F.col("rn") == 2).alias("b")
+    m = a.join(b, F.col("a.vec_id") == F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.clabel").cast("int").alias("predicted"),
+        stable_round(F.col("b.d2") - F.col("a.d2"), 4).alias("margin"),
+    )
+    return m.orderBy(F.asc("margin"), F.asc("vec_id")).limit(20)
