@@ -5883,3 +5883,69 @@ def ext_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("b.d2") - F.col("a.d2"), 4).alias("margin"),
     )
     return m.orderBy(F.asc("margin"), F.asc("vec_id")).limit(20)
+
+
+@q(
+    "ext_mix_temperature",
+    oracle="""
+        WITH c AS (
+            SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_n,
+                   CAST(COUNT(*) AS BIGINT) AS docs_n
+            FROM documents GROUP BY lang
+        ), p AS (
+            SELECT lang, chars_n, docs_n,
+                   POW(CAST(chars_n AS DOUBLE), 1.0 / 3.0) AS w
+            FROM c
+        ), tot AS (
+            SELECT SUM(w) AS tw FROM (SELECT w FROM p ORDER BY lang)
+        )
+        SELECT p.lang, p.chars_n, p.docs_n,
+               FLOOR((p.chars_n / CAST((SELECT SUM(chars_n) FROM c) AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS natural_share,
+               FLOOR((p.w / tot.tw) * 10000.0 + 0.5) / 10000.0 AS tau3_share
+        FROM p CROSS JOIN tot
+        ORDER BY p.lang
+    """,
+)
+def ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (the mBERT/XLM-R τ
+    heuristic): sampling share ∝ (corpus size)^(1/τ) with τ = 3 — a
+    low-resource language's share rises above its natural share, a
+    dominant one's falls, without any hand-set per-language weight.
+    Reported per language: natural share vs τ=3 share (the table a
+    token_budget_mix run takes as input). Sizes are exact BIGINT char
+    counts; pow/divide are single IEEE ops on those integers, and the
+    share denominator folds in lang order in both engines (the 5-term
+    sum is ordered via the sorted subquery / sort_array fold), so the
+    rounded shares hash-compare."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("chars_n"),
+        F.count(F.lit(1)).cast("long").alias("docs_n"),
+    )
+    p = c.withColumn("w", F.pow(F.col("chars_n").cast("double"), F.lit(1.0 / 3.0)))
+    tot = p.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "w"))), lambda s: s["w"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tw"),
+        F.sum("chars_n").cast("long").alias("tc"),
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "chars_n",
+            "docs_n",
+            stable_round(F.col("chars_n") / F.col("tc").cast("double"), 4).alias(
+                "natural_share"
+            ),
+            stable_round(F.col("w") / F.col("tw"), 4).alias("tau3_share"),
+        )
+        .orderBy("lang")
+    )
