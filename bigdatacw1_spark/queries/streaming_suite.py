@@ -1056,3 +1056,85 @@ def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "ev_rate_limit",
+    oracle="""
+        WITH RECURSIVE o AS (
+            SELECT user_id, ts, event_id, EPOCH_US(ts) AS t,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ), g AS (
+            SELECT user_id, i, n,
+                   t - LAG(t) OVER (PARTITION BY user_id ORDER BY i) AS dt
+            FROM o
+        ), fold AS (
+            SELECT user_id, 1 AS i, n, CAST(4.0 AS DOUBLE) AS lvl, 1 AS adm
+            FROM g WHERE i = 1
+            UNION ALL
+            SELECT f.user_id, f.i + 1, f.n,
+                   LEAST(5.0, f.lvl + e.dt / 600000000.0)
+                     - CASE WHEN LEAST(5.0, f.lvl + e.dt / 600000000.0) >= 1.0
+                            THEN 1.0 ELSE 0.0 END,
+                   f.adm + CASE WHEN LEAST(5.0, f.lvl + e.dt / 600000000.0) >= 1.0
+                                THEN 1 ELSE 0 END
+            FROM fold f JOIN g e ON e.user_id = f.user_id AND e.i = f.i + 1
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(adm AS BIGINT) AS n_admitted,
+               CAST(n - adm AS BIGINT) AS n_rejected
+        FROM fold
+        WHERE i = n
+        ORDER BY user_id
+    """,
+)
+def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting replayed over history — the admission
+    audit run before enforcing a limiter in the ingest tier: bucket of
+    5 tokens per user, 1 token / 10 min refill, each event consumes one
+    if available. The clamped fold is inherently sequential, so the
+    Spark side folds each user's PRE-COMPUTED gap array (one lag window
+    + one sorted bounded collect — a single keyed shuffle; state is two
+    numbers) and the oracle replays the identical expressions as a
+    recursive CTE (the Holt discipline: LEAST/add/divide in the same
+    shapes, level seeded at capacity−1). Integer-microsecond gaps; the
+    only floats are one division and the clamp per step."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    g = ev.select("user_id", "ts", "event_id", t_us.alias("t")).withColumn(
+        "dt", (F.col("t") - F.lag("t").over(w)).cast("double")
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "dt"))),
+            lambda s: s["dt"],
+        ).alias("gaps"),
+    )
+    init = F.struct(
+        F.lit(4.0).alias("lvl"), F.lit(1).cast("long").alias("adm")
+    )
+
+    def step(acc, dt):
+        lvl1 = F.least(F.lit(5.0), acc["lvl"] + dt / F.lit(600000000.0))
+        ok = lvl1 >= F.lit(1.0)
+        return F.struct(
+            (lvl1 - F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0))).alias("lvl"),
+            (acc["adm"] + F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("adm"),
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("gaps"), 2, F.size("gaps") - 1), init, step
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        folded["adm"].alias("n_admitted"),
+        (F.col("n_events") - folded["adm"]).cast("long").alias("n_rejected"),
+    ).orderBy("user_id")

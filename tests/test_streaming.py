@@ -1052,3 +1052,35 @@ def test_holt_forecast_matches_python_reference(spark):
     rnd = lambda v: __import__("math").floor(v * 10000 + 0.5) / 10000  # noqa: E731
     assert (got["level"], got["trend"], got["forecast_next"]) == (rnd(l), rnd(b), rnd(l + b))
     assert got["trend"] > 0  # rising series ⇒ positive learned slope
+
+
+def test_rate_limit_token_bucket_semantics(spark):
+    """Crafted traffic: a burst larger than the bucket rejects the
+    overflow; a refill interval restores admission; the boundary gap
+    that yields exactly 1 token admits."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from bigdatacw1_spark.queries.registry import REGISTRY
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # u1: 8-event burst (1s apart) -> 5 bucket tokens admit, 3 rejected
+    for i in range(8):
+        rows.append((1, i + 1, t0 + timedelta(seconds=i), "view", 1.0, None))
+    # then a 50-minute pause refills 5 tokens -> next 5 admit, 6th rejects
+    for j in range(6):
+        rows.append((1, 100 + j, t0 + timedelta(minutes=50, seconds=j), "view", 1.0, None))
+    # u2: exactly-at-boundary: drain 5, wait exactly 10 min -> 1 token -> admit
+    for i in range(5):
+        rows.append((2, i + 1, t0 + timedelta(seconds=i), "view", 1.0, None))
+    rows.append((2, 10, t0 + timedelta(seconds=4) + timedelta(minutes=10), "view", 1.0, None))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["user_id"]: (r["n_admitted"], r["n_rejected"])
+           for r in REGISTRY["ev_rate_limit"].fn(spark, d).collect()}
+    assert got[1] == (10, 4)
+    assert got[2] == (6, 0)
