@@ -64,7 +64,10 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # wh_hilbert_layout, wh_compaction_plan, wh_time_to_convert,
 # wh_fifo_allocation, ext_mojibake_fix, ext_compression_ratio,
 # f27_beta_covariance, f28_recursive_bom, ev_pattern_match,
-# ev_holt_forecast, ext_embed_pca).
+# ev_holt_forecast, ext_embed_pca, wh_file_stats, ev_lateness_audit,
+# f29_from_csv, ext_dp_count_release, wh_bt_preference,
+# ext_embed_mahalanobis, ext_active_learning, ext_mix_temperature,
+# ev_rate_limit).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # reference parity anchor (driver-green r1+r2+r3; keep pinned)
