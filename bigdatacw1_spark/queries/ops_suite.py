@@ -2438,3 +2438,45 @@ def f29_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r.c").cast("long").alias("sum_cust"),
         F.countDistinct("r.p").cast("long").alias("n_priorities"),
     )
+
+
+@q(
+    "a18_pivot_api",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def a18_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame ``pivot()`` relational operator (the API form of
+    A3's pivot-by-CASE): statuses become columns in one aggregation
+    pass. The value list is EXPLICIT — with it, Catalyst compiles
+    straight to conditional aggregates (exactly A3's plan: one shuffle,
+    map-side partial); without it, Spark must first run a distinct scan
+    to discover columns, which is the scale trap the explicit list
+    avoids. Count + exact-cents sum per (priority, status) cell,
+    deterministically renamed."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("P_cnt").alias("p_cnt"),
+        F.col("F_cents").alias("f_cents"),
+    ).orderBy("o_orderpriority")
