@@ -2480,3 +2480,47 @@ def a18_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_cnt").alias("p_cnt"),
         F.col("F_cents").alias("f_cents"),
     ).orderBy("o_orderpriority")
+
+
+@q(
+    "j15_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY cents DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey
+    """,
+)
+def j15_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — the top-N-per-entity idiom in its SQL
+    form: each customer joined to a correlated subquery returning their
+    2 priciest orders. Catalyst DECORRELATES this into the same
+    window/rank plan the W2 formulation produces (no per-customer
+    re-scan of orders — the naive reading would be O(customers) scans),
+    which is exactly why the surface is safe at scale. Exact integer
+    cents with full deterministic ordering; DuckDB runs the identical
+    statement."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY cents DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey
+    """)
