@@ -94,9 +94,20 @@ def cash_equity(spark):
 
 
 def _rows_ci(df):
-    """Rows keyed by lowercase column name, order-insensitive."""
+    """Rows keyed by lowercase column name, order-insensitive. Floats
+    round to 9 digits: the scripts' own outputs are rounded to 4, but
+    SQL2's final avg(amount_change) is UN-rounded in the reference SQL,
+    and the verbatim plan's partial-agg merge order differs from the
+    port's — a last-ulp difference that is plan-order noise, not
+    semantics."""
     cols = [c.lower() for c in df.columns]
-    return sorted(tuple(zip(cols, r)) for r in df.collect())
+    return sorted(
+        tuple(
+            (c, round(v, 9) if isinstance(v, float) else v)
+            for c, v in zip(cols, r)
+        )
+        for r in df.collect()
+    )
 
 
 @pytest.mark.skipif(
