@@ -5949,3 +5949,75 @@ def ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "ext_curriculum_stages",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, n_chars,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, n_chars, LEN(toks) AS n_words,
+                   CASE WHEN LEN(toks) > 0
+                        THEN FLOOR((LENGTH(ARRAY_TO_STRING(toks, '')) * 1.0 / LEN(toks))
+                                   * 10000.0 + 0.5) / 10000.0
+                        ELSE 0.0 END AS difficulty
+            FROM tk
+        ), staged AS (
+            SELECT *, NTILE(4) OVER (ORDER BY difficulty, doc_id) AS stage
+            FROM d
+        )
+        SELECT CAST(stage AS INT) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(difficulty) AS min_difficulty,
+               MAX(difficulty) AS max_difficulty
+        FROM staged
+        GROUP BY stage
+        ORDER BY stage
+    """,
+)
+def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging — the easy→hard training ORDER a curriculum-
+    learning run feeds from: per-doc difficulty (mean word length, the
+    cheapest robust proxy; swap in surprisal/readability for a real
+    run — same shape), stable-rounded so both engines rank the
+    identical keys, then NTILE(4) with a doc_id tie-break cuts the
+    corpus into four deterministic stages. Reported per stage: size,
+    char budget, difficulty band. One tokenize pass + one global rank;
+    at 100 TB the NTILE becomes a range-partitioned sort on the same
+    key, and stage boundaries ship to the loader as literals."""
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "n_chars", tokens(F.col("text")).alias("toks"))
+    diff = tk.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.size("toks") > 0,
+            stable_round(
+                F.length(F.array_join(F.col("toks"), "")) / F.size("toks"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("difficulty"),
+    )
+    from pyspark.sql import Window
+
+    staged = diff.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy(F.asc("difficulty"), F.asc("doc_id")))
+    )
+    return (
+        staged.groupBy(F.col("stage").cast("int").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )
