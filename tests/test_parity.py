@@ -38,19 +38,44 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-def test_round5_window_is_valid_and_novel():
-    """The staged round-5 rotation list must (a) name only real registry
-    entries, (b) be oracle-bearing (driver hash checks, not rows-only),
-    (c) contain no entry already covered by the round-4 window, and
-    (d) fill exactly the 45 non-anchor slots."""
+def test_driver_window_and_staged_rotations():
+    """The live driver window (first 50 registry entries) must be exactly
+    the 5 ref_* anchors + 45 oracle-bearing first-time entries, and the
+    staged ROUND6/7/8 windows plus everything already driver-checked in
+    rounds 1-5 must cover the ENTIRE registry with no duplicates — so
+    future rotations are one-line swaps and a rename here fails CI, not
+    the driver."""
     import json
+    import pathlib
 
-    from bigdatacw1_spark.queries import REGISTRY, ROUND5_WINDOW
+    from bigdatacw1_spark.queries import (
+        REGISTRY,
+        ROUND6_WINDOW,
+        ROUND7_WINDOW,
+        ROUND8_WINDOW,
+        _ANCHORS,
+        _DRIVER_WINDOW,
+    )
 
-    assert len(ROUND5_WINDOW) == 45
-    assert len(set(ROUND5_WINDOW)) == 45
-    r4_window = set(list(REGISTRY)[:50])
-    for name in ROUND5_WINDOW:
-        assert name in REGISTRY, name
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert _DRIVER_WINDOW[:5] == _ANCHORS
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW
+    for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
-        assert name not in r4_window, name
+
+    staged = ROUND6_WINDOW + ROUND7_WINDOW + ROUND8_WINDOW
+    assert len(staged) == len(set(staged)), "duplicate in staged windows"
+    for name in staged:
+        assert name in REGISTRY, name
+        assert name not in _DRIVER_WINDOW, f"{name} staged but already live"
+
+    # r1-r4 driver verdicts + the live r5 window + staged r6-r8 must cover
+    # every registry entry — no silent coverage gap.
+    checked: set[str] = set()
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+        checked |= set(json.loads(f.read_text()).keys())
+    covered = checked | set(_DRIVER_WINDOW) | set(staged)
+    missing = [n for n in REGISTRY if n not in covered]
+    assert not missing, f"registry entries in no window: {missing}"
