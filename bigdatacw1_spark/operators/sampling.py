@@ -231,8 +231,12 @@ def dsir_scores(
     domain without a trained classifier.
 
     Scale shape: the expensive pass is ONE tokenize+explode over the
-    corpus feeding three hash aggregates (per-bucket raw counts, target
-    counts, per-doc-bucket counts). The model itself is ``n_buckets``
+    corpus, reduced immediately to per-(doc, bucket) counts and
+    localCheckpoint'd — every downstream statistic (per-bucket raw and
+    target counts via one conditional-sum aggregate, the per-doc score
+    join) reads that materialized ≤16-rows-per-doc projection, so the
+    corpus is tokenized exactly once (ADVICE r4: the previous shape
+    re-tokenized per aggregate). The model itself is ``n_buckets``
     rows — broadcast back onto the per-doc counts, so the fact side
     never reshuffles. Hashing is md5 (engine-portable, see md5_bucket);
     the per-doc float sum folds over the SORTED bucket list (≤ n_buckets
@@ -251,17 +255,23 @@ def dsir_scores(
         F.explode(tokens(F.col(text_col))).alias("__w"),
     ).withColumn("__b", md5_bucket(F.col("__w"), n_buckets))
 
-    raw_counts = tok.groupBy("__b").agg(F.count(F.lit(1)).alias("nr"))
-    tgt_counts = (
-        tok.where(F.col("__is_target"))
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("nt"))
+    # The ONLY pass over the exploded tokens: reduce to per-(doc, bucket)
+    # counts (__is_target is doc-constant so it rides the key for free)
+    # and materialize, so model fitting and scoring below never
+    # re-tokenize the corpus.
+    doc_counts = (
+        tok.groupBy(id_col, "__is_target", "__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bucket_counts = doc_counts.groupBy("__b").agg(
+        F.sum("cnt").alias("nr"),
+        F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(F.lit(0))).alias("nt"),
     )
     spark = docs.sparkSession
     grid = spark.range(n_buckets).select(F.col("id").alias("__b"))
     model = (
-        grid.join(raw_counts, "__b", "left")
-        .join(tgt_counts, "__b", "left")
+        grid.join(bucket_counts, "__b", "left")
         .select(
             "__b",
             F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
@@ -281,7 +291,6 @@ def dsir_scores(
         ).alias("lr"),
     )
 
-    doc_counts = tok.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("cnt"))
     terms = doc_counts.join(F.broadcast(lr), "__b").select(
         id_col, "__b", (F.col("cnt") * F.col("lr")).alias("term")
     )

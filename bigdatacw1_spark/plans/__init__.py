@@ -1,4 +1,5 @@
 from bigdatacw1_spark.plans.explain import (
+    count_global_windows,
     formatted_plan,
     has_broadcast_hash_join,
     has_python_eval,
@@ -8,6 +9,7 @@ from bigdatacw1_spark.plans.explain import (
 )
 
 __all__ = [
+    "count_global_windows",
     "formatted_plan",
     "has_broadcast_hash_join",
     "has_python_eval",

@@ -2254,25 +2254,26 @@ def ext_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine — the same reason weighted_sample avoids ln/exp: no
     libm call whose last ulp differs between engines.
 
-    Scale note: the rank window is global-ordered but runs over the
-    VOCABULARY table (tokens × counts), which is orders of magnitude
-    smaller than the corpus — the corpus-sized passes are the explode
-    and one broadcastable join back to tokens."""
+    Scale note: the rank runs over the VOCABULARY table (tokens ×
+    counts) and is computed WITHOUT a partition-less window via
+    global_order_columns (range-sharded exact rank — identical to
+    DENSE_RANK here because (count, token) keys are unique); the
+    corpus-sized passes are the explode and one broadcastable join
+    back to tokens (a vocabulary too large to broadcast would switch
+    that join to a shuffle, not change the rank shape)."""
     from bigdatacw1_spark.functions.text import tokens
     from bigdatacw1_spark.operators.relational import fan_out, stable_round
-    from pyspark.sql import Window
+    from bigdatacw1_spark.operators.warehouse import global_order_columns
 
     d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    vocab = (
+    counts = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rnk",
-            F.dense_rank().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))).cast("long"),
-        )
-        .drop("cnt")
+        .localCheckpoint(eager=False)
     )
+    ranked, _ = global_order_columns(counts, -F.col("cnt"), [F.col("tok")])
+    vocab = ranked.select("tok", F.col("__rank").cast("long").alias("rnk"))
     return (
         tok.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
@@ -5984,11 +5985,15 @@ def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     learning run feeds from: per-doc difficulty (mean word length, the
     cheapest robust proxy; swap in surprisal/readability for a real
     run — same shape), stable-rounded so both engines rank the
-    identical keys, then NTILE(4) with a doc_id tie-break cuts the
-    corpus into four deterministic stages. Reported per stage: size,
-    char budget, difficulty band. One tokenize pass + one global rank;
-    at 100 TB the NTILE becomes a range-partitioned sort on the same
-    key, and stage boundaries ship to the loader as literals."""
+    identical keys, then an NTILE(4)-identical cut with a doc_id
+    tie-break splits the corpus into four deterministic stages —
+    computed WITHOUT a partition-less window: global_order_columns
+    range-shards the (difficulty, doc_id) order, broadcasts per-shard
+    offsets onto per-shard row_numbers (exact global rank), and
+    ntile_from_rank maps rank to the bit-identical NTILE bucket. The
+    scored frame is localCheckpoint'd so the corpus tokenizes once
+    across the helper's passes. Reported per stage: size, char
+    budget, difficulty band."""
     from bigdatacw1_spark.functions.text import tokens
     from bigdatacw1_spark.operators.relational import stable_round
 
@@ -6006,11 +6011,15 @@ def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("difficulty"),
     )
-    from pyspark.sql import Window
-
-    staged = diff.withColumn(
-        "stage", F.ntile(4).over(Window.orderBy(F.asc("difficulty"), F.asc("doc_id")))
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        ntile_from_rank,
     )
+
+    ranked, total = global_order_columns(
+        diff.localCheckpoint(eager=False), F.col("difficulty"), [F.col("doc_id")]
+    )
+    staged = ranked.withColumn("stage", ntile_from_rank(F.col("__rank"), total, 4))
     return (
         staged.groupBy(F.col("stage").cast("int").alias("stage"))
         .agg(

@@ -1004,7 +1004,7 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH arr AS (
             SELECT event_id, event_type, ts,
-                   MAX(ts) OVER (ORDER BY event_id
+                   MAX(ts) OVER (PARTITION BY event_id % 32 ORDER BY event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_wm
             FROM events
         ), lat AS (
@@ -1028,10 +1028,13 @@ def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (the high watermark) at its arrival — exactly the quantity a
     withWatermark delay must exceed to avoid dropping it. Reported per
     type: late count, max, and interpolated p99 (the number you set the
-    delay from). One global arrival-order running max (a prefix scan;
-    at scale this audit runs per ingestion partition where arrival
-    order is actually defined) + one hash aggregate; exact integer
-    seconds."""
+    delay from). The running max is computed PER INGESTION SHARD
+    (pmod(event_id, 32) — standing in for the Kafka-partition id, the
+    unit within which arrival order is actually defined), so the prefix
+    scan is a keyed window, never a single-partition one; watermarks in
+    Structured Streaming are likewise tracked per input partition
+    before the global min. One keyed window + one hash aggregate;
+    exact integer seconds."""
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -1039,7 +1042,9 @@ def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ev.withColumn(
         "high_wm",
         F.max("ts").over(
-            Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(F.pmod(F.col("event_id"), F.lit(32)))
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     lat = arr.select(

@@ -995,20 +995,24 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis. Revenue and running totals stay exact integer cents and
     the class boundaries compare via integer cross-multiplication
     (cum*100 <= total*80), so the class assignment is exact in any
-    engine — no float share anywhere. One aggregate + one global-order
-    window (rank windows over customer counts, not order counts)."""
-    from pyspark.sql import Window
+    engine — no float share anywhere. The running total is computed
+    WITHOUT a partition-less window: global_order_columns range-shards
+    the (rev DESC, custkey) order and adds broadcast per-shard sum
+    offsets, so the prefix sum is exact and every task holds one shard
+    (the per-customer input is localCheckpoint'd so the helper's three
+    passes aggregate orders once)."""
+    from bigdatacw1_spark.operators.warehouse import global_order_columns
 
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
-    )
+    ).localCheckpoint(eager=False)
     tot = rev.agg(F.sum("rev_cents").alias("total"))
-    w = Window.orderBy(F.desc("rev_cents"), F.asc("custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked, _ = global_order_columns(
+        rev, -F.col("rev_cents"), [F.col("custkey")], value=F.col("rev_cents")
     )
     return (
-        rev.withColumn("cum", F.sum("rev_cents").over(w))
+        ranked.withColumnRenamed("__runsum", "cum").drop("__rank")
         .crossJoin(F.broadcast(tot))
         .select(
             "custkey",
@@ -1058,8 +1062,16 @@ def wh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     so bucket edges are deterministic and engine-identical; quartile 1
     is always the best (most recent / most frequent / highest spend).
     The '111' cell is the champions segment every lifecycle campaign
-    starts from. One aggregate + three customer-bounded rank windows."""
-    from pyspark.sql import Window
+    starts from. The three NTILEs are computed WITHOUT partition-less
+    windows: per metric, global_order_columns range-shards the total
+    order and adds broadcast shard offsets to per-shard row_numbers
+    (exact rank), then ntile_from_rank maps rank to the identical
+    NTILE bucket; the per-customer aggregate and each chained rank
+    stage are localCheckpoint'd so no pass recomputes upstream."""
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        ntile_from_rank,
+    )
 
     o = _t(spark, sf_dir, "orders")
     gmax = o.agg(F.max("o_orderdate").alias("gmax"))
@@ -1080,11 +1092,24 @@ def wh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r = F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
+    per_cust = per_cust.localCheckpoint(eager=False)
+    ck = F.col("custkey")
+    s1, total = global_order_columns(
+        per_cust, F.col("recency_days"), [ck], rank_col="__r_rank"
+    )
+    s2, _ = global_order_columns(
+        s1.localCheckpoint(eager=False), -F.col("frequency"), [ck], rank_col="__f_rank"
+    )
+    s3, _ = global_order_columns(
+        s2.localCheckpoint(eager=False), -F.col("monetary_cents"), [ck], rank_col="__m_rank"
+    )
+    scored = (
+        s3.withColumn("r", ntile_from_rank(F.col("__r_rank"), total, 4))
+        .withColumn("f", ntile_from_rank(F.col("__f_rank"), total, 4))
+        .withColumn("m", ntile_from_rank(F.col("__m_rank"), total, 4))
+    )
     return (
-        per_cust.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+        scored
         .select(
             "custkey",
             F.col("recency_days").cast("long").alias("recency_days"),
@@ -1332,8 +1357,8 @@ def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM base
         ), norm AS (
             SELECT o_orderkey, o_custkey, dt,
-                   CAST(FLOOR((o_custkey - ck_lo) * 1024 / (ck_hi - ck_lo + 1)) AS BIGINT) AS an,
-                   CAST(FLOOR((dt - dt_lo) * 1024 / (dt_hi - dt_lo + 1)) AS BIGINT) AS bn
+                   CAST((o_custkey - ck_lo) * 1024 // (ck_hi - ck_lo + 1) AS BIGINT) AS an,
+                   CAST((dt - dt_lo) * 1024 // (dt_hi - dt_lo + 1) AS BIGINT) AS bn
             FROM base CROSS JOIN ext
         ), z AS (
             SELECT o_orderkey, o_custkey, dt,
@@ -1371,10 +1396,18 @@ def wh_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve. The per-file min/max columns ARE the point: under
     z-order both dimensions' spans stay narrow per file, so min/max
     file statistics prune scans filtered on EITHER column (a date-
-    sorted layout prunes only date). Everything is one pass + one
-    global sort; the 4-value extent aggregate broadcasts. Engine-exact
-    integers; NTILE determinized by the unique orderkey tie-break."""
-    from bigdatacw1_spark.operators.warehouse import minmax_normalize, zorder_key
+    sorted layout prunes only date). The 4-value extent aggregate
+    broadcasts; the NTILE(16) file cut is computed WITHOUT a
+    partition-less window via global_order_columns (range-sharded
+    exact rank + broadcast shard offsets) + ntile_from_rank, so no
+    task ever holds more than one shard. Engine-exact integers; the
+    cut determinized by the unique orderkey tie-break."""
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        minmax_normalize,
+        ntile_from_rank,
+        zorder_key,
+    )
 
     o = _t(spark, sf_dir, "orders")
     base = o.select(
@@ -1396,10 +1429,9 @@ def wh_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax_normalize(F.col("dt"), F.col("dt_lo"), F.col("dt_hi")).alias("bn"),
     )
     z = norm.withColumn("zv", zorder_key(F.col("an"), F.col("bn")))
-    from pyspark.sql import Window
-
-    filed = z.withColumn(
-        "file_id", F.ntile(16).over(Window.orderBy(F.asc("zv"), F.asc("o_orderkey")))
+    ranked, total = global_order_columns(z, F.col("zv"), [F.col("o_orderkey")])
+    filed = ranked.withColumn(
+        "file_id", ntile_from_rank(F.col("__rank"), total, 16)
     )
     return (
         filed.groupBy(F.col("file_id").cast("int").alias("file_id"))
@@ -1583,8 +1615,8 @@ _HILBERT_CTES, _HILBERT_LAST = _hilbert_cte_chain(10)
             FROM base
         ), norm0 AS (
             SELECT o_orderkey, o_custkey, dt,
-                   CAST(FLOOR((o_custkey - ck_lo) * 1024 / (ck_hi - ck_lo + 1)) AS BIGINT) AS x,
-                   CAST(FLOOR((dt - dt_lo) * 1024 / (dt_hi - dt_lo + 1)) AS BIGINT) AS y,
+                   CAST((o_custkey - ck_lo) * 1024 // (ck_hi - ck_lo + 1) AS BIGINT) AS x,
+                   CAST((dt - dt_lo) * 1024 // (dt_hi - dt_lo + 1) AS BIGINT) AS y,
                    CAST(0 AS BIGINT) AS d
             FROM base CROSS JOIN ext
         ),
@@ -1615,7 +1647,12 @@ def wh_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expression tree itself is property-tested against the textbook
     xy→d reference in tests/test_warehouse.py. Exact BIGINT end to
     end."""
-    from bigdatacw1_spark.operators.warehouse import minmax_normalize, with_hilbert_key
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        minmax_normalize,
+        ntile_from_rank,
+        with_hilbert_key,
+    )
 
     o = _t(spark, sf_dir, "orders")
     base = o.select(
@@ -1637,10 +1674,9 @@ def wh_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax_normalize(F.col("dt"), F.col("dt_lo"), F.col("dt_hi")).alias("y"),
     )
     keyed = with_hilbert_key(norm, "x", "y", out_col="d")
-    from pyspark.sql import Window
-
-    filed = keyed.withColumn(
-        "file_id", F.ntile(16).over(Window.orderBy(F.asc("d"), F.asc("o_orderkey")))
+    ranked, total = global_order_columns(keyed, F.col("d"), [F.col("o_orderkey")])
+    filed = ranked.withColumn(
+        "file_id", ntile_from_rank(F.col("__rank"), total, 16)
     )
     return (
         filed.groupBy(F.col("file_id").cast("int").alias("file_id"))

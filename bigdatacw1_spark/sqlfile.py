@@ -37,7 +37,17 @@ from pyspark.sql import DataFrame, SparkSession
 def split_statements(script: str) -> list[str]:
     """Split a psql script into ';'-terminated statements, honoring
     quotes and comments. The trailing fragment (no ';') is included if
-    non-blank."""
+    non-blank.
+
+    Unsupported psql literal syntaxes FAIL LOUDLY instead of mis-splitting
+    (fail-loudly contract): dollar-quoted strings (``$$…$$`` / ``$tag$…``)
+    and backslash-before-quote inside a single-quoted literal (psql with
+    standard_conforming_strings treats ``\\`` as data; Spark's parser
+    treats ``\\'`` as an escaped quote, so the same text would parse as a
+    DIFFERENT string — refusing beats silently executing different SQL).
+    """
+    import re as _re
+
     out: list[str] = []
     buf: list[str] = []
     i, n = 0, len(script)
@@ -56,6 +66,12 @@ def split_statements(script: str) -> list[str]:
                 i += 1
                 in_block = False
         elif in_sq:
+            if c == "\\" and nxt == "'":
+                raise NotImplementedError(
+                    "backslash-escaped quote inside a string literal: psql "
+                    "and Spark disagree on its meaning — rewrite with a "
+                    "doubled quote ('')"
+                )
             buf.append(c)
             if c == "'":
                 if nxt == "'":  # escaped quote
@@ -79,6 +95,12 @@ def split_statements(script: str) -> list[str]:
         elif c == '"':
             buf.append(c)
             in_dq = True
+        elif c == "$" and _re.match(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$", script[i:]):
+            raise NotImplementedError(
+                "dollar-quoted string literals ($$…$$ / $tag$…$tag$) are "
+                "not supported by the Spark SQL parser — rewrite with "
+                "standard quotes"
+            )
         elif c == ";":
             out.append("".join(buf))
             buf = []
@@ -92,7 +114,11 @@ def split_statements(script: str) -> list[str]:
 
 
 def _strip_comments(stmt: str) -> str:
-    """Remove comments so statement classification sees real tokens."""
+    """Remove comments so statement classification sees real tokens.
+    A block comment is replaced by a single SPACE (SQL treats it as a
+    token separator: ``a/*c*/b`` is two tokens, never ``ab``) — though
+    classification is its only caller; the executed text is always the
+    ORIGINAL statement."""
     out: list[str] = []
     i, n = 0, len(stmt)
     in_sq = in_dq = in_line = in_block = False
@@ -106,6 +132,7 @@ def _strip_comments(stmt: str) -> str:
         elif in_block:
             if c == "*" and nxt == "/":
                 in_block = False
+                out.append(" ")  # comment = token separator, never fusion
                 i += 1
         elif in_sq:
             out.append(c)
@@ -139,7 +166,10 @@ def run_sql_script(
 ) -> list[DataFrame]:
     """Execute a psql-style script verbatim; return one DataFrame per
     query statement (``set search_path`` binds the namespace — here a
-    recorded no-op, since ``tables`` registration IS the binding)."""
+    recorded no-op, since ``tables`` registration IS the binding).
+    The comment-stripped text is used ONLY to classify the statement;
+    what executes is the ORIGINAL statement, comments and all (Spark's
+    parser handles them) — so 'verbatim' stays literally true."""
     for name, df in (tables or {}).items():
         df.createOrReplaceTempView(name)
     results: list[DataFrame] = []
@@ -150,5 +180,5 @@ def run_sql_script(
         head = body.split(None, 2)
         if len(head) >= 2 and head[0].lower() == "set" and head[1].lower().startswith("search_path"):
             continue  # namespace binding: satisfied by the registered views
-        results.append(spark.sql(body))
+        results.append(spark.sql(stmt))
     return results

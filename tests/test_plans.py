@@ -335,6 +335,87 @@ def test_bpe_tokenize_is_single_scan_no_shuffle(spark):
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
 
 
+def test_no_partitionless_window_on_fact_sized_inputs(spark):
+    """THE single-partition-window gate (VERDICT r4 #1): a WindowExec
+    with no partitionBy moves every row to one task — a straggler at
+    sf0.1 and an OOM at 100 TB. No registry entry may plan one over
+    fact/corpus-sized input; exact global ranks/prefix sums go through
+    operators.warehouse.global_order_columns (range-sharded rank +
+    broadcast offsets) instead. The allowlist below names every entry
+    whose global window is PROVABLY bounded by construction — each with
+    the bound — so any new entry that plans an unbounded global window
+    fails here, not in production."""
+    from bigdatacw1_spark.plans import count_global_windows
+
+    bounded_ok = {
+        # windows over top-k results (k=20 rows by construction)
+        "ext_hybrid_rrf": 2,
+        # window over the class vocabulary (distinct event types; the
+        # encode design already broadcasts it, so it is tiny by contract)
+        "ext_label_encode": 1,
+        # final merge over per-partition-pruned skyline candidates
+        # (operators/relational.skyline_2d documents the trade)
+        "ext_skyline_parts": 1,
+        # windows over distinct event DAYS (calendar-bounded)
+        "wh_survival_km": 2,
+        # windows over the per-day FILE INVENTORY (metadata, not data)
+        "wh_compaction_plan": 1,
+        "wh_file_stats": 1,
+    }
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        n = count_global_windows(spec.fn(spark, SF_SMALL))
+        if n > bounded_ok.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"partition-less WindowExec on fact-sized input: {offenders} — "
+        "use global_order_columns/ntile_from_rank, or justify a bound "
+        "in the allowlist"
+    )
+
+
+def test_global_order_columns_matches_window_semantics(spark):
+    """global_order_columns + ntile_from_rank must be bit-identical to
+    the single-partition rank/ntile/running-sum windows they replace —
+    checked on a skewed, tie-heavy frame (and the plan must carry no
+    partition-less window)."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        ntile_from_rank,
+    )
+    from bigdatacw1_spark.plans import count_global_windows
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("k"),          # heavy ties
+        ((F.col("id") * 37) % 101).alias("v"),  # value to prefix-sum
+    )
+    got_df, total = global_order_columns(
+        df, F.col("k"), [F.col("id")], value=F.col("v"), shards=7
+    )
+    assert total == 1000
+    assert count_global_windows(got_df) == 0
+    got = {r["id"]: (r["__rank"], r["__runsum"]) for r in got_df.collect()}
+    w = Window.orderBy(F.asc("k"), F.asc("id"))
+    exp_df = df.withColumn("rk", F.row_number().over(w)).withColumn(
+        "rs", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("nt", F.ntile(7).over(w))
+    for r in exp_df.collect():
+        assert got[r["id"]] == (r["rk"], r["rs"]), r
+    # ntile_from_rank replays NTILE exactly, including the ragged split
+    nt_df, _ = global_order_columns(df, F.col("k"), [F.col("id")], shards=5)
+    nt = {
+        r["id"]: r["nt"]
+        for r in nt_df.withColumn(
+            "nt", ntile_from_rank(F.col("__rank"), 1000, 7)
+        ).collect()
+    }
+    for r in exp_df.collect():
+        assert nt[r["id"]] == r["nt"], r
+
+
 def test_sql_udf_inlines_python_free(spark):
     """The SQL scalar UDF must inline into the Catalyst plan (no Python
     eval anywhere) and keep the key-range filter pushed to the scan."""
