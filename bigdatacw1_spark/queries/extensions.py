@@ -147,13 +147,18 @@ def ext_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
+        ), ex AS (
+            SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh
         )
-        SELECT a.doc_id AS a, b.doc_id AS b,
-               FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                     / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                    / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               FLOOR((COUNT(*) * 1.0
+                      / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                     * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING FLOOR((COUNT(*) * 1.0
+                      / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                     * 10000.0 + 0.5) / 10000.0 >= 0.5
     """,
     headline=True,
 )
@@ -235,11 +240,15 @@ def ext_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
+        ), ex AS (
+            SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh
         ), pos AS MATERIALIZED (
-            SELECT a.doc_id AS anchor, b.doc_id AS positive
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+            SELECT x.doc_id AS anchor, y.doc_id AS positive
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.5
         ), rk AS (
             SELECT doc_id,
                    ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'neg'), 1, 8))::BIGINT % 64 AS bkt,
@@ -283,16 +292,26 @@ def ext_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_t(spark, sf_dir, "documents")).orderBy("anchor", "positive")
 
 
+# Ground-truth exact-Jaccard >= 0.5 pairs via the INVERTED-INDEX join —
+# exactly the all-pairs set for any threshold > 0 (a pair sharing zero
+# shingles cannot reach it; shingle lists are LIST_DISTINCT so the shared
+# count IS |A ∩ B|), but linear in shared shingles instead of O(n²) list
+# unions: the same rewrite operators/dedup.jaccard_pairs uses, mirrored
+# oracle-side so the replay cost scales with the data, not its square.
 _EXACT_PAIRS_05 = """
     WITH sh AS (
         SELECT doc_id,
                (SELECT {grams} FROM (SELECT {toks} AS toks)) AS sh
         FROM documents
+    ), ex AS (
+        SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh
     ), pairs AS (
-        SELECT a.doc_id AS a, b.doc_id AS b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                    / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING FLOOR((COUNT(*) * 1.0
+                      / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                     * 10000.0 + 0.5) / 10000.0 >= 0.5
     )
 """
 
