@@ -1852,7 +1852,28 @@ def wh_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("wh_bt_preference")  # rows-only: the MM fixed point is not SQL-expressible
+@q(
+    "wh_bt_preference",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, DATE_TRUNC('day', ts) AS day, event_type,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2, 3
+        ), duels AS (
+            SELECT a.event_type AS t,
+                   CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END AS win
+            FROM daily a JOIN daily b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type <> b.event_type
+        )
+        SELECT t AS event_type,
+               CAST(SUM(win) AS BIGINT) AS total_wins,
+               TRUE AS strength_pos_ok,
+               TRUE AS norm_ok,
+               TRUE AS stationary_ok
+        FROM duels GROUP BY t ORDER BY t
+    """,
+)
 def wh_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry preference ranking (operators/warehouse.
     bradley_terry_strengths): within each (user, day), event type A
@@ -1862,8 +1883,15 @@ def wh_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on that model-sized matrix — the same collect-the-
     model-not-the-data shape as kmeans/PCA. This is the estimator
     behind RLHF pair curation and eval win-rate leaderboards.
-    Invariants (dominance recovery, probability normalization) pinned
-    in tests/test_warehouse.py."""
+
+    PROMOTED from rows-only to the sketch-style invariant oracle
+    (VERDICT r4 #6): per type the EXACT total win count (hash-checked —
+    DuckDB replays the duel join), plus three MM-fit booleans the
+    oracle pins TRUE: strength > 0, Σ strengths = 1 (normalization),
+    and the MM stationarity residual < 1e-9 (one extra MM step moves
+    no strength — the fixed point actually converged). The strengths
+    themselves stay pinned value-wise (dominance recovery, two-item
+    analytic solution) in tests/test_warehouse.py."""
     ev = _t(spark, sf_dir, "events")
     from bigdatacw1_spark.operators.warehouse import bradley_terry_strengths
 
@@ -1895,12 +1923,42 @@ def wh_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["tb"], r["ta"], r["nba"]) for r in pairs
     ]
     strengths = bradley_terry_strengths(wins)
-    total_wins = {}
+    total_wins: dict[str, int] = {}
     for t, _, c in wins:
         total_wins[t] = total_wins.get(t, 0) + c
+    norm_ok = abs(sum(strengths.values()) - 1.0) < 1e-9
+    # stationarity: one more MM step from the returned fixed point must
+    # move nothing (same update rule as bradley_terry_strengths)
+    items = sorted(strengths)
+    w = {(a, b): 0.0 for a in items for b in items}
+    for a, b, c in wins:
+        w[(a, b)] += c
+    resid = 0.0
+    new_p = {}
+    for i in items:
+        wi = sum(w[(i, j)] for j in items)
+        denom = sum(
+            (w[(i, j)] + w[(j, i)]) / (strengths[i] + strengths[j])
+            for j in items
+            if j != i and (w[(i, j)] or w[(j, i)])
+        )
+        new_p[i] = wi / denom if denom > 0 else strengths[i]
+    z = sum(new_p.values())
+    for i in items:
+        resid = max(resid, abs(new_p[i] / z - strengths[i]))
+    stationary_ok = resid < 1e-9
     rows = [
-        (t, round(s, 6), int(total_wins.get(t, 0))) for t, s in sorted(strengths.items())
+        (
+            t,
+            int(total_wins.get(t, 0)),
+            s > 0.0,
+            norm_ok,
+            stationary_ok,
+        )
+        for t, s in sorted(strengths.items())
     ]
     return spark.createDataFrame(
-        rows, "event_type string, bt_strength double, total_wins long"
+        rows,
+        "event_type string, total_wins long, strength_pos_ok boolean, "
+        "norm_ok boolean, stationary_ok boolean",
     ).orderBy("event_type")

@@ -427,12 +427,25 @@ def test_batch_embed_vectors_are_deterministic_and_unit_norm(spark):
 
 
 def test_ann_recall_diag_multiprobe_dominates(spark):
+    """Raw recall values (the registry entry now surfaces invariant
+    booleans for the oracle — the values themselves stay pinned here)."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
     from bigdatacw1_spark.queries import REGISTRY
     from tests.conftest import SF_SMALL
 
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+    single = {r["vec_id"] for r in lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=0).collect()}
+    multi = {r["vec_id"] for r in lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=1).collect()}
+    r1, r2 = len(exact & single) / 10.0, len(exact & multi) / 10.0
+    assert 0.0 <= r1 <= r2 <= 1.0
+    assert r2 >= 0.5  # probing neighbors recovers most of top-10
+
     row = REGISTRY["diag_ann_recall"].fn(spark, SF_SMALL).collect()[0]
-    assert 0.0 <= row["recall_single"] <= row["recall_multiprobe"] <= 1.0
-    assert row["recall_multiprobe"] >= 0.5  # probing neighbors recovers most of top-10
+    assert row["range_ok"] and row["multiprobe_dominates_ok"] and row["multiprobe_floor_ok"]
 
 
 def test_png_codec_roundtrip_and_filters():
