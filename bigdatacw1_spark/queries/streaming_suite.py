@@ -553,21 +553,89 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts")
 
 
-@q("ext_lsh_admission")  # rows-only: MinHash signatures are not SQL-expressible
+@q(
+    "ext_lsh_admission",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                   w -> w <> '')) AS nt
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+               CAST(COUNT(*) FILTER (nt < 3) AS BIGINT) AS n_unshingleable,
+               TRUE AS admitted_subset_ok,
+               TRUE AS unshingleable_admitted_ok,
+               TRUE AS one_rep_per_component_ok
+        FROM tk
+    """,
+)
 def ext_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup admission (streaming/lsh_dedup.py) in its
     batch degenerate form: one micro-batch against an empty band store
     admits exactly one representative per LSH component plus every
-    unshingleable doc. Rows-only: the admitted set is LSH-bucket-defined
-    (which component representative survives depends on xxhash64 band
-    collisions — no SQL equivalent). The incremental form — band store
-    persisted across micro-batches, replay-idempotent per-batch
-    partitions — is exercised end-to-end in tests/test_streaming.py."""
+    unshingleable doc. The incremental form — band store persisted
+    across micro-batches, replay-idempotent per-batch partitions — is
+    exercised end-to-end in tests/test_streaming.py.
+
+    PROMOTED from rows-only to the sketch-style invariant oracle
+    (VERDICT r4 #6 — WHICH representative survives is xxhash-band-
+    defined): one summary row carrying the exact batch size and the
+    exact unshingleable count (< 3 tokens ⇒ no 3-gram ⇒ no signature;
+    both hash-checked vs DuckDB's replay of the same tokenizer) plus
+    three admission-contract booleans the oracle pins TRUE: admitted ⊆
+    batch, every unshingleable doc admitted verbatim, and the count
+    identity n_admitted = n_unshingleable + n_components (exactly one
+    representative per LSH connected component against an empty
+    store)."""
+    from bigdatacw1_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from bigdatacw1_spark.operators.graph import connected_components
     from bigdatacw1_spark.streaming.lsh_dedup import admit_lsh_batch
 
     docs = _t(spark, sf_dir, "documents")
     admitted, _bands = admit_lsh_batch(spark, docs, None)
-    return admitted.select("doc_id", "n_chars").orderBy("doc_id")
+    admitted = admitted.select("doc_id").localCheckpoint(eager=False)
+
+    n_batch = docs.count()
+    sigs = minhash_signatures(docs, num_hashes=18).localCheckpoint(eager=False)
+    n_unshingleable = n_batch - sigs.count()
+    n_admitted = admitted.count()
+    subset_ok = (
+        admitted.join(docs.select("doc_id"), "doc_id", "left_anti").count() == 0
+    )
+    unshingleable_admitted_ok = (
+        docs.select("doc_id")
+        .join(sigs.select("doc_id"), "doc_id", "left_anti")
+        .join(admitted, "doc_id", "left_anti")
+        .count()
+        == 0
+    )
+    comps = connected_components(
+        lsh_candidate_pairs(sigs, bands=6), src="a", dst="b"
+    )
+    n_components = (
+        sigs.select("doc_id")
+        .join(comps, F.col("doc_id") == comps["node"], "left")
+        .select(F.coalesce("comp", F.col("doc_id")).alias("comp"))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_batch),
+                int(n_unshingleable),
+                bool(subset_ok),
+                bool(unshingleable_admitted_ok),
+                bool(n_admitted == n_unshingleable + n_components),
+            )
+        ],
+        "n_batch long, n_unshingleable long, admitted_subset_ok boolean, "
+        "unshingleable_admitted_ok boolean, one_rep_per_component_ok boolean",
+    )
 
 
 @q(
