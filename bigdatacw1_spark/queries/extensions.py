@@ -96,12 +96,17 @@ def ext_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
         )
-        SELECT a.doc_id AS a, b.doc_id AS b,
-               FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                     / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                    / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.05
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               FLOOR((COUNT(*) * 1.0
+                      / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                     * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) x
+        JOIN (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) y
+          ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING FLOOR((COUNT(*) * 1.0
+                      / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                     * 10000.0 + 0.5) / 10000.0 >= 0.05
     """,
 )
 def ext_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,19 +195,24 @@ def ext_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ), b AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
            c AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
-        nc AS (
-            SELECT b.doc_id AS bid, COUNT(*) AS n
-            FROM b JOIN c ON
-                FLOOR(((LEN(b.sh) + LEN(c.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(b.sh, c.sh))))
-                      / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(b.sh, c.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
-            GROUP BY 1
-        ), nb AS (
-            SELECT b2.doc_id AS bid, COUNT(*) AS n
-            FROM b b1 JOIN b b2 ON b1.doc_id < b2.doc_id AND
-                FLOOR(((LEN(b1.sh) + LEN(b2.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(b1.sh, b2.sh))))
-                      / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(b1.sh, b2.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.5
-            GROUP BY 1
-        )
+        xb AS (SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM b),
+        xc AS (SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM c),
+        ncp AS (
+            SELECT xb.doc_id AS bid
+            FROM xb JOIN xc ON xb.shingle = xc.shingle
+            GROUP BY xb.doc_id, xc.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(xb.n_sh) + ANY_VALUE(xc.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.5
+        ), nc AS (SELECT bid, COUNT(*) AS n FROM ncp GROUP BY 1),
+        nbp AS (
+            SELECT b2.doc_id AS bid
+            FROM xb b1 JOIN xb b2 ON b1.shingle = b2.shingle AND b1.doc_id < b2.doc_id
+            GROUP BY b1.doc_id, b2.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(b1.n_sh) + ANY_VALUE(b2.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.5
+        ), nb AS (SELECT bid, COUNT(*) AS n FROM nbp GROUP BY 1)
         SELECT d.doc_id,
                CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_dup_corpus,
                CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_dup_batch,
@@ -1479,10 +1489,14 @@ def ext_mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
         ), pairs AS (
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) x
+            JOIN (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) y
+              ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.01
         ), edges AS (
             SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
         ), reach AS (
@@ -1849,13 +1863,18 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh,
                    (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT % 10 = 0) AS is_test
             FROM documents
+        ), ex AS (
+            SELECT doc_id, source, is_test, LEN(sh) AS n_sh, UNNEST(sh) AS shingle
+            FROM sh
         ), pairs AS (
             SELECT t.doc_id AS t,
-                   FLOOR(((LEN(t.sh) + LEN(r.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(t.sh, r.sh))))
-                         / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(t.sh, r.sh))), 1)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-            FROM sh t JOIN sh r
-              ON t.source = r.source AND t.doc_id <> r.doc_id
-             AND t.is_test AND NOT r.is_test
+                   FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(t.n_sh) + ANY_VALUE(r.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM ex t JOIN ex r
+              ON t.shingle = r.shingle AND t.source = r.source
+             AND t.doc_id <> r.doc_id AND t.is_test AND NOT r.is_test
+            GROUP BY t.doc_id, r.doc_id
         )
         SELECT t AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches, MAX(jaccard) AS max_jaccard
         FROM pairs WHERE jaccard >= 0.01
@@ -4867,10 +4886,14 @@ def ext_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
         ), pairs AS (
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) x
+            JOIN (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) y
+              ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.01
         ), edges AS (
             SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
         ), reach AS (
@@ -5300,10 +5323,14 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
         ), pairs AS (
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) x
+            JOIN (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) y
+              ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.01
         ), edges AS (
             SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
         ), reach AS (
@@ -5340,10 +5367,14 @@ def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
         ), pairs AS (
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) x
+            JOIN (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) y
+              ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.01
         ), e0 AS (
             SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
         )"""
@@ -5390,10 +5421,14 @@ def _lpa_oracle(rounds: int = 3) -> str:
                    (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
             FROM documents
         ), pairs AS (
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE FLOOR(((LEN(a.sh) + LEN(b.sh) - LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))))
-                        / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1)) * 10000.0 + 0.5) / 10000.0 >= 0.01
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) x
+            JOIN (SELECT doc_id, source, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh) y
+              ON x.shingle = y.shingle AND x.source = y.source AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.01
         ), e0 AS (
             SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
         ), l0 AS (
