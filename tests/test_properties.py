@@ -592,3 +592,56 @@ def test_jpeg_even_constant_blocks_roundtrip_exactly(bw, bh, block_vals):
         for x in range(w)
     )
     assert decode_jpeg(encode_jpeg_gray(w, h, px))[3] == px
+
+
+gorder_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),   # key — narrow → heavy ties
+        st.integers(min_value=0, max_value=1000),   # value for the running sum
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(gorder_strategy, st.integers(min_value=1, max_value=9), st.integers(min_value=1, max_value=8))
+def test_global_order_columns_matches_python_fold(spark, rows, shards, k):
+    """global_order_columns rank/runsum and ntile_from_rank must equal a
+    sequential Python fold over ORDER BY (key, id) for ANY data, shard
+    count, and NTILE width — including all-equal keys (every row in one
+    shard), negative keys, and n < k. The sharded-offset decomposition
+    is exact, not approximate; only load balance depends on the
+    percentile boundaries."""
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        ntile_from_rank,
+    )
+
+    data = [(i, key, val) for i, (key, val) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, key long, val long").repartition(3)
+    out, total = global_order_columns(
+        df, F.col("key"), [F.col("id")], value=F.col("val"), shards=shards
+    )
+    got = {
+        r["id"]: (r["__rank"], r["__runsum"], r["nt"])
+        for r in out.withColumn(
+            "nt", ntile_from_rank(F.col("__rank"), total, k)
+        ).collect()
+    }
+
+    assert total == len(data)
+    ordered = sorted(data, key=lambda t: (t[1], t[0]))
+    run = 0
+    n = len(ordered)
+    q, rem = divmod(n, k)
+    for rank0, (i, _key, val) in enumerate(ordered):
+        run += val
+        rank = rank0 + 1
+        if q == 0:
+            nt = rank
+        elif rank <= rem * (q + 1):
+            nt = (rank - 1) // (q + 1) + 1
+        else:
+            nt = rem + (rank - 1 - rem * (q + 1)) // q + 1
+        assert got[i] == (rank, run, nt), (i, got[i], (rank, run, nt))
