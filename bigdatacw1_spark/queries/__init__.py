@@ -77,7 +77,7 @@ _DRIVER_WINDOW = _ANCHORS + [
 # driver-checked by the end of round 5, these cover the entire registry;
 # entries ADDED during round 5+ get appended to the last window (or a new
 # one) in the same commit that registers them. Each list is validated
-# against REGISTRY by tests/test_registry_windows.py so a rename fails CI,
+# against REGISTRY by tests/test_parity.py so a rename fails CI,
 # not the driver.
 # ---------------------------------------------------------------------------
 ROUND6_WINDOW = [
