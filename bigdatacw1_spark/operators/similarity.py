@@ -345,13 +345,21 @@ def build_pq_index(
     df = fan_out(embeddings.select(id_col, vec_col)).withColumn("__u", unit)
     for j in range(m):
         df = df.withColumn(f"__s{j}", array_to_vector(F.slice(F.col("__u"), j * sub + 1, sub)))
+    # Materialize the sliced training frame ONCE: every subspace fit reads
+    # the same checkpointed base instead of re-deriving normalize+slice
+    # (and all previous fits' transforms) per KMeans iteration — the fits
+    # see byte-identical inputs, so the codebooks are unchanged.
+    df = df.localCheckpoint(eager=False)
     codebooks: list[list[list[float]]] = []
+    models = []
     for j in range(m):
         model = KMeans(
             k=2**nbits, seed=seed + j, featuresCol=f"__s{j}", predictionCol=f"__c{j}"
         ).fit(df)
-        df = model.transform(df)
+        models.append(model)
         codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    for model in models:
+        df = model.transform(df)
     codes = df.select(
         F.col(id_col),
         F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("pq_code"),

@@ -2881,7 +2881,9 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROMOTED from rows-only to the sketch-style invariant oracle
     (VERDICT r4 #6 — codebooks are k-means-defined): one summary row
     pinning the result count (exactly k), recall@10 vs exact brute
-    force ≥ 0.5 (measured 0.7-0.9 across all three test SFs), and
+    force ≥ 0.5 (measured 0.7-1.0 across all three test SFs at
+    rerank_factor=8 — the wider rerank pool absorbs codebook jitter
+    from k-means initialization), and
     ``rerank_exact_ok`` — every returned score must equal the exact
     brute-force cosine for that id (reranking really did touch the raw
     vectors, not the lossy codes). The verified codebook replay lives
@@ -2891,7 +2893,7 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
     codes, codebooks = build_pq_index(emb, m=8, nbits=6)
-    got = pq_topk(codes, codebooks, qvec, k=10, embeddings=emb, rerank_factor=4).collect()
+    got = pq_topk(codes, codebooks, qvec, k=10, embeddings=emb, rerank_factor=8).collect()
     ids = {r["vec_id"] for r in got}
     exact_top = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
     # exact cosine for exactly the returned ids (same stable_round fold)
