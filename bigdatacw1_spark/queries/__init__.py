@@ -148,6 +148,8 @@ ROUND8_WINDOW = [
     # Mongo-dialect pipeline suite
     "pl_setwindowfields", "pl_unionwith", "pl_facet", "pl_sortbycount",
     "pl_graphlookup", "pl_expr_suite", "pl_densify_fill",
+    # round-5 additions
+    "ext_unimax_mix",
 ]
 
 

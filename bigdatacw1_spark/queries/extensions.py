@@ -4754,6 +4754,113 @@ def ext_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_unimax_mix",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, SUM(LEN({_DUCK_TOKS})) AS n_tok
+            FROM documents GROUP BY lang
+        ), base AS (
+            SELECT lang, n_tok, 2 * n_tok AS cap FROM t
+        ), b AS (
+            SELECT SUM(n_tok) // 2 AS budget, COUNT(*) AS n FROM base
+        ), o AS (
+            SELECT lang, n_tok, cap,
+                   ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+                   COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+            FROM base
+        ), f AS (
+            SELECT o.*, b.budget, b.n,
+                   (cap * (n - i + 1) <= budget - prefix) AS capped
+            FROM o CROSS JOIN b
+        ), agg AS (
+            SELECT COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS capped_sum,
+                   COUNT(*) FILTER (NOT capped) AS n_uncapped
+            FROM f
+        )
+        SELECT lang,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST(cap AS BIGINT) AS capacity,
+               CAST(CASE WHEN capped THEN cap
+                         ELSE (budget - capped_sum) // n_uncapped END AS BIGINT)
+                 AS alloc_tokens,
+               capped
+        FROM f CROSS JOIN agg
+        ORDER BY lang
+    """,
+)
+def ext_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language allocation (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): give every language a UNIFORM share of the
+    token budget until it would exceed its epoch cap (2 epochs of its
+    natural tokens here), then redistribute the leftover uniformly over
+    the rest — the fairness-first alternative to temperature sampling
+    (ext_mix_temperature) that never over-repeats a low-resource
+    language. The sequential waterfill has the classic closed form:
+    sorted ascending by capacity the capped set is a PREFIX (once a
+    language is uncapped the uniform share is constant), so one
+    row_number + one exclusive prefix sum + the all-integer
+    cross-multiplied test cap·(n−i+1) ≤ B−prefix decide every language,
+    and the final share is one exact integer division. All BIGINT ends
+    to end — the allocation is hash-exact cross-engine.
+
+    Scale shape: the only corpus-sized work is the per-language token
+    count (one hash aggregate); the waterfill runs on the LANGUAGE table
+    (vocabulary-bounded, like ext_label_encode), so its global-order
+    window is bounded by construction. Budget = half the corpus tokens.
+    """
+    from bigdatacw1_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(tokens("text"))).cast("long").alias("n_tok"))
+        .withColumn("cap", (F.lit(2) * F.col("n_tok")).cast("long"))
+    )
+    b = base.agg(
+        F.call_function("div", F.sum("n_tok"), F.lit(2)).alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("cap", "lang")
+    o = base.withColumn("i", F.row_number().over(w)).withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    f = o.crossJoin(F.broadcast(b)).withColumn(
+        "capped",
+        F.col("cap") * (F.col("n") - F.col("i") + 1) <= F.col("budget") - F.col("prefix"),
+    )
+    agg = f.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)).alias(
+            "capped_sum"
+        ),
+        F.count_if(~F.col("capped")).alias("n_uncapped"),
+    )
+    return (
+        f.crossJoin(F.broadcast(agg))
+        .select(
+            "lang",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.col("cap").cast("long").alias("capacity"),
+            F.when(F.col("capped"), F.col("cap"))
+            .otherwise(
+                F.call_function(
+                    "div", F.col("budget") - F.col("capped_sum"), F.col("n_uncapped")
+                )
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            "capped",
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
     "ext_repeat_epochs",
     oracle="""
         WITH w AS (

@@ -353,6 +353,10 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         # window over the class vocabulary (distinct event types; the
         # encode design already broadcasts it, so it is tiny by contract)
         "ext_label_encode": 1,
+        # waterfill over the LANGUAGE table (vocabulary-bounded by
+        # construction — the corpus-sized pass is the upstream hash agg);
+        # row_number and the exclusive prefix sum plan as two frames
+        "ext_unimax_mix": 2,
         # final merge over per-partition-pruned skyline candidates
         # (operators/relational.skyline_2d documents the trade)
         "ext_skyline_parts": 1,
