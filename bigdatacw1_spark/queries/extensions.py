@@ -885,6 +885,80 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_quality_calibration",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, n_chars,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks,
+                   text
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n_chars,
+                   LEN(toks) AS n,
+                   CASE WHEN LEN(toks) > 0
+                        THEN LENGTH(ARRAY_TO_STRING(toks, '')) / LEN(toks)
+                        ELSE 0.0 END AS avg_len,
+                   LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1) AS pr
+            FROM base
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND((LEAST(n / 64.0, 1.0) + LEAST(avg_len / 5.0, 1.0)
+                          + (1.0 - LEAST(pr * 5, 1.0))) / 3, 4) AS quality,
+                   (n_chars >= 500) AS label
+            FROM m
+        )
+        SELECT CAST(LEAST(FLOOR(quality * 10), 9) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (label) AS BIGINT) AS n_pos,
+               FLOOR((SUM(CAST(quality AS DECIMAL(30,6))) / COUNT(*))
+                     * 10000.0 + 0.5) / 10000.0 AS conf,
+               FLOOR((COUNT(*) FILTER (label) * 1.0 / COUNT(*))
+                     * 10000.0 + 0.5) / 10000.0 AS acc
+        FROM scored
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) curve for the heuristic quality score —
+    the diagnostic run before a score is trusted as a FILTER threshold:
+    documents bucketed by score decile, each bucket reporting its mean
+    score (confidence) next to the empirical rate of a weak usefulness
+    label (n_chars ≥ 500 — a label the score correlates with but does
+    not encode). A well-calibrated score tracks the diagonal; the gap
+    per bucket is what an ECE sums — emitted as (conf, acc) pairs so
+    the consumer picks the weighting. Counts are exact integers; both
+    means use the exact-decimal / single-float-division discipline
+    (exact_avg / stable_round), so every row hash-compares. One hash
+    aggregate over 10 buckets — scan-bound at any scale."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        token_quality_score(tokens("text"), "text").alias("quality"),
+        (F.col("n_chars") >= 500).alias("label"),
+    )
+    bucket = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if("label").cast("long").alias("n_pos"),
+            F.sum(F.col("quality").cast("decimal(30,6)")).alias("__sq"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            stable_round(F.col("__sq").cast("double") / F.col("n"), 4).alias("conf"),
+            stable_round(F.col("n_pos") / F.col("n"), 4).alias("acc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
     "ext_fingerprint",
     oracle="""
         SELECT doc_id,
