@@ -293,6 +293,41 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (no codec library): decode_png → exact integer
+    nearest-neighbor resample → encode_png re-encode, all inside one
+    Arrow batch. The source index map is sx = dx·w₀ DIV w₁ (pure integer
+    floor division, the canonical nearest-neighbor convention), so for a
+    synthetic corpus whose pixel (x, y, c) is an arithmetic function the
+    RESIZED pixels are the same function at the mapped indices — a SQL
+    oracle can replay the whole decode→resample→re-encode round trip
+    exactly (ext_mm_resize). Upgrades the deterministic-fake
+    resize_media: that one keeps the 1-in-1-out plumbing shape for
+    arbitrary payloads; this one is the real PNG path."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w0, h0, ch, px = decode_png(bytes(payload))
+                buf = bytearray()
+                for j in range(height):
+                    sy = j * h0 // height
+                    row_base = sy * w0
+                    for i in range(width):
+                        base = (row_base + i * w0 // width) * ch
+                        buf += px[base : base + ch]
+                ids.append(doc_id)
+                payloads.append(encode_png(width, height, ch, bytes(buf)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling (the 1→N video shape): each payload expands to
     ``n_frames`` output rows. The decode is STUBBED (payload split into

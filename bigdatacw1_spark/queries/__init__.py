@@ -149,7 +149,7 @@ ROUND8_WINDOW = [
     "pl_setwindowfields", "pl_unionwith", "pl_facet", "pl_sortbycount",
     "pl_graphlookup", "pl_expr_suite", "pl_densify_fill",
     # round-5 additions
-    "ext_unimax_mix", "ext_quality_calibration",
+    "ext_unimax_mix", "ext_quality_calibration", "ext_mm_resize",
 ]
 
 

@@ -1134,6 +1134,53 @@ def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_resize",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w0, doc_id % 11 + 4 AS h0
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS g)
+        SELECT d.doc_id,
+               CAST(8 AS INT) AS width,
+               CAST(6 AS INT) AS height,
+               CAST(3 AS INT) AS n_channels,
+               CAST(SUM((i.g * d.w0 // 8 + j.g * d.h0 // 6 + d.doc_id + 85 * c.g) % 256)
+                    AS BIGINT) AS pixel_sum,
+               CAST(SUM(((i.g * d.w0 // 8 + j.g * d.h0 // 6 + d.doc_id + 85 * c.g) % 256)
+                        * ((j.g * 8 + i.g) * 3 + c.g + 1)) AS BIGINT) AS pixel_checksum
+        FROM dims d
+        JOIN nums i ON i.g < 8
+        JOIN nums j ON j.g < 6
+        JOIN nums c ON c.g < 3
+        GROUP BY 1
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end to end: synth PNGs (pixel (x,y,c) =
+    (x + y + doc_id + 85c) % 256) are zlib-decoded, nearest-neighbor
+    resampled to 8×6 with the exact integer index map sx = i·w₀ DIV 8 /
+    sy = j·h₀ DIV 6, RE-ENCODED as spec-valid PNGs
+    (operators/multimodal.resize_png_images), then decoded AGAIN by
+    decode_images — so the value hash covers decode → resample →
+    encode → decode. Because the index map is integer arithmetic, the
+    DuckDB oracle recomputes the resized pixel sum AND the
+    position-weighted checksum from generate_series alone: a wrong
+    rounding convention, row stride, or channel order in ANY of the four
+    stages breaks the hash. doc_id < 64 bounds the fixture; the operator
+    is Arrow-batched and corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_images,
+        resize_png_images,
+        synth_png_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = synth_png_corpus(docs)
+    return decode_images(resize_png_images(media, 8, 6)).orderBy("doc_id")
+
+
+@q(
     "ext_mm_audio",
     oracle="""
         WITH p AS (

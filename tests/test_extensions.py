@@ -1119,3 +1119,39 @@ def test_mahalanobis_mean_equals_dimension(spark):
     d = len(e.select("embedding").first()[0])
     m = mahalanobis_outliers(e).agg(F.avg("m2")).first()[0]
     assert abs(m - d) < 1e-4  # exact up to the 1e-9 ridge + float accumulation
+
+
+def test_resize_png_identity_and_corner_pinning(spark):
+    """resize_png_images with the source's own dimensions is the identity
+    (index map i·w DIV w = i), and any downsize keeps pixel (0,0) exactly
+    (nearest-neighbor maps dst origin to src origin)."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_png,
+        resize_png_images,
+        synth_png_corpus,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 8)
+    media = synth_png_corpus(docs)
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    same = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_png_images(
+            media, 4 + 0 % 13, 4
+        ).collect()
+    }
+    # identity case: doc_id 0 has w0=4, h0=4 — resizing to (4, 4) must
+    # round-trip the exact pixel bytes
+    w0, h0, ch, px0 = decode_png(orig[0])
+    assert (w0, h0) == (4, 4)
+    assert decode_png(same[0]) == (w0, h0, ch, px0)
+    # corner pinning on a real downsize
+    small = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_png_images(media, 2, 2).collect()
+    }
+    for doc_id, payload in small.items():
+        w, h, ch, px = decode_png(payload)
+        assert (w, h) == (2, 2)
+        _, _, _, src = decode_png(orig[doc_id])
+        assert px[:ch] == src[:ch], doc_id
