@@ -1013,6 +1013,36 @@ def synth_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
 
 
+def decimate_wav(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsample-by-decimation: decode_wav → keep every
+    ``factor``-th interleaved frame → encode_wav at rate // factor, all
+    inside one Arrow batch. Decimation is the exact integer half of a
+    resampler (a production pipeline adds a low-pass first; this is the
+    honest index-map core, and its output is a pure function of the
+    input samples at indices 0, factor, 2·factor…, so a SQL oracle can
+    replay the full decode→decimate→re-encode→decode round trip —
+    ext_mm_audio_decimate). Mono 16-bit PCM only, like decode_wav."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                if ch != 1:
+                    raise NotImplementedError("decimate_wav: mono PCM only")
+                ids.append(doc_id)
+                payloads.append(encode_wav(rate // factor, ch, samples[::factor]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
 def decode_audio(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched audio decode: payload → sample-level statistics.
 

@@ -1564,6 +1564,57 @@ def ext_mm_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_mm_audio_decimate",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   CAST((doc_id % 4 + 1) * 8000 AS INT) AS rate0,
+                   doc_id % 50 + 10 AS n0
+            FROM documents WHERE doc_id < 96
+        ), s AS (
+            SELECT doc_id, rate0, n0, UNNEST(GENERATE_SERIES(0, n0 - 1, 2)) AS i
+            FROM p
+        ), v AS (
+            SELECT doc_id, rate0, n0, i,
+                   ((doc_id * 31 + i * 7) % 65536) - 32768 AS x
+            FROM s
+        ), w AS (
+            SELECT *, LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM v
+        )
+        SELECT doc_id,
+               CAST(rate0 // 2 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST((n0 + 1) // 2 AS BIGINT) AS n_samples,
+               CAST(((n0 + 1) // 2) * 1000 // (rate0 // 2) AS BIGINT) AS duration_ms,
+               CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+               CAST(SUM(x * x) AS BIGINT) AS square_sum,
+               CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM w GROUP BY doc_id, rate0, n0 ORDER BY doc_id
+    """,
+)
+def ext_mm_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample end to end: synth RIFF/WAVE PCM (sample i =
+    ((doc_id·31 + i·7) % 65536) − 32768) is chunk-walk decoded, every
+    2nd frame kept, RE-ENCODED as a spec-valid WAV at half the rate
+    (operators/multimodal.decimate_wav), then decoded AGAIN by
+    decode_audio — the value hash covers decode → decimate → encode →
+    decode. The kept indices are 0, 2, 4…, so the DuckDB oracle replays
+    the exact sums / zero-crossings from GENERATE_SERIES(0, n−1, 2) —
+    a wrong stride, header field, or endianness in any stage breaks the
+    hash. doc_id < 96 bounds the fixture; Arrow-batched, corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decimate_wav,
+        decode_audio,
+        synth_wav_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_wav_corpus(docs)
+    return decode_audio(decimate_wav(media, 2)).orderBy("doc_id")
+
+
+@q(
     "ext_mm_spectral",
     oracle="""
         WITH p AS (
