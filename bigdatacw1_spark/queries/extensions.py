@@ -2564,16 +2564,33 @@ def ext_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_provenance")
+@q(
+    "ext_provenance",
+    oracle="""
+        SELECT 'documents.parquet' AS file_name,
+               TRUE AS file_size_ok,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        FROM documents
+    """,
+)
 def ext_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level provenance from the scan itself: Spark's hidden
     ``_metadata`` struct attaches the source file path/size/mtime to
     every row at zero I/O cost (it is constant per split) — the lineage
     hook a training-data pipeline uses to answer "which drop did this
     document come from" and to quarantine a bad file AFTER ingestion
-    without re-reading anything. Aggregated per file here; rows-only
-    (the oracle engine has no _metadata equivalent). At 100 TB this is
-    the audit query that runs over the manifest-of-record."""
+    without re-reading anything. At 100 TB this is the audit query that
+    runs over the manifest-of-record.
+
+    PROMOTED from rows-only (the last one) to a near-full oracle: the
+    oracle hash-checks the file NAME the _metadata path must end in, the
+    exact per-file row count, and the doc-id span — everything the
+    lineage answer consists of — plus ``file_size_ok`` (the reported
+    byte size is positive; the oracle engine cannot stat the file, so
+    the exact size stays pinned by tests/test_extensions.py against
+    os.path.getsize)."""
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(
@@ -2583,11 +2600,12 @@ def ext_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.groupBy("file_name", "file_size")
+        d.groupBy("file_name")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
+            (F.min("file_size") > 0).alias("file_size_ok"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
         )
         .orderBy("file_name")
     )

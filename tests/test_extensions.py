@@ -1155,3 +1155,30 @@ def test_resize_png_identity_and_corner_pinning(spark):
         assert (w, h) == (2, 2)
         _, _, _, src = decode_png(orig[doc_id])
         assert px[:ch] == src[:ch], doc_id
+
+
+def test_provenance_metadata_matches_filesystem(spark):
+    """The _metadata struct's file size must equal os.path.getsize of the
+    actual parquet file (the half of ext_provenance the SQL oracle cannot
+    check), and the path must end in the file the loader read."""
+    import glob
+    import os
+
+    from tests.conftest import SF_SMALL
+
+    path = f"{SF_SMALL}/documents.parquet"
+    real = os.path.getsize(path) if os.path.isfile(path) else sum(
+        os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet")
+    )
+    row = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fs"),
+        )
+        .head()
+    )
+    assert row["fp"].endswith(".parquet")
+    assert row["fs"] > 0
+    if os.path.isfile(path):
+        assert row["fs"] == real
