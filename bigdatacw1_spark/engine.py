@@ -112,6 +112,40 @@ class Engine:
 
         return REGISTRY[name].fn(self.spark, self.sf_dir)
 
+    def explain(self, query: "str | DataFrame") -> str:
+        """Formatted physical plan plus the scale-flag summary the plan
+        gates check (broadcast joins, top-k fusion, pushed filters,
+        Python eval, partition-less windows) — the '.explain and
+        iterate' loop as one call. ``query`` is a registered query name
+        or any DataFrame.
+
+            print(eng.explain("tpch_q5_local_volume"))
+        """
+        from bigdatacw1_spark.plans import (
+            count_global_windows,
+            formatted_plan,
+            has_broadcast_hash_join,
+            has_python_eval,
+            has_take_ordered,
+            pushed_filters,
+        )
+
+        df = self.run_query(query) if isinstance(query, str) else query
+        flags = []
+        if has_broadcast_hash_join(df):
+            flags.append("BHJ")
+        if has_take_ordered(df):
+            flags.append("TOP")
+        if any(f.strip() for f in pushed_filters(df)):
+            flags.append("PF")
+        if has_python_eval(df):
+            flags.append("PY")
+        gw = count_global_windows(df)
+        if gw:
+            flags.append(f"GW×{gw}")
+        header = f"flags: [{', '.join(flags) or '-'}]"
+        return f"{header}\n{formatted_plan(df)}"
+
     def observe(
         self, df: DataFrame, watch: dict[str, "F.Column"] | None = None
     ) -> tuple[DataFrame, "Observation"]:

@@ -140,3 +140,22 @@ def test_engine_sql_script_front_end(spark):
     assert len(out) == 2
     assert out[0].first()["n"] > 0
     assert len(out[1].collect()) >= 2
+
+
+def test_explain_reports_scale_flags(spark):
+    from bigdatacw1_spark.engine import Engine
+    from tests.conftest import SF_SMALL
+
+    eng = Engine(spark=spark, sf_dir=SF_SMALL)
+    out = eng.explain("tpch_q5_local_volume")
+    head = out.splitlines()[0]
+    assert head.startswith("flags: [") and "BHJ" in head
+    assert "== Physical Plan ==" in out
+    # DataFrame form + GW flag surfaces a partition-less window
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = eng.table("orders").withColumn(
+        "r", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert "GW×1" in eng.explain(g).splitlines()[0]
