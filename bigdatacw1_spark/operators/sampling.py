@@ -310,3 +310,87 @@ def dsir_scores(
     return folded.select(
         id_col, stable_round(F.col("__score"), round_digits).alias("dsir_score")
     )
+
+
+def logreg_quality_scores(
+    docs: DataFrame,
+    label_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    iters: int = 3,
+    lr: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """TRAINED quality filter (the GPT-3 / LLaMA recipe, Brown et al. 2020
+    appendix A): fit a logistic-regression classifier that separates a
+    "high-quality" subset (``label_pred``) from the rest of the corpus,
+    then score EVERY document with P(high-quality) — the learned
+    complement to the heuristic gates (token_quality_score, Gopher/C4
+    rules), which is how production crawls are actually filtered.
+
+    Training is full-batch gradient descent, and every iteration is ONE
+    distributed aggregate (partial sums combine map-side; the driver
+    sees 4 scalars per round — a model-sized collect, never data-sized):
+
+        g_j = Σ_docs (σ(w·x) − y) · x_j      w ← w − lr · g/n
+
+    Cross-engine determinism (the DuckDB oracle replays every round as a
+    chained CTE): each document's gradient term is quantized to an
+    integer (floor(g·1e9 + 0.5) — the stable_round discipline), so the
+    per-round sum is an EXACT integer, associative and
+    partition-order-free; the weight update divides that one integer the
+    same way in both engines. σ uses a single EXP on bit-identical
+    inputs (the features are ratios of integers; the dot product folds
+    in fixed order w0 + w1·x1 + w2·x2). Summing quantized doubles
+    instead would tie the result to Spark's partition order.
+
+    Scale: 3 passes over (id, x1, x2, y) — localCheckpoint'd so the
+    feature projection computes once. Sums are DECIMAL(38,0) (2^63
+    overflows around 1e10 docs × 1e9 scale; 38 digits does not).
+
+    Output: (doc_id, y, p_hq, keep) — the score every selection step
+    downstream (hash_sample on kept rows, token_budget_mix, …) consumes.
+    """
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    feat = docs.select(
+        F.col(id_col),
+        (F.least(F.col(chars_col), F.lit(512)).cast("double") / F.lit(512.0)).alias("x1"),
+        (F.least(F.size(tokens(text_col)), F.lit(100)).cast("double") / F.lit(100.0)).alias(
+            "x2"
+        ),
+        F.when(label_pred, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    w0, w1, w2 = 0.0, 0.0, 0.0
+    for _ in range(iters):
+        z = (F.lit(w0) + F.lit(w1) * F.col("x1")) + F.lit(w2) * F.col("x2")
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = sig - F.col("y")
+
+        def _q(term: Column) -> Column:
+            return F.floor(term * F.lit(1.0e9) + F.lit(0.5)).cast("decimal(38,0)")
+
+        row = feat.agg(
+            F.sum(_q(g)).alias("s0"),
+            F.sum(_q(g * F.col("x1"))).alias("s1"),
+            F.sum(_q(g * F.col("x2"))).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = row["n"]
+        if not n:
+            raise ValueError("logreg_quality_scores: empty input")
+        w0 = w0 - lr * ((float(row["s0"]) / n) / 1.0e9)
+        w1 = w1 - lr * ((float(row["s1"]) / n) / 1.0e9)
+        w2 = w2 - lr * ((float(row["s2"]) / n) / 1.0e9)
+
+    z = (F.lit(w0) + F.lit(w1) * F.col("x1")) + F.lit(w2) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        F.col(id_col),
+        F.col("y").cast("int").alias("y"),
+        stable_round(p, round_digits).alias("p_hq"),
+        (p >= F.lit(0.5)).alias("keep"),
+    )

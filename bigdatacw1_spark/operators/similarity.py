@@ -693,3 +693,67 @@ def mahalanobis_outliers(
                 yield pd.DataFrame({id_col: pdf[id_col], "m2": m2})
 
     return emb.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, m2 double")
+
+
+def kcenter_select(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the diversity
+    objective behind coreset data pruning, e.g. Sener & Savarese ICLR
+    2018): start from the smallest-id point, then k−1 times pick the
+    point FARTHEST from its nearest chosen center — a 2-approximation of
+    the k-center cover whose selected rows are the most "spread" subset
+    a labeling or distillation budget can buy.
+
+    Scale shape: the algorithm is k linear passes, each pass ONE
+    max-aggregate over (id, vec, d2min) — no pairwise join ever
+    materializes, and the only driver traffic is one (id, vector) row
+    per round (model-sized). d2min is maintained incrementally
+    (least(old, dist-to-new-center)), so pass r does ONE fixed-order
+    fold against ONE broadcast literal vector, not r of them; the
+    running frame is localCheckpoint'd per round to keep lineage flat.
+
+    Determinism (the DuckDB oracle replays every round as a generated
+    CTE chain): float components cast to double exactly; the squared
+    distance folds in index order ((0+t1)+t2… ≡ LIST_REDUCE since
+    0.0+t1 = t1); argmax ties break on the smaller id; the reported
+    coverage radius is stable_round'd only for OUTPUT, never fed back.
+
+    Output: (sel_round, vec_id, radius2) — radius2 is the selected
+    point's distance² to the previously-chosen centers, i.e. the
+    coverage radius the selection just improved; 0.0 for the seed row.
+    """
+
+    def _d2_to(lit_vec: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pts = emb.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    seed = pts.orderBy("id").limit(1).first()
+    if seed is None:
+        raise ValueError("kcenter_select: empty input")
+    chosen = [(1, seed["id"], 0.0)]
+    cur = pts.withColumn("d2min", _d2_to(seed["v"])).localCheckpoint(eager=False)
+    for r in range(2, k + 1):
+        top = cur.orderBy(F.desc("d2min"), F.asc("id")).limit(1).first()
+        chosen.append((r, top["id"], top["d2min"]))
+        if r < k:
+            cur = cur.withColumn(
+                "d2min", F.least(F.col("d2min"), _d2_to(top["v"]))
+            ).localCheckpoint(eager=False)
+    out = emb.sparkSession.createDataFrame(
+        chosen, "sel_round int, vec_id long, radius2 double"
+    )
+    return out.select(
+        "sel_round",
+        "vec_id",
+        stable_round(F.col("radius2"), round_digits).alias("radius2"),
+    ).orderBy("sel_round")

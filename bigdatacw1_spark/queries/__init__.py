@@ -150,7 +150,7 @@ ROUND8_WINDOW = [
     "pl_graphlookup", "pl_expr_suite", "pl_densify_fill",
     # round-5 additions
     "ext_unimax_mix", "ext_quality_calibration", "ext_mm_resize",
-    "ext_mm_audio_decimate",
+    "ext_mm_audio_decimate", "ext_quality_logreg", "ext_coreset_kcenter",
 ]
 
 

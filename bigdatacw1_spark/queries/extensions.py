@@ -6593,3 +6593,131 @@ def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier + coreset selection (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def _logreg_oracle(iters: int = 10, lr: float = 2.0) -> str:
+    """Unrolled chained-CTE replay of logreg_quality_scores: every GD
+    round sums integer-quantized gradient terms (exact, order-free) and
+    updates the three weights with the identical double expressions the
+    Spark driver runs."""
+    sig = "1.0 / (1.0 + EXP(-((w0 + w1 * x1) + w2 * x2)))"
+    quant = "CAST(FLOOR(({t}) * 1000000000.0 + 0.5) AS BIGINT)"
+    parts = [
+        f"""WITH feat AS (
+            SELECT doc_id,
+                   LEAST(n_chars, 512) / 512.0 AS x1,
+                   LEAST(LEN({_DUCK_TOKS}), 100) / 100.0 AS x2,
+                   CASE WHEN n_chars >= 256 THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ), it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for i in range(1, iters + 1):
+        g = f"({sig} - y)"
+        parts.append(
+            f"""g{i} AS (
+            SELECT SUM({quant.format(t=g)}) AS s0,
+                   SUM({quant.format(t=g + ' * x1')}) AS s1,
+                   SUM({quant.format(t=g + ' * x2')}) AS s2,
+                   COUNT(*) AS n
+            FROM feat, it{i - 1}
+        ), it{i} AS (
+            SELECT w0 - {lr} * ((CAST(s0 AS DOUBLE) / n) / 1000000000.0) AS w0,
+                   w1 - {lr} * ((CAST(s1 AS DOUBLE) / n) / 1000000000.0) AS w1,
+                   w2 - {lr} * ((CAST(s2 AS DOUBLE) / n) / 1000000000.0) AS w2
+            FROM it{i - 1}, g{i}
+        )"""
+        )
+    final = f"""
+        SELECT doc_id, CAST(y AS INT) AS y,
+               FLOOR(({sig}) * 10000.0 + 0.5) / 10000.0 AS p_hq,
+               ({sig}) >= 0.5 AS keep
+        FROM feat, it{iters}
+        ORDER BY doc_id"""
+    return ",\n".join(parts) + final
+
+
+@q("ext_quality_logreg", oracle=_logreg_oracle())
+def ext_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/sampling.logreg_quality_scores):
+    logistic regression trained by 10 rounds of full-batch gradient
+    descent against a weak label, then P(high-quality) for every
+    document — the GPT-3-style TRAINED classifier the heuristic gates
+    (ext_quality_*, ext_gopher_filter) complement at production scale.
+    The label predicate is a free parameter; here it is
+    ``n_chars >= 256`` (on this synthetic corpus the only learnable
+    signal — real deployments pass "source is curated", which these
+    featureless fixture texts cannot support), so the entry verifies
+    GD actually converging to a decision boundary: P(hq) separates to
+    ~0.48 vs ~0.74 by round 10. Each round is one distributed aggregate
+    whose gradient terms are integer-quantized (exact,
+    partition-order-free); the oracle replays all ten rounds as chained
+    CTEs and the final scores hash-compare at 4 digits."""
+    from bigdatacw1_spark.operators.sampling import logreg_quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return logreg_quality_scores(
+        d, F.col("n_chars") >= 256, iters=10, lr=2.0
+    ).orderBy("doc_id")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Generated CTE chain replaying kcenter_select round by round: the
+    same incremental least(d2min, dist-to-new-center) recurrence, the
+    same desc-distance/asc-id argmax, distances as index-ordered scalar
+    folds (LIST_REDUCE ≡ Spark's 0.0-seeded aggregate)."""
+    dist = (
+        "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
+        "i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])), (a, b) -> a + b)"
+    )
+    parts = [
+        """WITH pts AS (
+            SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c1 AS (SELECT id, v FROM pts ORDER BY id LIMIT 1),
+        d1 AS (
+            SELECT p.id, p.v, {dist} AS d2min FROM pts p, c1 c
+        )""".format(dist=dist)
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""c{r} AS (
+            SELECT id, v, d2min FROM d{r - 1} ORDER BY d2min DESC, id LIMIT 1
+        )"""
+        )
+        if r < k:
+            parts.append(
+                f"""d{r} AS (
+            SELECT p.id, p.v, LEAST(p.d2min, {dist}) AS d2min
+            FROM d{r - 1} p, c{r} c
+        )"""
+            )
+    rows = ["SELECT 1 AS sel_round, id AS vec_id, 0.0 AS radius2 FROM c1"] + [
+        f"SELECT {r}, id, FLOOR(d2min * 10000.0 + 0.5) / 10000.0 FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(sel_round AS INT) AS sel_round, CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(radius2 AS DOUBLE) AS radius2 FROM (\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\n) ORDER BY sel_round"
+    )
+
+
+@q("ext_coreset_kcenter", oracle=_kcenter_oracle())
+def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings table
+    (operators/similarity.kcenter_select, k=8): the maximally-spread
+    8-point subset plus the coverage radius each pick improved — the
+    diversity-selection step of coreset data pruning. k linear
+    max-aggregate passes, an incrementally-maintained nearest-center
+    distance, one model-sized row collected per round; the oracle
+    replays every round as a generated CTE chain."""
+    from bigdatacw1_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
