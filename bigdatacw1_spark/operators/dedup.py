@@ -905,3 +905,91 @@ def cm_estimate(key: Column | str, table: list[list[int]]) -> Column:
         pos = F.pmod(F.xxhash64(c, F.lit(1000 + j)), F.lit(width)).cast("int")
         ests.append(F.element_at(flat, F.lit(j * width) + pos + 1))
     return F.least(*ests)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash the
+    POSITIONAL word n-gram sequence, slide a ``window``-hash window, and
+    select each window's minimum. Winnowing guarantees any shared run of
+    ``window + ngram - 1`` tokens yields at least one shared selected
+    fingerprint (the local-containment property k-gram sampling lacks),
+    while keeping ~2/(window+1) of the hashes.
+
+    The tie rule: classic winnowing picks the RIGHTMOST minimal hash to
+    minimize fingerprint count, but ties have EQUAL HASH VALUES, so the
+    selected value-set — all this operator emits — is tie-rule-invariant
+    (positions are not emitted precisely to keep that invariance).
+
+    Hashes are md5-derived 32-bit ints (not xxhash64) so any ANSI engine
+    replays them bit-for-bit. Everything is per-row array built-ins —
+    one narrow projection, no shuffle, no Python; docs with fewer than
+    ``ngram`` tokens emit no fingerprints and drop out.
+
+    Output: (id, fps array<long> DISTINCT selected hashes, n_fps).
+    """
+    grams = word_ngrams(tokens(text_col), ngram)
+    hs = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    base = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), hs.alias("__hs")
+    ).where(F.size("__hs") > 0)
+    n_win = F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
+    sel = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+            )
+        )
+    )
+    return base.select(
+        F.col(id_col), sel.alias("fps"), F.size(sel).alias("n_fps")
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Cross-document copy detection over winnowing fingerprints: pairs
+    of documents sharing >= ``min_shared`` selected fingerprints — the
+    MOSS similarity join. Inverted-index shape (explode -> equi-join on
+    the fingerprint -> pair count), so cost is sum(df_fp^2) over
+    fingerprint buckets, never corpus-quadratic; ``df_cap`` drops
+    fingerprints appearing in more than that many documents (boilerplate
+    hashes — the classic stop-fingerprint rule) which BOUNDS per-bucket
+    fan-out at scale. The document-frequency count is a window over the
+    same fingerprint partitioning the join shuffles on.
+
+    Output: (a, b, n_shared) with a < b.
+    """
+    from pyspark.sql import Window
+
+    fps = winnowing_fingerprints(df, text_col, id_col, ngram, window)
+    ex = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    ex = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("__df") <= df_cap)
+        .drop("__df")
+    )
+    left = ex.select(F.col("fp"), F.col(id_col).alias("a"))
+    right = ex.select(F.col("fp").alias("fp_r"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, (left["fp"] == right["fp_r"]) & (left["a"] < right["b"]))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

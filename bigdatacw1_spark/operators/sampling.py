@@ -312,6 +312,60 @@ def dsir_scores(
     )
 
 
+def _logreg_features(
+    docs: DataFrame,
+    label_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """(id, x1, x2, y) feature frame shared by logreg_quality_scores and
+    el2n_difficulty — localCheckpoint'd so the projection computes once
+    across the GD rounds and the final scoring pass."""
+    from bigdatacw1_spark.functions.text import tokens
+
+    return docs.select(
+        F.col(id_col),
+        (F.least(F.col(chars_col), F.lit(512)).cast("double") / F.lit(512.0)).alias("x1"),
+        (F.least(F.size(tokens(text_col)), F.lit(100)).cast("double") / F.lit(100.0)).alias(
+            "x2"
+        ),
+        F.when(label_pred, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ).localCheckpoint(eager=False)
+
+
+def _logreg_sigmoid(w0: float, w1: float, w2: float) -> Column:
+    z = (F.lit(w0) + F.lit(w1) * F.col("x1")) + F.lit(w2) * F.col("x2")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_fit(feat: DataFrame, iters: int = 3, lr: float = 0.5) -> tuple[float, float, float]:
+    """Full-batch GD on the (x1, x2, y) feature frame; every round is ONE
+    distributed aggregate of integer-quantized gradient terms (exact,
+    associative, partition-order-free — see logreg_quality_scores).
+    Returns the trained (w0, w1, w2)."""
+    w0, w1, w2 = 0.0, 0.0, 0.0
+    for _ in range(iters):
+        g = _logreg_sigmoid(w0, w1, w2) - F.col("y")
+
+        def _q(term: Column) -> Column:
+            return F.floor(term * F.lit(1.0e9) + F.lit(0.5)).cast("decimal(38,0)")
+
+        row = feat.agg(
+            F.sum(_q(g)).alias("s0"),
+            F.sum(_q(g * F.col("x1"))).alias("s1"),
+            F.sum(_q(g * F.col("x2"))).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = row["n"]
+        if not n:
+            raise ValueError("logreg_fit: empty input")
+        w0 = w0 - lr * ((float(row["s0"]) / n) / 1.0e9)
+        w1 = w1 - lr * ((float(row["s1"]) / n) / 1.0e9)
+        w2 = w2 - lr * ((float(row["s2"]) / n) / 1.0e9)
+    return w0, w1, w2
+
+
 def logreg_quality_scores(
     docs: DataFrame,
     label_pred: Column,
@@ -352,45 +406,140 @@ def logreg_quality_scores(
     Output: (doc_id, y, p_hq, keep) — the score every selection step
     downstream (hash_sample on kept rows, token_budget_mix, …) consumes.
     """
-    from bigdatacw1_spark.functions.text import tokens
     from bigdatacw1_spark.operators.relational import stable_round
 
-    feat = docs.select(
-        F.col(id_col),
-        (F.least(F.col(chars_col), F.lit(512)).cast("double") / F.lit(512.0)).alias("x1"),
-        (F.least(F.size(tokens(text_col)), F.lit(100)).cast("double") / F.lit(100.0)).alias(
-            "x2"
-        ),
-        F.when(label_pred, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
-    ).localCheckpoint(eager=False)
-
-    w0, w1, w2 = 0.0, 0.0, 0.0
-    for _ in range(iters):
-        z = (F.lit(w0) + F.lit(w1) * F.col("x1")) + F.lit(w2) * F.col("x2")
-        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        g = sig - F.col("y")
-
-        def _q(term: Column) -> Column:
-            return F.floor(term * F.lit(1.0e9) + F.lit(0.5)).cast("decimal(38,0)")
-
-        row = feat.agg(
-            F.sum(_q(g)).alias("s0"),
-            F.sum(_q(g * F.col("x1"))).alias("s1"),
-            F.sum(_q(g * F.col("x2"))).alias("s2"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        n = row["n"]
-        if not n:
-            raise ValueError("logreg_quality_scores: empty input")
-        w0 = w0 - lr * ((float(row["s0"]) / n) / 1.0e9)
-        w1 = w1 - lr * ((float(row["s1"]) / n) / 1.0e9)
-        w2 = w2 - lr * ((float(row["s2"]) / n) / 1.0e9)
-
-    z = (F.lit(w0) + F.lit(w1) * F.col("x1")) + F.lit(w2) * F.col("x2")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    feat = _logreg_features(docs, label_pred, text_col, id_col, chars_col)
+    w0, w1, w2 = logreg_fit(feat, iters, lr)
+    p = _logreg_sigmoid(w0, w1, w2)
     return feat.select(
         F.col(id_col),
         F.col("y").cast("int").alias("y"),
         stable_round(p, round_digits).alias("p_hq"),
         (p >= F.lit(0.5)).alias("keep"),
+    )
+
+
+def binary_classifier_eval(
+    scores: DataFrame,
+    score_col: str = "p_hq",
+    label_col: str = "y",
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact evaluation of a binary scorer against 0/1 labels: the
+    confusion counts + precision/recall/F1 at ``threshold`` and the
+    tie-adjusted ROC AUC (Mann-Whitney with average ranks) — the
+    metrics a trained quality filter (logreg_quality_scores) is accepted
+    or rejected on.
+
+    Scale shape: ONE hash aggregate groups the corpus down to the
+    distinct (score, label) pairs — ``score_col`` is a ROUNDED
+    probability, so that table is bounded by construction (<= 2·10^d + 2
+    rows for d-digit scores) — and the rank cumulation runs as a window
+    over THAT bounded frame, never over the corpus (the corpus-sized
+    pass is the one hash aggregate; cf. the test_plans allowlist).
+
+    Exactness: with per-score tie groups of size n and cum docs-before
+    c, the positives' doubled rank-sum is Σ np·(2c + n + 1) — integers
+    end to end (DECIMAL(38,0): n² rank-sums overflow BIGINT around 3e9
+    docs), with ONE final division per metric. AUC uses the textbook
+    identity auc = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg).
+
+    Output: one row (n_pos, n_neg, tp, fp, fn, tn, precision, recall,
+    f1, auc).
+    """
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    dec = "decimal(38,0)"
+    g = scores.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(label_col).cast(dec).alias("np"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.withColumn("cumn", F.sum("n").over(w))
+    pos_pred = F.col("s") >= F.lit(threshold)
+    agg = cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * (F.col("cumn") - F.col("n")) + F.col("n") + F.lit(1))
+        ).alias("two_rpos"),
+        F.sum(F.when(pos_pred, F.col("np")).otherwise(F.lit(0).cast(dec))).alias("tp"),
+        F.sum(
+            F.when(pos_pred, F.col("n") - F.col("np")).otherwise(F.lit(0).cast(dec))
+        ).alias("fp"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("n_pos") - tp
+    tn = F.col("n_neg") - fp
+    auc = (
+        F.col("two_rpos").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + F.lit(1)).cast("double")
+    ) / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        stable_round(tp.cast("double") / (tp + fp).cast("double"), round_digits).alias(
+            "precision"
+        ),
+        stable_round(tp.cast("double") / F.col("n_pos").cast("double"), round_digits).alias(
+            "recall"
+        ),
+        stable_round(
+            F.lit(2.0) * tp.cast("double") / (F.lit(2) * tp + fp + fn).cast("double"),
+            round_digits,
+        ).alias("f1"),
+        stable_round(auc, round_digits).alias("auc"),
+    )
+
+
+def el2n_difficulty(
+    docs: DataFrame,
+    label_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    iters: int = 10,
+    lr: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Example-difficulty scores for data pruning (EL2N, Paul et al.
+    NeurIPS 2021 "Deep Learning on a Data Diet"): train the logistic
+    quality model, then score every example by its error norm — for
+    logistic regression the per-example loss gradient is
+    (p − y)·[1, x1, x2], so
+
+        margin = |p − y|          (misclassification confidence)
+        el2n   = |p − y| · sqrt(1 + x1² + x2²)   (gradient L2 norm)
+
+    High-EL2N examples are the hard/atypical ones pruning keeps (or
+    drops, for noise filtering) — the learned complement to the
+    heuristic difficulty proxy in ext_curriculum_stages. Training is the
+    shared exact-GD fit (logreg_fit); scoring is one narrow projection
+    over the checkpointed feature frame. sqrt/exp are IEEE-correctly-
+    rounded on bit-identical inputs, so the rounded scores hash-compare
+    across engines.
+
+    Output: (id, y, margin, el2n).
+    """
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    feat = _logreg_features(docs, label_pred, text_col, id_col, chars_col)
+    w0, w1, w2 = logreg_fit(feat, iters, lr)
+    p = _logreg_sigmoid(w0, w1, w2)
+    err = F.abs(p - F.col("y"))
+    gnorm = F.sqrt(
+        F.lit(1.0) + F.col("x1") * F.col("x1") + F.col("x2") * F.col("x2")
+    )
+    return feat.select(
+        F.col(id_col),
+        F.col("y").cast("int").alias("y"),
+        stable_round(err, round_digits).alias("margin"),
+        stable_round(err * gnorm, round_digits).alias("el2n"),
     )

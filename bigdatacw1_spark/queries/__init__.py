@@ -151,6 +151,8 @@ ROUND8_WINDOW = [
     # round-5 additions
     "ext_unimax_mix", "ext_quality_calibration", "ext_mm_resize",
     "ext_mm_audio_decimate", "ext_quality_logreg", "ext_coreset_kcenter",
+    "ext_quality_eval", "ext_winnowing_pairs", "ext_corpus_funnel",
+    "ext_el2n_difficulty",
 ]
 
 

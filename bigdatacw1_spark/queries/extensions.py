@@ -6600,12 +6600,16 @@ def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _logreg_oracle(iters: int = 10, lr: float = 2.0) -> str:
-    """Unrolled chained-CTE replay of logreg_quality_scores: every GD
-    round sums integer-quantized gradient terms (exact, order-free) and
-    updates the three weights with the identical double expressions the
-    Spark driver runs."""
-    sig = "1.0 / (1.0 + EXP(-((w0 + w1 * x1) + w2 * x2)))"
+_LOGREG_SIG = "1.0 / (1.0 + EXP(-((w0 + w1 * x1) + w2 * x2)))"
+
+
+def _logreg_ctes(iters: int = 10, lr: float = 2.0) -> str:
+    """Unrolled chained-CTE replay of logreg_quality_scores (shared by
+    ext_quality_logreg and ext_quality_eval): every GD round sums
+    integer-quantized gradient terms (exact, order-free) and updates the
+    three weights with the identical double expressions the Spark driver
+    runs. Ends with CTE ``it{iters}`` holding the trained weights."""
+    sig = _LOGREG_SIG
     quant = "CAST(FLOOR(({t}) * 1000000000.0 + 0.5) AS BIGINT)"
     parts = [
         f"""WITH feat AS (
@@ -6632,13 +6636,19 @@ def _logreg_oracle(iters: int = 10, lr: float = 2.0) -> str:
             FROM it{i - 1}, g{i}
         )"""
         )
-    final = f"""
+    return ",\n".join(parts)
+
+
+def _logreg_oracle(iters: int = 10, lr: float = 2.0) -> str:
+    return (
+        _logreg_ctes(iters, lr)
+        + f"""
         SELECT doc_id, CAST(y AS INT) AS y,
-               FLOOR(({sig}) * 10000.0 + 0.5) / 10000.0 AS p_hq,
-               ({sig}) >= 0.5 AS keep
+               FLOOR(({_LOGREG_SIG}) * 10000.0 + 0.5) / 10000.0 AS p_hq,
+               ({_LOGREG_SIG}) >= 0.5 AS keep
         FROM feat, it{iters}
         ORDER BY doc_id"""
-    return ",\n".join(parts) + final
+    )
 
 
 @q("ext_quality_logreg", oracle=_logreg_oracle())
@@ -6721,3 +6731,290 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.operators.similarity import kcenter_select
 
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _quality_eval_oracle(iters: int = 10, lr: float = 2.0) -> str:
+    """Classifier-eval replay: the shared logreg CTE chain, then ONE
+    grouped pass to distinct (score, label) cells, a rank cumulation
+    over that bounded frame, and the textbook tie-adjusted Mann-Whitney
+    AUC + confusion identities — integer (DECIMAL 38) until the final
+    division per metric, mirroring binary_classifier_eval exactly."""
+    r6 = "FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return (
+        _logreg_ctes(iters, lr)
+        + f""", scored AS (
+            SELECT doc_id, CAST(y AS BIGINT) AS yl,
+                   FLOOR(({_LOGREG_SIG}) * 10000.0 + 0.5) / 10000.0 AS s
+            FROM feat, it{iters}
+        ), grp AS (
+            SELECT s, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(yl) AS DECIMAL(38,0)) AS np
+            FROM scored GROUP BY s
+        ), cum AS (
+            SELECT s, n, np,
+                   SUM(n) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+            FROM grp
+        ), a AS (
+            SELECT SUM(np) AS n_pos, SUM(n - np) AS n_neg,
+                   SUM(np * (2 * (cumn - n) + n + 1)) AS two_rpos,
+                   SUM(CASE WHEN s >= 0.5 THEN np ELSE CAST(0 AS DECIMAL(38,0)) END) AS tp,
+                   SUM(CASE WHEN s >= 0.5 THEN n - np ELSE CAST(0 AS DECIMAL(38,0)) END) AS fp
+            FROM cum
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(n_pos - tp AS BIGINT) AS fn,
+               CAST(n_neg - fp AS BIGINT) AS tn,
+               {r6.format(x="CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")} AS precision,
+               {r6.format(x="CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)")} AS recall,
+               {r6.format(x="2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + (n_pos - tp) AS DOUBLE)")} AS f1,
+               {r6.format(x="(CAST(two_rpos AS DOUBLE) - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE)) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")} AS auc
+        FROM a"""
+    )
+
+
+@q("ext_quality_eval", oracle=_quality_eval_oracle())
+def ext_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation of the trained quality filter
+    (operators/sampling.binary_classifier_eval over
+    logreg_quality_scores): confusion counts, precision/recall/F1 at
+    0.5, and the exact tie-adjusted ROC AUC — the accept/reject gate for
+    any learned data-selection model before it filters a corpus. The
+    corpus-sized pass is ONE hash aggregate down to distinct 4-digit
+    (score, label) cells; the rank cumulation windows over that bounded
+    frame (<= 2·10^4 + 2 rows by construction — see the test_plans
+    allowlist). The oracle replays training AND evaluation; AUC's
+    doubled rank-sum is integer-exact in both engines."""
+    from bigdatacw1_spark.operators.sampling import (
+        binary_classifier_eval,
+        logreg_quality_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scores = logreg_quality_scores(d, F.col("n_chars") >= 256, iters=10, lr=2.0)
+    return binary_classifier_eval(scores)
+
+
+@q(
+    "ext_winnowing_pairs",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CASE WHEN LEN(toks) >= 3 THEN LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS grams
+            FROM tk
+        ), h AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(grams, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS hs
+            FROM g WHERE LEN(grams) > 0
+        ), sel AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(hs) - 3, 1) + 1),
+                        i -> LIST_MIN(hs[i : i + 3]))) AS fps
+            FROM h
+        ), ex AS (
+            SELECT doc_id, UNNEST(fps) AS fp FROM sel
+        ), capped AS (
+            SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 50
+        ), exf AS (
+            SELECT ex.doc_id, ex.fp FROM ex JOIN capped USING (fp)
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        FROM exf x JOIN exf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING COUNT(*) >= 2
+        ORDER BY a, b
+    """,
+)
+def ext_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy detection (operators/dedup.winnowing_pairs):
+    winnowing fingerprints (window-min over the positional 3-gram hash
+    sequence, window 4 — guaranteed to catch any shared 6-token run)
+    joined through an inverted index with a document-frequency cap of 50
+    (boilerplate stop-fingerprints), pairs sharing >= 2 selected hashes.
+    Fingerprinting is one narrow projection; the pair join is keyed by
+    fingerprint with bucket fan-out bounded by the df cap. The oracle
+    replays the md5 hash ring, the window minima, the cap, and the join
+    exactly."""
+    from bigdatacw1_spark.operators.dedup import winnowing_pairs
+
+    return winnowing_pairs(_t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+_FUNNEL_ORACLE = f"""
+    WITH tk AS (
+        SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, text, LEN(toks) AS n_toks,
+               (LEN(LIST_FILTER(STR_SPLIT(text, CHR(10)), x ->
+                    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\\s+'),
+                                    w -> w <> '')) >= 25)) >= 1
+                AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+                AND NOT CONTAINS(LOWER(text), 'javascript')
+                AND NOT CONTAINS(text, CHR(123)) AND NOT CONTAINS(text, CHR(125))) AS k2,
+               (LEN(toks) >= 10 AND LEN(toks) <= 100000
+                AND COALESCE(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))), 0) >= 3 * LEN(toks)
+                AND COALESCE(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))), 0) <= 10 * LEN(toks)
+                AND LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                    ['the','a','and','of','to','in','is','it','that','for'], t))) >= 2
+                AND 10 * COALESCE(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(toks),
+                    w -> LEN(LIST_FILTER(toks, x -> x = w)))), 0) <= 3 * LEN(toks)
+                AND 10 * LEN(LIST_DISTINCT(toks)) >= 3 * LEN(toks)) AS gk,
+               MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+        FROM tk
+    ), s3 AS (
+        SELECT * FROM m WHERE k2 AND gk
+    ), d4 AS (
+        SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS k4 FROM s3
+    ), s4 AS (
+        SELECT doc_id, text, n_toks FROM d4 WHERE k4
+    ), sh AS (
+        SELECT doc_id,
+               (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+        FROM s4
+    ), ex AS (
+        SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh
+    ), pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING FLOOR((COUNT(*) * 1.0
+                      / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                     * 10000.0 + 0.5) / 10000.0 >= 0.5
+    ), s5 AS (
+        SELECT * FROM s4 WHERE doc_id NOT IN (SELECT b FROM pairs)
+    )
+    SELECT CAST(stage AS INT) AS stage, gate,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept
+    FROM (
+        SELECT 1 AS stage, 'input' AS gate, COUNT(*) AS docs_kept,
+               COALESCE(SUM(n_toks), 0) AS tokens_kept FROM m
+        UNION ALL SELECT 2, 'c4', COUNT(*), COALESCE(SUM(n_toks), 0) FROM m WHERE k2
+        UNION ALL SELECT 3, 'gopher', COUNT(*), COALESCE(SUM(n_toks), 0) FROM s3
+        UNION ALL SELECT 4, 'exact_dedup', COUNT(*), COALESCE(SUM(n_toks), 0) FROM s4
+        UNION ALL SELECT 5, 'near_dedup', COUNT(*), COALESCE(SUM(n_toks), 0) FROM s5
+    ) ORDER BY stage
+"""
+
+
+@q("ext_corpus_funnel", oracle=_FUNNEL_ORACLE)
+def ext_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-data curation pipeline as ONE DAG, with
+    per-stage survivor accounting — the funnel report every corpus run
+    publishes: raw -> C4 line/doc rules -> Gopher quality gate -> exact
+    dedup (normalized fingerprint, keep-min-id) -> near-dup removal
+    (MinHash+LSH candidates, exact-Jaccard >= 0.5 verification, drop the
+    larger id of each verified pair). Composes the SAME operators the
+    standalone entries verify (functions/text.c4_line_filter rules with
+    min_words=25/punct off, gopher_rules, normalized_fingerprint,
+    operators/dedup.verified_near_duplicates).
+
+    Scale shape: stages 1-3 are flags in ONE scan (localCheckpoint'd so
+    the funnel counts don't rescan the corpus per stage); stage 4 is one
+    fingerprint-keyed window; stage 5 runs the linear LSH pipeline on
+    the deduped survivors only. The oracle replays every gate and uses
+    UNBLOCKED exact Jaccard for stage 5, so equality also re-asserts LSH
+    recall 1.0 on the survivor set. Output: (stage, gate, docs_kept,
+    tokens_kept)."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import (
+        gopher_rules,
+        normalized_fingerprint,
+        tokens,
+    )
+    from bigdatacw1_spark.operators.dedup import verified_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda x: F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 25,
+    )
+    low = F.lower(F.col("text"))
+    c4_keep = (
+        (F.size(kept_lines) >= 1)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("javascript")
+        & ~F.col("text").contains("{")
+        & ~F.col("text").contains("}")
+    )
+    flags = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.size(tokens("text")).alias("n_toks"),
+            c4_keep.alias("k2"),
+            gopher_rules(F.col("text"))["keep"].alias("gk"),
+            normalized_fingerprint("text").alias("fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s3 = flags.where(F.col("k2") & F.col("gk"))
+    s4 = (
+        s3.withColumn(
+            "k4", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .where("k4")
+        .select("doc_id", "text", "n_toks")
+        .localCheckpoint(eager=False)
+    )
+    drops = verified_near_duplicates(s4).select(F.col("b").alias("doc_id")).distinct()
+    s5 = s4.join(drops, "doc_id", "left_anti")
+
+    def _stage(frame: DataFrame, i: int, gate: str) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("tokens_kept"),
+        ).select(
+            F.lit(i).alias("stage"), F.lit(gate).alias("gate"), "docs_kept", "tokens_kept"
+        )
+
+    return (
+        _stage(flags, 1, "input")
+        .unionAll(_stage(flags.where("k2"), 2, "c4"))
+        .unionAll(_stage(s3, 3, "gopher"))
+        .unionAll(_stage(s4, 4, "exact_dedup"))
+        .unionAll(_stage(s5, 5, "near_dedup"))
+        .orderBy("stage")
+    )
+
+
+def _el2n_oracle(iters: int = 10, lr: float = 2.0) -> str:
+    """EL2N replay: the shared logreg CTE chain, then per-document
+    |p − y| and |p − y|·sqrt(1 + x1² + x2²) — SQRT/EXP are IEEE
+    correctly-rounded on bit-identical inputs in both engines."""
+    r6 = "FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    err = f"ABS(({_LOGREG_SIG}) - y)"
+    return (
+        _logreg_ctes(iters, lr)
+        + f"""
+        SELECT doc_id, CAST(y AS INT) AS y,
+               {r6.format(x=err)} AS margin,
+               {r6.format(x=f"({err}) * SQRT(1.0 + x1 * x1 + x2 * x2)")} AS el2n
+        FROM feat, it{iters}
+        ORDER BY doc_id"""
+    )
+
+
+@q("ext_el2n_difficulty", oracle=_el2n_oracle())
+def ext_el2n_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example-difficulty scoring for data pruning (EL2N, Paul et al.
+    NeurIPS 2021; operators/sampling.el2n_difficulty): per-document
+    error margin |p − y| and loss-gradient L2 norm under the trained
+    logistic quality model — high scores mark the hard/atypical
+    examples a pruning budget keeps (or the label-noise candidates it
+    drops). Training is the shared exact-GD fit (one aggregate per
+    round); scoring is one narrow projection. The oracle replays
+    training AND the score arithmetic per document."""
+    from bigdatacw1_spark.operators.sampling import el2n_difficulty
+
+    return el2n_difficulty(
+        _t(spark, sf_dir, "documents"), F.col("n_chars") >= 256, iters=10, lr=2.0
+    ).orderBy("doc_id")

@@ -1182,3 +1182,83 @@ def test_provenance_metadata_matches_filesystem(spark):
     assert row["fs"] > 0
     if os.path.isfile(path):
         assert row["fs"] == real
+
+
+def test_winnowing_containment_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. 2003): two
+    documents sharing a contiguous run of window + ngram - 1 = 6 tokens
+    MUST share at least one selected fingerprint — regardless of the
+    surrounding text."""
+    from bigdatacw1_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "quick brown foxes jump over rivers"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon zeta"),
+            (2, f"one two {shared} three four five six seven"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnowing_fingerprints(df).collect()}
+    assert fps[1] & fps[2], "shared 6-token run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) or len(fps[1] & fps[3]) < len(fps[1] & fps[2])
+
+
+def test_winnowing_pairs_finds_the_copied_pair_only(spark):
+    from bigdatacw1_spark.operators.dedup import winnowing_pairs
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {body} outro words"),
+            (2, f"other opening {body} different closing"),
+            (3, "unrelated document about completely different things entirely"),
+            (4, "another unrelated one speaking of other matters altogether"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]) for r in winnowing_pairs(df).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_kcenter_matches_sequential_greedy(spark):
+    """kcenter_select must equal the textbook sequential greedy 2-approx
+    (farthest-first traversal, smallest-id seed, min-id tie-break)."""
+    from bigdatacw1_spark.operators.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pts = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    k = 5
+
+    def d2(u, v):
+        acc = 0.0
+        for a, b in zip(u, v):
+            acc += (a - b) * (a - b)
+        return acc
+
+    seed = min(pts)
+    chosen = [seed]
+    dmin = {i: d2(v, pts[seed]) for i, v in pts.items()}
+    want = [(1, seed)]
+    for r in range(2, k + 1):
+        far = max(pts, key=lambda i: (dmin[i], -i))
+        want.append((r, far))
+        chosen.append(far)
+        for i, v in pts.items():
+            dmin[i] = min(dmin[i], d2(v, pts[far]))
+    got = [(r["sel_round"], r["vec_id"]) for r in kcenter_select(emb, k=k).collect()]
+    assert got == want
+
+
+def test_corpus_funnel_stages_monotone(spark):
+    from bigdatacw1_spark.queries.extensions import ext_corpus_funnel
+
+    rows = ext_corpus_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4, 5]
+    kept = [r["docs_kept"] for r in rows]
+    toks = [r["tokens_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert kept[-1] > 0

@@ -360,6 +360,10 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         # final merge over per-partition-pruned skyline candidates
         # (operators/relational.skyline_2d documents the trade)
         "ext_skyline_parts": 1,
+        # rank cumulation over distinct (4-digit score, label) cells —
+        # <= 2·10^4 + 2 rows by construction (the corpus-sized pass is
+        # the upstream hash aggregate; see binary_classifier_eval)
+        "ext_quality_eval": 1,
         # windows over distinct event DAYS (calendar-bounded)
         "wh_survival_km": 2,
         # windows over the per-day FILE INVENTORY (metadata, not data)

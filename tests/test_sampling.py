@@ -142,3 +142,53 @@ def test_dsir_scores_rank_target_language_higher(spark):
     }
     assert means[True] > 0 > means[False]
     assert means[True] > means[False]
+
+
+def test_logreg_separates_and_eval_is_exact(spark):
+    """The trained quality filter must actually learn the weak label
+    (positives score higher), and binary_classifier_eval's AUC must
+    equal a sequential average-rank Mann-Whitney computed in Python."""
+    from bigdatacw1_spark.operators.sampling import (
+        binary_classifier_eval,
+        logreg_quality_scores,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scores = logreg_quality_scores(d, F.col("n_chars") >= 256, iters=10, lr=2.0)
+    rows = scores.collect()
+    pos = [r["p_hq"] for r in rows if r["y"] == 1]
+    neg = [r["p_hq"] for r in rows if r["y"] == 0]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+    # sequential reference: average ranks over the sorted score list
+    allr = sorted((r["p_hq"], r["y"]) for r in rows)
+    ranks: dict[float, float] = {}
+    i = 0
+    while i < len(allr):
+        j = i
+        while j < len(allr) and allr[j][0] == allr[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1 .. j
+        ranks[allr[i][0]] = avg
+        i = j
+    r_pos = sum(ranks[s] for s, y in allr if y == 1)
+    n_pos, n_neg = len(pos), len(neg)
+    want_auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    got = binary_classifier_eval(scores).first()
+    assert abs(got["auc"] - want_auc) < 1e-6
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert got["tp"] + got["fn"] == n_pos and got["fp"] + got["tn"] == n_neg
+    # perfect-separation sanity: a scorer equal to the label has AUC 1
+    perfect = scores.select("doc_id", "y", F.col("y").cast("double").alias("p_hq"))
+    assert binary_classifier_eval(perfect).first()["auc"] == 1.0
+
+
+def test_el2n_margin_is_abs_error_and_bounded(spark):
+    from bigdatacw1_spark.operators.sampling import el2n_difficulty
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = el2n_difficulty(d, F.col("n_chars") >= 256, iters=3, lr=0.5).collect()
+    for r in out:
+        assert 0.0 <= r["margin"] <= 1.0
+        # gradient norm multiplier is in [1, sqrt(3)] for features in [0,1]
+        assert r["margin"] <= r["el2n"] <= r["margin"] * (3.0**0.5) + 1e-9
