@@ -993,3 +993,72 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def pair_bleu(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """BLEU-2 audit of the verified near-duplicate pairs (Papineni et
+    al. 2002): for each (a, b) pair the ORDER-SENSITIVE counterpart of
+    Jaccard — modified (clipped) unigram/bigram precision of the later
+    document against the earlier one, brevity penalty, and their
+    geometric mean. Jaccard sees bags of shingles; BLEU-2's bigram term
+    distinguishes shuffled-sentence rewrites from verbatim copies, which
+    is the triage signal a dedup pipeline uses to pick "drop vs keep
+    both" on borderline pairs.
+
+    Scale shape: pairs come from the linear LSH pipeline; the corpus is
+    semi-join-pruned to pair members (broadcastable by construction)
+    before any tokenization, and each pair's clipped counts are per-row
+    array folds — no shuffle beyond the pair join. Counts are integers;
+    the only floats are two divisions, sqrt, and the brevity exp —
+    rounded for output in both engines.
+
+    Output: (a, b, p1, p2, bp, bleu2) — candidate = b, reference = a.
+    """
+    pairs = (
+        verified_near_duplicates(df, text_col, id_col, threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    ids = pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    cand = fan_out(
+        df.join(F.broadcast(ids), id_col, "left_semi").select(id_col, text_col)
+    ).select(F.col(id_col), tokens(text_col).alias("tk"))
+    j = (
+        F.broadcast(pairs)
+        .join(cand.select(F.col(id_col).alias("a"), F.col("tk").alias("ta")), "a")
+        .join(cand.select(F.col(id_col).alias("b"), F.col("tk").alias("tb")), "b")
+    )
+
+    def clipped(cg: Column, rg: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_distinct(cg),
+                lambda g: F.least(
+                    F.size(F.filter(cg, lambda x: x == g)),
+                    F.size(F.filter(rg, lambda x: x == g)),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    c1, r1 = F.col("tb"), F.col("ta")
+    c2, r2 = word_ngrams(F.col("tb"), 2), word_ngrams(F.col("ta"), 2)
+    p1 = clipped(c1, r1).cast("double") / F.size(c1).cast("double")
+    p2 = clipped(c2, r2).cast("double") / F.size(c2).cast("double")
+    lc, lr = F.size("tb").cast("double"), F.size("ta").cast("double")
+    bp = F.when(lc < lr, F.exp(F.lit(1.0) - lr / lc)).otherwise(F.lit(1.0))
+    return j.select(
+        "a",
+        "b",
+        stable_round(p1, round_digits).alias("p1"),
+        stable_round(p2, round_digits).alias("p2"),
+        stable_round(bp, round_digits).alias("bp"),
+        stable_round(bp * F.sqrt(p1 * p2), round_digits).alias("bleu2"),
+    )

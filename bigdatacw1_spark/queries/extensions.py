@@ -7018,3 +7018,53 @@ def ext_el2n_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return el2n_difficulty(
         _t(spark, sf_dir, "documents"), F.col("n_chars") >= 256, iters=10, lr=2.0
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_pair_bleu",
+    oracle=_EXACT_PAIRS_05.format(grams=_DUCK_GRAMS, toks=_DUCK_TOKS)
+    + f""", tk AS (
+        SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), big AS (
+        SELECT doc_id, tk,
+               CASE WHEN LEN(tk) >= 2 THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bg
+        FROM tk
+    ), m AS (
+        SELECT pairs.a, pairs.b,
+               x.tk AS ta, x.bg AS ba, y.tk AS tb, y.bg AS bb
+        FROM pairs
+        JOIN big x ON x.doc_id = pairs.a
+        JOIN big y ON y.doc_id = pairs.b
+    ), s AS (
+        SELECT a, b,
+               LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(tb), g ->
+                   LEAST(LEN(LIST_FILTER(tb, x -> x = g)),
+                         LEN(LIST_FILTER(ta, x -> x = g))))) * 1.0 / LEN(tb) AS p1,
+               LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(bb), g ->
+                   LEAST(LEN(LIST_FILTER(bb, x -> x = g)),
+                         LEN(LIST_FILTER(ba, x -> x = g))))) * 1.0 / LEN(bb) AS p2,
+               CASE WHEN LEN(tb) < LEN(ta)
+                    THEN EXP(1.0 - CAST(LEN(ta) AS DOUBLE) / CAST(LEN(tb) AS DOUBLE))
+                    ELSE 1.0 END AS bp
+        FROM m
+    )
+    SELECT a, b,
+           FLOOR(p1 * 10000.0 + 0.5) / 10000.0 AS p1,
+           FLOOR(p2 * 10000.0 + 0.5) / 10000.0 AS p2,
+           FLOOR(bp * 10000.0 + 0.5) / 10000.0 AS bp,
+           FLOOR(bp * SQRT(p1 * p2) * 10000.0 + 0.5) / 10000.0 AS bleu2
+    FROM s ORDER BY a, b""",
+)
+def ext_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 triage of verified near-dup pairs (operators/dedup.
+    pair_bleu): clipped unigram/bigram precision + brevity penalty of
+    the later doc against the earlier — the order-sensitive signal that
+    separates verbatim copies from shuffled rewrites Jaccard cannot
+    tell apart. Pairs from the linear LSH pipeline, corpus semi-join-
+    pruned to pair members, per-pair array folds; the oracle recomputes
+    the pair set with unblocked exact Jaccard and replays every clipped
+    count and the IEEE exp/sqrt arithmetic."""
+    from bigdatacw1_spark.operators.dedup import pair_bleu
+
+    return pair_bleu(_t(spark, sf_dir, "documents")).orderBy("a", "b")

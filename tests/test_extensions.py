@@ -1262,3 +1262,24 @@ def test_corpus_funnel_stages_monotone(spark):
     assert kept == sorted(kept, reverse=True)
     assert toks == sorted(toks, reverse=True)
     assert kept[-1] > 0
+
+
+def test_pair_bleu_separates_verbatim_from_shuffled(spark):
+    """BLEU-2's bigram term must score a verbatim copy strictly higher
+    than a sentence-shuffled rewrite with the SAME unigram bag — the
+    triage signal Jaccard cannot provide."""
+    from bigdatacw1_spark.operators.dedup import pair_bleu
+
+    block_a = "alpha bravo charlie delta echo"
+    block_b = "foxtrot golf hotel india juliet"
+    base = f"{block_a} {block_b}"
+    swapped = f"{block_b} {block_a}"  # same blocks, reordered: Jaccard 0.6
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (4, swapped)],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r for r in pair_bleu(df).collect()}
+    assert got[(1, 2)]["bleu2"] == 1.0 and got[(1, 2)]["p2"] == 1.0
+    assert got[(1, 4)]["p1"] == 1.0  # same unigram bag
+    assert got[(1, 4)]["p2"] < 1.0  # boundary bigrams broken by the swap
+    assert got[(1, 4)]["bleu2"] < got[(1, 2)]["bleu2"]
