@@ -1962,3 +1962,160 @@ def wh_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, total_wins long, strength_pos_ok boolean, "
         "norm_ok boolean, stationary_ok boolean",
     ).orderBy("event_type")
+
+
+_ZV_SQL = """(  ((an >> 0) & 1) << 1)  + (((bn >> 0) & 1) << 0)
+                 + (((an >> 1) & 1) << 3)  + (((bn >> 1) & 1) << 2)
+                 + (((an >> 2) & 1) << 5)  + (((bn >> 2) & 1) << 4)
+                 + (((an >> 3) & 1) << 7)  + (((bn >> 3) & 1) << 6)
+                 + (((an >> 4) & 1) << 9)  + (((bn >> 4) & 1) << 8)
+                 + (((an >> 5) & 1) << 11) + (((bn >> 5) & 1) << 10)
+                 + (((an >> 6) & 1) << 13) + (((bn >> 6) & 1) << 12)
+                 + (((an >> 7) & 1) << 15) + (((bn >> 7) & 1) << 14)
+                 + (((an >> 8) & 1) << 17) + (((bn >> 8) & 1) << 16)
+                 + (((an >> 9) & 1) << 19) + (((bn >> 9) & 1) << 18)"""
+
+_SKIP_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dt
+        FROM orders
+    ), ext AS (
+        SELECT MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
+               MIN(dt) AS dt_lo, MAX(dt) AS dt_hi
+        FROM base
+    ), probe AS (
+        SELECT ck_lo + (ck_hi - ck_lo) // 2 AS ckq_lo,
+               ck_lo + (ck_hi - ck_lo) // 2 + GREATEST((ck_hi - ck_lo) // 20, 0) AS ckq_hi,
+               dt_lo + (dt_hi - dt_lo) // 2 AS dtq_lo,
+               dt_lo + (dt_hi - dt_lo) // 2 + GREATEST((dt_hi - dt_lo) // 20, 0) AS dtq_hi
+        FROM ext
+    ), norm AS (
+        SELECT o_orderkey, o_custkey, dt,
+               CAST((o_custkey - ck_lo) * 1024 // (ck_hi - ck_lo + 1) AS BIGINT) AS an,
+               CAST((dt - dt_lo) * 1024 // (dt_hi - dt_lo + 1) AS BIGINT) AS bn
+        FROM base CROSS JOIN ext
+    ), z AS (
+        SELECT o_orderkey, o_custkey, dt, {_ZV_SQL} AS zv
+        FROM norm
+    ), filed AS (
+        SELECT o_custkey, dt,
+               NTILE(16) OVER (ORDER BY o_orderkey) AS f_nat,
+               NTILE(16) OVER (ORDER BY dt, o_orderkey) AS f_dts,
+               NTILE(16) OVER (ORDER BY zv, o_orderkey) AS f_zo
+        FROM z
+    ), stats AS (
+        SELECT 'a_natural' AS layout, f_nat AS f,
+               MIN(o_custkey) AS ckmin, MAX(o_custkey) AS ckmax,
+               MIN(dt) AS dtmin, MAX(dt) AS dtmax
+        FROM filed GROUP BY f_nat
+        UNION ALL
+        SELECT 'b_datesort', f_dts, MIN(o_custkey), MAX(o_custkey), MIN(dt), MAX(dt)
+        FROM filed GROUP BY f_dts
+        UNION ALL
+        SELECT 'c_zorder', f_zo, MIN(o_custkey), MAX(o_custkey), MIN(dt), MAX(dt)
+        FROM filed GROUP BY f_zo
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS INT) AS files_total,
+           CAST(SUM(CASE WHEN ckmax < ckq_lo OR ckmin > ckq_hi THEN 1 ELSE 0 END) AS INT)
+               AS skip_ck,
+           CAST(SUM(CASE WHEN dtmax < dtq_lo OR dtmin > dtq_hi THEN 1 ELSE 0 END) AS INT)
+               AS skip_dt
+    FROM stats CROSS JOIN probe
+    GROUP BY layout
+    ORDER BY layout
+"""
+
+
+@q("wh_skipping_effectiveness", oracle=_SKIP_ORACLE)
+def wh_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit — the measurement that justifies
+    the layout operators: cut orders into 16 files under THREE layouts
+    (a_natural = insertion order, b_datesort = single-dim sort,
+    c_zorder = Morton curve over (custkey, date)), collect per-file
+    min/max stats, and count how many files a mid-extent 5%-band probe
+    on EACH dimension can skip. The expected shape this entry pins:
+    date-sort prunes date probes perfectly but custkey probes barely;
+    z-order prunes BOTH — the whole point of multi-dim clustering
+    (wh_zorder_layout / wh_hilbert_layout plan the layout; this entry
+    proves the stats it yields actually skip).
+
+    Scale: file cuts are exact NTILE-equivalent ranks via
+    global_order_columns (never a partition-less window); stats are one
+    hash aggregate per layout over the SAME checkpointed key frame; the
+    probe band derives from the broadcast 4-value extent row, so the
+    audit adds no driver traffic beyond it."""
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        minmax_normalize,
+        ntile_from_rank,
+        zorder_key,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dt"),
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min("dt").alias("dt_lo"),
+        F.max("dt").alias("dt_hi"),
+    )
+    norm = base.crossJoin(F.broadcast(ext)).select(
+        "o_orderkey",
+        "o_custkey",
+        "dt",
+        "ck_lo",
+        "ck_hi",
+        "dt_lo",
+        "dt_hi",
+        minmax_normalize(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")).alias("an"),
+        minmax_normalize(F.col("dt"), F.col("dt_lo"), F.col("dt_hi")).alias("bn"),
+    )
+    keyed = norm.withColumn("zv", zorder_key(F.col("an"), F.col("bn"))).localCheckpoint(
+        eager=False
+    )
+
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    ckq_lo = F.col("ck_lo") + div(F.col("ck_hi") - F.col("ck_lo"), F.lit(2))
+    ckq_hi = ckq_lo + F.greatest(div(F.col("ck_hi") - F.col("ck_lo"), F.lit(20)), F.lit(0))
+    dtq_lo = F.col("dt_lo") + div(
+        (F.col("dt_hi") - F.col("dt_lo")).cast("long"), F.lit(2)
+    )
+    dtq_hi = dtq_lo + F.greatest(
+        div((F.col("dt_hi") - F.col("dt_lo")).cast("long"), F.lit(20)), F.lit(0)
+    )
+
+    def audit(label: str, key) -> DataFrame:
+        ranked, total = global_order_columns(keyed, key, [F.col("o_orderkey")])
+        filed = ranked.withColumn("f", ntile_from_rank(F.col("__rank"), total, 16))
+        stats = filed.groupBy("f").agg(
+            F.min("o_custkey").alias("ckmin"),
+            F.max("o_custkey").alias("ckmax"),
+            F.min("dt").alias("dtmin"),
+            F.max("dt").alias("dtmax"),
+            F.first("ck_lo").alias("ck_lo"),
+            F.first("ck_hi").alias("ck_hi"),
+            F.first("dt_lo").alias("dt_lo"),
+            F.first("dt_hi").alias("dt_hi"),
+        )
+        skip_ck = (F.col("ckmax") < ckq_lo) | (F.col("ckmin") > ckq_hi)
+        skip_dt = (F.col("dtmax") < dtq_lo) | (F.col("dtmin") > dtq_hi)
+        return stats.agg(
+            F.count(F.lit(1)).cast("int").alias("files_total"),
+            F.sum(skip_ck.cast("int")).cast("int").alias("skip_ck"),
+            F.sum(skip_dt.cast("int")).cast("int").alias("skip_dt"),
+        ).select(F.lit(label).alias("layout"), "files_total", "skip_ck", "skip_dt")
+
+    return (
+        audit("a_natural", F.col("o_orderkey"))
+        .unionAll(audit("b_datesort", F.col("dt")))
+        .unionAll(audit("c_zorder", F.col("zv")))
+        .orderBy("layout")
+    )

@@ -504,3 +504,21 @@ def test_bradley_terry_recovers_dominance_order():
     # two items, 3:1 wins -> p_a/(p_a+p_b) = 0.75 exactly
     s2 = bradley_terry_strengths([("x", "y", 3), ("y", "x", 1)])
     assert abs(s2["x"] / (s2["x"] + s2["y"]) - 0.75) < 1e-6
+
+
+def test_skipping_effectiveness_shape(spark):
+    """The claim the layout operators exist for: z-order yields file
+    stats that prune BOTH dimensions; a single-dim sort prunes only its
+    own dimension; insertion order prunes ~nothing."""
+    from bigdatacw1_spark.queries.warehouse import wh_skipping_effectiveness
+
+    rows = {
+        r["layout"]: r
+        for r in wh_skipping_effectiveness(spark, "/root/testdata/sf0.01").collect()
+    }
+    nat, dts, zo = rows["a_natural"], rows["b_datesort"], rows["c_zorder"]
+    assert all(r["files_total"] == 16 for r in rows.values())
+    assert dts["skip_dt"] > zo["skip_dt"] >= 1  # own-dim sort prunes its dim best
+    assert dts["skip_ck"] == 0  # ...and nothing on the other dim
+    assert zo["skip_ck"] >= 4 and zo["skip_dt"] >= 4  # z-order prunes both
+    assert zo["skip_ck"] > nat["skip_ck"]
