@@ -7068,3 +7068,121 @@ def ext_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.operators.dedup import pair_bleu
 
     return pair_bleu(_t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+_BM25_REL = " + ".join(
+    f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS))
+)
+_NDCG_GAIN = "(POWER(2.0, rel) - 1.0) / LOG2(CAST(pos + 1 AS DOUBLE))"
+
+
+@q(
+    "ext_retrieval_ndcg",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), d AS (
+            SELECT doc_id, LEN(toks) AS dl,
+                   {_BM25_TF}
+            FROM base
+        ), r AS (
+            SELECT *, {_BM25_REL} AS rel FROM d
+        ), s AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {_BM25_DF}
+            FROM d
+        ), scored AS (
+            SELECT doc_id, rel,
+                   FLOOR(({_BM25_SCORE}) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM r CROSS JOIN s
+        ), top AS (
+            SELECT doc_id, rel,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+            FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+        ), ideal AS (
+            SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+            FROM (SELECT doc_id, rel FROM r ORDER BY rel DESC, doc_id LIMIT 10)
+        ), dcg AS (
+            SELECT COALESCE(LIST_REDUCE(
+                       LIST({_NDCG_GAIN} ORDER BY pos), (a, b) -> a + b), 0.0) AS dcg
+            FROM top
+        ), idcg AS (
+            SELECT COALESCE(LIST_REDUCE(
+                       LIST({_NDCG_GAIN} ORDER BY pos), (a, b) -> a + b), 0.0) AS idcg
+            FROM ideal
+        )
+        SELECT 10 AS k,
+               FLOOR(dcg * 10000.0 + 0.5) / 10000.0 AS dcg,
+               FLOOR(idcg * 10000.0 + 0.5) / 10000.0 AS idcg,
+               CASE WHEN idcg > 0.0
+                    THEN FLOOR(dcg / idcg * 10000.0 + 0.5) / 10000.0
+                    ELSE 0.0 END AS ndcg
+        FROM dcg CROSS JOIN idcg
+    """,
+)
+def ext_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 of the BM25 ranking for the
+    fixed query, with graded relevance = number of distinct query terms
+    the document contains (term-coverage gain, 0..3). The eval-metric
+    companion to ext_quality_eval's AUC: DCG folds (2^rel − 1)/log2(pos+1)
+    in POSITION ORDER over the top-10 list (fixed-order float fold, the
+    char_entropy discipline); IDCG ranks the whole corpus by gain.
+
+    Scale: relevance is one narrow projection; both top-10s fuse to
+    TakeOrderedAndProject; position row_numbers window over 10-row
+    frames only (bounded — see the test_plans allowlist). The oracle
+    replays BM25 scoring, both rankings, and the ordered folds."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import bm25_topk, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    rel = None
+    for t in _BM25_TERMS:
+        has = (
+            F.size(F.filter(tokens("text"), lambda w: w == F.lit(t))) > 0
+        ).cast("int")
+        rel = has if rel is None else rel + has
+    relf = docs.select("doc_id", rel.alias("rel"))
+
+    top = bm25_topk(docs, _BM25_TERMS, k=10).join(F.broadcast(relf), "doc_id")
+    top = top.withColumn(
+        "pos", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    )
+    ideal = relf.orderBy(F.desc("rel"), "doc_id").limit(10)
+    ideal = ideal.withColumn(
+        "pos", F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id"))
+    )
+
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.log2(
+        (F.col("pos") + F.lit(1)).cast("double")
+    )
+
+    def fold(frame: DataFrame, out: str) -> DataFrame:
+        return frame.select(F.struct("pos", gain.alias("g")).alias("s")).agg(
+            F.coalesce(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["g"]
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0.0),
+            ).alias(out)
+        )
+
+    dcg = fold(top, "dcg")
+    idcg = fold(ideal, "idcg")
+    out = dcg.crossJoin(idcg)
+    return out.select(
+        F.lit(10).alias("k"),
+        stable_round(F.col("dcg"), 4).alias("dcg"),
+        stable_round(F.col("idcg"), 4).alias("idcg"),
+        F.when(
+            F.col("idcg") > 0.0, stable_round(F.col("dcg") / F.col("idcg"), 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )

@@ -350,6 +350,8 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
     bounded_ok = {
         # windows over top-k results (k=20 rows by construction)
         "ext_hybrid_rrf": 2,
+        # position row_numbers over the two top-10 frames (k=10 rows)
+        "ext_retrieval_ndcg": 2,
         # window over the class vocabulary (distinct event types; the
         # encode design already broadcasts it, so it is tiny by contract)
         "ext_label_encode": 1,
