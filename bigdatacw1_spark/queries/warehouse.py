@@ -2119,3 +2119,81 @@ def wh_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit("c_zorder", F.col("zv")))
         .orderBy("layout")
     )
+
+
+@q(
+    "wh_ivm_agg_delta",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), maintained AS (
+            SELECT * FROM ev
+            WHERE (event_id % 10 <> 0 AND event_id % 7 <> 0)  -- base minus deletes
+               OR event_id % 10 = 0                           -- plus inserts
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM maintained GROUP BY event_type
+        HAVING COUNT(*) > 0
+        ORDER BY event_type
+    """,
+)
+def wh_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE-view maintenance — the other half of the IVM
+    toolkit (wh_ivm_join_delta maintains a join view): the materialized
+    per-type (count, sum) view is updated under a mixed change batch
+    (inserts = event_id%10=0, deletes = base rows with event_id%7=0)
+    WITHOUT rescanning the base. COUNT/SUM are self-maintainable: the
+    batch aggregates to signed per-group deltas (insert → +1/+cents,
+    delete → −1/−cents) and merges into the old view as a BROADCAST
+    left join (updated groups) plus an anti-join (brand-new groups) —
+    a full-outer merge would reject the broadcast hint, since Spark
+    cannot build a hash side that must also emit its own unmatched
+    rows. Groups whose count reaches zero drop out. At 100 TB the
+    refresh cost is one pass over the CHANGE BATCH plus two
+    broadcast-delta joins against the group-sized view — the base
+    table is never touched (contrast MIN/MAX, which deletes can break;
+    those go through wh_cdc_apply's replay). The oracle recomputes the
+    view from scratch on (base − deletes) ∪ inserts, so the hash
+    asserts IVM ≡ recompute exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 10 != 0)
+    inserts = ev.where(F.col("event_id") % 10 == 0)
+    deletes = base.where(F.col("event_id") % 7 == 0)
+
+    old_view = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    signed = inserts.select(
+        "event_type", F.lit(1).alias("w"), F.col("cents")
+    ).unionAll(
+        deletes.select("event_type", F.lit(-1).alias("w"), (-F.col("cents")).alias("cents"))
+    )
+    delta = signed.groupBy("event_type").agg(
+        F.sum("w").alias("dn"), F.sum("cents").alias("ds")
+    )
+    updated = old_view.join(F.broadcast(delta), "event_type", "left").select(
+        "event_type",
+        (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (F.col("sum_cents") + F.coalesce(F.col("ds"), F.lit(0))).alias("sum_cents"),
+    )
+    born = delta.join(
+        F.broadcast(old_view.select("event_type")), "event_type", "left_anti"
+    ).select("event_type", F.col("dn").alias("n"), F.col("ds").alias("sum_cents"))
+    merged = updated.unionAll(born)
+    return (
+        merged.where(F.col("n") > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
