@@ -399,3 +399,56 @@ def holt_forecast(
         stable_round(folded["b"], round_digits).alias("trend"),
         stable_round(folded["l"] + folded["b"], round_digits).alias("forecast_next"),
     )
+
+
+def backtest_one_step(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Rolling-origin one-step backtest — the evaluation every deployed
+    forecaster needs before it gates capacity decisions: walk each key's
+    series in time order, at every step i >= 2 score the EWMA forecast
+    (state up to i−1, α = 0.5) AND the naive last-value forecast against
+    the actual x_i, and report both mean absolute errors. A model that
+    cannot beat mae_naive has no business forecasting (the
+    Makridakis-competition yardstick).
+
+    Exactness discipline (holt_forecast family): per-key SORTED bounded
+    collect, one left fold carrying four scalars (ewma, two error sums,
+    prev), the identical expression shapes the oracle's RECURSIVE CTE
+    replays (α = 0.5 exact; struct-state folds must avoid DuckDB's
+    LIST_REDUCE — see ev_holt_forecast). One shuffle on the key.
+
+    Output: (*keys, n_forecasts, mae_ewma, mae_naive).
+    """
+    obs = F.struct(F.col(ts_col).alias("t"), F.col(value_col).cast("double").alias("v"))
+    agg = df.groupBy(*keys).agg(F.sort_array(F.collect_list(obs)).alias("os"))
+    xs = F.transform(F.col("os"), lambda o: o["v"])
+    x1 = F.element_at(xs, 1)
+    init = F.struct(
+        x1.alias("ewma"),
+        F.lit(0.0).alias("sae_e"),
+        F.lit(0.0).alias("sae_n"),
+        x1.alias("prev"),
+    )
+    a = F.lit(0.5)
+
+    def step(acc, x):
+        return F.struct(
+            (a * x + a * acc["ewma"]).alias("ewma"),
+            (acc["sae_e"] + F.abs(x - acc["ewma"])).alias("sae_e"),
+            (acc["sae_n"] + F.abs(x - acc["prev"])).alias("sae_n"),
+            x.alias("prev"),
+        )
+
+    folded = F.aggregate(F.slice(xs, 2, F.size(xs) - 1), init, step)
+    n_fc = (F.size(xs) - 1).cast("double")
+    return agg.where(F.size("os") >= 2).select(
+        *keys,
+        (F.size(xs) - 1).cast("long").alias("n_forecasts"),
+        stable_round(folded["sae_e"] / n_fc, round_digits).alias("mae_ewma"),
+        stable_round(folded["sae_n"] / n_fc, round_digits).alias("mae_naive"),
+    )

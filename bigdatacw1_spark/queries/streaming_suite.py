@@ -1211,3 +1211,56 @@ def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["adm"].alias("n_admitted"),
         (F.col("n_events") - folded["adm"]).cast("long").alias("n_rejected"),
     ).orderBy("user_id")
+
+
+@q(
+    "ev_forecast_backtest",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ), fold AS (
+            SELECT event_type, 1 AS i, x AS ewma,
+                   CAST(0.0 AS DOUBLE) AS sae_e, CAST(0.0 AS DOUBLE) AS sae_n,
+                   x AS prev, n
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT f.event_type, f.i + 1,
+                   0.5 * d.x + 0.5 * f.ewma,
+                   f.sae_e + ABS(d.x - f.ewma),
+                   f.sae_n + ABS(d.x - f.prev),
+                   d.x, f.n
+            FROM fold f JOIN idx d
+              ON d.event_type = f.event_type AND d.i = f.i + 1
+        )
+        SELECT event_type,
+               CAST(n - 1 AS BIGINT) AS n_forecasts,
+               FLOOR(sae_e / (n - 1) * 10000.0 + 0.5) / 10000.0 AS mae_ewma,
+               FLOOR(sae_n / (n - 1) * 10000.0 + 0.5) / 10000.0 AS mae_naive
+        FROM fold
+        WHERE i = n AND n >= 2
+        ORDER BY event_type
+    """,
+)
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step backtest (operators/timeseries.
+    backtest_one_step) of the EWMA forecaster against the naive
+    last-value baseline over each event type's daily integer-cents
+    series — the accept/reject gate for ev_ewma/ev_holt_forecast
+    before they drive capacity decisions (a forecaster that cannot
+    beat mae_naive is noise). Identical four-scalar left fold in both
+    engines; the oracle uses the recursive-CTE formulation because
+    struct-state LIST_REDUCE diverges (ev_holt_forecast note)."""
+    from bigdatacw1_spark.operators.timeseries import backtest_one_step
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double").alias("x"))
+    return backtest_one_step(daily, ["event_type"], "day", "x").orderBy("event_type")
