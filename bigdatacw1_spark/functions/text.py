@@ -977,3 +977,97 @@ def compression_ratio(text: Column | str) -> Column:
 
     c = F.col(text) if isinstance(text, str) else text
     return _ratio(c)
+
+
+def nb_text_classifier(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied in
+    one distributed pass structure — the LEARNED counterpart of the
+    n-gram-heuristic lang_id (fastText-style supervised lang-id is
+    exactly this plus subwords): per-class token likelihoods with
+    Laplace smoothing over a deterministic top-``vocab_k`` vocabulary,
+    class priors from document counts, argmax of
+
+        score(d, c) = ln P(c) + Σ_{tok ∈ d ∩ V} ln P(tok | c)
+
+    Exactness discipline (logreg_fit family): every ln term is
+    quantized to an integer (floor(x·1e9 + 0.5)) BEFORE summation, so
+    per-document scores are exact BIGINT sums — associative,
+    partition-order-free, bit-identical cross-engine; ties in the
+    argmax break on the smaller class label. OOV tokens are ignored
+    (they carry no class signal under a shared vocabulary).
+
+    Scale shape: training is two hash aggregates (class-token counts
+    over the vocab — a (classes × vocab_k)-bounded table — and class
+    priors); the densified log-prob table BROADCASTS; scoring is one
+    explode + broadcast join + one (doc, class) hash aggregate with
+    map-side combine; the argmax is a doc-partitioned window.
+
+    Output: (id, label, pred, correct) — self-prediction on the
+    training corpus (the resubstitution check; held-out evaluation
+    composes with train_test_split).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.col(label_col).alias("__y"), tokens(text_col).alias("tk"))
+    ex = toks.select(id_col, "__y", F.explode("tk").alias("tok"))
+
+    vocab = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_k)
+        .select("tok")
+    )
+    exv = ex.join(F.broadcast(vocab), "tok")
+
+    cls = toks.groupBy(F.col("__y").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = cls.select(F.sum("n_docs").alias("t"))
+    cnt = exv.groupBy(F.col("__y").alias("c"), "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    vsize = vocab.count()
+
+    q = lambda x: F.floor(x * F.lit(1.0e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    dense = (
+        vocab.crossJoin(tot)
+        .join(cnt, ["c", "tok"], "left")
+        .select(
+            "c",
+            "tok",
+            q(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("tot") + F.lit(vsize)).cast("double")
+                )
+            ).alias("qterm"),
+        )
+    )
+    priors = cls.crossJoin(n_total).select(
+        "c", q(F.log(F.col("n_docs").cast("double") / F.col("t").cast("double"))).alias("qprior")
+    )
+
+    contrib = exv.join(F.broadcast(dense), "tok").groupBy(id_col, "c").agg(
+        F.sum("qterm").alias("qsum")
+    )
+    # every doc must score EVERY class (a doc whose vocab tokens miss a
+    # class entirely still has that class's prior): dense doc×class grid
+    grid = toks.select(id_col, "__y").crossJoin(F.broadcast(priors))
+    scored = grid.join(contrib, [id_col, "c"], "left").select(
+        id_col,
+        "__y",
+        "c",
+        (F.coalesce(F.col("qsum"), F.lit(0)) + F.col("qprior")).alias("qscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("qscore"), F.asc("c"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.select(
+        F.col(id_col),
+        F.col("__y").alias("label"),
+        F.col("c").alias("pred"),
+        (F.col("c") == F.col("__y")).alias("correct"),
+    )

@@ -7186,3 +7186,74 @@ def ext_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
     )
+
+
+@q(
+    "ext_nb_langid",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, UNNEST({_DUCK_TOKS}) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 1000
+            )
+        ), exv AS (
+            SELECT t.doc_id, t.lang, t.tok FROM tok t JOIN vocab USING (tok)
+        ), cls AS (
+            SELECT lang AS c, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ), ntot AS (
+            SELECT SUM(n_docs) AS t FROM cls
+        ), cnt AS (
+            SELECT lang AS c, tok, COUNT(*) AS cnt FROM exv GROUP BY 1, 2
+        ), tot AS (
+            SELECT c, SUM(cnt) AS tot FROM cnt GROUP BY c
+        ), vs AS (
+            SELECT COUNT(*) AS v FROM vocab
+        ), dense AS (
+            SELECT tot.c, vocab.tok,
+                   CAST(FLOOR(LN(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE)
+                                 / CAST(tot.tot + vs.v AS DOUBLE)) * 1000000000.0 + 0.5)
+                        AS BIGINT) AS qterm
+            FROM vocab CROSS JOIN tot CROSS JOIN vs
+            LEFT JOIN cnt ON cnt.c = tot.c AND cnt.tok = vocab.tok
+        ), priors AS (
+            SELECT c, CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE))
+                                 * 1000000000.0 + 0.5) AS BIGINT) AS qprior
+            FROM cls CROSS JOIN ntot
+        ), contrib AS (
+            SELECT e.doc_id, d.c, SUM(d.qterm) AS qsum
+            FROM exv e JOIN dense d USING (tok)
+            GROUP BY e.doc_id, d.c
+        ), grid AS (
+            SELECT doc_id, lang, c, qprior FROM documents CROSS JOIN priors
+        ), scored AS (
+            SELECT g.doc_id, g.lang, g.c,
+                   COALESCE(k.qsum, 0) + g.qprior AS qscore
+            FROM grid g LEFT JOIN contrib k ON k.doc_id = g.doc_id AND k.c = g.c
+        ), best AS (
+            SELECT doc_id, lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY qscore DESC, c) AS rn
+            FROM scored
+        )
+        SELECT doc_id, lang AS label, c AS pred, (c = lang) AS correct
+        FROM best WHERE rn = 1
+        ORDER BY doc_id
+    """,
+)
+def ext_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identifier (functions/text.nb_text_classifier):
+    multinomial Naive Bayes over a deterministic top-1000 vocabulary
+    with Laplace smoothing — the learned fastText-shaped counterpart of
+    the heuristic ext_lang_id, and the third trained model in the
+    selection stack (logreg quality, EL2N, NB). Every ln likelihood is
+    integer-quantized BEFORE summation, so per-document class scores
+    are exact BIGINT sums (order-free); argmax ties break on the
+    smaller class label. Training = two bounded hash aggregates; the
+    densified (class × vocab) log-prob table broadcasts; scoring is one
+    explode + broadcast join + keyed aggregate. The oracle replays the
+    vocabulary cut, smoothing, quantization, and argmax exactly."""
+    from bigdatacw1_spark.functions.text import nb_text_classifier
+
+    return nb_text_classifier(_t(spark, sf_dir, "documents")).orderBy("doc_id")

