@@ -1071,3 +1071,170 @@ def nb_text_classifier(
         F.col("c").alias("pred"),
         (F.col("c") == F.col("__y")).alias("correct"),
     )
+
+
+def mlm_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_rate_u32: int = 644245094,  # floor(0.15 * 2^32)
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """BERT-style masked-LM example assembly (Devlin et al. 2019): mask
+    ~15% of token positions; of the masked, ~80% become ``[MASK]``,
+    ~10% a corpus token, ~10% stay unchanged (so the model cannot rely
+    on ``[MASK]`` always marking a target). The RANDOMNESS IS A HASH:
+    both draws for position i are md5(id || ':' || i) slices compared
+    against integer thresholds, so the same corpus always yields the
+    same examples on any cluster — reproducibility no RNG-based
+    masker gives — and any engine can replay them bit-for-bit.
+
+    The random-replacement token is picked from the deterministic
+    top-``vocab_k`` vocabulary by the draw mod |V|; the sorted vocab
+    rides in as ONE broadcast row (model-sized, never a per-row
+    lookup join). Everything else is per-row array built-ins: one
+    narrow projection over the corpus.
+
+    Output: (id, n_tokens, n_masked, masked_text) — masked_text joins
+    the post-masking tokens with spaces.
+    """
+    vocab_row = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_k)
+        # sort key (-n, tok): count DESC with token ASC tie-break — the
+        # same total order the LIMIT cut above uses, so both agree.
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("nn"), F.col("tok")))
+            ).alias("vs")
+        )
+        .select(F.transform("vs", lambda s: s["tok"]).alias("vocab"))
+    )
+    base = df.select(F.col(id_col), tokens(text_col).alias("tk")).crossJoin(
+        F.broadcast(vocab_row)
+    )
+
+    def u32(i: Column, salt: str) -> Column:
+        h = F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), i.cast("string"), F.lit(salt))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+    def masked_tok(tk: Column, vocab: Column):
+        def per_pos(i: Column) -> Column:
+            orig = F.element_at(tk, i.cast("int"))
+            pick = u32(i, "m")
+            kind = u32(i, "k") % F.lit(10)  # 0-7 [MASK], 8 random, 9 keep
+            repl = F.element_at(
+                vocab, (u32(i, "r") % F.size(vocab) + F.lit(1)).cast("int")
+            )
+            return F.when(
+                pick < F.lit(mask_rate_u32),
+                F.when(kind <= F.lit(7), F.lit("[MASK]"))
+                .when(kind == F.lit(8), repl)
+                .otherwise(orig),
+            ).otherwise(orig)
+
+        return F.transform(F.sequence(F.lit(1), F.size(tk)), per_pos)
+
+    out_toks = masked_tok(F.col("tk"), F.col("vocab"))
+    n_masked = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("tk")),
+            lambda i: u32(i, "m") < F.lit(mask_rate_u32),
+        )
+    )
+    return base.where(F.size("tk") > 0).select(
+        F.col(id_col),
+        F.size("tk").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        F.array_join(out_toks, " ").alias("masked_text"),
+    )
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stride: int = 7,
+    start_rate_u32: int = 1503238553,  # floor(0.35 * 2^32)
+) -> DataFrame:
+    """T5-style span-corruption example assembly (Raffel et al. 2020):
+    replace token spans with numbered sentinels in the input and emit
+    the (sentinel, original tokens) pairs as the target — the seq2seq
+    denoising objective's data transform. DETERMINISTIC variant of
+    T5's sampled spans: span starts are drawn only at every
+    ``stride``-th position (md5 draw vs an integer threshold) and span
+    length is 2 + (md5 draw mod 2) ∈ {2, 3}; since stride > max span,
+    spans can NEVER overlap, so the whole transform is position-parallel
+    (T5's sequential sampled-span walk does not distribute; this policy
+    keeps its corruption statistics ~35%·1/7·2.5 ≈ 12.5% of tokens and
+    is replayable bit-for-bit by any engine).
+
+    One narrow projection; per-position work scans the (n/stride)-sized
+    span list. Output: (id, n_tokens, n_spans, input_text, target_text).
+    """
+    tk = tokens(text_col)
+    base = df.select(F.col(id_col), tk.alias("tk")).where(F.size("tk") > 0)
+
+    def u32(i: Column, salt: str) -> Column:
+        h = F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), i.cast("string"), F.lit(salt))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+    n = F.size("tk")
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ((i - 1) % F.lit(stride) == 0)
+        & (i + 2 <= n)
+        & (u32(i, "s") < F.lit(start_rate_u32)),
+    )
+    spans = base.select(
+        F.col(id_col),
+        F.col("tk"),
+        starts.alias("ss"),
+    ).select(
+        F.col(id_col),
+        F.col("tk"),
+        F.col("ss"),
+        F.transform(F.col("ss"), lambda s: F.lit(2) + u32(s, "l") % F.lit(2)).alias("ls"),
+    )
+
+    ss, ls, tkc = F.col("ss"), F.col("ls"), F.col("tk")
+    k_of = lambda i: F.size(F.filter(ss, lambda s: s < i))  # noqa: E731
+    covered = lambda i: F.exists(  # noqa: E731
+        F.arrays_zip(ss, ls), lambda z: (z["ss"] <= i) & (i < z["ss"] + z["ls"])
+    )
+    is_start = lambda i: F.array_contains(ss, i)  # noqa: E731
+
+    inp = F.array_compact(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tkc)),
+            lambda i: F.when(
+                is_start(i),
+                F.concat(F.lit("<extra_id_"), k_of(i).cast("string"), F.lit(">")),
+            )
+            .when(covered(i), F.lit(None).cast("string"))
+            .otherwise(F.element_at(tkc, i.cast("int"))),
+        )
+    )
+    tgt = F.transform(
+        F.arrays_zip(ss, ls),
+        lambda z: F.concat(
+            F.lit("<extra_id_"),
+            F.size(F.filter(ss, lambda s: s < z["ss"])).cast("string"),
+            F.lit("> "),
+            F.array_join(F.slice(tkc, z["ss"], z["ls"]), " "),
+        ),
+    )
+    return spans.select(
+        F.col(id_col),
+        F.size("tk").alias("n_tokens"),
+        F.size("ss").alias("n_spans"),
+        F.array_join(inp, " ").alias("input_text"),
+        F.array_join(tgt, " ").alias("target_text"),
+    )

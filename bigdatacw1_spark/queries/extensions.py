@@ -7257,3 +7257,109 @@ def ext_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import nb_text_classifier
 
     return nb_text_classifier(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_MLM_U32 = (
+    "('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+)
+
+
+@q(
+    "ext_mlm_masking",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents
+        ), vocab AS (
+            SELECT LIST(tok ORDER BY n DESC, tok) AS v FROM (
+                SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 1000
+            )
+        ), base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+        ), m AS (
+            SELECT doc_id, LEN(tk) AS n_tokens,
+                   LEN(LIST_FILTER(RANGE(1, LEN(tk) + 1),
+                       i -> {_MLM_U32.format(salt='m')} < 644245094)) AS n_masked,
+                   ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(tk) + 1), i ->
+                       CASE WHEN {_MLM_U32.format(salt='m')} < 644245094 THEN
+                           CASE WHEN {_MLM_U32.format(salt='k')} % 10 <= 7 THEN '[MASK]'
+                                WHEN {_MLM_U32.format(salt='k')} % 10 = 8
+                                    THEN v[CAST({_MLM_U32.format(salt='r')} % LEN(v) + 1 AS INT)]
+                                ELSE tk[i] END
+                       ELSE tk[i] END), ' ') AS masked_text
+            FROM base CROSS JOIN vocab
+            WHERE LEN(tk) > 0
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_masked AS INT) AS n_masked, masked_text
+        FROM m ORDER BY doc_id
+    """,
+)
+def ext_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT masked-LM example assembly (functions/text.mlm_mask): ~15%
+    of positions masked with the 80/10/10 [MASK]/random-token/keep
+    policy, where every draw is an md5 slice of (doc_id, position) vs
+    an integer threshold — the same corpus yields the same training
+    examples on any cluster, and the oracle replays every choice
+    including the vocabulary-indexed random replacements. One narrow
+    projection over the corpus + one broadcast vocab row."""
+    from bigdatacw1_spark.functions.text import mlm_mask
+
+    return mlm_mask(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SC_U32 = (
+    "('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST({i} AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+)
+
+
+@q(
+    "ext_span_corruption",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+        ), b AS (
+            SELECT doc_id, tk FROM base WHERE LEN(tk) > 0
+        ), sp AS (
+            SELECT doc_id, tk,
+                   LIST_FILTER(RANGE(1, LEN(tk) + 1), i ->
+                       (i - 1) % 7 = 0 AND i + 2 <= LEN(tk)
+                       AND {_SC_U32.format(i='i', salt='s')} < 1503238553) AS ss
+            FROM b
+        ), sl AS (
+            SELECT doc_id, tk, ss,
+                   LIST_TRANSFORM(ss, s -> 2 + {_SC_U32.format(i='s', salt='l')} % 2) AS ls
+            FROM sp
+        )
+        SELECT doc_id,
+               CAST(LEN(tk) AS INT) AS n_tokens,
+               CAST(LEN(ss) AS INT) AS n_spans,
+               COALESCE(ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(tk) + 1), i ->
+                   CASE WHEN LIST_CONTAINS(ss, i)
+                        THEN '<extra_id_' || CAST(LEN(LIST_FILTER(ss, s -> s < i)) AS VARCHAR) || '>'
+                        WHEN LEN(LIST_FILTER(RANGE(1, LEN(ss) + 1),
+                                 j -> ss[j] <= i AND i < ss[j] + ls[j])) > 0
+                        THEN NULL
+                        ELSE tk[i] END), x -> x IS NOT NULL), ' '), '') AS input_text,
+               COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(ss) + 1), j ->
+                   '<extra_id_' || CAST(LEN(LIST_FILTER(ss, s -> s < ss[j])) AS VARCHAR)
+                   || '> ' || ARRAY_TO_STRING(tk[ss[j] : ss[j] + ls[j] - 1], ' ')), ' '), '')
+                   AS target_text
+        FROM sl ORDER BY doc_id
+    """,
+)
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption example assembly (functions/text.span_corrupt):
+    token spans replaced by numbered sentinels in the input, the
+    (sentinel, original span) pairs emitted as the target — the seq2seq
+    denoising data transform, in a DETERMINISTIC stride-7 variant whose
+    spans cannot overlap, so the whole transform is position-parallel
+    and replayable bit-for-bit (T5's sequential sampled-span walk does
+    not distribute). Every draw is an md5 slice vs integer thresholds;
+    the oracle replays starts, lengths, sentinel numbering, and both
+    reconstructed texts."""
+    from bigdatacw1_spark.functions.text import span_corrupt
+
+    return span_corrupt(_t(spark, sf_dir, "documents")).orderBy("doc_id")

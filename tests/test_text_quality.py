@@ -476,3 +476,40 @@ def test_nb_langid_beats_majority_baseline(spark):
         d.groupBy("lang").count().orderBy(F.desc("count"), "lang").first()["count"] / n
     )
     assert acc > majority, (acc, majority)
+
+
+def test_mlm_and_span_corruption_shapes(spark):
+    """Example-assembly invariants: MLM masks ~15% of positions and the
+    masked text keeps token count; span corruption's input+target
+    reconstruct the original token multiset (sentinels aside) and
+    sentinels number 0..n_spans-1 in order."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.functions.text import mlm_mask, span_corrupt, tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    m = mlm_mask(d)
+    tot, masked = m.agg(F.sum("n_tokens"), F.sum("n_masked")).first()
+    assert 0.10 < masked / tot < 0.20
+    # masking never changes the token count
+    bad = m.where(F.size(F.split("masked_text", r"\s+")) != F.col("n_tokens")).count()
+    assert bad == 0
+
+    sc = span_corrupt(d).collect()
+    orig = {
+        r["doc_id"]: r["tk"]
+        for r in d.select("doc_id", tokens("text").alias("tk")).collect()
+    }
+    import re
+
+    for r in sc[:200]:
+        inp = r["input_text"].split()
+        tgt = r["target_text"].split() if r["target_text"] else []
+        sentinels_in = [t for t in inp if t.startswith("<extra_id_")]
+        assert len(sentinels_in) == r["n_spans"]
+        assert sentinels_in == [f"<extra_id_{k}>" for k in range(r["n_spans"])]
+        rebuilt = sorted(
+            [t for t in inp if not re.match(r"<extra_id_\d+>$", t)]
+            + [t for t in tgt if not re.match(r"<extra_id_\d+>$", t)]
+        )
+        assert rebuilt == sorted(orig[r["doc_id"]])
