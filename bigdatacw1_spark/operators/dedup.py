@@ -1062,3 +1062,65 @@ def pair_bleu(
         stable_round(bp, round_digits).alias("bp"),
         stable_round(bp * F.sqrt(p1 * p2), round_digits).alias("bleu2"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT — the signal
+    Jaccard structurally misses: a short document quoted whole inside a
+    long one has |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0,
+    so inclusion-dedup (Broder's containment, the quote/boilerplate-
+    embedding case) needs max(C(A,B), C(B,A)) = shared / min(|A|, |B|).
+
+    Same inverted-index + df-cap shape as jaccard_pairs (one shuffle
+    keyed by shingle, one by pair; stop-shingle cap bounds the k²
+    bucket fan-out); only pairs sharing a shingle materialize, which is
+    exact for any threshold > 0.
+
+    Output: (a, b, containment, jaccard) for max-containment >=
+    ``threshold``, a < b — jaccard included so callers can see exactly
+    the pairs containment catches and Jaccard would not.
+    """
+    from pyspark.sql import Window
+
+    base = fan_out(df.select(id_col, text_col))
+    shingled = base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(tokens(text_col), ngram))).alias("shingle"),
+    )
+    w_df = Window.partitionBy("shingle")
+    shingled = (
+        shingled.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("__df") <= max_shingle_df)
+        .drop("__df")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    left = shingled.select(F.col("shingle"), F.col(id_col).alias("a"))
+    right = shingled.select(F.col("shingle").alias("shingle_r"), F.col(id_col).alias("b"))
+    common = (
+        left.join(
+            right,
+            (left["shingle"] == right["shingle_r"]) & (left["a"] < right["b"]),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    la = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    lb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    cont = stable_round(
+        F.col("n_common") / F.greatest(F.least(F.col("n_a"), F.col("n_b")), F.lit(1)), 4
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    jacc = stable_round(F.col("n_common") / F.greatest(union_sz, F.lit(1)), 4)
+    return (
+        common.join(la, "a")
+        .join(lb, "b")
+        .select("a", "b", cont.alias("containment"), jacc.alias("jaccard"))
+        .where(F.col("containment") >= threshold)
+    )

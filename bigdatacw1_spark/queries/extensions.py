@@ -7363,3 +7363,157 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.functions.text import span_corrupt
 
     return span_corrupt(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
+    "ext_containment_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), ex0 AS (
+            SELECT doc_id, UNNEST(sh) AS shingle FROM sh
+        ), keep AS (
+            SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 1000
+        ), ex AS (
+            SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+        ), common AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b,
+               FLOOR(n_common * 1.0 / GREATEST(LEAST(sa.n_sh, sb.n_sh), 1)
+                     * 10000.0 + 0.5) / 10000.0 AS containment,
+               FLOOR(n_common * 1.0 / GREATEST(sa.n_sh + sb.n_sh - n_common, 1)
+                     * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE FLOOR(n_common * 1.0 / GREATEST(LEAST(sa.n_sh, sb.n_sh), 1)
+                    * 10000.0 + 0.5) / 10000.0 >= 0.8
+        ORDER BY a, b
+    """,
+)
+def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (operators/dedup.
+    containment_pairs): pairs with shared-shingle containment
+    max(|A∩B|/|A|, |A∩B|/|B|) >= 0.8 — the quote-inclusion/boilerplate-
+    embedding duplicates Jaccard structurally under-scores (the output
+    carries both numbers so the gap is visible). Inverted-index join
+    with the stop-shingle df cap; the oracle replays index, cap, and
+    both ratios."""
+    from bigdatacw1_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+@q(
+    "ext_hard_negatives",
+    oracle=_EXACT_PAIRS_05.format(grams=_DUCK_GRAMS, toks=_DUCK_TOKS)
+    + f""", wtk AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), wg AS (
+        SELECT doc_id,
+               CASE WHEN LEN(toks) >= 3 THEN LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS grams
+        FROM wtk
+    ), whs AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(grams, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS hs
+        FROM wg WHERE LEN(grams) > 0
+    ), wsel AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(hs) - 3, 1) + 1),
+                    i -> LIST_MIN(hs[i : i + 3]))) AS fps
+        FROM whs
+    ), wex AS (
+        SELECT doc_id, UNNEST(fps) AS fp FROM wsel
+    ), wcap AS (
+        SELECT fp FROM wex GROUP BY fp HAVING COUNT(*) <= 50
+    ), wexf AS (
+        SELECT wex.doc_id, wex.fp FROM wex JOIN wcap USING (fp)
+    ), wp AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        FROM wexf x JOIN wexf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ), sym AS (
+        SELECT a AS anchor, b AS cand, n_shared FROM wp
+        UNION ALL SELECT b, a, n_shared FROM wp
+    ), partners AS (
+        SELECT a AS anchor, b AS cand FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ), neg AS (
+        SELECT s.anchor, s.cand, s.n_shared
+        FROM sym s LEFT JOIN partners p
+          ON p.anchor = s.anchor AND p.cand = s.cand
+        WHERE p.anchor IS NULL
+    ), best AS (
+        SELECT anchor, cand, n_shared,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                                  ORDER BY n_shared DESC, cand) AS rn
+        FROM neg
+    )
+    SELECT pairs.a AS anchor, pairs.b AS positive,
+           best.cand AS hard_negative,
+           CAST(best.n_shared AS BIGINT) AS hn_shared
+    FROM pairs LEFT JOIN best ON best.anchor = pairs.a AND best.rn = 1
+    ORDER BY anchor, positive""",
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training (the retrieval-
+    training trick that actually moves recall: random negatives are too
+    easy): for each verified near-dup anchor, the hardest negative is
+    the document sharing the MOST winnowing fingerprints that is NOT a
+    near-dup partner — maximally confusable lexically, guaranteed below
+    the duplicate threshold. Candidates come from the bounded winnowing
+    inverted index (df-capped), positives from the linear LSH pipeline;
+    the argmax is an anchor-partitioned window. The oracle replays the
+    winnowing ring, the unblocked exact-Jaccard positive set, the
+    partner exclusion, and the tie-broken argmax. NULL hard_negative =
+    no non-partner shares any fingerprint (loud, not resampled) —
+    ext_contrastive_pairs' bucketed draw is the fallback there."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.dedup import (
+        verified_near_duplicates,
+        winnowing_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = (
+        verified_near_duplicates(docs)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    wp = winnowing_pairs(docs, min_shared=1)
+    sym = wp.select(
+        F.col("a").alias("anchor"), F.col("b").alias("cand"), "n_shared"
+    ).unionAll(wp.select(F.col("b").alias("anchor"), F.col("a").alias("cand"), "n_shared"))
+    partners = pos.select(F.col("a").alias("anchor"), F.col("b").alias("cand")).unionAll(
+        pos.select(F.col("b").alias("anchor"), F.col("a").alias("cand"))
+    )
+    neg = sym.join(partners, ["anchor", "cand"], "left_anti")
+    w = Window.partitionBy("anchor").orderBy(F.desc("n_shared"), F.asc("cand"))
+    best = (
+        neg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("anchor").alias("a"),
+            F.col("cand").alias("hard_negative"),
+            F.col("n_shared").alias("hn_shared"),
+        )
+    )
+    return (
+        pos.join(best, "a", "left")
+        .select(
+            F.col("a").alias("anchor"),
+            F.col("b").alias("positive"),
+            "hard_negative",
+            "hn_shared",
+        )
+        .orderBy("anchor", "positive")
+    )

@@ -1283,3 +1283,22 @@ def test_pair_bleu_separates_verbatim_from_shuffled(spark):
     assert got[(1, 4)]["p1"] == 1.0  # same unigram bag
     assert got[(1, 4)]["p2"] < 1.0  # boundary bigrams broken by the swap
     assert got[(1, 4)]["bleu2"] < got[(1, 2)]["bleu2"]
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment 1.0,
+    Jaccard << 0.5 — the asymmetric case the operator exists for."""
+    from bigdatacw1_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.5
