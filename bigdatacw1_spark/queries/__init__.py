@@ -153,7 +153,7 @@ ROUND8_WINDOW = [
     "ext_mm_audio_decimate", "ext_quality_logreg", "ext_coreset_kcenter",
     "ext_quality_eval", "ext_winnowing_pairs", "ext_corpus_funnel",
     "ext_el2n_difficulty", "ext_pair_bleu", "wh_skipping_effectiveness",
-    "ext_retrieval_ndcg", "wh_ivm_agg_delta", "ev_forecast_backtest", "ext_nb_langid", "ext_mlm_masking", "ext_span_corruption", "ext_containment_pairs", "ext_hard_negatives",
+    "ext_retrieval_ndcg", "wh_ivm_agg_delta", "ev_forecast_backtest", "ext_nb_langid", "ext_mlm_masking", "ext_span_corruption", "ext_containment_pairs", "ext_hard_negatives", "ext_ccnet_terciles",
 ]
 
 

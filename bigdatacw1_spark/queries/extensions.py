@@ -7517,3 +7517,72 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive")
     )
+
+
+@q(
+    "ext_ccnet_terciles",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), idx AS (
+            SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+            FROM tk WHERE LEN(toks) >= 2
+        ), bg AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram, toks[i] AS w1
+            FROM idx
+        ), c AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+        ctx AS (SELECT w1, COUNT(*) AS ctx FROM bg GROUP BY 1),
+        docbg AS (
+            SELECT doc_id, bigram, w1, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+        ), terms AS (
+            SELECT d.doc_id, d.bigram, d.n,
+                   d.n * LN(CAST(c.c AS DOUBLE) / ctx.ctx) AS term
+            FROM docbg d JOIN c USING (bigram) JOIN ctx USING (w1)
+        ), agg AS (
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                   LIST_SUM(LIST(term ORDER BY bigram)) AS s
+            FROM terms GROUP BY doc_id
+        ), scored AS (
+            SELECT doc_id,
+                   FLOOR((-s / n_bigrams) * 10000.0 + 0.5) / 10000.0 AS surprisal
+            FROM agg WHERE n_bigrams > 0
+        ), cut AS (
+            SELECT doc_id, surprisal,
+                   NTILE(3) OVER (ORDER BY surprisal, doc_id) AS tercile
+            FROM scored
+        )
+        SELECT doc_id, surprisal, CAST(tercile AS INT) AS tercile,
+               (tercile <= 2) AS keep
+        FROM cut ORDER BY doc_id
+    """,
+)
+def ext_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank every
+    document by its self-trained bigram-LM surprisal and cut the corpus
+    into perplexity TERCILES — head+middle kept, tail dropped — the
+    published recipe for crawl quality filtering without any external
+    model. The tercile cut is an exact NTILE(3) computed WITHOUT a
+    partition-less window: global_order_columns range-shards the rank
+    (broadcast shard offsets) and ntile_from_rank converts it, the same
+    machinery as the warehouse layout entries. Docs with no bigram
+    (< 2 tokens) carry no signal and are excluded from the split.
+    The oracle replays the LM, the ordered float fold, and the cut."""
+    from bigdatacw1_spark.functions.text import bigram_lm_surprisal
+    from bigdatacw1_spark.operators.warehouse import (
+        global_order_columns,
+        ntile_from_rank,
+    )
+
+    scored = (
+        bigram_lm_surprisal(_t(spark, sf_dir, "documents"))
+        .where(F.col("n_bigrams") > 0)
+        .select("doc_id", "surprisal")
+    )
+    ranked, total = global_order_columns(scored, F.col("surprisal"), [F.col("doc_id")])
+    cut = ranked.withColumn("tercile", ntile_from_rank(F.col("__rank"), total, 3))
+    return cut.select(
+        "doc_id",
+        "surprisal",
+        F.col("tercile").cast("int").alias("tercile"),
+        (F.col("tercile") <= 2).alias("keep"),
+    ).orderBy("doc_id")
