@@ -148,12 +148,19 @@ ROUND8_WINDOW = [
     # Mongo-dialect pipeline suite
     "pl_setwindowfields", "pl_unionwith", "pl_facet", "pl_sortbycount",
     "pl_graphlookup", "pl_expr_suite", "pl_densify_fill",
-    # round-5 additions
+    # round-5 additions (first batch)
     "ext_unimax_mix", "ext_quality_calibration", "ext_mm_resize",
     "ext_mm_audio_decimate", "ext_quality_logreg", "ext_coreset_kcenter",
     "ext_quality_eval", "ext_winnowing_pairs", "ext_corpus_funnel",
+]
+
+ROUND9_WINDOW = [
+    # round-5 additions (second batch: trained models, eval metrics,
+    # example assembly, layout audit, IVM, backtest)
     "ext_el2n_difficulty", "ext_pair_bleu", "wh_skipping_effectiveness",
-    "ext_retrieval_ndcg", "wh_ivm_agg_delta", "ev_forecast_backtest", "ext_nb_langid", "ext_mlm_masking", "ext_span_corruption", "ext_containment_pairs", "ext_hard_negatives", "ext_ccnet_terciles",
+    "ext_retrieval_ndcg", "wh_ivm_agg_delta", "ev_forecast_backtest",
+    "ext_nb_langid", "ext_mlm_masking", "ext_span_corruption",
+    "ext_containment_pairs", "ext_hard_negatives", "ext_ccnet_terciles",
 ]
 
 

@@ -41,7 +41,7 @@ def test_entry_smoke(spark):
 def test_driver_window_and_staged_rotations():
     """The live driver window (first 50 registry entries) must be exactly
     the 5 ref_* anchors + 45 oracle-bearing first-time entries, and the
-    staged ROUND6/7/8 windows plus everything already driver-checked in
+    staged ROUND6-9 windows plus everything already driver-checked in
     rounds 1-5 must cover the ENTIRE registry with no duplicates — so
     future rotations are one-line swaps and a rename here fails CI, not
     the driver."""
@@ -53,6 +53,7 @@ def test_driver_window_and_staged_rotations():
         ROUND6_WINDOW,
         ROUND7_WINDOW,
         ROUND8_WINDOW,
+        ROUND9_WINDOW,
         _ANCHORS,
         _DRIVER_WINDOW,
     )
@@ -64,13 +65,13 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    staged = ROUND6_WINDOW + ROUND7_WINDOW + ROUND8_WINDOW
+    staged = ROUND6_WINDOW + ROUND7_WINDOW + ROUND8_WINDOW + ROUND9_WINDOW
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:
         assert name in REGISTRY, name
         assert name not in _DRIVER_WINDOW, f"{name} staged but already live"
 
-    # r1-r4 driver verdicts + the live r5 window + staged r6-r8 must cover
+    # r1-r4 driver verdicts + the live r5 window + staged r6-r9 must cover
     # every registry entry — no silent coverage gap.
     checked: set[str] = set()
     repo = pathlib.Path(__file__).resolve().parents[1]
