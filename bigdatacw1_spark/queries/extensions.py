@@ -7586,3 +7586,86 @@ def ext_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tercile").cast("int").alias("tercile"),
         (F.col("tercile") <= 2).alias("keep"),
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_cluster_topics",
+    oracle=f"""
+        WITH {_KMEANS_REPLAY_CTES},
+        tok AS (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS term FROM documents
+        ), dt AS (
+            SELECT a3.cluster, tok.term FROM tok JOIN a3 ON a3.vec_id = tok.doc_id
+        ), tf AS (
+            SELECT cluster, term, COUNT(*) AS n FROM dt GROUP BY 1, 2
+        ), cdf AS (
+            SELECT term, COUNT(DISTINCT cluster) AS cdf FROM tf GROUP BY term
+        ), nc AS (
+            SELECT COUNT(DISTINCT cluster) AS nc FROM a3
+        ), scored AS (
+            SELECT tf.cluster, tf.term,
+                   FLOOR(tf.n * LN(CAST(nc.nc AS DOUBLE) / cdf.cdf) * 10000.0 + 0.5)
+                       / 10000.0 AS score
+            FROM tf JOIN cdf USING (term) CROSS JOIN nc
+        ), ranked AS (
+            SELECT cluster, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY score DESC, term) AS rnk
+            FROM scored
+        )
+        SELECT CAST(cluster AS INT) AS cluster, CAST(rnk AS INT) AS rnk,
+               term, score
+        FROM ranked WHERE rnk <= 3
+        ORDER BY cluster, rnk
+    """,
+)
+def ext_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster LABELING — the data-understanding step after clustering:
+    top-3 TF-IDF terms per verified k-means cell (each cell treated as
+    one meta-document; idf = ln(n_cells / cell-df)), produced by
+    joining the exactly-replayable quantized-Lloyd assignments
+    (operators/similarity.kmeans_quantized — the same clustering
+    ext_kmeans_verified pins) to the documents sharing the embedding
+    ids. One token explode + two bounded aggregates; the per-cell rank
+    windows over a (cells × vocabulary)-bounded frame partitioned by
+    cell. The oracle replays both Lloyd rounds AND the labeling."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.similarity import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cells = kmeans_quantized(emb, k=4, iters=2).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    dt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .join(cells, "doc_id")
+    )
+    tf = dt.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("n"))
+    cdf = tf.groupBy("term").agg(F.countDistinct("cluster").alias("cdf"))
+    nc = cells.agg(F.countDistinct("cluster").alias("nc"))
+    scored = (
+        tf.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cluster",
+            "term",
+            stable_round(
+                F.col("n") * F.log(F.col("nc").cast("double") / F.col("cdf")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            "score",
+        )
+        .orderBy("cluster", "rnk")
+    )
