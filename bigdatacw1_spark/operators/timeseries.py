@@ -452,3 +452,72 @@ def backtest_one_step(
         stable_round(folded["sae_e"] / n_fc, round_digits).alias("mae_ewma"),
         stable_round(folded["sae_n"] / n_fc, round_digits).alias("mae_naive"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """CUSUM level-shift change-point detection per key (Page 1954):
+    against a reference mean from each series' FIRST HALF, the one-sided
+    CUSUM is C_t = max(0, C_{t−1} + (x_t − μ)); its peak marks the most
+    sustained upward shift and the peak's position the change point.
+
+    Spark shape — NO sequential fold at all: with S_t = Σ_{i≤t}(x_i − μ),
+    the recurrence collapses to C_t = S_t − min(0, min_{j≤t} S_j), so
+    the whole detector is two cumulative windows (sum, min) plus a rank,
+    all partitioned by the series key — one shuffle, no collect, no
+    partition-less window.
+
+    Exactness: x is integer ``value_col`` units and μ = s1/n1 is kept as
+    the exact pair, so D_t = n1·x_t − s1 and every cumulation is BIGINT;
+    the only floats are the two output divisions. Series shorter than 4
+    observations have no meaningful reference half and drop out.
+
+    Output: (*keys, n_days, mu_ref, peak_cusum, peak_day).
+    """
+    kp = [F.col(k) for k in keys]
+    w_ord = (
+        Window.partitionBy(*kp)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*kp)
+    base = df.select(
+        *kp, F.col(ts_col).alias("__day"), F.col(value_col).cast("long").alias("__x")
+    )
+    idx = F.row_number().over(Window.partitionBy(*kp).orderBy("__day"))
+    n = F.count(F.lit(1)).over(w_all)
+    half = F.call_function("div", n, F.lit(2))
+    withref = base.select(
+        *kp,
+        "__day",
+        "__x",
+        n.alias("__n"),
+        F.sum(F.when(idx <= half, F.lit(1)).otherwise(F.lit(0))).over(w_all).alias("__n1"),
+        F.sum(F.when(idx <= half, F.col("__x"))).over(w_all).alias("__s1"),
+    )
+    dd = F.col("__n1") * F.col("__x") - F.col("__s1")
+    s = withref.withColumn("__ss", F.sum(dd).over(w_ord))
+    c = s.withColumn(
+        "__cc", F.col("__ss") - F.least(F.min("__ss").over(w_ord), F.lit(0))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(*kp).orderBy(F.desc("__cc"), F.asc("__day"))
+    )
+    mu = F.col("__s1").cast("double") / F.col("__n1") / F.lit(100.0)
+    peak = F.col("__cc").cast("double") / F.col("__n1") / F.lit(100.0)
+    return (
+        c.withColumn("__rk", rk)
+        .where((F.col("__rk") == 1) & (F.col("__n") >= 4))
+        .select(
+            *kp,
+            F.col("__n").cast("long").alias("n_days"),
+            stable_round(mu, round_digits).alias("mu_ref"),
+            stable_round(peak, round_digits).alias("peak_cusum"),
+            F.col("__day").alias("peak_day"),
+        )
+    )

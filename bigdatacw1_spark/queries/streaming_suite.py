@@ -1264,3 +1264,61 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double").alias("x"))
     return backtest_one_step(daily, ["event_type"], "day", "x").orderBy("event_type")
+
+
+@q(
+    "ev_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, day, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ), ref AS (
+            SELECT event_type, COUNT(*) AS n1, SUM(x) AS s1
+            FROM w WHERE i <= n // 2 GROUP BY event_type
+        ), d AS (
+            SELECT w.event_type, w.day, w.n, ref.n1, ref.s1,
+                   ref.n1 * w.x - ref.s1 AS dd
+            FROM w JOIN ref USING (event_type)
+        ), s AS (
+            SELECT *, SUM(dd) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss
+            FROM d
+        ), c AS (
+            SELECT *, ss - LEAST(MIN(ss) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cc
+            FROM s
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY cc DESC, day) AS rk
+            FROM c
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               FLOOR(CAST(s1 AS DOUBLE) / n1 / 100.0 * 10000.0 + 0.5) / 10000.0 AS mu_ref,
+               FLOOR(CAST(cc AS DOUBLE) / n1 / 100.0 * 10000.0 + 0.5) / 10000.0 AS peak_cusum,
+               day AS peak_day
+        FROM r WHERE rk = 1 AND n >= 4
+        ORDER BY event_type
+    """,
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (operators/timeseries.
+    cusum_changepoint) over each event type's daily cents series: the
+    sustained-shift detector that catches slow drifts the per-point
+    z-score (ev_anomaly_zscore) misses. The sequential CUSUM recurrence
+    collapses to running-sum-minus-running-min, so the whole detector
+    is two cumulative windows + a rank, all partitioned by series key —
+    no fold, no collect. Integer (n1·x − s1) cumulations keep every
+    window value exact; the oracle replays the identical windows."""
+    from bigdatacw1_spark.operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return cusum_changepoint(daily, ["event_type"], "day", "x").orderBy("event_type")
