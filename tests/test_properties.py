@@ -645,3 +645,65 @@ def test_global_order_columns_matches_python_fold(spark, rows, shards, k):
         else:
             nt = rem + (rank - 1 - rem * (q + 1)) // q + 1
         assert got[i] == (rank, run, nt), (i, got[i], (rank, run, nt))
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),     # series key
+            st.integers(min_value=0, max_value=99999), # daily cents
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_cusum_and_backtest_match_python_folds(spark, rows):
+    """The window-collapsed CUSUM and the four-scalar backtest fold must
+    equal plain sequential Python over the day-ordered series."""
+    from collections import defaultdict
+
+    from bigdatacw1_spark.operators.timeseries import (
+        backtest_one_step,
+        cusum_changepoint,
+    )
+
+    data = [(k, i, c) for i, (k, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "d", "x"]).select(
+        "k", F.timestamp_seconds(F.col("d") * 86400).alias("day"), F.col("x")
+    )
+    series = defaultdict(list)
+    for k, d, c in data:
+        series[k].append((d, c))
+
+    got_c = {r["k"]: r for r in cusum_changepoint(df, ["k"], "day", "x").collect()}
+    got_b = {r["k"]: r for r in backtest_one_step(df, ["k"], "day", "x").collect()}
+
+    for k, obs in series.items():
+        obs.sort()
+        xs = [c for _, c in obs]
+        n = len(xs)
+        if n >= 4:
+            n1 = n // 2
+            s1 = sum(xs[:n1])
+            mu = s1 / n1
+            cusum, peak, peak_i = 0.0, -1.0, -1
+            for i, x in enumerate(xs):
+                cusum = max(0.0, cusum + (x - mu))
+                if cusum > peak + 1e-9:
+                    peak, peak_i = cusum, i
+            r = got_c[k]
+            assert r["n_days"] == n
+            assert abs(r["mu_ref"] - mu / 100.0) < 1e-3
+            assert abs(r["peak_cusum"] - peak / 100.0) < 1e-3
+        if n >= 2:
+            ewma, sae_e, sae_n, prev = float(xs[0]), 0.0, 0.0, float(xs[0])
+            for x in xs[1:]:
+                sae_e += abs(x - ewma)
+                sae_n += abs(x - prev)
+                ewma = 0.5 * x + 0.5 * ewma
+                prev = float(x)
+            r = got_b[k]
+            assert r["n_forecasts"] == n - 1
+            assert abs(r["mae_ewma"] - sae_e / (n - 1)) < 1e-3
+            assert abs(r["mae_naive"] - sae_n / (n - 1)) < 1e-3
