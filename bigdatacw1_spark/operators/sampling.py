@@ -543,3 +543,63 @@ def el2n_difficulty(
         stable_round(err, round_digits).alias("margin"),
         stable_round(err * gnorm, round_digits).alias("el2n"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    budget: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): for a
+    fixed labeling/eval budget, the variance-minimizing number of draws
+    per stratum is n_h ∝ N_h·σ_h — big AND internally-varied strata get
+    more budget than big-but-uniform ones (proportional allocation
+    over-samples the latter). The deliverable every eval-set build
+    starts from.
+
+    Exactness: per-stratum N, Σv, Σv² are one integer hash aggregate
+    (DECIMAL(38) — v² sums overflow BIGINT early); σ_h uses the
+    population-variance identity on exact integers with ONE fixed IEEE
+    sequence, and the allocation floor(budget · w_h / W) is computed
+    from rounded weights so both engines cut identically. Rounding the
+    floor DOWN means Σ n_h <= budget (the remainder is the caller's
+    tie-break — documented, not hidden). Strata with σ_h = 0 get weight
+    0 (one row tells you everything about a constant stratum).
+
+    Output: (stratum, n_rows, sigma, weight, n_alloc), one row per
+    stratum — model-sized.
+    """
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    dec = "decimal(38,0)"
+    g = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col(value_col).cast("long")).cast(dec).alias("s1"),
+        F.sum((F.col(value_col).cast("long") * F.col(value_col).cast("long"))).cast(dec).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    var = (F.col("s2").cast("double") / n_d) - (
+        (F.col("s1").cast("double") / n_d) * (F.col("s1").cast("double") / n_d)
+    )
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    w = stable_round(n_d * sigma, 4)
+    gw = g.select("stratum", F.col("n").cast("long").alias("n_rows"), sigma.alias("__sig"), w.alias("weight"))
+    tot = gw.agg(F.sum("weight").alias("wsum"))
+    return (
+        gw.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            stable_round(F.col("__sig"), 4).alias("sigma"),
+            "weight",
+            F.when(
+                F.col("wsum") > 0.0,
+                F.floor(F.lit(float(budget)) * F.col("weight") / F.col("wsum")).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("n_alloc"),
+        )
+        .orderBy("stratum")
+    )

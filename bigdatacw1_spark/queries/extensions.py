@@ -7669,3 +7669,51 @@ def ext_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "rnk")
     )
+
+
+@q(
+    "ext_neyman_allocation",
+    oracle="""
+        WITH g AS (
+            SELECT lang AS stratum,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(CAST(n_chars AS BIGINT)) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                        AS DECIMAL(38,0)) AS s2
+            FROM documents GROUP BY lang
+        ), s AS (
+            SELECT stratum, n,
+                   SQRT(GREATEST(
+                       (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sig
+            FROM g
+        ), w AS (
+            SELECT stratum, n, sig,
+                   FLOOR(CAST(n AS DOUBLE) * sig * 10000.0 + 0.5) / 10000.0 AS weight
+            FROM s
+        ), t AS (
+            SELECT SUM(weight) AS wsum FROM w
+        )
+        SELECT stratum, CAST(n AS BIGINT) AS n_rows,
+               FLOOR(sig * 10000.0 + 0.5) / 10000.0 AS sigma,
+               weight,
+               CAST(CASE WHEN wsum > 0.0
+                         THEN FLOOR(100.0 * weight / wsum) ELSE 0 END AS INT) AS n_alloc
+        FROM w CROSS JOIN t
+        ORDER BY stratum
+    """,
+)
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified eval-budget allocation (operators/
+    sampling.neyman_allocation): per-language draws proportional to
+    N_h·σ_h of document length — the variance-minimizing split of a
+    100-item labeling budget, and the statistical upgrade over the
+    proportional allocation ext_stratified_sample applies. ONE integer
+    hash aggregate per stratum (DECIMAL-38 moment sums), model-sized
+    output; the oracle replays moments, σ, weights, and the floor cut."""
+    from bigdatacw1_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", budget=100
+    )
