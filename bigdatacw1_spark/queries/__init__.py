@@ -29,8 +29,11 @@ from bigdatacw1_spark.queries import pipeline_suite  # noqa: F401  (Mongo-dialec
 # Round 5 rotates onto the ROUND5 staging list from round 4 (crawl
 # ingestion, media codecs, sketches, drift, governance, verified ANN/
 # SimHash promotions) — 45 first-time entries behind the 5 pinned
-# ref_* anchors. Rounds 6-8 below stage the remaining never-checked
-# tail so every future rotation is a one-line swap.
+# ref_* anchors. Rounds 6-9 below stage the remaining never-checked
+# tail so every future rotation is a one-line swap: at the START of
+# round N, set _DRIVER_WINDOW = _ANCHORS + ROUND{N}_WINDOW (and append
+# any entries ADDED during round N to the last staged list in the same
+# commit that registers them).
 # ---------------------------------------------------------------------------
 _ANCHORS = [
     # reference parity anchor (driver-green r1-r4; keep pinned)
