@@ -2197,3 +2197,164 @@ def wh_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _markov_oracle(iters: int = 20) -> str:
+    """Generated replay of the Markov removal-effect attribution: the
+    journey transition counts, then 5 unrolled 20-round value-iteration
+    chains (full + one per removed channel) whose per-state update
+    folds c(i,CONV) + Σ c(i,j)·v(j) in fixed channel order — the exact
+    double sequence markov_value_iteration runs in Python."""
+    from bigdatacw1_spark.operators.warehouse import MARKOV_CHANNELS, MARKOV_STATES
+
+    tos = ["CONV"] + MARKOV_CHANNELS
+    consts = []
+    for s in MARKOV_STATES:
+        for t in tos:
+            consts.append(
+                f"CAST(COALESCE(MAX(CASE WHEN from_s = '{s}' AND to_s = '{t}' "
+                f"THEN c END), 0) AS DOUBLE) AS c_{s}_{t}"
+            )
+        consts.append(
+            f"CAST(COALESCE(SUM(CASE WHEN from_s = '{s}' THEN c END), 0) "
+            f"AS DOUBLE) AS n_{s}"
+        )
+    chains = []
+    for variant in ["full"] + MARKOV_CHANNELS:
+        sfx = "f" if variant == "full" else variant
+        removed = None if variant == "full" else variant
+        cols0 = ", ".join(f"0.0 AS v_{s}" for s in MARKOV_STATES)
+        chains.append(f"v0{sfx} AS (SELECT {cols0})")
+        for r in range(1, iters + 1):
+            cols = []
+            for s in MARKOV_STATES:
+                if s == removed:
+                    cols.append(f"0.0 AS v_{s}")
+                    continue
+                expr = f"c_{s}_CONV"
+                for j in MARKOV_CHANNELS:
+                    if j == removed:
+                        continue
+                    expr = f"({expr} + c_{s}_{j} * v_{j})"
+                cols.append(
+                    f"CASE WHEN n_{s} > 0 THEN {expr} / n_{s} ELSE 0.0 END AS v_{s}"
+                )
+            chains.append(
+                f"v{r}{sfx} AS (SELECT {', '.join(cols)} "
+                f"FROM v{r - 1}{sfx} CROSS JOIN k)"
+            )
+    effects = " + ".join(
+        f"(vf.v_START - v{c}.v_START)" for c in MARKOV_CHANNELS
+    )
+    tot = (
+        "tot AS (SELECT " + effects + " AS te FROM vf "
+        + " ".join(f"CROSS JOIN v{c}" for c in MARKOV_CHANNELS)
+        + ")"
+    )
+    rows = []
+    for c in MARKOV_CHANNELS:
+        rows.append(
+            f"""SELECT '{c}' AS channel,
+               FLOOR(vf.v_START * 1000000.0 + 0.5) / 1000000.0 AS conv_full,
+               FLOOR(v{c}.v_START * 1000000.0 + 0.5) / 1000000.0 AS conv_removed,
+               FLOOR((vf.v_START - v{c}.v_START) * 1000000.0 + 0.5) / 1000000.0
+                   AS removal_effect,
+               CASE WHEN tot.te > 0.0
+                    THEN FLOOR((vf.v_START - v{c}.v_START) / tot.te
+                               * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS attribution_share
+        FROM vf CROSS JOIN v{c} CROSS JOIN tot"""
+        )
+    finals = ", ".join(
+        [f"vf AS (SELECT * FROM v{iters}f)"]
+        + [f"v{c} AS (SELECT * FROM v{iters}{c})" for c in MARKOV_CHANNELS]
+        + [tot]
+    )
+    return f"""
+        WITH ev AS (
+            SELECT user_id AS u, event_type AS t,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS i
+            FROM events
+        ), firstp AS (
+            SELECT u, MIN(i) AS pi FROM ev WHERE t = 'purchase' GROUP BY u
+        ), j AS (
+            SELECT ev.u, ev.t, ev.i FROM ev LEFT JOIN firstp USING (u)
+            WHERE firstp.pi IS NULL OR ev.i <= firstp.pi
+        ), tr AS (
+            SELECT COALESCE(LAG(t) OVER (PARTITION BY u ORDER BY i), 'START') AS from_s,
+                   CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS to_s
+            FROM j
+        ), lasts AS (
+            SELECT u, MAX(i) AS mx FROM j GROUP BY u
+        ), endtr AS (
+            SELECT j.t AS from_s, 'END' AS to_s
+            FROM j JOIN lasts ON j.u = lasts.u AND j.i = lasts.mx
+            WHERE j.t <> 'purchase'
+        ), cnt AS (
+            SELECT from_s, to_s, COUNT(*) AS c FROM (
+                SELECT * FROM tr UNION ALL SELECT * FROM endtr
+            ) GROUP BY 1, 2
+        ), k AS MATERIALIZED (
+            -- MATERIALIZED is load-bearing: the 105 chain CTEs each
+            -- CROSS JOIN k, and inlining would re-run the journey scan
+            -- + windows per reference (measured 350 s -> ~2 s).
+            SELECT {', '.join(consts)} FROM cnt
+        ),
+        {', '.join(chains)},
+        {finals}
+        SELECT * FROM (
+        {' UNION ALL '.join(rows)}
+        ) ORDER BY channel
+    """
+
+
+@q("wh_attribution_markov", oracle=_markov_oracle())
+def wh_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with REMOVAL EFFECTS (the data-driven
+    upgrade of wh_attribution_touch's first/last-touch rules): model
+    user journeys as a first-order chain over event types (truncated at
+    first purchase; START/CONV/END absorbing), estimate conversion
+    probability by 20 rounds of value iteration, then re-run the chain
+    with each channel's paths failing — a channel's attribution share
+    is its removal effect, normalized. Transition counting is two
+    windows + one hash aggregate (one user-keyed shuffle); the chain
+    itself is a |channels|²-sized model collected to the driver
+    (BT-preference precedent), iterated with a FIXED fold order the
+    generated 5×20-round oracle CTE chain replays bit for bit.
+    Output: (channel, conv_full, conv_removed, removal_effect,
+    attribution_share)."""
+    from bigdatacw1_spark.operators.warehouse import (
+        MARKOV_CHANNELS,
+        markov_transition_counts,
+        markov_value_iteration,
+    )
+
+    counts = {
+        (r["from_s"], r["to_s"]): r["c"]
+        for r in markov_transition_counts(_t(spark, sf_dir, "events")).collect()
+    }
+    full = markov_value_iteration(counts)
+    removed = {c: markov_value_iteration(counts, removed=c) for c in MARKOV_CHANNELS}
+    total = sum(full - removed[c] for c in MARKOV_CHANNELS)
+
+    def r6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    rows = [
+        (
+            c,
+            r6(full),
+            r6(removed[c]),
+            r6(full - removed[c]),
+            r6((full - removed[c]) / total) if total > 0.0 else 0.0,
+        )
+        for c in MARKOV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, conv_full double, conv_removed double, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")
