@@ -2358,3 +2358,72 @@ def wh_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, conv_full double, conv_removed double, "
         "removal_effect double, attribution_share double",
     ).orderBy("channel")
+
+
+@q(
+    "wh_diff_in_diff",
+    oracle="""
+        WITH base AS (
+            SELECT user_id % 2 = 1 AS treated,
+                   ts >= TIMESTAMP '2024-01-16' AS post,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), cell AS (
+            SELECT treated, post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s
+            FROM base GROUP BY treated, post
+        ), m AS (
+            SELECT
+                MAX(CASE WHEN treated AND post THEN CAST(s AS DOUBLE) / n END) AS tp,
+                MAX(CASE WHEN treated AND NOT post THEN CAST(s AS DOUBLE) / n END) AS tb,
+                MAX(CASE WHEN NOT treated AND post THEN CAST(s AS DOUBLE) / n END) AS cp,
+                MAX(CASE WHEN NOT treated AND NOT post THEN CAST(s AS DOUBLE) / n END) AS cb,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM cell
+        )
+        SELECT n_total,
+               FLOOR((tp - tb) / 100.0 * 10000.0 + 0.5) / 10000.0 AS delta_treated,
+               FLOOR((cp - cb) / 100.0 * 10000.0 + 0.5) / 10000.0 AS delta_control,
+               FLOOR(((tp - tb) - (cp - cb)) / 100.0 * 10000.0 + 0.5) / 10000.0 AS did
+        FROM m
+    """,
+)
+def wh_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate — the workhorse quasi-
+    experimental effect estimator (the causal companion to
+    wh_cuped_adjusted's variance reduction): mean event value per
+    (treated, pre/post) cell, the within-group deltas, and their
+    difference. Treatment is the deterministic user_id parity split and
+    the cutover the same date wh_drift_* uses, so the four cells are
+    reproducible. ONE conditional hash aggregate over the fact table
+    (integer-cents sums, four exact cells); per-cell means and the DiD
+    subtraction are the only float steps, sequenced identically in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = base.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    m = cell.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), mean)).alias("tp"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), mean)).alias("tb"),
+        F.max(F.when(~F.col("treated") & F.col("post"), mean)).alias("cp"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), mean)).alias("cb"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    return m.select(
+        "n_total",
+        stable_round((F.col("tp") - F.col("tb")) / F.lit(100.0), 4).alias("delta_treated"),
+        stable_round((F.col("cp") - F.col("cb")) / F.lit(100.0), 4).alias("delta_control"),
+        stable_round(
+            ((F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb"))) / F.lit(100.0), 4
+        ).alias("did"),
+    )
