@@ -707,3 +707,23 @@ def test_cusum_and_backtest_match_python_folds(spark, rows):
             assert r["n_forecasts"] == n - 1
             assert abs(r["mae_ewma"] - sae_e / (n - 1)) < 1e-3
             assert abs(r["mae_naive"] - sae_n / (n - 1)) < 1e-3
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=15),
+    st.lists(st.integers(min_value=51, max_value=99), min_size=0, max_size=15),
+    st.lists(st.integers(min_value=100, max_value=140), min_size=6, max_size=10),
+)
+def test_winnowing_containment_holds_for_random_contexts(spark, pre, post, shared):
+    """Schleimer et al.'s guarantee, fuzzed: ANY two documents sharing a
+    contiguous window+ngram-1 = 6-token run must share at least one
+    selected winnowing fingerprint, whatever surrounds the run."""
+    from bigdatacw1_spark.operators.dedup import winnowing_fingerprints
+
+    run = " ".join(f"s{t}" for t in shared[:6])
+    d1 = " ".join(f"a{t}" for t in pre) + f" {run} " + " ".join(f"b{t}" for t in post)
+    d2 = " ".join(f"c{t}" for t in post) + f" {run} " + " ".join(f"d{t}" for t in pre)
+    df = spark.createDataFrame([(1, d1.strip()), (2, d2.strip())], "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnowing_fingerprints(df).collect()}
+    assert fps[1] & fps[2]
