@@ -1124,3 +1124,75 @@ def containment_pairs(
         .select("a", "b", cont.alias("containment"), jacc.alias("jaccard"))
         .where(F.col("containment") >= threshold)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_term_df: int = 1000,
+) -> DataFrame:
+    """WEIGHTED lexical near-dup pairs: TF-IDF cosine similarity through
+    the term inverted index — the third lexical similarity modality
+    (Jaccard sees shingle SETS, containment sees inclusion; TF-IDF
+    cosine weighs repeated rare terms, so topic-duplicates with
+    different boilerplate score high while stopword-heavy overlap does
+    not). idf = ln(N/df) over whitespace tokens.
+
+    Shape: explode terms → per-(doc, term) counts → self-join keyed by
+    term (the inverted index; ``max_term_df`` stop-term cap bounds the
+    k² bucket fan-out) → one pair aggregate. Exactness: each pair's dot
+    product sums per-term tf_a·idf²·tf_b PRODUCTS QUANTIZED to integers
+    (floor(x·10⁶ + 0.5) — BIGINT, associative, partition-order-free),
+    and each doc's norm² sums quantized tf²·idf² the same way, so the
+    only floats in the output are two sqrts and one division on exact
+    integers.
+
+    Output: (a, b, cosine) for pairs >= threshold, a < b.
+    """
+    from pyspark.sql import Window
+
+    base = fan_out(df.select(id_col, text_col))
+    tf = (
+        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_df = Window.partitionBy("term")
+    tf = tf.withColumn("__df", F.count(F.lit(1)).over(w_df)).where(
+        F.col("__df") <= max_term_df
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    weighted = tf.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col),
+        "term",
+        F.col("tf"),
+        F.log(F.col("n").cast("double") / F.col("__df")).alias("idf"),
+    )
+    q = lambda x: F.floor(x * F.lit(1.0e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    norms = weighted.groupBy(id_col).agg(
+        F.sum(q(F.col("tf") * F.col("tf") * F.col("idf") * F.col("idf"))).alias("qn2")
+    )
+    left = weighted.select("term", F.col(id_col).alias("a"), F.col("tf").alias("tfa"), "idf")
+    right = weighted.select(
+        F.col("term").alias("term_r"), F.col(id_col).alias("b"), F.col("tf").alias("tfb")
+    )
+    dots = (
+        left.join(right, (left["term"] == right["term_r"]) & (left["a"] < right["b"]))
+        .groupBy("a", "b")
+        .agg(F.sum(q(F.col("tfa") * F.col("idf") * F.col("idf") * F.col("tfb"))).alias("qdot"))
+    )
+    na = norms.select(F.col(id_col).alias("a"), F.col("qn2").alias("qa"))
+    nb = norms.select(F.col(id_col).alias("b"), F.col("qn2").alias("qb"))
+    cos = stable_round(
+        F.col("qdot").cast("double")
+        / (F.sqrt(F.col("qa").cast("double")) * F.sqrt(F.col("qb").cast("double"))),
+        4,
+    )
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

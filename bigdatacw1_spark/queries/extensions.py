@@ -7717,3 +7717,55 @@ def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(
         _t(spark, sf_dir, "documents"), "lang", "n_chars", budget=100
     )
+
+
+@q(
+    "ext_tfidf_cosine_pairs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dft AS (
+            SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term
+        ), kept AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dft.dfc
+            FROM tf JOIN dft USING (term) WHERE dft.dfc <= 1000
+        ), nd AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+        ), w AS (
+            SELECT doc_id, term, tf, LN(CAST(n AS DOUBLE) / dfc) AS idf
+            FROM kept CROSS JOIN nd
+        ), norms AS (
+            SELECT doc_id,
+                   SUM(CAST(FLOOR(tf * tf * idf * idf * 1000000.0 + 0.5) AS BIGINT)) AS qn2
+            FROM w GROUP BY doc_id
+        ), dots AS (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   SUM(CAST(FLOOR(x.tf * x.idf * x.idf * y.tf * 1000000.0 + 0.5)
+                            AS BIGINT)) AS qdot
+            FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT a, b,
+                   FLOOR(CAST(qdot AS DOUBLE)
+                         / (SQRT(CAST(na.qn2 AS DOUBLE)) * SQRT(CAST(nb.qn2 AS DOUBLE)))
+                         * 10000.0 + 0.5) / 10000.0 AS cosine
+            FROM dots
+            JOIN norms na ON na.doc_id = a
+            JOIN norms nb ON nb.doc_id = b
+        )
+        SELECT a, b, cosine FROM scored WHERE cosine >= 0.5 ORDER BY a, b
+    """,
+)
+def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical near-dups (operators/dedup.tfidf_cosine_pairs):
+    TF-IDF cosine >= 0.5 through the term inverted index with a
+    stop-term df cap — the third lexical modality beside set-Jaccard
+    and containment (rare repeated terms dominate; boilerplate does
+    not). Per-pair dot products and per-doc norms sum integer-QUANTIZED
+    term products, so both are exact BIGINTs and the oracle replays the
+    one remaining float expression bit for bit."""
+    from bigdatacw1_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents")).orderBy("a", "b")
