@@ -7769,3 +7769,98 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatacw1_spark.operators.dedup import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(_t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+def _linkrank_oracle(iterations: int = 10) -> str:
+    """Replay of ext_link_graph_rank: the synthetic inter-document HTML,
+    href extraction by the same regex, symmetrized edges, and the
+    unrolled fixed-point integer PageRank recurrence (the _pagerank_
+    oracle pattern on the crawl-derived graph)."""
+    ctes = [
+        """synth AS (
+            SELECT doc_id,
+                   '<html><body><p>' || text || '</p>'
+                   || '<a href="https://ex.com/d' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR)
+                   || '">one</a><a href="https://ex.com/d'
+                   || CAST((doc_id * 7 + 2) % 500 AS VARCHAR)
+                   || '">two</a><a href="https://ex.com/d'
+                   || CAST((doc_id * 13 + 5) % 500 AS VARCHAR)
+                   || '">three</a></body></html>' AS html
+            FROM documents
+        )""",
+        """links AS (
+            SELECT doc_id AS u, CAST(m[1] AS BIGINT) AS v
+            FROM (
+                SELECT doc_id,
+                       UNNEST(REGEXP_EXTRACT_ALL(html,
+                           'href="https://ex\\.com/d([0-9]+)"', 1)) AS l
+                FROM synth
+            ) t(doc_id, l), LATERAL (SELECT [l]) lt(m)
+        )""",
+        """base AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT l.u, l.v FROM links l JOIN synth s ON s.doc_id = l.v
+            ) WHERE u <> v
+        )""",
+        "edges AS (SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u)",
+        "pr0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS units FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.v AS u, CAST(150000000000 +"
+            f" (85 * SUM(pr.units // d.deg)) // 100 AS BIGINT) AS units"
+            f" FROM edges e JOIN pr{i - 1} pr ON e.u = pr.u"
+            f" JOIN deg d ON e.u = d.u GROUP BY e.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT u AS node, units AS rank_units,"
+        f" units / 1000000000000.0 AS rank"
+        f" FROM pr{iterations} ORDER BY rank_units DESC, node LIMIT 25"
+    )
+
+
+@q("ext_link_graph_rank", oracle=_linkrank_oracle())
+def ext_link_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl ranking loop END TO END: synthetic inter-document HTML
+    pages (modular-arithmetic outlinks, so the fixture is engine-
+    replayable), href extraction with one regexp_extract_all, edges
+    restricted to resolvable targets, and fixed-point integer PageRank
+    (operators/graph.pagerank) over the symmetrized link graph — the
+    composition a web corpus runs between ext_html_extract and
+    quality-weighted sampling. Link extraction is one narrow scan; the
+    rank recurrence is the bitwise-reproducible integer pipeline
+    ext_pagerank verified, here on a crawl-derived graph; top 25."""
+    from bigdatacw1_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://ex.com/d'),
+        ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+        F.lit('">one</a><a href="https://ex.com/d'),
+        ((F.col("doc_id") * 7 + 2) % 500).cast("string"),
+        F.lit('">two</a><a href="https://ex.com/d'),
+        ((F.col("doc_id") * 13 + 5) % 500).cast("string"),
+        F.lit('">three</a></body></html>'),
+    )
+    synth = d.select("doc_id", html.alias("html"))
+    links = synth.select(
+        F.col("doc_id").alias("u"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit(r'href="https://ex\.com/d([0-9]+)"'), 1
+            )
+        ).alias("l"),
+    ).select("u", F.col("l").cast("long").alias("v"))
+    resolvable = synth.select(F.col("doc_id").alias("v"))
+    base = (
+        links.join(resolvable, "v", "left_semi")
+        .where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    pr = pagerank(base, iterations=10)
+    return pr.orderBy(F.desc("rank_units"), "node").limit(25)
