@@ -7864,3 +7864,95 @@ def ext_link_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(base, iterations=10)
     return pr.orderBy(F.desc("rank_units"), "node").limit(25)
+
+
+@q(
+    "ext_pmi_collocations",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), uni AS (
+            SELECT UNNEST(toks) AS w FROM tk
+        ), uc AS (
+            SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+        ), nuni AS (
+            SELECT SUM(c) AS n FROM uc
+        ), bg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+                  FROM tk WHERE LEN(toks) >= 2)
+        ), bc AS (
+            SELECT w1, w2, COUNT(*) AS cxy FROM bg GROUP BY w1, w2
+        ), scored AS (
+            SELECT bc.w1, bc.w2, bc.cxy,
+                   FLOOR(LN(CAST(bc.cxy AS DOUBLE) * CAST(nuni.n AS DOUBLE)
+                            / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+                         * 10000.0 + 0.5) / 10000.0 AS pmi
+            FROM bc
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            CROSS JOIN nuni
+            WHERE bc.cxy >= 5
+        )
+        SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, pmi
+        FROM scored
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 25
+    """,
+)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990): adjacent-bigram PMI = ln(N·c_xy / (c_x·c_y)) with a
+    min-count floor of 5 (raw PMI explodes on hapaxes) — the corpus-
+    statistics pass that surfaces multiword expressions for tokenizer
+    vocab decisions and boilerplate discovery. Two hash aggregates
+    (unigrams, adjacent bigrams — both vocabulary-bounded), broadcast
+    unigram counts joined back, one TakeOrderedAndProject; PMI is one
+    LN of a ratio of exact integers, so the rounded score hash-compares.
+    Top 25 by (pmi, bigram)."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import tokens, word_ngrams
+    from bigdatacw1_spark.operators.relational import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = d.select(tokens("text").alias("toks"))
+    uc = tk.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nuni = uc.agg(F.sum("c").alias("n"))
+    bigrams = tk.where(F.size("toks") >= 2).select(
+        F.explode(word_ngrams(F.col("toks"), 2)).alias("b")
+    )
+    bc = (
+        bigrams.select(
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= 5)
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    scored = (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nuni))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("long").alias("cxy"),
+            stable_round(
+                F.log(
+                    F.col("cxy").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(25)
