@@ -7956,3 +7956,91 @@ def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(25)
+
+
+@q(
+    "ext_zipf_fit",
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST({_DUCK_TOKS}) AS w FROM documents
+        ), uc AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ), top AS (
+            SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+            FROM (SELECT * FROM uc ORDER BY c DESC, w LIMIT 200)
+        ), pts AS (
+            SELECT r, LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+            FROM top
+        ), s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   LIST_SUM(LIST(x ORDER BY r)) AS sx,
+                   LIST_SUM(LIST(y ORDER BY r)) AS sy,
+                   LIST_SUM(LIST(x * y ORDER BY r)) AS sxy,
+                   LIST_SUM(LIST(x * x ORDER BY r)) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS k,
+               FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000.0 + 0.5)
+                   / 10000.0 AS slope,
+               FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                     * 10000.0 + 0.5) / 10000.0 AS intercept
+        FROM s
+    """,
+)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency spectrum: least-squares
+    slope/intercept of ln(freq) vs ln(rank) over the top-200 vocabulary
+    — natural language sits near slope −1, so a corpus whose spectrum
+    flattens (templated spam) or steepens (token collapse) flags in one
+    number; the spectrum diagnostic beside ext_dataset_card. One
+    vocabulary hash aggregate; ranking and the four regression sums run
+    over the 200-row frame only (bounded window, see the test_plans
+    allowlist), each sum a rank-ordered float fold both engines execute
+    identically."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    uc = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = uc.orderBy(F.desc("c"), "w").limit(200)
+    top = top.withColumn("r", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
+    pts = top.select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def fold(expr_name: str) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", F.col(expr_name).alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    terms = pts.select(
+        "r", "x", "y", (F.col("x") * F.col("y")).alias("xy"), (F.col("x") * F.col("x")).alias("xx")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("k"),
+        stable_round(slope, 4).alias("slope"),
+        stable_round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+    )
