@@ -2427,3 +2427,69 @@ def wh_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb"))) / F.lit(100.0), 4
         ).alias("did"),
     )
+
+
+@q(
+    "wh_gini_concentration",
+    oracle="""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+            FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+            SELECT event_type, s,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY s, user_id) AS i
+            FROM per_user
+        ), agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(s) AS DECIMAL(38,0)) AS ts,
+                   CAST(SUM(CAST(i AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS tis
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_users,
+               FLOOR((CAST(2 * tis AS DOUBLE) / CAST(n * ts AS DOUBLE)
+                      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS gini
+        FROM agg
+        ORDER BY event_type
+    """,
+)
+def wh_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of spend per event type — the whale-dependence
+    metric every marketplace/revenue review reports: with per-user
+    totals sorted ascending and ranked i = 1..n, G = 2·Σ(i·sᵢ)/(n·Σsᵢ)
+    − (n+1)/n. One hash aggregate to per-user integer cents, one
+    GROUP-partitioned rank window (never partition-less), and one more
+    aggregate whose Σ i·sᵢ stays exact in DECIMAL(38) — the two output
+    divisions are the only floats, sequenced identically in both
+    engines."""
+    from bigdatacw1_spark.operators.relational import stable_round
+    from pyspark.sql import Window
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+    )
+    ranked = per_user.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("s", "user_id")
+        ),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("s").cast(dec).alias("ts"),
+        F.sum(F.col("i").cast(dec) * F.col("s")).cast(dec).alias("tis"),
+    )
+    gini = (F.lit(2) * F.col("tis")).cast("double") / (F.col("n") * F.col("ts")).cast(
+        "double"
+    ) - (F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        stable_round(gini, 6).alias("gini"),
+    ).orderBy("event_type")
