@@ -1322,3 +1322,65 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
     return cusum_changepoint(daily, ["event_type"], "day", "x").orderBy("event_type")
+
+
+@q(
+    "ev_anomaly_mad",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type, QUANTILE_CONT(x, 0.5) AS m
+            FROM daily GROUP BY event_type
+        ), dev AS (
+            SELECT d.event_type, d.day, d.x,
+                   ABS(CAST(d.x AS DOUBLE) - med.m) AS ad
+            FROM daily d JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, QUANTILE_CONT(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type, dev.day, dev.x AS x_cents,
+               FLOOR(dev.ad / (1.4826 * mad.mad) * 10000.0 + 0.5) / 10000.0
+                   AS robust_z
+        FROM dev JOIN mad USING (event_type)
+        WHERE mad.mad > 0.0 AND dev.ad > 3.0 * 1.4826 * mad.mad
+        ORDER BY dev.event_type, dev.day
+    """,
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median absolute deviation — the
+    outlier gate that, unlike ev_anomaly_zscore's mean/std, is not
+    poisoned by the outliers it hunts (one whale day inflates σ and
+    hides itself; the median pair does not budge): flag days with
+    |x − median| > 3·1.4826·MAD and report the robust z. Two grouped
+    interpolated percentiles over the same integer multisets both
+    engines sort identically (the a15/time_to_convert idiom) + two
+    broadcast joins back; change-sized output."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).alias("m")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        F.abs(F.col("x").cast("double") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    out = dev.join(F.broadcast(mad), "event_type").where(
+        (F.col("mad") > 0.0) & (F.col("ad") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"))
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.col("x").alias("x_cents"),
+        stable_round(F.col("ad") / (F.lit(1.4826) * F.col("mad")), 4).alias("robust_z"),
+    ).orderBy("event_type", "day")
