@@ -1384,3 +1384,94 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("x_cents"),
         stable_round(F.col("ad") / (F.lit(1.4826) * F.col("mad")), 4).alias("robust_z"),
     ).orderBy("event_type", "day")
+
+
+@q(
+    "ev_seasonal_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, DAYOFWEEK(day) + 1 AS dow, x FROM daily
+        ), per_dow AS (
+            SELECT event_type, dow,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS nd,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sd
+            FROM d GROUP BY event_type, dow
+        ), tot AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2
+            FROM d GROUP BY event_type
+        ), btw AS (
+            SELECT event_type,
+                   LIST_SUM(LIST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                                 / CAST(nd AS DOUBLE) ORDER BY dow)) AS b
+            FROM per_dow GROUP BY event_type
+        )
+        SELECT t.event_type, CAST(t.n AS BIGINT) AS n_days,
+               FLOOR((b.b - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     / (CAST(t.s2 AS DOUBLE)
+                        - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS r2_dow
+        FROM tot t JOIN btw b USING (event_type)
+        WHERE t.s2 * t.n > t.s * t.s
+        ORDER BY t.event_type
+    """,
+)
+def ev_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH per series — how much of the daily variance
+    the day-of-week profile (ev_seasonal_dow) actually explains:
+    R² = (Σ_dow S_d²/n_d − S²/n) / (Σx² − S²/n), the ANOVA
+    between-groups share. All sums are exact DECIMAL(38) integer
+    moments; the only floats are the seven dow-ORDERED division terms
+    (fixed fold) and the final ratio. Constant series (zero total
+    variance) drop out rather than emit 0/0."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    d = daily.select("event_type", F.dayofweek("day").alias("dow"), "x")
+    dec = "decimal(38,0)"
+    per_dow = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast(dec).alias("nd"), F.sum("x").cast(dec).alias("sd")
+    )
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("s2"),
+    )
+    term = (
+        F.col("sd").cast("double") * F.col("sd").cast("double") / F.col("nd").cast("double")
+    )
+    btw = (
+        per_dow.select("event_type", "dow", term.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dow", F.col("t").alias("v")))),
+                    lambda s: s["v"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("b")
+        )
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    r2 = (F.col("b") - sd * sd / nd) / (F.col("s2").cast("double") - sd * sd / nd)
+    return (
+        tot.join(btw, "event_type")
+        .where(F.col("s2") * F.col("n") > F.col("s") * F.col("s"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            stable_round(r2, 6).alias("r2_dow"),
+        )
+        .orderBy("event_type")
+    )
