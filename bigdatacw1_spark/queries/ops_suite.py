@@ -2524,3 +2524,37 @@ def j15_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey
     """)
+
+
+@q(
+    "f30_bitwise_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(BIT_AND(event_id % 4096) AS BIGINT) AS all_bits,
+               CAST(BIT_OR(event_id % 4096) AS BIGINT) AS any_bits,
+               CAST(BIT_XOR(event_id % 4096) AS BIGINT) AS parity_bits,
+               CAST(SUM(BIT_COUNT(event_id % 4096)) AS BIGINT) AS popcount_sum
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def f30_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_and/bit_or/bit_xor + bit_count):
+    the flag-mask rollup idiom — which permission/feature bits are set
+    on EVERY row, on ANY row, and the xor parity — over a bounded
+    12-bit key. All integer, order-independent by definition (bitwise
+    ops are commutative and associative), one hash aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("bits")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("bits").cast("long").alias("all_bits"),
+            F.bit_or("bits").cast("long").alias("any_bits"),
+            F.bit_xor("bits").cast("long").alias("parity_bits"),
+            F.sum(F.bit_count("bits")).cast("long").alias("popcount_sum"),
+        )
+        .orderBy("event_type")
+    )
