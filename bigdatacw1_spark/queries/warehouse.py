@@ -2493,3 +2493,93 @@ def wh_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_users"),
         stable_round(gini, 6).alias("gini"),
     ).orderBy("event_type")
+
+
+#: log10(1 + 1/d) for d = 1..9, precomputed once in Python and embedded
+#: as the SAME literals in the Spark plan and the oracle SQL — neither
+#: engine's log10 is consulted, so the expectation is definitionally
+#: identical on both sides.
+_BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+)
+
+
+@q(
+    "wh_benford_check",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+            WHERE o_totalprice > 0
+        ), obs AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY digit
+        ), grid AS (
+            SELECT UNNEST(RANGE(1, 10)) AS digit
+        ), n AS (
+            SELECT CAST(SUM(observed) AS DOUBLE) AS n FROM obs
+        ), e AS (
+            SELECT g.digit, COALESCE(obs.observed, 0) AS observed,
+                   n.n * (CASE g.digit {_BENFORD_CASE} END) AS expected
+            FROM grid g LEFT JOIN obs ON obs.digit = g.digit CROSS JOIN n
+        )
+        SELECT CAST(digit AS INT) AS digit, observed,
+               FLOOR(expected * 10000.0 + 0.5) / 10000.0 AS expected,
+               FLOOR((CAST(observed AS DOUBLE) - expected)
+                     * (CAST(observed AS DOUBLE) - expected) / expected
+                     * 10000.0 + 0.5) / 10000.0 AS chi2_contrib
+        FROM e ORDER BY digit
+    """,
+)
+def wh_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-numbers screen (invented amounts over-use mid digits;
+    organic multiplicative processes follow log10(1 + 1/d)): observed
+    vs expected count per leading digit plus the χ² contribution. The
+    first digit comes from the INTEGER-CENTS string (no log10 on data,
+    so no boundary ulp risk), and the nine Benford probabilities are
+    Python-precomputed literals embedded identically in both engines.
+    One conditional hash aggregate + a 9-row grid."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    grid = _t(spark, sf_dir, "orders").sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    n = obs.agg(F.sum("observed").cast("double").alias("n"))
+    p = F.lit(None).cast("double")
+    expr = None
+    for d, pv in _BENFORD_P.items():
+        expr = (
+            F.when(F.col("digit") == d, F.lit(pv))
+            if expr is None
+            else expr.when(F.col("digit") == d, F.lit(pv))
+        )
+    e = (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            (F.col("n") * expr).alias("expected"),
+        )
+    )
+    dev = F.col("observed").cast("double") - F.col("expected")
+    return e.select(
+        "digit",
+        "observed",
+        stable_round(F.col("expected"), 4).alias("expected"),
+        stable_round(dev * dev / F.col("expected"), 4).alias("chi2_contrib"),
+    ).orderBy("digit")
