@@ -1475,3 +1475,110 @@ def ev_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ACF_LAGS = range(1, 8)
+
+_ACF_UNION = "\nUNION ALL\n".join(
+    f"SELECT event_type, {k} AS lag, x, "
+    f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y FROM daily"
+    for k in _ACF_LAGS
+)
+
+
+@q(
+    "ev_autocorrelation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            {_ACF_UNION}
+        ), m AS (
+            SELECT event_type, lag,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+            FROM lagged WHERE y IS NOT NULL
+            GROUP BY event_type, lag
+        )
+        SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS acf
+        FROM m
+        WHERE n * sxx > sx * sx AND n * syy > sy * sy
+        ORDER BY event_type, lag
+    """,
+)
+def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-7) of each event type's daily
+    cents series — the diagnostic that says WHICH structure the
+    forecasting entries should exploit (high lag-7 ⇒ weekly
+    seasonality for ev_seasonal_dow; high lag-1 ⇒ momentum for
+    ev_ewma/holt). Pearson r per (series, lag) from exact DECIMAL(38)
+    integer cross-moments over lag-window pairs — one series-keyed
+    shuffle serves all seven lag windows; the two final expressions are
+    the only floats. Degenerate (zero-variance) slices drop out."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    with_lags = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    lagged = with_lags.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col(f"y{k}").alias("y"))
+                    for k in _ACF_LAGS
+                ]
+            )
+        ).alias("s"),
+    ).select("event_type", F.col("s.lag").alias("lag"), "x", F.col("s.y").alias("y"))
+    dec = "decimal(38,0)"
+    m = (
+        lagged.where(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("x").cast(dec).alias("sx"),
+            F.sum("y").cast(dec).alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        m.where(
+            (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("long").alias("n_pairs"),
+            stable_round(num / den, 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
