@@ -2558,3 +2558,34 @@ def f30_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+    )
+    ORDER BY c_custkey
+"""
+
+
+@q("p11_exists_anti_exists", oracle=_EXISTS_SQL)
+def p11_exists_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS through the SQL front end
+    (completing the correlated-predicate family beside p9's scalar
+    subquery): customers with at least one urgent order but zero
+    returned line items. Catalyst decorrelates the pair into one LEFT
+    SEMI and one LEFT ANTI join on the correlation key — the exact
+    plans j6/j7 pin in isolation — so the quadratic per-row subquery
+    never exists physically. One query text serves both engines."""
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    for name in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_EXISTS_SQL)
