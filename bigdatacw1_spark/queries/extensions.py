@@ -8044,3 +8044,49 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(slope, 4).alias("slope"),
         stable_round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
     )
+
+
+@q(
+    "ext_langid_confusion",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang,
+               LEN(LIST_FILTER(toks, t -> t IN ('the','a','and','of','to','in','is','it','that','for'))) AS s_en,
+               LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr,
+               LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein','zu','ist','nicht','mit','auf'))) AS s_de,
+               LEN(LIST_FILTER(toks, t -> t IN ('el','los','de','y','un','en','es','una','por','con'))) AS s_es
+            FROM base
+        ), pred AS (
+            SELECT lang AS label,
+                   CASE WHEN GREATEST(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+                        WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es) THEN 'en'
+                        WHEN s_fr = GREATEST(s_en, s_fr, s_de, s_es) THEN 'fr'
+                        WHEN s_de = GREATEST(s_en, s_fr, s_de, s_es) THEN 'de'
+                        ELSE 'es'
+                   END AS pred
+            FROM scored
+        )
+        SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY label, pred
+        ORDER BY label, pred
+    """,
+)
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the HEURISTIC language identifier
+    (functions/text.lang_id) against the corpus labels — the per-class
+    error breakdown that tells you WHERE the stopword heuristic fails
+    (and what the trained ext_nb_langid buys): one projection + one
+    hash aggregate to (label, pred) cells, class-count bounded."""
+    from bigdatacw1_spark.functions.text import lang_id, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("label"), lang_id(tokens("text")).alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )

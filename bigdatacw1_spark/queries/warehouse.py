@@ -2583,3 +2583,69 @@ def wh_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("expected"), 4).alias("expected"),
         stable_round(dev * dev / F.col("expected"), 4).alias("chi2_contrib"),
     ).orderBy("digit")
+
+
+@q(
+    "wh_hhi_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name AS nation, l.l_suppkey,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS DECIMAL(38,0)) AS r
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name, l.l_suppkey
+        ), agg AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   SUM(r) AS s,
+                   SUM(r * r) AS s2
+            FROM rev GROUP BY nation
+        )
+        SELECT nation, n_suppliers,
+               FLOOR(100000000.0 * CAST(s2 AS DOUBLE)
+                     / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 10000.0 + 0.5)
+                   / 10000.0 AS hhi
+        FROM agg WHERE s > 0
+        ORDER BY nation
+    """,
+)
+def wh_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per nation — the
+    antitrust screen beside wh_gini_concentration's inequality measure
+    (Gini asks "how unequal", HHI asks "how few control it": the
+    merger-review statistic on the 0-10000 scale). ORDER-FREE exact
+    form: HHI = 10⁸·Σr²/S² needs only Σr and Σr² per market —
+    DECIMAL(38) integer sums, no per-supplier share division, no sorted
+    fold — so the whole metric is two hash aggregates and one final
+    float expression."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("r"))
+    )
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+    )
+    hhi = (
+        F.lit(100000000.0)
+        * F.col("s2").cast("double")
+        / (F.col("s").cast("double") * F.col("s").cast("double"))
+    )
+    return (
+        agg.where(F.col("s") > 0)
+        .select("nation", "n_suppliers", stable_round(hhi, 4).alias("hhi"))
+        .orderBy("nation")
+    )
