@@ -2649,3 +2649,60 @@ def wh_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "n_suppliers", stable_round(hhi, 4).alias("hhi"))
         .orderBy("nation")
     )
+
+
+@q(
+    "wh_lead_time",
+    oracle="""
+        WITH lt AS (
+            SELECT n.n_name AS nation,
+                   DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS lead_days
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        )
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               FLOOR(MEDIAN(lead_days) * 10000.0 + 0.5) / 10000.0 AS median_days,
+               FLOOR(QUANTILE_CONT(lead_days, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_days,
+               CAST(MAX(lead_days) AS BIGINT) AS max_days
+        FROM lt GROUP BY nation
+        ORDER BY nation
+    """,
+)
+def wh_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time SLA report per nation: order-to-ship latency
+    percentiles (median/p90/max in days) — the fulfillment-health
+    rollup a supply-chain review runs weekly. One fact-dim join chain
+    (both dims broadcast), exact integer day deltas, interpolated
+    percentiles over the same integer multiset both engines sort
+    identically (the a15/time_to_convert idiom)."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lt = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lead_days"),
+        )
+    )
+    return (
+        lt.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            stable_round(F.percentile("lead_days", F.lit(0.5)), 4).alias("median_days"),
+            stable_round(F.percentile("lead_days", F.lit(0.9)), 4).alias("p90_days"),
+            F.max("lead_days").cast("long").alias("max_days"),
+        )
+        .orderBy("nation")
+    )
