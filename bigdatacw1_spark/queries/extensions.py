@@ -8090,3 +8090,155 @@ def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred")
     )
+
+
+@q(
+    "ext_dedup_method_agreement",
+    oracle=_EXACT_PAIRS_05.format(grams=_DUCK_GRAMS, toks=_DUCK_TOKS)
+    + f""", csh AS (
+        SELECT doc_id,
+               (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+        FROM documents
+    ), cex0 AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM csh
+    ), ckeep AS (
+        SELECT shingle FROM cex0 GROUP BY shingle HAVING COUNT(*) <= 1000
+    ), cex AS (
+        SELECT cex0.doc_id, cex0.shingle FROM cex0 JOIN ckeep USING (shingle)
+    ), csizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM cex GROUP BY doc_id
+    ), cpairs AS (
+        SELECT a, b FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+            FROM cex x JOIN cex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ) c JOIN csizes sa ON sa.doc_id = c.a JOIN csizes sb ON sb.doc_id = c.b
+        WHERE FLOOR(nc * 1.0 / GREATEST(LEAST(sa.n_sh, sb.n_sh), 1)
+                    * 10000.0 + 0.5) / 10000.0 >= 0.8
+    ), wtk AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), wg AS (
+        SELECT doc_id,
+               CASE WHEN LEN(toks) >= 3 THEN LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS grams
+        FROM wtk
+    ), whs AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(grams, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS hs
+        FROM wg WHERE LEN(grams) > 0
+    ), wsel AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(hs) - 3, 1) + 1),
+                    i -> LIST_MIN(hs[i : i + 3]))) AS fps
+        FROM whs
+    ), wex AS (
+        SELECT doc_id, UNNEST(fps) AS fp FROM wsel
+    ), wcap AS (
+        SELECT fp FROM wex GROUP BY fp HAVING COUNT(*) <= 50
+    ), wexf AS (
+        SELECT wex.doc_id, wex.fp FROM wex JOIN wcap USING (fp)
+    ), wpairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM wexf x JOIN wexf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id HAVING COUNT(*) >= 2
+    ), ttf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST({_DUCK_TOKS}) AS term FROM documents
+        ) GROUP BY 1, 2
+    ), tdf AS (
+        SELECT term, COUNT(*) AS dfc FROM ttf GROUP BY term
+    ), tkept AS (
+        SELECT ttf.doc_id, ttf.term, ttf.tf, tdf.dfc
+        FROM ttf JOIN tdf USING (term) WHERE tdf.dfc <= 1000
+    ), tnd AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), tw AS (
+        SELECT doc_id, term, tf, LN(CAST(n AS DOUBLE) / dfc) AS idf
+        FROM tkept CROSS JOIN tnd
+    ), tnorm AS (
+        SELECT doc_id,
+               SUM(CAST(FLOOR(tf * tf * idf * idf * 1000000.0 + 0.5) AS BIGINT)) AS qn2
+        FROM tw GROUP BY doc_id
+    ), tdots AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               SUM(CAST(FLOOR(x.tf * x.idf * x.idf * y.tf * 1000000.0 + 0.5)
+                        AS BIGINT)) AS qdot
+        FROM tw x JOIN tw y ON x.term = y.term AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), tpairs AS (
+        SELECT a, b FROM tdots
+        JOIN tnorm na ON na.doc_id = a JOIN tnorm nb ON nb.doc_id = b
+        WHERE FLOOR(CAST(qdot AS DOUBLE)
+                    / (SQRT(CAST(na.qn2 AS DOUBLE)) * SQRT(CAST(nb.qn2 AS DOUBLE)))
+                    * 10000.0 + 0.5) / 10000.0 >= 0.5
+    ), ref AS (
+        SELECT COUNT(*) AS n_ref FROM pairs
+    ), rows_ AS (
+        SELECT 'containment' AS method,
+               (SELECT COUNT(*) FROM cpairs) AS n_pairs,
+               (SELECT COUNT(*) FROM cpairs JOIN pairs USING (a, b)) AS n_overlap
+        UNION ALL
+        SELECT 'tfidf_cosine',
+               (SELECT COUNT(*) FROM tpairs),
+               (SELECT COUNT(*) FROM tpairs JOIN pairs USING (a, b))
+        UNION ALL
+        SELECT 'winnowing',
+               (SELECT COUNT(*) FROM wpairs),
+               (SELECT COUNT(*) FROM wpairs JOIN pairs USING (a, b))
+    )
+    SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_ref AS BIGINT) AS n_ref_pairs,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           FLOOR(CAST(n_overlap AS DOUBLE)
+                 / GREATEST(n_pairs + n_ref - n_overlap, 1)
+                 * 10000.0 + 0.5) / 10000.0 AS pairset_jaccard
+    FROM rows_ CROSS JOIN ref
+    ORDER BY method""",
+)
+def ext_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit across the dedup family: each candidate
+    method's pair set (Broder containment >= 0.8, winnowing >= 2 shared
+    fingerprints, TF-IDF cosine >= 0.5) compared against the exact
+    set-Jaccard >= 0.5 reference — overlap counts and pair-set Jaccard
+    per method, the one-table answer to "which near-dup definitions
+    agree, and where do they diverge" that picks the operating point
+    before a corpus-wide dedup run. Composes the SAME operators the
+    standalone entries verify; every pair set and every count is
+    replayed by the oracle."""
+    from bigdatacw1_spark.operators.dedup import (
+        containment_pairs,
+        tfidf_cosine_pairs,
+        winnowing_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = _exact_pairs_05_spark(docs).select("a", "b").localCheckpoint(eager=False)
+    n_ref = ref.count()
+
+    def row(method: str, pairs: DataFrame) -> DataFrame:
+        p = pairs.select("a", "b").localCheckpoint(eager=False)
+        n = p.count()
+        ov = p.join(ref, ["a", "b"]).count()
+        return spark.createDataFrame(
+            [
+                (
+                    method,
+                    n,
+                    n_ref,
+                    ov,
+                    __import__("math").floor(
+                        ov / max(n + n_ref - ov, 1) * 10000.0 + 0.5
+                    )
+                    / 10000.0,
+                )
+            ],
+            "method string, n_pairs long, n_ref_pairs long, n_overlap long, "
+            "pairset_jaccard double",
+        )
+
+    out = (
+        row("containment", containment_pairs(docs, threshold=0.8))
+        .unionAll(row("tfidf_cosine", tfidf_cosine_pairs(docs, threshold=0.5)))
+        .unionAll(row("winnowing", winnowing_pairs(docs, min_shared=2)))
+    )
+    return out.orderBy("method")
