@@ -522,3 +522,57 @@ def test_skipping_effectiveness_shape(spark):
     assert dts["skip_ck"] == 0  # ...and nothing on the other dim
     assert zo["skip_ck"] >= 4 and zo["skip_dt"] >= 4  # z-order prunes both
     assert zo["skip_ck"] > nat["skip_ck"]
+
+
+def test_gini_and_hhi_match_python_reference(spark):
+    """The two concentration metrics must equal plain Python computed
+    from the same per-entity integer totals."""
+    import math
+    from collections import defaultdict
+
+    from bigdatacw1_spark.queries.warehouse import (
+        wh_gini_concentration,
+        wh_hhi_concentration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").collect()
+    per = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        per[r["event_type"]][r["user_id"]] += int(round(r["value"] * 100))
+    got = {r["event_type"]: r for r in wh_gini_concentration(spark, sf).collect()}
+    for et, users in per.items():
+        s = sorted(users.values())
+        n, ts = len(s), sum(s)
+        tis = sum((i + 1) * x for i, x in enumerate(s))
+        want = 2.0 * tis / (n * ts) - (n + 1.0) / n
+        assert abs(got[et]["gini"] - want) < 2e-6, et
+        assert got[et]["n_users"] == n
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").collect()
+    sup = {r["s_suppkey"]: r["s_nationkey"] for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    nat = {r["n_nationkey"]: r["n_name"] for r in
+           spark.read.parquet(f"{sf}/nation.parquet").collect()}
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        nname = nat[sup[r["l_suppkey"]]]
+        rev[nname][r["l_suppkey"]] += int(round(
+            float(r["l_extendedprice"]) * (1 - float(r["l_discount"])) * 100))
+    goth = {r["nation"]: r for r in wh_hhi_concentration(spark, sf).collect()}
+    for nname, d in rev.items():
+        s = sum(d.values())
+        if s <= 0:
+            continue
+        want = 1e8 * sum(v * v for v in d.values()) / (s * s)
+        assert abs(goth[nname]["hhi"] - want) < 1e-3, nname
+
+
+def test_benford_contributions_are_consistent(spark):
+    from bigdatacw1_spark.queries.warehouse import wh_benford_check
+
+    rows = wh_benford_check(spark, "/root/testdata/sf0.001").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n = sum(r["observed"] for r in rows)
+    assert abs(sum(r["expected"] for r in rows) - n) < 0.01 * n + 1
+    assert all(r["chi2_contrib"] >= 0 for r in rows)
