@@ -1084,3 +1084,32 @@ def test_rate_limit_token_bucket_semantics(spark):
            for r in REGISTRY["ev_rate_limit"].fn(spark, d).collect()}
     assert got[1] == (10, 4)
     assert got[2] == (6, 0)
+
+
+def test_acf_detects_planted_weekly_period(spark):
+    """A synthetic series with a strong period-7 component must show
+    lag-7 autocorrelation far above lag-3."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.queries.streaming_suite import ev_autocorrelation
+
+    # build a fake events table shape via a temp parquet dir
+    import tempfile, os
+
+    rows = []
+    for d in range(56):
+        base = 10000 + (5000 if d % 7 == 0 else 0) + (d % 3) * 7
+        rows.append(("w", d, base))
+    df = spark.createDataFrame(rows, "event_type string, d int, cents int").select(
+        "event_type",
+        (F.timestamp_seconds(F.col("d").cast("long") * 86400)).alias("ts"),
+        (F.col("cents") / 100.0).alias("value"),
+        F.col("d").cast("long").alias("event_id"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("{}").alias("props"),
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {r["lag"]: r["acf"] for r in ev_autocorrelation(spark, tmp).collect()}
+    assert got[7] > 0.9
+    assert got[7] > got[3] + 0.5

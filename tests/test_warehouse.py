@@ -576,3 +576,18 @@ def test_benford_contributions_are_consistent(spark):
     n = sum(r["observed"] for r in rows)
     assert abs(sum(r["expected"] for r in rows) - n) < 0.01 * n + 1
     assert all(r["chi2_contrib"] >= 0 for r in rows)
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal can only lose conversion paths, and shares are a proper
+    normalization of the removal effects."""
+    from bigdatacw1_spark.queries.warehouse import wh_attribution_markov
+
+    rows = wh_attribution_markov(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 4
+    full = rows[0]["conv_full"]
+    assert all(abs(r["conv_full"] - full) < 1e-9 for r in rows)
+    assert all(0.0 <= r["conv_removed"] <= r["conv_full"] + 1e-9 for r in rows)
+    total_share = sum(r["attribution_share"] for r in rows)
+    if any(r["removal_effect"] > 0 for r in rows):
+        assert abs(total_share - 1.0) < 1e-3
