@@ -2706,3 +2706,60 @@ def wh_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@q(
+    "wh_dau_mau_stickiness",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT DATE_TRUNC('day', ts) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM ud
+        ), dau AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+        ), cov AS (
+            SELECT ud.user_id, ud.d + k * INTERVAL '1 day' AS cd
+            FROM ud CROSS JOIN (SELECT UNNEST(RANGE(28)) AS k)
+        ), mau AS (
+            SELECT days.d, CAST(COUNT(DISTINCT cov.user_id) AS BIGINT) AS mau
+            FROM days JOIN cov ON cov.cd = days.d
+            GROUP BY days.d
+        )
+        SELECT dau.d AS day, dau.dau, mau.mau,
+               FLOOR(CAST(dau.dau AS DOUBLE) / mau.mau * 10000.0 + 0.5)
+                   / 10000.0 AS stickiness
+        FROM dau JOIN mau ON mau.d = dau.d
+        ORDER BY day
+    """,
+)
+def wh_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — THE product engagement ratio: daily
+    actives over exact trailing-28-day actives. The trailing distinct
+    uses the interval-explode shape wh_rolling_reach_7d verifies (each
+    (user, day) observation covers the next 28 calendar days; the join
+    is keyed by covered-day, so cost is 28× the distinct observations —
+    never a per-day rescan); DAU is one grouped distinct; one integer
+    ratio per day."""
+    from bigdatacw1_spark.operators.warehouse import rolling_distinct_per_day
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = rolling_distinct_per_day(ev, "ts", "user_id", window_days=28).select(
+        F.col("day").alias("d"), F.col("ids_28d").alias("mau")
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            stable_round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
