@@ -2589,3 +2589,26 @@ def p11_exists_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_EXISTS_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@q("f32_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def f32_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar surface: GROUP BY ALL (group on every
+    non-aggregate select item) + ORDER BY ALL — the ergonomics both
+    Spark 4 and DuckDB adopted from the analytics dialects, so ONE
+    query text is literally the entry AND its oracle. Resolves to the
+    same hash aggregate an explicit column list plans."""
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
