@@ -2763,3 +2763,81 @@ def wh_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "wh_conversion_wilson",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type <> 'purchase'
+        ), buyers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ), cnt AS (
+            SELECT a.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(b.user_id) AS BIGINT) AS k
+            FROM active a LEFT JOIN buyers b ON b.user_id = a.user_id
+            GROUP BY a.event_type
+        ), w AS (
+            SELECT event_type, n, k,
+                   CAST(k AS DOUBLE) / n AS p,
+                   1.96 * 1.96 AS z2
+            FROM cnt
+        )
+        SELECT event_type, n AS n_users, k AS n_converted,
+               FLOOR(p * 10000.0 + 0.5) / 10000.0 AS rate,
+               FLOOR((p + z2 / (2.0 * n)
+                      - 1.96 * SQRT(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+                     / (1.0 + z2 / n) * 10000.0 + 0.5) / 10000.0 AS wilson_lo,
+               FLOOR((p + z2 / (2.0 * n)
+                      + 1.96 * SQRT(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+                     / (1.0 + z2 / n) * 10000.0 + 0.5) / 10000.0 AS wilson_hi
+        FROM w
+        ORDER BY wilson_lo DESC, event_type
+    """,
+)
+def wh_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rates with Wilson 95% intervals, RANKED BY THE LOWER
+    BOUND — the confidence-adjusted ordering that stops a 2/2 segment
+    outranking a 480/1000 one (the standard fix for naive rate
+    sorting): per touchpoint event type, users who also purchased over
+    users active. Exact distinct counts (one dedup + one broadcastable
+    buyer-set join); the Wilson closed form runs the identical literal
+    z = 1.96 float sequence in both engines."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    active = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    cnt = (
+        active.join(
+            F.broadcast(buyers.withColumn("__b", F.lit(1))), "user_id", "left"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("__b").cast("long").alias("k"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n_d
+    z = F.lit(1.96)
+    z2 = z * z
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n_d + z2 / (F.lit(4.0) * n_d * n_d))
+    denom = F.lit(1.0) + z2 / n_d
+    center = p + z2 / (F.lit(2.0) * n_d)
+    return cnt.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_converted"),
+        stable_round(p, 4).alias("rate"),
+        stable_round((center - half) / denom, 4).alias("wilson_lo"),
+        stable_round((center + half) / denom, 4).alias("wilson_hi"),
+    ).orderBy(F.desc("wilson_lo"), "event_type")
