@@ -8242,3 +8242,76 @@ def ext_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("winnowing", winnowing_pairs(docs, min_shared=2)))
     )
     return out.orderBy("method")
+
+
+@q(
+    "ext_jaccard_threshold_curve",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh
+        ), pj AS (
+            SELECT FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 AS j
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT t AS threshold,
+               CAST(SUM(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        FROM pj CROSS JOIN (SELECT UNNEST([0.3, 0.5, 0.7, 0.9]) AS t)
+        GROUP BY t
+        ORDER BY t
+    """,
+)
+def ext_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for near-dup dedup: exact-Jaccard pair
+    counts at 0.3/0.5/0.7/0.9 from ONE inverted-index pass — the
+    operating-point picker (how many pairs does each threshold commit
+    you to dropping?) that ext_dedup_method_agreement complements
+    method-wise. One shingle explode, one pair aggregate, four
+    conditional counts; any pair sharing zero shingles has Jaccard 0
+    and is correctly absent at every positive threshold."""
+    from bigdatacw1_spark.operators.dedup import shingle_sets
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).where(F.size("sh") > 0)
+    ex = sh.select(
+        F.col("doc_id"), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    left = ex.select("shingle", F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    right = ex.select(
+        F.col("shingle").alias("shingle_r"),
+        F.col("doc_id").alias("b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pj = (
+        left.join(right, (left["shingle"] == right["shingle_r"]) & (left["a"] < right["b"]))
+        .groupBy("a", "b")
+        .agg(
+            stable_round(
+                F.count(F.lit(1))
+                / F.greatest(
+                    F.first("na") + F.first("nb") - F.count(F.lit(1)), F.lit(1)
+                ),
+                4,
+            ).alias("j")
+        )
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    return (
+        pj.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("j") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .orderBy("threshold")
+    )
