@@ -8315,3 +8315,121 @@ def ext_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+_MH_K = 32
+
+
+def _mh_sig_sql() -> str:
+    mins = ", ".join(
+        "LIST_MIN(LIST_TRANSFORM(sh, s -> ('0x' || SUBSTR(MD5(s || ':" + str(k)
+        + "'), 1, 8))::BIGINT))"
+        for k in range(_MH_K)
+    )
+    return f"[{mins}]"
+
+
+@q(
+    "ext_minhash_estimate_verified",
+    oracle=f"""
+        WITH sh0 AS (
+            SELECT doc_id,
+                   (SELECT {_DUCK_GRAMS} FROM (SELECT {_DUCK_TOKS} AS toks)) AS sh
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, sh FROM sh0 WHERE LEN(sh) > 0
+        ), sigs AS (
+            SELECT doc_id, {_mh_sig_sql()} AS sig FROM sh
+        ), ex AS (
+            SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh
+        ), pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 AS j
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING FLOOR((COUNT(*) * 1.0
+                          / GREATEST(ANY_VALUE(x.n_sh) + ANY_VALUE(y.n_sh) - COUNT(*), 1))
+                         * 10000.0 + 0.5) / 10000.0 >= 0.3
+        )
+        SELECT p.a, p.b, p.j AS jaccard_exact,
+               FLOOR(LEN(LIST_FILTER(RANGE(1, {_MH_K} + 1),
+                         k -> sa.sig[k] = sb.sig[k])) * 1.0 / {_MH_K}
+                     * 10000.0 + 0.5) / 10000.0 AS jaccard_est,
+               FLOOR(ABS(p.j - LEN(LIST_FILTER(RANGE(1, {_MH_K} + 1),
+                         k -> sa.sig[k] = sb.sig[k])) * 1.0 / {_MH_K})
+                     * 10000.0 + 0.5) / 10000.0 AS abs_err
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.a
+        JOIN sigs sb ON sb.doc_id = p.b
+        ORDER BY p.a, p.b
+    """,
+)
+def ext_minhash_estimate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself, verified: a 32-hash md5-ring
+    signature (engine-portable, unlike the production xxhash64 path)
+    whose per-pair matching-component fraction estimates Jaccard —
+    emitted NEXT TO the exact value and the absolute error for every
+    true pair >= 0.3, so the sketch's accuracy is a driver-checked
+    measurement rather than a citation (E[est] = J; at K=32 the
+    observed errors sit within the ~1/√K band). Signatures are one
+    narrow per-row pass; the comparison joins the exact inverted-index
+    pair set. The oracle replays every hash, both minima per component,
+    and the match count."""
+    from bigdatacw1_spark.operators.dedup import shingle_sets
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).where(F.size("sh") > 0)
+
+    def h(k: int):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(s, F.lit(f":{k}"))), 1, 8), 16, 10
+        ).cast("long")
+
+    sig = F.array(*[F.array_min(F.transform(F.col("sh"), h(k))) for k in range(_MH_K)])
+    sigs = sh.select("doc_id", sig.alias("sig")).localCheckpoint(eager=False)
+
+    ex = sh.select(
+        F.col("doc_id"), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    left = ex.select("shingle", F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    right = ex.select(
+        F.col("shingle").alias("shingle_r"),
+        F.col("doc_id").alias("b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = (
+        left.join(right, (left["shingle"] == right["shingle_r"]) & (left["a"] < right["b"]))
+        .groupBy("a", "b")
+        .agg(
+            stable_round(
+                F.count(F.lit(1))
+                / F.greatest(F.first("na") + F.first("nb") - F.count(F.lit(1)), F.lit(1)),
+                4,
+            ).alias("j")
+        )
+        .where(F.col("j") >= 0.3)
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(_MH_K))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("j").alias("jaccard_exact"),
+            stable_round(est, 4).alias("jaccard_est"),
+            stable_round(F.abs(F.col("j") - est), 4).alias("abs_err"),
+        )
+        .orderBy("a", "b")
+    )
