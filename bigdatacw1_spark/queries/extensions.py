@@ -8433,3 +8433,51 @@ def ext_minhash_estimate_verified(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("a", "b")
     )
+
+
+@q(
+    "ext_shuffle_order",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'shuffle'),
+                                   1, 15))::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS position
+        FROM keyed
+        ORDER BY doc_id
+    """,
+)
+def ext_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global TRAINING SHUFFLE: every document's position
+    in a reproducible uniform order (rank of md5(id || salt)) — the
+    third training-order deliverable beside ext_curriculum_stages
+    (easy→hard) and ext_repeat_epochs (per-epoch orders); the same run
+    order on any cluster, resumable from any position. The exact global
+    rank goes through operators/warehouse.global_order_columns
+    (range-sharded rank + broadcast offsets — never a partition-less
+    window); the oracle's ROW_NUMBER over the identical md5 key matches
+    it bit for bit."""
+    from bigdatacw1_spark.operators.warehouse import global_order_columns
+
+    d = _t(spark, sf_dir, "documents")
+    # 60-bit integer key: global_order_columns shards by approximate
+    # percentiles of the key, which must be numeric.
+    keyed = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("shuffle"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    ranked, _total = global_order_columns(keyed, F.col("h"), [F.col("doc_id")])
+    return ranked.select(
+        "doc_id", F.col("__rank").cast("long").alias("position")
+    ).orderBy("doc_id")
