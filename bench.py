@@ -24,10 +24,14 @@ sentinel clean (a process/JVM-level pathology — the next invocation a
 minute later is normal again; observed totals 8.7-13.0s on the same
 code). min-of-5 inside one process cannot escape that, so the top level
 re-execs itself twice (SPARK_GRAFT_BENCH_CHILD=1 marks a child) and
-emits the attempt with the smaller total, recording both totals in
-"attempts". P(both attempts pathological) ≈ p², which is what makes the
-round-over-round trend line trustworthy. Set SPARK_GRAFT_BENCH_ONESHOT=1
-to skip the retry (CI smoke etc.).
+emits the fastest CLEAN-sentinel attempt (min total only if both are
+contended), recording both totals in "attempts" and both contended flags
+in "attempts_contended". P(both attempts pathological) ≈ p², which is
+what makes the round-over-round trend line trustworthy. Before attempt 1
+the parent waits (default ≤600 s, SPARK_GRAFT_BENCH_QUIET_WAIT) for the
+1-min load to decay below a CPU-scaled threshold so post-test-sweep
+invocations record clean artifacts. Set SPARK_GRAFT_BENCH_ONESHOT=1 to
+skip the retry (CI smoke etc.).
 """
 
 from __future__ import annotations
@@ -50,6 +54,33 @@ def _spin(_arg=None) -> int:
     return acc
 
 
+def _load_threshold() -> float:
+    """Foreign-load flag threshold, scaled by core count (VERDICT r5 #3:
+    a flat 1.5 on a 32-CPU box flags runs whose spin/parallel probes are
+    clean). 5% of logical cores, floor 1.5 — on 32 CPUs that is 1.6, on
+    an 8-CPU CI box it stays 1.5."""
+    return max(1.5, 0.05 * (os.cpu_count() or 8))
+
+
+def _wait_for_quiet(max_wait_sec: float = 600.0, poll_sec: float = 20.0) -> float:
+    """Block until the 1-min load average decays below the CPU-scaled
+    threshold, or the wait budget runs out (VERDICT r5 #2: the r5 artifact
+    was recorded contended because the driver benched right after the test
+    sweep; RETRYING beats merely RECORDING the flag). Returns the load at
+    the moment we give the all-clear (or give up)."""
+    deadline = time.monotonic() + max_wait_sec
+    thresh = _load_threshold()
+    load = os.getloadavg()[0]
+    while load > thresh and time.monotonic() < deadline:
+        sys.stderr.write(
+            f"bench: load1={load:.2f} > {thresh:.2f}, waiting {poll_sec:.0f}s "
+            f"for the box to go quiet (budget {deadline - time.monotonic():.0f}s)\n"
+        )
+        time.sleep(poll_sec)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = None
@@ -70,6 +101,7 @@ def main() -> int:
     # otherwise read the first attempt's own decaying load as foreign.
     load1_env = os.environ.get("SPARK_GRAFT_BENCH_LOAD1")
     load1_pre = float(load1_env) if load1_env else os.getloadavg()[0]
+    load_thresh = _load_threshold()
 
     spark = get_spark(app_name="bigdatacw1-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -146,7 +178,7 @@ def main() -> int:
     contended = bool(
         (lo > 0 and (hi - lo) / lo > 0.10)
         or (plo > 0 and (phi - plo) / plo > 0.15)
-        or load1_pre > 1.5
+        or load1_pre > load_thresh
     )
 
     out = {
@@ -172,6 +204,7 @@ def main() -> int:
             "parallel_end_sec": par_end,
             "parallel_over_serial": par_ratio,
             "load1_pre_spark": round(load1_pre, 2),
+            "load1_threshold": round(load_thresh, 2),
             "contended": contended,
         },
         "sf": sf,
@@ -181,17 +214,27 @@ def main() -> int:
 
 
 def best_of_two() -> int:
-    """Parent mode: run the suite twice in fresh subprocesses and emit
-    the attempt with the smaller headline total (see module docstring)."""
+    """Parent mode: run the suite twice in fresh subprocesses and emit the
+    best attempt. "Best" consults each attempt's sentinel (ADVICE r5): the
+    fastest CLEAN attempt wins; min total is only the tie-breaker when
+    every attempt is contended. Before attempt 1 the parent waits (bounded)
+    for the box's load to decay below the CPU-scaled threshold, so a bench
+    fired right after a test sweep records a clean artifact instead of a
+    flagged one (VERDICT r5 #2). Child stdout that fails to parse is
+    recorded in the emitted JSON ("attempt_errors"), not silently dropped."""
     import subprocess
+
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
+    load_after_wait = _wait_for_quiet(max_wait_sec=wait_budget)
 
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_CHILD="1",
-        SPARK_GRAFT_BENCH_LOAD1=str(os.getloadavg()[0]),
+        SPARK_GRAFT_BENCH_LOAD1=str(load_after_wait),
     )
     results = []
-    for _ in range(2):
+    errors = []
+    for i in range(2):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -202,11 +245,20 @@ def best_of_two() -> int:
         try:
             results.append(json.loads(line))
         except (ValueError, IndexError):
+            errors.append(
+                {"attempt": i, "rc": proc.returncode, "stderr_tail": proc.stderr[-800:]}
+            )
             sys.stderr.write(proc.stderr[-2000:])
     if not results:
         return 1
-    best = min(results, key=lambda r: r["value"])
+    clean = [r for r in results if not r.get("sentinel", {}).get("contended")]
+    best = min(clean or results, key=lambda r: r["value"])
     best["attempts"] = [r["value"] for r in results]
+    best["attempts_contended"] = [
+        bool(r.get("sentinel", {}).get("contended")) for r in results
+    ]
+    if errors:
+        best["attempt_errors"] = errors
     print(json.dumps(best))
     return 0
 

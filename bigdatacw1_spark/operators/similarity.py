@@ -553,13 +553,11 @@ def fit_mean_cov(emb: DataFrame, vec_col: str = "embedding"):
     collected length). Assembles (n, μ, Σ) with the biased /n
     covariance; raises on an empty input. Shared by pca_fit_project
     and mahalanobis_outliers."""
-    import math
-
     import numpy as np
     import pandas as pd
 
     def gram_partials(batches):
-        n, s, g = 0, None, None
+        n, s, g, width = 0, None, None, None
         for pdf in batches:
             m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if len(m):
@@ -571,22 +569,36 @@ def fit_mean_cov(emb: DataFrame, vec_col: str = "embedding"):
                 g += m.T @ m
         if n:
             yield pd.DataFrame(
-                {"packed": [[float(n)] + s.tolist() + g.reshape(-1).tolist()]}
+                {
+                    # width travels with the packed row (ADVICE r5): if
+                    # tasks ever see embeddings of differing widths the
+                    # reduce below keys on it and the driver fails loudly
+                    # instead of mixing dimensions into corrupt (n, μ, Σ).
+                    "width": [int(width)],
+                    "packed": [[float(n)] + s.tolist() + g.reshape(-1).tolist()],
+                }
             )
 
     partials = emb.select(vec_col).mapInPandas(
-        gram_partials, schema="packed array<double>"
+        gram_partials, schema="width int, packed array<double>"
     )
     sums = (
-        partials.select(F.posexplode("packed").alias("i", "val"))
-        .groupBy("i")
+        partials.select("width", F.posexplode("packed").alias("i", "val"))
+        .groupBy("width", "i")
         .agg(F.sum("val").alias("v"))
         .collect()
     )
     if not sums:
         raise ValueError("fit_mean_cov: no embeddings to fit (empty input)")
+    widths = sorted({int(r["width"]) for r in sums})
+    if len(widths) != 1:
+        raise ValueError(f"fit_mean_cov: mixed embedding widths across tasks: {widths}")
+    d = widths[0]
     vals = {int(r["i"]): float(r["v"]) for r in sums}
-    d = (math.isqrt(4 * (len(vals) - 1) + 1) - 1) // 2  # len = 1 + d + d²
+    if len(vals) != 1 + d + d * d:
+        raise ValueError(
+            f"fit_mean_cov: packed length {len(vals)} != 1 + d + d² for d={d}"
+        )
     n_total = int(vals[0])
     mu = np.array([vals[1 + i] for i in range(d)]) / n_total
     gram = np.array([vals[1 + d + i] for i in range(d * d)]).reshape(d, d)

@@ -438,7 +438,10 @@ def backtest_one_step(
 
     def step(acc, x):
         return F.struct(
-            (a * x + a * acc["ewma"]).alias("ewma"),
+            # a*x + (1-a)*ewma — written with the explicit (1-a) so the
+            # weights sum to 1 for ANY alpha, not just the default 0.5
+            # where a == 1-a happens to hold.
+            (a * x + (F.lit(1.0) - a) * acc["ewma"]).alias("ewma"),
             (acc["sae_e"] + F.abs(x - acc["ewma"])).alias("sae_e"),
             (acc["sae_n"] + F.abs(x - acc["prev"])).alias("sae_n"),
             x.alias("prev"),
@@ -460,6 +463,7 @@ def cusum_changepoint(
     ts_col: str,
     value_col: str,
     round_digits: int = 4,
+    scale: float = 100.0,
 ) -> DataFrame:
     """CUSUM level-shift change-point detection per key (Page 1954):
     against a reference mean from each series' FIRST HALF, the one-sided
@@ -474,8 +478,12 @@ def cusum_changepoint(
 
     Exactness: x is integer ``value_col`` units and μ = s1/n1 is kept as
     the exact pair, so D_t = n1·x_t − s1 and every cumulation is BIGINT;
-    the only floats are the two output divisions. Series shorter than 4
-    observations have no meaningful reference half and drop out.
+    the only floats are the two output divisions. ``scale`` divides the
+    two reported floats — the default 100.0 converts the cents callers'
+    integer units to currency; pass ``scale=1.0`` for already-scaled
+    series (previously this was hardcoded, silently rescaling non-cents
+    callers by 100×). Series shorter than 4 observations have no
+    meaningful reference half and drop out.
 
     Output: (*keys, n_days, mu_ref, peak_cusum, peak_day).
     """
@@ -508,8 +516,8 @@ def cusum_changepoint(
     rk = F.row_number().over(
         Window.partitionBy(*kp).orderBy(F.desc("__cc"), F.asc("__day"))
     )
-    mu = F.col("__s1").cast("double") / F.col("__n1") / F.lit(100.0)
-    peak = F.col("__cc").cast("double") / F.col("__n1") / F.lit(100.0)
+    mu = F.col("__s1").cast("double") / F.col("__n1") / F.lit(float(scale))
+    peak = F.col("__cc").cast("double") / F.col("__n1") / F.lit(float(scale))
     return (
         c.withColumn("__rk", rk)
         .where((F.col("__rk") == 1) & (F.col("__n") >= 4))

@@ -44,44 +44,10 @@ _ANCHORS = [
     "ref_nosql2_hof",
 ]
 
-_DRIVER_WINDOW = _ANCHORS + [
-    # admission / contrastive (first time)
-    "ext_incremental_admission", "ext_contrastive_pairs",
-    # raw LSH / SimHash surfaces (first time)
-    "ext_minhash_lsh_pairs", "ext_simhash", "ext_embed_neardup_lsh",
-    # bounded-state sketches (first time; invariant oracles)
-    "ext_sketch_ndv", "ext_sketch_quantiles", "ext_sketch_ndv_mergeable",
-    "ext_sketch_audience_overlap", "ext_sketch_kll_mergeable",
-    # media codec family (first time; real stdlib decoders)
-    "ext_mm_features", "ext_mm_audio", "ext_mm_spectral", "ext_mm_gif",
-    "ext_mm_bmp",
-    # crawl ingestion stack (first time)
-    "ext_warc_parse", "ext_warc_gz", "ext_zip_parse",
-    "ext_http_parse", "ext_html_extract",
-    # text quality / filtering wave (first time)
-    "ext_pii_luhn", "ext_c4_clean", "ext_char_entropy", "ext_freq_items",
-    "ext_count_min", "ext_bloom_dedup", "ext_substr_decontaminate",
-    "ext_embed_decontaminate",
-    # graph additions (first time)
-    "ext_shortest_path", "ext_knn_graph",
-    # SimHash pair/cluster + verified clustering (first time)
-    "ext_simhash_pairs", "ext_simhash_clusters", "ext_kmeans_verified",
-    "ext_embed_norm_outliers",
-    # corpus governance (first time)
-    "ext_url_canonicalize", "ext_gopher_filter", "ext_dataset_card",
-    "ext_line_dedup", "ext_lm_surprisal", "ext_k_anonymity",
-    "ext_source_overlap",
-    # drift + data-quality lifecycle (first time)
-    "wh_drift_ks", "wh_drift_psi", "wh_dq_checks", "wh_snapshot_diff",
-]
-
 # ---------------------------------------------------------------------------
-# Staged future rotations. Together with the 190 entries already
-# driver-checked by the end of round 5, these cover the entire registry;
-# entries ADDED during round 5+ get appended to the last window (or a new
-# one) in the same commit that registers them. Each list is validated
-# against REGISTRY by tests/test_parity.py so a rename fails CI,
-# not the driver.
+# Round 6 live window: the micro-operator tails + diagnostics + raw ANN
+# staged by round 5 (CORRECTNESS_r05.json holds the round-5 verdicts for
+# the previous window's 45 entries; they leave the live window covered).
 # ---------------------------------------------------------------------------
 ROUND6_WINDOW = [
     # scalar-function micro-suite tail
@@ -109,6 +75,15 @@ ROUND6_WINDOW = [
     "ext_ann_lsh_topk", "ext_ann_multiprobe", "ext_ann_ivf_topk",
 ]
 
+_DRIVER_WINDOW = _ANCHORS + ROUND6_WINDOW
+
+# ---------------------------------------------------------------------------
+# Staged future rotations. Together with the 230 entries driver-checked by
+# the end of round 6, these cover the entire registry; entries ADDED during
+# round 6+ get appended to the last window (or a new one) in the same
+# commit that registers them. Each list is validated against REGISTRY by
+# tests/test_parity.py so a rename fails CI, not the driver.
+# ---------------------------------------------------------------------------
 ROUND7_WINDOW = [
     # ANN verified + embedding analytics
     "ext_ann_pq_topk", "ext_ann_ivf_verified", "ext_ann_pq_verified",

@@ -2590,11 +2590,20 @@ def ext_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage answer consists of — plus ``file_size_ok`` (the reported
     byte size is positive; the oracle engine cannot stat the file, so
     the exact size stays pinned by tests/test_extensions.py against
-    os.path.getsize)."""
+    os.path.getsize).
+
+    The grouping name is the DATASET-level path segment (the first
+    ``*.parquet`` component), not the raw basename (ADVICE r5): a
+    multi-part ``documents.parquet/`` directory yields per-part
+    basenames, but its first ``.parquet`` segment is still the dataset
+    name, so the entry keeps matching the oracle if the fixture is ever
+    rewritten as a partitioned directory."""
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file_name"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/([^/]+\.parquet)(/|$)", 1
+            ).alias("file_name"),
             F.col("_metadata.file_size").alias("file_size"),
             "doc_id",
         )
@@ -2911,27 +2920,42 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(10 AS INT) AS k,
                TRUE AS range_ok,
                TRUE AS multiprobe_dominates_ok,
-               TRUE AS multiprobe_floor_ok
+               TRUE AS multiprobe_floor_ok,
+               TRUE AS ivf_floor_ok,
+               TRUE AS ivf_self_hit_ok
         FROM embeddings LIMIT 1
     """,
 )
 def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measuring ANN quality: recall@10 of the sign-LSH bucketed
-    search (single-probe and Hamming-1 multi-probe) against exact
-    brute-force cosine, as one diagnostic row — the number you tune
-    n_planes / probe_bits against before trusting the approximate path
-    on the full corpus.
+    search (single-probe and Hamming-1 multi-probe) AND the IVF
+    cell-probed search against exact brute-force cosine, as one
+    diagnostic row — the numbers you tune n_planes / probe_bits /
+    n_probe against before trusting the approximate path on the full
+    corpus.
 
     PROMOTED from rows-only to the sketch-style invariant oracle
-    (VERDICT r4 #6 — the candidate sets are hash-bucket-defined):
-    ``range_ok`` (both recalls in [0, 1]), ``multiprobe_dominates_ok``
+    (VERDICT r4 #6 — the candidate sets are hash-bucket-defined), then
+    widened to cover every ANN family the engine ships (VERDICT r5 #6):
+    ``range_ok`` (recalls in [0, 1]), ``multiprobe_dominates_ok``
     (Hamming-1 probing expands the single bucket's candidate set, so
-    its recall can never be lower — the amplification property), and
+    its recall can never be lower — the amplification property),
     ``multiprobe_floor_ok`` (multiprobe recall ≥ 0.4; measured 0.6
     across all three test SFs, so the floor has 0.2 of head-room while
-    still catching a broken bucketer, which scores ~0.1). The raw
-    recall values stay pinned in tests/test_extensions.py."""
-    from bigdatacw1_spark.operators.similarity import brute_force_topk, lsh_topk
+    still catching a broken bucketer, which scores ~0.1),
+    ``ivf_floor_ok`` (IVF recall@10 ≥ 0.5 at n_centroids=8/n_probe=4 —
+    the same floor ext_ann_ivf_topk pins; a broken cell router scores
+    ≤ 0.1), and ``ivf_self_hit_ok`` (the query's own id is in the IVF
+    result — it cannot be routed away from its own cell). Any future
+    hash/plane/centroid change that silently degrades recall flips a
+    boolean and fails the oracle hash. The raw recall values stay
+    pinned in tests/test_extensions.py."""
+    from bigdatacw1_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        lsh_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
@@ -2941,19 +2965,27 @@ def diag_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, qvec, k=10).select("vec_id")
     single = lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=0).select("vec_id")
     multi = lsh_topk(emb, qvec, k=10, n_planes=4, probe_bits=1).select("vec_id")
+    assigned, centroids = build_ivf_index(emb, n_centroids=8)
+    ivf_ids = {
+        r["vec_id"] for r in ivf_topk(assigned, centroids, qvec, k=10, n_probe=4).collect()
+    }
+    exact_ids = {r["vec_id"] for r in exact.collect()}
     r1 = exact.join(single, "vec_id").count() / 10.0
     r2 = exact.join(multi, "vec_id").count() / 10.0
+    r_ivf = len(ivf_ids & exact_ids) / 10.0
     return spark.createDataFrame(
         [
             (
                 10,
-                bool(0.0 <= r1 <= 1.0 and 0.0 <= r2 <= 1.0),
+                bool(0.0 <= r1 <= 1.0 and 0.0 <= r2 <= 1.0 and 0.0 <= r_ivf <= 1.0),
                 bool(r2 >= r1),
                 bool(r2 >= 0.4),
+                bool(r_ivf >= 0.5),
+                bool(0 in ivf_ids),
             )
         ],
         "k int, range_ok boolean, multiprobe_dominates_ok boolean, "
-        "multiprobe_floor_ok boolean",
+        "multiprobe_floor_ok boolean, ivf_floor_ok boolean, ivf_self_hit_ok boolean",
     )
 
 

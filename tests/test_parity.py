@@ -41,16 +41,15 @@ def test_entry_smoke(spark):
 def test_driver_window_and_staged_rotations():
     """The live driver window (first 50 registry entries) must be exactly
     the 5 ref_* anchors + 45 oracle-bearing first-time entries, and the
-    staged ROUND6-9 windows plus everything already driver-checked in
-    rounds 1-5 must cover the ENTIRE registry with no duplicates — so
-    future rotations are one-line swaps and a rename here fails CI, not
-    the driver."""
+    staged ROUND7-9 windows plus everything already driver-checked in
+    rounds 1-5 (plus the live round-6 window) must cover the ENTIRE
+    registry with no duplicates — so future rotations are one-line swaps
+    and a rename here fails CI, not the driver."""
     import json
     import pathlib
 
     from bigdatacw1_spark.queries import (
         REGISTRY,
-        ROUND6_WINDOW,
         ROUND7_WINDOW,
         ROUND8_WINDOW,
         ROUND9_WINDOW,
@@ -65,7 +64,7 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    staged = ROUND6_WINDOW + ROUND7_WINDOW + ROUND8_WINDOW + ROUND9_WINDOW
+    staged = ROUND7_WINDOW + ROUND8_WINDOW + ROUND9_WINDOW
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:
         assert name in REGISTRY, name
