@@ -2199,6 +2199,106 @@ def wh_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "wh_ivm_joinagg_delta",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), maintained AS (
+            SELECT * FROM o
+            WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)  -- base minus deletes
+               OR o_orderkey % 10 = 0                             -- plus inserts
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM maintained
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING COUNT(*) > 0
+        ORDER BY n_name
+    """,
+)
+def wh_ivm_joinagg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN+AGGREGATE view maintenance — the standard
+    warehouse IVM case (VERDICT r5 #5) completing the toolkit:
+    wh_ivm_agg_delta maintains a single-table aggregate and
+    wh_ivm_join_delta a denormalized join view; THIS entry maintains the
+    revenue-per-nation rollup ``orders ⋈ customer ⋈ nation GROUP BY
+    n_name`` under a mixed fact change batch (inserts = o_orderkey%10=0,
+    deletes = base rows with o_orderkey%7=0; dims static — the 99% case:
+    fact tables churn, dimensions trickle).
+
+    The delta plan never rescans the base fact: the CHANGE BATCH alone
+    joins the (broadcast) customer⋈nation dim map to pick up n_name,
+    aggregates to signed per-group deltas (insert → +1/+cents, delete →
+    −1/−cents), and merges into the group-sized old view as a broadcast
+    left join (updated groups) plus an anti join (brand-new groups) —
+    identical merge algebra to wh_ivm_agg_delta, and groups whose count
+    reaches zero drop out. At 100 TB the refresh touches one pass over
+    the change batch + dim lookups sized to that batch; the multi-TB
+    fact history is never read (the full scan below only CONSTRUCTS the
+    pre-existing materialized view this self-contained query starts
+    from). The oracle recomputes the rollup from scratch on
+    (base − deletes) ∪ inserts, so the hash asserts IVM ≡ recompute."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dims = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    base = o.where(F.col("o_orderkey") % 10 != 0)
+    inserts = o.where(F.col("o_orderkey") % 10 == 0)
+    deletes = base.where(F.col("o_orderkey") % 7 == 0)
+
+    old_view = (
+        base.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    signed = inserts.select(
+        "o_custkey", F.lit(1).alias("w"), F.col("cents")
+    ).unionAll(
+        deletes.select(
+            "o_custkey", F.lit(-1).alias("w"), (-F.col("cents")).alias("cents")
+        )
+    )
+    delta = (
+        signed.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum("w").alias("dn"), F.sum("cents").alias("ds"))
+    )
+    updated = old_view.join(F.broadcast(delta), "n_name", "left").select(
+        "n_name",
+        (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (F.col("sum_cents") + F.coalesce(F.col("ds"), F.lit(0))).alias("sum_cents"),
+    )
+    born = delta.join(
+        F.broadcast(old_view.select("n_name")), "n_name", "left_anti"
+    ).select("n_name", F.col("dn").alias("n"), F.col("ds").alias("sum_cents"))
+    return (
+        updated.unionAll(born)
+        .where(F.col("n") > 0)
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("sum_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def _markov_oracle(iters: int = 20) -> str:
     """Generated replay of the Markov removal-effect attribution: the
     journey transition counts, then 5 unrolled 20-round value-iteration

@@ -61,6 +61,20 @@ def test_semi_anti_plans_have_single_join(spark):
         assert kind in plan, f"{name}: expected {kind} join in plan"
 
 
+def test_ivm_joinagg_delta_is_broadcast_only(spark):
+    """The join+agg IVM merge must never shuffle-join (VERDICT r5 #5):
+    dims attach to the change batch by broadcast, and the view merge
+    (left + anti) broadcasts the group-sized sides — the only exchanges
+    in the plan are the aggregates themselves. A SortMergeJoin or
+    ShuffledHashJoin here means the delta path regressed to shuffling
+    fact-sized data."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, "wh_ivm_joinagg_delta"))
+    assert has_broadcast_hash_join(_df(spark, "wh_ivm_joinagg_delta"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_sampling_is_pure_predicate_and_bottomk_avoids_global_sort(spark):
     """hash_sample must stay a scan-level filter (no shuffle, no Python);
     hash_sample_n must fuse its limit into TakeOrderedAndProject."""

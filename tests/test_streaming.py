@@ -277,6 +277,80 @@ def test_rate_source_runs_unbounded_and_aggregates(spark):
         q.stop()
 
 
+def test_rate_capture_availablenow_replay_equals_batch_fold(spark, tmp_path):
+    """True-trigger smoke (VERDICT r5 #7): the streaming layer exercised
+    end-to-end through the ACTUAL streaming engine, not only the
+    batch-equivalence harness. Two real StreamingQueries:
+
+      1. CAPTURE — the deterministic rate-micro-batch source (each
+         micro-batch = 100 rows, event time advancing one minute per
+         batch) runs under a processing-time trigger and appends raw
+         mapped events to parquet until ≥3 micro-batches have committed,
+         then stops — the unbounded-source half.
+      2. REPLAY — a file stream over the captured parquet
+         (maxFilesPerTrigger=1 → one micro-batch per captured file) runs
+         the SAME tumbling aggregation with trigger(availableNow=True),
+         complete-mode memory sink. availableNow must SELF-TERMINATE at
+         end of available input, and its final state must equal the
+         batch fold of the same parquet — the Structured Streaming
+         correctness contract asserted through the real engine."""
+    import time as _time
+
+    from bigdatacw1_spark.streaming.rate_source import (
+        synthetic_events_from_rate_micro_batch,
+    )
+
+    raw = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    events = synthetic_events_from_rate_micro_batch(
+        spark, rows_per_batch=100, advance_millis=60_000
+    )
+    q1 = (
+        events.writeStream.format("parquet")
+        .option("path", raw)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            done = sum(1 for p in q1.recentProgress if p["numInputRows"] > 0)
+            if done >= 3:
+                break
+            _time.sleep(0.3)
+        assert q1.isActive  # unbounded: never self-terminates
+    finally:
+        q1.stop()
+
+    static = spark.read.parquet(raw)
+    assert static.count() >= 300  # ≥3 committed micro-batches of 100
+
+    stream_in = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    agged = tumbling_counts(stream_in.withWatermark("ts", "10 seconds"), minutes=1)
+    q2 = (
+        agged.writeStream.format("memory")
+        .queryName("rate_replay")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    assert not q2.isActive  # availableNow terminates at end of input
+    # one micro-batch per captured file → genuinely incremental
+    assert sum(1 for p in q2.recentProgress if p["numInputRows"] > 0) >= 2
+
+    got = _rows(spark.table("rate_replay"), None)
+    want = _rows(tumbling_counts(static, minutes=1), None)
+    assert len(want) >= 3  # one event-time minute per captured batch
+    assert got == want
+
+
 def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     """Kill a checkpointed stream mid-corpus, add more data, restart with
     the same checkpoint: the resumed query must pick up WHERE IT LEFT OFF
