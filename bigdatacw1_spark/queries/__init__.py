@@ -140,8 +140,14 @@ ROUND9_WINDOW = [
     "ext_nb_langid", "ext_mlm_masking", "ext_span_corruption",
     "ext_containment_pairs", "ext_hard_negatives", "ext_ccnet_terciles",
     "ext_cluster_topics", "ev_cusum_changepoint", "ext_neyman_allocation", "wh_attribution_markov", "wh_diff_in_diff", "ext_tfidf_cosine_pairs", "ext_link_graph_rank", "ext_pmi_collocations", "ext_zipf_fit", "wh_gini_concentration", "ev_anomaly_mad", "ev_seasonal_strength", "f30_bitwise_agg", "wh_benford_check", "ev_autocorrelation", "p11_exists_anti_exists", "wh_hhi_concentration", "ext_langid_confusion", "wh_lead_time", "ext_dedup_method_agreement", "wh_dau_mau_stickiness", "f32_group_by_all", "wh_conversion_wilson", "ext_jaccard_threshold_curve", "ext_minhash_estimate_verified", "ext_shuffle_order",
-    # round-6 additions
-    "wh_ivm_joinagg_delta",
+    # round-6 additions (fill to the 45 cap)
+    "wh_ivm_joinagg_delta", "wh_bucketed_colocated_join", "wh_table_checksum",
+    "ext_jsonl_corrupt_audit", "ext_embed_sq8", "ext_spdx_license_tag",
+    "ext_temporal_eval_split",
+]
+
+ROUND10_WINDOW: list[str] = [
+    # overflow for round-6+ additions once ROUND9 hits the 45-entry cap
 ]
 
 

@@ -8513,3 +8513,267 @@ def ext_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", F.col("__rank").cast("long").alias("position")
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_jsonl_corrupt_audit",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_parsed,
+               CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS chars_recovered
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def ext_jsonl_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record ingestion audit — the first thing a crawl/JSONL
+    ingest at 100 TB must survive: truncated records (a cut connection,
+    a partial flush) must be COUNTED and quarantined per source, never
+    silently dropped and never poisoning the batch. The entry round-trips
+    each document through a JSON record (to_json), truncates the records
+    of doc_id%13=0 by one byte (the classic mid-write cut), and parses
+    everything back with from_json — Spark's PERMISSIVE path yields
+    all-NULL fields for the malformed records, so ``n_chars IS NULL`` on
+    a field that is never null in well-formed data is the corrupt
+    marker. One narrow scan + one hash agg per source; the oracle
+    recomputes the audit arithmetically from the corruption rule, so the
+    hash asserts the PARSER actually recovered every well-formed record
+    and flagged every truncated one (a parser that limps past the cut or
+    drops good records diverges)."""
+    d = _t(spark, sf_dir, "documents")
+    js = F.to_json(F.struct(F.col("doc_id"), F.col("lang"), F.col("n_chars")))
+    truncated = F.when(
+        F.col("doc_id") % 13 == 0, F.substring(js, 1, F.length(js) - F.lit(1))
+    ).otherwise(js)
+    parsed = F.from_json(truncated, "doc_id bigint, lang string, n_chars bigint")
+    flagged = d.select(
+        "source", parsed["n_chars"].isNull().alias("is_corrupt"), parsed["n_chars"].alias("rec_chars")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_corrupt").cast("long")).cast("long").alias("n_corrupt"),
+            F.sum((~F.col("is_corrupt")).cast("long")).cast("long").alias("n_parsed"),
+            F.sum(F.coalesce(F.col("rec_chars"), F.lit(0))).cast("long").alias("chars_recovered"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "ext_embed_sq8",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(LEN(MIN(embedding)) AS INT) AS dim,
+               TRUE AS recon_bound_ok,
+               TRUE AS top1_in_exact_top3_ok
+        FROM embeddings
+    """,
+)
+def ext_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) embedding quantization — the 4× memory cut every
+    production vector index takes before PQ (FAISS's SQ8): per-DIMENSION
+    min/max over the corpus define a 255-step linear grid; each float
+    becomes one byte. Entirely JVM-side: one posexplode pass → d-row
+    min/max stats → broadcast back → quantize/reconstruct/score, no
+    Python in the plan. Sketch-style invariant oracle (the grid is
+    data-defined, not SQL-replayable):
+
+      * ``recon_bound_ok`` — max |x − dequant(quant(x))| over EVERY
+        element ≤ step/2 (the tight bound for round-to-nearest on a
+        linear grid; a clamp/rounding bug blows it immediately);
+      * ``top1_in_exact_top3_ok`` — the query's nearest neighbor under
+        QUANTIZED cosine appears in the exact float top-3 (excluding
+        self): 8-bit quantization may reorder near-ties but must not
+        lose the neighborhood — the property that makes SQ8 usable as
+        a first-pass filter before exact re-scoring.
+
+    At 100 TB the stats pass is a d-row aggregate and the codes join
+    broadcast stats — linear, shuffle-free except the d-row agg."""
+    from bigdatacw1_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    n_vecs = emb.count()
+    dim = len(qvec)
+
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x")
+    )
+    stats = ex.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    coded = (
+        ex.join(F.broadcast(stats), "j")
+        .withColumn(
+            "qcode",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.round((F.col("x") - F.col("mn")) / step).cast("int")
+            ),
+        )
+        .withColumn("recon", F.col("mn") + F.col("qcode").cast("double") * step)
+        .withColumn("err", F.abs(F.col("x") - F.col("recon")))
+        .withColumn("bound", step / F.lit(2.0) * F.lit(1.0 + 1e-9) + F.lit(1e-15))
+    )
+    worst = coded.agg(F.max(F.col("err") - F.col("bound")).alias("w")).head()["w"]
+
+    # quantized-cosine top-1 (excluding the query itself), computed in the
+    # same exploded space: per-vector dot with the query's RECONSTRUCTED
+    # values and per-vector reconstructed norm.
+    qstats = {r["j"]: (r["mn"], r["mx"]) for r in stats.collect()}
+
+    def _recon_q(j: int, x: float) -> float:
+        mn, mx = qstats[j]
+        if mx == mn:
+            return mn
+        st = (mx - mn) / 255.0
+        return mn + round((x - mn) / st) * st
+
+    qrec = [_recon_q(j, qvec[j]) for j in range(dim)]
+    qnorm = sum(v * v for v in qrec) ** 0.5
+    qcol = F.array(*[F.lit(float(v)) for v in qrec])
+    scored = (
+        coded.withColumn("qv", F.element_at(qcol, F.col("j") + 1))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("recon") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("recon") * F.col("recon"))).alias("nv"),
+        )
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id", (F.col("dot") / (F.col("nv") * F.lit(float(qnorm)))).alias("qscore")
+        )
+        .orderBy(F.desc("qscore"), F.asc("vec_id"))
+        .limit(1)
+    )
+    q_top1 = scored.head()["vec_id"]
+    exact_top3 = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, qvec, k=4).collect()
+        if r["vec_id"] != 0
+    ][:3]
+    return spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                dim,
+                bool(worst is not None and worst <= 0.0),
+                bool(q_top1 in exact_top3),
+            )
+        ],
+        "n_vecs long, dim int, recon_bound_ok boolean, top1_in_exact_top3_ok boolean",
+    )
+
+
+@q(
+    "ext_spdx_license_tag",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'MIT'
+                                   WHEN 1 THEN 'Apache-2.0'
+                                   WHEN 2 THEN 'GPL-3.0-only'
+                                   ELSE 'unknown' END AS license
+            FROM documents
+        )
+        SELECT license,
+               CASE license
+                   WHEN 'MIT' THEN 'permissive'
+                   WHEN 'Apache-2.0' THEN 'permissive'
+                   WHEN 'GPL-3.0-only' THEN 'copyleft'
+                   ELSE 'unknown' END AS family,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM tagged
+        GROUP BY 1, 2
+        ORDER BY license
+    """,
+)
+def ext_spdx_license_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPDX license tagging — the governance gate for CODE training
+    corpora: detect the machine-readable ``SPDX-License-Identifier:``
+    header, normalize it, and bucket into permissive / copyleft /
+    unknown so the mixture step can cap or exclude restrictive licenses.
+    The fixture corpus has no headers, so the entry first PLANTS them
+    deterministically (doc_id%4 → MIT / Apache-2.0 / GPL-3.0-only /
+    none — the warc/http-entry pattern of constructing the wire format
+    in-engine), then runs the real extraction: one regexp_extract over
+    the header-prefixed text, CASE normalization, hash agg. The oracle
+    derives the expected tag distribution from the planting rule alone,
+    so the hash proves the regex round-trips every planted header and
+    never hallucinates one from body text. Scan + d-group agg — linear,
+    one shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    lic = F.element_at(
+        F.array(F.lit("MIT"), F.lit("Apache-2.0"), F.lit("GPL-3.0-only"), F.lit("")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    text2 = F.when(lic == "", F.col("text")).otherwise(
+        F.concat(F.lit("// SPDX-License-Identifier: "), lic, F.lit("\n"), F.col("text"))
+    )
+    extracted = F.regexp_extract(text2, r"SPDX-License-Identifier:\s*([A-Za-z0-9.\-]+)", 1)
+    license_col = F.when(extracted == "", F.lit("unknown")).otherwise(extracted)
+    family = (
+        F.when(license_col.isin("MIT", "Apache-2.0"), F.lit("permissive"))
+        .when(license_col == "GPL-3.0-only", F.lit("copyleft"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        d.select(license_col.alias("license"), family.alias("family"))
+        .groupBy("license", "family")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("license")
+    )
+
+
+@q(
+    "ext_temporal_eval_split",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ext_temporal_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (leave-last-k) train/eval split — the
+    decontamination-safe alternative to ext_train_test_split's hash
+    split when the data has time structure: each user's LAST 2 events
+    (by event time, id-tiebroken) are held out, so evaluation is always
+    a FORECAST of the user's future, never an interpolation of shuffled
+    history (random splits leak temporal signal and overstate model
+    quality). One rank window partitioned by user_id — a single shuffle
+    on the natural key, state bounded per user; the split is
+    deterministic and reproducible on any cluster. Output: per-type
+    train/eval counts (the mixture report a training run logs)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    split = ev.select("event_type", (rn <= 2).alias("is_eval"))
+    return (
+        split.groupBy("event_type")
+        .agg(
+            F.sum((~F.col("is_eval")).cast("long")).cast("long").alias("n_train"),
+            F.sum(F.col("is_eval").cast("long")).cast("long").alias("n_eval"),
+        )
+        .orderBy("event_type")
+    )

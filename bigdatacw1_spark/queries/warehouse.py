@@ -2299,6 +2299,117 @@ def wh_ivm_joinagg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "wh_bucketed_colocated_join",
+    oracle="""
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+)
+def wh_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — THE shuffle-elimination strategy for
+    repeated fact⋈fact / fact⋈big-dim joins at 100 TB: both sides are
+    written ONCE bucketed on the join key (sources/sinks.write_bucketed;
+    8 buckets here, thousands on a cluster), after which every join and
+    aggregation on that key reads pre-partitioned data and runs with
+    ZERO exchange — the scan itself carries hashpartitioning(key, n).
+    The per-customer revenue rollup below plans as bucketed-scan →
+    sort-merge-join → hash-aggregate with the only Exchange being the
+    final presentation sort (gated by
+    tests/test_plans.py::test_bucketed_join_plan_has_no_hash_exchange).
+
+    Bucket files live under /tmp (external-table path) keyed by the sf
+    tag, so repeated runs overwrite idempotently and different SFs never
+    collide; the oracle computes the same rollup from the raw parquet,
+    proving the bucketed round-trip is lossless."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/bigdatacw1_bucketed/{tag}"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    spark.sql(f"DROP TABLE IF EXISTS orders_bkt_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS customer_bkt_{tag}")
+    o.write.mode("overwrite").option("path", f"{base}/orders").bucketBy(
+        8, "o_custkey"
+    ).format("parquet").saveAsTable(f"orders_bkt_{tag}")
+    c.write.mode("overwrite").option("path", f"{base}/customer").bucketBy(
+        8, "c_custkey"
+    ).format("parquet").saveAsTable(f"customer_bkt_{tag}")
+    ob = spark.table(f"orders_bkt_{tag}")
+    cb = spark.table(f"customer_bkt_{tag}")
+    return (
+        ob.hint("merge")  # pin SMJ so the gate tests the bucketed path, not AQE's BHJ
+        .join(cb, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "wh_table_checksum",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(('0x' || SUBSTR(MD5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   ), 1, 8)) AS BIGINT) AS rh
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(rh) AS BIGINT) AS checksum_sum,
+               CAST(MIN(rh) AS BIGINT) AS checksum_min,
+               CAST(MAX(rh) AS BIGINT) AS checksum_max
+        FROM h
+    """,
+)
+def wh_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum — the migration /
+    replication validation primitive at 100 TB: hash every row to a
+    64-bit value and SUM the hashes, so two copies of a table compare
+    by ONE number each, computed with a single scan + partial-agg
+    (no sort, no shuffle of row data — only the combiner's scalars
+    move). Sum (not XOR) also catches duplicated-row corruption, since
+    x ⊕ x = 0 hides it but x + x does not; min/max give cheap extra
+    discrimination. The row hash is the engine-portable idiom
+    ('0x'||SUBSTR(MD5(canonical_string),1,8))::BIGINT ≡ Spark
+    conv(substring(md5(s),1,8),16,10) — both engines hash the SAME
+    canonical string (pipe-joined key columns + cents-quantized price),
+    so the oracle proves the fingerprint is engine-independent: the
+    number DuckDB computes over the same parquet equals Spark's, which
+    is exactly what a cross-system migration check needs."""
+    o = _t(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(canonical), 1, 8), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("rh").cast("long").alias("checksum_sum"),
+        F.min("rh").cast("long").alias("checksum_min"),
+        F.max("rh").cast("long").alias("checksum_max"),
+    )
+
+
 def _markov_oracle(iters: int = 20) -> str:
     """Generated replay of the Markov removal-effect attribution: the
     journey transition counts, then 5 unrolled 20-round value-iteration

@@ -53,6 +53,7 @@ def test_driver_window_and_staged_rotations():
         ROUND7_WINDOW,
         ROUND8_WINDOW,
         ROUND9_WINDOW,
+        ROUND10_WINDOW,
         _ANCHORS,
         _DRIVER_WINDOW,
     )
@@ -64,7 +65,9 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    staged = ROUND7_WINDOW + ROUND8_WINDOW + ROUND9_WINDOW
+    staged = ROUND7_WINDOW + ROUND8_WINDOW + ROUND9_WINDOW + ROUND10_WINDOW
+    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW):
+        assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:
         assert name in REGISTRY, name

@@ -75,6 +75,23 @@ def test_ivm_joinagg_delta_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_bucketed_join_plan_has_no_hash_exchange(spark):
+    """Bucketed co-located join: both sides written bucketed on the join
+    key means the scan carries hashpartitioning — the join AND the
+    group-by-key aggregate must run with ZERO hash exchange (the only
+    allowed Exchange is the rangepartitioning of the final presentation
+    sort). An 'Exchange hashpartitioning' here means Spark stopped
+    trusting the bucket metadata — the whole point of the layout at
+    100 TB."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    df = _df(spark, "wh_bucketed_colocated_join")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan  # the pinned bucket-to-bucket merge path
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning of the final sort
+
+
 def test_sampling_is_pure_predicate_and_bottomk_avoids_global_sort(spark):
     """hash_sample must stay a scan-level filter (no shuffle, no Python);
     hash_sample_n must fuse its limit into TakeOrderedAndProject."""
