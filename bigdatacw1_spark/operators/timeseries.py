@@ -529,3 +529,52 @@ def cusum_changepoint(
             F.col("__day").alias("peak_day"),
         )
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    (x_j − x_i)/(t_j − t_i), i < j — the estimator that tolerates up to
+    ~29% arbitrary outliers where OLS (a17_regression) is dragged by a
+    single whale day. The standard robust companion to the MAD anomaly
+    gate: MAD flags the outliers, Theil–Sen reports the trend as if
+    they were not there.
+
+    Scale shape: the pair join is quadratic in SERIES LENGTH, which is
+    calendar-bounded (≤365 points/key/year — never corpus-sized), and
+    equi-keyed on the series key, so it shuffles once and each key's
+    pairs stay local. Slopes are exact integer differences divided
+    once (both engines produce bit-identical doubles); the median is
+    the exact interpolated quantile over that multiset, so the rounded
+    output hash-compares (QUANTILE_CONT ≡ F.percentile).
+
+    Output: (*keys, n_points, n_pairs, ts_slope)."""
+    a = df.select(
+        *keys, F.col(ts_col).alias("__d1"), F.col(value_col).cast("long").alias("__v1")
+    )
+    b = df.select(
+        *keys, F.col(ts_col).alias("__d2"), F.col(value_col).cast("long").alias("__v2")
+    )
+    pairs = a.join(b, on=keys).where(F.col("__d1") < F.col("__d2"))
+    slope = (F.col("__v2") - F.col("__v1")).cast("double") / F.datediff(
+        F.col("__d2"), F.col("__d1")
+    ).cast("double")
+    per_key_points = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    slopes = pairs.select(*keys, slope.alias("__slope")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("__slope", F.lit(0.5)).alias("__med"),
+    )
+    return (
+        per_key_points.join(slopes, on=keys)
+        .select(
+            *keys,
+            F.col("n_points").cast("long").alias("n_points"),
+            "n_pairs",
+            stable_round(F.col("__med"), round_digits).alias("ts_slope"),
+        )
+    )

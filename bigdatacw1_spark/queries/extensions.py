@@ -8777,3 +8777,200 @@ def ext_temporal_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "ext_ngram_novelty",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), bg AS (
+            SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM (
+                SELECT doc_id, toks,
+                       UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+                FROM tk WHERE LEN(toks) >= 2
+            )
+        ), firsts AS (
+            SELECT bigram, MIN(doc_id) AS first_doc FROM bg GROUP BY 1
+        )
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel,
+               FLOOR(CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+                   AS novelty_ratio
+        FROM bg JOIN firsts f USING (bigram)
+        GROUP BY bg.doc_id
+        ORDER BY bg.doc_id
+    """,
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the dedup-aware CURRICULUM signal: for
+    each document, the fraction of its distinct bigrams whose FIRST
+    corpus occurrence (lowest doc_id in ingestion order) is this
+    document. Boilerplate and near-duplicate documents score near 0
+    (everything already seen); genuinely new material scores high — the
+    per-document complement of corpus-level dedup, used to down-weight
+    repeats without dropping them (softer than ext_line_dedup's hard
+    cut, orthogonal to ext_lm_surprisal's model-based signal).
+
+    Scale shape: the same inverted-index discipline as the dedup
+    family — one explode to distinct (doc, bigram) postings, a
+    vocabulary-bounded MIN-aggregate per bigram, and a join back on the
+    posting key; never all-pairs, two shuffles total (bigram, doc)."""
+    from bigdatacw1_spark.functions.text import tokens, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(tokens("text"), 2))).alias("bigram"),
+    )
+    firsts = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        bg.join(firsts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            stable_round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ext_metadata_mi",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+        ), lm AS (SELECT lang, SUM(n) AS nl FROM cells GROUP BY 1),
+        sm AS (SELECT source, SUM(n) AS ns FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n) AS nt FROM cells)
+        SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+               FLOOR(LN(CAST(c.n AS DOUBLE) * tot.nt / (lm.nl * sm.ns))
+                     * 10000.0 + 0.5) / 10000.0 AS pmi,
+               FLOOR((CAST(c.n AS DOUBLE) / tot.nt)
+                     * LN(CAST(c.n AS DOUBLE) * tot.nt / (lm.nl * sm.ns))
+                     * 1000000.0 + 0.5) / 1000000.0 AS mi_contrib
+        FROM cells c
+        JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN tot
+        ORDER BY lang, source
+    """,
+)
+def ext_metadata_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata association audit — mutual information between two
+    metadata fields (lang × source), decomposed per cell: the
+    split-leakage / confounding check a corpus design needs before
+    stratifying on one field ("is source secretly a language proxy? then
+    a source-stratified split leaks language"). Positive-PMI cells are
+    over-represented pairings; the MI contributions sum to the total
+    dependence in nats (0 ⇔ independent). Same engine shape as
+    ext_pmi_collocations but over METADATA cells, not token pairs: the
+    contingency table is (|lang|·|source|)-bounded — tiny at any corpus
+    scale — so margins broadcast and the only data-sized pass is the
+    one cell-count aggregate. Exact integer counts; LN on exact ratios
+    rounds identically cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    lm = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    sm = cells.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    ratio = F.col("n").cast("double") * F.col("nt") / (F.col("nl") * F.col("ns"))
+    return (
+        cells.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n"),
+            stable_round(F.log(ratio), 4).alias("pmi"),
+            stable_round(
+                (F.col("n").cast("double") / F.col("nt")) * F.log(ratio), 6
+            ).alias("mi_contrib"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@q(
+    "ext_mm_scene_cut",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, (doc_id % 2 + 1) * 8 AS w, 8 AS h,
+                   doc_id % 3 + 2 AS nf
+            FROM documents WHERE doc_id < 64
+        ), fr AS (
+            SELECT d.*, g.g AS frame_idx
+            FROM dims d JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS g) g
+              ON g.g < d.nf
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS g),
+        px AS (
+            SELECT fr.doc_id, fr.frame_idx, fr.nf, fr.w, fr.h,
+                   2 * ((fr.doc_id * 17 + fr.frame_idx * 29 + (x.g // 8) * 11)
+                        % 128) AS p
+            FROM fr
+            JOIN nums x ON x.g < fr.w
+            JOIN nums y ON y.g < fr.h
+        ), means AS (
+            SELECT doc_id, frame_idx, nf,
+                   CAST(SUM(p) AS DOUBLE) / (MAX(w) * MAX(h)) AS mp
+            FROM px GROUP BY 1, 2, 3
+        ), diffs AS (
+            SELECT doc_id, frame_idx, nf,
+                   ABS(mp - LAG(mp) OVER (PARTITION BY doc_id
+                                          ORDER BY frame_idx)) AS d
+            FROM means
+        )
+        SELECT doc_id,
+               CAST(MAX(nf) AS INT) AS n_frames,
+               CAST(SUM(CASE WHEN d > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cuts,
+               CAST(MIN(CASE WHEN d > 100.0 THEN frame_idx END) AS INT)
+                   AS first_cut_idx
+        FROM diffs
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut (shot-boundary) detection over the video modality — the
+    first structuring pass a video training pipeline runs so sampled
+    frames cover SHOTS, not wall-clock (uniform sampling over-represents
+    long static shots): every frame of each MJPEG payload is decoded
+    through the real JPEG codec (ext_mm_video_frames' fixture, stride
+    1), the mean-pixel frame signature is differenced against the
+    previous frame per video, and a jump above the threshold marks a
+    cut. One decode pass (Arrow-batched mapInPandas, same plumbing as
+    all media entries) + one LAG window partitioned by doc_id — state
+    is frames-per-video bounded. The oracle replays the fixture's pixel
+    arithmetic and the identical LAG/threshold logic, so the hash
+    checks decoder, ordering, and detector together."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_video_frames,
+        synth_mjpeg_corpus,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    frames = decode_video_frames(synth_mjpeg_corpus(docs), sample_every=1)
+    mp = (F.col("pixel_sum").cast("double") / (F.col("width") * F.col("height")))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diffed = frames.select(
+        "doc_id", "frame_idx", "n_frames", mp.alias("mp")
+    ).withColumn("d", F.abs(F.col("mp") - F.lag("mp").over(w)))
+    cut = F.col("d") > 100.0
+    return (
+        diffed.groupBy("doc_id")
+        .agg(
+            F.max("n_frames").cast("int").alias("n_frames"),
+            F.sum(cut.cast("long")).cast("long").alias("n_cuts"),
+            F.min(F.when(cut, F.col("frame_idx"))).cast("int").alias("first_cut_idx"),
+        )
+        .orderBy("doc_id")
+    )

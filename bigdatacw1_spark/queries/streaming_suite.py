@@ -1582,3 +1582,48 @@ def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@q(
+    "ev_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type,
+                   CAST(b.x - a.x AS DOUBLE)
+                       / DATE_DIFF('day', a.day, b.day) AS slope
+            FROM daily a JOIN daily b USING (event_type)
+            WHERE a.day < b.day
+        ), np AS (
+            SELECT event_type, COUNT(*) AS n_points FROM daily GROUP BY 1
+        )
+        SELECT p.event_type,
+               CAST(np.n_points AS BIGINT) AS n_points,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               FLOOR(QUANTILE_CONT(p.slope, 0.5) * 10000.0 + 0.5) / 10000.0
+                   AS ts_slope
+        FROM pairs p JOIN np USING (event_type)
+        GROUP BY p.event_type, np.n_points
+        ORDER BY p.event_type
+    """,
+)
+def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type
+    (operators/timeseries.theil_sen_slope): the median of all pairwise
+    daily slopes — the trend estimator that shrugs off the whale days
+    ev_anomaly_mad flags, where a17_regression's OLS line is dragged by
+    a single outlier. The pair join is quadratic only in SERIES LENGTH
+    (calendar-bounded, ≤365/key/yr), equi-keyed so each key's pairs
+    stay in one partition; the median is the exact interpolated
+    quantile (F.percentile ≡ QUANTILE_CONT) over exact integer-diff
+    slopes, so the rounded value hash-compares."""
+    from bigdatacw1_spark.operators.timeseries import theil_sen_slope
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return theil_sen_slope(daily, ["event_type"], "day", "x").orderBy("event_type")

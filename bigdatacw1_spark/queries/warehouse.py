@@ -3052,3 +3052,76 @@ def wh_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((center - half) / denom, 4).alias("wilson_lo"),
         stable_round((center + half) / denom, 4).alias("wilson_hi"),
     ).orderBy(F.desc("wilson_lo"), "event_type")
+
+
+@q(
+    "wh_ivm_minmax_delta",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM ev GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def wh_ivm_minmax_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX incremental view maintenance under an INSERT-ONLY batch —
+    the third IVM algebra beside COUNT/SUM (wh_ivm_agg_delta, fully
+    self-maintainable under inserts AND deletes) and join views
+    (wh_ivm_join_delta / wh_ivm_joinagg_delta): MIN/MAX are
+    self-maintainable for INSERTS ONLY (new_min = LEAST(old, batch_min))
+    — a DELETE of the current minimum forces a rescan of the group,
+    which is why production IVM either keeps per-group heaps or routes
+    deletes through replay (wh_cdc_apply). This entry maintains the
+    per-type (count, min, max) view under the insert batch
+    (event_id%10=0) with ONE pass over the batch plus a broadcast merge
+    join against the group-sized view; the base is never rescanned. The
+    oracle recomputes over base ∪ inserts, asserting IVM ≡ recompute."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 10 != 0)
+    inserts = ev.where(F.col("event_id") % 10 == 0)
+
+    old_view = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    delta = inserts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.min("cents").alias("dmin"),
+        F.max("cents").alias("dmax"),
+    )
+    updated = old_view.join(F.broadcast(delta), "event_type", "left").select(
+        "event_type",
+        (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        F.least(F.col("min_cents"), F.coalesce(F.col("dmin"), F.col("min_cents"))).alias("min_cents"),
+        F.greatest(F.col("max_cents"), F.coalesce(F.col("dmax"), F.col("max_cents"))).alias("max_cents"),
+    )
+    born = delta.join(
+        F.broadcast(old_view.select("event_type")), "event_type", "left_anti"
+    ).select(
+        "event_type",
+        F.col("dn").alias("n"),
+        F.col("dmin").alias("min_cents"),
+        F.col("dmax").alias("max_cents"),
+    )
+    return (
+        updated.unionAll(born)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("min_cents").cast("long").alias("min_cents"),
+            F.col("max_cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
