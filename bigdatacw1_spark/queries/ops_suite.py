@@ -2612,3 +2612,134 @@ def f32_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 SQL-surface micros: null-safe equality, NOT IN three-valued
+# semantics, boolean aggregates
+# ---------------------------------------------------------------------------
+
+@q(
+    "j16_null_safe_join",
+    oracle="""
+        WITH l AS (
+            SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k
+            FROM orders
+        ), r AS (
+            SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k FROM orders
+        )
+        SELECT COALESCE(l.k, '<null>') AS status_key,
+               CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def j16_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    operator plain equi-joins silently differ on: under `=`, NULL keys
+    match NOTHING (rows vanish), under `<=>` NULL matches NULL exactly
+    once. Every CDC merge and dedup on nullable business keys needs this
+    distinction; a pipeline that uses `=` drops its null-keyed rows on
+    the floor without an error. The fixture NULLIFs one status value so
+    the null bucket is populated and its count must survive the join.
+    `<=>` is still hash-partitionable (null-safe equality is an equi
+    key), so the plan shuffles once like any equi join — no nested
+    loop."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    )
+    r = o.select("k").distinct()
+    return (
+        o.alias("l")
+        .join(r.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .groupBy(F.coalesce(F.col("l.k"), F.lit("<null>")).alias("status_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .orderBy("status_key")
+    )
+
+
+@q(
+    "p12_not_in_subquery_nulls",
+    oracle="""
+        WITH probe AS (
+            SELECT NULLIF(o_orderstatus, 'P') AS k FROM orders
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderstatus NOT IN (SELECT k FROM probe)) AS BIGINT)
+                AS n_not_in_with_nulls,
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderstatus NOT IN
+                        (SELECT k FROM probe WHERE k IS NOT NULL)) AS BIGINT)
+                AS n_not_in_null_filtered,
+            CAST((SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.k = o.o_orderstatus)) AS BIGINT)
+                AS n_not_exists
+    """,
+)
+def p12_not_in_subquery_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) three-valued logic — the classic silent-wrong-
+    answer trap: when the subquery produces ANY NULL, `x NOT IN (...)`
+    is never TRUE (x <> NULL is UNKNOWN), so the count is 0; filtering
+    the NULLs restores the intuitive complement; NOT EXISTS sidesteps
+    the trap entirely (and is the anti-join the optimizer wants). The
+    entry pins all three counts side by side so an engine or rewrite
+    that 'fixes' the standard semantics fails the hash. Both engines
+    plan the NOT IN as a null-aware anti join — one shuffle."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__p12_orders"
+    )
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT NULLIF(o_orderstatus, 'P') AS k FROM __p12_orders
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM __p12_orders
+                  WHERE o_orderstatus NOT IN (SELECT k FROM probe)) AS BIGINT)
+                AS n_not_in_with_nulls,
+            CAST((SELECT COUNT(*) FROM __p12_orders
+                  WHERE o_orderstatus NOT IN
+                        (SELECT k FROM probe WHERE k IS NOT NULL)) AS BIGINT)
+                AS n_not_in_null_filtered,
+            CAST((SELECT COUNT(*) FROM __p12_orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.k = o.o_orderstatus)) AS BIGINT)
+                AS n_not_exists
+        """
+    )
+
+
+@q(
+    "a19_boolean_aggs",
+    oracle="""
+        SELECT event_type,
+               BOOL_AND(value >= 0) AS all_nonneg,
+               BOOL_OR(value > 99)  AS any_gt99,
+               CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_gt50,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def a19_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or / count_if) — the
+    assertion-style aggregations data-quality checks compile to ("every
+    value non-negative?", "any whale event?"). All three fold map-side
+    to one bit/count per group, so at 100 TB the shuffle carries a few
+    scalars per key — the cheapest aggregate family there is. count_if
+    ≡ COUNT(*) FILTER in the oracle dialect."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 99).alias("any_gt99"),
+            F.count_if(F.col("value") > 50).cast("long").alias("n_gt50"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
