@@ -1809,3 +1809,109 @@ def synth_jpeg_color_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def synth_png_phash_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic perceptual-dedup fixture: FULL decodable 16×16 RGB
+    PNGs where consecutive ids (2k, 2k+1) are BYTE-LEVEL DIFFERENT but
+    PERCEPTUALLY IDENTICAL images — exactly the case exact/hash dedup
+    misses and perceptual hashing exists for. Pattern per group
+    g = id//2: p(x, y, c) = (x·(g%5+1) + y·(g%7+1) + 85·c) % 256 (the
+    multiplier pair is unique per group for g < 35, so distinct groups
+    get distinct gradient structures); the odd partner perturbs pixel
+    (0,0,R) by +1 and (1,0,R) by −1 — both inside aHash block (0,0), so
+    the block sum (and therefore the 64-bit hash) is untouched while
+    the bytes differ. Every decoded value is a pure function of the id,
+    so a SQL oracle replays the whole pipeline arithmetically."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            g, odd = i // 2, i % 2
+            a, b = g % 5 + 1, g % 7 + 1
+            px = bytearray(
+                (x * a + y * b + 85 * c) % 256
+                for y in range(16)
+                for x in range(16)
+                for c in range(3)
+            )
+            if odd:
+                px[0] += 1   # pixel (0,0), R channel: base value 0 -> no wrap
+                px[3] -= 1   # pixel (1,0), R channel: base value a>=1 -> no wrap
+            return encode_png(16, 16, 3, bytes(px))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("c0", T.LongType()),
+        T.StructField("c1", T.LongType()),
+        T.StructField("c2", T.LongType()),
+        T.StructField("c3", T.LongType()),
+    ]
+)
+
+
+def phash_images(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprints, Arrow-batched:
+    decode → per-pixel intensity (channel sum) → 8×8 block-sum grid →
+    bit i = (64·S_i > ΣS) — i.e. block brighter than the image mean,
+    all in INTEGER arithmetic (64·S vs total cross-multiplication, no
+    float mean), so an SQL oracle reproduces every bit. The 64 bits pack
+    LSB-first into four 16-bit chunks (c0..c3, bit i → chunk i//16 bit
+    i%16): the Manku pigeonhole keys — two hashes within Hamming
+    distance 3 MUST agree on at least one of 4 chunks, so candidate
+    generation is an equi-join on (chunk_idx, chunk_value), never
+    all-pairs (same discipline as ext_simhash_pairs). Images must be
+    8n×8n so blocks tile exactly; others raise loudly."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, cols = [], {0: [], 1: [], 2: [], 3: []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, px = decode_image(bytes(payload))
+                if w % 8 or h % 8:
+                    raise ValueError(f"phash needs 8n×8n images, got {w}×{h}")
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                )
+                inten = arr.sum(axis=2)
+                bh, bw = h // 8, w // 8
+                blocks = inten.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                flat = blocks.reshape(-1)
+                total = int(flat.sum())
+                bits = (64 * flat > total).astype(np.int64)
+                ids.append(doc_id)
+                for j in range(4):
+                    cols[j].append(
+                        int(sum(int(b) << k for k, b in enumerate(bits[16 * j : 16 * j + 16])))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "c0": pd.array(cols[0], dtype="int64"),
+                    "c1": pd.array(cols[1], dtype="int64"),
+                    "c2": pd.array(cols[2], dtype="int64"),
+                    "c3": pd.array(cols[3], dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=PHASH_SCHEMA)

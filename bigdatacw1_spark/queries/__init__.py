@@ -150,7 +150,8 @@ ROUND10_WINDOW: list[str] = [
     # overflow for round-6+ additions once ROUND9 hits the 45-entry cap
     "ev_theil_sen", "wh_ivm_minmax_delta", "ext_ngram_novelty",
     "ext_metadata_mi", "ext_mm_scene_cut", "j16_null_safe_join",
-    "p12_not_in_subquery_nulls", "a19_boolean_aggs",
+    "p12_not_in_subquery_nulls", "a19_boolean_aggs", "ext_grid_proximity_join",
+    "ext_mm_phash_neardup",
 ]
 
 

@@ -8974,3 +8974,204 @@ def ext_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_grid_proximity_join",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   CAST(('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR) || '|x'),
+                                        1, 8)) AS BIGINT) % 1000000 AS x,
+                   CAST(('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR) || '|y'),
+                                        1, 8)) AS BIGINT) % 1000000 AS y
+            FROM customer
+        ), offs AS (
+            SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS dx
+        ), offs2 AS (
+            SELECT dx, UNNEST(GENERATE_SERIES(-1, 1)) AS dy FROM offs
+        ), probe AS (
+            SELECT p.id, p.x, p.y,
+                   (p.x // 5000 + o.dx) AS cx, (p.y // 5000 + o.dy) AS cy
+            FROM pts p CROSS JOIN offs2 o
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2_m2
+        FROM probe a
+        JOIN pts b ON a.cx = b.x // 5000 AND a.cy = b.y // 5000
+        WHERE a.id < b.id
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 5000 * 5000
+        ORDER BY id_a, id_b
+    """,
+)
+def ext_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity join via grid-cell bucketing — the pattern every
+    geo engine (Sedona, BigQuery GIS, PostGIS parallel plans) uses to
+    turn an O(n²) distance join into an EQUI join: points hash to
+    radius-sized grid cells, each probe point expands to its 3×3 cell
+    neighborhood (any point within R of it must live there), candidates
+    equi-join on the cell key, and the exact distance predicate runs
+    only inside candidate pairs. Work is Σ(cell occupancy²) — density-
+    bounded, never all-pairs — and the join shuffles on the cell key
+    like any other equi join; a skewed megacity cell is exactly the
+    salted-join / AQE-skew case (j9).
+
+    Fixture: deterministic planar coordinates (md5-derived meters on a
+    1000 km × 1000 km plane — projected coordinates, so distance² is
+    EXACT integer arithmetic; no trig, no cross-engine float risk),
+    radius 5 km = one cell width. The oracle replays coordinates, the
+    9-cell expansion, and the exact filter, so the hash proves the
+    bucketing loses no pair (the recall-1.0 guarantee the 3×3 expansion
+    exists for) and fabricates none."""
+    c = _t(spark, sf_dir, "customer")
+    cell = 5000
+    r2 = 5000 * 5000
+
+    def h(col, salt):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        h(F.col("c_custkey"), "|x").alias("x"),
+        h(F.col("c_custkey"), "|y").alias("y"),
+    )
+    offs = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    probe = pts.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.floor(F.col("x") / cell) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("y") / cell) + F.col("dy")).alias("cy"),
+    )
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / cell).alias("cx"),
+        F.floor(F.col("y") / cell).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (d2 <= r2))
+        .select("id_a", "id_b", d2.cast("long").alias("dist2_m2"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "ext_mm_phash_neardup",
+    oracle="""
+        WITH ids AS (
+            SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS odd
+            FROM documents WHERE doc_id < 64
+        ), n16 AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS v),
+        chans AS (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c),
+        px AS (
+            SELECT i.doc_id, x.v AS x, y.v AS y, c.c,
+                   (x.v * (i.g % 5 + 1) + y.v * (i.g % 7 + 1) + 85 * c.c) % 256
+                   + CASE WHEN i.odd = 1 AND y.v = 0 AND c.c = 0 AND x.v = 0
+                          THEN 1
+                          WHEN i.odd = 1 AND y.v = 0 AND c.c = 0 AND x.v = 1
+                          THEN -1 ELSE 0 END AS p
+            FROM ids i JOIN n16 x ON TRUE JOIN n16 y ON TRUE
+            JOIN chans c ON TRUE
+        ), blocks AS (
+            SELECT doc_id, (y // 2) * 8 + (x // 2) AS bi, SUM(p) AS s
+            FROM px GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, SUM(s) AS t FROM blocks GROUP BY 1
+        ), bits AS (
+            SELECT b.doc_id, b.bi,
+                   CASE WHEN 64 * b.s > t.t THEN 1 ELSE 0 END AS bit
+            FROM blocks b JOIN tot t USING (doc_id)
+        ), ham AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+            FROM bits a
+            JOIN bits b ON a.bi = b.bi AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(hamming AS INT) AS hamming,
+               (id_a // 2 = id_b // 2) AS planted_pair
+        FROM ham WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """,
+)
+def ext_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate detection — the multimodal
+    member of the dedup family: byte-level dedup (ext_dedup_exact)
+    misses a re-encoded or one-pixel-retouched image entirely; aHash
+    fingerprints survive such edits, so near-dup detection becomes
+    Hamming search over 64-bit hashes, exactly like ext_simhash_pairs
+    but with the REAL PNG decode path (operators/multimodal.
+    phash_images) in front. The fixture plants byte-different /
+    perceptually-identical pairs (2k, 2k+1): ±1 on two pixels of one
+    aHash block leaves the hash untouched — hash distance 0, byte
+    distance > 0 — while distinct groups carry distinct gradient
+    structures.
+
+    Scale shape: candidates come from the Manku pigeonhole equi-join on
+    4×16-bit hash chunks (distance ≤ 3 ⇒ at least one chunk equal), so
+    the join is (chunk_idx, value)-keyed — never all-pairs — and the
+    exact XOR-popcount Hamming runs only inside candidate buckets. The
+    oracle computes Hamming over ALL pairs arithmetically (decode
+    replayed from the id-derived pixels), proving the chunk pruning
+    lost no pair ≤ 3 and fabricated none."""
+    from bigdatacw1_spark.operators.multimodal import (
+        phash_images,
+        synth_png_phash_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    hashed = phash_images(synth_png_phash_corpus(docs)).localCheckpoint(eager=False)
+    chunks = hashed.select(
+        "doc_id",
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("j", "chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .withColumn(
+            "planted_pair",
+            (F.floor(F.col("id_a") / 2) == F.floor(F.col("id_b") / 2)),
+        )
+        .orderBy("id_a", "id_b")
+    )

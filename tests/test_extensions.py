@@ -1302,3 +1302,18 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert (r["a"], r["b"]) == (1, 2)
     assert r["containment"] == 1.0
     assert r["jaccard"] < 0.5
+
+
+def test_phash_planted_pairs_all_found_at_distance_zero(spark):
+    """The perceptual-dedup contract: every planted byte-different /
+    perceptually-identical pair (2k, 2k+1) must surface with Hamming
+    distance EXACTLY 0 — the ±1/∓1 perturbation lives inside one aHash
+    block, so any nonzero distance means the block math or bit packing
+    drifted."""
+    from bigdatacw1_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["ext_mm_phash_neardup"].fn(spark, SF_SMALL).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    for k in range(32):
+        assert got.get((2 * k, 2 * k + 1)) == 0, (2 * k, 2 * k + 1)
