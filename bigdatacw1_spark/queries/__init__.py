@@ -151,7 +151,7 @@ ROUND10_WINDOW: list[str] = [
     "ev_theil_sen", "wh_ivm_minmax_delta", "ext_ngram_novelty",
     "ext_metadata_mi", "ext_mm_scene_cut", "j16_null_safe_join",
     "p12_not_in_subquery_nulls", "a19_boolean_aggs", "ext_grid_proximity_join",
-    "ext_mm_phash_neardup",
+    "ext_mm_phash_neardup", "w10_interval_range_frame", "f33_parse_url",
 ]
 
 

@@ -2743,3 +2743,104 @@ def a19_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "w10_interval_range_frame",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cents_7d
+        FROM daily
+        ORDER BY user_id, day
+    """,
+)
+def w10_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame — the rolling-7-days-of-VALUE
+    frame, distinct from w6's numeric RANGE and from ROWS frames: the
+    frame is defined by the ORDER key's TIME distance, so gaps in the
+    calendar shrink the window (a ROWS 7 frame would silently reach
+    back weeks across a gap — the classic rolling-metric bug). PySpark's
+    Window.rangeBetween only takes numeric offsets, so this goes through
+    the SQL surface (`RANGE BETWEEN INTERVAL 6 DAYS PRECEDING`), which
+    Catalyst plans as the same single-pass running frame: one shuffle on
+    user_id, no self-join (the naive equivalent is a range self-join —
+    quadratic in events-per-user)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).createOrReplaceTempView("__w10_daily")
+    return spark.sql(
+        """
+        SELECT user_id, day,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cents_7d
+        FROM __w10_daily
+        ORDER BY user_id, day
+        """
+    )
+
+
+@q(
+    "f33_parse_url",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://www.example' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?q=' || CAST(doc_id % 5 AS VARCHAR)
+                   || '&utm_source=feed#sec' || CAST(doc_id % 3 AS VARCHAR)
+                   AS url
+            FROM documents
+        )
+        SELECT REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)', 1) AS host,
+               REGEXP_EXTRACT(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+               REGEXP_EXTRACT(url, '[?&]q=([^&#]*)', 1) AS q_param,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM u
+        GROUP BY 1, 2, 3
+        ORDER BY host, path
+    """,
+)
+def f33_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url scalar family — structured URL decomposition (HOST /
+    PATH / single QUERY parameter) as the built-in JVM expression, the
+    routing primitive under ext_url_canonicalize and ext_domain_cap:
+    at crawl scale this runs in whole-stage codegen, where a Python
+    urlparse UDF would serialize every row. Fixture URLs are id-derived
+    so the oracle regex-decomposes the identical strings; grouping by
+    the parsed parts proves each component round-trips exactly (a
+    host/path/query confusion collapses groups and flips the hash)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_source=feed#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    u = d.select(url.alias("url"))
+    return (
+        u.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        )
+        .groupBy("host", "path", "q_param")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("host", "path")
+    )
