@@ -9175,3 +9175,113 @@ def ext_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@q(
+    "ext_phash_admission",
+    oracle="""
+        WITH ids AS (
+            SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS odd
+            FROM documents WHERE doc_id < 64
+        ), n16 AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS v),
+        chans AS (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c),
+        px AS (
+            SELECT i.doc_id, x.v AS x, y.v AS y, c.c,
+                   (x.v * (i.g % 5 + 1) + y.v * (i.g % 7 + 1) + 85 * c.c) % 256
+                   + CASE WHEN i.odd = 1 AND y.v = 0 AND c.c = 0 AND x.v = 0
+                          THEN 1
+                          WHEN i.odd = 1 AND y.v = 0 AND c.c = 0 AND x.v = 1
+                          THEN -1 ELSE 0 END AS p
+            FROM ids i JOIN n16 x ON TRUE JOIN n16 y ON TRUE
+            JOIN chans c ON TRUE
+        ), blocks AS (
+            SELECT doc_id, (y // 2) * 8 + (x // 2) AS bi, SUM(p) AS s
+            FROM px GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, SUM(s) AS t FROM blocks GROUP BY 1
+        ), bits AS (
+            SELECT b.doc_id, b.bi,
+                   CASE WHEN 64 * b.s > t.t THEN 1 ELSE 0 END AS bit
+            FROM blocks b JOIN tot t USING (doc_id)
+        ), ham AS (
+            SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+                   SUM(CASE WHEN b.bit <> i.bit THEN 1 ELSE 0 END) AS hamming
+            FROM bits b
+            JOIN bits i ON b.bi = i.bi AND b.doc_id >= 48 AND i.doc_id < 48
+            GROUP BY 1, 2
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(CASE WHEN h.hamming <= 3 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_conflicts,
+               COALESCE(SUM(CASE WHEN h.hamming <= 3 THEN 1 ELSE 0 END), 0) = 0
+                   AS admitted
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 48 AND doc_id < 64) d
+        LEFT JOIN ham h ON h.batch_id = d.doc_id
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def ext_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental IMAGE admission — the multimodal twin of
+    ext_incremental_admission (text LSH) and the shape a 100 TB ingest
+    actually runs: the CORPUS's perceptual-hash chunk index is
+    precomputable and persisted (here: ids < 48); each NEW batch
+    (ids 48–63) computes its own hashes, probes the index with one
+    (chunk_idx, value) equi-join, XOR-popcounts only the candidates, and
+    is admitted iff no index image sits within Hamming ≤ 3 — cost linear
+    in the BATCH, never corpus-quadratic, and the Manku pigeonhole
+    guarantees no conflict escapes the probe. Output: per batch image
+    the count of index conflicts and the admission verdict. The oracle
+    counts conflicts over ALL batch×index pairs arithmetically, so the
+    hash proves the chunk probe found every conflict (recall 1.0) and
+    invented none."""
+    from bigdatacw1_spark.operators.multimodal import (
+        phash_images,
+        synth_png_phash_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    hashed = phash_images(synth_png_phash_corpus(docs)).localCheckpoint(eager=False)
+    index = hashed.where(F.col("doc_id") < 48)
+    batch = hashed.where(F.col("doc_id") >= 48)
+
+    def chunks(df, name):
+        return df.select(
+            F.col("doc_id").alias(name),
+            F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("j", "chunk"),
+        )
+
+    cand = (
+        chunks(batch, "batch_id")
+        .join(chunks(index, "index_id"), ["j", "chunk"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    hb = batch.select(
+        F.col("doc_id").alias("batch_id"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+    )
+    hi = index.select(
+        F.col("doc_id").alias("index_id"),
+        *[F.col(f"c{j}").alias(f"i{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"b{j}").bitwiseXOR(F.col(f"i{j}"))) for j in range(4)
+    )
+    conflicts = (
+        cand.join(hb, "batch_id")
+        .join(F.broadcast(hi), "index_id")
+        .where(hamming <= 3)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return (
+        batch.select(F.col("doc_id"))
+        .join(F.broadcast(conflicts), F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_conflicts"),
+            (F.coalesce(F.col("nc"), F.lit(0)) == 0).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
