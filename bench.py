@@ -233,7 +233,8 @@ def best_of_two() -> int:
 
     results = []
     errors = []
-    for i in range(2):
+
+    def run_attempt(i: int) -> None:
         # Wait for quiet before EVERY attempt, not just the first: attempt 2
         # starts while attempt 1's 32-thread load is still decaying, and
         # three consecutive r6 investigation runs showed attempt 2 slower
@@ -259,10 +260,28 @@ def best_of_two() -> int:
                 {"attempt": i, "rc": proc.returncode, "stderr_tail": proc.stderr[-800:]}
             )
             sys.stderr.write(proc.stderr[-2000:])
+
+    def pick():
+        """Fastest CLEAN attempt, but only if it is also within 15% of the
+        global min: a clean attempt 1.3-1.5× slower than a flagged one is
+        the documented process-level pathology wearing a clean sentinel
+        (observed: clean 13.0 vs contended 10.5 on an idle box), and
+        emitting it misrepresents the engine."""
+        clean = [r for r in results if not r.get("sentinel", {}).get("contended")]
+        gmin = min(r["value"] for r in results)
+        ok = [r for r in clean if r["value"] <= 1.15 * gmin]
+        return min(ok, key=lambda r: r["value"]) if ok else None
+
+    for i in range(2):
+        run_attempt(i)
+    if results and pick() is None:
+        # Disagreement (no clean attempt near the min): one tie-breaker
+        # attempt rather than shipping either a flagged or a pathological
+        # number. P(all three bad) is what makes the trend trustworthy.
+        run_attempt(2)
     if not results:
         return 1
-    clean = [r for r in results if not r.get("sentinel", {}).get("contended")]
-    best = min(clean or results, key=lambda r: r["value"])
+    best = pick() or min(results, key=lambda r: r["value"])
     best["attempts"] = [r["value"] for r in results]
     best["attempts_contended"] = [
         bool(r.get("sentinel", {}).get("contended")) for r in results
