@@ -218,6 +218,19 @@ def main() -> int:
     return 0
 
 
+def _pick_best(results: list[dict]) -> dict | None:
+    """Fastest CLEAN attempt, but only if it is also within 15% of the
+    global min: a clean attempt 1.3-1.5× slower than a flagged one is
+    the documented process-level pathology wearing a clean sentinel
+    (observed: clean 13.0 vs contended 10.5 on an idle box), and
+    emitting it misrepresents the engine. None = no attempt qualifies
+    (caller runs a tie-breaker attempt)."""
+    clean = [r for r in results if not r.get("sentinel", {}).get("contended")]
+    gmin = min(r["value"] for r in results)
+    ok = [r for r in clean if r["value"] <= 1.15 * gmin]
+    return min(ok, key=lambda r: r["value"]) if ok else None
+
+
 def best_of_two() -> int:
     """Parent mode: run the suite twice in fresh subprocesses and emit the
     best attempt. "Best" consults each attempt's sentinel (ADVICE r5): the
@@ -261,27 +274,16 @@ def best_of_two() -> int:
             )
             sys.stderr.write(proc.stderr[-2000:])
 
-    def pick():
-        """Fastest CLEAN attempt, but only if it is also within 15% of the
-        global min: a clean attempt 1.3-1.5× slower than a flagged one is
-        the documented process-level pathology wearing a clean sentinel
-        (observed: clean 13.0 vs contended 10.5 on an idle box), and
-        emitting it misrepresents the engine."""
-        clean = [r for r in results if not r.get("sentinel", {}).get("contended")]
-        gmin = min(r["value"] for r in results)
-        ok = [r for r in clean if r["value"] <= 1.15 * gmin]
-        return min(ok, key=lambda r: r["value"]) if ok else None
-
     for i in range(2):
         run_attempt(i)
-    if results and pick() is None:
+    if results and _pick_best(results) is None:
         # Disagreement (no clean attempt near the min): one tie-breaker
         # attempt rather than shipping either a flagged or a pathological
         # number. P(all three bad) is what makes the trend trustworthy.
         run_attempt(2)
     if not results:
         return 1
-    best = pick() or min(results, key=lambda r: r["value"])
+    best = _pick_best(results) or min(results, key=lambda r: r["value"])
     best["attempts"] = [r["value"] for r in results]
     best["attempts_contended"] = [
         bool(r.get("sentinel", {}).get("contended")) for r in results
