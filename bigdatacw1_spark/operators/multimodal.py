@@ -1915,3 +1915,90 @@ def phash_images(
             )
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def synth_wav_vad_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic speech-shaped WAV fixture for voice-activity tests:
+    per id, 200 mono PCM samples (10 frames of 20) at 8 kHz where frame
+    f is SILENT when (id·13 + f) % 3 == 0 — samples (id + j) % 7 − 3,
+    |x| ≤ 3, frame energy ≤ 180 — and VOICED otherwise — samples
+    ((id·31 + j·7) % 4000) + 500, energy ≥ 5·10⁶. The 4 orders of
+    magnitude between the two bands make any energy threshold in
+    [10³, 10⁶] classify identically, so the oracle replays the frame
+    verdicts from the id arithmetic alone."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            samples = []
+            for j in range(200):
+                f = j // 20
+                if (i * 13 + f) % 3 == 0:
+                    samples.append((i + j) % 7 - 3)
+                else:
+                    samples.append(((i * 31 + j * 7) % 4000) + 500)
+            return encode_wav(8000, 1, samples)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    media: DataFrame,
+    frame_len: int = 20,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL WAV decode → per-frame integer energy (Σx² over each
+    ``frame_len``-sample frame; a ragged tail frame keeps its actual
+    sample count): the framing primitive under VAD/silence-trimming,
+    emitted as one row per frame exactly like decode_video_frames emits
+    one row per sampled frame — downstream detectors stay in JVM window
+    functions. Integer energies, so the SQL oracle replays them
+    exactly."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, fids, ns, es = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _sr, _ch, samples = decode_wav(bytes(payload))
+                arr = np.asarray(samples, dtype=np.int64)
+                for f in range(0, len(arr), frame_len):
+                    frame = arr[f : f + frame_len]
+                    ids.append(doc_id)
+                    fids.append(f // frame_len)
+                    ns.append(len(frame))
+                    es.append(int((frame * frame).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(fids, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "energy": pd.array(es, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, schema=AUDIO_FRAME_SCHEMA
+    )

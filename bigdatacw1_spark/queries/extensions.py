@@ -9285,3 +9285,94 @@ def ext_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_mm_vad",
+    oracle="""
+        WITH ids AS (
+            SELECT doc_id FROM documents WHERE doc_id < 64
+        ), fr AS (
+            SELECT i.doc_id, g.g AS f,
+                   ((i.doc_id * 13 + g.g) % 3 = 0) AS silent
+            FROM ids i JOIN (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS g) g
+              ON TRUE
+        ), runs AS (
+            SELECT doc_id, f, silent,
+                   f - ROW_NUMBER() OVER (PARTITION BY doc_id, silent
+                                          ORDER BY f) AS grp
+            FROM fr
+        ), sil_runs AS (
+            SELECT doc_id, COUNT(*) AS run_len
+            FROM runs WHERE silent GROUP BY doc_id, grp
+        )
+        SELECT fr.doc_id,
+               CAST(10 AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN fr.silent THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_voiced,
+               FLOOR(CAST(SUM(CASE WHEN fr.silent THEN 1 ELSE 0 END) AS DOUBLE)
+                     / 10 * 10000.0 + 0.5) / 10000.0 AS silence_ratio,
+               CAST(COALESCE((SELECT MAX(run_len) FROM sil_runs s
+                              WHERE s.doc_id = fr.doc_id), 0) AS INT)
+                   AS longest_silence_run
+        FROM fr
+        GROUP BY fr.doc_id
+        ORDER BY fr.doc_id
+    """,
+)
+def ext_mm_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection / silence profiling — the first pass a
+    SPEECH training pipeline runs so training clips cover talk, not
+    room tone (and the trim point for ASR segmentation): REAL WAV
+    decode → 20-sample frames with integer Σx² energy
+    (operators/multimodal.audio_frame_energy, one row per frame like
+    the video path) → energy-threshold voiced/silent verdicts → per
+    clip the silence ratio and the LONGEST silence run via
+    gaps-and-islands (frame_idx − row_number per verdict), all in JVM
+    window functions. The fixture's silent/voiced frame energies sit 4
+    orders of magnitude apart, so the oracle replays the verdicts from
+    the id arithmetic alone — decoder, framing, threshold and
+    run-length logic all inside the hash."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_wav_vad_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    frames = audio_frame_energy(synth_wav_vad_corpus(docs), frame_len=20)
+    flagged = frames.select(
+        "doc_id", "frame_idx", (F.col("energy") <= 10_000).alias("silent")
+    )
+    grp = F.col("frame_idx") - F.row_number().over(
+        Window.partitionBy("doc_id", "silent").orderBy("frame_idx")
+    )
+    runs = (
+        flagged.where(F.col("silent"))
+        .withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum((~F.col("silent")).cast("long")).cast("long").alias("n_voiced"),
+        stable_round(
+            F.sum(F.col("silent").cast("double")) / F.count(F.lit(1)), 4
+        ).alias("silence_ratio"),
+    )
+    return (
+        per_doc.join(F.broadcast(runs), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_voiced",
+            "silence_ratio",
+            F.coalesce(F.col("longest"), F.lit(0)).cast("int").alias(
+                "longest_silence_run"
+            ),
+        )
+        .orderBy("doc_id")
+    )
