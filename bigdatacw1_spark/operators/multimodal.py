@@ -2002,3 +2002,89 @@ def audio_frame_energy(
     return media.select(id_col, payload_col).mapInPandas(
         batches, schema=AUDIO_FRAME_SCHEMA
     )
+
+
+def synth_png_letterbox_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic letterboxed-image fixture: 16×16 RGB PNGs whose
+    outer ``id % 4`` rows (top AND bottom) and ``(id // 4) % 4`` columns
+    (left AND right) are BLACK (value id % 2 — 0 or 1, sub-threshold),
+    with a bright deterministic interior ((x·3 + y·5 + id + 85·c) % 200
+    + 56, always ≥ 56) — so the true border widths are pure id
+    arithmetic and any edge-detection off-by-one shows up as a wrong
+    width."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            bw_r, bw_c = i % 4, (i // 4) % 4
+            dark = i % 2
+            px = bytearray()
+            for y in range(16):
+                for x in range(16):
+                    border = y < bw_r or y >= 16 - bw_r or x < bw_c or x >= 16 - bw_c
+                    for c in range(3):
+                        px.append(dark if border else (x * 3 + y * 5 + i + 85 * c) % 200 + 56)
+            return encode_png(16, 16, 3, bytes(px))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("axis", T.StringType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("intensity_sum", T.LongType()),
+    ]
+)
+
+
+def image_row_col_profile(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode → per-ROW and per-COLUMN integer intensity sums
+    (channel-summed), one output row per scanline per axis — the
+    projection-profile primitive under letterbox/pillarbox crop
+    detection, skew estimation, and blank-page screening. Integer sums,
+    so a SQL oracle replays them exactly; downstream detectors stay in
+    JVM aggregations."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, axes, idxs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, px = decode_image(bytes(payload))
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                    .sum(axis=2)
+                )
+                for y in range(h):
+                    ids.append(doc_id); axes.append("row"); idxs.append(y)
+                    sums.append(int(arr[y, :].sum()))
+                for x in range(w):
+                    ids.append(doc_id); axes.append("col"); idxs.append(x)
+                    sums.append(int(arr[:, x].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "axis": axes,
+                    "idx": pd.array(idxs, dtype="int32"),
+                    "intensity_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=PROFILE_SCHEMA)

@@ -152,7 +152,7 @@ ROUND10_WINDOW: list[str] = [
     "ext_metadata_mi", "ext_mm_scene_cut", "j16_null_safe_join",
     "p12_not_in_subquery_nulls", "a19_boolean_aggs", "ext_grid_proximity_join",
     "ext_mm_phash_neardup", "w10_interval_range_frame", "f33_parse_url",
-    "ext_phash_admission", "ext_mm_vad",
+    "ext_phash_admission", "ext_mm_vad", "ext_mm_letterbox_crop",
 ]
 
 

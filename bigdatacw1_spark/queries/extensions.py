@@ -9376,3 +9376,96 @@ def ext_mm_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_mm_letterbox_crop",
+    oracle="""
+        WITH ids AS (
+            SELECT doc_id, doc_id % 4 AS bw_r, (doc_id // 4) % 4 AS bw_c,
+                   doc_id % 2 AS dark
+            FROM documents WHERE doc_id < 64
+        ), n16 AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS v),
+        px AS (
+            SELECT i.doc_id, x.v AS x, y.v AS y,
+                   CASE WHEN y.v < i.bw_r OR y.v >= 16 - i.bw_r
+                          OR x.v < i.bw_c OR x.v >= 16 - i.bw_c
+                        THEN 3 * i.dark
+                        ELSE (x.v * 3 + y.v * 5 + i.doc_id) % 200 + 56
+                           + (x.v * 3 + y.v * 5 + i.doc_id + 85) % 200 + 56
+                           + (x.v * 3 + y.v * 5 + i.doc_id + 170) % 200 + 56
+                   END AS inten
+            FROM ids i JOIN n16 x ON TRUE JOIN n16 y ON TRUE
+        ), rowp AS (
+            SELECT doc_id, y AS idx, SUM(inten) AS s FROM px GROUP BY 1, 2
+        ), colp AS (
+            SELECT doc_id, x AS idx, SUM(inten) AS s FROM px GROUP BY 1, 2
+        ), rb AS (
+            SELECT doc_id,
+                   MIN(CASE WHEN s > 500 THEN idx END) AS first_bright,
+                   MAX(CASE WHEN s > 500 THEN idx END) AS last_bright
+            FROM rowp GROUP BY 1
+        ), cb AS (
+            SELECT doc_id,
+                   MIN(CASE WHEN s > 500 THEN idx END) AS first_bright,
+                   MAX(CASE WHEN s > 500 THEN idx END) AS last_bright
+            FROM colp GROUP BY 1
+        )
+        SELECT rb.doc_id,
+               CAST(rb.first_bright AS INT) AS top_px,
+               CAST(15 - rb.last_bright AS INT) AS bottom_px,
+               CAST(cb.first_bright AS INT) AS left_px,
+               CAST(15 - cb.last_bright AS INT) AS right_px,
+               CAST(cb.last_bright - cb.first_bright + 1 AS INT) AS crop_w,
+               CAST(rb.last_bright - rb.first_bright + 1 AS INT) AS crop_h
+        FROM rb JOIN cb USING (doc_id)
+        ORDER BY rb.doc_id
+    """,
+)
+def ext_mm_letterbox_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox / pillarbox crop detection — the vision-preprocessing
+    pass that keeps black bars out of image training crops (and CLIP
+    embeddings): REAL PNG decode → per-row/per-column integer intensity
+    projection profiles (operators/multimodal.image_row_col_profile) →
+    first/last bright scanline per axis gives the four border widths
+    and the content crop box, all in one JVM aggregation over the
+    profile rows. The fixture plants exact border widths (id%4 rows,
+    (id//4)%4 cols, dark value id%2) around a bright interior with a
+    >30× intensity margin, and the oracle replays pixels → profiles →
+    detection, so decoder, projection and edge logic are all inside
+    the hash."""
+    from bigdatacw1_spark.operators.multimodal import (
+        image_row_col_profile,
+        synth_png_letterbox_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    prof = image_row_col_profile(synth_png_letterbox_corpus(docs))
+    bright_idx = F.when(F.col("intensity_sum") > 500, F.col("idx"))
+    edges = prof.groupBy("doc_id", "axis").agg(
+        F.min(bright_idx).alias("first_bright"),
+        F.max(bright_idx).alias("last_bright"),
+    )
+    rows = edges.where(F.col("axis") == "row").select(
+        "doc_id",
+        F.col("first_bright").alias("rf"),
+        F.col("last_bright").alias("rl"),
+    )
+    cols = edges.where(F.col("axis") == "col").select(
+        "doc_id",
+        F.col("first_bright").alias("cf"),
+        F.col("last_bright").alias("cl"),
+    )
+    return (
+        rows.join(cols, "doc_id")
+        .select(
+            "doc_id",
+            F.col("rf").cast("int").alias("top_px"),
+            (F.lit(15) - F.col("rl")).cast("int").alias("bottom_px"),
+            F.col("cf").cast("int").alias("left_px"),
+            (F.lit(15) - F.col("cl")).cast("int").alias("right_px"),
+            (F.col("cl") - F.col("cf") + 1).cast("int").alias("crop_w"),
+            (F.col("rl") - F.col("rf") + 1).cast("int").alias("crop_h"),
+        )
+        .orderBy("doc_id")
+    )
