@@ -186,6 +186,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "sf": sf,
         "queries_detail": detail,
         "method": f"min-of-{n_runs}; first run per query is cold (see runs[0])",
         # r5 drift investigation (VERDICT r4 #9): three back-to-back idle
@@ -212,10 +213,70 @@ def main() -> int:
             "load1_threshold": round(load_thresh, 2),
             "contended": contended,
         },
-        "sf": sf,
     }
-    print(json.dumps(out))
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        # Parent parses this via subprocess stdout — no size limit there.
+        print(json.dumps(out))
+    else:
+        # ONESHOT: same sidecar + compact-final-line contract as the
+        # best-of-two parent, so a driver running either mode parses.
+        _emit(out, all_attempts=[out])
     return 0
+
+
+DETAIL_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_DETAIL.json")
+
+# Keys kept on the FINAL stdout line. The round driver captures only the
+# LAST 2000 characters of stdout (verified round 6: the r5 line was 1,936
+# chars and parsed; the r6 line grew past 2,000, the head fell off the
+# capture window, and BENCH_r06.json recorded "parsed": null — the round's
+# clean 9.493s attempt never formally registered). Everything else
+# (queries_detail, method/notes, full sentinel probes, attempt errors)
+# goes to the BENCH_DETAIL.json sidecar, which carries ALL attempts, not
+# just the winner. tests/test_bench_policy.py pins the final line < 1500
+# chars with the live headline query set.
+FINAL_LINE_BUDGET = 1500
+
+
+def _compact_line(best: dict) -> dict:
+    """Project the winning attempt onto the driver-facing final line:
+    metric/value/unit/queries(mins)/sf + the two decision-relevant
+    sentinel facts + the attempt history. Notes and per-run detail live
+    in the sidecar."""
+    sent = best.get("sentinel", {})
+    out = {
+        "metric": best["metric"],
+        "value": best["value"],
+        "unit": best["unit"],
+        "queries": best["queries"],
+        "sf": best.get("sf"),
+        "sentinel": {
+            "contended": sent.get("contended"),
+            "load1_pre_spark": sent.get("load1_pre_spark"),
+        },
+    }
+    for k in ("attempts", "attempts_contended"):
+        if k in best:
+            out[k] = best[k]
+    return out
+
+
+def _emit(best: dict, all_attempts: list[dict] | None = None) -> None:
+    """Write the full record (winner + every attempt) to the sidecar,
+    then print the compact driver-facing line LAST."""
+    sidecar = dict(best)
+    if all_attempts is not None:
+        sidecar["all_attempts"] = all_attempts
+    with open(DETAIL_SIDECAR, "w") as f:
+        json.dump(sidecar, f, indent=1)
+    line = json.dumps(_compact_line(best))
+    if len(line) >= FINAL_LINE_BUDGET:  # pragma: no cover - tripwire
+        sys.stderr.write(
+            f"bench: WARNING final line {len(line)} chars >= {FINAL_LINE_BUDGET};"
+            " driver capture may truncate it\n"
+        )
+    print(line)
 
 
 def _pick_best(results: list[dict]) -> dict | None:
@@ -243,6 +304,10 @@ def best_of_two() -> int:
     import subprocess
 
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
+    # ONE deadline shared by every attempt (ADVICE r6): a per-attempt
+    # budget could stall ~3× the intended bound on a loaded box before
+    # anything is emitted. Total quiet-wait stall is now <= wait_budget.
+    wait_deadline = time.monotonic() + wait_budget
 
     results = []
     errors = []
@@ -252,8 +317,10 @@ def best_of_two() -> int:
         # starts while attempt 1's 32-thread load is still decaying, and
         # three consecutive r6 investigation runs showed attempt 2 slower
         # AND contended every time (12.9/13.4/13.3 vs 10.2/11.2/11.1)
-        # until this wait was added.
-        load_after_wait = _wait_for_quiet(max_wait_sec=wait_budget)
+        # until this wait was added. Each call spends only what remains of
+        # the shared budget.
+        remaining = max(0.0, wait_deadline - time.monotonic())
+        load_after_wait = _wait_for_quiet(max_wait_sec=remaining)
         env = dict(
             os.environ,
             SPARK_GRAFT_BENCH_CHILD="1",
@@ -290,7 +357,7 @@ def best_of_two() -> int:
     ]
     if errors:
         best["attempt_errors"] = errors
-    print(json.dumps(best))
+    _emit(best, all_attempts=results)
     return 0
 
 

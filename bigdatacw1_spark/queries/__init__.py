@@ -75,8 +75,6 @@ ROUND6_WINDOW = [
     "ext_ann_lsh_topk", "ext_ann_multiprobe", "ext_ann_ivf_topk",
 ]
 
-_DRIVER_WINDOW = _ANCHORS + ROUND6_WINDOW
-
 # ---------------------------------------------------------------------------
 # Staged future rotations. Together with the 230 entries driver-checked by
 # the end of round 6, these cover the entire registry; entries ADDED during
@@ -154,6 +152,10 @@ ROUND10_WINDOW: list[str] = [
     "ext_mm_phash_neardup", "w10_interval_range_frame", "f33_parse_url",
     "ext_phash_admission", "ext_mm_vad", "ext_mm_letterbox_crop",
 ]
+
+# Round 7 live window (swapped in as the first commit of round 7, per the
+# round-6 verdict; ROUND7_WINDOW was pre-verified at sf0.01 in round 6).
+_DRIVER_WINDOW = _ANCHORS + ROUND7_WINDOW
 
 
 def _rotate_registry() -> None:
