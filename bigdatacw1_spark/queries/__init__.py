@@ -151,6 +151,8 @@ ROUND10_WINDOW: list[str] = [
     "p12_not_in_subquery_nulls", "a19_boolean_aggs", "ext_grid_proximity_join",
     "ext_mm_phash_neardup", "w10_interval_range_frame", "f33_parse_url",
     "ext_phash_admission", "ext_mm_vad", "ext_mm_letterbox_crop",
+    # round-7 additions
+    "wh_ivm_minmax_full",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

@@ -9,6 +9,8 @@ tests instead (tests/test_extensions.py).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # needed at module scope so pandas-UDF type hints resolve
 
 from pyspark.sql import DataFrame, SparkSession
@@ -8538,10 +8540,12 @@ def ext_jsonl_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently dropped and never poisoning the batch. The entry round-trips
     each document through a JSON record (to_json), truncates the records
     of doc_id%13=0 by one byte (the classic mid-write cut), and parses
-    everything back with from_json — Spark's PERMISSIVE path yields
-    all-NULL fields for the malformed records, so ``n_chars IS NULL`` on
-    a field that is never null in well-formed data is the corrupt
-    marker. One narrow scan + one hash agg per source; the oracle
+    everything back with from_json — corruption is flagged EXPLICITLY via
+    ``columnNameOfCorruptRecord`` (the malformed input text lands in a
+    dedicated struct field, null iff the record parsed), not inferred
+    from a data field coming back NULL, so a future Spark change to
+    PERMISSIVE partial-result behavior cannot silently flip the counts
+    (ADVICE r6). One narrow scan + one hash agg per source; the oracle
     recomputes the audit arithmetically from the corruption rule, so the
     hash asserts the PARSER actually recovered every well-formed record
     and flagged every truncated one (a parser that limps past the cut or
@@ -8551,9 +8555,18 @@ def ext_jsonl_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated = F.when(
         F.col("doc_id") % 13 == 0, F.substring(js, 1, F.length(js) - F.lit(1))
     ).otherwise(js)
-    parsed = F.from_json(truncated, "doc_id bigint, lang string, n_chars bigint")
+    parsed = F.from_json(
+        truncated,
+        "doc_id bigint, lang string, n_chars bigint, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    is_corrupt = parsed["_corrupt"].isNotNull()
     flagged = d.select(
-        "source", parsed["n_chars"].isNull().alias("is_corrupt"), parsed["n_chars"].alias("rec_chars")
+        "source",
+        is_corrupt.alias("is_corrupt"),
+        # n_chars only counts for records the parser accepted — a partial
+        # result on a corrupt record must never leak into the recovery sum.
+        F.when(~is_corrupt, parsed["n_chars"]).alias("rec_chars"),
     )
     return (
         flagged.groupBy("source")
@@ -8636,7 +8649,10 @@ def ext_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         if mx == mn:
             return mn
         st = (mx - mn) / 255.0
-        return mn + round((x - mn) / st) * st
+        # HALF_UP, matching the corpus side's Spark F.round (ADVICE r6:
+        # Python round() is banker's rounding, so an exact .5 grid tie
+        # would quantize the query differently from its own corpus copy).
+        return mn + math.floor((x - mn) / st + 0.5) * st
 
     qrec = [_recon_q(j, qvec[j]) for j in range(dim)]
     qnorm = sum(v * v for v in qrec) ** 0.5

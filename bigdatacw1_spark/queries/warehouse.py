@@ -2299,6 +2299,11 @@ def wh_ivm_joinagg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-process guard so the bucket-artifact cleanup hook registers once
+# per application directory (wh_bucketed_colocated_join).
+_BUCKET_CLEANUP_REGISTERED: set[str] = set()
+
+
 @q(
     "wh_bucketed_colocated_join",
     oracle="""
@@ -2323,14 +2328,25 @@ def wh_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     final presentation sort (gated by
     tests/test_plans.py::test_bucketed_join_plan_has_no_hash_exchange).
 
-    Bucket files live under /tmp (external-table path) keyed by the sf
-    tag, so repeated runs overwrite idempotently and different SFs never
-    collide; the oracle computes the same rollup from the raw parquet,
-    proving the bucketed round-trip is lossless."""
+    Bucket files live under a per-application temp path keyed by
+    (application id, sf tag), so repeated runs in one session overwrite
+    idempotently while two concurrent sessions on the same SF can never
+    clobber each other's bucket files mid-read (ADVICE r6); the
+    directory and catalog tables are cleaned up at interpreter exit.
+    The oracle computes the same rollup from the raw parquet, proving
+    the bucketed round-trip is lossless."""
+    import atexit
     import os
+    import shutil
+    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/bigdatacw1_bucketed/{tag}"
+    app_id = spark.sparkContext.applicationId.replace("-", "_")
+    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{app_id}"
+    root = os.path.join(tempfile.gettempdir(), "bigdatacw1_bucketed", app_id)
+    base = f"{root}/{tag}"
+    if root not in _BUCKET_CLEANUP_REGISTERED:
+        _BUCKET_CLEANUP_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -3117,6 +3133,129 @@ def wh_ivm_minmax_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         updated.unionAll(born)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("min_cents").cast("long").alias("min_cents"),
+            F.col("max_cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "wh_ivm_minmax_full",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+        inserts AS (SELECT * FROM ev WHERE event_id % 10 = 0),
+        final AS (
+            SELECT * FROM base
+            WHERE NOT (event_id % 7 = 3 AND event_type IN ('click', 'purchase'))
+            UNION ALL
+            SELECT * FROM inserts
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM final GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def wh_ivm_minmax_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX incremental view maintenance under a MIXED insert+delete
+    batch — closes wh_ivm_minmax_delta's documented insert-only caveat
+    (a delete of the current extremum cannot be merged with
+    LEAST/GREATEST because the view holds no runner-up). The standard
+    production answer is the AFFECTED-GROUP RECOUNT this entry
+    implements: the delete batch's DISTINCT group keys (group-key-sized,
+    broadcast) split the view in two —
+
+      * UNAFFECTED groups never touch the base again: they take the
+        insert-only merge path (broadcast insert-delta, LEAST/GREATEST +
+        count add), exactly wh_ivm_minmax_delta;
+      * AFFECTED groups are recounted from base rows SEMI-JOINED on the
+        broadcast key set (at 100 TB with thousands of groups, the semi
+        join prunes the rescan to the touched groups' rows — never a
+        full-view recompute), minus the delete batch's row ids
+        (broadcast anti join; a CDC batch is batch-sized, not
+        base-sized), plus the batch's inserts for those keys.
+
+    Groups whose last row is deleted vanish from the recount naturally;
+    insert-born groups surface on either path. Every join is broadcast
+    (plan-gated: tests/test_plans.py asserts the recount branch carries
+    LeftSemi+LeftAnti broadcast joins and the plan has no shuffle join).
+    The delete rule (event_id%7=3 AND type∈{click,purchase}) is chosen
+    so only 2 of 5 groups are affected AND some deleted rows ARE current
+    extrema — the oracle recomputes (base − deletes) ∪ inserts from
+    scratch, so the value hash proves IVM ≡ recompute including the
+    extremum-poisoning cases the insert-only path cannot merge."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 10 != 0)
+    inserts = ev.where(F.col("event_id") % 10 == 0)
+    deletes = base.where(
+        (F.col("event_id") % 7 == 3) & F.col("event_type").isin("click", "purchase")
+    )
+
+    old_view = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    affected = deletes.select("event_type").distinct()
+    ins_delta = inserts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.min("cents").alias("dmin"),
+        F.max("cents").alias("dmax"),
+    )
+
+    # --- Unaffected groups: insert-only merge, base never rescanned. ---
+    unaff_view = old_view.join(F.broadcast(affected), "event_type", "left_anti")
+    unaff_delta = ins_delta.join(F.broadcast(affected), "event_type", "left_anti")
+    updated = unaff_view.join(F.broadcast(unaff_delta), "event_type", "left").select(
+        "event_type",
+        (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        F.least(
+            F.col("min_cents"), F.coalesce(F.col("dmin"), F.col("min_cents"))
+        ).alias("min_cents"),
+        F.greatest(
+            F.col("max_cents"), F.coalesce(F.col("dmax"), F.col("max_cents"))
+        ).alias("max_cents"),
+    )
+    born = unaff_delta.join(
+        F.broadcast(old_view.select("event_type")), "event_type", "left_anti"
+    ).select(
+        "event_type",
+        F.col("dn").alias("n"),
+        F.col("dmin").alias("min_cents"),
+        F.col("dmax").alias("max_cents"),
+    )
+
+    # --- Affected groups: recount pruned to the touched keys only. ---
+    recount_rows = (
+        base.join(F.broadcast(affected), "event_type", "semi")
+        .join(F.broadcast(deletes.select("event_id")), "event_id", "left_anti")
+        .unionByName(inserts.join(F.broadcast(affected), "event_type", "semi"))
+    )
+    recount = recount_rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+    return (
+        updated.unionByName(born)
+        .unionByName(recount)
+        .where(F.col("n") > 0)
         .select(
             "event_type",
             F.col("n").cast("long").alias("n"),

@@ -65,7 +65,9 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    staged = ROUND7_WINDOW + ROUND8_WINDOW + ROUND9_WINDOW + ROUND10_WINDOW
+    # ROUND7 is the LIVE window this round; ROUND8-10 remain staged.
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND7_WINDOW
+    staged = ROUND8_WINDOW + ROUND9_WINDOW + ROUND10_WINDOW
     for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
@@ -73,7 +75,7 @@ def test_driver_window_and_staged_rotations():
         assert name in REGISTRY, name
         assert name not in _DRIVER_WINDOW, f"{name} staged but already live"
 
-    # r1-r4 driver verdicts + the live r5 window + staged r6-r9 must cover
+    # Past driver verdicts + the live window + staged windows must cover
     # every registry entry — no silent coverage gap.
     checked: set[str] = set()
     repo = pathlib.Path(__file__).resolve().parents[1]

@@ -466,3 +466,19 @@ def test_sql_udf_inlines_python_free(spark):
     assert not has_python_eval(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivm_minmax_full_recount_is_semi_joined_broadcast_only(spark):
+    """Delete-capable MIN/MAX IVM (VERDICT r6 #5): the affected-group
+    recount must scan the base only SEMI-JOINED on the broadcast key set
+    (LeftSemi BroadcastHashJoin), drop the deleted rows with a broadcast
+    LeftAnti on the batch's ids, and never shuffle-join anywhere — a
+    SortMergeJoin/ShuffledHashJoin means either the recount regressed to
+    a full-view recompute or a view-merge side stopped broadcasting."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, "wh_ivm_minmax_full"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan, "recount branch lost its semi-join pruning"
+    assert "LeftAnti" in plan, "delete-id anti join vanished"
