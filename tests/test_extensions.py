@@ -1317,3 +1317,82 @@ def test_phash_planted_pairs_all_found_at_distance_zero(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
     for k in range(32):
         assert got.get((2 * k, 2 * k + 1)) == 0, (2 * k, 2 * k + 1)
+
+
+def test_flac_codec_roundtrip_all_subframe_types():
+    """encode_flac→decode_flac is bit-exact for every subframe type the
+    encoder rotates through (fixed-2, verbatim, LPC, fixed-0, constant),
+    partial last frames, and all four stereo layouts including the three
+    decorrelation modes (left/side, right/side, mid/side)."""
+    from bigdatacw1_spark.operators.multimodal import decode_flac, encode_flac
+
+    for i in (1, 2, 3, 5, 10, 23, 59):
+        sr = (i % 3 + 1) * 16000
+        n = i % 60 + 20
+        samples = (
+            [(i * 13) % 65536 - 32768] * n
+            if i % 5 == 0
+            else [((i * 37 + j * 11) % 65536) - 32768 for j in range(n)]
+        )
+        assert decode_flac(encode_flac(sr, 1, samples)) == (sr, 1, samples)
+
+    left = [((7 * j * j + 13) % 65536) - 32768 for j in range(50)]
+    right = [((3 * j + 999) % 65536) - 32768 for j in range(50)]
+    inter = [v for pair in zip(left, right) for v in pair]
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        assert decode_flac(encode_flac(44100, 2, inter, stereo_mode=mode)) == (
+            44100, 2, inter,
+        )
+
+
+def test_flac_codec_integrity_layers_fail_loudly():
+    """A flipped byte anywhere (header, metadata, frame body) must raise
+    — CRC-8, CRC-16 or the STREAMINFO MD5 catches it — and truncation
+    raises instead of returning partial samples."""
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import decode_flac, encode_flac
+
+    b = bytearray(encode_flac(8000, 1, [((j * 97) % 65536) - 32768 for j in range(40)]))
+    # STREAMINFO MD5 bytes (offset 26-41) and every frame byte (metadata
+    # ends at 50 = magic 4 + STREAMINFO 4+34 + PADDING 4+4) are covered
+    # by an integrity layer; the min/max block/frame-size HINT fields are
+    # not — the real format carries no checksum over them either.
+    for pos in [*range(26, 42), *range(50, len(b))]:
+        c = bytearray(b)
+        c[pos] ^= 0x40
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_flac(bytes(c))
+    with pytest.raises(ValueError):
+        decode_flac(bytes(b[:30]))
+    with pytest.raises(ValueError):
+        decode_flac(b"OggS" + bytes(32))
+
+
+def test_flac_rice_escape_and_partitions_decode():
+    """Decoder generality beyond what the encoder emits: a hand-built
+    residual block using partition order 1 and the escape (raw-bits)
+    code in the second partition must decode to the written values."""
+    from bigdatacw1_spark.operators.multimodal import (
+        _FBitReader,
+        _FBitWriter,
+        _flac_read_residual,
+    )
+
+    w = _FBitWriter()
+    w.write(0b00, 2)   # 4-bit rice params
+    w.write(1, 4)      # partition order 1 → two partitions of n/2
+    # partition 1: rice param 2, predictor order 1 eats one sample → 3 vals
+    w.write(2, 4)
+    for v in (3, -2, 0):
+        z = (v << 1) if v >= 0 else (-(v << 1) - 1)
+        w.write(1, (z >> 2) + 1)        # unary quotient
+        w.write(z & 3, 2)               # remainder
+    # partition 2: ESCAPE code, 6 raw bits per residual → 4 vals
+    w.write(0b1111, 4)
+    w.write(6, 5)
+    for v in (-31, 17, 0, -1):
+        w.write(v, 6)
+    w.align()
+    got = _flac_read_residual(_FBitReader(w.getvalue()), 8, 1)
+    assert got == [3, -2, 0, -31, 17, 0, -1]
