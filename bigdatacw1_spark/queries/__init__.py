@@ -152,7 +152,7 @@ ROUND10_WINDOW: list[str] = [
     "ext_mm_phash_neardup", "w10_interval_range_frame", "f33_parse_url",
     "ext_phash_admission", "ext_mm_vad", "ext_mm_letterbox_crop",
     # round-7 additions
-    "wh_ivm_minmax_full", "ext_mm_flac",
+    "wh_ivm_minmax_full", "ext_mm_flac", "ext_ann_binary_rerank",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

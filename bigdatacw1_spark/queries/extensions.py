@@ -37,6 +37,7 @@ from bigdatacw1_spark.operators.dedup import (
     simhash64,
     verified_near_duplicates,
 )
+from bigdatacw1_spark.functions.vector import as_double, cosine
 from bigdatacw1_spark.operators.multimodal import attach_binary_payload, extract_features
 from bigdatacw1_spark.operators.similarity import (
     _hyperplanes,
@@ -448,6 +449,143 @@ def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@q(
+    "ext_ann_binary_rerank",
+    oracle="""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   LIST_REDUCE(
+                     LIST_PREPEND(CAST(0 AS BIGINT),
+                       LIST_TRANSFORM(embedding[1:32],
+                         x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                                   ELSE CAST(0 AS BIGINT) END)),
+                     (a, v) -> a * 2 + v) AS w0,
+                   LIST_REDUCE(
+                     LIST_PREPEND(CAST(0 AS BIGINT),
+                       LIST_TRANSFORM(embedding[33:64],
+                         x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                                   ELSE CAST(0 AS BIGINT) END)),
+                     (a, v) -> a * 2 + v) AS w1
+            FROM embeddings
+        ),
+        qc AS (SELECT * FROM coded WHERE vec_id = 0),
+        cand AS (
+            SELECT c.vec_id, c.embedding,
+                   CAST(BIT_COUNT(XOR(c.w0, qc.w0))
+                      + BIT_COUNT(XOR(c.w1, qc.w1)) AS INT) AS hamming
+            FROM coded c, qc WHERE c.vec_id <> 0
+            ORDER BY hamming, c.vec_id LIMIT 50
+        ),
+        scored AS (
+            SELECT c.vec_id, c.hamming,
+                   ROUND(
+                     LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(qc.embedding AS DOUBLE[]))
+                     / (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])))
+                        * SQRT(LIST_DOT_PRODUCT(CAST(qc.embedding AS DOUBLE[]),
+                                                CAST(qc.embedding AS DOUBLE[])))),
+                     6) AS score
+            FROM cand c, qc
+            ORDER BY score DESC, c.vec_id LIMIT 10
+        ),
+        exact10 AS (
+            SELECT e.vec_id
+            FROM embeddings e, qc
+            WHERE e.vec_id <> 0
+            ORDER BY ROUND(
+                     LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(qc.embedding AS DOUBLE[]))
+                     / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * SQRT(LIST_DOT_PRODUCT(CAST(qc.embedding AS DOUBLE[]),
+                                                CAST(qc.embedding AS DOUBLE[])))),
+                     6) DESC, e.vec_id
+            LIMIT 10
+        )
+        SELECT s.vec_id, s.hamming, s.score,
+               (x.vec_id IS NOT NULL) AS in_exact_topk
+        FROM scored s LEFT JOIN exact10 x ON s.vec_id = x.vec_id
+        ORDER BY s.score DESC, s.vec_id
+    """,
+)
+def ext_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the 1-bit compression tier below SQ8
+    (ext_embed_sq8) and PQ (ext_ann_pq_topk), and the pattern production
+    vector stores use for the first-pass candidate sweep: each 64-dim
+    float vector collapses to a 64-bit SIGN signature (bit j = embedding
+    [j] >= 0 — no learned threshold, so the quantizer is exactly
+    reproducible cross-engine), packed JVM-side into two 32-bit words by
+    an aggregate fold. Search is two-stage: (1) Hamming prefilter —
+    XOR + bit_count against the query's words, 64× cheaper than a float
+    dot product and 32× smaller to scan (16 bytes vs 512 per vector at
+    100 TB; the whole signature index fits where the raw vectors never
+    could), top-50 candidates via TakeOrderedAndProject (per-partition
+    heaps, never a global sort); (2) exact cosine RERANK of only those
+    candidates, so the float math runs on 50 rows instead of the corpus.
+    The in_exact_topk audit column joins the reranked list against the
+    true brute-force top-10 (broadcast, k-sized), making the recall of
+    the binary sweep visible in the result itself; the oracle mirrors
+    the full two-stage procedure, so the driver hash pins quantizer,
+    packing, Hamming tie-breaks, and rerank ordering bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bit = lambda x: F.when(x >= 0, F.lit(1).cast("long")).otherwise(  # noqa: E731
+        F.lit(0).cast("long")
+    )
+    bits = F.transform(as_double(F.col("embedding")), bit)
+
+    def word(lo: int) -> F.Column:
+        return F.aggregate(
+            F.slice(bits, lo, 32),
+            F.lit(0).cast("long"),
+            lambda a, x: a * F.lit(2).cast("long") + x,
+        )
+
+    coded = emb.select(
+        "vec_id", "embedding", word(1).alias("w0"), word(33).alias("w1")
+    )
+    qrow = coded.where(F.col("vec_id") == 0).head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    hamming = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.lit(int(qrow["w0"]))))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.lit(int(qrow["w1"]))))
+    ).cast("int")
+    cand = (
+        coded.where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(50)
+    )
+    score = stable_round(cosine(as_double(F.col("embedding")), qlit), 6)
+    reranked = (
+        cand.select("vec_id", "hamming", score.alias("score"))
+        .orderBy(F.desc_nulls_last("score"), "vec_id")
+        .limit(10)
+    )
+    exact10 = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", score.alias("s"))
+        .orderBy(F.desc_nulls_last("s"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        reranked.join(
+            F.broadcast(exact10.withColumn("in_exact_topk", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "hamming",
+            "score",
+            F.coalesce(F.col("in_exact_topk"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.desc_nulls_last("score"), "vec_id")
+    )
 
 
 @q(
