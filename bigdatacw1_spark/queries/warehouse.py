@@ -3264,3 +3264,66 @@ def wh_ivm_minmax_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "wh_ivm_topk_delta",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), ranked AS (
+            SELECT event_type, event_id, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cents DESC, event_id) AS rnk
+            FROM ev
+        )
+        SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, cents
+        FROM ranked WHERE rnk <= 3
+        ORDER BY event_type, rnk
+    """,
+)
+def wh_ivm_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k incremental view maintenance under an insert batch — the
+    materialized-leaderboard algebra beside COUNT/SUM (wh_ivm_agg_delta)
+    and MIN/MAX (wh_ivm_minmax_delta/_full): top-k is insert-maintainable
+    because top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)) — the maintained
+    view IS a sufficient summary, so the merge re-ranks at most 2k rows
+    per group and the base is never rescanned (MIN/MAX is the k=1
+    special case; deletes need wh_ivm_minmax_full's affected-group
+    recount, same as there). Here k=3 by (cents DESC, event_id) — a
+    total order, so ROW_NUMBER is deterministic cross-engine. Both the
+    old view and the batch delta shuffle once on the group key; the
+    merge union is 2k-per-group-sized, and at 100 TB the view side is
+    groups×k rows — storage-trivial, maintenance-cost independent of
+    base size. The oracle recomputes top-3 over base ∪ inserts from
+    scratch, so the hash proves merge ≡ recompute including ties broken
+    inside the overlap of old and batch candidates."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 10 != 0)
+    inserts = ev.where(F.col("event_id") % 10 == 0)
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("cents"), F.asc("event_id"))
+
+    def topk(df: DataFrame, k: int = 3) -> DataFrame:
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .drop("rnk")
+        )
+
+    old_view = topk(base)      # the maintained view (groups×k rows)
+    batch_top = topk(inserts)  # map-side-summarizable batch candidates
+    return (
+        topk(old_view.unionByName(batch_top))  # re-rank ≤2k rows per group
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("event_type", "rnk", "event_id", "cents")
+        .orderBy("event_type", "rnk")
+    )
