@@ -153,7 +153,7 @@ ROUND10_WINDOW: list[str] = [
     "ext_phash_admission", "ext_mm_vad", "ext_mm_letterbox_crop",
     # round-7 additions
     "wh_ivm_minmax_full", "ext_mm_flac", "ext_ann_binary_rerank",
-    "wh_ivm_topk_delta",
+    "wh_ivm_topk_delta", "ev_ohlc_bars", "ext_ngram_repetition",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

@@ -9677,3 +9677,66 @@ def ext_mm_letterbox_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_ngram_repetition",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), tri AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+            FROM (
+                SELECT doc_id, toks,
+                       UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i
+                FROM tk WHERE LEN(toks) >= 3
+            )
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                   CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_distinct
+            FROM tri GROUP BY doc_id
+        )
+        SELECT doc_id, n_trigrams, n_distinct,
+               FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams) * 10000.0
+                     + 0.5) / 10000.0 AS rep_ratio,
+               FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams) * 10000.0
+                     + 0.5) / 10000.0 >= 0.1 AS flagged
+        FROM agg ORDER BY doc_id
+    """,
+)
+def ext_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition filter — the Gopher/C4-family quality
+    rule the suite was missing (ext_ngram_novelty is CROSS-doc): the
+    fraction of a document's trigrams that are repeats of earlier
+    trigrams in the SAME document. Looping generation artifacts,
+    keyword-stuffed spam, and boilerplate-padded pages score high;
+    rep_ratio >= 0.1 flags them for the corpus funnel.
+
+    Scale shape: the best possible — ZERO shuffles. size() and
+    array_distinct() over the in-row trigram array are JVM expression
+    work inside the scan's project (no explode, no groupBy, no window);
+    at 100 TB this filter costs one pass over the text column,
+    embarrassingly parallel. The oracle recomputes via UNNEST +
+    COUNT(DISTINCT) per doc — the hash proves the in-row array path
+    equals the relational formulation."""
+    from bigdatacw1_spark.functions.text import tokens, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    tg = word_ngrams(tokens("text"), 3)
+    n = F.size(tg).cast("long")
+    nd = F.size(F.array_distinct(tg)).cast("long")
+    ratio = stable_round(
+        F.lit(1.0) - nd.cast("double") / n.cast("double"), 4
+    )
+    return (
+        d.where(F.size(tokens("text")) >= 3)
+        .select(
+            "doc_id",
+            n.alias("n_trigrams"),
+            nd.alias("n_distinct"),
+            ratio.alias("rep_ratio"),
+            (ratio >= 0.1).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

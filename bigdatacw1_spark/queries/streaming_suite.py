@@ -1627,3 +1627,62 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
     return theil_sen_slope(daily, ["event_type"], "day", "x").orderBy("event_type")
+
+
+@q(
+    "ev_ohlc_bars",
+    oracle="""
+        WITH ev AS (
+            SELECT TIME_BUCKET(INTERVAL '15 minutes', ts) AS wstart, event_type,
+                   event_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY wstart, event_type
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY wstart, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM ev
+        )
+        SELECT wstart, event_type,
+               CAST(COUNT(*) AS BIGINT) AS volume,
+               CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
+        FROM r GROUP BY wstart, event_type
+        ORDER BY wstart, event_type
+    """,
+)
+def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars — the classic market-data / metrics rollup:
+    open/high/low/close/volume per (15-minute tumbling window, series).
+    ONE hash aggregate does all five statistics: open and close are
+    MIN_BY/MAX_BY on the composite order key struct(ts, event_id) —
+    event_id uniquifies simultaneous ticks, so the bar is deterministic
+    cross-engine — while high/low/volume are plain MIN/MAX/COUNT in the
+    same partial+final agg. No window function, no second shuffle, no
+    per-window sort: at 100 TB this is a single map-side-combining pass,
+    which is why exchanges compute candles this way (the window-rank
+    formulation the ORACLE uses — first/last row per partition — needs
+    a per-window sort Spark never pays here; the hash match proves the
+    one-pass MIN_BY plan equals it)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.window("ts", "15 minutes").start.alias("wstart"),
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("wstart", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.min_by("cents", ord_key).cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max_by("cents", ord_key).cast("long").alias("close_cents"),
+        )
+        .orderBy("wstart", "event_type")
+    )
