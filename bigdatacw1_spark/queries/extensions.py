@@ -9740,3 +9740,68 @@ def ext_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "ext_doc_chunking",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), starts AS (
+            SELECT doc_id, toks,
+                   UNNEST(GENERATE_SERIES(0,
+                       CAST(CEIL(GREATEST(LEN(toks) - 32, 0) / 24.0) AS BIGINT)))
+                       AS c
+            FROM tk WHERE LEN(toks) >= 1
+        )
+        SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+               CAST(c * 24 AS BIGINT) AS start_tok,
+               CAST(LEAST(c * 24 + 32, LEN(toks)) AS BIGINT) AS end_tok,
+               CAST(LEAST(c * 24 + 32, LEN(toks)) - c * 24 AS BIGINT) AS n_tokens,
+               MD5(ARRAY_TO_STRING(toks[c * 24 + 1 : c * 24 + 32], ' ')) AS chunk_md5
+        FROM starts
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/RAG ingestion
+    primitive between cleaning and embedding: each document splits into
+    windows of 32 tokens with stride 24 (8-token overlap so no answer
+    span is cut at a boundary), the last window truncated, short docs
+    yielding exactly one chunk. chunk count = ceil(max(n-32,0)/24)+1 —
+    defined so consecutive windows cover the token stream with overlap
+    and no empty tail chunk.
+
+    Scale shape: in-row JVM work only — sequence() enumerates chunk
+    starts, transform+slice+array_join materialize each window, and the
+    single explode is the unavoidable 1→chunks fan-out (no shuffle, no
+    window function, no UDF); at 100 TB this runs inside the scan
+    stage. The chunk text is emitted as an MD5 so the driver hash pins
+    the exact slice boundaries cross-engine (DuckDB 1-based inclusive
+    list slicing vs Spark F.slice — an off-by-one flips every digest)."""
+    from bigdatacw1_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    n_chunks = F.ceil(F.greatest(n - 32, F.lit(0)).cast("double") / 24.0).cast(
+        "int"
+    ) + F.lit(1)
+    chunked = d.where(n >= 1).select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx").cast("long") * 24
+    end = F.least(start + 32, F.col("n_toks").cast("long"))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("n_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), start.cast("int") + 1, 32), " ")
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
