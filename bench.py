@@ -202,6 +202,14 @@ def main() -> int:
         # unchanged — the min over files returns to r4's 0.577, so the r5
         # '+13%' was run-to-run noise, not a setup or plan regression.
         "ev_tumbling_note": "r5 +13% was noise: r6 3-file mins 0.575/0.658/0.682 vs r4 0.577, plan unchanged",
+        # VERDICT r6 #4 closed: three clean-box bench files in round 7 put
+        # ext_cosine_topk's min at 0.638/0.602/0.481 with the plan
+        # unchanged (fused TakeOrderedAndProject) — the file min (0.481)
+        # lands BELOW r5's 0.534, so the r6 0.624 was the documented
+        # sub-second oscillation, not a fixture or session regression.
+        # (The 0.481 run was also the fastest clean total of any round,
+        # 8.94s — the series tracks box speed, not plan drift.)
+        "cosine_note": "r6 +17% was noise: r7 3-file mins 0.638/0.602/0.481 < r5 0.534, plan unchanged",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,
@@ -256,7 +264,9 @@ def _compact_line(best: dict) -> dict:
             "load1_pre_spark": sent.get("load1_pre_spark"),
         },
     }
-    for k in ("attempts", "attempts_contended"):
+    # One short investigation note rides the final line per the verdict
+    # cadence (cosine_note this round); history lives in the sidecar.
+    for k in ("attempts", "attempts_contended", "cosine_note"):
         if k in best:
             out[k] = best[k]
     return out
