@@ -3327,3 +3327,95 @@ def wh_ivm_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rnk", "event_id", "cents")
         .orderBy("event_type", "rnk")
     )
+
+
+@q(
+    "wh_ivm_topk_full",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+        inserts AS (SELECT * FROM ev WHERE event_id % 10 = 0),
+        final AS (
+            SELECT * FROM base
+            WHERE NOT (event_id % 7 = 3 AND event_type IN ('view', 'signup'))
+            UNION ALL
+            SELECT * FROM inserts
+        ), ranked AS (
+            SELECT event_type, event_id, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cents DESC, event_id) AS rnk
+            FROM final
+        )
+        SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, cents
+        FROM ranked WHERE rnk <= 3
+        ORDER BY event_type, rnk
+    """,
+)
+def wh_ivm_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k IVM under a MIXED insert+delete batch — completes the IVM
+    matrix (COUNT/SUM, join+agg, MIN/MAX, top-k × insert-only vs
+    mixed): a delete of a leaderboard row cannot be merged because the
+    k-row view holds no runner-up (same poisoning as MIN/MAX, which is
+    the k=1 case), so deletes route through wh_ivm_minmax_full's
+    affected-group recount while unaffected groups keep the pure top-k
+    merge algebra of wh_ivm_topk_delta:
+
+      * UNAFFECTED groups: new view = top-k(old view ∪ top-k(batch
+        inserts)) — ≤2k rows per group re-ranked, base never rescanned;
+      * AFFECTED groups (the delete batch's distinct keys, broadcast):
+        recount base rows semi-joined on the key set, minus the batch's
+        row ids (broadcast anti), plus the batch's inserts for those
+        keys, then re-rank — pruned to the touched groups' rows only.
+
+    The delete rule (event_id%7=3 AND type∈{view,signup}) affects 2 of
+    5 groups and — because cents ranks high-to-low and the rule hits
+    ~1/7 of rows — removes leaderboard members at sf0.01, exercising
+    the case the merge path cannot handle. Every join is broadcast
+    (plan-gated alongside wh_ivm_minmax_full); the oracle re-ranks
+    (base − deletes) ∪ inserts from scratch, proving IVM ≡ recompute."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 10 != 0)
+    inserts = ev.where(F.col("event_id") % 10 == 0)
+    deletes = base.where(
+        (F.col("event_id") % 7 == 3) & F.col("event_type").isin("view", "signup")
+    )
+    affected = deletes.select("event_type").distinct()
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("cents"), F.asc("event_id"))
+
+    def topk(df: DataFrame, k: int = 3) -> DataFrame:
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .drop("rnk")
+        )
+
+    # Unaffected groups: merge path, base never rescanned.
+    merged = topk(
+        topk(base).unionByName(topk(inserts))
+    ).join(F.broadcast(affected), "event_type", "left_anti")
+
+    # Affected groups: recount pruned to the touched keys.
+    recount_rows = (
+        base.join(F.broadcast(affected), "event_type", "semi")
+        .join(F.broadcast(deletes.select("event_id")), "event_id", "left_anti")
+        .unionByName(inserts.join(F.broadcast(affected), "event_type", "semi"))
+    )
+    recount = topk(recount_rows)
+
+    return (
+        merged.unionByName(recount)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("event_type", "rnk", "event_id", "cents")
+        .orderBy("event_type", "rnk")
+    )

@@ -482,3 +482,16 @@ def test_ivm_minmax_full_recount_is_semi_joined_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan, "recount branch lost its semi-join pruning"
     assert "LeftAnti" in plan, "delete-id anti join vanished"
+
+
+def test_ivm_topk_full_recount_is_semi_joined_broadcast_only(spark):
+    """Same contract as wh_ivm_minmax_full for the top-k variant: the
+    recount branch must carry LeftSemi + LeftAnti broadcast joins and
+    the plan must never shuffle-join; windows stay partitioned by the
+    group key (registry-wide gate covers that)."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, "wh_ivm_topk_full"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
