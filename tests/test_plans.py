@@ -495,3 +495,27 @@ def test_ivm_topk_full_recount_is_semi_joined_broadcast_only(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_plans_md_flag_table_covers_registry():
+    """PLANS.md's registry-wide flag table must have exactly one row per
+    registry entry and no PLAN-ERROR rows (VERDICT r6: regeneration is
+    manual, so two round-6 entries went stale unnoticed — this gate makes
+    a forgotten `python scripts/explain_report.py` fail CI, mirroring the
+    window-coverage assertion in test_parity.py)."""
+    import pathlib
+    import re
+
+    from bigdatacw1_spark.queries import REGISTRY
+
+    plans = (pathlib.Path(__file__).resolve().parents[1] / "PLANS.md").read_text()
+    table = plans.split("## Registry-wide plan flags", 1)
+    assert len(table) == 2, "PLANS.md lacks the registry-wide flag table"
+    rows = dict(re.findall(r"^\| (\S+) \| ([^|]+) \|$", table[1], re.M))
+    rows.pop("query", None)
+    missing = sorted(set(REGISTRY) - set(rows))
+    stale = sorted(set(rows) - set(REGISTRY))
+    assert not missing, f"PLANS.md stale: regenerate (missing {missing[:5]}...)"
+    assert not stale, f"PLANS.md has rows for unknown queries: {stale[:5]}"
+    errors = {n: f for n, f in rows.items() if "PLAN-ERROR" in f}
+    assert not errors, f"queries that cannot plan: {errors}"
