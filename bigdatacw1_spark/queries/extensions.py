@@ -9706,9 +9706,10 @@ def ext_mm_letterbox_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITHIN-document repetition filter — the Gopher/C4-family quality
-    rule the suite was missing (ext_ngram_novelty is CROSS-doc): the
-    fraction of a document's trigrams that are repeats of earlier
+    """WITHIN-document trigram repetition filter — the n-gram tier of
+    the Gopher repetition family (ext_repetition_signals covers the
+    word tier with a doc×word shuffle; ext_ngram_novelty is CROSS-doc):
+    the fraction of a document's trigrams that are repeats of earlier
     trigrams in the SAME document. Looping generation artifacts,
     keyword-stuffed spam, and boilerplate-padded pages score high;
     rep_ratio >= 0.1 flags them for the corpus funnel.
