@@ -79,7 +79,7 @@ def test_driver_window_and_staged_rotations():
     # every registry entry — no silent coverage gap.
     checked: set[str] = set()
     repo = pathlib.Path(__file__).resolve().parents[1]
-    for f in sorted(repo.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         checked |= set(json.loads(f.read_text()).keys())
     covered = checked | set(_DRIVER_WINDOW) | set(staged)
     missing = [n for n in REGISTRY if n not in covered]
