@@ -3419,3 +3419,134 @@ def wh_ivm_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rnk", "event_id", "cents")
         .orderBy("event_type", "rnk")
     )
+
+
+@q(
+    "wh_ivm_zset_join",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        a_final AS (
+            SELECT * FROM o
+            WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 11 <> 5)
+               OR o_orderkey % 10 = 0
+        ),
+        b_final AS (
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE (c_custkey % 9 <> 4 AND c_custkey % 13 <> 2)
+               OR c_custkey % 9 = 4
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM a_final
+        JOIN b_final ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING COUNT(*) > 0
+        ORDER BY n_name
+    """,
+)
+def wh_ivm_zset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set (counting-algebra) join-view maintenance — the DBSP /
+    Materialize formalism that subsumes the insert-only join IVM
+    (wh_ivm_join_delta / wh_ivm_joinagg_delta): every change row
+    carries a multiplicity w (+1 insert, −1 delete), deltas on BOTH
+    join sides compose by the bilinear rule
+
+        d(A⋈B) = dA⋈B₀ + A₀⋈dB + dA⋈dB     (weight = w_A · w_B)
+
+    and the aggregate view folds Σw (count) and Σw·cents (sum) per
+    group. The rule's cross term is what makes simultaneous deletes
+    correct: an order deleted in dA whose customer is ALSO deleted in
+    dB contributes (−1) + (−1) + (−1)(−1) = −1 — removed exactly once.
+
+    Scale shape: the fact side (orders) is scanned twice — once for the
+    view bootstrap, once as A₀ in term 2 — and NEVER shuffled: term 1
+    broadcasts the dim side B₀ (customer⋈nation, dim-sized), terms 2-3
+    broadcast the change batches, and the view merge broadcasts the
+    group-sized delta (plan-gated: broadcast joins only). In production
+    the bootstrap is the pre-existing materialized view, so maintenance
+    cost is O(|dA|·b + |A₀| scan), independent of re-join of the full
+    history. Change rules put deletes on both sides (orders %11=5,
+    customers %13=2) and inserts on both (%10=0, %9=4); the oracle
+    recomputes (A−dA⁻+dA⁺)⋈(B−dB⁻+dB⁺) from scratch, so the driver
+    hash proves the bilinear fold ≡ recompute, double-delete overlap
+    included."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    b_all = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+
+    # A₀/B₀ are the PRE-batch states: deletes are drawn FROM them (a view
+    # maintained against the post-delete state would double-remove).
+    a_old = o.where(F.col("o_orderkey") % 10 != 0)
+    a_del = o.where(
+        (F.col("o_orderkey") % 10 != 0)
+        & (F.col("o_orderkey") % 11 == 5)
+    ).withColumn("wa", F.lit(-1).cast("long"))
+    a_ins = o.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "wa", F.lit(1).cast("long")
+    )
+    da = a_del.unionByName(a_ins)
+
+    b_old = b_all.where(F.col("c_custkey") % 9 != 4)
+    b_del = b_all.where(
+        (F.col("c_custkey") % 9 != 4) & (F.col("c_custkey") % 13 == 2)
+    ).withColumn("wb", F.lit(-1).cast("long"))
+    b_ins = b_all.where(F.col("c_custkey") % 9 == 4).withColumn(
+        "wb", F.lit(1).cast("long")
+    )
+    db = b_del.unionByName(b_ins)
+
+    # The materialized view (in production: pre-existing, not recomputed).
+    v_old = (
+        a_old.join(F.broadcast(b_old), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+
+    # Bilinear delta: weight of each contribution row = wa * wb.
+    t1 = da.join(
+        F.broadcast(b_old), F.col("o_custkey") == F.col("c_custkey")
+    ).select("n_name", F.col("wa").alias("w"), "cents")
+    t2 = a_old.join(
+        F.broadcast(db), F.col("o_custkey") == F.col("c_custkey")
+    ).select("n_name", F.col("wb").alias("w"), "cents")
+    t3 = da.join(
+        F.broadcast(db), F.col("o_custkey") == F.col("c_custkey")
+    ).select("n_name", (F.col("wa") * F.col("wb")).alias("w"), "cents")
+    delta = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy("n_name")
+        .agg(F.sum("w").alias("dn"), F.sum(F.col("w") * F.col("cents")).alias("ds"))
+    )
+
+    updated = v_old.join(F.broadcast(delta), "n_name", "left").select(
+        "n_name",
+        (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (F.col("s") + F.coalesce(F.col("ds"), F.lit(0))).alias("s"),
+    )
+    born = delta.join(
+        F.broadcast(v_old.select("n_name")), "n_name", "left_anti"
+    ).select("n_name", F.col("dn").alias("n"), F.col("ds").alias("s"))
+    return (
+        updated.unionByName(born)
+        .where(F.col("n") > 0)
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("s").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -519,3 +519,16 @@ def test_plans_md_flag_table_covers_registry():
     assert not stale, f"PLANS.md has rows for unknown queries: {stale[:5]}"
     errors = {n: f for n, f in rows.items() if "PLAN-ERROR" in f}
     assert not errors, f"queries that cannot plan: {errors}"
+
+
+def test_ivm_zset_join_is_broadcast_only(spark):
+    """Z-set join IVM: every join in the bilinear delta (dim side in
+    term 1, change batches in terms 2-3, group-sized delta in the view
+    merge) must broadcast — a SortMergeJoin/ShuffledHashJoin means a
+    fact-sized side started shuffling and the maintenance cost stopped
+    being O(batch)."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    plan = formatted_plan(_df(spark, "wh_ivm_zset_join"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
