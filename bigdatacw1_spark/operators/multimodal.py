@@ -411,6 +411,9 @@ def _sniff_one(b: bytes) -> tuple[str, int | None, int | None, int | None, int |
              at 18/22 (height's sign only encodes row order → abs).
       WAV  — RIFF/WAVE chunk walk to 'fmt ': channels (LE uint16 at +2)
              and sample rate (LE uint32 at +4) within the chunk body.
+      FLAC — mandatory first STREAMINFO block: sample rate = 20 bits at
+             bit offset 80 of the body, channels-1 the next 3 bits
+             (RFC 9639 §8.2) — pure shifts on bytes 18-20.
 
     Truncated or unknown payloads fall through to
     ('application/octet-stream', None, ...) — a corrupt file must
@@ -444,6 +447,13 @@ def _sniff_one(b: bytes) -> tuple[str, int | None, int | None, int | None, int |
         if n >= 26 and b[:2] == b"BM":
             w, h = struct.unpack("<ii", b[18:26])
             return ("image/bmp", w, abs(h), None, None)
+        if n >= 22 and b[:4] == b"fLaC":
+            # STREAMINFO is mandatory first: sample rate is the 20 bits
+            # at bit offset 80 of its body (byte 8 of the stream + 10),
+            # channels-1 the next 3 bits (RFC 9639 §8.2).
+            sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+            ch = ((b[20] >> 1) & 0x7) + 1
+            return ("audio/flac", None, None, sr, ch)
         if n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             while i + 8 <= n:

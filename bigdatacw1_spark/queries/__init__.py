@@ -155,6 +155,7 @@ ROUND10_WINDOW: list[str] = [
     "wh_ivm_minmax_full", "ext_mm_flac", "ext_ann_binary_rerank",
     "wh_ivm_topk_delta", "ev_ohlc_bars", "ext_ngram_repetition",
     "ext_doc_chunking", "wh_ivm_topk_full", "wh_ivm_zset_join",
+    "ext_golden_record",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

@@ -9806,3 +9806,115 @@ def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("toks"), start.cast("int") + 1, 32), " ")
         ).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@q(
+    "ext_golden_record",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   {_DUCK_TOKS} AS toks
+            FROM documents
+        ), blocked AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   toks[1] || ' ' || toks[2] AS block_key,
+                   CAST(SUBSTR(source, 4) AS INT) AS trust
+            FROM tk WHERE LEN(toks) >= 2
+        ), pick AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY block_key
+                                      ORDER BY trust, source) AS rn_src,
+                   ROW_NUMBER() OVER (PARTITION BY block_key
+                                      ORDER BY n_chars DESC, doc_id) AS rn_len
+            FROM blocked
+        ), lang_mode AS (
+            SELECT block_key, lang,
+                   ROW_NUMBER() OVER (PARTITION BY block_key
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM blocked GROUP BY block_key, lang
+        )
+        SELECT p.block_key,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(p.doc_id) AS canonical_id,
+               MAX(CASE WHEN p.rn_src = 1 THEN p.source END) AS best_source,
+               MAX(lm.lang) AS modal_lang,
+               CAST(MAX(p.n_chars) AS BIGINT) AS max_chars,
+               MAX(CASE WHEN p.rn_len = 1 THEN MD5(p.text) END) AS text_md5
+        FROM pick p
+        JOIN (SELECT block_key, lang FROM lang_mode WHERE rn = 1) lm
+          ON p.block_key = lm.block_key
+        GROUP BY p.block_key
+        ORDER BY p.block_key
+    """,
+)
+def ext_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the MDM/entity-resolution step after
+    dedup finds the groups: rather than keeping ONE member row
+    (ext_dedup_keep_best), fuse the best value of EACH FIELD across the
+    group into a record no single member contains. Blocking key = the
+    first two tokens (stand-in for the match key a resolver emits);
+    per-field rules, each deterministic and independently sourced:
+
+      * canonical_id — MIN(doc_id) (stable survivor pointer);
+      * best_source  — most-trusted source by the configured trust
+        order (numeric suffix of src<k>, ties lexicographic), via ONE
+        MIN_BY on struct(trust, source) — no window, no sort;
+      * modal_lang   — most frequent language, ties lexicographic:
+        (block, lang) count + MIN_BY(lang, struct(-n, lang));
+      * longest text — MAX n_chars; its md5 via MIN_BY on
+        struct(-n_chars, doc_id) pins WHICH member's text survived.
+
+    Scale shape: two hash aggregates on the SAME block key (the field
+    fuse and the language mode); the mode side is block-count-sized, so
+    AQE broadcasts it and the join adds no exchange. Nothing is
+    all-pairs within blocks (survivorship reads each row once — the
+    reason MDM fuses this way at billion-row scale). The oracle
+    replays every rule with ROW_NUMBER formulations, so the driver
+    hash pins each tie-break."""
+    from bigdatacw1_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    blocked = d.where(F.size(toks) >= 2).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat_ws(" ", toks[0], toks[1]).alias("block_key"),
+        F.substring("source", 4, 10).cast("int").alias("trust"),
+    )
+    fused = blocked.groupBy("block_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("doc_id").alias("canonical_id"),
+        F.min_by("source", F.struct(F.col("trust"), F.col("source"))).alias(
+            "best_source"
+        ),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.min_by(
+            F.md5("text"), F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+        ).alias("text_md5"),
+    )
+    mode = (
+        blocked.groupBy("block_key", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("block_key")
+        .agg(
+            F.min_by("lang", F.struct((-F.col("n")).alias("neg"), F.col("lang"))).alias(
+                "modal_lang"
+            )
+        )
+    )
+    return (
+        fused.join(mode, "block_key")
+        .select(
+            "block_key",
+            "n_members",
+            "canonical_id",
+            "best_source",
+            "modal_lang",
+            "max_chars",
+            "text_md5",
+        )
+        .orderBy("block_key")
+    )

@@ -1396,3 +1396,38 @@ def test_flac_rice_escape_and_partitions_decode():
     w.align()
     got = _flac_read_residual(_FBitReader(w.getvalue()), 8, 1)
     assert got == [3, -2, 0, -31, 17, 0, -1]
+
+
+def test_flac_sniff_and_property_roundtrip():
+    """sniff_media_meta's byte-arithmetic FLAC branch agrees with the
+    full decoder, and a hypothesis sweep over random sample streams,
+    rates, and block sizes round-trips bit-exactly (the codec is
+    lossless by construction — any rice/predictor/CRC bug surfaces as
+    a mismatch or a raise)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdatacw1_spark.operators.multimodal import (
+        _sniff_one,
+        decode_flac,
+        encode_flac,
+    )
+
+    b = encode_flac(22050, 1, [100, -5, 32767, -32768, 0, 7, 7, 7])
+    assert _sniff_one(b) == ("audio/flac", None, None, 22050, 1)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sr=st.integers(min_value=1, max_value=655350),
+        bs=st.integers(min_value=16, max_value=64),
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+        ),
+    )
+    def roundtrip(sr, bs, samples):
+        enc = encode_flac(sr, 1, samples, block_size=bs)
+        assert decode_flac(enc) == (sr, 1, samples)
+        mime, _, _, got_sr, got_ch = _sniff_one(enc)
+        assert (mime, got_sr, got_ch) == ("audio/flac", sr, 1)
+
+    roundtrip()
