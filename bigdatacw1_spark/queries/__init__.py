@@ -155,7 +155,8 @@ ROUND10_WINDOW: list[str] = [
     "wh_ivm_minmax_full", "ext_mm_flac", "ext_ann_binary_rerank",
     "wh_ivm_topk_delta", "ev_ohlc_bars", "ext_ngram_repetition",
     "ext_doc_chunking", "wh_ivm_topk_full", "wh_ivm_zset_join",
-    "ext_golden_record",
+    "ext_golden_record", "ev_calendar_weeks", "ev_slo_burn_rate",
+    "ext_winsorize_outliers",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

@@ -9918,3 +9918,64 @@ def ext_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_key")
     )
+
+
+@q(
+    "ext_winsorize_outliers",
+    oracle="""
+        WITH pct AS (
+            SELECT event_type,
+                   QUANTILE_CONT(value, 0.05) AS lo,
+                   QUANTILE_CONT(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(p.lo * 10000.0 + 0.5) / 10000.0 AS p05,
+               FLOOR(p.hi * 10000.0 + 0.5) / 10000.0 AS p95,
+               CAST(SUM(CASE WHEN e.value < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_lo,
+               CAST(SUM(CASE WHEN e.value > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_hi
+        FROM events e JOIN pct p ON e.event_type = p.event_type
+        GROUP BY e.event_type, p.lo, p.hi
+        ORDER BY e.event_type
+    """,
+)
+def ext_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit — the robust-scaling prerequisite for any
+    numeric feature pipeline: per group, the exact p05/p95 fences and
+    how many values each side would clip (the IQR entry a16 uses the
+    quartile±1.5·IQR rule; percentile fences are the variant used when
+    the tails are the signal being tamed, e.g. reward clipping or
+    label-noise caps). Two passes by construction — the fences must be
+    known before the clip counts — but pass 2 attaches the GROUP-SIZED
+    fence table by broadcast, so the fact shuffles once (the percentile
+    aggregate); boundary comparisons are exact because an interpolated
+    fence lies strictly between data points and a non-interpolated one
+    IS a data point both engines return bit-identically (Spark
+    percentile ≡ DuckDB QUANTILE_CONT, the a15 idiom). At 100 TB the
+    exact sort-based percentile is the honest-but-costly tier — the
+    KLL-sketch entry is the approximate path when one pass is required;
+    this entry documents the exact tier's plan shape."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            stable_round(F.first("lo"), 4).alias("p05"),
+            stable_round(F.first("hi"), 4).alias("p95"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -1686,3 +1686,132 @@ def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wstart", "event_type")
     )
+
+
+@q(
+    "ev_calendar_weeks",
+    oracle="""
+        SELECT CAST(CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS VARCHAR)
+                   AS wstart, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+                     * 100.0 + 0.5) / 100.0 AS sum_v
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_calendar_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-aligned weekly rollup — the window shape F.window()
+    cannot express: tumbling windows are epoch-aligned, and 7-day
+    epoch buckets start on Thursday (1970-01-01), not Monday.
+    Calendar semantics (ISO weeks here; months/quarters identically)
+    come from date_trunc as a GROUP BY key instead — still one
+    partial+final hash aggregate, same single shuffle as the epoch
+    windows, and the same exact-decimal sum idiom so the cross-engine
+    hash never flips on float accumulation order. wstart is emitted as
+    a string because DATE/TIMESTAMP dtypes diverge between the engines'
+    pandas bridges (driver-compare pitfall, documented in FIXTURES)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("string").alias("wstart"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(30,2)")).cast("double")
+                    * 100.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("sum_v"),
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
+@q(
+    "ev_slo_burn_rate",
+    oracle="""
+        WITH h AS (
+            SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS h1,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS errs
+            FROM events GROUP BY 1
+        ), h6 AS (
+            SELECT TO_TIMESTAMP(
+                       FLOOR(EPOCH(h1) / 21600) * 21600
+                   ) AT TIME ZONE 'UTC' AS w6,
+                   SUM(n) AS n6, SUM(errs) AS e6
+            FROM h GROUP BY 1
+        ), joined AS (
+            SELECT CAST(h.h1 AS VARCHAR) AS hour_start,
+                   h.n AS n_1h, h.errs AS err_1h,
+                   h6.n6 AS n_6h, h6.e6 AS err_6h,
+                   FLOOR(CAST(h.errs AS DOUBLE) / h.n / 0.25 * 10000.0 + 0.5)
+                       / 10000.0 AS burn_1h,
+                   FLOOR(CAST(h6.e6 AS DOUBLE) / h6.n6 / 0.25 * 10000.0 + 0.5)
+                       / 10000.0 AS burn_6h
+            FROM h JOIN h6
+              ON TO_TIMESTAMP(FLOOR(EPOCH(h.h1) / 21600) * 21600)
+                 AT TIME ZONE 'UTC' = h6.w6
+        )
+        SELECT hour_start, n_1h, err_1h, n_6h, err_6h, burn_1h, burn_6h,
+               (burn_1h > 1.0 AND burn_6h > 1.0) AS alert
+        FROM joined ORDER BY hour_start
+    """,
+)
+def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern, public): with a 75%-success SLO (error budget 0.25),
+    burn rate = error_rate / budget over a SHORT window (1 h — fast
+    detection) and a LONG window (6 h — de-noising); page only when
+    BOTH exceed 1.0, which is what kills the flapping a single window
+    produces. Two-level rollup, not two scans: the 1-hour aggregate is
+    computed once, and the 6-hour tier re-aggregates those ~hourly rows
+    (map-side combinable, trivially small) — the hour→6h join is
+    group-key-sized and AQE broadcasts it; the fact is scanned and
+    shuffled exactly once. Integer counts make every rate a ratio of
+    exact BIGINTs, so the rounded burn rates hash identically
+    cross-engine; hour_start is emitted as a string (dtype-bridge
+    pitfall)."""
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.window("ts", "1 hour").start.alias("h1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_1h"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("err_1h"),
+    )
+    w6 = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col("h1")) / 21600) * 21600
+    ).alias("w6")
+    six = hourly.groupBy(w6).agg(
+        F.sum("n_1h").cast("long").alias("n_6h"),
+        F.sum("err_1h").cast("long").alias("err_6h"),
+    )
+    burn = lambda e, n: stable_round(  # noqa: E731
+        e.cast("double") / n.cast("double") / F.lit(0.25), 4
+    )
+    joined = hourly.join(
+        six,
+        F.timestamp_seconds(F.floor(F.unix_timestamp(F.col("h1")) / 21600) * 21600)
+        == F.col("w6"),
+    )
+    return joined.select(
+        F.col("h1").cast("string").alias("hour_start"),
+        "n_1h",
+        "err_1h",
+        "n_6h",
+        "err_6h",
+        burn(F.col("err_1h"), F.col("n_1h")).alias("burn_1h"),
+        burn(F.col("err_6h"), F.col("n_6h")).alias("burn_6h"),
+        (
+            (burn(F.col("err_1h"), F.col("n_1h")) > 1.0)
+            & (burn(F.col("err_6h"), F.col("n_6h")) > 1.0)
+        ).alias("alert"),
+    ).orderBy("hour_start")
