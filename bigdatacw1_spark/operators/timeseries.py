@@ -401,6 +401,66 @@ def holt_forecast(
     )
 
 
+def kalman_filter_1d(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    q_var: float = 0.25,
+    r_var: float = 4.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Scalar Kalman filter per key (random-walk state model): the
+    optimal linear estimator when the series is a noisy observation of
+    a drifting level — the principled upgrade of ewma_last, whose gain
+    ADAPTS (starts high while the state is uncertain, settles to the
+    steady-state Riccati value) instead of staying fixed at α.
+
+        predict:  x⁻ = x,           P⁻ = P + Q
+        update:   K  = P⁻/(P⁻+R),   x  = x⁻ + K·(z − x⁻),  P = (1−K)·P⁻
+
+    seeded x₁ = z₁, P₁ = 1. Q/R default to exact binary fractions
+    (0.25/4.0) so the gain arithmetic carries no decimal-literal drift.
+
+    Exactness discipline (holt_forecast family): per-key SORTED bounded
+    collect folded left-to-right with the exact expression shapes the
+    DuckDB oracle's RECURSIVE CTE runs (struct-state folds must not use
+    LIST_REDUCE — see ev_holt_forecast's oracle note). One shuffle on
+    the key; fold state is two doubles.
+
+    Output: (*keys, n_obs, estimate, variance, gain) — gain is the
+    steady value K implied by the FINAL variance, the number you read
+    to know how reactive the filter has become.
+    """
+    obs = F.struct(F.col(ts_col).alias("t"), F.col(value_col).cast("double").alias("v"))
+    agg = df.groupBy(*keys).agg(F.sort_array(F.collect_list(obs)).alias("os"))
+    xs = F.transform(F.col("os"), lambda o: o["v"])
+    init = F.struct(
+        F.element_at(xs, 1).alias("x"),
+        F.lit(1.0).alias("p"),
+    )
+
+    def step(acc, z):
+        pp = acc["p"] + F.lit(q_var)
+        k = pp / (pp + F.lit(r_var))
+        return F.struct(
+            (acc["x"] + k * (z - acc["x"])).alias("x"),
+            ((F.lit(1.0) - k) * pp).alias("p"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step
+    )
+    pp_final = folded["p"] + F.lit(q_var)
+    return agg.where(F.size("os") >= 1).select(
+        *keys,
+        F.size("os").cast("long").alias("n_obs"),
+        stable_round(folded["x"], round_digits).alias("estimate"),
+        stable_round(folded["p"], round_digits).alias("variance"),
+        stable_round(pp_final / (pp_final + F.lit(r_var)), round_digits).alias("gain"),
+    )
+
+
 def backtest_one_step(
     df: DataFrame,
     keys: list[str],

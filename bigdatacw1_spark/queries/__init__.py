@@ -156,7 +156,8 @@ ROUND10_WINDOW: list[str] = [
     "wh_ivm_topk_delta", "ev_ohlc_bars", "ext_ngram_repetition",
     "ext_doc_chunking", "wh_ivm_topk_full", "wh_ivm_zset_join",
     "ext_golden_record", "ev_calendar_weeks", "ev_slo_burn_rate",
-    "ext_winsorize_outliers",
+    "ext_winsorize_outliers", "ev_peak_concurrency", "ev_kalman_1d",
+    "ev_mtbf_mttr", "ext_mmr_rerank", "wh_weighted_median",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

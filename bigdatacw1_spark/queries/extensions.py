@@ -9979,3 +9979,138 @@ def ext_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MMR_COS = (
+    "ROUND(LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (SQRT(LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * SQRT(LIST_DOT_PRODUCT(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+_MMR_STEP = """
+        s{k} AS (
+            SELECT {k} AS step, c.vec_id, c.rel,
+                   FLOOR((0.75 * c.rel - 0.25 * MAX(s.sim)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS mmr_score
+            FROM cand c, sims s, {prev_tables}
+            WHERE s.a = c.vec_id
+              AND s.b IN ({prev_ids})
+              AND c.vec_id NOT IN ({prev_ids})
+            GROUP BY c.vec_id, c.rel
+            ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+        )"""
+
+_MMR_ORACLE = (
+    """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT e.vec_id, e.embedding, """
+    + _MMR_COS.format(a="e.embedding", b="q.embedding")
+    + """ AS rel
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id LIMIT 20
+    ),
+    sims AS (
+        SELECT x.vec_id AS a, y.vec_id AS b, """
+    + _MMR_COS.format(a="x.embedding", b="y.embedding")
+    + """ AS sim
+        FROM cand x, cand y WHERE x.vec_id <> y.vec_id
+    ),
+    s1 AS (
+        SELECT 1 AS step, vec_id, rel,
+               FLOOR(0.75 * rel * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),"""
+    + _MMR_STEP.format(k=2, prev_tables="s1", prev_ids="s1.vec_id")
+    + ","
+    + _MMR_STEP.format(
+        k=3, prev_tables="s1, s2", prev_ids="s1.vec_id, s2.vec_id"
+    )
+    + ","
+    + _MMR_STEP.format(
+        k=4,
+        prev_tables="s1, s2, s3",
+        prev_ids="s1.vec_id, s2.vec_id, s3.vec_id",
+    )
+    + """
+    SELECT step, vec_id, rel, mmr_score FROM s1
+    UNION ALL SELECT step, vec_id, rel, mmr_score FROM s2
+    UNION ALL SELECT step, vec_id, rel, mmr_score FROM s3
+    UNION ALL SELECT step, vec_id, rel, mmr_score FROM s4
+    ORDER BY step
+"""
+)
+
+
+@q("ext_mmr_rerank", oracle=_MMR_ORACLE)
+def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98)
+    — the diversity pass a RAG retriever runs AFTER top-k: from the
+    cosine top-20 for the query (vec_id 0), greedily select 4 results
+    maximizing  λ·relevance − (1−λ)·max-similarity-to-already-selected
+    (λ = 0.75, an exact binary fraction), so near-duplicate hits can't
+    crowd the context window. Completes the retrieval ladder
+    ext_cosine_topk (relevance only) → ext_hybrid_rrf (rank fusion) →
+    MMR (relevance × novelty).
+
+    Shape: ONE fact-sized pass (the top-20 cut, a TakeOrderedAndProject
+    exactly like ext_cosine_topk — an execution at scale would persist
+    it); everything after is bounded — a 20×20 candidate self-join for
+    pairwise sims, then k−1 greedy steps, each an anti-join + max-sim
+    aggregate + limit-1 over ≤20 rows. Both engines round rel/sim/score
+    to 6dp and tie-break by vec_id, so the greedy argmax path is
+    deterministic and hash-identical; the oracle unrolls the same four
+    selection steps as chained CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    rel = stable_round(cosine(as_double(F.col("embedding")), qlit), 6)
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc_nulls_last("rel"), F.asc("vec_id"))
+        .limit(20)
+    )
+    ca = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    cb = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sims = (
+        ca.crossJoin(cb)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            stable_round(
+                cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6
+            ).alias("sim"),
+        )
+    )
+    picked = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).select(
+        F.lit(1).alias("step"),
+        "vec_id",
+        "rel",
+        stable_round(F.lit(0.75) * F.col("rel"), 6).alias("mmr_score"),
+    )
+    for k in (2, 3, 4):
+        rem = cand.select(F.col("vec_id").alias("a"), "rel").join(
+            picked.select(F.col("vec_id").alias("a")), "a", "left_anti"
+        )
+        scored = (
+            rem.join(sims, "a")
+            .join(picked.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("a", "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        nxt = (
+            scored.select(
+                F.lit(k).alias("step"),
+                F.col("a").alias("vec_id"),
+                "rel",
+                stable_round(
+                    F.lit(0.75) * F.col("rel") - F.lit(0.25) * F.col("msim"), 6
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        picked = picked.unionAll(nxt)
+    return picked.orderBy("step")

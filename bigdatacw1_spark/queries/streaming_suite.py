@@ -1815,3 +1815,228 @@ def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (burn(F.col("err_6h"), F.col("n_6h")) > 1.0)
         ).alias("alert"),
     ).orderBy("hour_start")
+
+
+@q(
+    "ev_peak_concurrency",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT event_type,
+                   ts + TO_SECONDS(CAST(FLOOR(value * 60) AS BIGINT)), -1
+            FROM events
+        ), run AS (
+            SELECT event_type, t,
+                   SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+            FROM pts
+        ), mx AS (
+            SELECT event_type, MAX(running) AS peak FROM run GROUP BY 1
+        )
+        SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak_concurrency,
+               CAST(MIN(r.t) AS VARCHAR) AS first_peak_ts
+        FROM run r JOIN mx m
+          ON r.event_type = m.event_type AND r.running = m.peak
+        GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency — max simultaneously-active intervals
+    per type (each event holds a resource for floor(value·60) seconds):
+    the capacity question behind connection pools, seat licenses, and
+    GPU-slot planning. Every interval contributes a +1 at its start and
+    a −1 at its end; the running sum of deltas in (t, delta) order is
+    the active count, and its max is the answer. Ends sort BEFORE
+    starts at an equal timestamp (delta asc), so back-to-back intervals
+    never double-count; within a tie group the delta is constant, so
+    the prefix sum is order-invariant and engine-identical.
+
+    Scale shape — a DISTRIBUTED prefix scan, not one giant window: the
+    fact-level running sum is computed inside (event_type, day) buckets
+    (time-bounded partitions), and the cross-bucket carry is a window
+    over the bucket AGGREGATE (types × days rows, model-sized) joined
+    back by broadcast. Integer deltas make the decomposition exact, so
+    the oracle's single-window formulation matches bit-for-bit. The
+    peak join-back is broadcast (one row per type)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        F.expr(
+            "timestampadd(SECOND, CAST(FLOOR(value * 60) AS BIGINT), ts)"
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends).withColumn("bucket", F.date_trunc("day", "t"))
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        pts.groupBy("event_type", "bucket")
+        .agg(F.sum("delta").alias("btot"))
+        .withColumn("carry", F.coalesce(F.sum("btot").over(w_carry), F.lit(0)))
+        .select("event_type", "bucket", "carry")
+    )
+    run = pts.join(F.broadcast(carry), ["event_type", "bucket"]).withColumn(
+        "running", F.sum("delta").over(w_in) + F.col("carry")
+    )
+    mx = run.groupBy("event_type").agg(F.max("running").alias("peak"))
+    return (
+        run.join(F.broadcast(mx), "event_type")
+        .where(F.col("running") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("string").alias("first_peak_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "ev_kalman_1d",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ), fold AS (
+            SELECT event_type, 1 AS i, x AS xs, CAST(1.0 AS DOUBLE) AS p, n
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT f.event_type, f.i + 1,
+                   f.xs + ((f.p + 0.25) / ((f.p + 0.25) + 4.0)) * (d.x - f.xs),
+                   (1.0 - (f.p + 0.25) / ((f.p + 0.25) + 4.0)) * (f.p + 0.25),
+                   f.n
+            FROM fold f JOIN idx d
+              ON d.event_type = f.event_type AND d.i = f.i + 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+               FLOOR(xs * 10000.0 + 0.5) / 10000.0 AS estimate,
+               FLOOR(p * 10000.0 + 0.5) / 10000.0 AS variance,
+               FLOOR((p + 0.25) / ((p + 0.25) + 4.0) * 10000.0 + 0.5)
+                   / 10000.0 AS gain
+        FROM fold
+        WHERE i = n
+        ORDER BY event_type
+    """,
+)
+def ev_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter (operators/timeseries.kalman_filter_1d) over
+    each event type's daily integer-cents series — the optimal linear
+    level tracker, completing the estimator ladder ev_ewma (fixed gain)
+    → ev_holt_forecast (adds a slope) → Kalman (gain ADAPTS from the
+    modeled noise ratio Q/R and settles at the Riccati fixed point).
+    Q=0.25, R=4.0 are exact binary fractions; the fold carries (x, P)
+    as a struct, so the oracle uses the RECURSIVE-CTE formulation (the
+    LIST_REDUCE struct-accumulator bug, cf. ev_holt_forecast) with the
+    gain expression inlined identically to the Spark step. One shuffle
+    on the key; per-key state is the day-bounded series."""
+    from bigdatacw1_spark.operators.timeseries import kalman_filter_1d
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double").alias("x"))
+    return kalman_filter_1d(daily, ["event_type"], "day", "x").orderBy("event_type")
+
+
+@q(
+    "ev_mtbf_mttr",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   event_type = 'error' AS is_err,
+                   LAG(event_type = 'error') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_err,
+                   MIN(CASE WHEN event_type <> 'error' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS recovery_ts
+            FROM events
+        ), starts AS (
+            SELECT user_id, ts,
+                   EPOCH_US(recovery_ts) - EPOCH_US(ts) AS ttr_us,
+                   EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS tbf_us
+            FROM marked
+            WHERE is_err AND (prev_err IS NULL OR NOT prev_err)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_outages,
+               CAST(COUNT(ttr_us) AS BIGINT) AS n_recovered,
+               FLOOR(CAST(SUM(ttr_us) AS DOUBLE) / COUNT(ttr_us)
+                     / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS mttr_s,
+               FLOOR(CAST(SUM(tbf_us) AS DOUBLE) / COUNT(tbf_us)
+                     / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS mtbf_s
+        FROM starts
+    """,
+)
+def ev_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTBF / MTTR from a raw event log — the two reliability numbers an
+    SRE review reads first, treating each user's stream as a monitored
+    unit: an OUTAGE starts at an 'error' whose previous event is not an
+    error (gaps-and-islands start), and RECOVERS at the first
+    non-error event after it (conditional MIN over the
+    1-FOLLOWING..UNBOUNDED frame — one keyed window, no self-join).
+    MTTR averages recovery − start; MTBF averages the gap between
+    successive outage starts (LAG over the starts only). All durations
+    are exact integer microseconds summed as BIGINTs, so the final
+    double division is engine-identical; windows are keyed by user_id,
+    whose cardinality scales with the data — no low-cardinality
+    partition at 100 TB."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_next = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    is_err = F.col("event_type") == "error"
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_err.alias("is_err"),
+        F.lag(is_err).over(w_ord).alias("prev_err"),
+        F.min(F.when(~is_err, F.col("ts"))).over(w_next).alias("recovery_ts"),
+    )
+    starts = (
+        marked.where(
+            F.col("is_err") & (F.col("prev_err").isNull() | ~F.col("prev_err"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            (us(F.col("recovery_ts")) - us(F.col("ts"))).alias("ttr_us"),
+            (us(F.col("ts")) - us(F.lag("ts").over(w_ord))).alias("tbf_us"),
+        )
+    )
+    return starts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_outages"),
+        F.count("ttr_us").cast("long").alias("n_recovered"),
+        stable_round(
+            F.sum("ttr_us").cast("double") / F.count("ttr_us") / 1_000_000.0, 3
+        ).alias("mttr_s"),
+        stable_round(
+            F.sum("tbf_us").cast("double") / F.count("tbf_us") / 1_000_000.0, 3
+        ).alias("mtbf_s"),
+    )

@@ -3550,3 +3550,60 @@ def wh_ivm_zset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@q(
+    "wh_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT l_suppkey, l_extendedprice,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumw,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER (
+                       PARTITION BY l_suppkey) AS tot
+            FROM lineitem WHERE l_suppkey <= 25
+        )
+        SELECT l_suppkey, MIN(l_extendedprice) AS weighted_median
+        FROM w WHERE 2 * cumw >= tot
+        GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def wh_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median unit price per supplier (weight = quantity) — the
+    robust price-point a procurement review reads instead of the
+    quantity-blind AVG, and the aggregate SQL has no builtin for: the
+    smallest price whose cumulative weight reaches half the total
+    (lower-median convention, 2·cumw ≥ tot). Weights are scaled to
+    exact integer centi-units, so the prefix sums carry no float
+    accumulation drift, and the cumulative order is made TOTAL by the
+    (price, orderkey, linenumber) tiebreak — without it, equal prices
+    with different weights would make the crossing row
+    engine-dependent. The reported median is a raw data value (no
+    arithmetic), so it hashes exactly. Scale shape: both windows share
+    one partition spec keyed by l_suppkey, whose cardinality grows
+    with the data — one shuffle, bounded partitions; the suppkey
+    predicate is pushed to the parquet scan."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 25)
+    wgt = F.round(F.col("l_quantity") * 100).cast("long")
+    w_cum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_suppkey")
+    crossed = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.sum(wgt).over(w_cum).alias("cumw"),
+        F.sum(wgt).over(w_tot).alias("tot"),
+    ).where(2 * F.col("cumw") >= F.col("tot"))
+    return (
+        crossed.groupBy("l_suppkey")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
+        .orderBy("l_suppkey")
+    )
