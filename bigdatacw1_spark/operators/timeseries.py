@@ -638,3 +638,51 @@ def theil_sen_slope(
             stable_round(F.col("__med"), round_digits).alias("ts_slope"),
         )
     )
+
+
+def dtw_fold(a: "Column", b: "Column", na: "Column", nb: "Column") -> "Column":
+    """Dynamic-time-warping distance between two per-row series arrays
+    (|·| local cost, unit steps, full band) as ONE JVM-side fold — the
+    classic elastic similarity for time series that plain Euclidean
+    comparison gets wrong under phase shift, and an operator Spark has
+    no builtin for.
+
+    The O(na·nb) DP runs row-major over cell index t with a SLIDING
+    list of only the last nb+1 cell values (the cells any step can
+    reach: left = L[len], up = L[len−nb+1], diag = L[len−nb]), so the
+    fold state is O(nb), not O(na·nb). Boundary rows/columns fall out
+    of the CASE on (i, j); branches guard every element_at, so no
+    out-of-range index is ever evaluated under ANSI mode. With
+    integer-valued inputs (cents) every cell stays an exact integer in
+    double — min/plus arithmetic carries no float-order sensitivity —
+    which is what lets a DuckDB recursive CTE replay the identical DP
+    (see ev_dtw_distance).
+
+    Intended use: per-key series joined against one broadcast
+    reference row; the fold is a scalar expression, so it distributes
+    with the rows. Requires na ≥ 2 and nb ≥ 2 (filter first).
+    """
+    init = F.array(F.abs(F.element_at(a, 1) - F.element_at(b, 1)))
+    seq = F.sequence(F.lit(2), (na * nb).cast("int"))
+
+    def step(acc, tn):
+        t = tn - 1
+        i = (F.floor(t / nb) + 1).cast("int")
+        j = (F.pmod(t, nb) + 1).cast("int")
+        ln = F.size(acc)
+        c = F.abs(F.element_at(a, i) - F.element_at(b, j))
+        left = F.element_at(acc, ln)
+        up = F.element_at(acc, ln - nb.cast("int") + 1)
+        diag = F.element_at(acc, ln - nb.cast("int"))
+        d = c + (
+            F.when(i == 1, left)
+            .when(j == 1, up)
+            .otherwise(F.least(left, up, diag))
+        )
+        newl = F.concat(acc, F.array(d))
+        return F.when(
+            F.size(newl) > nb.cast("int") + 1, F.slice(newl, 2, nb.cast("int") + 1)
+        ).otherwise(newl)
+
+    folded = F.aggregate(seq, init, step)
+    return F.element_at(folded, F.size(folded))

@@ -158,6 +158,8 @@ ROUND10_WINDOW: list[str] = [
     "ext_golden_record", "ev_calendar_weeks", "ev_slo_burn_rate",
     "ext_winsorize_outliers", "ev_peak_concurrency", "ev_kalman_1d",
     "ev_mtbf_mttr", "ext_mmr_rerank", "wh_weighted_median",
+    "ev_sax_words", "ev_esd_outliers", "ext_jl_projection",
+    "ev_dtw_distance",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

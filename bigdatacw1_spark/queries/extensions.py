@@ -10114,3 +10114,116 @@ def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked = picked.unionAll(nxt)
     return picked.orderBy("step")
+
+
+_JL_SIGN = (
+    "CASE WHEN ('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || '_' ||"
+    " CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 = 0"
+    " THEN 1.0 ELSE -1.0 END"
+)
+
+_JL_ORACLE = (
+    """
+    WITH s AS (
+        SELECT j, LIST("""
+    + _JL_SIGN
+    + """ ORDER BY i) AS sj
+        FROM (SELECT UNNEST(RANGE(1, 65)) AS i),
+             (SELECT UNNEST(RANGE(1, 17)) AS j)
+        GROUP BY j
+    ), proj AS (
+        SELECT vec_id,
+               LIST(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), sj) / 4.0
+                    ORDER BY j) AS p,
+               ANY_VALUE(CAST(embedding AS DOUBLE[])) AS e
+        FROM embeddings, s GROUP BY vec_id
+    ), pairs AS (
+        SELECT (LIST_DOT_PRODUCT(u.p, u.p) - 2.0 * LIST_DOT_PRODUCT(u.p, v.p)
+                + LIST_DOT_PRODUCT(v.p, v.p))
+               / (LIST_DOT_PRODUCT(u.e, u.e) - 2.0 * LIST_DOT_PRODUCT(u.e, v.e)
+                  + LIST_DOT_PRODUCT(v.e, v.e)) AS ratio
+        FROM proj u JOIN proj v ON v.vec_id = u.vec_id + 50
+    )
+    SELECT CAST(COUNT(CAST(FLOOR(ratio * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS n_pairs,
+           FLOOR(CAST(SUM(CAST(FLOOR(ratio * 10000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / COUNT(ratio) / 10000.0 * 10000.0 + 0.5)
+               / 10000.0 AS mean_ratio,
+           FLOOR(MIN(ratio) * 10000.0 + 0.5) / 10000.0 AS min_ratio,
+           FLOOR(MAX(ratio) * 10000.0 + 0.5) / 10000.0 AS max_ratio,
+           FLOOR(CAST(COUNT(CASE WHEN ratio BETWEEN 0.5 AND 2.0 THEN 1 END)
+                      AS DOUBLE) / COUNT(ratio) * 10000.0 + 0.5) / 10000.0
+               AS share_within_2x
+    FROM pairs
+"""
+)
+
+
+@q("ext_jl_projection", oracle=_JL_ORACLE)
+def ext_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    distance-preservation audit — the cheap first cut before any ANN
+    index when the embedding dimension itself is the cost driver: a
+    DATA-INDEPENDENT ±1/√k projection (Achlioptas '01) needs no
+    training pass, composes with every index downstream, and its
+    distortion is bounded in probability. The sign matrix is derived
+    from MD5(i||'_'||j) — the engine-portable hash idiom — so Spark
+    (hashlib, inlined as 16 literal arrays) and DuckDB (SQL MD5)
+    construct bit-identical matrices with no randomness and no
+    side-channel. Audit over the (v, v+50) pair diagonal: squared-
+    distance ratio projected/original via the shared three-dot-product
+    expansion (u·u − 2u·v + v·v, one fold shape in both engines);
+    per-pair ratios are floor-scaled to exact 1e-4 integers before the
+    mean so no float-accumulation order leaks in. For k=16 the spread
+    is wide by design (χ²₁₆/16: measured min ≈0.26, max ≈3.14 across
+    SFs) — share_within_2x is the honest headline, not a vacuous
+    bound. One fact-sized projection pass + one equi-join; the
+    16-element fold is JVM-side, no UDF."""
+    import hashlib
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = {
+        j: [
+            1.0
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(1, 65)
+        ]
+        for j in range(1, 17)
+    }
+    e = as_double(F.col("embedding"))
+    from bigdatacw1_spark.functions.vector import dot
+
+    p = F.array(
+        *[
+            (dot(e, F.array(*[F.lit(s) for s in signs[j]])) / F.lit(4.0))
+            for j in range(1, 17)
+        ]
+    )
+    proj = emb.select("vec_id", e.alias("e"), p.alias("p"))
+    u = proj.select(
+        F.col("vec_id").alias("a"), F.col("e").alias("eu"), F.col("p").alias("pu")
+    )
+    v = proj.select(
+        F.col("vec_id").alias("b"), F.col("e").alias("ev"), F.col("p").alias("pv")
+    )
+    d2 = lambda x, y: dot(x, x) - F.lit(2.0) * dot(x, y) + dot(y, y)  # noqa: E731
+    pairs = u.join(v, F.col("b") == F.col("a") + 50).select(
+        (
+            d2(F.col("pu"), F.col("pv")) / d2(F.col("eu"), F.col("ev"))
+        ).alias("ratio")
+    )
+    r_int = F.floor(F.col("ratio") * 10000.0 + F.lit(0.5)).cast("long")
+    return pairs.agg(
+        F.count(r_int).cast("long").alias("n_pairs"),
+        stable_round(
+            F.sum(r_int).cast("double") / F.count("ratio") / 10000.0, 4
+        ).alias("mean_ratio"),
+        stable_round(F.min("ratio"), 4).alias("min_ratio"),
+        stable_round(F.max("ratio"), 4).alias("max_ratio"),
+        stable_round(
+            F.count(F.when(F.col("ratio").between(0.5, 2.0), 1)).cast("double")
+            / F.count("ratio"),
+            4,
+        ).alias("share_within_2x"),
+    )

@@ -2040,3 +2040,305 @@ def ev_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tbf_us").cast("double") / F.count("tbf_us") / 1_000_000.0, 3
         ).alias("mtbf_s"),
     )
+
+
+@q(
+    "ev_sax_words",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(EXTRACT(HOUR FROM ts) AS INT) // 6 AS bucket,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2, 3
+        ), st AS (
+            SELECT event_type,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+                   SQRT((CAST(SUM(x * x) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                           / COUNT(*)) / COUNT(*)) AS sd
+            FROM b GROUP BY 1
+        )
+        SELECT b.event_type, CAST(CAST(b.day AS TIMESTAMP) AS VARCHAR) AS day,
+               STRING_AGG(
+                   CASE WHEN (x - mu) / sd < -0.6745 THEN 'a'
+                        WHEN (x - mu) / sd < 0.0 THEN 'b'
+                        WHEN (x - mu) / sd < 0.6745 THEN 'c'
+                        ELSE 'd' END, '' ORDER BY bucket) AS word
+        FROM b JOIN st USING (event_type)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh '03) — each (type, day) becomes a
+    4-letter word: the day's four 6-hour PAA buckets, z-normalized
+    against the TYPE's bucket distribution and mapped to 'a'..'d' at
+    the N(0,1) quartile breakpoints (±0.6745, 0). SAX is the standard
+    dimensionality cut for motif discovery and whole-series indexing —
+    downstream, identical words are grouped by a plain hash aggregate
+    instead of any numeric distance. Exactness: bucket sums are exact
+    integer cents; μ and σ (population, computed as
+    (Σx² − (Σx)²/n)/n with one shared expression shape) are then
+    deterministic doubles, so the symbol binning never flips at a
+    breakpoint cross-engine. Two hash aggregates + one broadcast
+    join-back of the type-sized stats table — no windows, scale-safe."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.hour("ts") / 6).cast("int").alias("bucket"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    st = b.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double")
+                * F.sum("x").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("sd"),
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    sym = (
+        F.when(z < -0.6745, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        b.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", F.col("day").cast("string").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("bucket"), sym.alias("s")))),
+                    lambda o: o["s"],
+                ),
+                "",
+            ).alias("word")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_ESD_STATS = """
+            SELECT event_type,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+                   SQRT((CAST(SUM(x * x) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                           / COUNT(*)) / COUNT(*)) AS sd
+            FROM {src} GROUP BY 1
+"""
+
+_ESD_PICK = """
+            SELECT d.event_type, d.day, ABS(d.x - s.mu) / s.sd AS r_stat
+            FROM {src} d JOIN {st} s USING (event_type)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY d.event_type
+                ORDER BY ABS(d.x - s.mu) DESC, d.day) = 1
+"""
+
+_ESD_REM = """
+            SELECT d.* FROM {src} d
+            LEFT JOIN {pick} p
+              ON d.event_type = p.event_type AND d.day = p.day
+            WHERE p.day IS NULL
+"""
+
+
+@q(
+    "ev_esd_outliers",
+    oracle=(
+        """
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ), st1 AS ("""
+        + _ESD_STATS.format(src="daily")
+        + "), p1 AS ("
+        + _ESD_PICK.format(src="daily", st="st1")
+        + "), rem1 AS ("
+        + _ESD_REM.format(src="daily", pick="p1")
+        + "), st2 AS ("
+        + _ESD_STATS.format(src="rem1")
+        + "), p2 AS ("
+        + _ESD_PICK.format(src="rem1", st="st2")
+        + "), rem2 AS ("
+        + _ESD_REM.format(src="rem1", pick="p2")
+        + "), st3 AS ("
+        + _ESD_STATS.format(src="rem2")
+        + "), p3 AS ("
+        + _ESD_PICK.format(src="rem2", st="st3")
+        + """)
+        SELECT event_type, round, CAST(CAST(day AS TIMESTAMP) AS VARCHAR) AS day,
+               FLOOR(r_stat * 10000.0 + 0.5) / 10000.0 AS r_stat,
+               FLOOR(r_stat * 10000.0 + 0.5) / 10000.0 > 3.0 AS is_outlier
+        FROM (
+            SELECT event_type, 1 AS round, day, r_stat FROM p1
+            UNION ALL SELECT event_type, 2, day, r_stat FROM p2
+            UNION ALL SELECT event_type, 3, day, r_stat FROM p3
+        )
+        ORDER BY event_type, round
+    """
+    ),
+)
+def ev_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier test (Rosner '83), three rounds unrolled —
+    the statistically honest way to find MULTIPLE outliers in a series:
+    a single z-score pass (ev_anomaly_zscore) suffers masking, where
+    one huge spike inflates σ and hides the second spike; ESD removes
+    the most extreme point and RECOMPUTES μ/σ each round, so each
+    R-statistic is scored against outlier-free spread. Per event type's
+    daily cents series: round r reports the extreme day and its
+    R = |x−μ|/σ (flagged at the fixed 3.0 cut; the full test compares
+    against the t-quantile λ_r, which no SQL engine tabulates).
+    Exactness: Σx/Σx² are exact BIGINTs so μ/σ are deterministic
+    doubles; argmax ties break by day. Each round is one model-sized
+    aggregate, a broadcast join-back, and an anti-join — the fact is
+    never windowed."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+
+    rem = daily
+    picks = []
+    w = Window.partitionBy("event_type").orderBy(F.desc("absdev"), F.asc("day"))
+    for r in (1, 2, 3):
+        st = rem.groupBy("event_type").agg(
+            (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+            F.sqrt(
+                (
+                    F.sum(F.col("x") * F.col("x")).cast("double")
+                    - F.sum("x").cast("double")
+                    * F.sum("x").cast("double")
+                    / F.count(F.lit(1))
+                )
+                / F.count(F.lit(1))
+            ).alias("sd"),
+        )
+        scored = (
+            rem.join(F.broadcast(st), "event_type")
+            .withColumn("absdev", F.abs(F.col("x") - F.col("mu")))
+            .withColumn("rn", F.row_number().over(w))
+        )
+        pick = scored.where(F.col("rn") == 1)
+        picks.append(
+            pick.select(
+                "event_type",
+                F.lit(r).alias("round"),
+                F.col("day").cast("string").alias("day"),
+                stable_round(F.col("absdev") / F.col("sd"), 4).alias("r_stat"),
+            )
+        )
+        rem = rem.join(
+            pick.select("event_type", "day"), ["event_type", "day"], "left_anti"
+        )
+    out = picks[0].unionAll(picks[1]).unionAll(picks[2])
+    return out.select(
+        "event_type",
+        "round",
+        "day",
+        "r_stat",
+        (F.col("r_stat") > 3.0).alias("is_outlier"),
+    ).orderBy("event_type", "round")
+
+
+_DTW_CELL = (
+    "ABS(a[(t // nb) + 1] - b[(t % nb) + 1])"
+    " + CASE WHEN (t // nb) + 1 = 1 THEN L[LEN(L)]"
+    " WHEN (t % nb) + 1 = 1 THEN L[LEN(L) - nb + 1]"
+    " ELSE LEAST(L[LEN(L)], L[LEN(L) - nb + 1], L[LEN(L) - nb]) END"
+)
+
+
+@q(
+    "ev_dtw_distance",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, LIST(x ORDER BY day) AS arr
+            FROM daily GROUP BY 1
+        ), grid AS (
+            SELECT s.event_type, s.arr AS a, r.arr AS b,
+                   LEN(s.arr) AS na, LEN(r.arr) AS nb
+            FROM ser s, (SELECT arr FROM ser WHERE event_type = 'view') r
+            WHERE LEN(s.arr) >= 2 AND LEN(r.arr) >= 2
+        ), fold AS (
+            SELECT event_type, a, b, na, nb, 1 AS t,
+                   [ABS(a[1] - b[1])] AS L
+            FROM grid
+            UNION ALL
+            SELECT event_type, a, b, na, nb, t + 1,
+                   CASE WHEN LEN(list_append(L, {_DTW_CELL})) > nb + 1
+                        THEN list_append(L, {_DTW_CELL})[2:]
+                        ELSE list_append(L, {_DTW_CELL}) END
+            FROM fold WHERE t < na * nb
+        )
+        SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+               CAST(L[LEN(L)] AS BIGINT) AS dtw_cents,
+               FLOOR(L[LEN(L)] / (na + nb) / 100.0 * 10000.0 + 0.5) / 10000.0
+                   AS dtw_norm
+        FROM fold WHERE t = na * nb ORDER BY event_type
+    """,
+)
+def ev_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping (operators/timeseries.dtw_fold) of each
+    event type's daily cents series against the 'view' reference series
+    — THE elastic similarity measure for series whose shapes match but
+    whose timing drifts (Euclidean distance punishes a one-day phase
+    shift as hard as a different shape; DTW aligns first). An operator
+    Spark has no builtin for, expressed as one JVM-side fold: the
+    O(na·nb) DP walks cells row-major carrying only the last nb+1
+    values (the reachable left/up/diag cells), so fold state is O(nb)
+    and the expression distributes with the rows — one bounded collect
+    per key, one broadcast of the reference row, no UDF, no driver
+    loop. Integer-cents costs keep every DP cell an exact integer, so
+    the DuckDB oracle replays the IDENTICAL recursion as a recursive
+    CTE over the same sliding list (validated cell-for-cell against a
+    brute-force O(na·nb) matrix offline); dtw(view, view) = 0 is the
+    built-in sanity row. dtw_norm divides by the path-length bound
+    (na+nb) and rescales to currency units."""
+    from bigdatacw1_spark.operators.timeseries import dtw_fold
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double").alias("x"))
+    obs = F.struct(F.col("day").alias("t"), F.col("x").alias("v"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(F.sort_array(F.collect_list(obs)), lambda o: o["v"]).alias("arr")
+    )
+    ref = ser.where(F.col("event_type") == "view").select(F.col("arr").alias("b"))
+    grid = (
+        ser.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            F.col("arr").alias("a"),
+            "b",
+            F.size("arr").alias("na"),
+            F.size("b").alias("nb"),
+        )
+        .where((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    d = dtw_fold(F.col("a"), F.col("b"), F.col("na"), F.col("nb"))
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    return grid.select(
+        "event_type",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        d.cast("long").alias("dtw_cents"),
+        stable_round(d / (F.col("na") + F.col("nb")) / 100.0, 4).alias("dtw_norm"),
+    ).orderBy("event_type")
