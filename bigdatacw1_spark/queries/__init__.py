@@ -159,7 +159,7 @@ ROUND10_WINDOW: list[str] = [
     "ext_winsorize_outliers", "ev_peak_concurrency", "ev_kalman_1d",
     "ev_mtbf_mttr", "ext_mmr_rerank", "wh_weighted_median",
     "ev_sax_words", "ev_esd_outliers", "ext_jl_projection",
-    "ev_dtw_distance",
+    "ev_dtw_distance", "ext_rr_frequency", "ev_spc_rules",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

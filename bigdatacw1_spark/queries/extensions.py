@@ -10227,3 +10227,108 @@ def ext_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share_within_2x"),
     )
+
+
+_RR_H = (
+    "('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+)
+
+
+@q(
+    "ext_rr_frequency",
+    oracle=(
+        """
+    WITH langs AS (
+        SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS idx
+        FROM (SELECT DISTINCT lang FROM documents)
+    ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM langs),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    noised AS (
+        SELECT CASE WHEN """
+        + _RR_H.format(salt="_c1")
+        + """ % 4 < 3 THEN d.lang ELSE l.lang END AS reported
+        FROM documents d, kk, langs l
+        WHERE l.idx = """
+        + _RR_H.format(salt="_c2")
+        + """ % kk.k
+    ), obs AS (
+        SELECT reported AS lang, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM noised GROUP BY 1
+    ), tru AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY 1
+    )
+    SELECT l.lang,
+           COALESCE(t.n_true, 0) AS n_true,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           FLOOR((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                  - CAST(nn.n AS DOUBLE) * 0.25 / kk.k) / 0.75 * 100.0 + 0.5)
+               / 100.0 AS n_est,
+           FLOOR(ABS((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                      - CAST(nn.n AS DOUBLE) * 0.25 / kk.k) / 0.75
+                     - COALESCE(t.n_true, 0)) * 100.0 + 0.5) / 100.0 AS abs_err
+    FROM langs l
+    LEFT JOIN obs o ON o.lang = l.lang
+    LEFT JOIN tru t ON t.lang = l.lang
+    CROSS JOIN kk CROSS JOIN nn
+    ORDER BY l.lang
+"""
+    ),
+)
+def ext_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response frequency estimation (Warner '65, the local-DP
+    mechanism RAPPOR builds on) — each document reports its language
+    TRUTHFULLY with p = 3/4, otherwise a uniformly 'random' one, and
+    the aggregator UNBIASES the noised histogram:
+    n̂_l = (obs_l − n·(1−p)/k) / p. This is the per-record privacy
+    counterpart of ext_dp_count_release (which noises the AGGREGATE):
+    no individual row's report reveals its true value beyond the
+    plausible-deniability odds, yet corpus-level composition survives.
+    Both coins are derandomized through the engine-portable MD5 idiom
+    (hash of doc_id with distinct salts), so Spark and DuckDB flip
+    identical coins and the whole mechanism + estimator is value-hash
+    checkable, n_est/abs_err included. Shape: two hash aggregates over
+    the fact, a broadcast-joined language dimension (model-sized), and
+    scalar n/k literals — one shuffle each, scale-safe."""
+    docs = _t(spark, sf_dir, "documents")
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # The language dimension is model-sized by nature — collect it once
+    # (sorted, matching the oracle's ROW_NUMBER ORDER BY lang indexing)
+    # and inline it as a literal array: no partitionless window, no join.
+    lang_list = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    k = len(lang_list)
+    n = docs.count()
+    rand_lang = F.element_at(
+        F.array(*[F.lit(s) for s in lang_list]),
+        (h("_c2") % F.lit(k)).cast("int") + 1,
+    )
+    noised = docs.select(
+        F.when(h("_c1") % 4 < 3, F.col("lang")).otherwise(rand_lang).alias("reported")
+    )
+    obs = noised.groupBy(F.col("reported").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tru = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    est = (
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+        - F.lit(float(n)) * 0.25 / F.lit(k)
+    ) / 0.75
+    langs_df = spark.createDataFrame([(s,) for s in lang_list], "lang string")
+    return (
+        langs_df.join(obs, "lang", "left")
+        .join(tru, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            stable_round(est, 2).alias("n_est"),
+            stable_round(
+                F.abs(est - F.coalesce(F.col("n_true"), F.lit(0))), 2
+            ).alias("abs_err"),
+        )
+        .orderBy("lang")
+    )

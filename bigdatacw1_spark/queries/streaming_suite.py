@@ -2342,3 +2342,104 @@ def ev_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("long").alias("dtw_cents"),
         stable_round(d / (F.col("na") + F.col("nb")) / 100.0, 4).alias("dtw_norm"),
     ).orderBy("event_type")
+
+
+@q(
+    "ev_spc_rules",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ), st AS (
+            SELECT event_type,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+                   SQRT((CAST(SUM(x * x) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                           / COUNT(*)) / COUNT(*)) AS sd
+            FROM daily GROUP BY 1
+        ), z AS (
+            SELECT d.event_type, d.day, (d.x - s.mu) / s.sd AS z
+            FROM daily d JOIN st s USING (event_type)
+        )
+        SELECT event_type, CAST(CAST(day AS TIMESTAMP) AS VARCHAR) AS day,
+               FLOOR(z * 10000.0 + 0.5) / 10000.0 AS z,
+               ABS(z) > 3.0 AS rule1,
+               (SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2
+                OR SUM(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2)
+                   AS rule2,
+               (COUNT(*) OVER w8 = 8
+                AND (SUM(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w8 = 8
+                     OR SUM(CASE WHEN z < 0.0 THEN 1 ELSE 0 END) OVER w8 = 8))
+                   AS rule8
+        FROM z
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w8 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, day
+    """,
+)
+def ev_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules over each type's daily cents
+    series — the SPC discipline behind 'is this metric drifting or just
+    noisy': rule 1 (one point beyond 3σ — a spike), rule 2 (two of
+    three consecutive beyond 2σ on the SAME side — a shift starting),
+    rule 8 (eight consecutive on one side of the mean — a sustained
+    level change no single-point test sees). Emits EVERY day with its
+    z-score and the three flags (a violations-only cut can be vacuous
+    at small scale, and the all-days chart is what gets plotted
+    anyway). Exactness: μ/σ from exact integer Σx/Σx² (one shared
+    expression shape), so z and every rule comparison are deterministic
+    doubles; both rolling counts ride the same keyed window spec —
+    partitions are day-bounded per type. Completes the anomaly family:
+    zscore (pointwise), MAD (robust), CUSUM (cumulative), seasonal
+    (deseasonalized), ESD (multi-outlier), SPC (run rules)."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    st = daily.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double")
+                * F.sum("x").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("sd"),
+    )
+    z = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("z"),
+    )
+    w3 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    )
+    w8 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+    )
+    cnt = lambda cond, w: F.sum(F.when(cond, 1).otherwise(0)).over(w)  # noqa: E731
+    return z.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        stable_round(F.col("z"), 4).alias("z"),
+        (F.abs(F.col("z")) > 3.0).alias("rule1"),
+        (
+            (cnt(F.col("z") > 2.0, w3) >= 2) | (cnt(F.col("z") < -2.0, w3) >= 2)
+        ).alias("rule2"),
+        (
+            (F.count(F.lit(1)).over(w8) == 8)
+            & (
+                (cnt(F.col("z") > 0.0, w8) == 8)
+                | (cnt(F.col("z") < 0.0, w8) == 8)
+            )
+        ).alias("rule8"),
+    ).orderBy("event_type", "day")

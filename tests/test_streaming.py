@@ -1187,3 +1187,86 @@ def test_acf_detects_planted_weekly_period(spark):
     got = {r["lag"]: r["acf"] for r in ev_autocorrelation(spark, tmp).collect()}
     assert got[7] > 0.9
     assert got[7] > got[3] + 0.5
+
+
+def test_kalman_filter_matches_python_reference(spark):
+    """The struct-fold Kalman state must equal a literal sequential
+    Python fold, and the gain must settle toward the Riccati fixed
+    point for Q=0.25, R=4.0."""
+    from datetime import datetime
+
+    from bigdatacw1_spark.operators.timeseries import kalman_filter_1d
+
+    xs = [10.0, 14.0, 9.0, 11.0, 30.0, 12.0, 11.5, 10.8, 11.1, 10.9]
+    rows = [("k", datetime(2024, 1, 1 + i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t timestamp_ntz, v double")
+    got = kalman_filter_1d(df, ["k"], "t", "v").collect()[0]
+    x, p = xs[0], 1.0
+    for z in xs[1:]:
+        pp = p + 0.25
+        k = pp / (pp + 4.0)
+        x = x + k * (z - x)
+        p = (1.0 - k) * pp
+    rnd = lambda v: __import__("math").floor(v * 10000 + 0.5) / 10000  # noqa: E731
+    pp = p + 0.25
+    assert (got["estimate"], got["variance"], got["gain"]) == (
+        rnd(x),
+        rnd(p),
+        rnd(pp / (pp + 4.0)),
+    )
+    # Riccati fixed point for (Q, R) = (0.25, 4.0): P* solves
+    # P = (1-K)(P+Q) with K = (P+Q)/(P+Q+R); iterate to convergence.
+    ps = 1.0
+    for _ in range(200):
+        pq = ps + 0.25
+        ps = (1.0 - pq / (pq + 4.0)) * pq
+    kstar = (ps + 0.25) / (ps + 0.25 + 4.0)
+    assert abs(got["gain"] - kstar) < 0.01  # 9 updates ≈ converged
+    assert 0.0 < got["gain"] < 1.0
+
+
+def test_dtw_fold_matches_bruteforce(spark):
+    """The sliding-list DTW fold must equal the full-matrix DP on
+    crafted series: identity = 0, symmetry, unequal lengths, and a
+    phase-shifted spike that DTW aligns but Euclidean would punish."""
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.timeseries import dtw_fold
+
+    def brute(a, b):
+        na, nb = len(a), len(b)
+        inf = float("inf")
+        d = [[inf] * (nb + 1) for _ in range(na + 1)]
+        d[0][0] = 0.0
+        for i in range(1, na + 1):
+            for j in range(1, nb + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                d[i][j] = c + min(d[i - 1][j], d[i][j - 1], d[i - 1][j - 1])
+        return d[na][nb]
+
+    cases = [
+        ([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ([0.0, 0.0, 9.0, 0.0, 0.0], [0.0, 9.0, 0.0, 0.0, 0.0]),
+        ([5.0, 1.0, 7.0, 2.0], [2.0, 8.0, 1.0, 6.0, 4.0, 3.0]),
+        ([3.0, 1.0], [4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0]),
+    ]
+    rows = [(i, a, b) for i, (a, b) in enumerate(cases)] + [
+        (len(cases) + i, b, a) for i, (a, b) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i int, a array<double>, b array<double>")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i",
+            dtw_fold(
+                F.col("a"), F.col("b"), F.size("a"), F.size("b")
+            ).alias("d"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == brute(a, b), (i, "forward")
+        assert got[len(cases) + i] == brute(b, a), (i, "reverse")
+    assert got[0] == 0.0  # identical series
+    # phase-shifted spike: DTW aligns it (distance 0 impossible only at
+    # the boundary steps), far below the pointwise L1 of 18
+    assert got[1] < 18.0
