@@ -10332,3 +10332,59 @@ def ext_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "ext_hill_tail_index",
+    oracle="""
+        WITH topk AS (
+            SELECT CAST(n_chars AS DOUBLE) AS x
+            FROM documents ORDER BY n_chars DESC LIMIT 51
+        ), ordered AS (
+            SELECT LIST(x ORDER BY x DESC) AS xs FROM topk
+        )
+        SELECT CAST(50 AS BIGINT) AS k,
+               CAST(xs[51] AS BIGINT) AS x_tail,
+               FLOOR(1.0 / (LIST_REDUCE(
+                   LIST_PREPEND(CAST(0.0 AS DOUBLE), xs[1:50]),
+                   (acc, v) -> acc + LN(v / xs[51])) / 50.0)
+                   * 10000.0 + 0.5) / 10000.0 AS hill_alpha
+        FROM ordered
+    """,
+)
+def ext_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over document lengths — the standard
+    answer to 'how heavy is this corpus's length tail', which decides
+    whether max-length truncation clips a negligible sliver or a fat
+    tail of the token budget (and whether mean-based capacity math is
+    even valid; α ≤ 2 means infinite variance). Hill '75 over the top
+    k = 50 order statistics: α̂ = k / Σᵢ ln(xᵢ / x₍ₖ₊₁₎). The top-51
+    VALUES form a deterministic multiset no matter how ties order, the
+    per-engine cut is a TakeOrderedAndProject (per-partition heaps, k
+    rows per task — scale-safe), and the log-ratio sum folds over the
+    DESC-sorted list identically in both engines (scalar accumulator —
+    LIST_REDUCE is safe here, cf. the struct-accumulator bug note on
+    ev_holt_forecast). Companion of ext_zipf_fit: Zipf fits the
+    rank-frequency law of tokens, Hill measures the tail weight of a
+    numeric size distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    topk = (
+        docs.select(F.col("n_chars").cast("double").alias("x"))
+        .orderBy(F.desc("x"))
+        .limit(51)
+    )
+    ordered = topk.agg(
+        F.reverse(F.sort_array(F.collect_list("x"))).alias("xs")
+    )
+    xs = F.col("xs")
+    tail = F.element_at(xs, 51)
+    logsum = F.aggregate(
+        F.slice(xs, 1, 50),
+        F.lit(0.0),
+        lambda acc, v: acc + F.log(v / tail),
+    )
+    return ordered.select(
+        F.lit(50).cast("long").alias("k"),
+        tail.cast("long").alias("x_tail"),
+        stable_round(F.lit(1.0) / (logsum / 50.0), 4).alias("hill_alpha"),
+    )

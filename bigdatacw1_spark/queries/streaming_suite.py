@@ -2443,3 +2443,129 @@ def ev_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rule8"),
     ).orderBy("event_type", "day")
+
+
+_KB_N0 = "LEAST(f.c0, f.c1) + (f.lam0 - d.n * LN(f.lam0))"
+_KB_N1 = "LEAST(f.c1, f.c0 + f.pen) + (f.lam1 - d.n * LN(f.lam1))"
+
+
+@q(
+    "ev_burst_kleinberg",
+    oracle=f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT event_type,
+                   UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ), dense AS (
+            SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+            FROM grid g LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.hour = h.hour
+        ), stats AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS DOUBLE) / COUNT(*) AS lam0,
+                   2.0 * (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS lam1,
+                   LN(CAST(COUNT(*) AS DOUBLE)) AS pen,
+                   CAST(COUNT(*) AS BIGINT) AS nh
+            FROM dense GROUP BY 1
+        ), idx AS (
+            SELECT d.event_type, d.n, s.lam0, s.lam1, s.pen, s.nh,
+                   ROW_NUMBER() OVER (PARTITION BY d.event_type
+                       ORDER BY d.hour) AS i
+            FROM dense d JOIN stats s USING (event_type)
+        ), fold AS (
+            SELECT event_type, lam0, lam1, pen, nh, 1 AS i,
+                   (lam0 - n * LN(lam0)) AS c0,
+                   pen + (lam1 - n * LN(lam1)) AS c1,
+                   CASE WHEN pen + (lam1 - n * LN(lam1))
+                             < (lam0 - n * LN(lam0))
+                        THEN 1 ELSE 0 END AS cnt
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT f.event_type, f.lam0, f.lam1, f.pen, f.nh, f.i + 1,
+                   {_KB_N0},
+                   {_KB_N1},
+                   f.cnt + CASE WHEN {_KB_N1} < {_KB_N0} THEN 1 ELSE 0 END
+            FROM fold f JOIN idx d
+              ON d.event_type = f.event_type AND d.i = f.i + 1
+        )
+        SELECT event_type, nh AS n_hours, CAST(cnt AS BIGINT) AS burst_hours,
+               FLOOR(LEAST(c0, c1) * 10000.0 + 0.5) / 10000.0 AS min_cost
+        FROM fold WHERE i = nh ORDER BY event_type
+    """,
+)
+def ev_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection ('02) — the trending-topics automaton:
+    a 2-state Viterbi over each type's DENSE hourly count series, state
+    0 emitting at the base rate λ₀ = mean counts/hour, state 1 at
+    λ₁ = 2λ₀, with Poisson NLL emission cost λq − n·ln λq and an
+    entry toll ln(n_hours); burst_hours counts the steps where the
+    burst state is strictly cheaper. This is min-plus DP — a THIRD
+    fold algebra after the linear estimators (ewma/holt/kalman) and
+    DTW's min-of-paths, state (c₀, c₁, cnt) carried as a struct, so
+    the oracle replays it as a RECURSIVE CTE with the step expressions
+    textually inlined (struct LIST_REDUCE bug, cf. ev_holt_forecast).
+    The fold runs over the hour grid — bounded by the time SPAN, not
+    the row count, so per-key state stays O(hours) at any scale; the
+    grid is sequence+explode, never driver-side. Exactness: hourly
+    counts are exact BIGINTs, λ/penalty are one shared expression
+    shape, and min-plus over deterministic doubles is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    obs = F.struct(F.col("hour").alias("t"), F.col("n").cast("double").alias("v"))
+    ser = dense.groupBy("event_type").agg(
+        F.transform(F.sort_array(F.collect_list(obs)), lambda o: o["v"]).alias("ns"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("lam0"),
+        F.count(F.lit(1)).cast("long").alias("nh"),
+    )
+    lam0, nh = F.col("lam0"), F.col("nh")
+    lam1 = F.lit(2.0) * lam0
+    pen = F.log(nh.cast("double"))
+    ns = F.col("ns")
+    n1v = F.element_at(ns, 1)
+    f0 = lambda n: lam0 - n * F.log(lam0)  # noqa: E731
+    f1 = lambda n: lam1 - n * F.log(lam1)  # noqa: E731
+    init = F.struct(
+        f0(n1v).alias("c0"),
+        (pen + f1(n1v)).alias("c1"),
+        F.when(pen + f1(n1v) < f0(n1v), F.lit(1)).otherwise(F.lit(0)).alias("cnt"),
+    )
+
+    def step(acc, n):
+        n0 = F.least(acc["c0"], acc["c1"]) + f0(n)
+        n1 = F.least(acc["c1"], acc["c0"] + pen) + f1(n)
+        return F.struct(
+            n0.alias("c0"),
+            n1.alias("c1"),
+            (acc["cnt"] + F.when(n1 < n0, F.lit(1)).otherwise(F.lit(0))).alias("cnt"),
+        )
+
+    folded = F.aggregate(
+        F.slice(ns, 2, F.greatest(F.size(ns) - 1, F.lit(0))), init, step
+    )
+    return ser.select(
+        "event_type",
+        nh.alias("n_hours"),
+        folded["cnt"].cast("long").alias("burst_hours"),
+        stable_round(F.least(folded["c0"], folded["c1"]), 4).alias("min_cost"),
+    ).orderBy("event_type")
