@@ -160,7 +160,8 @@ ROUND10_WINDOW: list[str] = [
     "ev_mtbf_mttr", "ext_mmr_rerank", "wh_weighted_median",
     "ev_sax_words", "ev_esd_outliers", "ext_jl_projection",
     "ev_dtw_distance", "ext_rr_frequency", "ev_spc_rules",
-    "ext_hill_tail_index", "ev_burst_kleinberg",
+    "ext_hill_tail_index", "ev_burst_kleinberg", "j14_bloom_join",
+    "ext_rendezvous_sharding",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

@@ -10388,3 +10388,95 @@ def ext_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail.cast("long").alias("x_tail"),
         stable_round(F.lit(1.0) / (logsum / 50.0), 4).alias("hill_alpha"),
     )
+
+
+_HRW_SCORE = (
+    "('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '_' || shard), 1, 8))"
+    "::BIGINT"
+)
+
+
+@q(
+    "ext_rendezvous_sharding",
+    oracle=(
+        """
+    WITH sc AS (
+        SELECT d.doc_id, s.shard, """
+        + _HRW_SCORE
+        + """ AS score
+        FROM documents d,
+             (SELECT UNNEST(['s0','s1','s2','s3','s4','s5','s6','s7'])
+                  AS shard) s
+    ), a1 AS (
+        SELECT doc_id, MAX({'score': score, 'shard': shard}).shard AS shard
+        FROM sc GROUP BY doc_id
+    ), a2 AS (
+        SELECT doc_id, MAX({'score': score, 'shard': shard}).shard AS shard
+        FROM sc WHERE shard <> 's3' GROUP BY doc_id
+    )
+    SELECT a2.shard,
+           CAST(COUNT(CASE WHEN a1.shard = a2.shard THEN 1 END) AS BIGINT)
+               AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(COUNT(CASE WHEN a1.shard <> a2.shard THEN 1 END) AS BIGINT)
+               AS gained,
+           CAST(COUNT(CASE WHEN a1.shard <> a2.shard
+                           AND a1.shard <> 's3' THEN 1 END) AS BIGINT)
+               AS moved_unnecessarily
+    FROM a1 JOIN a2 USING (doc_id)
+    GROUP BY a2.shard ORDER BY a2.shard
+"""
+    ),
+)
+def ext_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with a minimal-
+    disruption audit — how an incremental 100 TB pipeline assigns
+    documents to a fixed shard set so that REMOVING a shard moves ONLY
+    that shard's documents (Thaler-Ravishankar '96; plain hash-mod
+    reshuffles ~everything). Each doc goes to argmax over shards of
+    MD5(doc_id||'_'||shard) — the portable-hash idiom, so both engines
+    score identically; the argmax is one hash aggregate of a
+    struct-max (ties broken by shard name). The audit recomputes
+    assignments WITHOUT shard s3: per surviving shard it reports the
+    stable population, the post-removal population, and how many docs
+    it gained — with moved_unnecessarily pinned to 0 by the HRW
+    property (dropping a non-winning candidate never changes an
+    argmax), the invariant that makes this sharding 'consistent'.
+    Shape: one 8× row fan-out (a literal dim), two hash aggregates on
+    doc_id, one equi-join — no windows, scale-safe."""
+    docs = _t(spark, sf_dir, "documents")
+    shards = [f"s{i}" for i in range(8)]
+    sc = docs.crossJoin(
+        spark.createDataFrame([(s,) for s in shards], "shard string")
+    ).select(
+        "doc_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_"), F.col("shard"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("score"),
+    )
+    argmax = lambda df: df.groupBy("doc_id").agg(  # noqa: E731
+        F.max(F.struct(F.col("score"), F.col("shard")))["shard"].alias("shard")
+    )
+    a1 = argmax(sc).withColumnRenamed("shard", "shard1")
+    a2 = argmax(sc.where(F.col("shard") != "s3")).withColumnRenamed("shard", "shard2")
+    j = a1.join(a2, "doc_id")
+    cnt = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+    return (
+        j.groupBy(F.col("shard2").alias("shard"))
+        .agg(
+            cnt(F.col("shard1") == F.col("shard2")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+            cnt(F.col("shard1") != F.col("shard2")).cast("long").alias("gained"),
+            cnt(
+                (F.col("shard1") != F.col("shard2")) & (F.col("shard1") != "s3")
+            ).cast("long").alias("moved_unnecessarily"),
+        )
+        .orderBy("shard")
+    )

@@ -2844,3 +2844,121 @@ def f33_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("host", "path")
     )
+
+
+_BLOOM_H = (
+    "('0x' || SUBSTR(MD5(CAST({k} AS VARCHAR) || '_b{i}'), 1, 8))::BIGINT"
+    " % 4096"
+)
+
+
+@q(
+    "j14_bloom_join",
+    oracle=(
+        """
+        WITH dimk AS (
+            SELECT DISTINCT p_partkey AS k FROM part WHERE p_size = 15
+        ), pos AS (
+            SELECT DISTINCT h FROM (
+                SELECT """
+        + _BLOOM_H.format(k="k", i=1)
+        + """ AS h FROM dimk
+                UNION ALL SELECT """
+        + _BLOOM_H.format(k="k", i=2)
+        + """ FROM dimk
+                UNION ALL SELECT """
+        + _BLOOM_H.format(k="k", i=3)
+        + """ FROM dimk
+            )
+        ), flags AS (
+            SELECT ("""
+        + _BLOOM_H.format(k="l.l_partkey", i=1)
+        + """ IN (SELECT h FROM pos)
+                AND """
+        + _BLOOM_H.format(k="l.l_partkey", i=2)
+        + """ IN (SELECT h FROM pos)
+                AND """
+        + _BLOOM_H.format(k="l.l_partkey", i=3)
+        + """ IN (SELECT h FROM pos)) AS pass,
+                l.l_partkey IN (SELECT k FROM dimk) AS m
+            FROM lineitem l
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+               CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass_bloom,
+               CAST(COUNT(CASE WHEN m THEN 1 END) AS BIGINT) AS n_true_match,
+               CAST(COUNT(CASE WHEN pass AND NOT m THEN 1 END) AS BIGINT)
+                   AS n_false_pos,
+               CAST(COUNT(CASE WHEN m AND NOT pass THEN 1 END) AS BIGINT)
+                   AS n_false_neg,
+               FLOOR(CAST(COUNT(CASE WHEN pass AND NOT m THEN 1 END) AS DOUBLE)
+                     / COUNT(CASE WHEN NOT m THEN 1 END) * 1000000.0 + 0.5)
+                   / 1000000.0 AS fp_rate
+        FROM flags
+    """
+    ),
+)
+def j14_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning made explicit and oracle-checked — the
+    mechanism behind Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) and the reason a
+    selective dim filter can cut a 100 TB fact scan's shuffle before
+    the join: a 4096-bit, k=3 Bloom set is built over the FILTERED dim
+    keys (p_size = 15), the fact side is pre-filtered by 3 bitmask
+    probes — the filter itself is a FIXED-size broadcast literal (128
+    packed 32-bit words), independent of dim cardinality — and only
+    survivors reach the exact join. The audit reports what the exact
+    join then confirms: n_false_neg is 0 BY CONSTRUCTION (a Bloom
+    filter never drops a member; the oracle pins it), and fp_rate is
+    the measured cost of the 4096/k=3 sizing. All probes use the
+    engine-portable MD5 idiom, so both engines build bit-identical
+    filters and the whole mechanism value-hashes."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    dimk = part.where(F.col("p_size") == 15).select(
+        F.col("p_partkey").alias("k")
+    ).distinct()
+    h = lambda c, i: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f"_b{i}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 4096
+    )
+    # The bit array is bounded at 4096 bits by construction — collect it
+    # once and inline as 128 packed 32-bit words (a real Bloom filter's
+    # broadcast shape, constant-size no matter how large the dim grows).
+    pos = set()
+    for i in (1, 2, 3):
+        pos.update(r[0] for r in dimk.select(h(F.col("k"), i).alias("h")).collect())
+    words = [0] * 128
+    for p in pos:
+        words[p // 32] |= 1 << (p % 32)
+    mask = F.array(*[F.lit(w).cast("long") for w in words])
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+
+    def member(hcol):
+        word = F.element_at(mask, (hcol / 32).cast("int") + 1)
+        bit = F.element_at(pow2, F.pmod(hcol, 32).cast("int") + 1)
+        return word.bitwiseAND(bit) != 0
+
+    k = F.col("l_partkey")
+    flags = li.select(
+        (member(h(k, 1)) & member(h(k, 2)) & member(h(k, 3))).alias("pass"),
+        F.col("l_partkey").alias("fk"),
+    ).join(
+        F.broadcast(dimk.withColumn("m0", F.lit(True))),
+        F.col("fk") == F.col("k"),
+        "left",
+    ).select("pass", F.coalesce(F.col("m0"), F.lit(False)).alias("m"))
+    cnt = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        cnt(F.col("pass")).cast("long").alias("n_pass_bloom"),
+        cnt(F.col("m")).cast("long").alias("n_true_match"),
+        cnt(F.col("pass") & ~F.col("m")).cast("long").alias("n_false_pos"),
+        cnt(F.col("m") & ~F.col("pass")).cast("long").alias("n_false_neg"),
+        stable_round(
+            cnt(F.col("pass") & ~F.col("m")).cast("double") / cnt(~F.col("m")), 6
+        ).alias("fp_rate"),
+    )
