@@ -532,3 +532,42 @@ def test_ivm_zset_join_is_broadcast_only(spark):
     plan = formatted_plan(_df(spark, "wh_ivm_zset_join"))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_peak_concurrency_carry_and_peak_join_broadcast(spark):
+    """The distributed prefix scan's two join-backs (the bucket-carry
+    table and the per-type peak table) are model-sized and must attach
+    by broadcast; a SortMergeJoin here would shuffle the fact-sized
+    point stream twice for tables of a few hundred rows. The windows
+    must all be keyed (no partitionless scan)."""
+    from bigdatacw1_spark.plans import count_global_windows, formatted_plan
+
+    df = _df(spark, "ev_peak_concurrency")
+    plan = formatted_plan(df)
+    assert has_broadcast_hash_join(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert count_global_windows(df) == 0
+
+
+def test_weighted_median_single_keyed_window_pass(spark):
+    """Both window aggregates (cumulative weight + partition total)
+    share one partitioning by l_suppkey: the plan must contain exactly
+    one 'Window' span and push the suppkey predicate to the scan."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    df = _df(spark, "wh_weighted_median")
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 1
+    # one hashpartitioning exchange for the window key; the final
+    # ORDER BY adds a rangepartitioning — no other fact shuffles
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert any("l_suppkey" in f for f in pushed_filters(df))
+
+
+def test_mmr_topk_cut_fuses_into_take_ordered(spark):
+    """MMR's only fact-sized pass is the top-20 relevance cut — it must
+    be a TakeOrderedAndProject (per-partition heaps), and the bounded
+    greedy tail must attach candidates by broadcast."""
+    df = _df(spark, "ext_mmr_rerank")
+    assert has_take_ordered(df)
+    assert has_broadcast_hash_join(df)
