@@ -161,7 +161,7 @@ ROUND10_WINDOW: list[str] = [
     "ev_sax_words", "ev_esd_outliers", "ext_jl_projection",
     "ev_dtw_distance", "ext_rr_frequency", "ev_spc_rules",
     "ext_hill_tail_index", "ev_burst_kleinberg", "j14_bloom_join",
-    "ext_rendezvous_sharding",
+    "ext_rendezvous_sharding", "diag_range_shards", "f34_business_days",
 ]
 
 # Round 7 live window (swapped in as the first commit of round 7, per the

@@ -10480,3 +10480,73 @@ def ext_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@q(
+    "diag_range_shards",
+    oracle="""
+        WITH b AS (
+            SELECT QUANTILE_CONT(o_totalprice,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds,
+                   CAST(COUNT(*) AS BIGINT) AS total
+            FROM orders
+        ), binned AS (
+            SELECT CAST(LEN(LIST_FILTER(b.bounds,
+                       x -> o.o_totalprice > x)) AS INT) AS shard,
+                   o.o_totalprice AS p, b.total
+            FROM orders o, b
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               FLOOR(CAST(COUNT(*) AS DOUBLE) / (CAST(total AS DOUBLE) / 8.0)
+                     * 10000.0 + 0.5) / 10000.0 AS fill_ratio,
+               MIN(p) AS min_price, MAX(p) AS max_price
+        FROM binned
+        GROUP BY shard, total ORDER BY shard
+    """,
+)
+def diag_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition planning audit — the decision every
+    repartitionByRange / rangepartitioning write at 100 TB rests on:
+    cut the key space at the exact octile boundaries and measure how
+    evenly rows land (fill_ratio = shard size over the ideal total/8;
+    1.0 everywhere means the planned layout has no straggler
+    partitions, >1 flags the skew a boundary refresh must fix). The
+    boundaries come from ONE exact-percentile aggregate (the a15
+    Spark-percentile ≡ DuckDB-QUANTILE_CONT idiom) broadcast back as a
+    7-element array; shard id is the count of boundaries strictly
+    below the key — a pure row-local array filter, the same
+    one-pass binning global_order_columns uses for its shards (there
+    with approximate bounds, since THERE accuracy only moves load, not
+    correctness; here the exact bounds ARE the deliverable). Octile
+    edges are raw data values, hash-exact."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(v) for v in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)]),
+        ).alias("bounds"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.size(
+            F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)
+        ).cast("int").alias("shard"),
+        F.col("o_totalprice").alias("p"),
+        "total",
+    )
+    return (
+        binned.groupBy("shard", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            stable_round(
+                F.count(F.lit(1)).cast("double")
+                / (F.col("total").cast("double") / 8.0),
+                4,
+            ).alias("fill_ratio"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+        )
+        .select("shard", "n_rows", "fill_ratio", "min_price", "max_price")
+        .orderBy("shard")
+    )

@@ -2962,3 +2962,77 @@ def j14_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt(F.col("pass") & ~F.col("m")).cast("double") / cnt(~F.col("m")), 6
         ).alias("fp_rate"),
     )
+
+
+@q(
+    "f34_business_days",
+    oracle="""
+        WITH j AS (
+            SELECT o.o_orderpriority AS pri,
+                   DATE_DIFF('day', DATE '1970-01-01',
+                             CAST(o.o_orderdate AS DATE)) AS e1,
+                   DATE_DIFF('day', DATE '1970-01-01',
+                             CAST(l.l_shipdate AS DATE)) AS e2
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ), bd AS (
+            SELECT pri,
+                   (e2 - e1) // 7 * 5
+                   + CASE WHEN (e2 - e1) % 7 = 0 THEN 0
+                          ELSE CAST(LEN(LIST_FILTER(
+                                   GENERATE_SERIES(1, (e2 - e1) % 7),
+                                   k -> (e1 + k + 4) % 7 NOT IN (0, 6)))
+                               AS BIGINT) END AS bdays
+            FROM j WHERE e2 > e1
+        )
+        SELECT pri AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(bdays) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_bdays
+        FROM bd GROUP BY 1 ORDER BY 1
+    """,
+)
+def f34_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETWORKDAYS — the business-day difference SQL engines don't ship
+    but every ops/finance lead-time SLA is written in: weekdays in
+    (order_date, ship_date], computed portably as full_weeks·5 plus a
+    ≤6-element remainder scan where day-of-week = (epoch_days + 4) % 7
+    (1970-01-01 was a Thursday; 0 = Sunday) — pure integer arithmetic,
+    immune to the engines' incompatible DAYOFWEEK conventions (Spark
+    1=Sunday, DuckDB ISODOW 1=Monday). The r = 0 remainder is guarded
+    in BOTH engines because Spark's sequence(1, 0) counts DOWN where
+    DuckDB's generate_series returns empty — the off-by-everything
+    trap. Lines shipping before their order date (present in the
+    synthetic data) are excluded as invalid (e2 > e1). Averaged per
+    order priority from exact integer-day sums; one broadcast-joined
+    scan, row-local array math."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ed = lambda c: F.datediff(  # noqa: E731
+        F.col(c).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    j = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderpriority").alias("pri"),
+        ed("o_orderdate").alias("e1"),
+        ed("l_shipdate").alias("e2"),
+    ).where(F.col("e2") > F.col("e1"))
+    diff = F.col("e2") - F.col("e1")
+    r = F.pmod(diff, F.lit(7))
+    is_weekday = lambda k: (  # noqa: E731
+        (F.pmod(F.col("e1") + k + 4, F.lit(7)) != 0)
+        & (F.pmod(F.col("e1") + k + 4, F.lit(7)) != 6)
+    )
+    rem = F.when(r == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.filter(F.sequence(F.lit(1), r.cast("int")), is_weekday)).cast("long")
+    )
+    bdays = (F.floor(diff / 7) * 5 + rem).alias("bdays")
+    return (
+        j.select("pri", bdays)
+        .groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            stable_round(
+                F.sum("bdays").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
