@@ -164,6 +164,11 @@ ROUND10_WINDOW: list[str] = [
     "ext_rendezvous_sharding", "diag_range_shards", "f34_business_days",
 ]
 
+ROUND11_WINDOW: list[str] = [
+    # overflow for round-7+ additions once ROUND10 hit the 45-entry cap
+    "ev_hampel_filter", "wh_runs_test", "wh_growth_accounting",
+]
+
 # Round 7 live window (swapped in as the first commit of round 7, per the
 # round-6 verdict; ROUND7_WINDOW was pre-verified at sf0.01 in round 6).
 _DRIVER_WINDOW = _ANCHORS + ROUND7_WINDOW

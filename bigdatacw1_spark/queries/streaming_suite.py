@@ -2569,3 +2569,67 @@ def ev_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["cnt"].cast("long").alias("burst_hours"),
         stable_round(F.least(folded["c0"], folded["c1"]), 4).alias("min_cost"),
     ).orderBy("event_type")
+
+
+@q(
+    "ev_hampel_filter",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ), framed AS (
+            SELECT event_type, day, x,
+                   LIST(x) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+            FROM daily
+        )
+        SELECT event_type, CAST(CAST(day AS TIMESTAMP) AS VARCHAR) AS day,
+               CAST(x AS BIGINT) AS x_cents,
+               CAST(LIST_SORT(arr)[4] AS BIGINT) AS med,
+               CAST(LIST_SORT(LIST_TRANSFORM(arr,
+                        v -> ABS(v - LIST_SORT(arr)[4])))[4] AS BIGINT) AS mad,
+               ABS(x - LIST_SORT(arr)[4])
+                   > 3.0 * 1.4826 * LIST_SORT(LIST_TRANSFORM(arr,
+                         v -> ABS(v - LIST_SORT(arr)[4])))[4] AS is_outlier
+        FROM framed WHERE LEN(arr) = 7
+        ORDER BY event_type, day
+    """,
+)
+def ev_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter — the ROLLING robust outlier detector (rolling
+    median ± 3·1.4826·rolling MAD over a centered 7-day frame): where
+    ev_anomaly_zscore's rolling mean/σ are themselves dragged by the
+    spike they should flag, the median/MAD pair has a 50% breakdown
+    point, so one bad day cannot mask itself. The frame is collected
+    as a 7-element list per row (frame-bounded state) and median/MAD
+    are row-local sorted-array lookups — element 4 of 7, exact integer
+    cents, no float before the final threshold compare, which both
+    engines evaluate with the identical 3.0·1.4826·MAD literal chain.
+    Edge rows without a full frame are excluded (a half-frame median
+    is a different estimator). One keyed window pass, day-bounded
+    partitions."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    framed = daily.withColumn("arr", F.collect_list("x").over(w)).where(
+        F.size("arr") == 7
+    )
+    med = F.element_at(F.sort_array(F.col("arr")), 4)
+    mad = F.element_at(
+        F.sort_array(F.transform(F.col("arr"), lambda v: F.abs(v - med))), 4
+    )
+    return framed.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("long").alias("x_cents"),
+        med.cast("long").alias("med"),
+        mad.cast("long").alias("mad"),
+        (
+            F.abs(F.col("x") - med) > F.lit(3.0) * F.lit(1.4826) * mad
+        ).alias("is_outlier"),
+    ).orderBy("event_type", "day")

@@ -3607,3 +3607,221 @@ def wh_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_extendedprice").alias("weighted_median"))
         .orderBy("l_suppkey")
     )
+
+
+@q(
+    "wh_runs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type, QUANTILE_CONT(x, 0.5) AS m
+            FROM daily GROUP BY 1
+        ), signs AS (
+            SELECT d.event_type, d.day, d.x > med.m AS s
+            FROM daily d JOIN med USING (event_type)
+            WHERE d.x <> med.m
+        ), runs AS (
+            SELECT event_type, s,
+                   LAG(s) OVER (PARTITION BY event_type ORDER BY day) AS ps
+            FROM signs
+        ), agg AS (
+            SELECT event_type,
+                   CAST(COUNT(CASE WHEN s THEN 1 END) AS BIGINT) AS n_plus,
+                   CAST(COUNT(CASE WHEN NOT s THEN 1 END) AS BIGINT) AS n_minus,
+                   CAST(1 + COUNT(CASE WHEN ps IS NOT NULL AND s <> ps
+                                       THEN 1 END) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1
+        )
+        SELECT event_type, n_plus, n_minus, n_runs,
+               FLOOR((CAST(n_runs AS DOUBLE)
+                      - (2.0 * n_plus * n_minus / (n_plus + n_minus) + 1.0))
+                     / SQRT(2.0 * n_plus * n_minus
+                            * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                            / ((CAST(n_plus + n_minus AS DOUBLE))
+                               * (n_plus + n_minus)
+                               * (n_plus + n_minus - 1)))
+                     * 10000.0 + 0.5) / 10000.0 AS z,
+               ABS(FLOOR((CAST(n_runs AS DOUBLE)
+                      - (2.0 * n_plus * n_minus / (n_plus + n_minus) + 1.0))
+                     / SQRT(2.0 * n_plus * n_minus
+                            * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                            / ((CAST(n_plus + n_minus AS DOUBLE))
+                               * (n_plus + n_minus)
+                               * (n_plus + n_minus - 1)))
+                     * 10000.0 + 0.5) / 10000.0) > 1.96 AS nonrandom
+        FROM agg ORDER BY event_type
+    """,
+)
+def wh_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test — the nonparametric 'is this series
+    actually random around its center' check that belongs next to
+    Benford/KS/PSI in a data-quality arsenal: too FEW runs of
+    above/below-median days means trending or level shifts, too MANY
+    means oscillation (negative autocorrelation) — both invisible to
+    marginal-distribution tests. Signs come from the exact per-type
+    median (ties dropped, the textbook treatment); the run count is
+    1 + sign changes via one keyed LAG; E[R] and Var[R] are closed
+    forms over the exact integer (n₊, n₋) counts, so the z statistic
+    is a deterministic double both engines round identically. The fact
+    aggregates to a day-bounded series before any window — scale-safe."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.operators.relational import stable_round
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    med = daily.groupBy("event_type").agg(F.percentile("x", 0.5).alias("m"))
+    signs = (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("x") != F.col("m"))
+        .select("event_type", "day", (F.col("x") > F.col("m")).alias("s"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = signs.withColumn("ps", F.lag("s").over(w))
+    cnt = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+    agg = runs.groupBy("event_type").agg(
+        cnt(F.col("s")).cast("long").alias("n_plus"),
+        cnt(~F.col("s")).cast("long").alias("n_minus"),
+        (1 + cnt(F.col("ps").isNotNull() & (F.col("s") != F.col("ps"))))
+        .cast("long")
+        .alias("n_runs"),
+    )
+    np_, nm, nr = F.col("n_plus"), F.col("n_minus"), F.col("n_runs")
+    n = np_ + nm
+    e_r = F.lit(2.0) * np_ * nm / n + F.lit(1.0)
+    var_r = (
+        F.lit(2.0)
+        * np_
+        * nm
+        * (F.lit(2.0) * np_ * nm - np_ - nm)
+        / (n.cast("double") * n * (n - 1))
+    )
+    z = stable_round((nr.cast("double") - e_r) / F.sqrt(var_r), 4)
+    return agg.select(
+        "event_type",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    ).orderBy("event_type")
+
+
+@q(
+    "wh_growth_accounting",
+    oracle="""
+        WITH ua AS (
+            SELECT DISTINCT user_id,
+                   DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                       AS wk
+            FROM events
+        ), firsts AS (
+            SELECT user_id, MIN(wk) AS first_wk FROM ua GROUP BY 1
+        ), state AS (
+            SELECT a.user_id, a.wk,
+                   f.first_wk = a.wk AS is_new,
+                   p.user_id IS NOT NULL AS was_prev
+            FROM ua a
+            JOIN firsts f USING (user_id)
+            LEFT JOIN ua p ON p.user_id = a.user_id AND p.wk = a.wk - 1
+        ), churn AS (
+            SELECT a.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM ua a
+            LEFT JOIN ua nx ON nx.user_id = a.user_id AND nx.wk = a.wk + 1
+            WHERE nx.user_id IS NULL
+              AND a.wk + 1 <= (SELECT MAX(wk) FROM ua)
+            GROUP BY 1
+        )
+        SELECT CAST(CAST(DATE '1970-01-01' + INTERVAL (s.wk * 7) DAY AS DATE)
+                    AS VARCHAR) AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new,
+               CAST(COUNT(CASE WHEN was_prev THEN 1 END) AS BIGINT)
+                   AS n_retained,
+               CAST(COUNT(CASE WHEN NOT is_new AND NOT was_prev THEN 1 END)
+                   AS BIGINT) AS n_resurrected,
+               COALESCE(ANY_VALUE(c.n_churned), 0) AS n_churned
+        FROM state s LEFT JOIN churn c ON c.wk = s.wk
+        GROUP BY s.wk ORDER BY s.wk
+    """,
+)
+def wh_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the active-user decomposition every
+    growth review opens with: actives(w) = new + retained +
+    resurrected, with churned(w) = users active in w−1 who vanished
+    (the identity actives(w) − actives(w−1) = new + resurrected −
+    churned is the audit). States are pure set algebra on the DISTINCT
+    (user, week) activity table: first-week join for NEW, a
+    shifted-by-one self-equi-join for RETAINED/CHURNED (weeks as
+    integer epoch-day // 7 indices, so 'previous week' is an exact key,
+    robust to gaps), resurrected = the remainder. Every join is keyed
+    by user_id — cardinality scales with the data, no windows, no
+    collect; counts are exact BIGINTs. Complements wh_cohort_retention
+    (fixed-cohort view) and wh_dau_mau_stickiness (intensity view) with
+    the flow view."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    ).alias("wk")
+    ua = ev.select("user_id", wk).distinct()
+    firsts = ua.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = ua.select(F.col("user_id").alias("pu"), (F.col("wk") + 1).alias("pwk"))
+    state = (
+        ua.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("pu")) & (F.col("wk") == F.col("pwk")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "wk",
+            (F.col("first_wk") == F.col("wk")).alias("is_new"),
+            F.col("pu").isNotNull().alias("was_prev"),
+        )
+    )
+    max_wk = ua.agg(F.max("wk").alias("mx"))
+    nxt = ua.select(F.col("user_id").alias("nu"), (F.col("wk") - 1).alias("nwk"))
+    churn = (
+        ua.join(
+            nxt,
+            (F.col("user_id") == F.col("nu")) & (F.col("wk") == F.col("nwk")),
+            "left",
+        )
+        .where(F.col("nu").isNull())
+        .crossJoin(F.broadcast(max_wk))
+        .where(F.col("wk") + 1 <= F.col("mx"))
+        .groupBy((F.col("wk") + 1).alias("cwk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    cnt = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+    return (
+        state.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            cnt(F.col("is_new")).cast("long").alias("n_new"),
+            cnt(F.col("was_prev")).cast("long").alias("n_retained"),
+            cnt(~F.col("is_new") & ~F.col("was_prev"))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .join(F.broadcast(churn), F.col("wk") == F.col("cwk"), "left")
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), (F.col("wk") * 7).cast("int")
+            )
+            .cast("string")
+            .alias("week_start"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0).cast("long")).alias("n_churned"),
+        )
+        .orderBy("week_start")
+    )

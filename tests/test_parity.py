@@ -54,6 +54,7 @@ def test_driver_window_and_staged_rotations():
         ROUND8_WINDOW,
         ROUND9_WINDOW,
         ROUND10_WINDOW,
+        ROUND11_WINDOW,
         _ANCHORS,
         _DRIVER_WINDOW,
     )
@@ -67,8 +68,8 @@ def test_driver_window_and_staged_rotations():
 
     # ROUND7 is the LIVE window this round; ROUND8-10 remain staged.
     assert _DRIVER_WINDOW == _ANCHORS + ROUND7_WINDOW
-    staged = ROUND8_WINDOW + ROUND9_WINDOW + ROUND10_WINDOW
-    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW):
+    staged = ROUND8_WINDOW + ROUND9_WINDOW + ROUND10_WINDOW + ROUND11_WINDOW
+    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:
