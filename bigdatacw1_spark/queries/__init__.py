@@ -128,6 +128,10 @@ ROUND8_WINDOW = [
     "ext_unimax_mix", "ext_quality_calibration", "ext_mm_resize",
     "ext_mm_audio_decimate", "ext_quality_logreg", "ext_coreset_kcenter",
     "ext_quality_eval", "ext_winnowing_pairs", "ext_corpus_funnel",
+    # round-7 overflow pulled forward from ROUND11 (judge spot-checked
+    # green at sf0.01 in the round-7 verdict) to fill the 45-entry cap
+    # and drain the staged backlog one round sooner
+    "ev_hampel_filter", "wh_runs_test", "wh_growth_accounting",
 ]
 
 ROUND9_WINDOW = [
@@ -165,13 +169,14 @@ ROUND10_WINDOW: list[str] = [
 ]
 
 ROUND11_WINDOW: list[str] = [
-    # overflow for round-7+ additions once ROUND10 hit the 45-entry cap
-    "ev_hampel_filter", "wh_runs_test", "wh_growth_accounting",
+    # staging list for round-8+ additions (its original 3 round-7
+    # overflow entries were pulled forward into ROUND8_WINDOW)
 ]
 
-# Round 7 live window (swapped in as the first commit of round 7, per the
-# round-6 verdict; ROUND7_WINDOW was pre-verified at sf0.01 in round 6).
-_DRIVER_WINDOW = _ANCHORS + ROUND7_WINDOW
+# Round 8 live window (swapped in as the first commit of round 8, per the
+# round-7 verdict; ROUND8_WINDOW was pre-verified at sf0.01 in round 6 and
+# its last 3 entries spot-checked green by the round-7 judge).
+_DRIVER_WINDOW = _ANCHORS + ROUND8_WINDOW
 
 
 def _rotate_registry() -> None:

@@ -66,9 +66,10 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    # ROUND7 is the LIVE window this round; ROUND8-10 remain staged.
-    assert _DRIVER_WINDOW == _ANCHORS + ROUND7_WINDOW
-    staged = ROUND8_WINDOW + ROUND9_WINDOW + ROUND10_WINDOW + ROUND11_WINDOW
+    # ROUND8 is the LIVE window this round; ROUND9-11 remain staged
+    # (ROUND7 was driver-checked in round 7 → covered via CORRECTNESS_r07).
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND8_WINDOW
+    staged = ROUND9_WINDOW + ROUND10_WINDOW + ROUND11_WINDOW
     for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
