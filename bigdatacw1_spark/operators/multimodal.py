@@ -3,13 +3,34 @@
 Media (image/audio/video) are opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing — schemas, partition-sized Arrow
 batches through ``mapInPandas``, deterministic pass-through of keys — is
-real and tested. Two codecs decode FOR REAL with the stdlib alone:
-``decode_png`` (zlib inflate + filter reversal) and ``decode_wav`` (RIFF
-chunk walk + 16-bit PCM samples); entropy-coded formats (JPEG/MP3/...)
-still raise NotImplementedError because they genuinely need codec
-libraries not present in this container — at deployment the dispatchers
-branch to PIL/libsndfile. ``_fake_feature_vec`` remains the deterministic
+real and tested. These codecs decode FOR REAL with the stdlib alone:
+``decode_png`` (zlib inflate + filter reversal), ``decode_gif`` (full
+LZW), ``decode_bmp``, ``decode_jpeg`` (baseline DCT, gray + color),
+``decode_wav`` (RIFF chunk walk + 16-bit PCM) and ``decode_flac``
+(RFC 9639 subset: rice/fixed/LPC subframes, stereo decorrelation,
+CRC8/16 + MD5 verify). ``_fake_feature_vec`` remains the deterministic
 stand-in for learned-embedding features.
+
+DECIDED STAY — MP3 (MPEG-1 Layer III) and HEIC keep raising a loud
+NotImplementedError rather than shipping a decoder. Triage rationale
+(recorded round 8, revisit if the environment changes): unlike FLAC,
+whose entropy coding (rice) and predictors (fixed/LPC) are fully
+algorithmic, a correct Layer III decoder requires ~2,000 lines of
+ISO/IEC 11172-3 constant tables — the 32 Huffman code tables, the
+per-sample-rate scalefactor band partitions, and the 512-tap synthesis
+window — none of which can be re-derived from a formula. This container
+has no network, no audio libraries, and no MP3 test vectors, so those
+tables would have to be transcribed from memory with no way to validate
+them (a round-trip oracle would also need an MP3 *encoder*: quantization
+loop, bit reservoir, Huffman table selection — another ~2,000 lines
+validating against the same unverifiable tables). A decoder whose
+constants cannot be checked is worse than an honest refusal: it would
+silently corrupt every downstream feature. HEIC additionally embeds
+HEVC intra decoding, an order of magnitude beyond that. At deployment,
+branch the ``decode_audio``/``decode_image`` dispatchers to
+libsndfile/minimp3 and libheif; every downstream operator (decimate,
+spectral, VAD, features) already consumes the decoded-PCM/pixel
+interface, so the swap is local to the dispatcher.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row Python
 cost, bounded memory via spark.sql.execution.arrow.maxRecordsPerBatch);
@@ -188,12 +209,13 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, pixel bytes).
 
-    PNG decodes for real (decode_png: zlib inflate + filter reversal) and
-    so does GIF (decode_gif: full LZW expansion + palette mapping), both
-    stdlib-only. Entropy-coded formats (JPEG/...) still raise
-    NotImplementedError — they genuinely need codec libraries not present
-    here; at deployment, branch to PIL/libjpeg in this dispatcher. Use
-    sniff_media_meta for the cheap no-decode metadata pass."""
+    PNG (zlib inflate + filter reversal), GIF (full LZW expansion +
+    palette mapping), BMP and baseline JPEG all decode for real,
+    stdlib-only. HEIC (and other formats whose decode hinges on large
+    unverifiable ISO constant tables) raises NotImplementedError — see
+    the module docstring's DECIDED STAY note; at deployment, branch to
+    PIL/libheif in this dispatcher. Use sniff_media_meta for the cheap
+    no-decode metadata pass."""
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
