@@ -171,6 +171,9 @@ ROUND10_WINDOW: list[str] = [
 ROUND11_WINDOW: list[str] = [
     # staging list for round-8+ additions (its original 3 round-7
     # overflow entries were pulled forward into ROUND8_WINDOW)
+    "wh_shapley_attribution", "wh_uplift_stratified",
+    "ev_poisson_rate_test", "ev_holt_winters",
+    "f35_bitmap_distinct", "ext_maxsim_topk", "ext_kn_bigram_lm",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

@@ -37,7 +37,7 @@ from bigdatacw1_spark.operators.dedup import (
     simhash64,
     verified_near_duplicates,
 )
-from bigdatacw1_spark.functions.vector import as_double, cosine
+from bigdatacw1_spark.functions.vector import as_double, cosine, dot
 from bigdatacw1_spark.operators.multimodal import attach_binary_payload, extract_features
 from bigdatacw1_spark.operators.similarity import (
     _hyperplanes,
@@ -3566,7 +3566,7 @@ def ext_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext_embed_neardup_lsh) — this entry is its exactness anchor.
     Sequential-fold dot products (functions/vector) keep every float
     engine-reproducible; MAX is order-independent."""
-    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.functions.vector import as_double, cosine, dot
 
     emb = _t(spark, sf_dir, "embeddings")
     ev = emb.where(F.col("vec_id") % 5 == 0).select(
@@ -4622,7 +4622,7 @@ def ext_ann_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_ann_ivf_topk whose recall is invariant-checked only."""
     import math
 
-    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.functions.vector import as_double, cosine, dot
     from bigdatacw1_spark.operators.similarity import kmeans_quantized
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4717,7 +4717,7 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from bigdatacw1_spark.functions.text import bm25_topk
-    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.functions.vector import as_double, cosine, dot
     from bigdatacw1_spark.operators.relational import stable_round
 
     docs = _t(spark, sf_dir, "documents")
@@ -4806,7 +4806,7 @@ def ext_semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold exactly — the verified companion to the float-kmeans
     ext_semantic_dedup, same relationship as ext_ann_ivf_verified to
     ext_ann_ivf_topk."""
-    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.functions.vector import as_double, cosine, dot
     from bigdatacw1_spark.operators.relational import stable_round
     from bigdatacw1_spark.operators.similarity import kmeans_quantized
 
@@ -10549,4 +10549,214 @@ def diag_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("shard", "n_rows", "fill_ratio", "min_price", "max_price")
         .orderBy("shard")
+    )
+
+
+@q(
+    "ext_maxsim_topk",
+    oracle="""
+        WITH sub AS (
+            SELECT vec_id,
+                   [CAST(embedding[1:16] AS DOUBLE[]),
+                    CAST(embedding[17:32] AS DOUBLE[]),
+                    CAST(embedding[33:48] AS DOUBLE[]),
+                    CAST(embedding[49:64] AS DOUBLE[])] AS toks
+            FROM embeddings
+        ), qv AS (SELECT toks FROM sub WHERE vec_id = 0),
+        scored AS (
+            SELECT s.vec_id,
+                   ROUND(
+                     LIST_SUM([
+                       LIST_MAX([
+                         LIST_DOT_PRODUCT(q.toks[i], s.toks[j])
+                         / (SQRT(LIST_DOT_PRODUCT(q.toks[i], q.toks[i]))
+                            * SQRT(LIST_DOT_PRODUCT(s.toks[j], s.toks[j])))
+                         FOR j IN GENERATE_SERIES(1, 4)])
+                       FOR i IN GENERATE_SERIES(1, 4)]),
+                     6) AS score
+            FROM sub s, qv q
+            WHERE s.vec_id <> 0
+        )
+        SELECT vec_id, score FROM scored
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+)
+def ext_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: each vector is
+    treated as 4 token sub-vectors of 16 dims, and a document's score
+    against the query (vec_id 0) is Σ_i max_j cos(q_i, d_j) — every
+    query token finds its best-matching document token, so a doc that
+    matches all facets of the query beats one that nails a single
+    facet. This is the scoring layer the single-vector stack
+    (ext_cosine_topk → IVF/PQ/binary indexes) cannot express: MaxSim is
+    not an inner product of two fixed vectors. Plumbing mirrors
+    ext_cosine_topk: the query's 4 sub-vectors ride a broadcast 1-row
+    cross join, the 16 pairwise cosines are JVM-side zip_with/aggregate
+    folds evaluated in one projection over the corpus scan, and
+    TakeOrderedAndProject keeps per-partition top-10 heaps — no global
+    sort, no shuffle of the corpus. At 100 TB the same plan holds with
+    the usual refinement: an ANN index prunes candidates, MaxSim
+    reranks survivors (the ext_ann_*_verified pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = as_double(F.col("embedding"))
+    toks = F.array(*[F.slice(dv, 1 + 16 * j, 16) for j in range(4)])
+    sub = emb.select("vec_id", toks.alias("toks"))
+    qv = sub.where(F.col("vec_id") == 0).select(F.col("toks").alias("qtoks"))
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    qt = lambda i: F.element_at(F.col("qtoks"), i)  # noqa: E731
+    dt = lambda j: F.element_at(F.col("toks"), j)  # noqa: E731
+    score = sum(
+        F.greatest(*[cos(qt(i), dt(j)) for j in range(1, 5)]) for i in range(1, 5)
+    )
+    return (
+        sub.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", stable_round(score, 6).alias("score"))
+        .orderBy(F.desc_nulls_last("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "ext_kn_bigram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS ts
+            FROM documents WHERE LEN(text) > 0
+        ), expanded AS (
+            SELECT doc_id, lang,
+                   UNNEST(LIST_ZIP(LIST_PREPEND('<s>', ts[1:LEN(ts)-1]), ts)) AS z
+            FROM toks
+        ), bigrams AS (
+            SELECT doc_id, lang, z[1] AS v, z[2] AS w FROM expanded
+        ), train AS (SELECT * FROM bigrams WHERE doc_id % 10 <> 0),
+        eval AS (SELECT * FROM bigrams WHERE doc_id % 10 = 0),
+        cvw AS (
+            SELECT lang, v, w, COUNT(*) AS c FROM train GROUP BY lang, v, w
+        ), cv AS (
+            SELECT lang, v, SUM(c) AS cv, COUNT(*) AS n1f
+            FROM cvw GROUP BY lang, v
+        ), n1p AS (
+            SELECT lang, w, COUNT(*) AS n1p FROM cvw GROUP BY lang, w
+        ), dd AS (
+            SELECT lang, COUNT(*) AS dd FROM cvw GROUP BY lang
+        ), scored AS (
+            SELECT e.lang,
+                   CASE
+                     WHEN p.n1p IS NULL THEN NULL
+                     WHEN s.cv IS NULL
+                       THEN CAST(p.n1p AS DOUBLE) / d.dd
+                     ELSE GREATEST(CAST(COALESCE(b.c, 0) AS DOUBLE) - 0.75, 0.0)
+                            / CAST(s.cv AS DOUBLE)
+                          + (0.75 / CAST(s.cv AS DOUBLE)) * s.n1f
+                            * (CAST(p.n1p AS DOUBLE) / d.dd)
+                   END AS prob
+            FROM eval e
+            LEFT JOIN cvw b ON b.lang = e.lang AND b.v = e.v AND b.w = e.w
+            LEFT JOIN cv s ON s.lang = e.lang AND s.v = e.v
+            LEFT JOIN n1p p ON p.lang = e.lang AND p.w = e.w
+            JOIN dd d ON d.lang = e.lang
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_bigrams,
+               CAST(SUM(CASE WHEN prob IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(-SUM(CAST(FLOOR(LN(prob) * 1000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_neg_ln_micro,
+               FLOOR(EXP((CAST(-SUM(CAST(FLOOR(LN(prob) * 1000000.0 + 0.5)
+                                        AS BIGINT)) AS DOUBLE) / 1000000.0)
+                         / SUM(CASE WHEN prob IS NULL THEN 0 ELSE 1 END))
+                     * 10000.0 + 0.5) / 10000.0 AS perplexity
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def ext_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model, trained and
+    evaluated inside the engine — the statistical LM that data-quality
+    pipelines score corpora with (the CCNet/DSIR-style "perplexity
+    filter" uses exactly this object; ext_lm_surprisal is its unigram
+    shadow). Per lang: train on doc_id%10≠0, score held-out bigrams
+    (doc_id%10=0) with P(w|v) = max(c(vw)−0.75, 0)/c(v) +
+    (0.75/c(v))·N1+(v·)·P_cont(w), where P_cont(w) = N1+(·w)/|bigram
+    types| — the continuation probability that makes KN the standard
+    (frequent-but-unpromiscuous words stop leaking mass). Unseen v
+    backs off to P_cont(w); unseen w counts as OOV and is excluded
+    (reported). Every model statistic is a groupBy of exact counts;
+    per-row log-probs are quantized to integer micro-nats BEFORE the
+    sum so the corpus aggregate is order-free (float Σ ln p across
+    partitions would hash-differ); perplexity = exp(mean) re-derives
+    from the exact integer once. Scale shape: token-keyed shuffles for
+    the count tables (vocab-sized results, broadcastable), one
+    stats-join pass over eval bigrams — no driver loop, no all-pairs
+    stage."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ts = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.array(F.lit("<s>")), F.slice(ts, 1, F.size(ts) - 1)
+        ).alias("vs"),
+        ts.alias("ws"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.arrays_zip(F.col("vs"), F.col("ws"))).alias("z"),
+    ).select("doc_id", "lang", F.col("z.vs").alias("v"), F.col("z.ws").alias("w"))
+    train = bigrams.where(F.col("doc_id") % 10 != 0)
+    ev = bigrams.where(F.col("doc_id") % 10 == 0)
+    cvw = train.groupBy("lang", "v", "w").agg(F.count(F.lit(1)).alias("c"))
+    cv = cvw.groupBy("lang", "v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1f")
+    )
+    n1p = cvw.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n1p"))
+    dd = cvw.groupBy("lang").agg(F.count(F.lit(1)).alias("dd"))
+    joined = (
+        ev.join(cvw.withColumnRenamed("c", "c_"), ["lang", "v", "w"], "left")
+        .join(cv, ["lang", "v"], "left")
+        .join(n1p, ["lang", "w"], "left")
+        .join(F.broadcast(dd), ["lang"])
+    )
+    cvd = F.col("cv").cast("double")
+    prob = (
+        F.when(F.col("n1p").isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col("cv").isNull(),
+            F.col("n1p").cast("double") / F.col("dd"),
+        )
+        .otherwise(
+            F.greatest(
+                F.coalesce(F.col("c_"), F.lit(0)).cast("double") - F.lit(0.75),
+                F.lit(0.0),
+            )
+            / cvd
+            + (F.lit(0.75) / cvd)
+            * F.col("n1f")
+            * (F.col("n1p").cast("double") / F.col("dd"))
+        )
+    )
+    micro = F.floor(F.ln(prob) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = joined.select("lang", prob.alias("prob"), micro.alias("micro"))
+    neg_sum = (-F.sum("micro")).cast("long")
+    n_scored = F.sum(F.when(F.col("prob").isNull(), 0).otherwise(1))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_bigrams"),
+            F.sum(F.when(F.col("prob").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            neg_sum.alias("sum_neg_ln_micro"),
+            stable_round(
+                F.exp((neg_sum.cast("double") / F.lit(1000000.0)) / n_scored), 4
+            ).alias("perplexity"),
+        )
+        .orderBy("lang")
     )

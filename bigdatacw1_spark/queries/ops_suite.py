@@ -3036,3 +3036,57 @@ def f34_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "f35_bitmap_distinct",
+    oracle="""
+        WITH g AS (SELECT COUNT(DISTINCT user_id) AS ndv_all FROM events)
+        SELECT e.event_type,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS ndv_users,
+               CAST(g.ndv_all AS BIGINT) AS ndv_all_types
+        FROM events e CROSS JOIN g
+        GROUP BY e.event_type, g.ndv_all
+        ORDER BY e.event_type
+    """,
+)
+def f35_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark's mergeable bitmap
+    aggregates (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count, Spark 3.5+):
+    one 4 KB bitmap page per (event_type, id-bucket of 32768), popcounts
+    summed per type. This is the count-distinct shape that SURVIVES
+    scale-out where COUNT(DISTINCT) cannot: pages are mergeable partial
+    states, so the ndv_all_types column re-aggregates the SAME per-type
+    pages with bitmap_or_agg per bucket — a rollup across groups that
+    never touches raw ids again (the daily→monthly distinct-users
+    pattern) — exact, unlike the HLL sketches in
+    ext_sketch_ndv_mergeable, at the cost of id-range-proportional
+    state. Gotcha encoded here: pages may only be OR-merged within the
+    SAME bucket (Spark anchors buckets at 1: bucket(0)=0/pos 0 while
+    pos(1)=0 in bucket 1 — positions collide across buckets), so the
+    rollup groups by bucket before the OR. The oracle states the
+    contract directly: both bitmap paths must equal COUNT(DISTINCT)."""
+    ev = _t(spark, sf_dir, "events")
+    pages = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_type = pages.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("ndv_users")
+    )
+    rollup = (
+        pages.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("gbm"))
+        .agg(F.sum(F.expr("bitmap_count(gbm)")).cast("long").alias("ndv_all_types"))
+    )
+    return (
+        per_type.crossJoin(F.broadcast(rollup))
+        .select("event_type", "ndv_users", "ndv_all_types")
+        .orderBy("event_type")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatacw1_spark.operators.relational import exact_sum
+from bigdatacw1_spark.operators.relational import exact_sum, stable_round
 from bigdatacw1_spark.queries.registry import q
 from bigdatacw1_spark.queries.registry import t as _t
 from bigdatacw1_spark.streaming.stateful import running_user_totals
@@ -2633,3 +2633,195 @@ def ev_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("x") - med) > F.lit(3.0) * F.lit(1.4826) * mad
         ).alias("is_outlier"),
     ).orderBy("event_type", "day")
+
+
+@q(
+    "ev_poisson_rate_test",
+    oracle="""
+        WITH anchor AS (SELECT MAX(ts) AS hi FROM events),
+        counts AS (
+            SELECT e.event_type,
+                   SUM(CASE WHEN e.ts > a.hi - INTERVAL 7 DAY
+                            THEN 1 ELSE 0 END) AS c1,
+                   SUM(CASE WHEN e.ts <= a.hi - INTERVAL 7 DAY
+                             AND e.ts > a.hi - INTERVAL 28 DAY
+                            THEN 1 ELSE 0 END) AS c2
+            FROM events e CROSS JOIN anchor a
+            GROUP BY e.event_type
+        )
+        SELECT event_type,
+               CAST(c1 AS BIGINT) AS recent_7d,
+               CAST(c2 AS BIGINT) AS prior_21d,
+               FLOOR(((c1 - (c1 + c2) * 0.25)
+                      / SQRT((c1 + c2) * 0.25 * 0.75)) * 10000.0 + 0.5)
+                   / 10000.0 AS z_score,
+               ABS((c1 - (c1 + c2) * 0.25)
+                   / SQRT((c1 + c2) * 0.25 * 0.75)) > 3.0 AS rate_changed
+        FROM counts
+        WHERE c1 + c2 > 0
+        ORDER BY event_type
+    """,
+)
+def ev_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window Poisson rate-change alert (the conditional/binomial
+    C-test): under H0 of a constant event rate, the recent-7-day count
+    c1 given the 28-day total n = c1+c2 is Binomial(n, 7/28), so
+    z = (c1 − n/4)/√(n·(1/4)·(3/4)) flags event types whose arrival
+    rate genuinely shifted — the exact test behind "error rate doubled
+    this week" alerting, and the discrete-count complement of the
+    value-based detectors (ev_cusum_changepoint, ev_esd_outliers).
+    The window anchor is MAX(ts), computed once and broadcast (a 1-row
+    cross join, never a shuffle of the facts); counts are one partial
+    aggregation over the stream, so the whole test is a single
+    map-side-combinable pass at any scale. z is one double expression
+    over exact integer counts — bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("hi"))
+    counted = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") > F.col("hi") - F.expr("INTERVAL 7 DAY"), 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(
+                    (F.col("ts") <= F.col("hi") - F.expr("INTERVAL 7 DAY"))
+                    & (F.col("ts") > F.col("hi") - F.expr("INTERVAL 28 DAY")),
+                    1,
+                ).otherwise(0)
+            ).alias("c2"),
+        )
+        .where(F.col("c1") + F.col("c2") > 0)
+    )
+    n = F.col("c1") + F.col("c2")
+    z = (F.col("c1") - n * F.lit(0.25)) / F.sqrt(n * F.lit(0.25) * F.lit(0.75))
+    return counted.select(
+        "event_type",
+        F.col("c1").cast("long").alias("recent_7d"),
+        F.col("c2").cast("long").alias("prior_21d"),
+        stable_round(z, 4).alias("z_score"),
+        (F.abs(z) > F.lit(3.0)).alias("rate_changed"),
+    ).orderBy("event_type")
+
+
+@q(
+    "ev_holt_winters",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, LIST(x ORDER BY day) AS xs, COUNT(*) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 15
+        ), seed AS (
+            SELECT event_type, xs, n,
+                   (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / 7.0 AS l0,
+                   ((xs[8]+xs[9]+xs[10]+xs[11]+xs[12]+xs[13]+xs[14]) / 7.0
+                    - (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / 7.0) / 7.0 AS b0,
+                   [CAST(v AS DOUBLE)
+                    - (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / 7.0
+                    FOR v IN xs[1:7]] AS s
+            FROM ser
+        ), rec AS (
+            SELECT event_type, xs, n, 8 AS t,
+                   CAST(l0 AS DOUBLE) AS l, CAST(b0 AS DOUBLE) AS b, s
+            FROM seed
+            UNION ALL
+            SELECT event_type, xs, n, t + 1,
+                   0.3 * (xs[t] - s[1]) + 0.7 * (l + b),
+                   0.1 * ((0.3 * (xs[t] - s[1]) + 0.7 * (l + b)) - l) + 0.9 * b,
+                   LIST_APPEND(s[2:7],
+                       0.2 * (xs[t] - (0.3 * (xs[t] - s[1]) + 0.7 * (l + b)))
+                       + 0.8 * s[1])
+            FROM rec WHERE t <= n
+        ), fin AS (SELECT * FROM rec WHERE t = n + 1)
+        SELECT event_type, CAST(g.h AS INTEGER) AS h,
+               FLOOR((l + h * b + s[h]) * 10000.0 + 0.5) / 10000.0
+                   AS forecast_cents
+        FROM fin, GENERATE_SERIES(1, 7) AS g(h)
+        ORDER BY event_type, h
+    """,
+)
+def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, weekly
+    season m=7) — the seasonal upgrade of ev_holt_forecast: level,
+    trend AND a 7-slot seasonal state evolve together, so the 7-day
+    forecast carries the day-of-week shape instead of a straight line.
+    Seeds are the classical ones (L0 = mean of week 1, B0 = (mean of
+    week 2 − mean of week 1)/7, S0 = week-1 deviations); the update
+    with α=0.3, β=0.1, γ=0.2 rotates the seasonal list each step so
+    its head is always the factor for the CURRENT step — list state in
+    a fold, the ev_dtw_distance pattern. The fold runs as F.aggregate
+    over each type's day-ordered array (series bounded by the date
+    span, never fact-sized); the oracle replays the identical
+    expression shapes in a recursive CTE with LIST state (LIST_REDUCE
+    with a struct accumulator is the documented DuckDB bug — avoided).
+    Aggregation to daily cents is the only shuffle; the per-type fold
+    is row-local thereafter. Note the seasonal index is the series
+    POSITION, not the calendar weekday: at these SFs every day has
+    events, so positions and weekdays coincide."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    ser = (
+        daily.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "x"))).alias("pairs"))
+        .where(F.size("pairs") >= 15)
+        .select(
+            "event_type",
+            F.transform(F.col("pairs"), lambda p: p["x"].cast("double")).alias("xs"),
+            F.size("pairs").alias("n"),
+        )
+    )
+    xs = F.col("xs")
+    wk1 = sum(F.element_at(xs, i) for i in range(1, 8)) / F.lit(7.0)
+    wk2 = sum(F.element_at(xs, i) for i in range(8, 15)) / F.lit(7.0)
+    seeded = ser.select(
+        "event_type",
+        "xs",
+        "n",
+        wk1.alias("l0"),
+        ((wk2 - wk1) / F.lit(7.0)).alias("b0"),
+        F.transform(F.slice(xs, 1, 7), lambda v: v - wk1).alias("s0"),
+    )
+
+    def step(acc, x):
+        s1 = F.element_at(acc["s"], 1)
+        lnew = F.lit(0.3) * (x - s1) + F.lit(0.7) * (acc["l"] + acc["b"])
+        bnew = F.lit(0.1) * (lnew - acc["l"]) + F.lit(0.9) * acc["b"]
+        snew = F.lit(0.2) * (x - lnew) + F.lit(0.8) * s1
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(acc["s"], 2, 6), F.array(snew)).alias("s"),
+        )
+
+    init = F.struct(
+        F.col("l0").cast("double").alias("l"),
+        F.col("b0").cast("double").alias("b"),
+        F.col("s0").alias("s"),
+    )
+    folded = seeded.select(
+        "event_type",
+        F.aggregate(
+            F.slice(xs, 8, F.col("n") - 7), init, step
+        ).alias("st"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h")
+    return (
+        folded.select("event_type", "st", h)
+        .select(
+            "event_type",
+            F.col("h").cast("int").alias("h"),
+            stable_round(
+                F.col("st.l")
+                + F.col("h") * F.col("st.b")
+                + F.element_at(F.col("st.s"), F.col("h")),
+                4,
+            ).alias("forecast_cents"),
+        )
+        .orderBy("event_type", "h")
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatacw1_spark.operators.relational import exact_sum
+from bigdatacw1_spark.operators.relational import exact_sum, stable_round
 from bigdatacw1_spark.operators.warehouse import (
     cohort_retention,
     funnel_steps,
@@ -3824,4 +3824,176 @@ def wh_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_churned"), F.lit(0).cast("long")).alias("n_churned"),
         )
         .orderBy("week_start")
+    )
+
+
+@q(
+    "wh_shapley_attribution",
+    oracle="""
+        WITH first_purchase AS (
+            SELECT user_id,
+                   MIN(STRUCT_PACK(ts := ts, event_id := event_id)) AS fp
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ), coalitions AS (
+            SELECT e.user_id, e.event_type
+            FROM events e JOIN first_purchase p ON e.user_id = p.user_id
+            WHERE e.event_type <> 'purchase'
+              AND (e.ts < p.fp.ts
+                   OR (e.ts = p.fp.ts AND e.event_id < p.fp.event_id))
+            GROUP BY e.user_id, e.event_type
+        ), sized AS (
+            SELECT user_id, event_type,
+                   COUNT(*) OVER (PARTITION BY user_id) AS k
+            FROM coalitions
+        )
+        SELECT event_type AS channel,
+               CAST(SUM(12 / k) AS BIGINT) AS shapley_twelfths,
+               FLOOR((SUM(12 / k) / 12.0) * 10000.0 + 0.5) / 10000.0
+                   AS shapley_conversions,
+               CAST(COUNT(*) AS BIGINT) AS n_coalitions
+        FROM sized
+        GROUP BY event_type
+        ORDER BY channel
+    """,
+)
+def wh_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution — the third leg of the
+    attribution stack next to wh_attribution_touch (bookend models) and
+    wh_attribution_markov (removal effects). Each converting user's
+    journey is the coalition S of DISTINCT non-purchase channels seen
+    strictly before the FIRST purchase (total (ts, event_id) order, so
+    no ties). The game v(T) = #conversions whose coalition ⊆ T is a sum
+    of unanimity games u_S, so by Shapley linearity the EXACT Shapley
+    value of channel c is Σ_{S ∋ c} 1/|S| — no 2^n subset enumeration
+    needed, which is what makes this form the one that survives at
+    100 TB: it is one bounded groupBy chain (user-keyed dedup, a
+    user-bounded count, an explode-free per-row division). With 4
+    non-purchase channels |S| ∈ {1..4}, so crediting 12/|S| integer
+    twelfths keeps the sum EXACT (lcm(1..4) = 12) and order-free; the
+    rounded double is derived from that integer once at the end.
+    Users whose first purchase has no preceding touch contribute no
+    coalition (nothing to split)."""
+    ev = _t(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    coalitions = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .where(
+            (F.col("ts") < F.col("fp.ts"))
+            | ((F.col("ts") == F.col("fp.ts")) & (F.col("event_id") < F.col("fp.event_id")))
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    sized = coalitions.withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    return (
+        sized.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.lit(12) / F.col("k")).cast("long").alias("shapley_twelfths"),
+            stable_round(F.sum(F.lit(12) / F.col("k")) / F.lit(12.0), 4).alias(
+                "shapley_conversions"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_coalitions"),
+        )
+        .orderBy("channel")
+    )
+
+
+@q(
+    "wh_uplift_stratified",
+    oracle="""
+        WITH outcome AS (
+            SELECT c.c_custkey, c.c_mktsegment,
+                   c.c_custkey % 2 = 0 AS treated,
+                   COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                       AS y_cents
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+        ), strata AS (
+            SELECT c_mktsegment,
+                   SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS n_treat,
+                   SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS n_ctrl,
+                   SUM(CASE WHEN treated THEN y_cents ELSE 0 END) AS sum_t,
+                   SUM(CASE WHEN NOT treated THEN y_cents ELSE 0 END) AS sum_c
+            FROM outcome
+            GROUP BY c_mktsegment
+        ), tot AS (SELECT SUM(n_treat + n_ctrl) AS n FROM strata)
+        SELECT c_mktsegment,
+               CAST(n_treat AS BIGINT) AS n_treat,
+               CAST(n_ctrl AS BIGINT) AS n_ctrl,
+               FLOOR((CAST(sum_t AS DOUBLE) / n_treat) * 10000.0 + 0.5) / 10000.0
+                   AS mean_treat_cents,
+               FLOOR((CAST(sum_c AS DOUBLE) / n_ctrl) * 10000.0 + 0.5) / 10000.0
+                   AS mean_ctrl_cents,
+               FLOOR((CAST(sum_t AS DOUBLE) / n_treat
+                      - CAST(sum_c AS DOUBLE) / n_ctrl) * 10000.0 + 0.5) / 10000.0
+                   AS effect_cents,
+               FLOOR(((CAST(n_treat + n_ctrl AS DOUBLE) / tot.n)
+                      * (CAST(sum_t AS DOUBLE) / n_treat
+                         - CAST(sum_c AS DOUBLE) / n_ctrl)) * 10000.0 + 0.5)
+                   / 10000.0 AS weighted_effect_cents
+        FROM strata CROSS JOIN tot
+        ORDER BY c_mktsegment
+    """,
+)
+def wh_uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment-effect estimate (standardization) — the
+    experimentation companion to wh_cuped_adjusted (variance reduction)
+    and wh_diff_in_diff (trend confounds): assignment here is the
+    synthetic c_custkey parity, outcome is lifetime order value in
+    integer cents (customers with no orders count as 0 — dropping them
+    would bias both arms), and market segment is the stratum. Per
+    stratum the effect is mean(treat) − mean(ctrl); the population ATE
+    is the stratum-size-weighted sum of the per-stratum effects
+    (Σ weighted_effect_cents), which removes any segment-mix imbalance
+    between arms. All moments are exact BIGINT sums; the only floats
+    are final divisions of exact integers, identical in both engines.
+    Scale: one customer-keyed join + two bounded groupBys (strata are
+    model-sized), broadcastable total."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    outcome = (
+        cust.join(
+            orders.select("o_custkey", cents.alias("cents")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment", (F.col("c_custkey") % 2 == 0).alias("treated"))
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y_cents"))
+    )
+    strata = outcome.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("n_treat"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1)).alias("n_ctrl"),
+        F.sum(F.when(F.col("treated"), F.col("y_cents")).otherwise(0)).alias("sum_t"),
+        F.sum(F.when(~F.col("treated"), F.col("y_cents")).otherwise(0)).alias("sum_c"),
+    )
+    tot = strata.agg(F.sum(F.col("n_treat") + F.col("n_ctrl")).alias("n"))
+    mean_t = F.col("sum_t").cast("double") / F.col("n_treat")
+    mean_c = F.col("sum_c").cast("double") / F.col("n_ctrl")
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            F.col("n_treat").cast("long").alias("n_treat"),
+            F.col("n_ctrl").cast("long").alias("n_ctrl"),
+            stable_round(mean_t, 4).alias("mean_treat_cents"),
+            stable_round(mean_c, 4).alias("mean_ctrl_cents"),
+            stable_round(mean_t - mean_c, 4).alias("effect_cents"),
+            stable_round(
+                ((F.col("n_treat") + F.col("n_ctrl")).cast("double") / F.col("n"))
+                * (mean_t - mean_c),
+                4,
+            ).alias("weighted_effect_cents"),
+        )
+        .orderBy("c_mktsegment")
     )
