@@ -174,6 +174,9 @@ ROUND11_WINDOW: list[str] = [
     "wh_shapley_attribution", "wh_uplift_stratified",
     "ev_poisson_rate_test", "ev_holt_winters",
     "f35_bitmap_distinct", "ext_maxsim_topk", "ext_kn_bigram_lm",
+    # round-8 additions: statistical-inference tail
+    "wh_mann_whitney", "wh_chi_square", "wh_poisson_bootstrap",
+    "wh_conformal_intervals", "wh_sprt_sequential",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

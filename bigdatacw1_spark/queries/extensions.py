@@ -10760,3 +10760,565 @@ def ext_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: bitext mining, embedding-truncation audit, eval metrics,
+# probabilistic record linkage, distribution-matching sampling.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_margin_mining",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS x, b.vec_id AS y, a.label,
+                   CAST(FLOOR(LIST_DOT_PRODUCT(a.v, b.v)
+                              / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                                 * SQRT(LIST_DOT_PRODUCT(b.v, b.v)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS c
+            FROM vecs a JOIN vecs b ON a.label = b.label
+            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ), kx AS (
+            SELECT x, CAST(SUM(c) AS BIGINT) AS sx FROM (
+                SELECT x, c, ROW_NUMBER() OVER (PARTITION BY x
+                       ORDER BY c DESC, y) AS rk
+                FROM pairs
+            ) WHERE rk <= 4 GROUP BY x
+        ), ky AS (
+            SELECT y, CAST(SUM(c) AS BIGINT) AS sy FROM (
+                SELECT y, c, ROW_NUMBER() OVER (PARTITION BY y
+                       ORDER BY c DESC, x) AS rk
+                FROM pairs
+            ) WHERE rk <= 4 GROUP BY y
+        )
+        SELECT p.x, p.y,
+               FLOOR(CAST(p.c AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+                   / 10000.0 AS cos_xy,
+               FLOOR(8.0 * CAST(p.c AS DOUBLE) / CAST(kx.sx + ky.sy AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS margin
+        FROM pairs p JOIN kx USING (x) JOIN ky USING (y)
+        ORDER BY margin DESC, p.x, p.y
+        LIMIT 10
+    """,
+)
+def ext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
+    CCMatrix/LASER parallel-corpus recipe): a cross-lingual pair (x, y)
+    is kept not when cos(x, y) is high but when it is high RELATIVE to
+    each side's neighborhood, margin = 2·cos(x,y)/(avg_k cos(x, NN_k(x))
+    + avg_k cos(y, NN_k(y))) — hub vectors that are close to everything
+    score near 1 and drop out. Even vec_ids play source language, odd
+    ids target, and candidate pairs are BLOCKED by label (standing in
+    for the ANN shard/LSH bucket that bounds candidates at 100 TB —
+    mining is never all-pairs across the corpus, the k-NN statistics
+    are computed within block). Cosines quantize to integer micro-units
+    first, so top-4 neighborhood sums are exact integers and margin =
+    8c/(sx+sy) is a single integer-ratio division — bit-identical
+    across engines and partitionings. Windows partition by vector id;
+    per-partition width is the block's candidate count, bounded by
+    blocking fan-out exactly like ext_minhash_lsh_pairs."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a = vecs.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = vecs.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.join(b, F.col("la") == F.col("lb"))
+        .select(
+            "x",
+            "y",
+            F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+    wx = Window.partitionBy("x").orderBy(F.desc("c"), F.asc("y"))
+    wy = Window.partitionBy("y").orderBy(F.desc("c"), F.asc("x"))
+    kx = (
+        pairs.withColumn("rk", F.row_number().over(wx))
+        .where(F.col("rk") <= 4)
+        .groupBy("x")
+        .agg(F.sum("c").cast("long").alias("sx"))
+    )
+    ky = (
+        pairs.withColumn("rk", F.row_number().over(wy))
+        .where(F.col("rk") <= 4)
+        .groupBy("y")
+        .agg(F.sum("c").cast("long").alias("sy"))
+    )
+    margin = (
+        F.lit(8.0) * F.col("c").cast("double") / (F.col("sx") + F.col("sy")).cast("double")
+    )
+    return (
+        pairs.join(kx, "x")
+        .join(ky, "y")
+        .select(
+            "x",
+            "y",
+            stable_round(F.col("c").cast("double") / F.lit(1000000.0), 4).alias(
+                "cos_xy"
+            ),
+            stable_round(margin, 6).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), F.asc("x"), F.asc("y"))
+        .limit(10)
+    )
+
+
+@q(
+    "ext_matryoshka_fidelity",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), qv AS (SELECT v FROM vecs WHERE vec_id = 0),
+        dims AS (SELECT UNNEST([8, 16, 32]) AS d),
+        scored AS (
+            SELECT s.vec_id, d.d,
+                   CAST(FLOOR(LIST_DOT_PRODUCT(q.v, s.v)
+                              / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
+                                 * SQRT(LIST_DOT_PRODUCT(s.v, s.v)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS c_full,
+                   CAST(FLOOR(LIST_DOT_PRODUCT(q.v[1:d.d], s.v[1:d.d])
+                              / (SQRT(LIST_DOT_PRODUCT(q.v[1:d.d], q.v[1:d.d]))
+                                 * SQRT(LIST_DOT_PRODUCT(s.v[1:d.d], s.v[1:d.d])))
+                              * 1000000.0 + 0.5) AS BIGINT) AS c_trunc
+            FROM vecs s, qv q, dims d
+            WHERE s.vec_id <> 0
+        ), top_full AS (
+            SELECT d, vec_id FROM (
+                SELECT d, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY d
+                           ORDER BY c_full DESC, vec_id) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        ), top_trunc AS (
+            SELECT d, vec_id FROM (
+                SELECT d, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY d
+                           ORDER BY c_trunc DESC, vec_id) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        ), overlap AS (
+            SELECT f.d, CAST(COUNT(*) AS BIGINT) AS top10_overlap
+            FROM top_full f JOIN top_trunc t
+              ON t.d = f.d AND t.vec_id = f.vec_id
+            GROUP BY f.d
+        ), mae AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ABS(c_full - c_trunc)) AS BIGINT) AS err
+            FROM scored GROUP BY d
+        )
+        SELECT m.d AS dim, m.n,
+               FLOOR(CAST(m.err AS DOUBLE) / CAST(m.n AS DOUBLE) / 1000000.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_mae,
+               o.top10_overlap
+        FROM mae m JOIN overlap o ON o.d = m.d
+        ORDER BY dim
+    """,
+)
+def ext_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity audit: modern MRL-trained embedding
+    models let you keep only the first d dimensions to cut index cost —
+    this entry measures, per prefix width d ∈ {8,16,32}, what that
+    truncation does to retrieval against the full 64-dim geometry: the
+    mean absolute cosine error over the corpus and the top-10 overlap
+    with the full-dim ranking (the metric that decides whether a 4×
+    cheaper index is safe to ship). Complements the lossy-quantization
+    audits (ext_embed_sq8, ext_ann_binary_rerank): truncation is the
+    third axis of the index-compression design space. Cosines quantize
+    to micro-integers so the MAE is an exact integer sum. The d-widths
+    ride a 3-row broadcast so the corpus is scored in ONE pass; each
+    top-10 is a rank-filter window partitioned by d, which Spark plans
+    as WindowGroupLimit — a per-partition top-k heap pushed below the
+    exchange, so no partition ever sorts more than its own slice and
+    only ≤10 rows per d survive to the final merge (the same shape as
+    w8_topk_per_group, at any corpus size)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = vecs.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dims = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("d")
+    )
+
+    def cosm(a, b):
+        c = dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    pv = F.slice(F.col("v"), 1, F.col("d"))
+    pq = F.slice(F.col("qv"), 1, F.col("d"))
+    scored = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            "d",
+            cosm(F.col("qv"), F.col("v")).alias("c_full"),
+            cosm(pq, pv).alias("c_trunc"),
+        )
+    )
+    wf = Window.partitionBy("d").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("d").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
+    top_full = (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 10)
+        .select("d", "vec_id")
+    )
+    top_trunc = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= 10)
+        .select("d", "vec_id")
+    )
+    overlap = top_full.join(top_trunc, ["d", "vec_id"]).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("top10_overlap")
+    )
+    mae = scored.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("c_full") - F.col("c_trunc"))).cast("long").alias("err"),
+    )
+    return (
+        mae.join(overlap, "d")
+        .select(
+            F.col("d").alias("dim"),
+            "n",
+            stable_round(
+                F.col("err").cast("double") / F.col("n").cast("double") / F.lit(1000000.0),
+                6,
+            ).alias("cos_mae"),
+            "top10_overlap",
+        )
+        .orderBy("dim")
+    )
+
+
+@q(
+    "ext_token_f1_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                               w -> w <> '') AS ts
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, lang, UNNEST(ts) AS tok FROM toks)
+            GROUP BY doc_id, lang, tok
+        ), a AS (SELECT * FROM counts WHERE doc_id % 2 = 0),
+        b AS (SELECT doc_id - 1 AS doc_id, lang, tok, c FROM counts
+              WHERE doc_id % 2 = 1),
+        ov AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS pair_id,
+                   COALESCE(a.lang, b.lang) AS lang,
+                   CAST(SUM(LEAST(COALESCE(a.c, 0), COALESCE(b.c, 0)))
+                        AS BIGINT) AS n_common,
+                   CAST(SUM(COALESCE(a.c, 0)) AS BIGINT) AS len_a,
+                   CAST(SUM(COALESCE(b.c, 0)) AS BIGINT) AS len_b
+            FROM a FULL JOIN b
+              ON b.doc_id = a.doc_id AND b.lang = a.lang AND b.tok = a.tok
+            GROUP BY 1, 2
+        ), per_pair AS (
+            SELECT lang,
+                   CAST(FLOOR(2.0 * CAST(n_common AS DOUBLE)
+                              / CAST(len_a + len_b AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS f1_micro
+            FROM ov WHERE len_a > 0 AND len_b > 0
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               FLOOR(CAST(SUM(f1_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS avg_token_f1
+        FROM per_pair GROUP BY lang ORDER BY lang
+    """,
+)
+def ext_token_f1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level F1 (the SQuAD/generation-eval overlap metric) between
+    paired documents — even doc_id as reference, doc_id+1 as candidate.
+    F1 = 2·|multiset intersection| / (len_ref + len_cand), where the
+    intersection respects token MULTIPLICITY (Σ min(count_a, count_b)
+    per token) — the detail that separates it from set-Jaccard
+    (ext_jaccard_pairs) and makes it the right score for generated text
+    where repetition matters. Complements ext_pair_bleu (n-gram
+    precision) with the recall-balanced unigram view. Shape: one explode
+    → hash-aggregate to (doc, token, count) cells, one full outer join
+    on (pair, token) — token-keyed, shuffle-partitioned, no all-pairs
+    stage — then per-pair F1 quantized to micro-units before the
+    per-lang average so the corpus aggregate is an exact integer sum."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = counts.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pa"), F.col("lang").alias("la"),
+        F.col("tok").alias("ta"), F.col("c").alias("ca"),
+    )
+    b = counts.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pb"), F.col("lang").alias("lb"),
+        F.col("tok").alias("tb"), F.col("c").alias("cb"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("pb") == F.col("pa"))
+            & (F.col("lb") == F.col("la"))
+            & (F.col("tb") == F.col("ta")),
+            "full",
+        )
+        .groupBy(
+            F.coalesce(F.col("pa"), F.col("pb")).alias("pair_id"),
+            F.coalesce(F.col("la"), F.col("lb")).alias("lang"),
+        )
+        .agg(
+            F.sum(
+                F.least(F.coalesce(F.col("ca"), F.lit(0)), F.coalesce(F.col("cb"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("n_common"),
+            F.sum(F.coalesce(F.col("ca"), F.lit(0))).cast("long").alias("len_a"),
+            F.sum(F.coalesce(F.col("cb"), F.lit(0))).cast("long").alias("len_b"),
+        )
+    )
+    f1_micro = F.floor(
+        F.lit(2.0)
+        * F.col("n_common").cast("double")
+        / (F.col("len_a") + F.col("len_b")).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        ov.where((F.col("len_a") > 0) & (F.col("len_b") > 0))
+        .select("lang", f1_micro.alias("f1_micro"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            stable_round(
+                F.sum("f1_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_token_f1"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "ext_fs_linkage",
+    oracle="""
+        WITH cust AS (
+            SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS bal_b,
+                   SUBSTR(c_name, LENGTH(c_name) - 1, 2) AS name_sfx
+            FROM customer
+        ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+        u_bal AS (
+            SELECT CAST(SUM(c * c) AS BIGINT) AS num FROM (
+                SELECT COUNT(*) AS c FROM cust GROUP BY bal_b)
+        ), u_sfx AS (
+            SELECT CAST(SUM(c * c) AS BIGINT) AS num FROM (
+                SELECT COUNT(*) AS c FROM cust GROUP BY name_sfx)
+        ), wts AS (
+            SELECT
+              LOG2(0.9 / (CAST(u_bal.num AS DOUBLE) / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)))) AS w_bal_a,
+              LOG2(0.1 / (1.0 - CAST(u_bal.num AS DOUBLE) / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)))) AS w_bal_d,
+              LOG2(0.95 / (CAST(u_sfx.num AS DOUBLE) / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)))) AS w_sfx_a,
+              LOG2(0.05 / (1.0 - CAST(u_sfx.num AS DOUBLE) / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)))) AS w_sfx_d
+            FROM u_bal, u_sfx, n
+        )
+        SELECT a.k AS custkey_a, b.k AS custkey_b,
+               FLOOR((CASE WHEN a.bal_b = b.bal_b THEN w.w_bal_a
+                           ELSE w.w_bal_d END
+                      + CASE WHEN a.name_sfx = b.name_sfx THEN w.w_sfx_a
+                             ELSE w.w_sfx_d END) * 1000000.0 + 0.5)
+                   / 1000000.0 AS fs_score
+        FROM cust a JOIN cust b
+          ON b.nat = a.nat AND b.seg = a.seg AND b.k > a.k, wts w
+        ORDER BY fs_score DESC, custkey_a, custkey_b
+        LIMIT 20
+    """,
+)
+def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: candidate pairs are
+    BLOCKED on (nation, segment) — the standard trick that keeps pair
+    generation linear in block sizes instead of n² — then scored with
+    log-likelihood field weights: agreement on field f contributes
+    log2(m_f/u_f), disagreement log2((1−m_f)/(1−u_f)), where m is the
+    assumed match-agreement rate and u is ESTIMATED FROM THE DATA as the
+    chance two random records agree, Σ_v (n_v/n)² (the frequency-based
+    u that makes agreement on a rare value worth more than on a common
+    one — the heart of FS over naive fuzzy matching; golden-record
+    survivorship in ext_golden_record consumes exactly these scores
+    upstream). Fields: account-balance bucket and name suffix. Shape:
+    two vocabulary-sized frequency aggregates broadcast as a 1-row
+    weight table, one blocked self-join, TakeOrdered top-20 — no global
+    sort, no unblocked pair stage."""
+    c = _t(spark, sf_dir, "customer")
+    cust = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).cast("long").alias("bal_b"),
+        F.substring(F.col("c_name"), -2, 2).alias("name_sfx"),
+    )
+    n = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u_bal = (
+        cust.groupBy("bal_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("num_bal"))
+    )
+    u_sfx = (
+        cust.groupBy("name_sfx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("num_sfx"))
+    )
+    nd = F.col("n").cast("double") * F.col("n").cast("double")
+    u_b = F.col("num_bal").cast("double") / nd
+    u_s = F.col("num_sfx").cast("double") / nd
+    wts = (
+        u_bal.crossJoin(u_sfx)
+        .crossJoin(n)
+        .select(
+            F.log2(F.lit(0.9) / u_b).alias("w_bal_a"),
+            F.log2(F.lit(0.1) / (F.lit(1.0) - u_b)).alias("w_bal_d"),
+            F.log2(F.lit(0.95) / u_s).alias("w_sfx_a"),
+            F.log2(F.lit(0.05) / (F.lit(1.0) - u_s)).alias("w_sfx_d"),
+        )
+    )
+    a = cust.select(
+        F.col("k").alias("ka"), F.col("nat").alias("na"), F.col("seg").alias("sa"),
+        F.col("bal_b").alias("ba"), F.col("name_sfx").alias("fa"),
+    )
+    b = cust.select(
+        F.col("k").alias("kb"), F.col("nat").alias("nb"), F.col("seg").alias("sb"),
+        F.col("bal_b").alias("bb"), F.col("name_sfx").alias("fb"),
+    )
+    score = F.when(F.col("ba") == F.col("bb"), F.col("w_bal_a")).otherwise(
+        F.col("w_bal_d")
+    ) + F.when(F.col("fa") == F.col("fb"), F.col("w_sfx_a")).otherwise(
+        F.col("w_sfx_d")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nb") == F.col("na"))
+            & (F.col("sb") == F.col("sa"))
+            & (F.col("kb") > F.col("ka")),
+        )
+        .crossJoin(F.broadcast(wts))
+        .select(
+            F.col("ka").alias("custkey_a"),
+            F.col("kb").alias("custkey_b"),
+            stable_round(score, 6).alias("fs_score"),
+        )
+        .orderBy(F.desc("fs_score"), F.asc("custkey_a"), F.asc("custkey_b"))
+        .limit(20)
+    )
+
+
+@q(
+    "ext_rejection_sample_length",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 9) AS bucket
+            FROM documents
+        ), dist AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM docs GROUP BY bucket
+        ), tot AS (
+            SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM dist
+        ), ratio AS (
+            SELECT d.bucket, d.n_b,
+                   CAST(t.n AS DOUBLE)
+                       / (CAST(t.n_buckets AS DOUBLE) * CAST(d.n_b AS DOUBLE))
+                       AS r
+            FROM dist d, tot t
+        ), mx AS (SELECT MAX(r) AS m FROM ratio),
+        decided AS (
+            SELECT doc.bucket, ratio.n_b,
+                   CASE WHEN CAST((doc.doc_id * 2654435761 + 12345)
+                                  % 2147483647 AS DOUBLE) / 2147483647.0
+                             < ratio.r / mx.m
+                        THEN 1 ELSE 0 END AS kept
+            FROM docs doc JOIN ratio USING (bucket), mx
+        )
+        SELECT bucket, MAX(n_b) AS n_in,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               FLOOR(CAST(SUM(kept) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+                   / 10000.0 AS accept_rate
+        FROM decided GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ext_rejection_sample_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection sampling to a TARGET length distribution (uniform over
+    length buckets): the corpus-rebalancing move a pretraining mix needs
+    when the crawl is dominated by short documents — accept each doc
+    with probability (target_share/empirical_share)/M, M the max ratio,
+    so the surviving corpus is exactly the target shape in expectation
+    without a shuffle or a sort. The accept draw is the same
+    multiplicative-hash uniform as wh_poisson_bootstrap, so the sample
+    is deterministic and both engines keep the SAME documents.
+    Complements ext_stratified_sample (fixed per-stratum rates) and
+    ext_mixture_sample (categorical mix): rejection sampling matches a
+    target over a feature (length) whose distribution is only known
+    after one aggregate pass. Shape: one bucket-histogram aggregate
+    (bucket-count-sized, broadcast back), one map-side accept/reject —
+    linear, no pair stage, embarrassingly parallel at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.floor(F.col("n_chars") / F.lit(100.0)).cast("long"), F.lit(9)).alias(
+            "bucket"
+        ),
+    )
+    dist = docs.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    tot = dist.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_b",
+        (
+            F.col("n").cast("double")
+            / (F.col("n_buckets").cast("double") * F.col("n_b").cast("double"))
+        ).alias("r"),
+    )
+    mx = ratio.agg(F.max("r").alias("m"))
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(12345)) % F.lit(2147483647)
+    ).cast("double") / F.lit(2147483647.0)
+    decided = (
+        docs.join(F.broadcast(ratio), "bucket")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "bucket",
+            "n_b",
+            F.when(u < F.col("r") / F.col("m"), 1).otherwise(0).alias("kept"),
+        )
+    )
+    return (
+        decided.groupBy("bucket")
+        .agg(
+            F.max("n_b").alias("n_in"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            stable_round(
+                F.sum("kept").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("accept_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -14,6 +14,8 @@ driver tables, with an ANSI-SQL DuckDB oracle. Cross-engine notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3996,4 +3998,599 @@ def wh_uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_effect_cents"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: statistical-inference tail (rank tests, resampling, conformal,
+# sequential testing) — the experiment-analysis layer over warehouse facts.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "wh_mann_whitney",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderstatus AS status,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS is_a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ), byval AS (
+            SELECT status, cents, COUNT(*) AS cnt,
+                   SUM(is_a) AS cnt_a
+            FROM base GROUP BY status, cents
+        ), ranked AS (
+            SELECT status, cnt, cnt_a,
+                   SUM(cnt) OVER (PARTITION BY status ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM byval
+        ), stats AS (
+            SELECT status,
+                   CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                   CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+                   SUM(cnt_a * (CAST(cum - cnt AS DOUBLE)
+                                + CAST(cnt + 1 AS DOUBLE) / 2.0)) AS r_a,
+                   CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+            FROM ranked GROUP BY status
+        )
+        SELECT status, n_a AS n_urgent, n_b AS n_low,
+               FLOOR((r_a - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0)
+                     * 10000.0 + 0.5) / 10000.0 AS u_stat,
+               FLOOR(((r_a - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0)
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                     / SQRT((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                            * (CAST(n_a + n_b + 1 AS DOUBLE)
+                               - CAST(tie_sum AS DOUBLE)
+                                 / (CAST(n_a + n_b AS DOUBLE)
+                                    * CAST(n_a + n_b - 1 AS DOUBLE))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS z_score
+        FROM stats ORDER BY status
+    """,
+)
+def wh_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal approximation):
+    the nonparametric two-sample test an experimentation platform reaches
+    for when outcome distributions are heavy-tailed (order totals are) and
+    a t-test's mean is not trustworthy. Per order status, compares URGENT
+    vs LOW priority order totals. Shape: one hash aggregate to DISTINCT
+    VALUE cells (cents, cnt, cnt_a), a cumulative-count window over those
+    cells partitioned by status — midrank = cum_before + (cnt+1)/2 — then
+    a per-status rollup; the window input is value-distinct, orders of
+    magnitude smaller than the fact table, and every midrank/product is a
+    half-integer, exact in IEEE doubles, so the rank-sum is order-free
+    across partitions. U = R_a − n_a(n_a+1)/2; z uses the tie-corrected
+    variance n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)))."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
+    )
+    byval = base.groupBy("status", "cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_a").alias("cnt_a")
+    )
+    w = (
+        Window.partitionBy("status")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = byval.withColumn("cum", F.sum("cnt").over(w))
+    midrank = (F.col("cum") - F.col("cnt")).cast("double") + (
+        F.col("cnt") + 1
+    ).cast("double") / F.lit(2.0)
+    stats = ranked.groupBy("status").agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * midrank).alias("r_a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u_a = F.col("r_a") - n_a * (F.col("n_a") + 1).cast("double") / F.lit(2.0)
+    var = (n_a * n_b / F.lit(12.0)) * (
+        (F.col("n_a") + F.col("n_b") + 1).cast("double")
+        - F.col("tie_sum").cast("double")
+        / (n * (F.col("n_a") + F.col("n_b") - 1).cast("double"))
+    )
+    return stats.select(
+        "status",
+        F.col("n_a").alias("n_urgent"),
+        F.col("n_b").alias("n_low"),
+        stable_round(u_a, 4).alias("u_stat"),
+        stable_round((u_a - n_a * n_b / F.lit(2.0)) / F.sqrt(var), 6).alias(
+            "z_score"
+        ),
+    ).orderBy("status")
+
+
+@q(
+    "wh_chi_square",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), obs AS (
+            SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS o
+            FROM joined GROUP BY seg, pri
+        ), rowt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY seg),
+        colt AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY pri),
+        grand AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT obs.o,
+                   CAST(rowt.r AS DOUBLE) * CAST(colt.c AS DOUBLE)
+                       / CAST(grand.n AS DOUBLE) AS e,
+                   grand.n
+            FROM obs JOIN rowt USING (seg) JOIN colt USING (pri), grand
+        ), agg AS (
+            SELECT CAST(SUM(CAST(FLOOR((CAST(o AS DOUBLE) - e)
+                                       * (CAST(o AS DOUBLE) - e) / e
+                                       * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS chi2_micro,
+                   MAX(n) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM cells
+        ), dims AS (
+            SELECT (SELECT COUNT(*) FROM rowt) AS nr,
+                   (SELECT COUNT(*) FROM colt) AS nc
+        )
+        SELECT agg.n, agg.n_cells,
+               CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+               CAST(agg.chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
+               FLOOR(SQRT((CAST(agg.chi2_micro AS DOUBLE) / 1000000.0)
+                          / (CAST(agg.n AS DOUBLE)
+                             * CAST(LEAST(dims.nr - 1, dims.nc - 1) AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+        FROM agg, dims
+    """,
+)
+def wh_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × order priority)
+    with Cramér's V effect size — the categorical-association audit that
+    complements ext_metadata_mi's information-theoretic view. Shape: one
+    fact-side join orders→customer, one hash aggregate to the R×C
+    contingency table (25 cells), then margins/expected counts on the
+    CELL table — everything after the first aggregate is cell-sized and
+    broadcastable. Per-cell (O−E)²/E terms are quantized to integer
+    micro-units BEFORE the final sum so the statistic is independent of
+    cell visit order (a float Σ over 25 doubles would be partition-order
+    sensitive in the last ulp); chi2 re-derives from the exact integer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rowt = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    colt = obs.groupBy("pri").agg(F.sum("o").cast("long").alias("c"))
+    grand = obs.agg(F.sum("o").cast("long").alias("n"))
+    dims = rowt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        colt.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast(
+        "double"
+    )
+    od = F.col("o").cast("double")
+    term_micro = F.floor((od - e) * (od - e) / e * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    cells = (
+        obs.join(F.broadcast(rowt), "seg")
+        .join(F.broadcast(colt), "pri")
+        .crossJoin(F.broadcast(grand))
+        .select(term_micro.alias("tm"), "n")
+    )
+    agg = cells.agg(
+        F.sum("tm").cast("long").alias("chi2_micro"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    chi2 = F.col("chi2_micro").cast("double") / F.lit(1000000.0)
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "n_cells",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        stable_round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@q(
+    "wh_poisson_bootstrap",
+    oracle="""
+        WITH fact AS (
+            SELECT o.o_orderkey AS k, c.c_mktsegment AS seg,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), reps AS (
+            SELECT f.seg, f.cents, b.b,
+                   CAST((f.k * 2654435761 + (b.b + 1) * 40503) % 2147483647
+                        AS DOUBLE) / 2147483647.0 AS u
+            FROM fact f, (SELECT UNNEST(GENERATE_SERIES(0, 39)) AS b) b
+        ), weighted AS (
+            SELECT seg, b, cents,
+                   CASE WHEN u < 0.36787944117144233 THEN 0
+                        WHEN u < 0.7357588823428847 THEN 1
+                        WHEN u < 0.9196986029286058 THEN 2
+                        WHEN u < 0.9810118431238462 THEN 3
+                        WHEN u < 0.9963401531726563 THEN 4
+                        ELSE 5 END AS w
+            FROM reps
+        ), repmeans AS (
+            SELECT seg, b,
+                   CAST(FLOOR(CAST(SUM(w * cents) AS DOUBLE)
+                              / CAST(SUM(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
+            FROM weighted GROUP BY seg, b
+        ), ordered AS (
+            SELECT seg, m,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY m, b) AS rn
+            FROM repmeans
+        ), stats AS (
+            SELECT seg, CAST(SUM(m) AS BIGINT) AS s,
+                   MAX(CASE WHEN rn = 1 THEN m END) AS lo,
+                   MAX(CASE WHEN rn = 39 THEN m END) AS hi
+            FROM ordered GROUP BY seg
+        ), dev AS (
+            SELECT o.seg,
+                   SUM(CAST(40 * o.m - s.s AS DOUBLE)
+                       * CAST(40 * o.m - s.s AS DOUBLE)) AS ss
+            FROM ordered o JOIN stats s USING (seg) GROUP BY o.seg
+        )
+        SELECT s.seg AS c_mktsegment,
+               FLOOR(CAST(s.s AS DOUBLE) / 40.0 / 100.0 * 10000.0 + 0.5)
+                   / 10000.0 AS boot_mean,
+               FLOOR(SQRT(d.ss / (1600.0 * 39.0)) / 100.0 * 10000.0 + 0.5)
+                   / 10000.0 AS boot_se,
+               FLOOR(CAST(s.lo AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+                   AS ci_lo,
+               FLOOR(CAST(s.hi AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+                   AS ci_hi
+        FROM stats s JOIN dev d USING (seg)
+        ORDER BY c_mktsegment
+    """,
+)
+def wh_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (B=40 replicates) of mean order value per market
+    segment — THE resampling scheme that scales: classic bootstrap needs
+    n draws with global coordination, but Poisson(1) replicate weights
+    are independent per row, so the whole thing is a map-side explode
+    (row × 40 weights) plus one hash aggregate on (segment, replicate).
+    No resampling shuffle, no driver loop; at 100 TB the explode factor
+    is the only cost and B caps it. Weights derive from a deterministic
+    multiplicative-hash uniform u = ((key·2654435761 + (b+1)·40503) mod
+    2^31−1)/2^31−1 pushed through the Poisson(1) inverse CDF, so both
+    engines draw the SAME bootstrap sample. Replicate means are rounded
+    to integer cents; the se uses Σ(40m−S)² over those integers (exact in
+    doubles, order-free) and the CI is the 1st/39th order statistic of
+    the 40 replicate means (percentile bootstrap). The window runs over
+    exactly B=40 rows per segment — bounded by construction."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    fact = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = fact.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(39))))
+    u = (
+        (F.col("k") * F.lit(2654435761) + (F.col("b") + 1) * F.lit(40503))
+        % F.lit(2147483647)
+    ).cast("double") / F.lit(2147483647.0)
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    weighted = reps.select("seg", "b", "cents", w.alias("w"))
+    repmeans = weighted.groupBy("seg", "b").agg(
+        F.floor(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    rn = F.row_number().over(Window.partitionBy("seg").orderBy("m", "b"))
+    ordered = repmeans.select("seg", "m", "b").withColumn("rn", rn)
+    stats = ordered.groupBy("seg").agg(
+        F.sum("m").cast("long").alias("s"),
+        F.max(F.when(F.col("rn") == 1, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == 39, F.col("m"))).alias("hi"),
+    )
+    dev = (
+        ordered.join(F.broadcast(stats.select("seg", "s")), "seg")
+        .select(
+            "seg",
+            ((F.lit(40) * F.col("m") - F.col("s")).cast("double")).alias("d"),
+        )
+        .groupBy("seg")
+        .agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    )
+    return (
+        stats.join(F.broadcast(dev), "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            stable_round(
+                F.col("s").cast("double") / F.lit(40.0) / F.lit(100.0), 4
+            ).alias("boot_mean"),
+            stable_round(
+                F.sqrt(F.col("ss") / F.lit(1600.0 * 39.0)) / F.lit(100.0), 4
+            ).alias("boot_se"),
+            stable_round(F.col("lo").cast("double") / F.lit(100.0), 4).alias(
+                "ci_lo"
+            ),
+            stable_round(F.col("hi").cast("double") / F.lit(100.0), 4).alias(
+                "ci_hi"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "wh_conformal_intervals",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS pri, o_orderkey % 4 AS split,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), model AS (
+            SELECT pri, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_train
+            FROM base WHERE split IN (0, 1) GROUP BY pri
+        ), cal AS (
+            SELECT b.pri, ABS(CAST(b.cents AS DOUBLE) - m.pred) AS resid
+            FROM base b JOIN model m USING (pri) WHERE b.split = 2
+        ), caln AS (
+            SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal GROUP BY pri
+        ), ranked AS (
+            SELECT pri, resid,
+                   ROW_NUMBER() OVER (PARTITION BY pri ORDER BY resid) AS rn
+            FROM cal
+        ), qhat AS (
+            SELECT r.pri, r.resid AS q
+            FROM ranked r JOIN caln n USING (pri)
+            WHERE r.rn = CAST(CEIL(0.9 * CAST(n.n_cal + 1 AS DOUBLE)) AS BIGINT)
+        ), test AS (
+            SELECT b.pri,
+                   CASE WHEN ABS(CAST(b.cents AS DOUBLE) - m.pred) <= q.q
+                        THEN 1 ELSE 0 END AS covered
+            FROM base b JOIN model m USING (pri) JOIN qhat q USING (pri)
+            WHERE b.split = 3
+        )
+        SELECT m.pri AS o_orderpriority, m.n_train, n.n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               FLOOR(q.q / 100.0 * 10000.0 + 0.5) / 10000.0 AS q_hat,
+               FLOOR(CAST(SUM(t.covered) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+                   / 10000.0 AS coverage
+        FROM test t JOIN model m USING (pri) JOIN caln n USING (pri)
+             JOIN qhat q USING (pri)
+        GROUP BY m.pri, m.n_train, n.n_cal, q.q
+        ORDER BY o_orderpriority
+    """,
+)
+def wh_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction: the distribution-free interval wrapper
+    every production model-eval pipeline should run. Train split
+    (orderkey%4∈{0,1}) fits the per-priority mean; calibration split (=2)
+    yields |y−ŷ| residuals; q̂ is the ⌈(n_cal+1)·0.9⌉-th smallest residual
+    (the finite-sample-valid conformal quantile, NOT the plug-in 90th
+    percentile); the test split (=3) then measures empirical coverage of
+    ŷ±q̂, which conformal theory guarantees ≥90% in expectation regardless
+    of the outcome distribution. Shape: model and q̂ are group-sized and
+    broadcast; the only fact-sized passes are hash aggregates and one
+    rank window partitioned by priority over the calibration split —
+    at 100 TB the exact order statistic would range-shard the way
+    global_order_columns does, or swap to the GK sketch with a quantile
+    offset (ext_sketch_quantiles), trading the finite-sample guarantee
+    for a bounded-error one."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_orderkey") % 4).alias("split"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    model = (
+        base.where(F.col("split").isin(0, 1))
+        .groupBy("pri")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pred"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+    )
+    cal = (
+        base.where(F.col("split") == 2)
+        .join(F.broadcast(model), "pri")
+        .select("pri", F.abs(F.col("cents").cast("double") - F.col("pred")).alias("resid"))
+    )
+    caln = cal.groupBy("pri").agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    ranked = cal.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("pri").orderBy("resid"))
+    )
+    qhat = (
+        ranked.join(F.broadcast(caln), "pri")
+        .where(
+            F.col("rn")
+            == F.ceil(F.lit(0.9) * (F.col("n_cal") + 1).cast("double")).cast("long")
+        )
+        .select("pri", F.col("resid").alias("q"))
+    )
+    test = (
+        base.where(F.col("split") == 3)
+        .join(F.broadcast(model), "pri")
+        .join(F.broadcast(qhat), "pri")
+        .select(
+            "pri",
+            "n_train",
+            "q",
+            F.when(
+                F.abs(F.col("cents").cast("double") - F.col("pred")) <= F.col("q"), 1
+            )
+            .otherwise(0)
+            .alias("covered"),
+        )
+    )
+    return (
+        test.groupBy("pri", "n_train", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("covered").alias("n_cov"),
+        )
+        .join(F.broadcast(caln), "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_train",
+            "n_cal",
+            "n_test",
+            stable_round(F.col("q") / F.lit(100.0), 4).alias("q_hat"),
+            stable_round(
+                F.col("n_cov").cast("double") / F.col("n_test").cast("double"), 4
+            ).alias("coverage"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "wh_sprt_sequential",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_d,
+                   CAST(SUM(CASE WHEN value > 40.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s_d
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, day,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                       AS t,
+                   SUM(n_d) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS n,
+                   SUM(s_d) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS s
+            FROM daily
+        ), llrd AS (
+            SELECT event_type, t, n, s,
+                   CAST(s AS DOUBLE) * 0.22314355131420976
+                   + CAST(n - s AS DOUBLE) * (-0.1823215567939546) AS llr,
+                   CAST(s AS DOUBLE) * 0.22314355131420976
+                     + CAST(n - s AS DOUBLE) * (-0.1823215567939546) >= 2.9444389791664403
+                   OR CAST(s AS DOUBLE) * 0.22314355131420976
+                     + CAST(n - s AS DOUBLE) * (-0.1823215567939546) <= -2.9444389791664403
+                       AS crossed
+            FROM cum
+        ), pick AS (
+            SELECT event_type,
+                   COALESCE(MIN(CASE WHEN crossed THEN t END), MAX(t)) AS t_pick
+            FROM llrd GROUP BY event_type
+        )
+        SELECT l.event_type,
+               CASE WHEN l.llr >= 2.9444389791664403 THEN 'accept_h1'
+                    WHEN l.llr <= -2.9444389791664403 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision,
+               CAST(l.t AS BIGINT) AS days_observed,
+               CAST(l.n AS BIGINT) AS n_obs,
+               CAST(l.s AS BIGINT) AS n_success,
+               FLOOR(l.llr * 1000000.0 + 0.5) / 1000000.0 AS llr
+        FROM llrd l JOIN pick p
+          ON p.event_type = l.event_type AND l.t = p.t_pick
+        ORDER BY l.event_type
+    """,
+)
+def wh_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test — the always-valid
+    stopping rule that lets an experiment end the day the evidence is
+    in rather than at a fixed horizon. Per event type, daily Bernoulli
+    trials (value > 40) test H0: p=0.4 vs H1: p=0.5 at α=β=0.05: the
+    cumulative log-likelihood ratio S·ln(p1/p0) + (N−S)·ln((1−p1)/(1−p0))
+    stops the first day it exits (−ln 19, ln 19). Complements
+    ev_cusum_changepoint (detects shifts) and wh_conversion_wilson
+    (fixed-horizon CI): SPRT is the sequential DECISION. Shape: one hash
+    aggregate to per-day cells, cumulative windows partitioned by
+    event_type over the DAY series (calendar-bounded, like
+    ev_cusum_changepoint), and the first-crossing pick is a per-type
+    min — the llr re-derives from exact cumulative integers at every
+    step, so crossing detection is order-free."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum(F.when(F.col("value") > 40.0, 1).otherwise(0))
+        .cast("long")
+        .alias("s_d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.select(
+        "event_type",
+        F.row_number().over(wo).alias("t"),
+        F.sum("n_d").over(w).alias("n"),
+        F.sum("s_d").over(w).alias("s"),
+    )
+    la = F.lit(math.log(0.5 / 0.4))
+    lb = F.lit(math.log(0.5 / 0.6))
+    bound = F.lit(math.log(19.0))
+    llr = F.col("s").cast("double") * la + (F.col("n") - F.col("s")).cast(
+        "double"
+    ) * lb
+    llrd = cum.select(
+        "event_type",
+        "t",
+        "n",
+        "s",
+        llr.alias("llr"),
+        ((llr >= bound) | (llr <= -bound)).alias("crossed"),
+    )
+    pick = llrd.groupBy("event_type").agg(
+        F.coalesce(
+            F.min(F.when(F.col("crossed"), F.col("t"))), F.max("t")
+        ).alias("t_pick")
+    ).select(F.col("event_type").alias("et_pick"), "t_pick")
+    return (
+        llrd.join(
+            F.broadcast(pick),
+            (llrd.event_type == F.col("et_pick")) & (llrd.t == F.col("t_pick")),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("llr") >= bound, "accept_h1")
+            .when(F.col("llr") <= -bound, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+            F.col("t").cast("long").alias("days_observed"),
+            F.col("n").cast("long").alias("n_obs"),
+            F.col("s").cast("long").alias("n_success"),
+            stable_round(F.col("llr"), 6).alias("llr"),
+        )
+        .orderBy("event_type")
     )
