@@ -2643,3 +2643,66 @@ def synth_flac_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def patchify_images(
+    media: DataFrame,
+    patch: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ViT-style patch extraction: decode each image and emit ONE ROW PER
+    non-overlapping patch×patch tile — exactly the explode shape a
+    vision-encoder pretraining pipeline feeds to the embedding stage
+    (image → sequence of patch tokens). Only full tiles are kept
+    (floor(w/P) × floor(h/P)); the right/bottom remainder is cropped,
+    the same convention as ViT's center-crop-to-multiple preprocessing.
+    Per patch: the exact integer byte sum and the position-weighted
+    checksum Σ byte·(local_index+1) over the patch's canonical
+    (dy, dx, c) order, so a wrong stride, tile origin, or channel order
+    breaks the value hash while both stay SQL-replayable for synthetic
+    corpora. Arrow-batched mapInPandas like decode_images: one task
+    patchifies its whole batch stream; the row-explosion factor is
+    (w·h)/P² and is bounded by the decode tier's size triage upstream."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "patch_row": [], "patch_col": [],
+                "patch_px_sum": [], "patch_checksum": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, px = decode_image(bytes(payload))
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                )
+                weights = np.arange(patch * patch * ch, dtype=np.int64) + 1
+                for pr in range(h // patch):
+                    for pc in range(w // patch):
+                        tile = arr[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                            :,
+                        ].reshape(-1)
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["patch_px_sum"].append(int(tile.sum()))
+                        out["patch_checksum"].append(int((tile * weights).sum()))
+            yield pd.DataFrame(out)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("patch_row", T.IntegerType()),
+            T.StructField("patch_col", T.IntegerType()),
+            T.StructField("patch_px_sum", T.LongType()),
+            T.StructField("patch_checksum", T.LongType()),
+        ]
+    )
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

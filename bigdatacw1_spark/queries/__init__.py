@@ -177,6 +177,12 @@ ROUND11_WINDOW: list[str] = [
     # round-8 additions: statistical-inference tail
     "wh_mann_whitney", "wh_chi_square", "wh_poisson_bootstrap",
     "wh_conformal_intervals", "wh_sprt_sequential",
+    # round-8 additions: mining / eval / linkage / sampling / multimodal
+    "ext_margin_mining", "ext_matryoshka_fidelity", "ext_token_f1_pairs",
+    "ext_fs_linkage", "ext_rejection_sample_length", "ext_mm_patchify",
+    "ext_stratified_kfold", "ev_periodogram",
+    # round-8 additions: causal + linkage completion
+    "wh_ipw_ate", "ext_sorted_neighborhood",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

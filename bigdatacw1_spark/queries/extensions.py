@@ -11322,3 +11322,218 @@ def ext_rejection_sample_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "ext_mm_patchify",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w0, doc_id % 11 + 4 AS h0
+            FROM documents WHERE doc_id < 64
+        ), g AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS d),
+        ch AS (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c),
+        prs AS (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS pr),
+        pcs AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS pc),
+        cells AS (
+            SELECT d.doc_id, prs.pr, pcs.pc,
+                   ((pcs.pc * 4 + dx.d) + (prs.pr * 4 + dy.d)
+                    + d.doc_id + 85 * ch.c) % 256 AS b,
+                   (dy.d * 4 + dx.d) * 3 + ch.c + 1 AS wgt
+            FROM dims d
+            JOIN prs ON prs.pr < d.h0 // 4
+            JOIN pcs ON pcs.pc < d.w0 // 4
+            CROSS JOIN g dy CROSS JOIN g dx CROSS JOIN ch
+        )
+        SELECT doc_id, CAST(pr AS INT) AS patch_row,
+               CAST(pc AS INT) AS patch_col,
+               CAST(SUM(b) AS BIGINT) AS patch_px_sum,
+               CAST(SUM(b * wgt) AS BIGINT) AS patch_checksum
+        FROM cells GROUP BY 1, 2, 3
+        ORDER BY doc_id, patch_row, patch_col
+    """,
+)
+def ext_mm_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction over REAL decoded PNGs: each synthetic image
+    (pixel (x,y,c) = (x+y+doc_id+85c) % 256, zlib-encoded by
+    synth_png_corpus, zlib-DECODED inside the operator) is split into
+    non-overlapping 4×4 tiles and emitted one row per patch — the
+    image-to-token-sequence explode every vision-encoder pretraining
+    pipeline runs before embedding. Full tiles only (the ViT
+    crop-to-multiple convention); per tile the exact byte sum and the
+    position-weighted checksum over the canonical (dy, dx, c) order, so
+    a wrong tile origin, stride, or channel order breaks the value hash
+    while the DuckDB oracle replays everything from generate_series
+    arithmetic. operators/multimodal.patchify_images is Arrow-batched
+    mapInPandas (the PY stage is the codec, as in ext_mm_decode);
+    doc_id < 64 bounds the fixture, the operator is corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import patchify_images, synth_png_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = synth_png_corpus(docs)
+    return patchify_images(media, patch=4).orderBy(
+        "doc_id", "patch_row", "patch_col"
+    )
+
+
+@q(
+    "ext_stratified_kfold",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, lang, n_chars,
+                   (doc_id * 2654435761 + 97) % 2147483647 AS hv
+            FROM documents
+        ), assigned AS (
+            SELECT lang, n_chars,
+                   (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+                    - 1) % 5 AS fold
+            FROM hashed
+        ), strata AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+            FROM assigned GROUP BY lang
+        )
+        SELECT a.lang, CAST(a.fold AS INT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(s.n_lang AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS share,
+               FLOOR(CAST(SUM(a.n_chars) AS DOUBLE) / COUNT(*)
+                     * 10000.0 + 0.5) / 10000.0 AS avg_chars
+        FROM assigned a JOIN strata s USING (lang)
+        GROUP BY a.lang, a.fold, s.n_lang
+        ORDER BY a.lang, fold
+    """,
+)
+def ext_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment (k=5) for cross-validated eval: docs
+    are shuffled WITHIN each language stratum by a deterministic
+    multiplicative hash, then dealt round-robin — every fold gets
+    ⌈n/k⌉ or ⌊n/k⌋ docs per stratum, EXACTLY balanced, which a
+    hash-mod assignment (ext_train_test_split's shape) only achieves
+    in expectation. The audit columns (per-fold share and mean doc
+    length) are what you check before trusting a CV estimate: a fold
+    whose length distribution drifts from its stratum signals a
+    confounded split. Shape: one rank window partitioned by stratum
+    (the shuffle is the hash sort within lang — at 100 TB this
+    range-shards per stratum like global_order_columns, or degrades
+    gracefully to hash-mod when exact balance isn't worth a sort),
+    then pure hash aggregates."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = (F.col("doc_id") * F.lit(2654435761) + F.lit(97)) % F.lit(2147483647)
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    assigned = docs.select("doc_id", "lang", "n_chars", hv.alias("hv")).select(
+        "lang",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
+    )
+    strata = assigned.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang")
+    )
+    return (
+        assigned.groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .join(F.broadcast(strata), "lang")
+        .select(
+            "lang",
+            F.col("fold").cast("int").alias("fold"),
+            "n_docs",
+            stable_round(
+                F.col("n_docs").cast("double") / F.col("n_lang").cast("double"), 4
+            ).alias("share"),
+            stable_round(
+                F.col("sum_chars").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+@q(
+    "ext_sorted_neighborhood",
+    oracle="""
+        WITH cust AS (
+            SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY cents, k) AS r FROM cust
+        ), pairs AS (
+            SELECT a.k AS custkey_a, b.k AS custkey_b,
+                   b.cents - a.cents AS bal_gap_cents,
+                   (CASE WHEN a.nat = b.nat THEN 2 ELSE 0 END
+                    + CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END
+                    + CASE WHEN b.cents - a.cents <= 500 THEN 1 ELSE 0 END)
+                       AS score
+            FROM ranked a
+            JOIN (SELECT UNNEST([1, 2]) AS j) js ON TRUE
+            JOIN ranked b ON b.r = a.r + js.j
+        )
+        SELECT custkey_a, custkey_b, CAST(bal_gap_cents AS BIGINT)
+                   AS bal_gap_cents,
+               CAST(score AS INT) AS score
+        FROM pairs
+        ORDER BY score DESC, custkey_a, custkey_b
+        LIMIT 20
+    """,
+)
+def ext_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández-Stolfo): the OTHER
+    classic blocking scheme — sort the corpus by a fuzzy key (account
+    balance) and only compare each record to its w=2 successors, so
+    near-duplicates whose blocking attributes disagree (which
+    ext_fs_linkage's equality blocks would never pair) still meet if
+    their sort keys land close. Candidate generation is O(n·w) by
+    construction. The global sort position comes from
+    operators/warehouse.global_order_columns — range-sharded rank with
+    broadcast shard offsets, NO partition-less window — and neighbor
+    pairs are two rank-offset equi-joins (r+1, r+2), each a plain
+    shuffle join on an integer key; at 100 TB each join co-partitions
+    by rank ranges so neighbors are physically adjacent. Scored with
+    integer agreement weights (nation 2, segment 1, balance gap ≤ $5
+    1), TakeOrdered top-20."""
+    from bigdatacw1_spark.operators.warehouse import global_order_columns
+
+    c = _t(spark, sf_dir, "customer")
+    cust = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    ranked, _n = global_order_columns(
+        cust, F.col("cents"), [F.col("k")], rank_col="r"
+    )
+    a = ranked.select(
+        F.col("k").alias("ka"), F.col("nat").alias("na"),
+        F.col("seg").alias("sa"), F.col("cents").alias("ca"),
+        F.col("r").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("k").alias("kb"), F.col("nat").alias("nb"),
+        F.col("seg").alias("sb"), F.col("cents").alias("cb"),
+        F.col("r").alias("rb"),
+    )
+    js = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j")
+    )
+    score = (
+        F.when(F.col("na") == F.col("nb"), 2).otherwise(0)
+        + F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)
+        + F.when(F.col("cb") - F.col("ca") <= 500, 1).otherwise(0)
+    )
+    return (
+        a.crossJoin(F.broadcast(js))
+        .join(b, F.col("rb") == F.col("ra") + F.col("j"))
+        .select(
+            F.col("ka").alias("custkey_a"),
+            F.col("kb").alias("custkey_b"),
+            (F.col("cb") - F.col("ca")).cast("long").alias("bal_gap_cents"),
+            score.cast("int").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("custkey_a"), F.asc("custkey_b"))
+        .limit(20)
+    )

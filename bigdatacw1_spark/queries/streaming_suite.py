@@ -2825,3 +2825,103 @@ def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+@q(
+    "ev_periodogram",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 3600.0) AS BIGINT) AS h,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), periods AS (SELECT UNNEST([6.0, 12.0, 24.0, 168.0]) AS p),
+        terms AS (
+            SELECT hourly.event_type, periods.p,
+                   CAST(FLOOR(CAST(x AS DOUBLE)
+                              * COS(6.283185307179586
+                                    * CAST(h % CAST(p AS BIGINT) AS DOUBLE) / p)
+                              + 0.5) AS BIGINT) AS tc,
+                   CAST(FLOOR(CAST(x AS DOUBLE)
+                              * SIN(6.283185307179586
+                                    * CAST(h % CAST(p AS BIGINT) AS DOUBLE) / p)
+                              + 0.5) AS BIGINT) AS ts_
+            FROM hourly, periods
+        ), powers AS (
+            SELECT event_type, p,
+                   CAST(SUM(tc) AS BIGINT) * CAST(SUM(tc) AS BIGINT)
+                   + CAST(SUM(ts_) AS BIGINT) * CAST(SUM(ts_) AS BIGINT)
+                       AS power_raw
+            FROM terms GROUP BY event_type, p
+        ), tot AS (
+            SELECT event_type, CAST(SUM(power_raw) AS BIGINT) AS total
+            FROM powers GROUP BY event_type
+        )
+        SELECT pw.event_type,
+               CAST(pw.p AS INT) AS period_hours,
+               pw.power_raw,
+               FLOOR(CAST(pw.power_raw AS DOUBLE) / CAST(t.total AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS power_share
+        FROM powers pw JOIN tot t USING (event_type)
+        ORDER BY pw.event_type, period_hours
+    """,
+)
+def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram at candidate seasonal periods (6 h,
+    12 h, 24 h, weekly): per event type, power(P) = (Σ x_t·cos 2πt/P)²
+    + (Σ x_t·sin 2πt/P)² over the hourly cents series — the frequency-
+    domain detector that finds WHICH cycle dominates, where
+    ev_seasonal_strength only scores a pre-assumed one. The phase index
+    reduces to t mod P BEFORE the trig call (an integer, so both
+    engines evaluate cos/sin on identical small arguments — no
+    large-angle libm reduction drift), and each x·cos term is floored
+    to an integer unit so the Fourier sums are exact BIGINTs,
+    order-free across partitions; power and its share re-derive from
+    those integers. Shape: one hash aggregate to hourly cells, a 4-row
+    period table broadcast as a crossJoin (one pass scores all
+    periods), one aggregate per (type, period) — no window at all, so
+    it scales as two groupBys regardless of series length."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    periods = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(6.0), F.lit(12.0), F.lit(24.0), F.lit(168.0))
+        ).alias("p")
+    )
+    angle = (
+        F.lit(6.283185307179586)
+        * (F.col("h") % F.col("p").cast("long")).cast("double")
+        / F.col("p")
+    )
+    xd = F.col("x").cast("double")
+    terms = hourly.crossJoin(F.broadcast(periods)).select(
+        "event_type",
+        "p",
+        F.floor(xd * F.cos(angle) + F.lit(0.5)).cast("long").alias("tc"),
+        F.floor(xd * F.sin(angle) + F.lit(0.5)).cast("long").alias("ts_"),
+    )
+    powers = terms.groupBy("event_type", "p").agg(
+        (
+            F.sum("tc").cast("long") * F.sum("tc").cast("long")
+            + F.sum("ts_").cast("long") * F.sum("ts_").cast("long")
+        ).alias("power_raw")
+    )
+    tot = powers.groupBy("event_type").agg(
+        F.sum("power_raw").cast("long").alias("total")
+    )
+    return (
+        powers.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("p").cast("int").alias("period_hours"),
+            "power_raw",
+            stable_round(
+                F.col("power_raw").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("power_share"),
+        )
+        .orderBy("event_type", "period_hours")
+    )

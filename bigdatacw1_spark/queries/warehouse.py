@@ -4594,3 +4594,158 @@ def wh_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "wh_ipw_ate",
+    oracle="""
+        WITH cust AS (
+            SELECT c_custkey AS k,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+                   CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS t
+            FROM customer
+        ), outcome AS (
+            SELECT c.k, c.bucket, c.t,
+                   COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                       AS y
+            FROM cust c LEFT JOIN orders o ON o.o_custkey = c.k
+            GROUP BY c.k, c.bucket, c.t
+        ), strata AS (
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_d,
+                   CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(1 - t) AS BIGINT) AS nc,
+                   CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+                   CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+            FROM outcome GROUP BY bucket
+        ), keep AS (SELECT * FROM strata WHERE nt > 0 AND nc > 0),
+        terms AS (
+            SELECT n_d, nt, nc, syt, syc,
+                   CAST(FLOOR(CAST(syt AS DOUBLE) * CAST(n_d AS DOUBLE)
+                              / CAST(nt AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                       AS ct_c,
+                   CAST(FLOOR(CAST(syc AS DOUBLE) * CAST(n_d AS DOUBLE)
+                              / CAST(nc AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                       AS cc_c,
+                   CAST(FLOOR(CAST(n_d AS DOUBLE) * CAST(n_d AS DOUBLE)
+                              / CAST(nt AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                       AS wsq_c
+            FROM keep
+        )
+        SELECT CAST(SUM(n_d) AS BIGINT) AS n,
+               CAST(SUM(nt) AS BIGINT) AS n_treat,
+               CAST((SELECT COALESCE(SUM(n_d), 0) FROM strata
+                     WHERE nt = 0 OR nc = 0) AS BIGINT) AS n_excluded,
+               FLOOR((CAST(SUM(ct_c) AS DOUBLE) - CAST(SUM(cc_c) AS DOUBLE))
+                     / 100.0 / CAST(SUM(n_d) AS DOUBLE) / 100.0
+                     * 10000.0 + 0.5) / 10000.0 AS ate_ipw,
+               FLOOR((CAST(SUM(syt) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE)
+                      - CAST(SUM(syc) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE))
+                     / 100.0 * 10000.0 + 0.5) / 10000.0 AS ate_naive,
+               FLOOR(CAST(SUM(n_d) AS DOUBLE) * CAST(SUM(n_d) AS DOUBLE)
+                     / (CAST(SUM(wsq_c) AS DOUBLE) / 100.0)
+                     * 10000.0 + 0.5) / 10000.0 AS ess_treat
+        FROM terms
+    """,
+)
+def wh_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect
+    (Horvitz-Thompson): the causal estimator for when treatment
+    assignment correlates with a covariate — propensity e(x) is
+    estimated per account-balance bucket as the observed treated share,
+    and each outcome is weighted by 1/e (treated) or 1/(1−e) (control),
+    so buckets where treatment is rare count each treated customer
+    more. DELIBERATELY uses a different stratification (balance bucket)
+    from the outcome heterogeneity (segment), which is where IPW earns
+    its keep over the stratified estimator (wh_uplift_stratified) —
+    with propensity strata == outcome strata the two coincide.
+    Completes the causal stack: CUPED (variance), DiD (trends), uplift
+    (stratified), Shapley (attribution), IPW (confounding). Positivity:
+    strata with no treated or no control units are EXCLUDED and
+    reported (n_excluded) — the honest handling of overlap violations.
+    ESS_treat = (Σw)²/Σw² diagnoses weight concentration. Shape: one
+    left join + two hash aggregates; per-stratum HT contributions are
+    integer-quantized before the stratum sum so the estimate is exact
+    and order-free; everything after the first aggregate is
+    bucket-count-sized."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cust = c.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bucket"),
+        F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(0).alias("t"),
+    )
+    outcome = (
+        cust.join(o, cust.k == o.o_custkey, "left")
+        .groupBy("k", "bucket", "t")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            ).alias("y")
+        )
+    )
+    strata = outcome.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syc"),
+    )
+    keep = strata.where((F.col("nt") > 0) & (F.col("nc") > 0))
+    excluded = strata.where((F.col("nt") == 0) | (F.col("nc") == 0)).agg(
+        F.coalesce(F.sum("n_d"), F.lit(0)).cast("long").alias("n_excluded")
+    )
+    nd_d = F.col("n_d").cast("double")
+    ct_c = F.floor(
+        F.col("syt").cast("double") * nd_d / F.col("nt").cast("double") * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    cc_c = F.floor(
+        F.col("syc").cast("double") * nd_d / F.col("nc").cast("double") * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    wsq_c = F.floor(
+        nd_d * nd_d / F.col("nt").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    terms = keep.select(
+        "n_d", "nt", "nc", "syt", "syc",
+        ct_c.alias("ct_c"), cc_c.alias("cc_c"), wsq_c.alias("wsq_c"),
+    )
+    agg = terms.agg(
+        F.sum("n_d").cast("long").alias("n"),
+        F.sum("nt").cast("long").alias("n_treat"),
+        F.sum("nc").cast("long").alias("n_ctrl"),
+        F.sum("syt").cast("long").alias("syt"),
+        F.sum("syc").cast("long").alias("syc"),
+        F.sum("ct_c").cast("long").alias("sct"),
+        F.sum("cc_c").cast("long").alias("scc"),
+        F.sum("wsq_c").cast("long").alias("swsq"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.crossJoin(F.broadcast(excluded)).select(
+        "n",
+        "n_treat",
+        "n_excluded",
+        stable_round(
+            (F.col("sct").cast("double") - F.col("scc").cast("double"))
+            / F.lit(100.0)
+            / nd
+            / F.lit(100.0),
+            4,
+        ).alias("ate_ipw"),
+        stable_round(
+            (
+                F.col("syt").cast("double") / F.col("n_treat").cast("double")
+                - F.col("syc").cast("double") / F.col("n_ctrl").cast("double")
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("ate_naive"),
+        stable_round(
+            nd * nd / (F.col("swsq").cast("double") / F.lit(100.0)), 4
+        ).alias("ess_treat"),
+    )

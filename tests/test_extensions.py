@@ -1431,3 +1431,45 @@ def test_flac_sniff_and_property_roundtrip():
         assert (mime, got_sr, got_ch) == ("audio/flac", sr, 1)
 
     roundtrip()
+
+
+def test_patchify_tiles_partition_the_cropped_image(spark):
+    """Invariants of ViT patch extraction: (1) the patch grid is exactly
+    floor(w/P)×floor(h/P); (2) the tile byte sums add up to the byte sum
+    of the CROPPED image region (tiles partition it — any overlap or gap
+    breaks the equality); (3) a uniform image yields identical checksums
+    in every tile (position weights are LOCAL to the tile)."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_png,
+        patchify_images,
+        synth_png_corpus,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 8)
+    media = synth_png_corpus(docs)
+    rows = patchify_images(media, patch=4).collect()
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(orig)
+    for doc_id, payload in orig.items():
+        w, h, ch, px = decode_png(payload)
+        tiles = by_doc[doc_id]
+        assert len(tiles) == (w // 4) * (h // 4), doc_id
+        # cropped-region byte sum == sum of tile sums
+        crop_sum = 0
+        for y in range((h // 4) * 4):
+            for x in range((w // 4) * 4):
+                base = (y * w + x) * ch
+                crop_sum += sum(px[base : base + ch])
+        assert sum(t["patch_px_sum"] for t in tiles) == crop_sum, doc_id
+    # uniform image: every tile has the same sum and the same checksum
+    from bigdatacw1_spark.operators.multimodal import encode_png
+
+    flat = encode_png(8, 8, 3, bytes([7]) * (8 * 8 * 3))
+    one = spark.createDataFrame([(999, bytearray(flat))], "doc_id long, payload binary")
+    t999 = patchify_images(one, patch=4).collect()
+    assert len(t999) == 4
+    assert len({t["patch_px_sum"] for t in t999}) == 1
+    assert len({t["patch_checksum"] for t in t999}) == 1
