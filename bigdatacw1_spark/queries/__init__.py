@@ -183,6 +183,8 @@ ROUND11_WINDOW: list[str] = [
     "ext_stratified_kfold", "ev_periodogram",
     # round-8 additions: causal + linkage completion
     "wh_ipw_ate", "ext_sorted_neighborhood",
+    # round-8 additions: classical-experimentation completion
+    "wh_welch_ttest", "wh_bh_fdr", "wh_power_mde", "wh_psm_att",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

@@ -4749,3 +4749,660 @@ def wh_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             nd * nd / (F.col("swsq").cast("double") / F.lit(100.0)), 4
         ).alias("ess_treat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (second batch): the classical-experimentation completion — Welch's
+# t, multiple-testing control (Benjamini-Hochberg), power/MDE planning, and
+# propensity-style caliper matching. Together with the rank/chi-square/
+# bootstrap/conformal/SPRT tail above, this is the full analysis toolbox an
+# experimentation platform runs nightly over warehouse facts.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "wh_welch_ttest",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderstatus AS status,
+                   CAST(o_custkey % 2 AS BIGINT) AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), sums AS (
+            SELECT status,
+                   CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN grp = 0 THEN CAST(cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS s1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN CAST(cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS s2,
+                   CAST(SUM(CASE WHEN grp = 0 THEN CAST(cents * cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN CAST(cents * cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss2
+            FROM base GROUP BY status
+        ), stats AS (
+            SELECT status, n1, n2,
+                   s1 / CAST(n1 AS DOUBLE) AS m1,
+                   s2 / CAST(n2 AS DOUBLE) AS m2,
+                   (ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                   (ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+            FROM sums
+        ), welch AS (
+            SELECT status, n1, n2, m1, m2,
+                   v1 / CAST(n1 AS DOUBLE) AS q1,
+                   v2 / CAST(n2 AS DOUBLE) AS q2
+            FROM stats
+        )
+        SELECT status,
+               n1 AS n_even, n2 AS n_odd,
+               FLOOR((m1 - m2) * 10000.0 + 0.5) / 10000.0 AS mean_diff_cents,
+               FLOOR((m1 - m2) / SQRT(q1 + q2) * 1000000.0 + 0.5) / 1000000.0
+                   AS t_stat,
+               FLOOR((q1 + q2) * (q1 + q2)
+                     / (q1 * q1 / CAST(n1 - 1 AS DOUBLE)
+                        + q2 * q2 / CAST(n2 - 1 AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS df_welch
+        FROM welch ORDER BY status
+    """,
+)
+def wh_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test, the default two-sample mean test
+    of every experimentation platform (pooled-variance Student's t is
+    wrong whenever arms differ in spread — Welch is uniformly safe).
+    Per order status, compares mean order value between even- and
+    odd-custkey populations (the same hash split wh_mann_whitney ranks,
+    so the two entries give the parametric and nonparametric view of one
+    experiment). Shape: ONE hash aggregate computing count / Σx / Σx²
+    per (status, arm) with DECIMAL(38,0) sums — exact and order-free at
+    any scale, no second pass for the variance — then O(groups)
+    arithmetic for mean, variance, t, and the Welch-Satterthwaite
+    degrees of freedom (q1+q2)²/(q1²/(n1−1)+q2²/(n2−1))."""
+    o = _t(spark, sf_dir, "orders")
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_custkey") % 2).cast("long").alias("grp"),
+        cents.alias("cents"),
+    )
+    sums = base.groupBy("status").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("cents").cast("decimal(38,0)")).otherwise(
+                dec0
+            )
+        )
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("cents").cast("decimal(38,0)")).otherwise(
+                dec0
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                F.col("grp") == 0,
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)"),
+            ).otherwise(dec0)
+        )
+        .cast("double")
+        .alias("ss1"),
+        F.sum(
+            F.when(
+                F.col("grp") == 1,
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)"),
+            ).otherwise(dec0)
+        )
+        .cast("double")
+        .alias("ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    stats = sums.select(
+        "status",
+        "n1",
+        "n2",
+        (F.col("s1") / n1d).alias("m1"),
+        (F.col("s2") / n2d).alias("m2"),
+        ((F.col("ss1") - F.col("s1") * F.col("s1") / n1d) / (F.col("n1") - 1).cast("double")).alias("v1"),
+        ((F.col("ss2") - F.col("s2") * F.col("s2") / n2d) / (F.col("n2") - 1).cast("double")).alias("v2"),
+    )
+    welch = stats.select(
+        "status",
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        (F.col("v1") / F.col("n1").cast("double")).alias("q1"),
+        (F.col("v2") / F.col("n2").cast("double")).alias("q2"),
+    )
+    q12 = F.col("q1") + F.col("q2")
+    return welch.select(
+        "status",
+        F.col("n1").alias("n_even"),
+        F.col("n2").alias("n_odd"),
+        stable_round(F.col("m1") - F.col("m2"), 4).alias("mean_diff_cents"),
+        stable_round((F.col("m1") - F.col("m2")) / F.sqrt(q12), 6).alias("t_stat"),
+        stable_round(
+            q12
+            * q12
+            / (
+                F.col("q1") * F.col("q1") / (F.col("n1") - 1).cast("double")
+                + F.col("q2") * F.col("q2") / (F.col("n2") - 1).cast("double")
+            ),
+            4,
+        ).alias("df_welch"),
+    ).orderBy("status")
+
+
+@q(
+    "wh_bh_fdr",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), obs AS (
+            SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(SUM(hit) AS BIGINT) AS k1
+            FROM joined GROUP BY seg, pri
+        ), tot AS (
+            SELECT CAST(SUM(n1) AS BIGINT) AS n, CAST(SUM(k1) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM obs
+        ), zs AS (
+            SELECT seg, pri, n1, k1, m,
+                   ABS((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(k - k1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                       / SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1.0 / CAST(n1 AS DOUBLE)
+                                 + 1.0 / CAST(n - n1 AS DOUBLE)))) AS az
+            FROM obs, tot
+        ), erfx AS (
+            SELECT seg, pri, n1, k1, m, az,
+                   az / SQRT(2.0) AS x,
+                   1.0 / (1.0 + 0.3275911 * (az / SQRT(2.0))) AS t
+            FROM zs
+        ), pv AS (
+            SELECT seg, pri, n1, k1, m, az,
+                   FLOOR(((((((1.061405429 * t - 1.453152027) * t
+                              + 1.421413741) * t - 0.284496736) * t
+                            + 0.254829592) * t) * EXP(-(x * x)))
+                         * 100000000.0 + 0.5) / 100000000.0 AS p_q
+            FROM erfx
+        ), ranked AS (
+            SELECT seg, pri, n1, k1, m, az, p_q,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_q, seg, pri) AS BIGINT) AS i
+            FROM pv
+        ), flagged AS (
+            SELECT *,
+                   MAX(CASE WHEN p_q <= 0.05 * CAST(i AS DOUBLE) / CAST(m AS DOUBLE)
+                            THEN i ELSE 0 END) OVER () AS i_star,
+                   MIN(CAST(m AS DOUBLE) * p_q / CAST(i AS DOUBLE))
+                       OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING) AS tail_min
+            FROM ranked
+        )
+        SELECT seg, pri, n1 AS n_orders, k1 AS n_final,
+               FLOOR(az * 1000000.0 + 0.5) / 1000000.0 AS abs_z,
+               p_q AS p_value,
+               FLOOR(LEAST(1.0, tail_min) * 100000000.0 + 0.5) / 100000000.0
+                   AS p_adj,
+               CASE WHEN i <= i_star THEN 1 ELSE 0 END AS rejected
+        FROM flagged ORDER BY p_value, seg, pri
+    """,
+)
+def wh_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control (step-up at
+    q=0.05) over a 25-hypothesis family: per (segment x priority) cell,
+    a two-proportion z-test of the cell's fulfilled-order share against
+    the rest of the population. This is THE guardrail for metric
+    dashboards — screening 25 cells at alpha=0.05 uncorrected expects a
+    false positive per refresh; BH bounds the expected false-discovery
+    fraction instead. p-values come from the Abramowitz-Stegun 7.1.26
+    erf polynomial (max abs error 1.5e-7), written as the IDENTICAL
+    arithmetic chain in both engines and micro-quantized (1e-8) before
+    ranking so order and tie-breaks are engine-independent. Shape: one
+    broadcast join + one hash aggregate to the 25-cell family; the BH
+    step-up (rank, i*, reversed cumulative-min adjusted p) runs in
+    partition-less windows over the PROVABLY BOUNDED family — 25 rows
+    regardless of fact size, the one place a global window is free."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c), c.c_custkey == o.o_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    obs = joined.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("hit").cast("long").alias("k1"),
+    )
+    tot = obs.agg(
+        F.sum("n1").cast("long").alias("n"),
+        F.sum("k1").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    z = obs.crossJoin(F.broadcast(tot))
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    pp = F.col("k").cast("double") / F.col("n").cast("double")
+    az = F.abs(
+        (
+            F.col("k1").cast("double") / n1d
+            - (F.col("k") - F.col("k1")).cast("double") / n2d
+        )
+        / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d))
+    )
+    zs = z.select("seg", "pri", "n1", "k1", "m", az.alias("az"))
+    x = F.col("az") / F.sqrt(F.lit(2.0))
+    erfx = zs.select(
+        "seg", "pri", "n1", "k1", "m", "az",
+        x.alias("x"),
+        (F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)).alias("t"),
+    )
+    t = F.col("t")
+    poly = (
+        (
+            (
+                ((F.lit(1.061405429) * t - F.lit(1.453152027)) * t + F.lit(1.421413741))
+                * t
+                - F.lit(0.284496736)
+            )
+            * t
+            + F.lit(0.254829592)
+        )
+        * t
+    ) * F.exp(-(F.col("x") * F.col("x")))
+    pv = erfx.select(
+        "seg", "pri", "n1", "k1", "m", "az",
+        (F.floor(poly * F.lit(100000000.0) + F.lit(0.5)) / F.lit(100000000.0)).alias(
+            "p_q"
+        ),
+    )
+    ranked = pv.withColumn(
+        "i", F.row_number().over(Window.orderBy("p_q", "seg", "pri")).cast("long")
+    )
+    w_all = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_tail = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_q")
+                <= F.lit(0.05) * F.col("i").cast("double") / F.col("m").cast("double"),
+                F.col("i"),
+            ).otherwise(0)
+        )
+        .over(w_all)
+        .alias("i_star"),
+        F.min(F.col("m").cast("double") * F.col("p_q") / F.col("i").cast("double"))
+        .over(w_tail)
+        .alias("tail_min"),
+    )
+    return flagged.select(
+        "seg",
+        "pri",
+        F.col("n1").alias("n_orders"),
+        F.col("k1").alias("n_final"),
+        stable_round(F.col("az"), 6).alias("abs_z"),
+        F.col("p_q").alias("p_value"),
+        stable_round(F.least(F.lit(1.0), F.col("tail_min")), 8).alias("p_adj"),
+        F.when(F.col("i") <= F.col("i_star"), 1).otherwise(0).alias("rejected"),
+    ).orderBy("p_value", "seg", "pri")
+
+
+@q(
+    "wh_power_mde",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS seg,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), obs AS (
+            SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(hit) AS BIGINT) AS k
+            FROM joined GROUP BY seg
+        ), rates AS (
+            SELECT seg, n, k,
+                   CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+                   LEAST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1.05, 0.999) AS p2
+            FROM obs
+        ), parts AS (
+            SELECT seg, n, k, p1, p2,
+                   (p1 + p2) / 2.0 AS pbar,
+                   p2 - p1 AS delta
+            FROM rates
+        )
+        SELECT seg,
+               n AS n_current,
+               FLOOR(p1 * 1000000.0 + 0.5) / 1000000.0 AS baseline_rate,
+               FLOOR(p2 * 1000000.0 + 0.5) / 1000000.0 AS target_rate,
+               CAST(CEIL((1.959963984540054 * SQRT(2.0 * pbar * (1.0 - pbar))
+                          + 0.8416212335729143
+                            * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+                         * (1.959963984540054 * SQRT(2.0 * pbar * (1.0 - pbar))
+                            + 0.8416212335729143
+                              * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+                         / (delta * delta)) AS BIGINT) AS n_per_arm,
+               FLOOR((1.959963984540054 + 0.8416212335729143)
+                     * SQRT(2.0 * p1 * (1.0 - p1) / (CAST(n AS DOUBLE) / 2.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS mde_at_current_n
+        FROM parts ORDER BY seg
+    """,
+)
+def wh_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: per market segment, the sample size a
+    two-proportion z-test needs to detect a 5% relative lift in the
+    fulfilled-order rate at alpha=0.05 (two-sided) / power=0.80, plus
+    the minimum detectable effect if the segment's CURRENT traffic were
+    split 50/50 today. The standard pre-registration arithmetic
+    (Fleiss): n/arm = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1+p2*q2))^2
+    / (p2-p1)^2, with the z quantiles as literals so no inverse-normal
+    is needed at runtime. This is the planning half of the inference
+    stack — SPRT (wh_sprt_sequential) monitors the experiment BH
+    (wh_bh_fdr) later screens. Shape: one broadcast join + one hash
+    aggregate to 5 segment rows, then pure closed-form arithmetic;
+    nothing after the aggregate scales with the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    obs = joined.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("k"),
+    )
+    p1 = F.col("k").cast("double") / F.col("n").cast("double")
+    rates = obs.select(
+        "seg", "n", "k",
+        p1.alias("p1"),
+        F.least(p1 * F.lit(1.05), F.lit(0.999)).alias("p2"),
+    )
+    parts = rates.select(
+        "seg", "n", "k", "p1", "p2",
+        ((F.col("p1") + F.col("p2")) / F.lit(2.0)).alias("pbar"),
+        (F.col("p2") - F.col("p1")).alias("delta"),
+    )
+    za = F.lit(1.959963984540054)
+    zb = F.lit(0.8416212335729143)
+    numer = za * F.sqrt(
+        F.lit(2.0) * F.col("pbar") * (F.lit(1.0) - F.col("pbar"))
+    ) + zb * F.sqrt(
+        F.col("p1") * (F.lit(1.0) - F.col("p1"))
+        + F.col("p2") * (F.lit(1.0) - F.col("p2"))
+    )
+    return parts.select(
+        "seg",
+        F.col("n").alias("n_current"),
+        stable_round(F.col("p1"), 6).alias("baseline_rate"),
+        stable_round(F.col("p2"), 6).alias("target_rate"),
+        F.ceil(numer * numer / (F.col("delta") * F.col("delta")))
+        .cast("long")
+        .alias("n_per_arm"),
+        stable_round(
+            (za + zb)
+            * F.sqrt(
+                F.lit(2.0)
+                * F.col("p1")
+                * (F.lit(1.0) - F.col("p1"))
+                / (F.col("n").cast("double") / F.lit(2.0))
+            ),
+            6,
+        ).alias("mde_at_current_n"),
+    ).orderBy("seg")
+
+
+@q(
+    "wh_psm_att",
+    oracle="""
+        WITH cust AS (
+            SELECT c_custkey AS k, c_nationkey AS nation,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+                   CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS t
+            FROM customer
+        ), outcome AS (
+            SELECT c.k, c.nation, c.bal_c, c.t,
+                   COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                       AS y
+            FROM cust c LEFT JOIN orders o ON o.o_custkey = c.k
+            GROUP BY c.k, c.nation, c.bal_c, c.t
+        ), cells AS (
+            SELECT nation, bal_c,
+                   CAST(COUNT(*) AS BIGINT) AS ccnt,
+                   CAST(SUM(y) AS BIGINT) AS csum
+            FROM outcome WHERE t = 0 GROUP BY nation, bal_c
+        ), uni AS (
+            SELECT nation, bal_c, 1 AS tag, k AS k_sort, y,
+                   CAST(NULL AS BIGINT) AS csum, CAST(NULL AS BIGINT) AS ccnt
+            FROM outcome WHERE t = 1
+            UNION ALL
+            SELECT nation, bal_c, 0 AS tag, -1 AS k_sort,
+                   CAST(NULL AS BIGINT) AS y, csum, ccnt
+            FROM cells
+        ), scanned AS (
+            SELECT *,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN bal_c END IGNORE NULLS)
+                       OVER (PARTITION BY nation ORDER BY bal_c, tag, k_sort
+                             ROWS UNBOUNDED PRECEDING) AS pred_bal,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN csum END IGNORE NULLS)
+                       OVER (PARTITION BY nation ORDER BY bal_c, tag, k_sort
+                             ROWS UNBOUNDED PRECEDING) AS pred_sum,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN ccnt END IGNORE NULLS)
+                       OVER (PARTITION BY nation ORDER BY bal_c, tag, k_sort
+                             ROWS UNBOUNDED PRECEDING) AS pred_cnt,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN bal_c END IGNORE NULLS)
+                       OVER (PARTITION BY nation
+                             ORDER BY bal_c DESC, tag DESC, k_sort DESC
+                             ROWS UNBOUNDED PRECEDING) AS succ_bal,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN csum END IGNORE NULLS)
+                       OVER (PARTITION BY nation
+                             ORDER BY bal_c DESC, tag DESC, k_sort DESC
+                             ROWS UNBOUNDED PRECEDING) AS succ_sum,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN ccnt END IGNORE NULLS)
+                       OVER (PARTITION BY nation
+                             ORDER BY bal_c DESC, tag DESC, k_sort DESC
+                             ROWS UNBOUNDED PRECEDING) AS succ_cnt
+            FROM uni
+        ), chosen AS (
+            SELECT bal_c, y,
+                   CASE WHEN pred_bal IS NOT NULL
+                             AND bal_c - pred_bal <= 10000
+                             AND (succ_bal IS NULL OR succ_bal - bal_c > 10000
+                                  OR bal_c - pred_bal <= succ_bal - bal_c)
+                        THEN 1
+                        WHEN succ_bal IS NOT NULL AND succ_bal - bal_c <= 10000
+                        THEN 2 ELSE 0 END AS side,
+                   pred_bal, pred_sum, pred_cnt, succ_bal, succ_sum, succ_cnt
+            FROM scanned WHERE tag = 1
+        ), matched AS (
+            SELECT y,
+                   CASE WHEN side = 1
+                        THEN CAST(pred_sum AS DOUBLE) / CAST(pred_cnt AS DOUBLE)
+                        WHEN side = 2
+                        THEN CAST(succ_sum AS DOUBLE) / CAST(succ_cnt AS DOUBLE)
+                        END AS mmean,
+                   CASE WHEN side = 1 THEN bal_c - pred_bal
+                        WHEN side = 2 THEN succ_bal - bal_c END AS dist_c
+            FROM chosen
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_treat,
+               CAST(COUNT(mmean) AS BIGINT) AS n_matched,
+               CAST(COUNT(*) - COUNT(mmean) AS BIGINT) AS n_unmatched,
+               FLOOR(CAST(SUM(CASE WHEN mmean IS NOT NULL
+                                   THEN CAST(FLOOR((CAST(y AS DOUBLE) - mmean)
+                                                   * 100.0 + 0.5) AS BIGINT)
+                                   ELSE 0 END) AS DOUBLE)
+                     / 100.0 / CAST(COUNT(mmean) AS DOUBLE) / 100.0
+                     * 10000.0 + 0.5) / 10000.0 AS att_dollars,
+               FLOOR(CAST(SUM(CASE WHEN mmean IS NOT NULL THEN dist_c
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(mmean) AS DOUBLE) / 100.0
+                     * 10000.0 + 0.5) / 10000.0 AS avg_match_dist
+        FROM matched
+    """,
+)
+def wh_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor caliper matching (the propensity-score-matching
+    estimator of the average treatment effect on the treated): every
+    even-custkey customer is matched, WITH replacement, to the control
+    customer(s) whose account balance is nearest within the same nation
+    and a $100 caliper; ties at equal distance prefer the predecessor,
+    and equal-balance controls are pre-aggregated to one value cell so
+    the match is deterministic without any per-unit tie-break. ATT =
+    mean over matched treated of (own spend − matched-cell mean spend).
+    Complements wh_ipw_ate: matching keeps only comparable units
+    (positivity enforced by the caliper, violations COUNTED in
+    n_unmatched) where IPW reweights everyone. Shape: the sorted-merge
+    asof pattern — union treated units with control value cells, ONE
+    ascending and ONE descending cumulative last_value window per
+    nation (no cross join, no per-pair blowup), then an O(1)-row
+    rollup. Sort keys are null-free (control cells carry k_sort=-1)
+    because Spark defaults to NULLS FIRST and DuckDB to NULLS LAST —
+    the cross-engine ordering trap. Scales as sort-within-nation;
+    at 100 TB the nation partition bounds the window input."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cust = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(0).alias("t"),
+    )
+    outcome = (
+        cust.join(o, cust.k == o.o_custkey, "left")
+        .groupBy("k", "nation", "bal_c", "t")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            ).alias("y")
+        )
+    )
+    cells = (
+        outcome.where(F.col("t") == 0)
+        .groupBy("nation", "bal_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ccnt"),
+            F.sum("y").cast("long").alias("csum"),
+        )
+    )
+    nulll = F.lit(None).cast("long")
+    uni = outcome.where(F.col("t") == 1).select(
+        "nation", "bal_c",
+        F.lit(1).alias("tag"),
+        F.col("k").alias("k_sort"),
+        "y",
+        nulll.alias("csum"),
+        nulll.alias("ccnt"),
+    ).unionByName(
+        cells.select(
+            "nation", "bal_c",
+            F.lit(0).alias("tag"),
+            F.lit(-1).cast("long").alias("k_sort"),
+            nulll.alias("y"),
+            "csum",
+            "ccnt",
+        )
+    )
+    w_asc = (
+        Window.partitionBy("nation")
+        .orderBy("bal_c", "tag", "k_sort")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_desc = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("bal_c").desc(), F.col("tag").desc(), F.col("k_sort").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctrl = lambda col: F.when(F.col("tag") == 0, F.col(col))  # noqa: E731
+    scanned = uni.select(
+        "*",
+        F.last(ctrl("bal_c"), ignorenulls=True).over(w_asc).alias("pred_bal"),
+        F.last(ctrl("csum"), ignorenulls=True).over(w_asc).alias("pred_sum"),
+        F.last(ctrl("ccnt"), ignorenulls=True).over(w_asc).alias("pred_cnt"),
+        F.last(ctrl("bal_c"), ignorenulls=True).over(w_desc).alias("succ_bal"),
+        F.last(ctrl("csum"), ignorenulls=True).over(w_desc).alias("succ_sum"),
+        F.last(ctrl("ccnt"), ignorenulls=True).over(w_desc).alias("succ_cnt"),
+    )
+    cal = F.lit(10000)
+    side = (
+        F.when(
+            F.col("pred_bal").isNotNull()
+            & (F.col("bal_c") - F.col("pred_bal") <= cal)
+            & (
+                F.col("succ_bal").isNull()
+                | (F.col("succ_bal") - F.col("bal_c") > cal)
+                | (
+                    F.col("bal_c") - F.col("pred_bal")
+                    <= F.col("succ_bal") - F.col("bal_c")
+                )
+            ),
+            1,
+        )
+        .when(
+            F.col("succ_bal").isNotNull()
+            & (F.col("succ_bal") - F.col("bal_c") <= cal),
+            2,
+        )
+        .otherwise(0)
+    )
+    chosen = scanned.where(F.col("tag") == 1).select(
+        "bal_c", "y", side.alias("side"),
+        "pred_bal", "pred_sum", "pred_cnt", "succ_bal", "succ_sum", "succ_cnt",
+    )
+    matched = chosen.select(
+        "y",
+        F.when(
+            F.col("side") == 1,
+            F.col("pred_sum").cast("double") / F.col("pred_cnt").cast("double"),
+        )
+        .when(
+            F.col("side") == 2,
+            F.col("succ_sum").cast("double") / F.col("succ_cnt").cast("double"),
+        )
+        .alias("mmean"),
+        F.when(F.col("side") == 1, F.col("bal_c") - F.col("pred_bal"))
+        .when(F.col("side") == 2, F.col("succ_bal") - F.col("bal_c"))
+        .alias("dist_c"),
+    )
+    diff_centi = F.floor(
+        (F.col("y").cast("double") - F.col("mmean")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    agg = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treat"),
+        F.count("mmean").cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("mmean").isNotNull(), diff_centi).otherwise(0))
+        .cast("long")
+        .alias("sum_diff_centi"),
+        F.sum(F.when(F.col("mmean").isNotNull(), F.col("dist_c")).otherwise(0))
+        .cast("long")
+        .alias("sum_dist_c"),
+    )
+    nm = F.col("n_matched").cast("double")
+    return agg.select(
+        "n_treat",
+        "n_matched",
+        (F.col("n_treat") - F.col("n_matched")).cast("long").alias("n_unmatched"),
+        stable_round(
+            F.col("sum_diff_centi").cast("double") / F.lit(100.0) / nm / F.lit(100.0),
+            4,
+        ).alias("att_dollars"),
+        stable_round(
+            F.col("sum_dist_c").cast("double") / nm / F.lit(100.0), 4
+        ).alias("avg_match_dist"),
+    )
