@@ -185,6 +185,8 @@ ROUND11_WINDOW: list[str] = [
     "wh_ipw_ate", "ext_sorted_neighborhood",
     # round-8 additions: classical-experimentation completion
     "wh_welch_ttest", "wh_bh_fdr", "wh_power_mde", "wh_psm_att",
+    # round-8 additions: time-series econometrics
+    "ev_hurst_rs", "ev_adf_stationarity", "ev_pinball_loss",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

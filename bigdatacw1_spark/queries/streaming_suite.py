@@ -2925,3 +2925,448 @@ def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "period_hours")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (second batch): time-series econometrics — long-memory (Hurst),
+# unit-root (Dickey-Fuller), and quantile-forecast evaluation (pinball).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_hurst_rs",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), idxd AS (
+            SELECT event_type, x,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                        AS BIGINT) - 1 AS i
+            FROM hourly
+        ), sized AS (
+            SELECT event_type, x, i, m, CAST(i // m AS BIGINT) AS blk,
+                   CAST(i % m AS BIGINT) AS pos
+            FROM idxd, (SELECT UNNEST([8, 16, 32]) AS m)
+        ), blocks AS (
+            SELECT event_type, m, blk,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+            FROM sized GROUP BY 1, 2, 3
+        ), walk AS (
+            SELECT s.event_type, s.m, s.blk,
+                   CAST(s.m AS BIGINT)
+                       * SUM(s.x) OVER (PARTITION BY s.event_type, s.m, s.blk
+                                        ORDER BY s.pos ROWS UNBOUNDED PRECEDING)
+                   - (s.pos + 1) * b.sx AS dev
+            FROM sized s JOIN blocks b
+              ON b.event_type = s.event_type AND b.m = s.m AND b.blk = s.blk
+            WHERE b.cnt = s.m
+        ), ranges AS (
+            SELECT event_type, m, blk,
+                   CAST(MAX(dev) - MIN(LEAST(dev, 0)) AS BIGINT) AS r_scaled
+            FROM walk GROUP BY 1, 2, 3
+        ), rs AS (
+            SELECT r.event_type, r.m,
+                   CAST(FLOOR(CAST(r.r_scaled AS DOUBLE)
+                              / SQRT(CAST(CAST(b.m AS DECIMAL(38,0)) * b.sxx
+                                          - CAST(b.sx AS DECIMAL(38,0)) * b.sx
+                                          AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS rs_q
+            FROM ranges r JOIN blocks b
+              ON b.event_type = r.event_type AND b.m = r.m AND b.blk = r.blk
+            WHERE CAST(b.m AS DECIMAL(38,0)) * b.sxx
+                  > CAST(b.sx AS DECIMAL(38,0)) * b.sx
+        ), means AS (
+            SELECT event_type, m,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(rs_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       / 1000000.0 AS mean_rs
+            FROM rs GROUP BY 1, 2
+        ), pivoted AS (
+            SELECT event_type,
+                   MAX(CASE WHEN m = 8 THEN mean_rs END) AS rs8,
+                   MAX(CASE WHEN m = 16 THEN mean_rs END) AS rs16,
+                   MAX(CASE WHEN m = 32 THEN mean_rs END) AS rs32,
+                   CAST(SUM(n_blocks) AS BIGINT) AS n_blocks_total
+            FROM means GROUP BY event_type
+        )
+        SELECT event_type, n_blocks_total,
+               FLOOR(rs8 * 10000.0 + 0.5) / 10000.0 AS rs_8,
+               FLOOR(rs16 * 10000.0 + 0.5) / 10000.0 AS rs_16,
+               FLOOR(rs32 * 10000.0 + 0.5) / 10000.0 AS rs_32,
+               FLOOR((LN(rs32) - LN(rs8)) / (2.0 * LN(2.0)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS hurst
+        FROM pivoted ORDER BY event_type
+    """,
+)
+def ev_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis over each event
+    type's hourly cents series: H≈0.5 means a memoryless walk, H>0.5
+    long-range dependence (trends persist — capacity planning must not
+    assume bursts average out), H<0.5 mean reversion. Blocks of m ∈
+    {8,16,32} hours; within each block the cumulative deviation from
+    the block mean is kept EXACT by scaling by m (S'_k = m·Σx_{≤k} −
+    k·Σx, a BIGINT walk — no float accumulation anywhere in the range),
+    and R/S = range(S')/sqrt(m·Σx²−(Σx)²) collapses the two /m factors
+    so the only floats are one division and one sqrt of exact integer
+    moments. Per-(series,m) means average micro-quantized R/S values
+    (exact, order-free sums); H is the log-log slope, which for the
+    dyadic grid {8,16,32} reduces to the closed form
+    (ln RS₃₂ − ln RS₈)/(2 ln 2) — no float OLS. The min is taken
+    against LEAST(dev,0) because the walk implicitly starts at S'₀=0.
+    Shape: one hash agg to hourly cells, a 3× UNNEST fan-out over block
+    sizes, per-block windows (≤32 rows each), then block-count-sized
+    rollups — nothing after the first agg scales with raw events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    idxd = hourly.select(
+        "event_type",
+        "x",
+        (
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("hr"))
+            .cast("long")
+            - 1
+        ).alias("i"),
+    )
+    sized = idxd.select(
+        "event_type", "x", "i", F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("m")
+    ).select(
+        "event_type",
+        "x",
+        "i",
+        "m",
+        (F.col("i") / F.col("m")).cast("long").alias("blk"),
+        (F.col("i") % F.col("m")).cast("long").alias("pos"),
+    )
+    dec = "decimal(38,0)"
+    blocks = sized.groupBy("event_type", "m", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+    )
+    w_blk = (
+        Window.partitionBy("event_type", "m", "blk")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        sized.alias("s")
+        .join(
+            blocks.alias("b"),
+            ["event_type", "m", "blk"],
+        )
+        .where(F.col("b.cnt") == F.col("m"))
+        .select(
+            "event_type",
+            "m",
+            "blk",
+            "pos",
+            "sx",
+            (
+                F.col("m").cast("long")
+                * F.sum("s.x").over(
+                    Window.partitionBy("event_type", "m", "blk")
+                    .orderBy("pos")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - (F.col("pos") + 1) * F.col("b.sx")
+            ).alias("dev"),
+        )
+    )
+    ranges = walk.groupBy("event_type", "m", "blk").agg(
+        (F.max("dev") - F.min(F.least(F.col("dev"), F.lit(0))))
+        .cast("long")
+        .alias("r_scaled")
+    )
+    var_scaled = (
+        F.col("m").cast(dec) * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    )
+    rs = (
+        ranges.join(blocks, ["event_type", "m", "blk"])
+        .where(var_scaled > 0)
+        .select(
+            "event_type",
+            "m",
+            F.floor(
+                F.col("r_scaled").cast("double")
+                / F.sqrt(var_scaled.cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rs_q"),
+        )
+    )
+    means = rs.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (
+            F.sum("rs_q").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_rs"),
+    )
+    pivoted = means.groupBy("event_type").agg(
+        F.max(F.when(F.col("m") == 8, F.col("mean_rs"))).alias("rs8"),
+        F.max(F.when(F.col("m") == 16, F.col("mean_rs"))).alias("rs16"),
+        F.max(F.when(F.col("m") == 32, F.col("mean_rs"))).alias("rs32"),
+        F.sum("n_blocks").cast("long").alias("n_blocks_total"),
+    )
+    return pivoted.select(
+        "event_type",
+        "n_blocks_total",
+        stable_round(F.col("rs8"), 4).alias("rs_8"),
+        stable_round(F.col("rs16"), 4).alias("rs_16"),
+        stable_round(F.col("rs32"), 4).alias("rs_32"),
+        stable_round(
+            (F.log(F.col("rs32")) - F.log(F.col("rs8")))
+            / (F.lit(2.0) * F.log(F.lit(2.0))),
+            6,
+        ).alias("hurst"),
+    ).orderBy("event_type")
+
+
+@q(
+    "ev_adf_stationarity",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type,
+                   y - LAG(y) OVER (PARTITION BY event_type ORDER BY hr) AS dy,
+                   LAG(y) OVER (PARTITION BY event_type ORDER BY hr) AS ylag
+            FROM hourly
+        ), m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(ylag) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(dy) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(ylag AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(ylag AS DECIMAL(38,0)) * ylag) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS syy
+            FROM lagged WHERE ylag IS NOT NULL
+            GROUP BY event_type
+        ), fit AS (
+            SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+                   CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE) AS csyy,
+                   CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE) AS csxy,
+                   CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) AS csxx
+            FROM m
+        ), tstat AS (
+            SELECT event_type, n_obs, beta,
+                   beta / SQRT(((csyy - beta * csxy)
+                                / CAST(n_obs - 2 AS DOUBLE)) / csxx) AS t_adf
+            FROM fit
+        )
+        SELECT event_type, n_obs,
+               FLOOR(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+               FLOOR(t_adf * 1000000.0 + 0.5) / 1000000.0 AS t_adf,
+               CASE WHEN t_adf < -2.86 THEN 1 ELSE 0 END AS stationary
+        FROM tstat ORDER BY event_type
+    """,
+)
+def ev_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per event type: regress the hourly
+    first difference Δy_t on y_{t-1} (with intercept); a significantly
+    negative coefficient rejects the unit root — the series mean-reverts
+    and historical averages are meaningful forecasts — while t above the
+    -2.86 critical value (5%, constant-only DF) says the level wanders
+    and every forecast entry should difference first. The pre-flight
+    check for ev_holt_forecast / ev_forecast_backtest. All five
+    regression moments are exact DECIMAL(38) sums over integer
+    (Δy, y_lag) pairs — one shuffle by series, order-free — and β, its
+    standard error (SSE/(n−2)/Sxx with SSE = Syy − β·Sxy on centered
+    moments), and t are closed-form doubles computed by the identical
+    expression in both engines. Series length is calendar-bounded
+    (720 rows/series/month), so the lag window input stays tiny."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("ylag"),
+    )
+    dec = "decimal(38,0)"
+    m = (
+        lagged.where(F.col("ylag").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("ylag").cast(dec).alias("sx"),
+            F.sum("dy").cast(dec).alias("sy"),
+            F.sum(F.col("ylag").cast(dec) * F.col("dy")).cast(dec).alias("sxy"),
+            F.sum(F.col("ylag").cast(dec) * F.col("ylag")).cast(dec).alias("sxx"),
+            F.sum(F.col("dy").cast(dec) * F.col("dy")).cast(dec).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    fit = m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("beta"),
+        ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / nd).alias("csyy"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / nd).alias("csxy"),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / nd).alias("csxx"),
+    )
+    t_adf = F.col("beta") / F.sqrt(
+        ((F.col("csyy") - F.col("beta") * F.col("csxy"))
+         / (F.col("n_obs") - 2).cast("double"))
+        / F.col("csxx")
+    )
+    tstat = fit.select("event_type", "n_obs", "beta", t_adf.alias("t_adf"))
+    return tstat.select(
+        "event_type",
+        "n_obs",
+        stable_round(F.col("beta"), 6).alias("beta"),
+        stable_round(F.col("t_adf"), 6).alias("t_adf"),
+        F.when(F.col("t_adf") < -2.86, 1).otherwise(0).alias("stationary"),
+    ).orderBy("event_type")
+
+
+@q(
+    "ev_pinball_loss",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), train AS (
+            SELECT event_type, DAYOFWEEK(day) AS dow, y
+            FROM daily WHERE day < TIMESTAMP '2024-01-22'
+        ), fc AS (
+            SELECT event_type, dow,
+                   QUANTILE_CONT(y, 0.5) AS q50,
+                   QUANTILE_CONT(y, 0.9) AS q90
+            FROM train GROUP BY 1, 2
+        ), test AS (
+            SELECT event_type, DAYOFWEEK(day) AS dow, y
+            FROM daily WHERE day >= TIMESTAMP '2024-01-22'
+        ), scored AS (
+            SELECT t.event_type, tau.tau, t.y,
+                   CASE WHEN tau.tau = 0.5 THEN fc.q50 ELSE fc.q90 END AS q
+            FROM test t
+            JOIN fc ON fc.event_type = t.event_type AND fc.dow = t.dow
+            CROSS JOIN (SELECT UNNEST([0.5, 0.9]) AS tau) tau
+        ), lossed AS (
+            SELECT event_type, tau,
+                   CAST(FLOOR(GREATEST(tau * (CAST(y AS DOUBLE) - q),
+                                       (tau - 1.0) * (CAST(y AS DOUBLE) - q))
+                              * 100.0 + 0.5) AS BIGINT) AS loss_q,
+                   CASE WHEN CAST(y AS DOUBLE) <= q THEN 1 ELSE 0 END AS covered
+            FROM scored
+        )
+        SELECT event_type, tau,
+               CAST(COUNT(*) AS BIGINT) AS n_test_days,
+               FLOOR(CAST(SUM(loss_q) AS DOUBLE) / 100.0
+                     / CAST(COUNT(*) AS DOUBLE) / 100.0
+                     * 10000.0 + 0.5) / 10000.0 AS mean_pinball_dollars,
+               FLOOR(CAST(SUM(covered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS coverage
+        FROM lossed GROUP BY event_type, tau
+        ORDER BY event_type, tau
+    """,
+)
+def ev_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss — the proper scoring rule for quantile
+    forecasts, and what every probabilistic-forecast leaderboard (M5,
+    GEFCom) ranks by: L_tau(y,q) = max(tau(y-q), (tau-1)(y-q)). A
+    day-of-week empirical-quantile forecaster (median and P90 per
+    (series, dow), fit on the first 3 weeks) is scored on the last 9
+    days, per series and tau, alongside empirical coverage — P90
+    should cover ~90% of test days; pinball penalizes BOTH miscoverage
+    and uninformatively wide quantiles, which coverage alone cannot.
+    Complements ev_forecast_backtest (point MAE) with the quantile
+    view. Cross-engine: the forecast is the exact interpolated
+    quantile (F.percentile ≡ QUANTILE_CONT), per-day losses are
+    centi-cent-quantized before the order-free sum. Shape: two hash
+    aggs (daily cells → dow quantiles), a broadcast-sized forecast
+    joined back to test days, 2× tau fan-out; everything after the
+    daily agg is calendar-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    train = daily.where(F.col("day") < cutoff).select(
+        "event_type", F.dayofweek("day").alias("dow"), "y"
+    )
+    fc = train.groupBy("event_type", "dow").agg(
+        F.percentile("y", F.lit(0.5)).alias("q50"),
+        F.percentile("y", F.lit(0.9)).alias("q90"),
+    )
+    test = daily.where(F.col("day") >= cutoff).select(
+        "event_type", F.dayofweek("day").alias("dow"), "y"
+    )
+    scored = (
+        test.join(F.broadcast(fc), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "y",
+            F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("tau"),
+            "q50",
+            "q90",
+        )
+        .select(
+            "event_type",
+            "tau",
+            "y",
+            F.when(F.col("tau") == 0.5, F.col("q50")).otherwise(F.col("q90")).alias("q"),
+        )
+    )
+    resid = F.col("y").cast("double") - F.col("q")
+    lossed = scored.select(
+        "event_type",
+        "tau",
+        F.floor(
+            F.greatest(F.col("tau") * resid, (F.col("tau") - 1.0) * resid)
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("loss_q"),
+        F.when(F.col("y").cast("double") <= F.col("q"), 1).otherwise(0).alias("covered"),
+    )
+    return (
+        lossed.groupBy("event_type", "tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.sum("loss_q").cast("long").alias("sum_loss"),
+            F.sum("covered").cast("long").alias("sum_cov"),
+        )
+        .select(
+            "event_type",
+            "tau",
+            "n_test_days",
+            stable_round(
+                F.col("sum_loss").cast("double")
+                / F.lit(100.0)
+                / F.col("n_test_days").cast("double")
+                / F.lit(100.0),
+                4,
+            ).alias("mean_pinball_dollars"),
+            stable_round(
+                F.col("sum_cov").cast("double") / F.col("n_test_days").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type", "tau")
+    )
