@@ -187,6 +187,8 @@ ROUND11_WINDOW: list[str] = [
     "wh_welch_ttest", "wh_bh_fdr", "wh_power_mde", "wh_psm_att",
     # round-8 additions: time-series econometrics
     "ev_hurst_rs", "ev_adf_stationarity", "ev_pinball_loss",
+    # round-8 additions: link prediction + agreement
+    "ext_adamic_adar", "ext_cohen_kappa", "ext_hits_scores",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

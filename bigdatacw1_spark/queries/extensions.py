@@ -11537,3 +11537,283 @@ def ext_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("custkey_a"), F.asc("custkey_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (second batch): graph link prediction + annotation agreement.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_adamic_adar",
+    oracle="""
+        WITH cs AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                            CAST(l_suppkey AS BIGINT) AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_custkey <= 300
+        ), deg AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS d
+            FROM cs GROUP BY s
+            HAVING COUNT(*) BETWEEN 2 AND 30
+        ), weighted AS (
+            SELECT cs.c, cs.s,
+                   CAST(FLOOR(1000000000.0 / LN(CAST(deg.d AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS w_q
+            FROM cs JOIN deg USING (s)
+        ), pairs AS (
+            SELECT a.c AS cust_a, b.c AS cust_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(a.w_q) AS BIGINT) AS score_q
+            FROM weighted a JOIN weighted b
+              ON a.s = b.s AND a.c < b.c
+            GROUP BY a.c, b.c
+        )
+        SELECT cust_a, cust_b, n_common,
+               FLOOR(CAST(score_q AS DOUBLE) / 1000000000.0 * 10000.0 + 0.5)
+                   / 10000.0 AS aa_score
+        FROM pairs
+        ORDER BY score_q DESC, cust_a, cust_b
+        LIMIT 20
+    """,
+)
+def ext_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer co-purchase graph:
+    two customers who share suppliers probably belong together, and a
+    RARE shared supplier (low degree) is stronger evidence than a
+    popular one — AA(u,v) = Σ_{shared s} 1/ln(deg s), the classic
+    common-neighbor score that beats raw overlap counts on every link-
+    prediction benchmark since Adamic & Adar 2003. The SAME shape
+    recommends related documents from shared rare n-grams. Scale
+    posture: pure inverted-index — group by the shared entity, emit
+    within-bucket pairs — with a DEGREE CAP (suppliers seen by >30
+    customers are dropped, exactly the document-frequency cap of the
+    dedup family): hub entities contribute O(deg²) pairs and nearly
+    zero signal (1/ln(deg) → 0), so the cap bounds shuffle fan-out at
+    any corpus size, never all-pairs. Each 1/ln(deg) term is nano-
+    quantized BEFORE the per-pair sum so the score is an exact
+    order-free BIGINT; the top-20 is TakeOrdered, no global sort."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 300)
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    deg = (
+        cs.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= 30))
+    )
+    weighted = cs.join(deg, "s").select(
+        "c",
+        "s",
+        F.floor(
+            F.lit(1000000000.0) / F.log(F.col("d").cast("double")) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+    a = weighted.select(F.col("s"), F.col("c").alias("cust_a"), F.col("w_q"))
+    b = weighted.select(F.col("s").alias("s2"), F.col("c").alias("cust_b"))
+    pairs = (
+        a.join(b, (a.s == b.s2) & (F.col("cust_a") < F.col("cust_b")))
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_q").cast("long").alias("score_q"),
+        )
+    )
+    return (
+        pairs.select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            stable_round(
+                F.col("score_q").cast("double") / F.lit(1000000000.0), 4
+            ).alias("aa_score"),
+            "score_q",
+        )
+        .orderBy(F.desc("score_q"), F.asc("cust_a"), F.asc("cust_b"))
+        .limit(20)
+        .drop("score_q")
+    )
+
+
+@q(
+    "ext_cohen_kappa",
+    oracle="""
+        WITH rated AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 500 THEN 1 ELSE 2 END AS a,
+                   CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 40
+                        THEN 0
+                        WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 100
+                        THEN 1 ELSE 2 END AS b
+            FROM documents
+        ), cells AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM rated GROUP BY a, b
+        ), marg AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT)
+                       AS n_agree,
+                   CAST(SUM(CASE WHEN a = 0 THEN cnt ELSE 0 END) AS BIGINT) AS ra0,
+                   CAST(SUM(CASE WHEN a = 1 THEN cnt ELSE 0 END) AS BIGINT) AS ra1,
+                   CAST(SUM(CASE WHEN a = 2 THEN cnt ELSE 0 END) AS BIGINT) AS ra2,
+                   CAST(SUM(CASE WHEN b = 0 THEN cnt ELSE 0 END) AS BIGINT) AS rb0,
+                   CAST(SUM(CASE WHEN b = 1 THEN cnt ELSE 0 END) AS BIGINT) AS rb1,
+                   CAST(SUM(CASE WHEN b = 2 THEN cnt ELSE 0 END) AS BIGINT) AS rb2
+            FROM cells
+        ), probs AS (
+            SELECT n, n_agree,
+                   CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                   (CAST(ra0 AS DOUBLE) * rb0 + CAST(ra1 AS DOUBLE) * rb1
+                    + CAST(ra2 AS DOUBLE) * rb2)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+            FROM marg
+        )
+        SELECT n, n_agree,
+               FLOOR(po * 1000000.0 + 0.5) / 1000000.0 AS p_observed,
+               FLOOR(pe * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+               FLOOR((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+                   AS kappa
+        FROM probs
+    """,
+)
+def ext_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement, the
+    number a labeling pipeline must report before trusting ANY quality
+    label: raw agreement between two raters is inflated by marginal
+    imbalance (two raters calling 90% of docs 'good' agree 81% by luck
+    alone); kappa = (po − pe)/(1 − pe) subtracts that chance floor.
+    Here the two 'annotators' are two deterministic 3-class quality
+    raters the corpus pipeline actually uses — a character-length
+    tercile and a word-count tercile — so the entry doubles as a rater-
+    redundancy audit (kappa ~1 would mean the second rater adds no
+    information; kappa ~0 that they measure different things). Shape:
+    one map + one hash aggregate to a ≤9-cell contingency table, then
+    O(1) closed-form arithmetic from exact integer marginals — the
+    agreement statistic costs one scan at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + 1
+    )
+    rated = d.select(
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 500, 1)
+        .otherwise(2)
+        .alias("a"),
+        F.when(words < 40, 0).when(words < 100, 1).otherwise(2).alias("b"),
+    )
+    cells = rated.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    marg = cells.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        *[
+            F.sum(F.when(F.col(side) == k, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"r{side}{k}")
+            for side in ("a", "b")
+            for k in (0, 1, 2)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pe = (
+        F.col("ra0").cast("double") * F.col("rb0")
+        + F.col("ra1").cast("double") * F.col("rb1")
+        + F.col("ra2").cast("double") * F.col("rb2")
+    ) / (nd * nd)
+    probs = marg.select("n", "n_agree", po.alias("po"), pe.alias("pe"))
+    return probs.select(
+        "n",
+        "n_agree",
+        stable_round(F.col("po"), 6).alias("p_observed"),
+        stable_round(F.col("pe"), 6).alias("p_expected"),
+        stable_round(
+            (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")), 6
+        ).alias("kappa"),
+    )
+
+
+@q(
+    "ext_hits_scores",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                            CAST(l_suppkey AS BIGINT) AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), a1 AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY s
+        ), h1 AS (
+            SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+            FROM e JOIN a1 USING (s) GROUP BY e.c
+        ), a2 AS (
+            SELECT e.s, CAST(SUM(h1.h) AS BIGINT) AS a
+            FROM e JOIN h1 USING (c) GROUP BY e.s
+        ), mx AS (SELECT CAST(MAX(a) AS BIGINT) AS ma FROM a2)
+        SELECT a2.s AS suppkey,
+               a2.a AS authority_raw,
+               FLOOR(CAST(a2.a AS DOUBLE) / CAST(mx.ma AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS authority
+        FROM a2, mx
+        ORDER BY a2.a DESC, a2.s
+        LIMIT 10
+    """,
+)
+def ext_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities), two power iterations over
+    the customer→supplier purchase graph: a supplier is authoritative
+    if well-connected customers buy from it; a customer is a good hub
+    if it buys from authoritative suppliers — the mutual-reinforcement
+    recursion that, unlike raw degree (= iteration 1 here), lets the
+    second iteration re-rank suppliers by the QUALITY of their buyers.
+    Complements ext_pagerank (global random-walk centrality) with the
+    query-dependent bipartite variant search engines used first. Exact
+    by construction: with h₀=1 every subsequent score is an INTEGER
+    (a₁ = indegree, h₁ = Σ a₁, a₂ = Σ h₁) — normalization is deferred
+    to one final max-division, which cannot change the ranking, so no
+    float ever enters an aggregation. Shape: two join+aggregate rounds
+    (one keyed shuffle each), the iteration-count fixed and tiny; the
+    oracle replays both iterations verbatim."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h1 = (
+        e.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    mx = a2.agg(F.max("a").cast("long").alias("ma"))
+    return (
+        a2.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("a").alias("authority_raw"),
+            stable_round(
+                F.col("a").cast("double") / F.col("ma").cast("double"), 6
+            ).alias("authority"),
+        )
+        .orderBy(F.desc("authority_raw"), F.asc("suppkey"))
+        .limit(10)
+    )
