@@ -1007,14 +1007,96 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         i += 8 + clen + (clen & 1)
     if sr is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if fmt_code == 7 and bits == 8:
+        # G.711 mu-law (WAVE_FORMAT_MULAW): one byte per sample.
+        return (sr, ch, [mulaw_decode_byte(b) for b in data])
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM decodes stdlib-side (format={fmt_code}, bits={bits}); "
-            "compressed WAV needs codec libraries not present here"
+            f"only 16-bit PCM and 8-bit mu-law decode stdlib-side "
+            f"(format={fmt_code}, bits={bits}); "
+            "other compressed WAV needs codec libraries not present here"
         )
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
     return (sr, ch, samples)
+
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """G.711 mu-law compress one int16 sample to one byte (ITU-T G.711,
+    the telephony codec: 14-bit dynamic range into 8 bits via a
+    piecewise-linear approximation of a log curve). Pure integer
+    arithmetic — segment = position of the MSB of the biased magnitude,
+    mantissa = the next 4 bits, all ones-complemented on the wire."""
+    sign = 0x80 if x < 0 else 0x00
+    m = min((-x if x < 0 else x), _MULAW_CLIP) + _MULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (m & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (m >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """G.711 mu-law expand one wire byte back to int16 (lossy: the
+    decoded value is the segment midpoint, max error grows with
+    amplitude — exactly the log-companding tradeoff)."""
+    u = ~b & 0xFF
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    m = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return -m if u & 0x80 else m
+
+
+def encode_wav_mulaw(sample_rate: int, channels: int, pcm_samples: list[int]) -> bytes:
+    """Spec-valid RIFF/WAVE container holding G.711 mu-law audio
+    (audio_format = 7, 8 bits/sample, with the required fact chunk and
+    cbSize=0 extension per the WAVE_FORMAT_MULAW spec). Input is int16
+    PCM; compression happens here."""
+    import struct
+
+    data = bytes(mulaw_encode_sample(s) for s in pcm_samples)
+    fmt = struct.pack(
+        "<HHIIHHH", 7, channels, sample_rate, sample_rate * channels, channels, 8, 0
+    )
+    fact = b"fact" + struct.pack("<II", 4, len(pcm_samples) // max(channels, 1))
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_mulaw_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of mu-law WAVs at the authentic G.711 rate
+    (8 kHz): per id, n = id%60+20 PCM samples with sample[i] =
+    ((id*41 + i*13) % 65536) - 32768 (hits the -32768 clip edge),
+    companded through mulaw_encode_sample. Decoded statistics are a
+    pure integer function of the id — the SQL oracle replays the
+    encode→decode quantization arithmetic over generate_series."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            n = i % 60 + 20
+            samples = [((i * 41 + j * 13) % 65536) - 32768 for j in range(n)]
+            return encode_wav_mulaw(8000, 1, samples)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
 
 
 def synth_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2706,3 +2788,263 @@ def patchify_images(
         ]
     )
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TIFF baseline codec (stdlib only): little-endian header, IFD entry walk
+# with inline-vs-offset values, multi-strip assembly, and PackBits RLE —
+# the scanned-document format every OCR corpus starts from.
+# ---------------------------------------------------------------------------
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """TIFF PackBits (RLE) compress one row: header byte n in [0,127]
+    prefixes n+1 literal bytes; n in [129,255] repeats the next byte
+    257-n times (n=128 is a no-op). Rows are packed independently per
+    the TIFF6 spec."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+            j += 1
+        runlen = j - i + 1
+        if runlen >= 2:
+            out.append((257 - runlen) & 0xFF)
+            out.append(row[i])
+            i = j + 1
+        else:
+            start = i
+            i += 1
+            while i < n and (i - start) < 128:
+                if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                    break
+                i += 1
+            out.append(i - start - 1)
+            out += row[start:i]
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of packbits_encode; stops after ``expected`` output bytes."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("PackBits stream produced wrong byte count")
+    return bytes(out)
+
+
+def encode_tiff(
+    width: int, height: int, spp: int, compression: int, pixels: bytes,
+    rows_per_strip: int = 3,
+) -> bytes:
+    """Spec-valid little-endian baseline TIFF: strip data first, then the
+    external BitsPerSample / StripOffsets / StripByteCounts arrays, then
+    the IFD — so a decoder must follow the header's IFD pointer and each
+    entry's inline-vs-offset rule rather than assume a fixed layout.
+    compression: 1 = none, 32773 = PackBits (rows packed independently)."""
+    import struct
+
+    row_bytes = width * spp
+    rows = [pixels[y * row_bytes : (y + 1) * row_bytes] for y in range(height)]
+    strips: list[bytes] = []
+    for s in range(0, height, rows_per_strip):
+        chunk = rows[s : s + rows_per_strip]
+        if compression == 32773:
+            strips.append(b"".join(packbits_encode(r) for r in chunk))
+        else:
+            strips.append(b"".join(chunk))
+    pos = 8
+    strip_offsets = []
+    for st in strips:
+        strip_offsets.append(pos)
+        pos += len(st)
+    bits_off = pos
+    bits_blob = struct.pack("<3H", 8, 8, 8) if spp == 3 else b""
+    pos += len(bits_blob)
+    arrays_blob = b""
+    if len(strips) > 1:
+        so_off = pos
+        arrays_blob += struct.pack(f"<{len(strips)}I", *strip_offsets)
+        pos += 4 * len(strips)
+        sc_off = pos
+        arrays_blob += struct.pack(f"<{len(strips)}I", *[len(s) for s in strips])
+        pos += 4 * len(strips)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    def entry_short(tag: int, value: int) -> bytes:
+        return struct.pack("<HHIHH", tag, 3, 1, value, 0)
+
+    entries = [
+        entry_short(256, width),
+        entry_short(257, height),
+        entry(258, 3, spp, bits_off) if spp == 3 else entry_short(258, 8),
+        entry_short(259, compression),
+        entry_short(262, 2 if spp == 3 else 1),
+        entry(273, 4, len(strips), so_off if len(strips) > 1 else strip_offsets[0]),
+        entry_short(277, spp),
+        entry_short(278, rows_per_strip),
+        entry(279, 4, len(strips), sc_off if len(strips) > 1 else len(strips[0])),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    return (
+        struct.pack("<2sHI", b"II", 42, ifd_off)
+        + b"".join(strips)
+        + bits_blob
+        + arrays_blob
+        + ifd
+    )
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL TIFF decode with the struct module only: header → IFD walk
+    (tag/type/count, inline SHORT/LONG vs offset arrays) → strip
+    assembly → PackBits expansion where tagged. Returns (width, height,
+    samples_per_pixel, compression, interleaved pixel bytes). Baseline
+    subset: 8-bit gray/RGB, compression 1 or 32773; anything else
+    (LZW, JPEG-in-TIFF, tiles, big-endian MM) refuses loudly."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] != b"II":
+        raise NotImplementedError("only little-endian (II) TIFF supported")
+    magic, ifd_off = struct.unpack("<HI", b[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack("<H", b[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, int]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, count, value = struct.unpack("<HHII", b[off : off + 12])
+        if typ == 3 and count == 1:
+            value &= 0xFFFF
+        tags[tag] = (typ, count, value)
+
+    def values(tag: int) -> list[int]:
+        typ, count, value = tags[tag]
+        size = 2 if typ == 3 else 4
+        if count * size <= 4:
+            if typ == 3 and count > 1:
+                raw = struct.pack("<I", value)
+                return list(struct.unpack(f"<{count}H", raw[: 2 * count]))
+            return [value]
+        fmt = "H" if typ == 3 else "I"
+        return list(struct.unpack(f"<{count}{fmt}", b[value : value + count * size]))
+
+    width = values(256)[0]
+    height = values(257)[0]
+    spp = values(277)[0] if 277 in tags else 1
+    compression = values(259)[0] if 259 in tags else 1
+    bits = values(258) if 258 in tags else [8]
+    if any(bit != 8 for bit in bits):
+        raise NotImplementedError("only 8-bit samples supported")
+    if compression not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {compression} not supported")
+    rps = values(278)[0] if 278 in tags else height
+    offsets = values(273)
+    counts = values(279)
+    row_bytes = width * spp
+    out = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rps, height - s * rps)
+        raw = b[off : off + cnt]
+        if compression == 32773:
+            out += packbits_decode(raw, n_rows * row_bytes)
+        else:
+            if cnt != n_rows * row_bytes:
+                raise ValueError("strip byte count mismatch")
+            out += raw
+    if len(out) != width * height * spp:
+        raise ValueError("assembled pixel bytes do not match dimensions")
+    return (width, height, spp, compression, bytes(out))
+
+
+TIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("compression", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_checksum", T.LongType()),
+    ]
+)
+
+
+def synth_tiff_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic TIFF corpus exercising both baseline paths: odd ids
+    are RGB uncompressed multi-strip (pixel (x,y,c) = (3x + 5y + id +
+    17c) % 256), even ids are grayscale PackBits (pixel = (7y + id +
+    x DIV 5) % 256 — the x DIV 5 plateau creates genuine RLE runs).
+    w = id%13+4, h = id%11+4; 3 rows per strip so every image is
+    multi-strip and the offset/count arrays live OUTSIDE the IFD."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = i % 13 + 4, i % 11 + 4
+            if i % 2 == 1:
+                px = bytes(
+                    (3 * x + 5 * y + i + 17 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                return encode_tiff(w, h, 3, 1, px)
+            px = bytes((7 * y + i + x // 5) % 256 for y in range(h) for x in range(w))
+            return encode_tiff(w, h, 1, 32773, px)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_tiff_images(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched TIFF decode to integer-exact pixel statistics
+    (Σ px and the position-weighted checksum Σ px·((y·w+x)·spp+c+1),
+    the same convention as decode_images so oracles share shape)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, spp, comp, px = decode_tiff(bytes(payload))
+                x = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                weights = np.arange(1, x.size + 1, dtype=np.int64)
+                rows.append(
+                    (doc_id, w, h, spp, comp, int(x.sum()), int((x * weights).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels", "compression",
+                    "pixel_sum", "pixel_checksum",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=TIFF_SCHEMA)

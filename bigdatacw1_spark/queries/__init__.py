@@ -189,6 +189,8 @@ ROUND11_WINDOW: list[str] = [
     "ev_hurst_rs", "ev_adf_stationarity", "ev_pinball_loss",
     # round-8 additions: link prediction + agreement
     "ext_adamic_adar", "ext_cohen_kappa", "ext_hits_scores",
+    # round-8 additions: codecs + wire formats
+    "ext_mm_ulaw", "ext_avro_roundtrip", "ext_mm_tiff",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

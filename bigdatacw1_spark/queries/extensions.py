@@ -11817,3 +11817,228 @@ def ext_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_raw"), F.asc("suppkey"))
         .limit(10)
     )
+
+
+@q(
+    "ext_mm_ulaw",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 60 + 20 AS n
+            FROM documents WHERE doc_id < 96
+        ), s AS (
+            SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i
+            FROM p
+        ), pcm AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 41 + i * 13) % 65536) - 32768 AS x0
+            FROM s
+        ), enc AS (
+            SELECT doc_id, n, i, x0,
+                   LEAST(ABS(x0), 32635) + 132 AS v
+            FROM pcm
+        ), seg AS (
+            SELECT doc_id, n, i, x0, v,
+                   CASE WHEN v >= 16384 THEN 1024 WHEN v >= 8192 THEN 512
+                        WHEN v >= 4096 THEN 256 WHEN v >= 2048 THEN 128
+                        WHEN v >= 1024 THEN 64 WHEN v >= 512 THEN 32
+                        WHEN v >= 256 THEN 16 ELSE 8 END AS shift_val
+            FROM enc
+        ), dec AS (
+            SELECT doc_id, n, i,
+                   CASE WHEN x0 < 0 THEN
+                       -((((v // shift_val) % 16) * 8 + 132) * (shift_val // 8) - 132)
+                   ELSE
+                       ((((v // shift_val) % 16) * 8 + 132) * (shift_val // 8) - 132)
+                   END AS x
+            FROM seg
+        ), w AS (
+            SELECT *, LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM dec
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+               CAST(SUM(x * x) AS BIGINT) AS square_sum,
+               CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM w GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def ext_mm_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law codec (ITU-T G.711, THE telephony / call-center
+    speech format — any speech corpus ingests mountains of it):
+    synth_mulaw_corpus compands deterministic int16 PCM (including the
+    -32768 clip edge) into spec-valid WAVE_FORMAT_MULAW containers
+    (format tag 7, fact chunk, 8 kHz), and decode_audio's RIFF walk now
+    dispatches on the format tag and expands each wire byte back
+    through the piecewise-linear segment map. mu-law is LOSSY by
+    design, so the oracle replays the ENTIRE encode→decode quantization
+    — clip, bias, segment = MSB position (a CASE ladder, no float
+    log2), mantissa truncation, midpoint reconstruction — over
+    generate_series: a wrong bias, segment boundary, or ones-complement
+    changes Σ|x|/Σx² and breaks the value hash. Extends the audio
+    matrix: PCM (container), FLAC (lossless compressed), mu-law (lossy
+    compressed). doc_id < 96 bounds the fixture; the operator is
+    Arrow-batched mapInPandas, corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import decode_audio, synth_mulaw_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_mulaw_corpus(docs)
+    return decode_audio(media).orderBy("doc_id")
+
+
+@q(
+    "ext_avro_roundtrip",
+    oracle="""
+        SELECT CAST(l_orderkey % 32 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents,
+               CAST(SUM(CAST(ROUND((l_discount - 0.05) * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_disc_cents,
+               CAST(SUM(ASCII(l_returnflag) * l_linenumber) AS BIGINT)
+                   AS flag_checksum
+        FROM lineitem
+        GROUP BY 1 ORDER BY shard
+    """,
+)
+def ext_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Avro object-container codec (no avro library) — the wire
+    format Kafka→lake ingestion speaks: lineitem rows are sharded 32
+    ways, each shard serialized into a spec-valid multi-block container
+    (magic, schema-carrying metadata map, zigzag-varint longs including
+    NEGATIVE discount deltas, length-prefixed strings, per-block sync
+    markers) by sources/formats.encode_avro_container, then decoded
+    back by the stdlib walker (which verifies the writer schema, block
+    byte counts, and EVERY sync marker) and re-aggregated. The oracle
+    aggregates the same statistics straight off the parquet table, so
+    the hash match proves encode→decode is lossless record-for-record —
+    a wrong zigzag sign bit, varint continuation, or block frame breaks
+    it. Shape: the shard-encode pattern a 100 TB export job uses —
+    groupBy shard → applyInPandas encode (one container per shard,
+    deterministic record order), mapInPandas decode, hash re-aggregate;
+    parallel across shards, linear in rows, no driver collect."""
+    import pandas as pd
+
+    from bigdatacw1_spark.sources.formats import (
+        decode_avro_container,
+        encode_avro_container,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 32).cast("long").alias("shard"),
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round((F.col("l_discount") - 0.05) * 100).cast("long").alias("disc_c"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["okey", "line"])
+        recs = [
+            (int(o), int(ln), int(q), int(d), str(f))
+            for o, ln, q, d, f in zip(
+                pdf["okey"], pdf["line"], pdf["qty_c"], pdf["disc_c"], pdf["flag"]
+            )
+        ]
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])],
+             "payload": [encode_avro_container(recs, block_size=64)]}
+        )
+
+    containers = li.groupBy("shard").applyInPandas(
+        encode_shard, schema="shard long, payload binary"
+    )
+
+    def decode_batches(it):
+        for pdf in it:
+            out = {"shard": [], "okey": [], "line": [], "qty_c": [], "disc_c": [], "flag": []}
+            for shard, payload in zip(pdf["shard"], pdf["payload"]):
+                for okey, line, qty_c, disc_c, flag in decode_avro_container(bytes(payload)):
+                    out["shard"].append(int(shard))
+                    out["okey"].append(okey)
+                    out["line"].append(line)
+                    out["qty_c"].append(qty_c)
+                    out["disc_c"].append(disc_c)
+                    out["flag"].append(flag)
+            yield pd.DataFrame(out)
+
+    decoded = containers.mapInPandas(
+        decode_batches,
+        schema="shard long, okey long, line long, qty_c long, disc_c long, flag string",
+    )
+    return (
+        decoded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("qty_c").cast("long").alias("sum_qty_cents"),
+            F.sum("disc_c").cast("long").alias("sum_disc_cents"),
+            F.sum(F.ascii(F.col("flag")) * F.col("line"))
+            .cast("long")
+            .alias("flag_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@q(
+    "ext_mm_tiff",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < 64
+        ), nums AS (SELECT UNNEST(GENERATE_SERIES(0, 16)) AS g),
+        rgb AS (
+            SELECT d.doc_id, d.w, d.h, 3 AS spp, 1 AS comp,
+                   (3 * x.g + 5 * y.g + d.doc_id + 17 * c.g) % 256 AS px,
+                   ((y.g * d.w + x.g) * 3 + c.g + 1) AS wt
+            FROM d
+            JOIN nums x ON x.g < d.w
+            JOIN nums y ON y.g < d.h
+            JOIN nums c ON c.g < 3
+            WHERE d.doc_id % 2 = 1
+        ), gray AS (
+            SELECT d.doc_id, d.w, d.h, 1 AS spp, 32773 AS comp,
+                   (7 * y.g + d.doc_id + x.g // 5) % 256 AS px,
+                   (y.g * d.w + x.g + 1) AS wt
+            FROM d
+            JOIN nums x ON x.g < d.w
+            JOIN nums y ON y.g < d.h
+            WHERE d.doc_id % 2 = 0
+        ), allpx AS (SELECT * FROM rgb UNION ALL SELECT * FROM gray)
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(spp AS INT) AS n_channels, CAST(comp AS INT) AS compression,
+               CAST(SUM(px) AS BIGINT) AS pixel_sum,
+               CAST(SUM(px * wt) AS BIGINT) AS pixel_checksum
+        FROM allpx GROUP BY doc_id, w, h, spp, comp
+        ORDER BY doc_id
+    """,
+)
+def ext_mm_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (no codec library) — the scanned-document format
+    OCR corpora arrive in: synth_tiff_corpus writes spec-valid
+    little-endian baseline TIFFs and operators/multimodal.decode_tiff
+    walks the header→IFD pointer, every entry's inline-SHORT vs
+    offset-array rule, multi-strip assembly (3 rows/strip, so strip
+    offset/count arrays always live outside the IFD), and PackBits RLE
+    expansion. The corpus exercises BOTH baseline paths per parity: odd
+    ids RGB uncompressed, even ids grayscale PackBits whose x DIV 5
+    pixel plateaus create genuine runs (an encoder that never emits run
+    packets would hide a broken RLE branch). The oracle recomputes the
+    pixel sum and position-weighted checksum from the synthesis
+    arithmetic over generate_series — a wrong strip offset, IFD type
+    width, or run length breaks the hash. Completes the image matrix:
+    PNG (zlib+filters), BMP, GIF (LZW), JPEG (DCT), TIFF (IFD+RLE).
+    doc_id < 64 bounds the fixture; decode is Arrow-batched
+    mapInPandas, corpus-sized."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_tiff_images,
+        synth_tiff_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = synth_tiff_corpus(docs)
+    return decode_tiff_images(media).orderBy("doc_id")

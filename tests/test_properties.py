@@ -727,3 +727,83 @@ def test_winnowing_containment_holds_for_random_contexts(spark, pre, post, share
     df = spark.createDataFrame([(1, d1.strip()), (2, d2.strip())], "doc_id long, text string")
     fps = {r["doc_id"]: set(r["fps"]) for r in winnowing_fingerprints(df).collect()}
     assert fps[1] & fps[2]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200))
+def test_mulaw_codec_matches_itu_reference_properties(samples):
+    """G.711 mu-law encode→decode must (a) round-trip every byte value
+    that decode can produce, (b) keep quantization error within the
+    segment's half-step for arbitrary int16 input, and (c) preserve
+    sign. Tested beyond the fixture's value formula."""
+    from bigdatacw1_spark.operators.multimodal import (
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    for x in samples:
+        b = mulaw_encode_sample(x)
+        assert 0 <= b <= 255
+        y = mulaw_decode_byte(b)
+        # sign preserved (0 maps to 0 from either side)
+        if y != 0:
+            assert (y < 0) == (x < 0)
+        # max quantization error: half the largest segment step (2^12/2)
+        # plus the clip region above 32635
+        assert abs(min(max(x, -32635), 32635) - y) <= 2048
+        # decode is a fixed point: re-encoding a decoded value returns it
+        assert mulaw_decode_byte(mulaw_encode_sample(y)) == y
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=-100000, max_value=100000),
+            st.integers(min_value=-128, max_value=128),
+            st.sampled_from(["N", "R", "A", "", "multi byte ✓"]),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_avro_container_roundtrip_any_records(records, block_size):
+    """encode_avro_container→decode_avro_container is exact for arbitrary
+    longs (including negatives, exercising zigzag), arbitrary block
+    sizes (including empty files and ragged final blocks), and
+    multi-byte UTF-8 strings."""
+    from bigdatacw1_spark.sources.formats import (
+        decode_avro_container,
+        encode_avro_container,
+    )
+
+    recs = [tuple(r) for r in records]
+    assert decode_avro_container(encode_avro_container(recs, block_size)) == recs
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=1, max_value=4),
+    st.data(),
+)
+def test_tiff_roundtrip_any_pixels_both_compressions(w, h, rps, data):
+    """encode_tiff→decode_tiff is bit-exact for arbitrary pixel bytes in
+    both gray/PackBits and RGB/uncompressed modes, across strip heights
+    (single-strip inline offsets vs multi-strip external arrays)."""
+    from bigdatacw1_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    gray = bytes(
+        data.draw(st.integers(min_value=0, max_value=255)) for _ in range(w * h)
+    )
+    assert decode_tiff(encode_tiff(w, h, 1, 32773, gray, rows_per_strip=rps)) == (
+        w, h, 1, 32773, gray,
+    )
+    rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    assert decode_tiff(encode_tiff(w, h, 3, 1, rgb, rows_per_strip=rps)) == (
+        w, h, 3, 1, rgb,
+    )
