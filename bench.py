@@ -210,6 +210,14 @@ def main() -> int:
         # (The 0.481 run was also the fastest clean total of any round,
         # 8.94s — the series tracks box speed, not plan drift.)
         "cosine_note": "r6 +17% was noise: r7 3-file mins 0.638/0.602/0.481 < r5 0.534, plan unchanged",
+        # VERDICT r7 #5 closed: the three r7 "+12-13%" movers
+        # (ref_sql1_conditional_pivot / ref_sql2_portfolio /
+        # tpch_q18_large_orders) were box drift, not regression — three
+        # clean round-8 bench files (totals 8.674/8.612/8.601, the fastest
+        # of any round) put each query's min BELOW its r6 min with plans
+        # unchanged: pivot 0.447 < 0.503, portfolio 0.741 < 0.792,
+        # q18 1.136 < 1.246.
+        "drift_note": "r7 +12% on pivot/portfolio/q18 was box drift: r8 3-file mins 0.447/0.741/1.136 < r6 0.503/0.792/1.246, plans unchanged",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,
@@ -265,8 +273,8 @@ def _compact_line(best: dict) -> dict:
         },
     }
     # One short investigation note rides the final line per the verdict
-    # cadence (cosine_note this round); history lives in the sidecar.
-    for k in ("attempts", "attempts_contended", "cosine_note"):
+    # cadence (drift_note this round); history lives in the sidecar.
+    for k in ("attempts", "attempts_contended", "drift_note"):
         if k in best:
             out[k] = best[k]
     return out

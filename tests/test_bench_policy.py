@@ -85,6 +85,7 @@ def _full_attempt_record(query_names) -> dict:
         "attempts": [99.999, 99.999, 99.999],
         "attempts_contended": [False, True, False],
         "cosine_note": "x" * 100,
+        "drift_note": "x" * 130,
     }
 
 
