@@ -191,6 +191,8 @@ ROUND11_WINDOW: list[str] = [
     "ext_adamic_adar", "ext_cohen_kappa", "ext_hits_scores",
     # round-8 additions: codecs + wire formats
     "ext_mm_ulaw", "ext_avro_roundtrip", "ext_mm_tiff",
+    # round-8 additions: multi-rater agreement, lead-lag, aggregation audit
+    "ext_krippendorff_alpha", "ev_cross_correlation", "wh_simpsons_check",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

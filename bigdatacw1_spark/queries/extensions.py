@@ -12042,3 +12042,114 @@ def ext_mm_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
     media = synth_tiff_corpus(docs)
     return decode_tiff_images(media).orderBy("doc_id")
+
+
+@q(
+    "ext_krippendorff_alpha",
+    oracle="""
+        WITH rated AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 500 THEN 1 ELSE 2 END AS r1,
+                   CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 40
+                        THEN 0
+                        WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 100
+                        THEN 1 ELSE 2 END AS r2,
+                   CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, '.', '')) < 3
+                        THEN 0
+                        WHEN LENGTH(text) - LENGTH(REPLACE(text, '.', '')) < 8
+                        THEN 1 ELSE 2 END AS r3
+            FROM documents
+        ), longf AS (
+            SELECT doc_id, UNNEST([r1, r2, r3]) AS label FROM rated
+        ), unit_cat AS (
+            SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS n_uc
+            FROM longf GROUP BY doc_id, label
+        ), sums AS (
+            SELECT CAST(SUM(n_uc * (n_uc - 1)) AS BIGINT) AS s_o,
+                   CAST(SUM(n_uc) AS BIGINT) AS n_total,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units
+            FROM unit_cat
+        ), cat AS (
+            SELECT label, CAST(SUM(n_uc) AS BIGINT) AS n_c
+            FROM unit_cat GROUP BY label
+        ), se AS (
+            SELECT CAST(SUM(n_c * (n_c - 1)) AS BIGINT) AS s_e FROM cat
+        ), d AS (
+            SELECT n_units, n_total,
+                   1.0 - CAST(s_o AS DOUBLE)
+                         / (CAST(n_units AS DOUBLE) * 3.0 * 2.0) AS d_o,
+                   1.0 - CAST(s_e AS DOUBLE)
+                         / (CAST(n_total AS DOUBLE)
+                            * CAST(n_total - 1 AS DOUBLE)) AS d_e
+            FROM sums, se
+        )
+        SELECT n_units, n_total AS n_ratings,
+               FLOOR(d_o * 1000000.0 + 0.5) / 1000000.0 AS d_observed,
+               FLOOR(d_e * 1000000.0 + 0.5) / 1000000.0 AS d_expected,
+               FLOOR((1.0 - d_o / d_e) * 1000000.0 + 0.5) / 1000000.0 AS alpha
+        FROM d
+    """,
+)
+def ext_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal), the agreement coefficient that
+    generalizes Cohen's kappa past two raters — here THREE deterministic
+    quality raters (char-length, word-count, and sentence-count
+    terciles) label every document, and alpha asks whether the panel
+    measures one underlying construct. Uses the coincidence-matrix
+    formulation with complete data: observed disagreement D_o = 1 −
+    Σ_u Σ_c n_uc(n_uc−1)/(N·m(m−1)) and expected D_e = 1 −
+    Σ_c n_c(n_c−1)/(n(n−1)) are both exact rationals of integer
+    counts (no float enters an aggregation), so the cross-engine hash
+    is deterministic. Shape: one map, one (unit,label) hash aggregate,
+    then two tiny rollups — O(1) memory per task at any corpus size;
+    the per-unit label-count cells are the sufficient statistic, never
+    the rater pairs themselves."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + 1
+    )
+    periods = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "\\.", "")
+    )
+    rated = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 500, 1)
+        .otherwise(2)
+        .alias("r1"),
+        F.when(words < 40, 0).when(words < 100, 1).otherwise(2).alias("r2"),
+        F.when(periods < 3, 0).when(periods < 8, 1).otherwise(2).alias("r3"),
+    )
+    longf = rated.select(
+        "doc_id", F.explode(F.array("r1", "r2", "r3")).alias("label")
+    )
+    unit_cat = longf.groupBy("doc_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uc")
+    )
+    sums = unit_cat.agg(
+        F.sum(F.col("n_uc") * (F.col("n_uc") - 1)).cast("long").alias("s_o"),
+        F.sum("n_uc").cast("long").alias("n_total"),
+        F.countDistinct("doc_id").cast("long").alias("n_units"),
+    )
+    cat = unit_cat.groupBy("label").agg(F.sum("n_uc").cast("long").alias("n_c"))
+    se = cat.agg(
+        F.sum(F.col("n_c") * (F.col("n_c") - 1)).cast("long").alias("s_e")
+    )
+    d_o = F.lit(1.0) - F.col("s_o").cast("double") / (
+        F.col("n_units").cast("double") * F.lit(3.0) * F.lit(2.0)
+    )
+    d_e = F.lit(1.0) - F.col("s_e").cast("double") / (
+        F.col("n_total").cast("double") * (F.col("n_total") - 1).cast("double")
+    )
+    dd = sums.crossJoin(F.broadcast(se)).select(
+        "n_units", "n_total", d_o.alias("d_o"), d_e.alias("d_e")
+    )
+    return dd.select(
+        "n_units",
+        F.col("n_total").alias("n_ratings"),
+        stable_round(F.col("d_o"), 6).alias("d_observed"),
+        stable_round(F.col("d_e"), 6).alias("d_expected"),
+        stable_round(F.lit(1.0) - F.col("d_o") / F.col("d_e"), 6).alias("alpha"),
+    )

@@ -3370,3 +3370,145 @@ def ev_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "tau")
     )
+
+
+_XCORR_LAGS = list(range(-6, 7))
+
+_XCORR_UNION = "\nUNION ALL\n".join(
+    f"SELECT a.et AS et_a, b.et AS et_b, {k} AS lag, a.x AS x, b.x AS y\n"
+    f"            FROM hourly a JOIN hourly b\n"
+    f"              ON b.hidx = a.hidx + {k} AND a.et < b.et"
+    for k in _XCORR_LAGS
+)
+
+
+@q(
+    "ev_cross_correlation",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type AS et,
+                   CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) // 3600 AS hidx,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            {_XCORR_UNION}
+        ), m AS (
+            SELECT et_a, et_b, lag,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+            FROM lagged GROUP BY 1, 2, 3
+        ), r AS (
+            SELECT et_a, et_b, lag, CAST(n AS BIGINT) AS n_pairs,
+                   FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS xcorr
+            FROM m
+            WHERE n * sxx > sx * sx AND n * syy > sy * sy
+        ), keyed AS (
+            SELECT *,
+                   CAST(FLOOR(xcorr * 1000000.0 + 0.5) AS BIGINT) * 4096
+                       + (6 - ABS(lag)) * 64 + (6 - lag) AS rank_key
+            FROM r
+        ), best AS (
+            SELECT et_a, et_b,
+                   MAX_BY(lag, rank_key) AS best_lag,
+                   MAX(xcorr) AS best_xcorr,
+                   CAST(MAX_BY(n_pairs, rank_key) AS BIGINT) AS n_pairs
+            FROM keyed GROUP BY et_a, et_b
+        )
+        SELECT et_a, et_b, CAST(best_lag AS INT) AS best_lag, n_pairs,
+               best_xcorr,
+               (SELECT xcorr FROM r
+                WHERE r.et_a = best.et_a AND r.et_b = best.et_b AND r.lag = 0)
+                   AS xcorr_lag0
+        FROM best ORDER BY et_a, et_b
+    """,
+)
+def ev_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between every pair of event-type
+    hourly series (lags −6h..+6h): the diagnostic that finds WHICH
+    series forecasts which — if corr(click_t, purchase_{t+2}) beats
+    corr at lag 0, clicks lead purchases by two hours and belong in the
+    purchase forecaster's features. Reports each pair's best lag
+    (ties prefer the smallest |lag|, then the earlier lag — pinned
+    cross-engine by ranking on the tuple (xcorr, −|lag|, −lag)) plus
+    the lag-0 baseline. Same exact-DECIMAL(38) moment machinery as
+    ev_autocorrelation, keyed by integer hour index so the 13 lag
+    joins are plain integer equi-joins (one shuffle of the tiny hourly
+    cells serves all lags); series pairs are P(5,2)/2 = 10 — bounded by
+    the type vocabulary, not the fact table."""
+    from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("hidx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    a = hourly.select(
+        F.col("et").alias("et_a"), F.col("hidx").alias("ha"), F.col("x").alias("x")
+    )
+    b = hourly.select(
+        F.col("et").alias("et_b"), F.col("hidx").alias("hb"), F.col("x").alias("y")
+    )
+    lag_col = F.explode(F.array(*[F.lit(k) for k in _XCORR_LAGS])).alias("lag")
+    a_l = a.select("*", lag_col)
+    lagged = a_l.join(
+        b,
+        (F.col("hb") == F.col("ha") + F.col("lag")) & (F.col("et_a") < F.col("et_b")),
+    ).select("et_a", "et_b", "lag", "x", "y")
+    dec = "decimal(38,0)"
+    m = lagged.groupBy("et_a", "et_b", "lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    r = (
+        m.where(
+            (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "et_a",
+            "et_b",
+            "lag",
+            F.col("n").cast("long").alias("n_pairs"),
+            stable_round(num / den, 6).alias("xcorr"),
+        )
+    )
+    # A single packed BIGINT ranking key (xcorr micro-units, then smaller
+    # |lag|, then earlier lag) — DuckDB's max_by cannot order by a struct,
+    # so both engines rank on the identical integer.
+    rank_key = (
+        F.floor(F.col("xcorr") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        * F.lit(4096)
+        + (F.lit(6) - F.abs(F.col("lag"))) * F.lit(64)
+        + (F.lit(6) - F.col("lag"))
+    )
+    best = r.groupBy("et_a", "et_b").agg(
+        F.max_by("lag", rank_key).cast("int").alias("best_lag"),
+        F.max("xcorr").alias("best_xcorr"),
+        F.max_by("n_pairs", rank_key).cast("long").alias("n_pairs"),
+    )
+    lag0 = r.where(F.col("lag") == 0).select(
+        "et_a", "et_b", F.col("xcorr").alias("xcorr_lag0")
+    )
+    return (
+        best.join(lag0, ["et_a", "et_b"], "left")
+        .select("et_a", "et_b", "best_lag", "n_pairs", "best_xcorr", "xcorr_lag0")
+        .orderBy("et_a", "et_b")
+    )

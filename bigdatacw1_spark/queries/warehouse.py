@@ -5406,3 +5406,115 @@ def wh_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_dist_c").cast("double") / nm / F.lit(100.0), 4
         ).alias("avg_match_dist"),
     )
+
+
+@q(
+    "wh_simpsons_check",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS seg,
+                   CASE WHEN o.o_custkey % 2 = 0 THEN 1 ELSE 0 END AS arm,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), per_seg AS (
+            SELECT seg,
+                   CAST(SUM(arm) AS BIGINT) AS n_e,
+                   CAST(SUM(arm * hit) AS BIGINT) AS k_e,
+                   CAST(SUM(1 - arm) AS BIGINT) AS n_o,
+                   CAST(SUM((1 - arm) * hit) AS BIGINT) AS k_o
+            FROM joined GROUP BY seg
+        ), with_all AS (
+            SELECT seg, n_e, k_e, n_o, k_o FROM per_seg
+            UNION ALL
+            SELECT 'ALL' AS seg, SUM(n_e), SUM(k_e), SUM(n_o), SUM(k_o)
+            FROM per_seg
+        ), signed AS (
+            SELECT seg, n_e, k_e, n_o, k_o,
+                   CASE WHEN k_e * n_o > k_o * n_e THEN 1
+                        WHEN k_e * n_o < k_o * n_e THEN -1 ELSE 0 END AS sign
+            FROM with_all
+        ), overall AS (
+            SELECT sign AS all_sign FROM signed WHERE seg = 'ALL'
+        )
+        SELECT s.seg AS scope,
+               CAST(s.n_e + s.n_o AS BIGINT) AS n_orders,
+               FLOOR(CAST(s.k_e AS DOUBLE) / CAST(s.n_e AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS rate_even,
+               FLOOR(CAST(s.k_o AS DOUBLE) / CAST(s.n_o AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS rate_odd,
+               s.sign AS diff_sign,
+               CASE WHEN s.seg <> 'ALL' AND s.sign <> 0 AND o.all_sign <> 0
+                         AND s.sign <> o.all_sign
+                    THEN 1 ELSE 0 END AS reversed
+        FROM signed s, overall o
+        ORDER BY scope
+    """,
+)
+def wh_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit — the canonical aggregation trap: a
+    treatment/control rate difference (even- vs odd-custkey fulfilled-
+    order rate) is computed overall AND within every market segment,
+    and each segment is flagged when its effect direction CONTRADICTS
+    the pooled direction. A dashboard that reports only the pooled rate
+    silently ships the wrong conclusion whenever arm mix differs across
+    segments (Bickel's Berkeley admissions case); this entry is the
+    nightly guard that says 'stratify before you conclude'. Effect
+    signs are decided by INTEGER cross-multiplication (k_e·n_o vs
+    k_o·n_e) — never by comparing float rates, so the flag can't flip
+    on a rounding boundary. Shape: one broadcast join + one hash
+    aggregate to segment cells; the ALL row is a second rollup of those
+    cells and joins back broadcast-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("arm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    per_seg = joined.groupBy("seg").agg(
+        F.sum("arm").cast("long").alias("n_e"),
+        F.sum(F.col("arm") * F.col("hit")).cast("long").alias("k_e"),
+        F.sum(F.lit(1) - F.col("arm")).cast("long").alias("n_o"),
+        F.sum((F.lit(1) - F.col("arm")) * F.col("hit")).cast("long").alias("k_o"),
+    )
+    all_row = per_seg.agg(
+        F.lit("ALL").alias("seg"),
+        F.sum("n_e").cast("long").alias("n_e"),
+        F.sum("k_e").cast("long").alias("k_e"),
+        F.sum("n_o").cast("long").alias("n_o"),
+        F.sum("k_o").cast("long").alias("k_o"),
+    )
+    with_all = per_seg.unionByName(all_row)
+    sign = (
+        F.when(F.col("k_e") * F.col("n_o") > F.col("k_o") * F.col("n_e"), 1)
+        .when(F.col("k_e") * F.col("n_o") < F.col("k_o") * F.col("n_e"), -1)
+        .otherwise(0)
+    )
+    signed = with_all.select("seg", "n_e", "k_e", "n_o", "k_o", sign.alias("sign"))
+    overall = signed.where(F.col("seg") == "ALL").select(
+        F.col("sign").alias("all_sign")
+    )
+    return (
+        signed.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("seg").alias("scope"),
+            (F.col("n_e") + F.col("n_o")).cast("long").alias("n_orders"),
+            stable_round(
+                F.col("k_e").cast("double") / F.col("n_e").cast("double"), 6
+            ).alias("rate_even"),
+            stable_round(
+                F.col("k_o").cast("double") / F.col("n_o").cast("double"), 6
+            ).alias("rate_odd"),
+            F.col("sign").alias("diff_sign"),
+            F.when(
+                (F.col("seg") != "ALL")
+                & (F.col("sign") != 0)
+                & (F.col("all_sign") != 0)
+                & (F.col("sign") != F.col("all_sign")),
+                1,
+            )
+            .otherwise(0)
+            .alias("reversed"),
+        )
+        .orderBy("scope")
+    )
