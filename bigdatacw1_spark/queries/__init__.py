@@ -193,6 +193,8 @@ ROUND11_WINDOW: list[str] = [
     "ext_mm_ulaw", "ext_avro_roundtrip", "ext_mm_tiff",
     # round-8 additions: multi-rater agreement, lead-lag, aggregation audit
     "ext_krippendorff_alpha", "ev_cross_correlation", "wh_simpsons_check",
+    # round-8 additions: LCS-based summarization metric
+    "ext_rouge_l_pairs",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

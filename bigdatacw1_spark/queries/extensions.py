@@ -12153,3 +12153,128 @@ def ext_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("d_e"), 6).alias("d_expected"),
         stable_round(F.lit(1.0) - F.col("d_o") / F.col("d_e"), 6).alias("alpha"),
     )
+
+
+@q(
+    "ext_rouge_l_pairs",
+    oracle=r"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   list_slice(list_filter(
+                       string_split_regex(LOWER(a.text), '\s+'), x -> x <> ''),
+                       1, 12) AS ta,
+                   list_slice(list_filter(
+                       string_split_regex(LOWER(b.text), '\s+'), x -> x <> ''),
+                       1, 12) AS tb
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 16 = 0 AND a.doc_id < 160
+        ), ok AS (
+            SELECT * FROM pairs WHERE len(ta) > 0 AND len(tb) > 0
+        ), dp AS (
+            SELECT doc_a, doc_b, ta, tb, len(ta) AS na, len(tb) AS nb,
+                   1 AS i, 0 AS j,
+                   list_transform(range(0, len(tb) + 1), x -> 0) AS prev_row,
+                   [0] AS cur_row
+            FROM ok
+            UNION ALL
+            SELECT doc_a, doc_b, ta, tb, na, nb,
+                   CASE WHEN j < nb THEN i ELSE i + 1 END,
+                   CASE WHEN j < nb THEN j + 1 ELSE 0 END,
+                   CASE WHEN j < nb THEN prev_row ELSE cur_row END,
+                   CASE WHEN j < nb THEN list_append(cur_row,
+                        CASE WHEN ta[i] = tb[j + 1] THEN prev_row[j + 1] + 1
+                             ELSE GREATEST(prev_row[j + 2], cur_row[j + 1]) END)
+                        ELSE [0] END
+            FROM dp
+            WHERE j < nb OR i < na
+        ), fin AS (
+            SELECT doc_a, doc_b, na, nb,
+                   CAST(cur_row[nb + 1] AS BIGINT) AS lcs_len
+            FROM dp WHERE i = na AND j = nb
+        )
+        SELECT doc_a, doc_b,
+               CAST(na AS BIGINT) AS len_a, CAST(nb AS BIGINT) AS len_b, lcs_len,
+               FLOOR(CAST(lcs_len AS DOUBLE) / CAST(nb AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS rouge_p,
+               FLOOR(CAST(lcs_len AS DOUBLE) / CAST(na AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS rouge_r,
+               CASE WHEN lcs_len = 0 THEN 0.0 ELSE
+                   FLOOR(2.0 * (CAST(lcs_len AS DOUBLE) / CAST(nb AS DOUBLE))
+                             * (CAST(lcs_len AS DOUBLE) / CAST(na AS DOUBLE))
+                         / (CAST(lcs_len AS DOUBLE) / CAST(nb AS DOUBLE)
+                            + CAST(lcs_len AS DOUBLE) / CAST(na AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 END AS rouge_f
+        FROM fin ORDER BY doc_a
+    """,
+)
+def ext_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L — the longest-common-subsequence summarization metric
+    (Lin 2004), which credits in-order phrase overlap without requiring
+    contiguity, where BLEU (ext_pair_bleu) demands exact n-grams and
+    token-F1 (ext_token_f1_pairs) ignores order entirely; the three
+    together span the lexical-overlap eval family. The LCS dynamic
+    program runs as a PURE CATALYST expression — a nested
+    higher-order-function fold (outer aggregate over reference tokens
+    carrying the dp row, inner aggregate building the next row
+    left-to-right), zero Python, whole-stage-codegen-friendly, and
+    embarrassingly parallel per pair at any corpus size. The DuckDB
+    oracle recomputes the SAME dp table one cell per recursive-CTE
+    iteration (v1.0 list_reduce cannot close over an outer lambda
+    variable), so two structurally different LCS implementations must
+    agree cell-for-cell. First 12 lowercase whitespace tokens per doc
+    bound the fold at 156 steps; adjacent doc pairs every 16th id bound
+    the fixture."""
+    d = _t(spark, sf_dir, "documents")
+    toks = lambda c: F.slice(  # noqa: E731
+        F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != ""), 1, 12
+    )
+    a = d.where((F.col("doc_id") % 16 == 0) & (F.col("doc_id") < 160)).select(
+        F.col("doc_id").alias("doc_a"), toks(F.col("text")).alias("ta")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_a_key"), toks(F.col("text")).alias("tb"),
+                 F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, a.doc_a == b.doc_a_key).where(
+        (F.size("ta") > 0) & (F.size("tb") > 0)
+    )
+    dp = F.aggregate(
+        F.col("ta"),
+        F.array_repeat(F.lit(0), F.size("tb") + 1),
+        lambda prev_row, tok_a: F.aggregate(
+            F.sequence(F.lit(1), F.size("tb")),
+            F.array(F.lit(0)),
+            lambda nr, j: F.concat(
+                nr,
+                F.array(
+                    F.when(
+                        F.element_at("tb", j) == tok_a,
+                        F.element_at(prev_row, j) + 1,
+                    ).otherwise(
+                        F.greatest(
+                            F.element_at(prev_row, j + 1), F.element_at(nr, -1)
+                        )
+                    )
+                ),
+            ),
+        ),
+    )
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size("ta").cast("long").alias("len_a"),
+        F.size("tb").cast("long").alias("len_b"),
+        F.element_at(dp, -1).cast("long").alias("lcs_len"),
+    )
+    p = F.col("lcs_len").cast("double") / F.col("len_b").cast("double")
+    r = F.col("lcs_len").cast("double") / F.col("len_a").cast("double")
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "len_a",
+        "len_b",
+        "lcs_len",
+        stable_round(p, 6).alias("rouge_p"),
+        stable_round(r, 6).alias("rouge_r"),
+        F.when(F.col("lcs_len") == 0, F.lit(0.0))
+        .otherwise(stable_round(F.lit(2.0) * p * r / (p + r), 6))
+        .alias("rouge_f"),
+    ).orderBy("doc_a")
