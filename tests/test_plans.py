@@ -401,6 +401,11 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         "ext_quality_eval": 1,
         # windows over distinct event DAYS (calendar-bounded)
         "wh_survival_km": 2,
+        # BH step-up over the hypothesis FAMILY — segment x priority
+        # cells, <= 25 rows by vocabulary construction (the corpus-sized
+        # pass is the upstream broadcast-join hash aggregate); rank, i*,
+        # and the reversed cumulative-min adjusted-p plan as three frames
+        "wh_bh_fdr": 3,
         # windows over the per-day FILE INVENTORY (metadata, not data)
         "wh_compaction_plan": 1,
         "wh_file_stats": 1,
