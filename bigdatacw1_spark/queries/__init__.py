@@ -195,6 +195,8 @@ ROUND11_WINDOW: list[str] = [
     "ext_krippendorff_alpha", "ev_cross_correlation", "wh_simpsons_check",
     # round-8 additions: LCS-based summarization metric
     "ext_rouge_l_pairs",
+    # round-8 additions: decomposition strengths + crawl partitioning keys
+    "ev_stl_strength", "ext_surt_keys",
 ]
 
 # Round 8 live window (swapped in as the first commit of round 8, per the

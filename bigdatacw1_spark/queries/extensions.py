@@ -12278,3 +12278,116 @@ def ext_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(stable_round(F.lit(2.0) * p * r / (p + r), 6))
         .alias("rouge_f"),
     ).orderBy("doc_a")
+
+
+@q(
+    "ext_surt_keys",
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 'https://WWW.News.Example.COM/world/'
+                                    || CAST(doc_id % 20 AS VARCHAR)
+                        WHEN 1 THEN 'http://blog.example.com:8080/world/'
+                                    || CAST(doc_id % 20 AS VARCHAR)
+                        WHEN 2 THEN 'https://Example.COM/world/'
+                                    || CAST(doc_id % 20 AS VARCHAR) || '?x=1'
+                        ELSE 'https://archive.museum.co.uk/item/'
+                                    || CAST(doc_id % 20 AS VARCHAR)
+                   END AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                           LOWER(REGEXP_EXTRACT(url, '^[a-zA-Z]+://([^/?#]*)', 1)),
+                           ':[0-9]+$', ''),
+                       '^www\.', '') AS host,
+                   REGEXP_EXTRACT(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1) AS path
+            FROM synth
+        ), keyed AS (
+            SELECT doc_id,
+                   ARRAY_TO_STRING(LIST_REVERSE(STR_SPLIT(host, '.')), ',')
+                       || ')' || path AS surt_key,
+                   ARRAY_TO_STRING(
+                       LIST_REVERSE(STR_SPLIT(host, '.'))[1:2], ',') AS domain_key
+            FROM parts
+        )
+        SELECT doc_id, surt_key, domain_key,
+               COUNT(*) OVER (PARTITION BY domain_key) AS domain_docs
+        FROM keyed ORDER BY doc_id
+    """,
+)
+def ext_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT (Sort-friendly URI Reordering Transform) keys — the web-
+    archive convention (Heritrix/OpenWayback/Common Crawl CDX indexes)
+    that reverses host labels so lexicographic order groups by
+    registered domain: www.news.example.com/world → com,example,news)/
+    world. On a 100 TB crawl this is the PARTITIONING KEY — range-
+    partitioning by SURT puts every page of a domain (and its
+    subdomains, which plain host-reversal string sort would scatter)
+    into adjacent ranges, which is what makes per-domain caps
+    (ext_domain_cap), politeness budgets, and prefix-scan dedup
+    single-shuffle operations. Lowercased, port and www. stripped,
+    query dropped; domain_key = the first two reversed labels
+    (registered-domain approximation) with its per-domain doc count.
+    Pure string expressions in both engines, one scan, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            (F.col("doc_id") % 4) == 0,
+            F.concat(
+                F.lit("https://WWW.News.Example.COM/world/"),
+                (F.col("doc_id") % 20).cast("string"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4) == 1,
+            F.concat(
+                F.lit("http://blog.example.com:8080/world/"),
+                (F.col("doc_id") % 20).cast("string"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4) == 2,
+            F.concat(
+                F.lit("https://Example.COM/world/"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit("?x=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://archive.museum.co.uk/item/"),
+                (F.col("doc_id") % 20).cast("string"),
+            )
+        )
+    )
+    synth = d.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("url"), r"^[a-zA-Z]+://([^/?#]*)", 1)),
+            r":[0-9]+$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_extract(F.col("url"), r"^[a-zA-Z]+://[^/?#]*([^?#]*)", 1)
+    parts = synth.select("doc_id", host.alias("host"), path.alias("path"))
+    rev = F.reverse(F.split(F.col("host"), r"\."))
+    keyed = parts.select(
+        "doc_id",
+        F.concat(F.array_join(rev, ","), F.lit(")"), F.col("path")).alias("surt_key"),
+        F.array_join(F.slice(rev, 1, 2), ",").alias("domain_key"),
+    )
+    from pyspark.sql import Window
+
+    return keyed.select(
+        "doc_id",
+        "surt_key",
+        "domain_key",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("domain_key"))
+        .alias("domain_docs"),
+    ).orderBy("doc_id")

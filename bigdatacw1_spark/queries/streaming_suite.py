@@ -3512,3 +3512,151 @@ def ev_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("et_a", "et_b", "best_lag", "n_pairs", "best_xcorr", "xcorr_lag0")
         .orderBy("et_a", "et_b")
     )
+
+
+@q(
+    "ev_stl_strength",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type AS et, DATE_TRUNC('hour', ts) AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), ma AS (
+            SELECT et, hr, x,
+                   CAST(HOUR(hr) AS BIGINT) AS hod,
+                   COUNT(*) OVER w AS cnt,
+                   CAST(SUM(x) OVER w AS BIGINT) AS s25
+            FROM hourly
+            WINDOW w AS (PARTITION BY et ORDER BY hr
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), full_rows AS (
+            SELECT et, hod, x, 25 * x - s25 AS detr
+            FROM ma WHERE cnt = 25
+        ), seas AS (
+            SELECT et, hod,
+                   CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+            FROM full_rows GROUP BY et, hod
+        ), comps AS (
+            SELECT f.et,
+                   f.detr * 1000000 AS detr_u,
+                   f.detr * 1000000 - s.s_micro AS r_u,
+                   25000000 * f.x - s.s_micro AS desea_u
+            FROM full_rows f JOIN seas s ON s.et = f.et AND s.hod = f.hod
+        ), m AS (
+            SELECT et,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(CAST(detr_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+                   CAST(SUM(CAST(detr_u AS DECIMAL(38,0)) * detr_u) AS DECIMAL(38,0)) AS ssd,
+                   CAST(SUM(CAST(r_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sr,
+                   CAST(SUM(CAST(r_u AS DECIMAL(38,0)) * r_u) AS DECIMAL(38,0)) AS ssr,
+                   CAST(SUM(CAST(desea_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+                   CAST(SUM(CAST(desea_u AS DECIMAL(38,0)) * desea_u) AS DECIMAL(38,0)) AS ssq
+            FROM comps GROUP BY et
+        ), vs AS (
+            SELECT et, CAST(n AS BIGINT) AS n_hours,
+                   CAST(n * ssd - sd * sd AS DOUBLE) AS vd,
+                   CAST(n * ssr - sr * sr AS DOUBLE) AS vr,
+                   CAST(n * ssq - sq * sq AS DOUBLE) AS vq
+            FROM m
+        )
+        SELECT et AS event_type, n_hours,
+               FLOOR(GREATEST(0.0, 1.0 - vr / vd) * 1000000.0 + 0.5)
+                   / 1000000.0 AS seasonal_strength,
+               FLOOR(GREATEST(0.0, 1.0 - vr / vq) * 1000000.0 + 0.5)
+                   / 1000000.0 AS trend_strength,
+               FLOOR(vr / vd * 1000000.0 + 0.5) / 1000000.0 AS remainder_share
+        FROM vs WHERE vd > 0 AND vq > 0
+        ORDER BY event_type
+    """,
+)
+def ev_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition strengths (Hyndman's tsfeatures measures,
+    the forecastability triage run before choosing a model): each hourly
+    series is split into trend (centered 25-hour moving average, FULL
+    windows only), hour-of-day seasonal (mean of detrended per hour),
+    and remainder; F_seasonal = max(0, 1−Var(R)/Var(S+R)) and F_trend =
+    max(0, 1−Var(R)/Var(T+R)). High F_seasonal routes the series to
+    ev_seasonal_dow/holt_winters, high F_trend to ev_holt_forecast, both
+    low means model the mean and stop. Differs from ev_seasonal_strength
+    (one ANOVA R² on raw dailies) by actually REMOVING the trend first —
+    a trending series fools the ANOVA but not STL. Exactness: the
+    decomposition is computed in SCALED INTEGERS (detrended = 25x − Σ₂₅x,
+    components in micro-units after one quantized division), so every
+    variance comes from exact DECIMAL(38) moment sums — no float
+    accumulates across rows. Shape: one hash agg to hourly cells, one
+    25-row window per series, one (series, hour-of-day) agg, one keyed
+    join back, one moment rollup — all shuffles keyed by series,
+    calendar-bounded input."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("et").orderBy("hr").rowsBetween(-12, 12)
+    ma = hourly.select(
+        "et",
+        "hr",
+        "x",
+        F.hour("hr").cast("long").alias("hod"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("x").over(w).cast("long").alias("s25"),
+    )
+    full_rows = ma.where(F.col("cnt") == 25).select(
+        "et", "hod", "x", (F.lit(25) * F.col("x") - F.col("s25")).alias("detr")
+    )
+    seas = full_rows.groupBy("et", "hod").agg(
+        F.floor(
+            F.sum("detr").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_micro")
+    )
+    comps = full_rows.join(seas, ["et", "hod"]).select(
+        "et",
+        (F.col("detr") * F.lit(1000000)).alias("detr_u"),
+        (F.col("detr") * F.lit(1000000) - F.col("s_micro")).alias("r_u"),
+        (F.lit(25000000) * F.col("x") - F.col("s_micro")).alias("desea_u"),
+    )
+    dec = "decimal(38,0)"
+    m = comps.groupBy("et").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("detr_u").cast(dec)).cast(dec).alias("sd"),
+        F.sum(F.col("detr_u").cast(dec) * F.col("detr_u")).cast(dec).alias("ssd"),
+        F.sum(F.col("r_u").cast(dec)).cast(dec).alias("sr"),
+        F.sum(F.col("r_u").cast(dec) * F.col("r_u")).cast(dec).alias("ssr"),
+        F.sum(F.col("desea_u").cast(dec)).cast(dec).alias("sq"),
+        F.sum(F.col("desea_u").cast(dec) * F.col("desea_u")).cast(dec).alias("ssq"),
+    )
+    vs = m.select(
+        "et",
+        F.col("n").cast("long").alias("n_hours"),
+        (F.col("n") * F.col("ssd") - F.col("sd") * F.col("sd"))
+        .cast("double")
+        .alias("vd"),
+        (F.col("n") * F.col("ssr") - F.col("sr") * F.col("sr"))
+        .cast("double")
+        .alias("vr"),
+        (F.col("n") * F.col("ssq") - F.col("sq") * F.col("sq"))
+        .cast("double")
+        .alias("vq"),
+    )
+    return (
+        vs.where((F.col("vd") > 0) & (F.col("vq") > 0))
+        .select(
+            F.col("et").alias("event_type"),
+            "n_hours",
+            stable_round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vd")), 6
+            ).alias("seasonal_strength"),
+            stable_round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vq")), 6
+            ).alias("trend_strength"),
+            stable_round(F.col("vr") / F.col("vd"), 6).alias("remainder_share"),
+        )
+        .orderBy("event_type")
+    )
