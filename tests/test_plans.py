@@ -576,3 +576,28 @@ def test_mmr_topk_cut_fuses_into_take_ordered(spark):
     df = _df(spark, "ext_mmr_rerank")
     assert has_take_ordered(df)
     assert has_broadcast_hash_join(df)
+
+
+def test_round8_second_batch_entries_are_python_free_and_join_safe(spark):
+    """The round-8 second batch stays JVM-side and cartesian-free. The
+    headline claim is ext_rouge_l_pairs: its LCS dynamic program is a
+    nested higher-order-function fold, so the plan must contain ZERO
+    Python eval — an accidental fallback to a Python UDF would silently
+    cost 10-100x at corpus scale. The codec entries (ext_mm_ulaw /
+    ext_avro_roundtrip / ext_mm_tiff) are deliberately absent: their
+    decode stages are Arrow mapInPandas by design. ext_adamic_adar
+    additionally must plan its inverted-index pair join as a real
+    equi-join (a cartesian here would be the all-pairs blowup the
+    degree cap exists to prevent)."""
+    for name in [
+        "ext_rouge_l_pairs",
+        "ext_adamic_adar",
+        "ext_hits_scores",
+        "ext_cohen_kappa",
+        "ext_krippendorff_alpha",
+        "ext_surt_keys",
+    ]:
+        df = _df(spark, name)
+        assert not has_python_eval(df), f"{name}: Python eval in plan"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
