@@ -202,11 +202,11 @@ ROUND11_WINDOW: list[str] = [
 # Round 8 live window (swapped in as the first commit of round 8, per the
 # round-7 verdict; ROUND8_WINDOW was pre-verified at sf0.01 in round 6 and
 # its last 3 entries spot-checked green by the round-7 judge). Late in
-# round 8 the FULL live window (anchors + ROUND8, 50 entries) re-verified
-# 50/50 at sf0.01 at the round's final HEAD, and ROUND9_WINDOW was
-# pre-verified 45/45 at sf0.01 — round 9's first commit should swap to
-# _ANCHORS + ROUND9_WINDOW and stage its additions in a new ROUND12_WINDOW
-# (ROUND11 is at 41/45).
+# round 8 the FULL REGISTRY (451 entries — live window, ROUND9/10/11
+# staging, and every previously-verified entry) swept oracle-green
+# 451/451 at sf0.01 at the round's final HEAD — round 9's first commit
+# should swap to _ANCHORS + ROUND9_WINDOW and stage its additions in a
+# new ROUND12_WINDOW (ROUND11 is at 41/45).
 _DRIVER_WINDOW = _ANCHORS + ROUND8_WINDOW
 
 
