@@ -1750,7 +1750,8 @@ def ev_calendar_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), joined AS (
             SELECT CAST(h.h1 AS VARCHAR) AS hour_start,
                    h.n AS n_1h, h.errs AS err_1h,
-                   h6.n6 AS n_6h, h6.e6 AS err_6h,
+                   CAST(h6.n6 AS BIGINT) AS n_6h,
+                   CAST(h6.e6 AS BIGINT) AS err_6h,
                    FLOOR(CAST(h.errs AS DOUBLE) / h.n / 0.25 * 10000.0 + 0.5)
                        / 10000.0 AS burn_1h,
                    FLOOR(CAST(h6.e6 AS DOUBLE) / h6.n6 / 0.25 * 10000.0 + 0.5)

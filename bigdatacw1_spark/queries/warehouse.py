@@ -1048,7 +1048,7 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT custkey,
                CAST(recency_days AS BIGINT) AS recency_days,
                CAST(frequency AS BIGINT) AS frequency,
-               monetary_cents,
+               CAST(monetary_cents AS BIGINT) AS monetary_cents,
                CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
                CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
                  AS segment

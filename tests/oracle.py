@@ -53,12 +53,60 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_family(dtype) -> str:
+    """Collapse a pandas dtype to the family the driver's value hash is
+    sensitive to. int vs float MUST mismatch (the wh_rfm_segments r8
+    incident: DuckDB HUGEINT -> float64 vs Spark int64 hashed differently
+    even though every value compared == locally); width within a family
+    (int32 vs int64, signed vs unsigned) hashes identically."""
+    kind = dtype.kind if hasattr(dtype, "kind") else "O"
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    return "object"
+
+
+def assert_oracle_types_hashable(oracle_query: str, sf_dir: str) -> list[str]:
+    """Return the DuckDB output column types that would NOT materialize to
+    the same pandas dtype family as the natural Spark output — today that
+    means HUGEINT/UHUGEINT, which `.df()` converts to float64 while the
+    Spark side stays int64 (the exact r8 driver red). Callers assert the
+    returned list is empty. Binding is lazy — no execution cost."""
+    con = duck_con(sf_dir)
+    rel = con.sql(oracle_query)
+    bad = [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT")
+    ]
+    con.close()
+    return bad
+
+
 def compare(spark_df, oracle_query: str, sf_dir: str) -> None:
     con = duck_con(sf_dir)
     exp = _normalize(con.sql(oracle_query).df())
     got = _normalize(spark_df.toPandas())
     assert list(got.columns) == list(exp.columns), (
         f"schema mismatch: spark={list(got.columns)} oracle={list(exp.columns)}"
+    )
+    # Driver-strictness: the driver hashes materialized values, so an int
+    # column on one side and a float column on the other fail its hash even
+    # when every value compares numerically equal. Enforce dtype-family
+    # equality per column so a local sweep can never pass what the driver
+    # would fail (r8 lesson: tests/oracle.py was laxer than the driver).
+    dtype_bad = [
+        (c, str(got[c].dtype), str(exp[c].dtype))
+        for c in got.columns
+        if _dtype_family(got[c].dtype) != _dtype_family(exp[c].dtype)
+    ]
+    assert not dtype_bad, (
+        f"dtype-family mismatch (spark vs oracle would hash-differ): {dtype_bad}"
     )
     assert len(got) == len(exp), f"row count mismatch: spark={len(got)} oracle={len(exp)}"
     for c in got.columns:

@@ -55,6 +55,7 @@ def test_driver_window_and_staged_rotations():
         ROUND9_WINDOW,
         ROUND10_WINDOW,
         ROUND11_WINDOW,
+        ROUND12_WINDOW,
         _ANCHORS,
         _DRIVER_WINDOW,
     )
@@ -66,11 +67,13 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    # ROUND8 is the LIVE window this round; ROUND9-11 remain staged
-    # (ROUND7 was driver-checked in round 7 → covered via CORRECTNESS_r07).
-    assert _DRIVER_WINDOW == _ANCHORS + ROUND8_WINDOW
-    staged = ROUND9_WINDOW + ROUND10_WINDOW + ROUND11_WINDOW
-    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW):
+    # ROUND9 is the LIVE window this round (including the wh_rfm_segments
+    # retry after its r8 oracle-typing red); ROUND10-12 remain staged
+    # (ROUND7/8 were driver-checked → covered via CORRECTNESS_r07/r08).
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND9_WINDOW
+    assert ROUND9_WINDOW[0] == "wh_rfm_segments", "r8 red retry must ride this window"
+    staged = ROUND10_WINDOW + ROUND11_WINDOW + ROUND12_WINDOW
+    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW, ROUND12_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:
@@ -86,3 +89,17 @@ def test_driver_window_and_staged_rotations():
     covered = checked | set(_DRIVER_WINDOW) | set(staged)
     missing = [n for n in REGISTRY if n not in covered]
     assert not missing, f"registry entries in no window: {missing}"
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_no_hugeint(name):
+    """Registry-wide oracle-type lint (r8 verdict ask #2): binding every
+    oracle in DuckDB must yield no HUGEINT/UHUGEINT output column — those
+    materialize via .df() as float64 while the Spark side stays int64, so
+    the driver's value hash fails even when every value is numerically
+    equal (the wh_rfm_segments r8 red). Lazy binding only — runs in
+    milliseconds per oracle."""
+    from tests.oracle import assert_oracle_types_hashable
+
+    bad = assert_oracle_types_hashable(REGISTRY[name].oracle, SF_SMALL)
+    assert not bad, f"oracle output column(s) bind to HUGEINT: {bad} — add CAST(... AS BIGINT)"
