@@ -2934,6 +2934,9 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, int, bytes]:
 
     def values(tag: int) -> list[int]:
         typ, count, value = tags[tag]
+        if typ not in (3, 4):  # SHORT / LONG only — BYTE/RATIONAL/... would
+            # be silently mis-sized; refuse loudly per the contract above
+            raise NotImplementedError(f"TIFF IFD entry type {typ} not supported")
         size = 2 if typ == 3 else 4
         if count * size <= 4:
             if typ == 3 and count > 1:

@@ -11916,9 +11916,13 @@ def ext_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash match proves encode→decode is lossless record-for-record —
     a wrong zigzag sign bit, varint continuation, or block frame breaks
     it. Shape: the shard-encode pattern a 100 TB export job uses —
-    groupBy shard → applyInPandas encode (one container per shard,
-    deterministic record order), mapInPandas decode, hash re-aggregate;
-    parallel across shards, linear in rows, no driver collect."""
+    groupBy (shard, block) → applyInPandas encode (one container per
+    bounded block, deterministic record order), mapInPandas decode, hash
+    re-aggregate; parallel across blocks, linear in rows, no driver
+    collect. The block key sub-splits each shard so NO single task ever
+    materializes a whole shard — at 100 TB you size _AVRO_BLOCKS_PER_SHARD
+    (or derive it as ceil(shard_bytes / target_container_bytes)) so each
+    group fits executor memory; containers stay independently decodable."""
     import pandas as pd
 
     from bigdatacw1_spark.sources.formats import (
@@ -11926,8 +11930,12 @@ def ext_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_avro_container,
     )
 
+    blocks_per_shard = 8  # _AVRO_BLOCKS_PER_SHARD: bounds per-task memory
     li = _t(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 32).cast("long").alias("shard"),
+        ((F.col("l_orderkey") / 32).cast("long") % blocks_per_shard)
+        .cast("long")
+        .alias("block"),
         F.col("l_orderkey").cast("long").alias("okey"),
         F.col("l_linenumber").cast("long").alias("line"),
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
@@ -11935,7 +11943,7 @@ def ext_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
     )
 
-    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["okey", "line"])
         recs = [
             (int(o), int(ln), int(q), int(d), str(f))
@@ -11948,8 +11956,8 @@ def ext_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              "payload": [encode_avro_container(recs, block_size=64)]}
         )
 
-    containers = li.groupBy("shard").applyInPandas(
-        encode_shard, schema="shard long, payload binary"
+    containers = li.groupBy("shard", "block").applyInPandas(
+        encode_block, schema="shard long, payload binary"
     )
 
     def decode_batches(it):

@@ -807,3 +807,26 @@ def test_tiff_roundtrip_any_pixels_both_compressions(w, h, rps, data):
     assert decode_tiff(encode_tiff(w, h, 3, 1, rgb, rows_per_strip=rps)) == (
         w, h, 3, 1, rgb,
     )
+
+
+def test_tiff_foreign_ifd_type_refuses_loudly():
+    """A baseline TIFF whose required tag carries a non-SHORT/LONG IFD
+    type (e.g. RATIONAL=5) must refuse with NotImplementedError, not
+    silently mis-size the entry and decode garbage (r8 ADVICE item)."""
+    import struct
+
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    blob = bytearray(encode_tiff(4, 4, 1, 1, bytes(range(16)), rows_per_strip=4))
+    magic, ifd_off = struct.unpack("<HI", blob[2:8])
+    (n_entries,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ = struct.unpack("<HH", blob[off : off + 4])
+        if tag == 256:  # ImageWidth: rewrite its type to RATIONAL (5)
+            blob[off + 2 : off + 4] = struct.pack("<H", 5)
+            break
+    with pytest.raises(NotImplementedError, match="IFD entry type"):
+        decode_tiff(bytes(blob))
