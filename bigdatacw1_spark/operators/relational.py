@@ -33,6 +33,21 @@ def stable_round(value: Column, digits: int = 4) -> Column:
     return F.floor(value * F.lit(s) + F.lit(0.5)) / F.lit(s)
 
 
+def quantize_big(value: Column) -> Column:
+    """floor(x + 0.5) for non-negative doubles of ANY magnitude, as an
+    exact DECIMAL(38,0) — the building block for order-free cross-group
+    sums of derived doubles (the chi2_micro discipline generalized).
+
+    Spark's ``floor()`` returns LONG and overflows past 2^63, so this
+    stays in double arithmetic: ``t - fmod(t, 1.0)`` is the exact IEEE
+    floor for t ≥ 0 (fmod is exact; the subtraction is exact below 2^52
+    and a no-op at magnitudes where doubles are already integral).
+    DuckDB equivalent: ``CAST(FLOOR(x + 0.5) AS DECIMAL(38,0))`` (its
+    FLOOR returns DOUBLE natively, identical bits)."""
+    t = value + F.lit(0.5)
+    return (t - t % F.lit(1.0)).cast("decimal(38,0)")
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Raise scan parallelism for CPU-bound row-expanding stages.
 

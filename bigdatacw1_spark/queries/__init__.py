@@ -204,10 +204,14 @@ ROUND11_WINDOW: list[str] = [
     # displaced from ROUND9_WINDOW to pay for the wh_rfm_segments retry
     # slot (fills ROUND11 toward the 45 cap)
     "ext_temporal_eval_split",
+    # round-9 additions: classical-stats completion (fills ROUND11 to 45)
+    "wh_anova_oneway", "wh_effect_sizes", "wh_g_test",
 ]
 
 ROUND12_WINDOW: list[str] = [
-    # staging list for round-9 additions
+    # round-9 additions: classical-stats completion (overflow)
+    "wh_spearman_corr", "wh_kruskal_wallis", "wh_levene_test",
+    "wh_nelson_aalen",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

@@ -5518,3 +5518,787 @@ def wh_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+@q(
+    "wh_anova_oneway",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS pri,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), per_grp AS (
+            SELECT pri,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+                   CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_g
+            FROM base GROUP BY pri
+        ), quant AS (
+            SELECT pri, n_g, s_g, ss_g,
+                   CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                              / CAST(n_g AS DOUBLE) + 0.5) AS DECIMAL(38,0)) AS q_g
+            FROM per_grp
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(ss_g) AS DECIMAL(38,0)) AS ssq,
+                   CAST(SUM(q_g) AS DECIMAL(38,0)) AS a
+            FROM quant
+        ), parts AS (
+            SELECT k, n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS grand_mean,
+                   CAST(a AS DOUBLE)
+                     - FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) + 0.5) AS ssb,
+                   CAST(ssq AS DOUBLE) - CAST(a AS DOUBLE) AS ssw
+            FROM tot
+        )
+        SELECT CAST(k AS INT) AS n_groups, n,
+               FLOOR(grand_mean * 10000.0 + 0.5) / 10000.0 AS grand_mean_cents,
+               FLOOR((ssb / CAST(k - 1 AS DOUBLE))
+                     / (ssw / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS f_stat,
+               FLOOR(ssb / (ssb + ssw) * 100000000.0 + 0.5) / 100000000.0 AS eta_sq
+        FROM parts
+    """,
+)
+def wh_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five order priorities —
+    the k-group generalization of wh_welch_ttest (F = between-group /
+    within-group mean square) plus eta-squared effect size. Shape: ONE
+    hash aggregate to per-group exact integer moments (n, Σx, Σx² in
+    DECIMAL(38,0) — order-free at any scale), then each group's
+    s_g²/n_g is floor-quantized to an integer via quantize_big (Spark's
+    floor() would overflow LONG at 100 TB magnitudes, so the floor stays
+    in double arithmetic) so the CROSS-GROUP sum Σ s_g²/n_g is again an
+    exact decimal sum — the chi2_micro discipline applied to ANOVA's
+    between-group sum of squares. The final five-row→one-row reduction
+    is O(k); no second pass over the fact."""
+    from bigdatacw1_spark.operators.relational import quantize_big
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(F.col("o_orderpriority").alias("pri"), cents.alias("cents"))
+    per_grp = base.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_g"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss_g"),
+    )
+    quant = per_grp.withColumn(
+        "q_g",
+        quantize_big(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        ),
+    )
+    glob = quant.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ssq"),
+        F.sum("q_g").cast("decimal(38,0)").alias("a"),
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    gsq = F.col("t_gsq")
+    parts = glob.withColumn(
+        "t_gsq",
+        # floor(S²/N + 0.5) without LONG overflow: same double-floor trick
+        (sd * sd / nd + F.lit(0.5)) - (sd * sd / nd + F.lit(0.5)) % F.lit(1.0),
+    ).select(
+        "k",
+        "n",
+        (sd / nd).alias("grand_mean"),
+        (F.col("a").cast("double") - gsq).alias("ssb"),
+        (F.col("ssq").cast("double") - F.col("a").cast("double")).alias("ssw"),
+    )
+    ssb, ssw = F.col("ssb"), F.col("ssw")
+    return parts.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("n").alias("n"),
+        stable_round(F.col("grand_mean"), 4).alias("grand_mean_cents"),
+        stable_round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+        stable_round(ssb / (ssb + ssw), 8).alias("eta_sq"),
+    )
+
+
+@q(
+    "wh_effect_sizes",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderstatus AS status,
+                   CAST(o_custkey % 2 AS BIGINT) AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), sums AS (
+            SELECT status,
+                   CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN grp = 0 THEN CAST(cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS s1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN CAST(cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS s2,
+                   CAST(SUM(CASE WHEN grp = 0 THEN CAST(cents * cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss1,
+                   CAST(SUM(CASE WHEN grp = 1 THEN CAST(cents * cents AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss2
+            FROM base GROUP BY status
+        ), stats AS (
+            SELECT status, n1, n2,
+                   s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) AS diff,
+                   (ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                   (ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+            FROM sums
+        ), eff AS (
+            SELECT status, n1, n2, diff, v2,
+                   diff / SQRT((CAST(n1 - 1 AS DOUBLE) * v1
+                                + CAST(n2 - 1 AS DOUBLE) * v2)
+                               / CAST(n1 + n2 - 2 AS DOUBLE)) AS d
+            FROM stats
+        )
+        SELECT status, n1 AS n_even, n2 AS n_odd,
+               FLOOR(d * 1000000.0 + 0.5) / 1000000.0 AS cohens_d,
+               FLOOR(d * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS hedges_g,
+               FLOOR(diff / SQRT(v2) * 1000000.0 + 0.5) / 1000000.0 AS glass_delta
+        FROM eff ORDER BY status
+    """,
+)
+def wh_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the two-arm experiment wh_welch_ttest
+    tests: Cohen's d (mean difference over pooled SD), Hedges' g (the
+    small-sample bias correction 1 − 3/(4N−9) every meta-analysis
+    applies), and Glass's Δ (control-arm SD only — the right choice when
+    treatment changes the variance). Statistical significance without
+    magnitude is how dashboards mislead; these are the magnitude. Same
+    single-aggregate exact-moment shape as wh_welch_ttest: one hash
+    aggregate of count/Σx/Σx² per (status, arm) in DECIMAL(38,0), then
+    O(groups) closed-form arithmetic — identical expression trees in
+    both engines."""
+    o = _t(spark, sf_dir, "orders")
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_custkey") % 2).cast("long").alias("grp"),
+        cents.alias("cents"),
+    )
+    c = F.col("cents")
+    sums = base.groupBy("status").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 0, c.cast("decimal(38,0)")).otherwise(dec0))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, c.cast("decimal(38,0)")).otherwise(dec0))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.when(F.col("grp") == 0, (c * c).cast("decimal(38,0)")).otherwise(dec0))
+        .cast("double")
+        .alias("ss1"),
+        F.sum(F.when(F.col("grp") == 1, (c * c).cast("decimal(38,0)")).otherwise(dec0))
+        .cast("double")
+        .alias("ss2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    stats = sums.select(
+        "status",
+        "n1",
+        "n2",
+        (F.col("s1") / n1d - F.col("s2") / n2d).alias("diff"),
+        (
+            (F.col("ss1") - F.col("s1") * F.col("s1") / n1d)
+            / (F.col("n1") - 1).cast("double")
+        ).alias("v1"),
+        (
+            (F.col("ss2") - F.col("s2") * F.col("s2") / n2d)
+            / (F.col("n2") - 1).cast("double")
+        ).alias("v2"),
+    )
+    eff = stats.select(
+        "status",
+        "n1",
+        "n2",
+        "diff",
+        "v2",
+        (
+            F.col("diff")
+            / F.sqrt(
+                (
+                    (F.col("n1") - 1).cast("double") * F.col("v1")
+                    + (F.col("n2") - 1).cast("double") * F.col("v2")
+                )
+                / (F.col("n1") + F.col("n2") - 2).cast("double")
+            )
+        ).alias("d"),
+    )
+    return eff.select(
+        "status",
+        F.col("n1").alias("n_even"),
+        F.col("n2").alias("n_odd"),
+        stable_round(F.col("d"), 6).alias("cohens_d"),
+        stable_round(
+            F.col("d")
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2")).cast("double") - F.lit(9.0))
+            ),
+            6,
+        ).alias("hedges_g"),
+        stable_round(F.col("diff") / F.sqrt(F.col("v2")), 6).alias("glass_delta"),
+    ).orderBy("status")
+
+
+@q(
+    "wh_g_test",
+    oracle="""
+        WITH obs AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM orders GROUP BY pri, st
+        ), rowt AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY pri),
+        colt AS (SELECT st, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY st),
+        grand AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT obs.o, grand.n,
+                   CAST(rowt.r AS DOUBLE) * CAST(colt.c AS DOUBLE)
+                       / CAST(grand.n AS DOUBLE) AS e
+            FROM obs JOIN rowt USING (pri) JOIN colt USING (st), grand
+        ), agg AS (
+            SELECT CAST(SUM(CAST(FLOOR(CAST(o AS DOUBLE)
+                                       * LN(CAST(o AS DOUBLE) / e)
+                                       * 100000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS g_half_nano,
+                   MAX(n) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM cells
+        ), dims AS (
+            SELECT (SELECT COUNT(*) FROM rowt) AS nr,
+                   (SELECT COUNT(*) FROM colt) AS nc
+        )
+        SELECT agg.n, agg.n_cells,
+               CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+               FLOOR(2.0 * CAST(agg.g_half_nano AS DOUBLE) / 100000000.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS g_stat,
+               FLOOR(CAST(agg.g_half_nano AS DOUBLE) / 100000000.0
+                     / CAST(agg.n AS DOUBLE) * 100000000.0 + 0.5)
+                   / 100000000.0 AS mi_nats
+        FROM agg, dims
+    """,
+)
+def wh_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio) of independence for the order
+    priority × status contingency table — the information-theoretic
+    sibling of wh_chi_square (G = 2·Σ O·ln(O/E) is additive across
+    table partitions, which Pearson's χ² is not), plus the empirical
+    mutual information in nats (MI = G/2N — the feature-relevance
+    number a selection pipeline actually wants; zero cells contribute
+    zero by the O·ln(O) → 0 limit and only observed cells are summed).
+    Shape: one count aggregate over k×m cells, broadcast-joined
+    marginals, and each cell's O·ln(O/E) floor-quantized to an exact
+    integer before the order-free cross-cell SUM — the chi2_micro
+    discipline, so both engines hash identically despite the
+    transcendental."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowt = obs.groupBy("pri").agg(F.sum("o").cast("long").alias("r"))
+    colt = obs.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
+    grand = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rowt), "pri")
+        .join(F.broadcast(colt), "st")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "o",
+            "n",
+            (
+                F.col("r").cast("double")
+                * F.col("c").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    od = F.col("o").cast("double")
+    agg = cells.agg(
+        F.sum(
+            F.floor(od * F.log(od / F.col("e")) * F.lit(100000000.0) + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("g_half_nano"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    dims = rowt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        colt.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    half = F.col("g_half_nano").cast("double") / F.lit(100000000.0)
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "n_cells",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        stable_round(F.lit(2.0) * half, 6).alias("g_stat"),
+        stable_round(half / F.col("n").cast("double"), 8).alias("mi_nats"),
+    )
+
+
+@q(
+    "wh_spearman_corr",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ), ranked AS (
+            SELECT flag,
+                   2 * RANK() OVER (PARTITION BY flag ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY flag, x) - 1 AS rx,
+                   2 * RANK() OVER (PARTITION BY flag ORDER BY y)
+                     + COUNT(*) OVER (PARTITION BY flag, y) - 1 AS ry
+            FROM base
+        ), moments AS (
+            SELECT flag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+            FROM ranked GROUP BY flag
+        )
+        SELECT flag, n,
+               FLOOR((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy))
+                     * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+        FROM moments ORDER BY flag
+    """,
+)
+def wh_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quantity and
+    extended price per return flag — the monotone-association measure
+    that survives outliers and nonlinearity where Pearson (a17) does
+    not. Average ranks for ties come scaled by 2 so they stay INTEGERS
+    (2·avg_rank = 2·RANK + tie_count − 1 — the wh_mann_whitney trick),
+    making every rank moment an exact DECIMAL(38,0) sum; rho is then
+    Pearson on the integer ranks with a single closed-form expression —
+    the scaling cancels. Windows are PARTITIONED by flag (never
+    partition-less), two window passes + one hash aggregate."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    wx = Window.partitionBy("flag").orderBy("x")
+    wxc = Window.partitionBy("flag", "x")
+    wy = Window.partitionBy("flag").orderBy("y")
+    wyc = Window.partitionBy("flag", "y")
+    ranked = base.select(
+        "flag",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxc) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyc) - 1).alias("ry"),
+    )
+    rx, ry = F.col("rx"), F.col("ry")
+    m = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(ry.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((rx * rx).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((ry * ry).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((rx * ry).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "flag",
+        "n",
+        stable_round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    ).orderBy("flag")
+
+
+@q(
+    "wh_kruskal_wallis",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   CAST(l_suppkey % 3 AS BIGINT) AS grp,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS x
+            FROM lineitem
+        ), ranked AS (
+            SELECT flag, grp,
+                   2 * RANK() OVER (PARTITION BY flag ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY flag, x) - 1 AS r2
+            FROM base
+        ), per_grp AS (
+            SELECT flag, grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2_g
+            FROM ranked GROUP BY flag, grp
+        ), quant AS (
+            SELECT flag, n_g,
+                   CAST(FLOOR(CAST(s2_g AS DOUBLE) * CAST(s2_g AS DOUBLE)
+                              / (4.0 * CAST(n_g AS DOUBLE)) + 0.5)
+                        AS DECIMAL(38,0)) AS q_g
+            FROM per_grp
+        ), per_flag AS (
+            SELECT flag,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(q_g) AS DECIMAL(38,0)) AS a
+            FROM quant GROUP BY flag
+        ), ties AS (
+            SELECT flag,
+                   CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS tsum
+            FROM (SELECT flag, x, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM base GROUP BY flag, x)
+            GROUP BY flag
+        ), stats AS (
+            SELECT f.flag, f.k, f.n,
+                   12.0 / (CAST(f.n AS DOUBLE) * CAST(f.n + 1 AS DOUBLE))
+                     * CAST(f.a AS DOUBLE)
+                     - 3.0 * CAST(f.n + 1 AS DOUBLE) AS h,
+                   1.0 - CAST(t.tsum AS DOUBLE)
+                     / (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE)
+                        * CAST(f.n AS DOUBLE) - CAST(f.n AS DOUBLE)) AS c
+            FROM per_flag f JOIN ties t ON f.flag = t.flag
+        )
+        SELECT flag, n, CAST(k - 1 AS BIGINT) AS dof,
+               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 AS h_stat,
+               FLOOR(c * 100000000.0 + 0.5) / 100000000.0 AS tie_correction,
+               FLOOR(h / c * 1000000.0 + 0.5) / 1000000.0 AS h_corrected
+        FROM stats ORDER BY flag
+    """,
+)
+def wh_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group rank ANOVA (the nonparametric
+    counterpart of wh_anova_oneway, extending wh_mann_whitney past two
+    groups), with the tie correction C = 1 − Σ(t³−t)/(N³−N) that the
+    heavily-tied integer quantities make material. Per return flag,
+    tests whether quantity distributions differ across three
+    supplier-hash groups. Doubled average ranks stay integers
+    (2·RANK + ties − 1), per-group rank sums are exact decimals, each
+    S_g²/n_g is floor-quantized via the double-floor (no LONG overflow
+    at scale) before the exact cross-group sum, and N³−N is computed in
+    double identically on both sides. Windows partition by flag; one
+    extra tiny aggregate for tie counts."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_suppkey") % 3).cast("long").alias("grp"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+    )
+    wr = Window.partitionBy("flag").orderBy("x")
+    wc = Window.partitionBy("flag", "x")
+    ranked = base.select(
+        "flag",
+        "grp",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wc) - 1).alias("r2"),
+    )
+    per_grp = ranked.groupBy("flag", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("r2").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2_g"),
+    )
+    s2d = F.col("s2_g").cast("double")
+    quant_expr = s2d * s2d / (F.lit(4.0) * F.col("n_g").cast("double")) + F.lit(0.5)
+    quant = per_grp.select(
+        "flag",
+        "n_g",
+        (quant_expr - quant_expr % F.lit(1.0)).cast("decimal(38,0)").alias("q_g"),
+    )
+    per_flag = quant.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("q_g").cast("decimal(38,0)").alias("a"),
+    )
+    t = F.col("t")
+    ties = (
+        base.groupBy("flag", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum((t * t * t - t).cast("decimal(38,0)")).cast("decimal(38,0)").alias("tsum"))
+    )
+    nd = F.col("n").cast("double")
+    n1d = (F.col("n") + 1).cast("double")
+    stats = per_flag.join(ties, "flag").select(
+        "flag",
+        "k",
+        "n",
+        (F.lit(12.0) / (nd * n1d) * F.col("a").cast("double") - F.lit(3.0) * n1d).alias("h"),
+        (F.lit(1.0) - F.col("tsum").cast("double") / (nd * nd * nd - nd)).alias("c"),
+    )
+    return stats.select(
+        "flag",
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        stable_round(F.col("h"), 6).alias("h_stat"),
+        stable_round(F.col("c"), 8).alias("tie_correction"),
+        stable_round(F.col("h") / F.col("c"), 6).alias("h_corrected"),
+    ).orderBy("flag")
+
+
+@q(
+    "wh_levene_test",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderstatus AS status, o_orderpriority AS pri,
+                   o_orderkey AS okey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), pos AS (
+            SELECT status, pri, cents,
+                   ROW_NUMBER() OVER (PARTITION BY status, pri
+                                      ORDER BY cents, okey) AS rn,
+                   COUNT(*) OVER (PARTITION BY status, pri) AS n_g
+            FROM base
+        ), med AS (
+            SELECT status, pri,
+                   CAST(SUM(CASE WHEN rn = (n_g + 1) // 2 THEN cents ELSE 0 END)
+                        + SUM(CASE WHEN rn = (n_g + 2) // 2 THEN cents ELSE 0 END)
+                        AS BIGINT) AS m2
+            FROM pos GROUP BY status, pri
+        ), z AS (
+            SELECT b.status, b.pri, ABS(2 * b.cents - m.m2) AS z
+            FROM base b JOIN med m ON b.status = m.status AND b.pri = m.pri
+        ), per_grp AS (
+            SELECT status, pri,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+                   CAST(SUM(CAST(z * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_g
+            FROM z GROUP BY status, pri
+        ), quant AS (
+            SELECT status, n_g, s_g, ss_g,
+                   CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                              / CAST(n_g AS DOUBLE) + 0.5) AS DECIMAL(38,0)) AS q_g
+            FROM per_grp
+        ), per_status AS (
+            SELECT status,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(ss_g) AS DECIMAL(38,0)) AS ssq,
+                   CAST(SUM(q_g) AS DECIMAL(38,0)) AS a
+            FROM quant GROUP BY status
+        ), parts AS (
+            SELECT status, k, n,
+                   CAST(a AS DOUBLE)
+                     - FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) + 0.5) AS ssb,
+                   CAST(ssq AS DOUBLE) - CAST(a AS DOUBLE) AS ssw
+            FROM per_status
+        )
+        SELECT status, n,
+               CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+               FLOOR((ssb / CAST(k - 1 AS DOUBLE))
+                     / (ssw / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS w_stat
+        FROM parts ORDER BY status
+    """,
+)
+def wh_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test in the Brown-Forsythe form (deviations from the
+    group MEDIAN — the robust variant recommended for skewed data):
+    within each order status, tests whether order-value spread is
+    homogeneous across the five priorities — the assumption check for
+    wh_anova_oneway, and a detector of variance-changing treatments
+    that mean tests miss entirely. The group median of integer cents is
+    kept EXACT by doubling (m2 = lower + upper middle order statistic,
+    so z = |2x − m2| stays an integer and every moment is an exact
+    decimal sum); the W statistic is then the one-way ANOVA F on z via
+    the same quantize_big cross-group discipline. One partitioned
+    ROW_NUMBER window, a tiny median table broadcast back, one hash
+    aggregate — no partition-less windows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wp = Window.partitionBy("status", "pri")
+    pos = base.select(
+        "status",
+        "pri",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "okey")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_g"),
+    )
+    lo = F.floor((F.col("n_g") + 1) / 2)
+    hi = F.floor((F.col("n_g") + 2) / 2)
+    med = pos.groupBy("status", "pri").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("cents")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("cents")).otherwise(0))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    z = base.join(F.broadcast(med), ["status", "pri"]).select(
+        "status", "pri", F.abs(2 * F.col("cents") - F.col("m2")).alias("z")
+    )
+    zc = F.col("z")
+    per_grp = z.groupBy("status", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(zc.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_g"),
+        F.sum((zc * zc).cast("decimal(38,0)")).cast("decimal(38,0)").alias("ss_g"),
+    )
+    from bigdatacw1_spark.operators.relational import quantize_big
+
+    quant = per_grp.select(
+        "status",
+        "n_g",
+        "s_g",
+        "ss_g",
+        quantize_big(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("q_g"),
+    )
+    per_status = quant.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ssq"),
+        F.sum("q_g").cast("decimal(38,0)").alias("a"),
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    gsq_expr = sd * sd / nd + F.lit(0.5)
+    parts = per_status.select(
+        "status",
+        "k",
+        "n",
+        (F.col("a").cast("double") - (gsq_expr - gsq_expr % F.lit(1.0))).alias("ssb"),
+        (F.col("ssq").cast("double") - F.col("a").cast("double")).alias("ssw"),
+    )
+    return parts.select(
+        "status",
+        "n",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        stable_round(
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("w_stat"),
+    ).orderBy("status")
+
+
+@q(
+    "wh_nelson_aalen",
+    oracle="""
+        WITH life AS (
+            SELECT user_id, event_type,
+                   DATE_DIFF('day', MIN(DATE_TRUNC('day', ts)),
+                             MAX(DATE_TRUNC('day', ts))) AS dur,
+                   (MAX(DATE_TRUNC('day', ts)) <
+                    (SELECT MAX(DATE_TRUNC('day', ts)) FROM events)
+                      - INTERVAL 2 DAY) AS churned
+            FROM events GROUP BY user_id, event_type
+        ), by_t AS (
+            SELECT dur AS t,
+                   COUNT(*) AS ending,
+                   COUNT(*) FILTER (churned) AS d
+            FROM life GROUP BY dur
+        ), risk AS (
+            SELECT t, d,
+                   SUM(ending) OVER (ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n
+            FROM by_t
+        ), na AS (
+            SELECT t, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n,
+                   SUM(CAST(d AS DOUBLE) / n)
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS h,
+                   SUM(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v
+            FROM risk
+        )
+        SELECT CAST(t AS INT) AS t, d, n,
+               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard,
+               FLOOR(EXP(-h) * 10000.0 + 0.5) / 10000.0 AS survival_fleming,
+               FLOOR(SQRT(v) * 1000000.0 + 0.5) / 1000000.0 AS se_hazard
+        FROM na ORDER BY t
+    """,
+)
+def wh_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same censored
+    (user, activity-type) lifetimes as wh_survival_km: H(t) = Σ d_i/n_i
+    with variance Σ d_i/n_i² (Aalen), plus the Fleming-Harrington
+    survival exp(−H) — the estimator of choice when risk sets are small
+    (KM's product collapses to 0 at any d=n step; exp(−H) never does)
+    and the natural input to proportional-hazards modelling. Same
+    shape as KM: duration-bounded aggregation, reverse running sum for
+    risk sets, and FORWARD running sums over the ordered duration axis
+    as the sequential deterministic fold (the KM ln-sum discipline —
+    here the hazard sum needs no log transform at all). Reference
+    lifetimes construction: wh_survival_km (warehouse.py)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    life = ev.groupBy("user_id", "event_type").agg(
+        F.datediff(F.max(day), F.min(day)).alias("dur"),
+        F.max(day).alias("last_day"),
+    )
+    edge = ev.agg(F.max(day).alias("corpus_max"))
+    life = life.crossJoin(F.broadcast(edge)).select(
+        "dur",
+        (F.col("last_day") < F.col("corpus_max") - F.expr("INTERVAL 2 DAY")).alias(
+            "churned"
+        ),
+    )
+    by_t = life.groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).alias("ending"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.select("t", "d", F.sum("ending").over(w_desc).alias("n"))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = F.col("d").cast("double")
+    nd = F.col("n").cast("double")
+    na = risk.select(
+        "t",
+        F.col("d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        F.sum(dd / nd).over(w_asc).alias("h"),
+        F.sum(dd / (nd * nd)).over(w_asc).alias("v"),
+    )
+    return na.select(
+        F.col("t").cast("int").alias("t"),
+        "d",
+        "n",
+        stable_round(F.col("h"), 6).alias("cum_hazard"),
+        stable_round(F.exp(-F.col("h")), 4).alias("survival_fleming"),
+        stable_round(F.sqrt(F.col("v")), 6).alias("se_hazard"),
+    ).orderBy("t")

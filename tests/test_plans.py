@@ -401,6 +401,9 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         "ext_quality_eval": 1,
         # windows over distinct event DAYS (calendar-bounded)
         "wh_survival_km": 2,
+        # same lifetimes construction as wh_survival_km: reverse risk-set
+        # sum + forward hazard sums over distinct DAYS (calendar-bounded)
+        "wh_nelson_aalen": 2,
         # BH step-up over the hypothesis FAMILY — segment x priority
         # cells, <= 25 rows by vocabulary construction (the corpus-sized
         # pass is the upstream broadcast-join hash aggregate); rank, i*,
