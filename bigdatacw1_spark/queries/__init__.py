@@ -212,6 +212,10 @@ ROUND12_WINDOW: list[str] = [
     # round-9 additions: classical-stats completion (overflow)
     "wh_spearman_corr", "wh_kruskal_wallis", "wh_levene_test",
     "wh_nelson_aalen",
+    # round-9 additions: technical-analysis / sequential-drift series ops
+    "ev_bollinger_bands", "ev_stochastic_oscillator", "ev_gk_volatility",
+    "ev_sharpe_sortino", "ev_rolling_median", "ev_page_hinkley",
+    "ev_rsi_wilder", "ev_macd",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

@@ -3661,3 +3661,752 @@ def ev_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "ev_bollinger_bands",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), frames AS (
+            SELECT event_type, day, cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS s,
+                   CAST(SUM(cents * cents) OVER w AS BIGINT) AS ss
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ), bands AS (
+            SELECT event_type, day, cents, n_obs,
+                   CAST(s AS DOUBLE) / n_obs AS mid,
+                   SQRT((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / n_obs) / n_obs) AS sd
+            FROM frames WHERE n_obs = 7
+        )
+        SELECT event_type, CAST(day AS VARCHAR) AS day, cents,
+               FLOOR(mid * 100.0 + 0.5) / 100.0 AS mid,
+               FLOOR((mid - 2.0 * sd) * 100.0 + 0.5) / 100.0 AS lower,
+               FLOOR((mid + 2.0 * sd) * 100.0 + 0.5) / 100.0 AS upper,
+               CASE WHEN sd > 0.0
+                    THEN FLOOR((cents - (mid - 2.0 * sd)) / (4.0 * sd)
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS pct_b
+        FROM bands ORDER BY event_type, day
+    """,
+)
+def ev_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the per-type daily-revenue series: 7-day
+    rolling mean ± 2 population SDs plus %B (where today sits inside
+    the band, the mean-reversion signal) — the envelope chart every
+    monitoring and trading dashboard draws. The rolling frame sums
+    INTEGER cents and cents² (any accumulation order is exact, so
+    Spark's sliding re-scan and DuckDB's segment tree agree bitwise);
+    mean and SD are then identical closed forms per row. Windows
+    partition by event_type; warm-up rows (frame < 7 days) are dropped
+    so every band is a full-window statistic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    c = F.col("cents")
+    frames = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+        F.sum(c).over(w).cast("long").alias("s"),
+        F.sum(c * c).over(w).cast("long").alias("ss"),
+    ).where(F.col("n_obs") == 7)
+    nd = F.col("n_obs").cast("double")
+    sd_ = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nd) / nd
+    )
+    bands = frames.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.col("s").cast("double") / nd).alias("mid"),
+        sd_.alias("sd"),
+    )
+    mid, sd = F.col("mid"), F.col("sd")
+    return bands.select(
+        "event_type",
+        F.col("day").cast("date").cast("string").alias("day"),
+        "cents",
+        stable_round(mid, 2).alias("mid"),
+        stable_round(mid - 2 * sd, 2).alias("lower"),
+        stable_round(mid + 2 * sd, 2).alias("upper"),
+        F.when(
+            sd > 0.0,
+            stable_round((F.col("cents") - (mid - 2 * sd)) / (4 * sd), 6),
+        ).alias("pct_b"),
+    ).orderBy("event_type", "day")
+
+
+@q(
+    "ev_stochastic_oscillator",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), k AS (
+            SELECT event_type, day,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+                   cents - CAST(MIN(cents) OVER w AS BIGINT) AS num,
+                   CAST(MAX(cents) OVER w AS BIGINT)
+                     - CAST(MIN(cents) OVER w AS BIGINT) AS den
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ), kq AS (
+            SELECT event_type, day, n_obs,
+                   CAST(FLOOR(100.0 * CAST(num AS DOUBLE) / den * 1000000.0 + 0.5)
+                        AS BIGINT) AS k_micro
+            FROM k WHERE n_obs = 14 AND den > 0
+        ), d AS (
+            SELECT event_type, day, k_micro,
+                   CAST(COUNT(*) OVER w3 AS BIGINT) AS nd,
+                   CAST(SUM(k_micro) OVER w3 AS BIGINT) AS sd
+            FROM kq
+            WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+               CAST(k_micro AS DOUBLE) / 1000000.0 AS pct_k,
+               FLOOR(CAST(sd AS DOUBLE) / nd / 1000000.0 * 10000.0 + 0.5)
+                   / 10000.0 AS pct_d
+        FROM d WHERE nd = 3
+        ORDER BY event_type, day
+    """,
+)
+def ev_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over the per-type daily-revenue
+    series: %K = 100·(close − min14)/(max14 − min14) locates today in
+    the 14-day range; %D smooths %K over 3 periods (the crossover
+    signal). Rolling MIN/MAX over integer cents are order-free exact;
+    %K is quantized to integer MICRO-units before the 3-period mean so
+    the smoothing sums integers, not doubles — Spark's sliding re-scan
+    and DuckDB's segment-tree window accumulate doubles in different
+    orders, and the quantization makes that difference vanish instead
+    of surfacing at the rounding boundary. Partitioned windows only;
+    warm-up rows dropped."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    k = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+        (F.col("cents") - F.min("cents").over(w).cast("long")).alias("num"),
+        (F.max("cents").over(w).cast("long") - F.min("cents").over(w).cast("long")).alias(
+            "den"
+        ),
+    )
+    kq = k.where((F.col("n_obs") == 14) & (F.col("den") > 0)).select(
+        "event_type",
+        "day",
+        F.floor(
+            F.lit(100.0)
+            * F.col("num").cast("double")
+            / F.col("den").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("k_micro"),
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    d = kq.select(
+        "event_type",
+        "day",
+        "k_micro",
+        F.count(F.lit(1)).over(w3).cast("long").alias("nd"),
+        F.sum("k_micro").over(w3).cast("long").alias("sd"),
+    ).where(F.col("nd") == 3)
+    return d.select(
+        "event_type",
+        F.col("day").cast("date").cast("string").alias("day"),
+        (F.col("k_micro").cast("double") / F.lit(1000000.0)).alias("pct_k"),
+        stable_round(
+            F.col("sd").cast("double") / F.col("nd").cast("double") / F.lit(1000000.0),
+            4,
+        ).alias("pct_d"),
+    ).orderBy("event_type", "day")
+
+
+@q(
+    "ev_gk_volatility",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        ), ohlc AS (
+            SELECT event_type, day,
+                   CAST(SUM(CASE WHEN rn_a = 1 THEN cents ELSE 0 END) AS BIGINT) AS o,
+                   CAST(MAX(cents) AS BIGINT) AS h,
+                   CAST(MIN(cents) AS BIGINT) AS l,
+                   CAST(SUM(CASE WHEN rn_d = 1 THEN cents ELSE 0 END) AS BIGINT) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n_ticks
+            FROM ranked GROUP BY event_type, day
+        )
+        SELECT event_type, CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+               o, h, l, c, n_ticks,
+               FLOOR((0.5 * LN(CAST(h AS DOUBLE) / l) * LN(CAST(h AS DOUBLE) / l)
+                      - (2.0 * LN(2.0) - 1.0)
+                        * LN(CAST(c AS DOUBLE) / o) * LN(CAST(c AS DOUBLE) / o))
+                     * 100000000.0 + 0.5) / 100000000.0 AS gk_var,
+               FLOOR(LN(CAST(h AS DOUBLE) / l) * LN(CAST(h AS DOUBLE) / l)
+                     / (4.0 * LN(2.0)) * 100000000.0 + 0.5)
+                   / 100000000.0 AS parkinson_var
+        FROM ohlc
+        WHERE h > l
+        ORDER BY event_type, day
+    """,
+)
+def ev_gk_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass and Parkinson daily variance estimators from OHLC
+    bars — the range-based volatility measures that are 5-7× more
+    efficient than close-to-close variance because the intraday HIGH
+    and LOW carry information a single close discards. Open/close come
+    from deterministic first/last-tick selection ((ts, event_id)
+    tie-broken row_numbers — the ev_ohlc_bars construction), high/low
+    are exact integer extremes, and both estimators are per-row closed
+    forms over one day's integers — NO cross-row double sums anywhere,
+    so the transcendentals round identically. One partitioned window
+    pass + one hash aggregate, day-partitioned and trivially parallel
+    at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    wp = Window.partitionBy("event_type", "day")
+    ranked = ev.select(
+        "event_type",
+        "day",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wp.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    ohlc = ranked.groupBy("event_type", "day").agg(
+        F.sum(F.when(F.col("rn_a") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("o"),
+        F.max("cents").cast("long").alias("h"),
+        F.min("cents").cast("long").alias("l"),
+        F.sum(F.when(F.col("rn_d") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )
+    ln_hl = F.log(F.col("h").cast("double") / F.col("l").cast("double"))
+    ln_co = F.log(F.col("c").cast("double") / F.col("o").cast("double"))
+    ln2 = F.log(F.lit(2.0))
+    return (
+        ohlc.where(F.col("h") > F.col("l"))
+        .select(
+            "event_type",
+            F.col("day").cast("date").cast("string").alias("day"),
+            "o",
+            "h",
+            "l",
+            "c",
+            "n_ticks",
+            stable_round(
+                F.lit(0.5) * ln_hl * ln_hl - (F.lit(2.0) * ln2 - 1) * ln_co * ln_co, 8
+            ).alias("gk_var"),
+            stable_round(ln_hl * ln_hl / (F.lit(4.0) * ln2), 8).alias("parkinson_var"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@q(
+    "ev_sharpe_sortino",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), rets AS (
+            SELECT event_type,
+                   CAST(FLOOR((CAST(cents AS DOUBLE)
+                               / LAG(cents) OVER (PARTITION BY event_type
+                                                  ORDER BY day) - 1.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+            FROM daily
+            QUALIFY LAG(cents) OVER (PARTITION BY event_type ORDER BY day)
+                    IS NOT NULL
+        ), m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(r_micro AS DECIMAL(38,0))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(r_micro * r_micro AS DECIMAL(38,0))) AS DOUBLE) AS ss,
+                   CAST(SUM(CASE WHEN r_micro < 0
+                                 THEN CAST(r_micro * r_micro AS DECIMAL(38,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS ssd
+            FROM rets GROUP BY event_type
+        )
+        SELECT event_type, n,
+               FLOOR(s / n / 1000000.0 * 100000000.0 + 0.5)
+                   / 100000000.0 AS mean_return,
+               FLOOR((s / n) / SQRT((ss - s * s / n) / (n - 1)) * SQRT(252.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS sharpe_annual,
+               FLOOR((s / n) / SQRT(ssd / n) * SQRT(252.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS sortino_annual
+        FROM m ORDER BY event_type
+    """,
+)
+def ev_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios over per-type daily-revenue
+    returns (rf = 0): Sharpe divides mean return by the full SD; Sortino
+    divides by DOWNSIDE deviation only (√(Σ min(r,0)²/n)) — the number
+    that stops penalizing upside volatility, which is why allocation
+    committees quote it. Simple returns from a partitioned LAG are
+    floor-quantized to integer MICRO-units at birth, so every moment
+    (Σr, Σr², downside Σr²) is an exact DECIMAL(38,0) sum — order-free
+    at any scale — and the ratios are closed forms over exact integers.
+    One partitioned lag window + one hash aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        daily.withColumn("prev", F.lag("cents").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.floor(
+                (F.col("cents").cast("double") / F.col("prev").cast("double") - 1.0)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )
+    r = F.col("r_micro")
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    m = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(r.cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((r * r).cast("decimal(38,0)")).cast("double").alias("ss"),
+        F.sum(F.when(r < 0, (r * r).cast("decimal(38,0)")).otherwise(dec0))
+        .cast("double")
+        .alias("ssd"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s") / nd
+    return m.select(
+        "event_type",
+        "n",
+        stable_round(mean / F.lit(1000000.0), 8).alias("mean_return"),
+        stable_round(
+            mean
+            / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / nd) / (nd - 1))
+            * F.sqrt(F.lit(252.0)),
+            6,
+        ).alias("sharpe_annual"),
+        stable_round(
+            mean / F.sqrt(F.col("ssd") / nd) * F.sqrt(F.lit(252.0)), 6
+        ).alias("sortino_annual"),
+    ).orderBy("event_type")
+
+
+@q(
+    "ev_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), framed AS (
+            SELECT event_type, day, cents,
+                   LIST(cents) OVER w AS frame,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_obs
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ), med AS (
+            SELECT event_type, day, cents, n_obs,
+                   LIST_SORT(frame) AS s
+            FROM framed WHERE n_obs = 7
+        )
+        SELECT event_type, CAST(CAST(day AS DATE) AS VARCHAR) AS day, cents,
+               CAST(s[4] AS BIGINT) AS rolling_median_cents,
+               CAST(cents - s[4] AS BIGINT) AS residual_cents
+        FROM med ORDER BY event_type, day
+    """,
+)
+def ev_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of the per-type daily-revenue series — the
+    robust smoother that a single spike day cannot drag (unlike the
+    rolling mean in ev_bollinger_bands; pair the two and the residual
+    column is a spike detector, the ev_hampel_filter idea at window
+    scale). No native rolling-median exists in either engine, so both
+    sides collect the 7-row frame, sort it, and index the middle —
+    integer cents, odd window, so the median is exact with no ties
+    ambiguity. The frame is constant-size (7), so the per-row
+    collect+sort is O(1) and the operator scales linearly; windows
+    partition by event_type."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.collect_list("cents").over(w).alias("frame"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+    ).where(F.col("n_obs") == 7)
+    med = framed.select(
+        "event_type", "day", "cents", F.sort_array(F.col("frame")).alias("s")
+    )
+    m = F.element_at(F.col("s"), 4)
+    return med.select(
+        "event_type",
+        F.col("day").cast("date").cast("string").alias("day"),
+        "cents",
+        m.cast("long").alias("rolling_median_cents"),
+        (F.col("cents") - m).cast("long").alias("residual_cents"),
+    ).orderBy("event_type", "day")
+
+
+@q(
+    "ev_page_hinkley",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), running AS (
+            SELECT event_type, day, cents,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS s,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS i
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), terms AS (
+            SELECT event_type, day, cents, i,
+                   (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / i) / 100.0 AS term
+            FROM running
+        ), cum1 AS (
+            SELECT event_type, day, cents,
+                   SUM(term) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS m_t
+            FROM terms
+        ), cum AS (
+            SELECT event_type, day, cents, m_t,
+                   MIN(m_t) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS m_min
+            FROM cum1
+        )
+        SELECT event_type, CAST(CAST(day AS DATE) AS VARCHAR) AS day, cents,
+               FLOOR((m_t - m_min) * 10000.0 + 0.5) / 10000.0 AS ph_stat,
+               (m_t - m_min) > 5000.0 AS alarm
+        FROM cum ORDER BY event_type, day
+    """,
+)
+def ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector over the per-type daily-revenue
+    series (δ=0, λ=5000 dollars): m_t accumulates deviations from the
+    EXPANDING mean, and the alarm statistic is m_t minus its running
+    minimum — the sequential changepoint test that fires on sustained
+    drift where a z-score (ev_anomaly_zscore) only sees single spikes,
+    and the streaming-friendly sibling of the offline ev_cusum entry.
+    The expanding mean divides an exact integer running sum; the
+    deviation cumsum is a forward sequential fold over the ordered day
+    axis (the wh_survival_km running-sum discipline) and the running
+    MIN is order-exact. Partitioned windows only, one pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("i"),
+    )
+    terms = running.select(
+        "event_type",
+        "day",
+        "cents",
+        (
+            (F.col("cents").cast("double") - F.col("s").cast("double") / F.col("i"))
+            / F.lit(100.0)
+        ).alias("term"),
+    )
+    cum = terms.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("term").over(w).alias("m_t"),
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        "m_t",
+        F.min("m_t").over(w).alias("m_min"),
+    )
+    ph = F.col("m_t") - F.col("m_min")
+    return cum.select(
+        "event_type",
+        F.col("day").cast("date").cast("string").alias("day"),
+        "cents",
+        stable_round(ph, 4).alias("ph_stat"),
+        (ph > 5000.0).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+@q(
+    "ev_rsi_wilder",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), diffs AS (
+            SELECT event_type, day,
+                   cents - LAG(cents) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS d
+            FROM daily
+            QUALIFY d IS NOT NULL
+        ), folded AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_changes,
+                   LIST_REDUCE(LIST(CAST(GREATEST(d, 0) AS DOUBLE) ORDER BY day),
+                               (acc, x) -> acc * (13.0/14.0) + x * (1.0/14.0))
+                       AS avg_gain,
+                   LIST_REDUCE(LIST(CAST(GREATEST(-d, 0) AS DOUBLE) ORDER BY day),
+                               (acc, x) -> acc * (13.0/14.0) + x * (1.0/14.0))
+                       AS avg_loss
+            FROM diffs GROUP BY event_type
+        )
+        SELECT event_type, n_changes,
+               FLOOR(avg_gain * 10000.0 + 0.5) / 10000.0 AS avg_gain,
+               FLOOR(avg_loss * 10000.0 + 0.5) / 10000.0 AS avg_loss,
+               CASE WHEN avg_loss = 0.0 THEN 100.0
+                    ELSE FLOOR((100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+                               * 10000.0 + 0.5) / 10000.0
+               END AS rsi
+        FROM folded ORDER BY event_type
+    """,
+)
+def ev_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's RSI over the per-type daily-revenue series: gains and
+    losses from day-over-day integer deltas, each smoothed by the
+    Wilder recursion s_t = s_{t−1}·13/14 + x_t/14 (an EWMA with
+    α = 1/14), RSI = 100 − 100/(1 + avg_gain/avg_loss) — the
+    overbought/oversold oscillator, seeded with the first change (the
+    ev_ewma seeding contract; the classic SMA-of-14 seed is a
+    different warm-up, same recursion). Both engines run the identical
+    LEFT FOLD in ascending day order (F.aggregate ↔ LIST_REDUCE — the
+    ev_ewma discipline), and the folded state is bounded by the
+    calendar, not the corpus: the fact-sized pass is the upstream
+    daily hash aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = (
+        daily.withColumn("d", F.col("cents") - F.lag("cents").over(w))
+        .where(F.col("d").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.greatest(F.col("d"), F.lit(0)).cast("double").alias("g"),
+            F.greatest(-F.col("d"), F.lit(0)).cast("double").alias("l"),
+        )
+    )
+    agg = diffs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("g").alias("v")))
+        ).alias("gs"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("l").alias("v")))
+        ).alias("ls"),
+    )
+
+    def wilder(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1)["v"],
+            lambda acc, o: acc * F.lit(13.0 / 14.0) + o["v"] * F.lit(1.0 / 14.0),
+        )
+
+    folded = agg.select(
+        "event_type",
+        "n_changes",
+        wilder(F.col("gs")).alias("avg_gain"),
+        wilder(F.col("ls")).alias("avg_loss"),
+    )
+    ag, al = F.col("avg_gain"), F.col("avg_loss")
+    return folded.select(
+        "event_type",
+        "n_changes",
+        stable_round(ag, 4).alias("avg_gain"),
+        stable_round(al, 4).alias("avg_loss"),
+        F.when(al == 0.0, F.lit(100.0))
+        .otherwise(stable_round(F.lit(100.0) - F.lit(100.0) / (1.0 + ag / al), 4))
+        .alias("rsi"),
+    ).orderBy("event_type")
+
+
+@q(
+    "ev_macd",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   LIST(CAST(cents AS DOUBLE) ORDER BY day) AS closes
+            FROM daily GROUP BY event_type
+        ), macd_arr AS (
+            SELECT event_type, n_days,
+                   LIST_TRANSFORM(
+                       GENERATE_SERIES(CAST(n_days AS INT) - 8,
+                                       CAST(n_days AS INT)),
+                       k ->
+                         LIST_REDUCE(closes[1:k],
+                             (acc, x) -> acc * (11.0/13.0) + x * (2.0/13.0))
+                       - LIST_REDUCE(closes[1:k],
+                             (acc, x) -> acc * (25.0/27.0) + x * (2.0/27.0))
+                   ) AS m
+            FROM series WHERE n_days >= 27
+        ), sig AS (
+            SELECT event_type, n_days, m,
+                   LIST_REDUCE(m, (acc, x) -> acc * (8.0/10.0) + x * (2.0/10.0))
+                       AS signal
+            FROM macd_arr
+        )
+        SELECT event_type, n_days,
+               FLOOR(m[9] * 10000.0 + 0.5) / 10000.0 AS macd,
+               FLOOR(signal * 10000.0 + 0.5) / 10000.0 AS signal,
+               FLOOR((m[9] - signal) * 10000.0 + 0.5) / 10000.0 AS histogram
+        FROM sig ORDER BY event_type
+    """,
+)
+def ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) over the per-type daily-revenue series: the moving
+    average convergence/divergence line (EMA12 − EMA26), its 9-period
+    signal EMA, and the histogram whose sign flip is the classic
+    momentum crossover. The signal EMA needs the LAST NINE values of
+    the MACD line, each of which is a fold over a different prefix of
+    the close series — so this is a NESTED Catalyst HOF: an outer
+    transform over prefix lengths k with two inner left folds per k
+    (the ext_rouge_l_pairs nesting pattern; DuckDB mirrors with
+    LIST_TRANSFORM over GENERATE_SERIES + LIST_REDUCE on list slices).
+    The arrays are calendar-bounded (daily closes), EMAs seed with the
+    first close (ev_ewma contract), O(9·n) work per key, zero Python.
+    Smoothing factors 2/(n+1) per the standard definition."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("day"), F.col("cents").cast("double").alias("v"))
+                )
+            ),
+            lambda o: o["v"],
+        ).alias("closes"),
+    ).where(F.col("n_days") >= 27)
+
+    def ema_prefix(arr, k, keep, alpha):
+        pre = F.slice(arr, 1, k)
+        return F.aggregate(
+            F.slice(pre, 2, k - 1),
+            F.element_at(pre, 1),
+            lambda acc, x: acc * F.lit(keep) + x * F.lit(alpha),
+        )
+
+    closes = F.col("closes")
+    n_int = F.col("n_days").cast("int")
+    macd_arr = series.select(
+        "event_type",
+        "n_days",
+        F.transform(
+            F.sequence(n_int - 8, n_int),
+            lambda k: ema_prefix(closes, k, 11.0 / 13.0, 2.0 / 13.0)
+            - ema_prefix(closes, k, 25.0 / 27.0, 2.0 / 27.0),
+        ).alias("m"),
+    )
+    sig = macd_arr.select(
+        "event_type",
+        "n_days",
+        "m",
+        F.aggregate(
+            F.slice(F.col("m"), 2, 8),
+            F.element_at(F.col("m"), 1),
+            lambda acc, x: acc * F.lit(8.0 / 10.0) + x * F.lit(2.0 / 10.0),
+        ).alias("signal"),
+    )
+    last = F.element_at(F.col("m"), 9)
+    return sig.select(
+        "event_type",
+        "n_days",
+        stable_round(last, 4).alias("macd"),
+        stable_round(F.col("signal"), 4).alias("signal"),
+        stable_round(last - F.col("signal"), 4).alias("histogram"),
+    ).orderBy("event_type")
