@@ -216,6 +216,12 @@ ROUND12_WINDOW: list[str] = [
     "ev_bollinger_bands", "ev_stochastic_oscillator", "ev_gk_volatility",
     "ev_sharpe_sortino", "ev_rolling_median", "ev_page_hinkley",
     "ev_rsi_wilder", "ev_macd",
+    # round-9 additions: lakehouse merge-on-read
+    "wh_deletion_vector_scan",
+    # round-9 additions: corpus text analytics + eval metrics
+    "ext_distinct_n", "ext_boilerplate_lines", "ext_unicode_scripts",
+    "ext_chi2_terms", "ext_log_odds_terms", "ext_fleiss_kappa",
+    "ext_watermark_zscore", "ext_err_metric", "ext_chrf_pairs",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

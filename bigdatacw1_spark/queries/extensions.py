@@ -12399,3 +12399,897 @@ def ext_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("domain_key"))
         .alias("domain_docs"),
     ).orderBy("doc_id")
+
+
+@q(
+    "ext_distinct_n",
+    oracle="""
+        WITH tk AS (
+            SELECT lang,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                               w -> w <> '') AS toks
+            FROM documents
+        ), uni AS (
+            SELECT lang, UNNEST(toks) AS g FROM tk
+        ), bi AS (
+            SELECT lang, UNNEST(
+                CASE WHEN LEN(toks) >= 2
+                     THEN LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])
+                     ELSE [] END) AS g
+            FROM tk
+        ), u AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+            FROM uni GROUP BY lang
+        ), b AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+            FROM bi GROUP BY lang
+        )
+        SELECT u.lang, n1, d1, n2, d2,
+               FLOOR(CAST(d1 AS DOUBLE) / n1 * 1000000.0 + 0.5)
+                   / 1000000.0 AS distinct_1,
+               FLOOR(CAST(d2 AS DOUBLE) / n2 * 1000000.0 + 0.5)
+                   / 1000000.0 AS distinct_2
+        FROM u JOIN b ON u.lang = b.lang
+        ORDER BY u.lang
+    """,
+)
+def ext_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 corpus diversity (Li et al. 2016, the
+    standard mode-collapse detector for generated corpora): unique
+    unigrams and bigrams over their totals, per language slice. A
+    synthetic or over-deduplicated corpus shows the drop here before
+    any eval does. Shape: tokenize once, explode to (lang, gram), ONE
+    hash aggregate per order with a distinct count — both map-side
+    combinable and shuffle-partitioned by lang; ratios divide exact
+    integers. Distinct counts are EXACT (groupBy-distinct, not a
+    sketch — ext_sketch_ndv is the approximate path when the gram
+    space outgrows memory)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("lang", tokens(F.col("text")).alias("toks"))
+    uni = tk.select("lang", F.explode("toks").alias("g"))
+    bi = tk.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    u = uni.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.count_distinct("g").cast("long").alias("d1"),
+    )
+    b = bi.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.count_distinct("g").cast("long").alias("d2"),
+    )
+    return (
+        u.join(b, "lang")
+        .select(
+            "lang",
+            "n1",
+            "d1",
+            "n2",
+            "d2",
+            stable_round(F.col("d1").cast("double") / F.col("n1").cast("double"), 6).alias(
+                "distinct_1"
+            ),
+            stable_round(F.col("d2").cast("double") / F.col("n2").cast("double"), 6).alias(
+                "distinct_2"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "ext_boilerplate_lines",
+    oracle="""
+        WITH sent AS (
+            SELECT source, doc_id, TRIM(s) AS s
+            FROM (SELECT source, doc_id,
+                         UNNEST(STRING_SPLIT(text, '.')) AS s
+                  FROM documents)
+            WHERE TRIM(s) <> ''
+        ), freq AS (
+            SELECT source, s,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM sent GROUP BY source, s
+        ), flagged AS (
+            SELECT sent.source, sent.doc_id, sent.s, freq.df >= 5 AS boiler
+            FROM sent JOIN freq ON sent.source = freq.source AND sent.s = freq.s
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sentences,
+               CAST(COUNT(*) FILTER (boiler) AS BIGINT) AS n_boilerplate,
+               CAST(SUM(CASE WHEN boiler THEN LENGTH(s) ELSE 0 END) AS BIGINT)
+                   AS chars_removed,
+               FLOOR(CAST(COUNT(*) FILTER (boiler) AS DOUBLE) / COUNT(*)
+                     * 1000000.0 + 0.5) / 1000000.0 AS boilerplate_ratio
+        FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def ext_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate detection (the CCNet/C4 idea at the
+    source level): a sentence occurring in ≥5 DISTINCT documents of the
+    same source is boilerplate — navigation chrome, cookie banners,
+    legal footers — and the removal stats (share of sentences, chars
+    dropped) say how much of each source is template rather than
+    content. Distinct from ext_line_dedup (which dedups globally kept
+    lines): this measures per-SOURCE template mass with a document-
+    frequency threshold. Shape: split → explode → (source, sentence)
+    hash aggregate with exact distinct doc counts → semi-sized
+    frequency table joined back on the same key (co-partitioned, no
+    second shuffle of the corpus) → per-source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    sent = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\.")).alias("s0"),
+    ).select("source", "doc_id", F.trim(F.col("s0")).alias("s")).where(F.col("s") != "")
+    freq = sent.groupBy("source", "s").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    flagged = sent.join(freq, ["source", "s"]).withColumn(
+        "boiler", F.col("df") >= 5
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+            F.sum(F.when(F.col("boiler"), F.length("s")).otherwise(0))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .select(
+            "source",
+            "n_sentences",
+            "n_boilerplate",
+            "chars_removed",
+            stable_round(
+                F.col("n_boilerplate").cast("double")
+                / F.col("n_sentences").cast("double"),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "ext_unicode_scripts",
+    oracle="""
+        WITH counts AS (
+            SELECT source,
+                   CAST(LENGTH(text) AS BIGINT) AS total,
+                   CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
+                        AS BIGINT) AS latin,
+                   CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS digit,
+                   CAST(LENGTH(REGEXP_REPLACE(text, '[^ ]', '', 'g'))
+                        AS BIGINT) AS space
+            FROM documents
+        )
+        SELECT source,
+               CAST(SUM(total) AS BIGINT) AS n_chars,
+               FLOOR(CAST(SUM(latin) AS DOUBLE) / SUM(total)
+                     * 1000000.0 + 0.5) / 1000000.0 AS latin_ratio,
+               FLOOR(CAST(SUM(digit) AS DOUBLE) / SUM(total)
+                     * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+               FLOOR(CAST(SUM(space) AS DOUBLE) / SUM(total)
+                     * 1000000.0 + 0.5) / 1000000.0 AS space_ratio,
+               FLOOR(CAST(SUM(total - latin - digit - space) AS DOUBLE)
+                     / SUM(total) * 1000000.0 + 0.5) / 1000000.0 AS other_ratio
+        FROM counts GROUP BY source ORDER BY source
+    """,
+)
+def ext_unicode_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source — the script/charset
+    profile a multilingual ingest pipeline checks before routing docs
+    to language-specific cleaning (a corpus whose 'English' source is
+    30% digits is a log dump, not prose; pair with ext_mojibake_fix
+    which repairs what this detects). Classes are counted by stripping
+    the complement with a regexp (identical POSIX-class semantics in
+    both engines) so each doc contributes exact integers; per-source
+    ratios divide exact sums. One narrow projection + one hash
+    aggregate — the scan reads only (source, text)."""
+    docs = _t(spark, sf_dir, "documents")
+    strip = lambda pat: F.length(F.regexp_replace(F.col("text"), pat, ""))  # noqa: E731
+    counts = docs.select(
+        "source",
+        F.length("text").cast("long").alias("total"),
+        strip("[^a-zA-Z]").cast("long").alias("latin"),
+        strip("[^0-9]").cast("long").alias("digit"),
+        strip("[^ ]").cast("long").alias("space"),
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("total").cast("long").alias("n_chars"),
+        F.sum("latin").cast("long").alias("s_latin"),
+        F.sum("digit").cast("long").alias("s_digit"),
+        F.sum("space").cast("long").alias("s_space"),
+    )
+    tot = F.col("n_chars").cast("double")
+    return agg.select(
+        "source",
+        "n_chars",
+        stable_round(F.col("s_latin").cast("double") / tot, 6).alias("latin_ratio"),
+        stable_round(F.col("s_digit").cast("double") / tot, 6).alias("digit_ratio"),
+        stable_round(F.col("s_space").cast("double") / tot, 6).alias("space_ratio"),
+        stable_round(
+            (F.col("n_chars") - F.col("s_latin") - F.col("s_digit") - F.col("s_space"))
+            .cast("double")
+            / tot,
+            6,
+        ).alias("other_ratio"),
+    ).orderBy("source")
+
+
+@q(
+    "ext_chi2_terms",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, lang,
+                   UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                      w -> w <> '')) AS term
+            FROM documents
+        ), tl AS (
+            SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS n11
+            FROM dt GROUP BY term, lang
+        ), tm AS (
+            SELECT term, CAST(SUM(n11) AS BIGINT) AS df FROM tl GROUP BY term
+        ), lm AS (
+            SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nl FROM dt GROUP BY lang
+        ), n AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt
+        ), cells AS (
+            SELECT tl.term, tl.lang, tl.n11, tm.df, lm.nl, n.n,
+                   tm.df - tl.n11 AS n10,
+                   lm.nl - tl.n11 AS n01,
+                   n.n - tm.df - lm.nl + tl.n11 AS n00
+            FROM tl JOIN tm USING (term) JOIN lm USING (lang), n
+            WHERE tm.df >= 50
+        ), scored AS (
+            SELECT term, lang, n11,
+                   FLOOR(CAST(n AS DOUBLE)
+                         * POWER(CAST(n11 AS DOUBLE) * n00
+                                 - CAST(n10 AS DOUBLE) * n01, 2)
+                         / (CAST(df AS DOUBLE) * (n - df) * nl * (n - nl))
+                         * 10000.0 + 0.5) / 10000.0 AS chi2
+            FROM cells
+        ), ranked AS (
+            SELECT lang, term, n11, chi2,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY chi2 DESC, term) AS rnk
+            FROM scored
+        )
+        SELECT lang, CAST(rnk AS INT) AS rnk, term, n11, chi2
+        FROM ranked WHERE rnk <= 5
+        ORDER BY lang, rnk
+    """,
+)
+def ext_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection over (term, language) — the classic
+    supervised term-ranking step (Manning/Schütze IR ch.13) that picks
+    the vocabulary a lang-routing or quality classifier should look at:
+    for each term with df ≥ 50, the 2×2 presence/label contingency χ²
+    = N(n11·n00 − n10·n01)²/(df·(N−df)·nl·(N−nl)), top-5 per language.
+    Distinct from wh_chi_square (one global test): this is a PER-FEATURE
+    ranking whose every cell derives from three exact marginal counts,
+    so there are no cross-cell double sums at all — the χ² is a per-row
+    closed form, quantized before the rank window so ties break
+    deterministically on (score, term). Presence counts dedupe (doc,
+    term) first; windows partition by lang."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    tl = dt.groupBy("term", "lang").agg(F.count(F.lit(1)).cast("long").alias("n11"))
+    tm = tl.groupBy("term").agg(F.sum("n11").cast("long").alias("df"))
+    lm = dt.groupBy("lang").agg(F.count_distinct("doc_id").cast("long").alias("nl"))
+    n = dt.agg(F.count_distinct("doc_id").cast("long").alias("n"))
+    cells = (
+        tl.join(tm, "term")
+        .where(F.col("df") >= 50)
+        .join(F.broadcast(lm), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "lang",
+            "n11",
+            "df",
+            "nl",
+            "n",
+            (F.col("df") - F.col("n11")).alias("n10"),
+            (F.col("nl") - F.col("n11")).alias("n01"),
+            (F.col("n") - F.col("df") - F.col("nl") + F.col("n11")).alias("n00"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * F.pow(d("n11") * d("n00") - d("n10") * d("n01"), F.lit(2.0))
+    den = d("df") * (d("n") - d("df")) * d("nl") * (d("n") - d("nl"))
+    scored = cells.select(
+        "term", "lang", "n11", stable_round(num / den, 4).alias("chi2")
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), F.col("term"))
+    ranked = scored.withColumn("rnk", F.row_number().over(wr)).where(F.col("rnk") <= 5)
+    return ranked.select(
+        "lang", F.col("rnk").cast("int").alias("rnk"), "term", "n11", "chi2"
+    ).orderBy("lang", "rnk")
+
+
+@q(
+    "ext_log_odds_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS side,
+                   UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                      w -> w <> '')) AS term
+            FROM documents
+        ), counts AS (
+            SELECT term,
+                   CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+                   CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS yb
+            FROM tok GROUP BY term
+        ), tot AS (
+            SELECT CAST(SUM(ya) AS BIGINT) AS na, CAST(SUM(yb) AS BIGINT) AS nb,
+                   CAST(SUM(ya + yb) AS BIGINT) AS a0
+            FROM counts
+        ), scored AS (
+            SELECT term, ya, yb,
+                   LN((ya + 0.01 * (ya + yb))
+                      / (na + 0.01 * a0 - ya - 0.01 * (ya + yb)))
+                   - LN((yb + 0.01 * (ya + yb))
+                        / (nb + 0.01 * a0 - yb - 0.01 * (ya + yb))) AS delta,
+                   1.0 / (ya + 0.01 * (ya + yb))
+                     + 1.0 / (yb + 0.01 * (ya + yb)) AS var
+            FROM counts, tot
+            WHERE ya + yb >= 50
+        ), z AS (
+            SELECT term, ya, yb,
+                   FLOOR(delta / SQRT(var) * 10000.0 + 0.5) / 10000.0 AS z
+            FROM scored
+        ), ranked AS (
+            SELECT term, ya, yb, z,
+                   ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, term) AS rnk
+            FROM (SELECT * FROM z ORDER BY ABS(z) DESC, term LIMIT 10)
+        )
+        SELECT CAST(rnk AS INT) AS rnk, term, ya, yb, z
+        FROM ranked ORDER BY rnk
+    """,
+)
+def ext_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-odds-ratio with informative Dirichlet prior (Monroe et al.
+    2008, 'Fightin' Words') between the English slice and the rest of
+    the corpus: δ_w = logit difference with a prior α_w proportional to
+    the pooled frequency (α0 = 1% of the corpus), z = δ/√(1/y'a + 1/y'b)
+    — THE principled 'which words distinguish these two corpora'
+    statistic (raw log-odds overweights rare words; PMI overweights
+    frequent ones; the prior fixes both). Term counts are exact
+    integers from one hash aggregate; δ and its variance are per-row
+    closed forms (no cross-row double sums), quantized before the
+    top-10 rank so ties break on (|z|, term). The global window runs
+    over a LIMIT-10 frame only."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("side"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).cast("long").alias("ya"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).cast("long").alias("yb"),
+    )
+    tot = counts.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).cast("long").alias("a0"),
+    )
+    c = counts.where(F.col("ya") + F.col("yb") >= 50).crossJoin(F.broadcast(tot))
+    ya, yb = F.col("ya").cast("double"), F.col("yb").cast("double")
+    na, nb, a0 = (
+        F.col("na").cast("double"),
+        F.col("nb").cast("double"),
+        F.col("a0").cast("double"),
+    )
+    alpha = F.lit(0.01) * (ya + yb)
+    delta = F.log((ya + alpha) / (na + F.lit(0.01) * a0 - ya - alpha)) - F.log(
+        (yb + alpha) / (nb + F.lit(0.01) * a0 - yb - alpha)
+    )
+    var = F.lit(1.0) / (ya + alpha) + F.lit(1.0) / (yb + alpha)
+    z = c.select(
+        "term", "ya", "yb", stable_round(delta / F.sqrt(var), 4).alias("z")
+    )
+    top = z.orderBy(F.abs(F.col("z")).desc(), "term").limit(10)
+    wr = Window.orderBy(F.abs(F.col("z")).desc(), F.col("term"))
+    return (
+        top.withColumn("rnk", F.row_number().over(wr))
+        .select(F.col("rnk").cast("int").alias("rnk"), "term", "ya", "yb", "z")
+        .orderBy("rnk")
+    )
+
+
+@q(
+    "ext_fleiss_kappa",
+    oracle="""
+        WITH rated AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 500 THEN 1 ELSE 2 END AS r1,
+                   CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 40
+                        THEN 0
+                        WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 100
+                        THEN 1 ELSE 2 END AS r2,
+                   CASE WHEN LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                                 '[.,;:!?]', '', 'g')) < 5 THEN 0
+                        WHEN LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                                 '[.,;:!?]', '', 'g')) < 15 THEN 1 ELSE 2 END AS r3
+            FROM documents
+        ), votes AS (
+            SELECT (CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS n0,
+                   (CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS n1,
+                   (CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS n2
+            FROM rated
+        ), sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n0*n0 + n1*n1 + n2*n2) AS BIGINT) AS sq,
+                   CAST(SUM(n0) AS BIGINT) AS c0,
+                   CAST(SUM(n1) AS BIGINT) AS c1,
+                   CAST(SUM(n2) AS BIGINT) AS c2
+            FROM votes
+        ), k AS (
+            SELECT n,
+                   CAST(sq - 3 * n AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0 * 2.0)
+                       AS p_bar,
+                   POWER(CAST(c0 AS DOUBLE) / (3.0 * n), 2)
+                     + POWER(CAST(c1 AS DOUBLE) / (3.0 * n), 2)
+                     + POWER(CAST(c2 AS DOUBLE) / (3.0 * n), 2) AS p_e
+            FROM sums
+        )
+        SELECT n,
+               FLOOR(p_bar * 1000000.0 + 0.5) / 1000000.0 AS p_bar,
+               FLOOR(p_e * 1000000.0 + 0.5) / 1000000.0 AS p_e,
+               FLOOR((p_bar - p_e) / (1.0 - p_e) * 1000000.0 + 0.5)
+                   / 1000000.0 AS fleiss_kappa
+        FROM k
+    """,
+)
+def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for THREE raters — the multi-rater generalization
+    completing the agreement family (ext_cohen_kappa handles exactly
+    two raters; ext_krippendorff_alpha handles missing ratings): the
+    same two deterministic length-proxy raters plus a punctuation-
+    density rater each bin documents into 3 quality tiers, and kappa
+    chance-corrects the mean pairwise agreement P̄ = (Σ n_ic² − NR) /
+    (NR(R−1)) against P_e = Σ p_c². Every input to the closed form is
+    an exact integer from ONE hash aggregate over per-doc category
+    vote counts — order-free at any scale, no joins, no windows."""
+    docs = _t(spark, sf_dir, "documents")
+    ws_tokens = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[.,;:!?]", "")
+    )
+    r1 = F.when(F.col("n_chars") < 200, 0).when(F.col("n_chars") < 500, 1).otherwise(2)
+    r2 = F.when(ws_tokens < 40, 0).when(ws_tokens < 100, 1).otherwise(2)
+    r3 = F.when(punct < 5, 0).when(punct < 15, 1).otherwise(2)
+    rated = docs.select(r1.alias("r1"), r2.alias("r2"), r3.alias("r3"))
+
+    def votes_for(cat: int):
+        return sum(
+            F.when(F.col(c) == cat, 1).otherwise(0) for c in ("r1", "r2", "r3")
+        )
+
+    votes = rated.select(
+        votes_for(0).alias("n0"), votes_for(1).alias("n1"), votes_for(2).alias("n2")
+    )
+    sums = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("n0") * F.col("n0")
+            + F.col("n1") * F.col("n1")
+            + F.col("n2") * F.col("n2")
+        )
+        .cast("long")
+        .alias("sq"),
+        F.sum("n0").cast("long").alias("c0"),
+        F.sum("n1").cast("long").alias("c1"),
+        F.sum("n2").cast("long").alias("c2"),
+    )
+    nd = F.col("n").cast("double")
+    p_bar = (F.col("sq") - 3 * F.col("n")).cast("double") / (nd * F.lit(3.0) * F.lit(2.0))
+    p_e = (
+        F.pow(F.col("c0").cast("double") / (F.lit(3.0) * nd), F.lit(2.0))
+        + F.pow(F.col("c1").cast("double") / (F.lit(3.0) * nd), F.lit(2.0))
+        + F.pow(F.col("c2").cast("double") / (F.lit(3.0) * nd), F.lit(2.0))
+    )
+    k = sums.select("n", p_bar.alias("p_bar"), p_e.alias("p_e"))
+    return k.select(
+        "n",
+        stable_round(F.col("p_bar"), 6).alias("p_bar"),
+        stable_round(F.col("p_e"), 6).alias("p_e"),
+        stable_round(
+            (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")), 6
+        ).alias("fleiss_kappa"),
+    )
+
+
+@q(
+    "ext_watermark_zscore",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, source,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                               w -> w <> '') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id, source,
+                   CAST(LEN(toks) - 1 AS BIGINT) AS t,
+                   CAST(LEN(LIST_FILTER(RANGE(1, LEN(toks)),
+                        i -> (LENGTH(toks[i]) * 7 + LENGTH(toks[i+1]) * 13) % 3 = 0))
+                        AS BIGINT) AS g
+            FROM tk WHERE LEN(toks) >= 2
+        ), z AS (
+            SELECT doc_id, source, t, g,
+                   CAST(FLOOR((CAST(g AS DOUBLE) - t / 3.0)
+                              / SQRT(CAST(t AS DOUBLE) * (1.0/3.0) * (2.0/3.0))
+                              * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+            FROM pairs
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (z_micro > 4000000) AS BIGINT) AS n_flagged,
+               FLOOR(CAST(SUM(z_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+                     * 10000.0 + 0.5) / 10000.0 AS avg_z
+        FROM z GROUP BY source ORDER BY source
+    """,
+)
+def ext_watermark_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (Kirchenbauer et al. 2023): a
+    watermarked LM boosts tokens whose hash lands in a context-keyed
+    'green list', so generated text shows a green fraction far above
+    the baseline γ; the detector's z = (g − γT)/√(Tγ(1−γ)) per doc,
+    flagging z > 4. The production hash keys on the LM vocabulary —
+    here a deterministic token-LENGTH pair hash (γ = 1/3) stands in,
+    with the detector plumbing (bigram context walk, per-doc counts,
+    normal test, corpus rollup) fully real: swap the green predicate
+    for the tokenizer-keyed one and nothing else changes. Per-doc z is
+    quantized to integer micro-units at birth so the per-source mean
+    is an exact integer sum — order-free at any corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    green = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: (
+            F.length(F.element_at(toks, i + 1)) * 7
+            + F.length(F.element_at(toks, i + 2)) * 13
+        )
+        % 3
+        == 0,
+    )
+    pairs = tk.where(F.size(toks) >= 2).select(
+        "doc_id",
+        "source",
+        (F.size(toks) - 1).cast("long").alias("t"),
+        F.size(green).cast("long").alias("g"),
+    )
+    td = F.col("t").cast("double")
+    zexpr = (F.col("g").cast("double") - td / F.lit(3.0)) / F.sqrt(
+        td * F.lit(1.0 / 3.0) * F.lit(2.0 / 3.0)
+    )
+    z = pairs.select(
+        "source",
+        F.floor(zexpr * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("z_micro"),
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("z_micro") > 4000000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("z_micro").cast("long").alias("zs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            stable_round(
+                F.col("zs").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_z"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "ext_err_metric",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), d AS (
+            SELECT doc_id, LEN(toks) AS dl,
+                   {_BM25_TF}
+            FROM base
+        ), r AS (
+            SELECT *, {_BM25_REL} AS rel FROM d
+        ), s AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {_BM25_DF}
+            FROM d
+        ), scored AS (
+            SELECT doc_id, rel,
+                   FLOOR(({_BM25_SCORE}) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM r CROSS JOIN s
+        ), top AS (
+            SELECT doc_id, rel,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+            FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+        ), arrs AS (
+            SELECT LIST((POWER(2.0, rel) - 1.0) / 8.0 ORDER BY pos) AS rr
+            FROM top
+        ), err AS (
+            SELECT LEN(rr) AS k,
+                   LIST_REDUCE(
+                       LIST_TRANSFORM(RANGE(1, LEN(rr) + 1), r ->
+                           rr[r] / r * EXP(CASE WHEN r = 1 THEN 0.0
+                               ELSE COALESCE(LIST_REDUCE(
+                                   LIST_TRANSFORM(rr[1:r-1], x -> LN(1.0 - x)),
+                                   (a, b) -> a + b), 0.0) END)),
+                       (a, b) -> a + b) AS err
+            FROM arrs
+        )
+        SELECT CAST(k AS INT) AS k,
+               FLOOR(err * 1000000.0 + 0.5) / 1000000.0 AS err
+        FROM err
+    """,
+)
+def ext_err_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @10 (Chapelle et al. 2009) of the BM25
+    ranking — the cascade-model retrieval metric that, unlike NDCG
+    (ext_retrieval_ndcg, same ranking, same graded relevance), models a
+    user who STOPS at the first satisfying result: ERR = Σ_r (R_r/r)·
+    Π_{i<r}(1 − R_i) with R = (2^g − 1)/2^gmax. The prefix
+    satisfaction products make this a nested HOF: an outer transform
+    over ranks with an inner left fold of ln(1−R) per rank (the ev_macd
+    nesting), all over a 10-element array — O(k²) on a constant k, zero
+    Python, and the corpus-sized work is just the BM25 top-k
+    (TakeOrderedAndProject). Oracle replays scoring, ranking, and the
+    exact fold sequence."""
+    from pyspark.sql import Window
+
+    from bigdatacw1_spark.functions.text import bm25_topk, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    rel = None
+    for t in _BM25_TERMS:
+        has = (F.size(F.filter(tokens("text"), lambda w: w == F.lit(t))) > 0).cast(
+            "int"
+        )
+        rel = has if rel is None else rel + has
+    relf = docs.select("doc_id", rel.alias("rel"))
+    top = bm25_topk(docs, _BM25_TERMS, k=10).join(F.broadcast(relf), "doc_id")
+    top = top.withColumn(
+        "pos", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    )
+    rr_elem = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.lit(8.0)
+    arrs = top.select(F.struct("pos", rr_elem.alias("g")).alias("s")).agg(
+        F.transform(F.array_sort(F.collect_list("s")), lambda s: s["g"]).alias("rr")
+    )
+    rr = F.col("rr")
+    terms = F.transform(
+        F.sequence(F.lit(1), F.size(rr)),
+        lambda r: F.element_at(rr, r)
+        / r.cast("double")
+        * F.exp(
+            F.aggregate(
+                F.slice(rr, 1, r - 1),
+                F.lit(0.0),
+                lambda acc, x: acc + F.log(F.lit(1.0) - x),
+            )
+        ),
+    )
+    err = arrs.select(
+        F.size(rr).cast("int").alias("k"),
+        F.aggregate(terms, F.lit(0.0), lambda a, b: a + b).alias("err"),
+    )
+    return err.select("k", stable_round(F.col("err"), 6).alias("err"))
+
+
+@q(
+    "ext_chrf_pairs",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   REGEXP_REPLACE(LOWER(text), '\\s+', '', 'g') AS s
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, lang, n, UNNEST(g) AS g
+            FROM (
+                SELECT doc_id, lang, 1 AS n,
+                       LIST_TRANSFORM(RANGE(1, LENGTH(s) + 1),
+                                      i -> SUBSTRING(s, i, 1)) AS g
+                FROM s WHERE LENGTH(s) >= 1
+                UNION ALL
+                SELECT doc_id, lang, 2 AS n,
+                       LIST_TRANSFORM(RANGE(1, LENGTH(s)),
+                                      i -> SUBSTRING(s, i, 2)) AS g
+                FROM s WHERE LENGTH(s) >= 2
+            )
+        ), cells AS (
+            SELECT doc_id, lang, n, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, lang, n, g
+        ), a AS (
+            SELECT doc_id AS pair_id, lang, n, g, c FROM cells
+            WHERE doc_id % 2 = 0
+        ), b AS (
+            SELECT doc_id - 1 AS pair_id, lang, n, g, c FROM cells
+            WHERE doc_id % 2 = 1
+        ), ov AS (
+            SELECT COALESCE(a.pair_id, b.pair_id) AS pair_id,
+                   COALESCE(a.lang, b.lang) AS lang,
+                   COALESCE(a.n, b.n) AS n,
+                   CAST(SUM(LEAST(COALESCE(a.c, 0), COALESCE(b.c, 0))) AS BIGINT)
+                       AS clip,
+                   CAST(SUM(COALESCE(a.c, 0)) AS BIGINT) AS tot_a,
+                   CAST(SUM(COALESCE(b.c, 0)) AS BIGINT) AS tot_b
+            FROM a FULL JOIN b
+              ON a.pair_id = b.pair_id AND a.lang = b.lang
+                 AND a.n = b.n AND a.g = b.g
+            GROUP BY 1, 2, 3
+        ), f AS (
+            SELECT pair_id, lang, n,
+                   CASE WHEN tot_a > 0 AND tot_b > 0 AND clip > 0
+                        THEN 5.0 * (CAST(clip AS DOUBLE) / tot_b)
+                               * (CAST(clip AS DOUBLE) / tot_a)
+                             / (4.0 * (CAST(clip AS DOUBLE) / tot_b)
+                                + CAST(clip AS DOUBLE) / tot_a)
+                        ELSE 0.0 END AS f2
+            FROM ov WHERE tot_a > 0 AND tot_b > 0
+        ), per_pair AS (
+            SELECT pair_id, lang,
+                   CAST(FLOOR(AVG(f2) * 1000000.0 + 0.5) AS BIGINT) AS chrf_micro
+            FROM f GROUP BY pair_id, lang
+            HAVING COUNT(*) = 2
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               FLOOR(CAST(SUM(chrf_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+                     * 10000.0 + 0.5) / 10000.0 AS avg_chrf2
+        FROM per_pair GROUP BY lang ORDER BY lang
+    """,
+)
+def ext_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popović 2015) between paired documents (even doc_id =
+    reference, doc_id+1 = candidate, the ext_token_f1_pairs pairing):
+    character 1- and 2-gram clipped precision/recall combined as
+    F_β=2 (recall-weighted — the MT metric that correlates with humans
+    on morphology-rich output where word-level BLEU breaks), averaged
+    over orders, whitespace stripped per the definition. Shape: the
+    scalable CELL-JOIN form — explode to (doc, order, gram, count)
+    cells, ONE full outer join on (pair, order, gram) — gram-keyed and
+    shuffle-partitioned, never per-pair array scans; per-pair chrF is
+    micro-quantized before the per-lang mean so the rollup is an exact
+    integer sum. AVG over the two orders divides a 2-element exact sum."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", "").alias("s"),
+    )
+
+    def gram_rows(n: int):
+        sc = F.col("s")
+        return (
+            s.where(F.length(sc) >= n)
+            .select(
+                "doc_id",
+                "lang",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(sc) - (n - 1)),
+                        lambda i: sc.substr(i, F.lit(n)),
+                    )
+                ).alias("g"),
+            )
+        )
+
+    grams = gram_rows(1).unionByName(gram_rows(2))
+    cells = grams.groupBy("doc_id", "lang", "n", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = cells.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pa"), F.col("lang").alias("la"),
+        F.col("n").alias("na"), F.col("g").alias("ga"), F.col("c").alias("ca"),
+    )
+    b = cells.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pb"), F.col("lang").alias("lb"),
+        F.col("n").alias("nb"), F.col("g").alias("gb"), F.col("c").alias("cb"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("pb") == F.col("pa"))
+            & (F.col("lb") == F.col("la"))
+            & (F.col("nb") == F.col("na"))
+            & (F.col("gb") == F.col("ga")),
+            "full",
+        )
+        .groupBy(
+            F.coalesce(F.col("pa"), F.col("pb")).alias("pair_id"),
+            F.coalesce(F.col("la"), F.col("lb")).alias("lang"),
+            F.coalesce(F.col("na"), F.col("nb")).alias("n"),
+        )
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("ca"), F.lit(0)),
+                    F.coalesce(F.col("cb"), F.lit(0)),
+                )
+            )
+            .cast("long")
+            .alias("clip"),
+            F.sum(F.coalesce(F.col("ca"), F.lit(0))).cast("long").alias("tot_a"),
+            F.sum(F.coalesce(F.col("cb"), F.lit(0))).cast("long").alias("tot_b"),
+        )
+        .where((F.col("tot_a") > 0) & (F.col("tot_b") > 0))
+    )
+    p = F.col("clip").cast("double") / F.col("tot_b").cast("double")
+    r = F.col("clip").cast("double") / F.col("tot_a").cast("double")
+    f2 = F.when(
+        (F.col("clip") > 0),
+        F.lit(5.0) * p * r / (F.lit(4.0) * p + r),
+    ).otherwise(F.lit(0.0))
+    f = ov.select("pair_id", "lang", "n", f2.alias("f2"))
+    per_pair = (
+        f.groupBy("pair_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.floor(F.avg("f2") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("chrf_micro"),
+        )
+        .where(F.col("cnt") == 2)
+    )
+    return (
+        per_pair.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("chrf_micro").cast("long").alias("sm"),
+        )
+        .select(
+            "lang",
+            "n_pairs",
+            stable_round(
+                F.col("sm").cast("double")
+                / F.col("n_pairs").cast("double")
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_chrf2"),
+        )
+        .orderBy("lang")
+    )

@@ -6302,3 +6302,117 @@ def wh_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.exp(-F.col("h")), 4).alias("survival_fleming"),
         stable_round(F.sqrt(F.col("v")), 6).alias("se_hazard"),
     ).orderBy("t")
+
+
+@q(
+    "wh_deletion_vector_scan",
+    oracle="""
+        WITH base AS (
+            SELECT l_orderkey % 64 AS file_id,
+                   (l_suppkey % 7 = 3) AS deleted,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey % 64
+                                      ORDER BY l_orderkey, l_linenumber,
+                                               l_suppkey, l_partkey,
+                                               l_quantity, l_extendedprice) - 1
+                       AS pos
+            FROM lineitem
+        )
+        SELECT CAST(file_id AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (deleted) AS BIGINT) AS n_deleted,
+               CAST(COUNT(*) FILTER (NOT deleted) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN NOT deleted THEN qty ELSE 0 END) AS BIGINT)
+                   AS live_qty_sum,
+               CAST(COUNT(DISTINCT CASE WHEN deleted THEN pos // 32 END)
+                    AS BIGINT) AS dv_words
+        FROM base GROUP BY file_id ORDER BY file_id
+    """,
+)
+def wh_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector merge-on-read — the lakehouse pattern (Delta DVs /
+    Iceberg positional deletes) where row-level deletes are PACKED
+    BITMAPS keyed by (file, position), applied at scan time without
+    rewriting data files. The engine side actually builds the bitmap:
+    row positions within each file (deterministic (orderkey, linenumber)
+    order), the delete predicate materializes positions, positions pack
+    into 32-bit words (SUM of 1<<bit equals bitwise OR because each
+    position sets a distinct bit), and the scan LEFT-joins base rows to
+    DV words on (file, word) and keeps rows whose bit is unset — an
+    equi join bounded per file, never a broadcast of the full DV. The
+    ORACLE is independent: it recomputes the per-file live stats from
+    the raw predicate, so a wrong shift, sign bit, or word split fails
+    the hash. At 100 TB the DV table is ~rows/32 words in the worst
+    case and the join co-partitions on file_id."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table, so
+    # the sort key extends until remaining ties are rows identical in every
+    # column the scan reads -- then pos assignment within a tie group is a
+    # permutation of interchangeable rows and the deleted-position SET is
+    # deterministic (and engine-independent).
+    w = Window.partitionBy("file_id").orderBy(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_quantity", "l_extendedprice",
+    )
+    base = li.select(
+        (F.col("l_orderkey") % 64).alias("file_id"),
+        (F.col("l_suppkey") % 7 == 3).alias("deleted"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_suppkey"),
+        F.col("l_partkey"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+    ).withColumn("pos", F.row_number().over(w) - 1)
+    dv = (
+        base.where("deleted")
+        .select(
+            "file_id",
+            F.floor(F.col("pos") / 32).alias("word"),
+            # 1 << (pos % 32) with a COLUMN shift amount (F.shiftleft only
+            # takes a literal): 2^b is exact in double for b <= 31
+            F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double"))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("file_id", "word")
+        .agg(F.sum("bit").cast("long").alias("mask"))
+    )
+    scan = base.withColumn("word", F.floor(F.col("pos") / 32)).join(
+        dv, ["file_id", "word"], "left"
+    )
+    live = F.col("mask").isNull() | (
+        F.floor(
+            F.col("mask").cast("double")
+            / F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double"))
+        )
+        .cast("long")
+        .bitwiseAND(1)
+        == 0
+    )
+    return (
+        scan.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(~live, 1).otherwise(0)).cast("long").alias("n_deleted"),
+            F.sum(F.when(live, 1).otherwise(0)).cast("long").alias("n_live"),
+            F.sum(F.when(live, F.col("qty")).otherwise(0))
+            .cast("long")
+            .alias("live_qty_sum"),
+            F.count_distinct(F.when(F.col("deleted"), F.col("word"))).cast("long").alias(
+                "dv_words"
+            ),
+        )
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            "n_rows",
+            "n_deleted",
+            "n_live",
+            "live_qty_sum",
+            "dv_words",
+        )
+        .orderBy("file_id")
+    )

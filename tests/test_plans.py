@@ -383,8 +383,12 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         "ext_hybrid_rrf": 2,
         # position row_numbers over the two top-10 frames (k=10 rows)
         "ext_retrieval_ndcg": 2,
+        # position row_number over the BM25 top-10 frame (k=10 rows)
+        "ext_err_metric": 1,
         # rank over the top-200 vocabulary frame (bounded by LIMIT)
         "ext_zipf_fit": 1,
+        # rank over the top-10 |z| frame (bounded by LIMIT)
+        "ext_log_odds_terms": 1,
         # window over the class vocabulary (distinct event types; the
         # encode design already broadcasts it, so it is tiny by contract)
         "ext_label_encode": 1,
