@@ -222,6 +222,9 @@ ROUND12_WINDOW: list[str] = [
     "ext_distinct_n", "ext_boilerplate_lines", "ext_unicode_scripts",
     "ext_chi2_terms", "ext_log_odds_terms", "ext_fleiss_kappa",
     "ext_watermark_zscore", "ext_err_metric", "ext_chrf_pairs",
+    # round-9 additions: graph / privacy / assembly / crawl
+    "ext_link_pred_scores", "ext_bipartite_project", "ext_t_closeness",
+    "ext_length_bucket_batches", "ext_crawl_frontier",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

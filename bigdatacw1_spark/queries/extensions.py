@@ -13293,3 +13293,399 @@ def ext_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "ext_link_pred_scores",
+    oracle="""
+        WITH cs AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                            CAST(l_suppkey AS BIGINT) AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_custkey <= 300
+        ), deg_s AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS d
+            FROM cs GROUP BY s
+            HAVING COUNT(*) BETWEEN 2 AND 30
+        ), kept AS (
+            SELECT cs.c, cs.s FROM cs JOIN deg_s USING (s)
+        ), deg_c AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM kept GROUP BY c
+        ), pairs AS (
+            SELECT a.c AS cust_a, b.c AS cust_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_neighbors
+            FROM kept a JOIN kept b ON a.s = b.s AND a.c < b.c
+            GROUP BY a.c, b.c
+        )
+        SELECT cust_a, cust_b, common_neighbors,
+               FLOOR(CAST(common_neighbors AS DOUBLE)
+                     / (da.d + db.d - common_neighbors) * 1000000.0 + 0.5)
+                   / 1000000.0 AS jaccard,
+               CAST(da.d * db.d AS BIGINT) AS pref_attachment
+        FROM pairs
+        JOIN deg_c da ON da.c = pairs.cust_a
+        JOIN deg_c db ON db.c = pairs.cust_b
+        ORDER BY common_neighbors DESC, cust_a, cust_b
+        LIMIT 20
+    """,
+)
+def ext_link_pred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three classical link-prediction baselines — common neighbors,
+    Jaccard coefficient, preferential attachment — over the same
+    bounded customer-supplier bipartite neighborhood as ext_adamic_adar
+    (which ranks by the fourth, 1/ln(deg)): the Liben-Nowell/Kleinberg
+    battery a recommender cold-start evaluates before reaching for
+    embeddings. Degree caps (2..30) bound the inverted-index join
+    fan-out exactly as the dedup pair generators do, so candidate pairs
+    stay linear in edges, never all-pairs; every score is exact-integer
+    arithmetic except the final Jaccard division. Top-20 with full
+    deterministic tie order."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        o.where(F.col("o_custkey") <= 300)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    deg_s = (
+        cs.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= 30))
+    )
+    kept = cs.join(deg_s.select("s"), "s")
+    deg_c = kept.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = kept.select(F.col("c").alias("cust_a"), "s")
+    b = kept.select(F.col("c").alias("cust_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    da = deg_c.select(F.col("c").alias("cust_a"), F.col("d").alias("da"))
+    db = deg_c.select(F.col("c").alias("cust_b"), F.col("d").alias("db"))
+    scored = (
+        pairs.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "common_neighbors",
+            stable_round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attachment"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(), "cust_a", "cust_b"
+    ).limit(20)
+
+
+@q(
+    "ext_bipartite_project",
+    oracle="""
+        WITH pp AS (
+            SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+            FROM lineitem
+        ), pairs AS (
+            SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS w
+            FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+        )
+        SELECT part_a, part_b, w AS n_common_orders
+        FROM pairs
+        ORDER BY w DESC, part_a, part_b
+        LIMIT 25
+    """,
+)
+def ext_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the order-part bipartite graph —
+    the co-purchase graph (edge weight = number of orders containing
+    both parts) that market-basket recommenders, ext_lpa_communities,
+    and ext_pagerank all consume as input; this entry IS the projection
+    operator those pipelines start from. Scale shape: the self-join is
+    keyed on the ORDER (the bounded side — an order has ≤7 lines by
+    construction, so per-key fan-out is ≤21 pairs, the within-container
+    analogue of the dedup band-bucket bound), never on parts; one
+    distinct, one co-partitioned self-join, one count aggregate, then a
+    global top-25 that plans as TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
+    a = pp.select("o", F.col("p").alias("part_a"))
+    b = pp.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_common_orders").desc(), "part_a", "part_b"
+    ).limit(25)
+
+
+@q(
+    "ext_t_closeness",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(user_id % 5 AS BIGINT) AS tier
+            FROM events
+        ), cls AS (
+            SELECT event_type, day, tier, CAST(COUNT(*) AS BIGINT) AS n_ct
+            FROM base GROUP BY 1, 2, 3
+        ), class_tot AS (
+            SELECT event_type, day, CAST(SUM(n_ct) AS BIGINT) AS n_class
+            FROM cls GROUP BY 1, 2
+        ), glob_t AS (
+            SELECT tier, CAST(COUNT(*) AS BIGINT) AS g_t FROM base GROUP BY tier
+        ), n_all AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+        ), terms AS (
+            SELECT ct.event_type, ct.day, ct.n_class,
+                   CAST(SUM(ABS(COALESCE(cls.n_ct, 0) * n_all.n
+                                - glob_t.g_t * ct.n_class)) AS DECIMAL(38,0))
+                       AS num
+            FROM class_tot ct
+            CROSS JOIN glob_t
+            CROSS JOIN n_all
+            LEFT JOIN cls ON cls.event_type = ct.event_type
+                         AND cls.day = ct.day AND cls.tier = glob_t.tier
+            GROUP BY ct.event_type, ct.day, ct.n_class, n_all.n
+        ), scored AS (
+            SELECT event_type, day, n_class,
+                   CAST(num AS DOUBLE)
+                     / (2.0 * CAST(n_class AS DOUBLE)
+                        * (SELECT CAST(n AS DOUBLE) FROM n_all)) AS t
+            FROM terms
+        )
+        SELECT event_type, CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+               n_class,
+               FLOOR(t * 1000000.0 + 0.5) / 1000000.0 AS t_distance,
+               t > 0.2 AS fails_t02
+        FROM scored ORDER BY event_type, day
+    """,
+)
+def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li/Li/Venkatasubramanian 2007) — the third privacy
+    gate completing ext_k_anonymity (class size) and ext_l_diversity
+    (distinct sensitive values): a class still leaks if its sensitive
+    DISTRIBUTION diverges from the corpus (l distinct values, 99% in
+    one of them). For categorical attributes with uniform ground
+    distance the EMD reduces to total variation ½Σ|p_c − q_c|; here
+    every term is the EXACT integer cross-product |n_ct·N − g_t·N_class|
+    (no per-category float division), summed in DECIMAL, with a single
+    final division — so the release gate threshold compares
+    deterministically in both engines. One aggregate for class×tier
+    cells, broadcast global marginals, one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (F.col("user_id") % 5).cast("long").alias("tier"),
+    )
+    cls = base.groupBy("event_type", "day", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct")
+    )
+    class_tot = cls.groupBy("event_type", "day").agg(
+        F.sum("n_ct").cast("long").alias("n_class")
+    )
+    glob_t = base.groupBy("tier").agg(F.count(F.lit(1)).cast("long").alias("g_t"))
+    n_all = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    terms = (
+        class_tot.crossJoin(F.broadcast(glob_t))
+        .crossJoin(F.broadcast(n_all))
+        .join(cls, ["event_type", "day", "tier"], "left")
+        .groupBy("event_type", "day", "n_class", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("n_ct"), F.lit(0)) * F.col("n")
+                    - F.col("g_t") * F.col("n_class")
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    t = F.col("num").cast("double") / (
+        F.lit(2.0) * F.col("n_class").cast("double") * F.col("n").cast("double")
+    )
+    return terms.select(
+        "event_type",
+        F.col("day").cast("date").cast("string").alias("day"),
+        "n_class",
+        stable_round(t, 6).alias("t_distance"),
+        (t > 0.2).alias("fails_t02"),
+    ).orderBy("event_type", "day")
+
+
+@q(
+    "ext_length_bucket_batches",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+                   CAST(FLOOR(LN(CAST(GREATEST(n_chars, 1) AS DOUBLE)) / LN(2.0))
+                        AS BIGINT) AS bucket
+            FROM documents
+        ), batched AS (
+            SELECT bucket, len,
+                   (ROW_NUMBER() OVER (PARTITION BY bucket
+                                       ORDER BY len DESC, doc_id) - 1) // 16
+                       AS batch_id
+            FROM lens
+        ), per_batch AS (
+            SELECT bucket, batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS bsz,
+                   CAST(MAX(len) AS BIGINT) AS maxlen,
+                   CAST(SUM(len) AS BIGINT) AS sumlen
+            FROM batched GROUP BY bucket, batch_id
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(bsz) AS BIGINT) AS n_docs,
+               CAST(SUM(bsz * maxlen) AS BIGINT) AS padded_tokens,
+               CAST(SUM(sumlen) AS BIGINT) AS real_tokens,
+               FLOOR(CAST(SUM(sumlen) AS DOUBLE) / SUM(bsz * maxlen)
+                     * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+        FROM per_batch GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ext_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-waste killer every
+    training dataloader applies before ext_pack_sequences-style packing
+    is available: docs go to power-of-two length buckets, are sorted
+    descending WITHIN the bucket, and cut into fixed-size batches of
+    16; padded cost is batch_size·max_len, and the fill ratio
+    real/padded is the metric (unbucketed batching of the same corpus
+    pads every batch to the global tail). Deterministic batch cuts
+    ((len DESC, doc_id) row_number — ties broken), windows PARTITIONED
+    by bucket (at 100 TB each bucket range-shards independently), and
+    every output is an exact integer sum but the single fill division."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("len"),
+        F.floor(
+            F.log(F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+            / F.log(F.lit(2.0))
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("len").desc(), "doc_id")
+    batched = lens.select(
+        "bucket",
+        "len",
+        F.floor((F.row_number().over(w) - 1) / 16).alias("batch_id"),
+    )
+    per_batch = batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bsz"),
+        F.max("len").cast("long").alias("maxlen"),
+        F.sum("len").cast("long").alias("sumlen"),
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("bsz").cast("long").alias("n_docs"),
+            F.sum(F.col("bsz") * F.col("maxlen")).cast("long").alias("padded_tokens"),
+            F.sum("sumlen").cast("long").alias("real_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_batches",
+            "n_docs",
+            "padded_tokens",
+            "real_tokens",
+            stable_round(
+                F.col("real_tokens").cast("double")
+                / F.col("padded_tokens").cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "ext_crawl_frontier",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 'news.example.com'
+                        WHEN 1 THEN 'blog.example.com'
+                        WHEN 2 THEN 'example.com'
+                        ELSE 'archive.museum.co.uk' END AS host,
+                   CAST(doc_id % 20 AS BIGINT) AS priority
+            FROM documents
+        ), sched AS (
+            SELECT host, doc_id, priority,
+                   ROW_NUMBER() OVER (PARTITION BY host
+                                      ORDER BY priority, doc_id) - 1 AS slot
+            FROM urls
+        )
+        SELECT CAST(slot AS BIGINT) AS slot,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts_active,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM sched WHERE slot < 10
+        GROUP BY slot ORDER BY slot
+    """,
+)
+def ext_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier — the per-host round-robin a
+    polite fetcher runs (one request per host per time slot, the
+    Heritrix/Nutch frontier contract): URLs (the ext_surt_keys synthetic
+    host set) queue per host ordered by (priority, doc_id), the
+    row_number IS the fetch slot, and the schedule audit reports
+    per-slot parallelism — the crawl's achievable throughput is
+    #active-hosts per slot, which is why a skewed frontier (one giant
+    host) crawls slowly no matter the cluster size. Window partitions
+    by host (the 100 TB frontier shards by SURT host key, making this
+    the same one-shuffle shape at any scale); first 10 slots audited."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, "news.example.com")
+        .when(F.col("doc_id") % 4 == 1, "blog.example.com")
+        .when(F.col("doc_id") % 4 == 2, "example.com")
+        .otherwise("archive.museum.co.uk")
+    )
+    urls = docs.select(
+        "doc_id", host.alias("host"), (F.col("doc_id") % 20).cast("long").alias("priority")
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    sched = urls.select(
+        "host", "doc_id", (F.row_number().over(w) - 1).alias("slot")
+    ).where(F.col("slot") < 10)
+    return (
+        sched.groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count_distinct("host").cast("long").alias("n_hosts_active"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .select(
+            F.col("slot").cast("long").alias("slot"),
+            "n_fetches",
+            "n_hosts_active",
+            "min_doc",
+        )
+        .orderBy("slot")
+    )
