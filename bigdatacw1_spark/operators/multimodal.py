@@ -991,7 +991,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     sr = ch = bits = fmt_code = None
-    data = None
+    data = fmt_body = None
     i = 12
     while i + 8 <= len(b):
         cid = b[i : i + 4]
@@ -1000,6 +1000,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
+            fmt_body = body
             fmt_code, ch, sr = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
         elif cid == b"data":
@@ -1007,9 +1008,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         i += 8 + clen + (clen & 1)
     if sr is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if fmt_code == 0x11 and bits == 4:
+        # IMA ADPCM (WAVE_FORMAT_IMA_ADPCM): block-aligned nibble stream.
+        return decode_wav_ima_adpcm(fmt_body, data)
     if fmt_code == 7 and bits == 8:
         # G.711 mu-law (WAVE_FORMAT_MULAW): one byte per sample.
         return (sr, ch, [mulaw_decode_byte(b) for b in data])
+    if fmt_code == 6 and bits == 8:
+        # G.711 A-law (WAVE_FORMAT_ALAW): one byte per sample.
+        return (sr, ch, [alaw_decode_byte(b) for b in data])
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(
             f"only 16-bit PCM and 8-bit mu-law decode stdlib-side "
@@ -1051,6 +1058,97 @@ def mulaw_decode_byte(b: int) -> int:
     mantissa = u & 0x0F
     m = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
     return -m if u & 0x80 else m
+
+
+_ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def alaw_encode_sample(x: int) -> int:
+    """G.711 A-law compress one int16 sample to one byte — the European
+    telephony companding twin of mu-law (13-bit dynamic range, even-bit
+    inversion with 0x55 on the wire). Sun g711.c reference arithmetic:
+    arithmetic-shift to 13 bits, negative values map to magnitude
+    −x−1 (so −1 → 0), segment by range table, 4-bit mantissa."""
+    if x >= 0:
+        mask = 0xD5
+        m = x >> 3
+    else:
+        mask = 0x55
+        m = (-x - 1) >> 3
+    seg = 8
+    for s, end in enumerate(_ALAW_SEG_END):
+        if m <= end:
+            seg = s
+            break
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    if seg < 2:
+        aval |= (m >> 1) & 0x0F
+    else:
+        aval |= (m >> seg) & 0x0F
+    return aval ^ mask
+
+
+def alaw_decode_byte(b: int) -> int:
+    """G.711 A-law expand one wire byte back to int16 (lossy midpoint
+    reconstruction, the alaw2linear reference arithmetic)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def encode_wav_alaw(sample_rate: int, channels: int, pcm_samples: list[int]) -> bytes:
+    """Spec-valid RIFF/WAVE container holding G.711 A-law audio
+    (audio_format = 6, 8 bits/sample, fact chunk + cbSize=0 extension
+    per WAVE_FORMAT_ALAW). Input is int16 PCM; compression happens
+    here."""
+    import struct
+
+    data = bytes(alaw_encode_sample(s) for s in pcm_samples)
+    fmt = struct.pack(
+        "<HHIIHHH", 6, channels, sample_rate, sample_rate * channels, channels, 8, 0
+    )
+    fact = b"fact" + struct.pack("<II", 4, len(pcm_samples) // max(channels, 1))
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_alaw_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of A-law WAVs at the G.711 rate (8 kHz):
+    same PCM pattern as synth_mulaw_corpus (per id, n = id%60+20,
+    sample[i] = ((id*41 + i*13) % 65536) − 32768, hitting the −32768
+    clip edge) companded through alaw_encode_sample — so the two G.711
+    laws are directly comparable on identical input. The SQL oracle
+    replays the encode→decode quantization over generate_series."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            n = i % 60 + 20
+            samples = [((i * 41 + j * 13) % 65536) - 32768 for j in range(n)]
+            return encode_wav_alaw(8000, 1, samples)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
 
 
 def encode_wav_mulaw(sample_rate: int, channels: int, pcm_samples: list[int]) -> bytes:
@@ -3051,3 +3149,380 @@ def decode_tiff_images(
             )
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=TIFF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (public single-page spec,
+# qoiformat.org/qoi-specification.pdf): byte-oriented lossless RGB(A)
+# compression with six ops (RUN / INDEX / DIFF / LUMA / RGB / RGBA) over a
+# running 64-slot pixel index. Real codec, both directions, stdlib only.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode interleaved 8-bit RGB pixels as a spec-valid QOI file
+    (channels=3, linear colorspace). Greedy op selection in spec order:
+    RUN (≤62), INDEX, DIFF (±2), LUMA (green ±32, red/blue drift ±8),
+    else full RGB — identical output to the reference encoder."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    out = bytearray(b"qoif" + struct.pack(">IIBB", width, height, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for i in range(0, len(rgb), 3):
+        r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h = _qoi_hash(r, g, b, 255)
+            if index[h] == (r, g, b, 255):
+                out.append(h)
+            else:
+                index[h] = (r, g, b, 255)
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a QOI file back to (width, height, channels, interleaved
+    RGB bytes). Verifies magic, header fields, the 8-byte end marker,
+    and exact pixel count — refuses loudly on RGBA input (channels=4)
+    or any op-stream drift, per the multimodal loud-refusal contract."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != b"qoif":
+        raise ValueError("bad QOI magic")
+    width, height, channels, _cs = struct.unpack(">IIBB", b[4:14])
+    if channels != 3:
+        raise NotImplementedError("only 3-channel (RGB) QOI decode supported")
+    if b[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    data = b[14:-8]
+    out = bytearray()
+    index = [(0, 0, 0, 0)] * 64
+    r, g, bl, a = 0, 0, 0, 255
+    n = width * height
+    pos = 0
+    while len(out) < n * 3:
+        if pos >= len(data):
+            raise ValueError("op stream exhausted before pixel count")
+        op = data[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            r, g, bl = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            raise NotImplementedError("RGBA op in 3-channel stream")
+        elif op >> 6 == 0:  # INDEX
+            r, g, bl, a = index[op & 0x3F]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            bl = (bl + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA
+            dg = (op & 0x3F) - 32
+            b2 = data[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            bl = (bl + dg + (b2 & 0x0F) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            if run > 62:
+                raise ValueError("illegal run length")
+            out += bytes((r, g, bl)) * (run - 1)
+            if len(out) > n * 3:
+                raise ValueError("run overruns pixel count")
+        index[_qoi_hash(r, g, bl, a)] = (r, g, bl, a)
+        out += bytes((r, g, bl))
+    if pos != len(data):
+        raise ValueError("trailing bytes after final pixel")
+    return (width, height, 3, bytes(out))
+
+
+def synth_qoi_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic QOI corpus: per id a (id%13+4) × (id%11+4) RGB
+    image whose pixel i repeats in blocks of 3 (pixel = channel-wise
+    affine function of (id, i//3) mod 256) — block repeats exercise
+    RUN, small steps exercise DIFF/LUMA, pattern revisits exercise
+    INDEX, and the rest fall back to RGB, so every op is on the wire.
+    Lossless codec → the SQL oracle replays only the pixel SYNTHESIS
+    (generate_series arithmetic), not the codec: a decode that differs
+    anywhere changes the channel sums and fails the hash."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            w, h = i % 13 + 4, i % 11 + 4
+            px = bytearray()
+            for j in range(w * h):
+                k = j // 3
+                px += bytes(
+                    (
+                        (i * 7 + k * 5) % 256,
+                        (i * 11 + k * 3) % 256,
+                        (i * 13 + k * 2) % 256,
+                    )
+                )
+            return encode_qoi(w, h, bytes(px))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+QOI_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("encoded_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_qoi_stats(media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched QOI decode → integer image statistics (channel sums
+    + encoded size), the decode tier of the image triage."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                w, h, _c, px = decode_qoi(raw)
+                x = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+                rows.append(
+                    (
+                        doc_id, w, h, w * h,
+                        int(x[:, 0].sum()), int(x[:, 1].sum()), int(x[:, 2].sum()),
+                        len(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "r_sum", "g_sum", "b_sum", "encoded_bytes",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=QOI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4) — the classic 4:1 speech codec (public spec: IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility",
+# carried in WAV as WAVE_FORMAT_IMA_ADPCM = 0x11). Each 4-bit nibble
+# encodes one sample as a quantized delta against an adaptive predictor;
+# the step size walks an 89-entry table. Real codec, both directions.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_clamp16(x: int) -> int:
+    return -32768 if x < -32768 else (32767 if x > 32767 else x)
+
+
+def ima_adpcm_encode(samples: list[int]) -> tuple[int, list[int]]:
+    """Encode int16 PCM as IMA ADPCM nibbles: the first sample seeds the
+    predictor verbatim (block-header convention), each later sample
+    becomes a 4-bit code; returns (predictor_seed, codes). Index seeds
+    at 0."""
+    if not samples:
+        raise ValueError("empty sample list")
+    pred = samples[0]
+    idx = 0
+    codes: list[int] = []
+    for x in samples[1:]:
+        step = _IMA_STEP_TABLE[idx]
+        diff = x - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        delta = step >> 3
+        if code & 4:
+            delta += step
+        if code & 2:
+            delta += step >> 1
+        if code & 1:
+            delta += step >> 2
+        pred = _ima_clamp16(pred - delta if code & 8 else pred + delta)
+        idx = min(88, max(0, idx + _IMA_INDEX_ADJUST[code & 7]))
+        codes.append(code)
+    return samples[0], codes
+
+
+def ima_adpcm_decode(pred0: int, idx0: int, codes: list[int]) -> list[int]:
+    """Expand IMA ADPCM codes back to int16 PCM (first sample = the
+    predictor seed, then one reconstructed sample per nibble)."""
+    pred = _ima_clamp16(pred0)
+    idx = min(88, max(0, idx0))
+    out = [pred]
+    for code in codes:
+        step = _IMA_STEP_TABLE[idx]
+        delta = step >> 3
+        if code & 4:
+            delta += step
+        if code & 2:
+            delta += step >> 1
+        if code & 1:
+            delta += step >> 2
+        pred = _ima_clamp16(pred - delta if code & 8 else pred + delta)
+        idx = min(88, max(0, idx + _IMA_INDEX_ADJUST[code & 7]))
+        out.append(pred)
+    return out
+
+
+def encode_wav_ima_adpcm(sample_rate: int, pcm_samples: list[int]) -> bytes:
+    """Spec-valid RIFF/WAVE container holding mono IMA ADPCM
+    (audio_format 0x11, 4 bits/sample, cbSize=2 samplesPerBlock
+    extension, fact chunk): one block — 4-byte header (predictor seed
+    int16, step index byte, reserved) + two nibbles per byte, LOW
+    nibble first, zero-padded to whole bytes."""
+    import struct
+
+    pred0, codes = ima_adpcm_encode(pcm_samples)
+    nib = bytearray()
+    for k in range(0, len(codes), 2):
+        lo = codes[k]
+        hi = codes[k + 1] if k + 1 < len(codes) else 0
+        nib.append(lo | (hi << 4))
+    block = struct.pack("<hBB", pred0, 0, 0) + bytes(nib)
+    block_align = len(block)
+    samples_per_block = len(pcm_samples)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate,  # nominal byte rate; informational for one block
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = b"fact" + struct.pack("<II", 4, samples_per_block)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact
+    body += b"data" + struct.pack("<I", len(block)) + block
+    if len(block) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima_adpcm(body_fmt: bytes, data: bytes) -> tuple[int, int, list[int]]:
+    """Decode the data chunk of a mono WAVE_FORMAT_IMA_ADPCM file given
+    its fmt chunk bytes: verifies the cbSize=2 samplesPerBlock
+    extension, walks each block's (predictor, index) header and nibble
+    stream (low nibble first), and reconstructs exactly
+    samplesPerBlock samples per block."""
+    import struct
+
+    fmt_code, ch, sr = struct.unpack("<HHI", body_fmt[:8])
+    block_align = struct.unpack("<H", body_fmt[12:14])[0]
+    bits = struct.unpack("<H", body_fmt[14:16])[0]
+    if fmt_code != 0x11 or bits != 4:
+        raise ValueError("not IMA ADPCM")
+    if ch != 1:
+        raise NotImplementedError("only mono IMA ADPCM supported")
+    if len(body_fmt) < 20:
+        raise ValueError("missing samplesPerBlock extension")
+    spb = struct.unpack("<H", body_fmt[18:20])[0]
+    samples: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred0, idx0, _res = struct.unpack("<hBB", block[:4])
+        codes: list[int] = []
+        for b in block[4:]:
+            codes.append(b & 0x0F)
+            codes.append(b >> 4)
+        codes = codes[: spb - 1]
+        samples.extend(ima_adpcm_decode(pred0, idx0, codes))
+    return (sr, 1, samples)
+
+
+def synth_ima_adpcm_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic IMA ADPCM corpus at 8 kHz: per id, n = id%60+20
+    samples of a bounded-slope ramp x[i] = ((id*37 + i*257) % 4096) −
+    2048 (slopes small enough that the adaptive quantizer tracks —
+    pure noise defeats ADPCM by design), compressed 4:1. ADPCM is
+    LOSSY with SEQUENTIAL state, so the SQL oracle replays the whole
+    encode→decode state machine as a RECURSIVE CTE over (predictor,
+    step-index) — the step table joins in as a VALUES relation."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(i: int) -> bytes:
+            n = i % 60 + 20
+            samples = [((i * 37 + j * 257) % 4096) - 2048 for j in range(n)]
+            return encode_wav_ima_adpcm(8000, samples)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": [make(int(i)) for i in pdf[id_col]]}
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)

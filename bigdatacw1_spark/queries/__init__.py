@@ -225,6 +225,8 @@ ROUND12_WINDOW: list[str] = [
     # round-9 additions: graph / privacy / assembly / crawl
     "ext_link_pred_scores", "ext_bipartite_project", "ext_t_closeness",
     "ext_length_bucket_batches", "ext_crawl_frontier",
+    # round-9 additions: real codecs + wire formats
+    "ext_mm_alaw", "ext_protobuf_roundtrip", "ext_mm_qoi", "ext_mm_adpcm",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

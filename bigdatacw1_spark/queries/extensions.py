@@ -13689,3 +13689,326 @@ def ext_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slot")
     )
+
+
+@q(
+    "ext_mm_alaw",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 60 + 20 AS n
+            FROM documents WHERE doc_id < 96
+        ), s AS (
+            SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i
+            FROM p
+        ), pcm AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 41 + i * 13) % 65536) - 32768 AS x0
+            FROM s
+        ), mag AS (
+            SELECT doc_id, n, i, x0,
+                   CASE WHEN x0 >= 0 THEN x0 // 8 ELSE (-x0 - 1) // 8 END AS m
+            FROM pcm
+        ), seg AS (
+            SELECT doc_id, n, i, x0, m,
+                   CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+                        WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+                        WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+                        WHEN m <= 2047 THEN 6 ELSE 7 END AS sg
+            FROM mag
+        ), mant AS (
+            SELECT doc_id, n, i, x0, sg,
+                   CASE WHEN sg < 2 THEN (m // 2) % 16
+                        ELSE (m // CAST(POWER(2, sg) AS BIGINT)) % 16 END AS mt
+            FROM seg
+        ), dec AS (
+            SELECT doc_id, n, i,
+                   CASE WHEN x0 >= 0 THEN 1 ELSE -1 END
+                   * CASE WHEN sg = 0 THEN mt * 16 + 8
+                          WHEN sg = 1 THEN mt * 16 + 264
+                          ELSE (mt * 16 + 264)
+                               * CAST(POWER(2, sg - 1) AS BIGINT) END AS x
+            FROM mant
+        ), w AS (
+            SELECT *, LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM dec
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+               CAST(SUM(x * x) AS BIGINT) AS square_sum,
+               CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM w GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
+def ext_mm_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law codec — the European/international telephony
+    twin of ext_mm_ulaw, completing both halves of the G.711 standard
+    on IDENTICAL synthetic PCM (same pattern, same −32768 clip edge, so
+    the two laws' quantization behavior is directly comparable row for
+    row): synth_alaw_corpus compands int16 PCM through the Sun g711.c
+    reference arithmetic into spec-valid WAVE_FORMAT_ALAW containers
+    (format tag 6, fact chunk, 8 kHz) and decode_audio's RIFF dispatch
+    expands each wire byte back. A-law is lossy, so the oracle replays
+    the ENTIRE encode→decode path in integer SQL — 13-bit shift with
+    the −x−1 negative mapping, segment range ladder, 4-bit mantissa,
+    midpoint reconstruction — verified exact against the Python codec
+    over the full int16 range. Arrow-batched mapInPandas decode,
+    integer statistics only."""
+    from bigdatacw1_spark.operators.multimodal import decode_audio, synth_alaw_corpus
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_alaw_corpus(docs)
+    return decode_audio(media).orderBy("doc_id")
+
+
+@q(
+    "ext_protobuf_roundtrip",
+    oracle="""
+        SELECT CAST(l_orderkey % 16 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents,
+               CAST(SUM(CAST(ROUND((l_discount - 0.05) * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_disc_cents,
+               CAST(SUM(ASCII(l_returnflag) * l_linenumber) AS BIGINT)
+                   AS flag_checksum
+        FROM lineitem
+        GROUP BY 1 ORDER BY shard
+    """,
+)
+def ext_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL protobuf wire format (no protobuf library) — the RPC/queue
+    serialization every ingest edge speaks: lineitem rows are sharded
+    16 ways and sub-split into bounded blocks, each block serialized as
+    a length-delimited stream of messages (varint tags and int64
+    fields, sint64 ZIGZAG for the negative discount deltas,
+    length-delimited UTF-8 strings — sources/formats.
+    encode_protobuf_stream per protobuf.dev's public encoding spec),
+    then decoded by the stdlib walker (which verifies every tag's
+    field/wire type, varint termination, and length bound) and
+    re-aggregated. The oracle aggregates the same statistics straight
+    off parquet, so the hash match proves encode→decode is lossless —
+    a wrong zigzag sign, continuation bit, or frame length breaks it.
+    Same bounded-block shape as ext_avro_roundtrip: groupBy
+    (shard, block) → applyInPandas encode, mapInPandas decode, hash
+    re-aggregate; no single task ever holds a whole shard."""
+    import pandas as pd
+
+    from bigdatacw1_spark.sources.formats import (
+        decode_protobuf_stream,
+        encode_protobuf_stream,
+    )
+
+    blocks_per_shard = 8
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 16).cast("long").alias("shard"),
+        ((F.col("l_orderkey") / 16).cast("long") % blocks_per_shard)
+        .cast("long")
+        .alias("block"),
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round((F.col("l_discount") - 0.05) * 100).cast("long").alias("disc_c"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["okey", "line"])
+        recs = [
+            (int(o), int(ln), int(q), int(d), str(f))
+            for o, ln, q, d, f in zip(
+                pdf["okey"], pdf["line"], pdf["qty_c"], pdf["disc_c"], pdf["flag"]
+            )
+        ]
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])],
+             "payload": [encode_protobuf_stream(recs)]}
+        )
+
+    containers = li.groupBy("shard", "block").applyInPandas(
+        encode_block, schema="shard long, payload binary"
+    )
+
+    def decode_batches(it):
+        for pdf in it:
+            out = {"shard": [], "line": [], "qty_c": [], "disc_c": [], "flag": []}
+            for shard, payload in zip(pdf["shard"], pdf["payload"]):
+                for _okey, line, qty_c, disc_c, flag in decode_protobuf_stream(
+                    bytes(payload)
+                ):
+                    out["shard"].append(int(shard))
+                    out["line"].append(line)
+                    out["qty_c"].append(qty_c)
+                    out["disc_c"].append(disc_c)
+                    out["flag"].append(flag)
+            yield pd.DataFrame(out)
+
+    decoded = containers.mapInPandas(
+        decode_batches,
+        schema="shard long, line long, qty_c long, disc_c long, flag string",
+    )
+    return (
+        decoded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("qty_c").cast("long").alias("sum_qty_cents"),
+            F.sum("disc_c").cast("long").alias("sum_disc_cents"),
+            F.sum(F.ascii(F.col("flag")) * F.col("line"))
+            .cast("long")
+            .alias("flag_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@q(
+    "ext_mm_qoi",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < 96
+        ), px AS (
+            SELECT doc_id, w, h, UNNEST(GENERATE_SERIES(0, w * h - 1)) AS j
+            FROM p
+        ), chan AS (
+            SELECT doc_id, w, h,
+                   (doc_id * 7 + (j // 3) * 5) % 256 AS r,
+                   (doc_id * 11 + (j // 3) * 3) % 256 AS g,
+                   (doc_id * 13 + (j // 3) * 2) % 256 AS b
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM(r) AS BIGINT) AS r_sum,
+               CAST(SUM(g) AS BIGINT) AS g_sum,
+               CAST(SUM(b) AS BIGINT) AS b_sum,
+               TRUE AS compressed
+        FROM chan GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def ext_mm_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI codec ('Quite OK Image', qoiformat.org — the 2021
+    lossless RGB format whose one-page spec made it the de-facto
+    teaching codec and a real interchange format in game pipelines):
+    synth_qoi_corpus renders deterministic RGB images whose block
+    structure exercises ALL SIX ops (RUN/INDEX/DIFF/LUMA/RGB + end
+    marker), operators/multimodal.encode_qoi compresses them, and
+    decode_qoi walks the op stream back verifying magic, header, end
+    marker, run bounds, and exact pixel count. QOI is lossless, so the
+    oracle replays only the pixel SYNTHESIS arithmetic — any drift in
+    the 64-slot index, a wrapped DIFF bias, or a LUMA drift bit changes
+    the channel sums and fails the hash; `compressed` asserts the coded
+    stream actually beat raw size (TRUE in the oracle — a spec-valid
+    but trivial all-RGB encoder fails it... with these run-heavy
+    images). Arrow-batched mapInPandas decode, integer statistics."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_qoi_stats,
+        synth_qoi_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_qoi_corpus(docs)
+    stats = decode_qoi_stats(media)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        (F.col("encoded_bytes") < F.col("n_pixels") * 3 + 22).alias("compressed"),
+    ).orderBy("doc_id")
+
+
+def _ima_oracle() -> str:
+    """Build the ext_mm_adpcm oracle from the single-sourced step table:
+    a RECURSIVE CTE replays the codec's (predictor, step-index) state
+    machine per doc — the only way SQL can express a sequential
+    adaptive quantizer — with the encode quantization (three threshold
+    bits against step, step/2, step/4) and decode reconstruction folded
+    into one transition expression, verified exact against the Python
+    codec over the whole corpus."""
+    from bigdatacw1_spark.operators.multimodal import _IMA_STEP_TABLE
+
+    steps_vals = ",".join(f"({i},{s})" for i, s in enumerate(_IMA_STEP_TABLE))
+    b4 = "CASE WHEN ABS(t.x - s.pred) >= st.step THEN 1 ELSE 0 END"
+    r4 = f"ABS(t.x - s.pred) - ({b4}) * st.step"
+    b2 = f"CASE WHEN {r4} >= st.step // 2 THEN 1 ELSE 0 END"
+    r2 = f"({r4}) - ({b2}) * (st.step // 2)"
+    b1 = f"CASE WHEN {r2} >= st.step // 4 THEN 1 ELSE 0 END"
+    delta = (
+        f"st.step // 8 + ({b4}) * st.step + ({b2}) * (st.step // 2)"
+        f" + ({b1}) * (st.step // 4)"
+    )
+    sign = "CASE WHEN t.x < s.pred THEN -1 ELSE 1 END"
+    code7 = f"4 * ({b4}) + 2 * ({b2}) + ({b1})"
+    adj = (
+        f"CASE ({code7}) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6"
+        f" WHEN 7 THEN 8 ELSE -1 END"
+    )
+    return f"""
+        WITH RECURSIVE p AS (
+            SELECT doc_id, doc_id % 60 + 20 AS n
+            FROM documents WHERE doc_id < 96
+        ), idxs AS (
+            SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i FROM p
+        ), pcm AS (
+            SELECT doc_id, n, i, ((doc_id * 37 + i * 257) % 4096) - 2048 AS x
+            FROM idxs
+        ), steps(si, step) AS (VALUES {steps_vals}),
+        state AS (
+            SELECT doc_id, n, i, x AS pred, 0 AS idx
+            FROM pcm WHERE i = 0
+            UNION ALL
+            SELECT s.doc_id, s.n, t.i,
+                   GREATEST(-32768, LEAST(32767,
+                       s.pred + ({sign}) * ({delta}))) AS pred,
+                   LEAST(88, GREATEST(0, s.idx + ({adj}))) AS idx
+            FROM state s
+            JOIN pcm t ON t.doc_id = s.doc_id AND t.i = s.i + 1
+            JOIN steps st ON st.si = s.idx
+        ), w AS (
+            SELECT doc_id, n, i, pred AS x,
+                   LAG(pred) OVER (PARTITION BY doc_id ORDER BY i) AS px
+            FROM state
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+               CAST(SUM(x * x) AS BIGINT) AS square_sum,
+               CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM w GROUP BY doc_id, n ORDER BY doc_id
+    """
+
+
+@q("ext_mm_adpcm", oracle=_ima_oracle())
+def ext_mm_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM codec (DVI4 / WAVE_FORMAT_IMA_ADPCM 0x11 — the
+    classic 4:1 adaptive-delta speech compressor still everywhere in
+    telephony archives and game audio): synth_ima_adpcm_corpus
+    compresses deterministic bounded-slope PCM into spec-valid WAV
+    blocks (predictor/index header, low-nibble-first 4-bit codes,
+    cbSize=2 samplesPerBlock extension), and decode_audio's dispatch
+    walks the blocks back through the 89-step adaptive quantizer.
+    Unlike the memoryless G.711 laws, ADPCM has SEQUENTIAL state —
+    so the oracle is a RECURSIVE CTE replaying the exact (predictor,
+    step-index) transitions with the step table joined as a VALUES
+    relation; any drift in a threshold bit, clamp, or index walk
+    diverges the whole tail and fails the hash. Arrow-batched
+    mapInPandas decode, integer statistics only."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_audio,
+        synth_ima_adpcm_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    media = synth_ima_adpcm_corpus(docs)
+    return decode_audio(media).orderBy("doc_id")

@@ -536,3 +536,113 @@ def decode_avro_container(payload: bytes) -> list[tuple[int, int, int, int, str]
             raise ValueError("sync marker mismatch after block")
         pos += 16
     return records
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire format (no protobuf library): varint / zigzag / length-
+# delimited encoding per the public encoding spec
+# (protobuf.dev/programming-guides/encoding). Message type:
+#   message Line { int64 okey=1; int64 line=2; int64 qty_c=3;
+#                  sint64 disc_c=4; string flag=5; }
+# Stream framing: each message is prefixed with its varint byte length
+# (the standard delimited-stream convention, writeDelimitedTo).
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint(n: int) -> bytes:
+    """Unsigned LEB128 varint (7 bits per byte, MSB = continuation)."""
+    if n < 0:
+        raise ValueError("varint encodes unsigned values; zigzag first")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_read_varint(b: bytes, pos: int) -> tuple[int, int]:
+    """Decode one varint; verifies continuation bits terminate in-bounds."""
+    shift = 0
+    val = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated varint")
+        byte = b[pos]
+        pos += 1
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+
+
+def _pb_zigzag(n: int) -> int:
+    """sint64 zigzag: maps −1→1, 1→2, −2→3 … so small negatives stay short."""
+    return ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+
+
+def _pb_unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_protobuf_stream(records: list[tuple[int, int, int, int, str]]) -> bytes:
+    """Serialize (okey, line, qty_c, disc_c, flag) records as a
+    length-delimited stream of protobuf messages: fields 1–3 int64
+    varints, field 4 sint64 ZIGZAG varint (disc_c is negative for
+    below-par discounts — plain varint would burn 10 bytes on every
+    one), field 5 a length-delimited UTF-8 string."""
+    out = bytearray()
+    for okey, line, qty_c, disc_c, flag in records:
+        msg = bytearray()
+        msg += _pb_varint((1 << 3) | 0) + _pb_varint(okey)
+        msg += _pb_varint((2 << 3) | 0) + _pb_varint(line)
+        msg += _pb_varint((3 << 3) | 0) + _pb_varint(qty_c)
+        msg += _pb_varint((4 << 3) | 0) + _pb_varint(_pb_zigzag(disc_c))
+        fb = flag.encode("utf-8")
+        msg += _pb_varint((5 << 3) | 2) + _pb_varint(len(fb)) + fb
+        out += _pb_varint(len(msg)) + msg
+    return bytes(out)
+
+
+def decode_protobuf_stream(payload: bytes) -> list[tuple[int, int, int, int, str]]:
+    """Walk a length-delimited protobuf stream back to records,
+    verifying every tag's field number and wire type, message framing,
+    and string bounds — a wrong continuation bit, zigzag sign, or
+    length prefix fails loudly, which is what the round-trip oracle
+    leans on."""
+    b = bytes(payload)
+    pos = 0
+    out: list[tuple[int, int, int, int, str]] = []
+    while pos < len(b):
+        mlen, pos = _pb_read_varint(b, pos)
+        end = pos + mlen
+        if end > len(b):
+            raise ValueError("message overruns stream")
+        vals: dict[int, int | str] = {}
+        while pos < end:
+            tag, pos = _pb_read_varint(b, pos)
+            field, wtype = tag >> 3, tag & 0x07
+            if field in (1, 2, 3, 4):
+                if wtype != 0:
+                    raise ValueError(f"field {field}: expected varint wire type")
+                v, pos = _pb_read_varint(b, pos)
+                vals[field] = _pb_unzigzag(v) if field == 4 else v
+            elif field == 5:
+                if wtype != 2:
+                    raise ValueError("field 5: expected length-delimited")
+                slen, pos = _pb_read_varint(b, pos)
+                if pos + slen > end:
+                    raise ValueError("string overruns message")
+                vals[field] = b[pos : pos + slen].decode("utf-8")
+                pos += slen
+            else:
+                raise ValueError(f"unknown field {field}")
+        if pos != end or set(vals) != {1, 2, 3, 4, 5}:
+            raise ValueError("malformed message")
+        out.append((vals[1], vals[2], vals[3], vals[4], vals[5]))
+    return out

@@ -830,3 +830,86 @@ def test_tiff_foreign_ifd_type_refuses_loudly():
             break
     with pytest.raises(NotImplementedError, match="IFD entry type"):
         decode_tiff(bytes(blob))
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=120))
+def test_alaw_quantization_idempotent(samples):
+    """G.711 A-law: decode(encode(x)) is the segment midpoint, and
+    re-encoding a decoded value is a FIXED POINT (the companding law's
+    defining property); error is bounded by half the segment width."""
+    from bigdatacw1_spark.operators.multimodal import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+    )
+
+    for x in samples:
+        y = alaw_decode_byte(alaw_encode_sample(x))
+        assert -32768 <= y <= 32767
+        assert alaw_decode_byte(alaw_encode_sample(y)) == y
+        assert abs(x - y) <= 512  # seg-7 half-step at 16-bit scale (worst at -32768)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.data(),
+)
+def test_qoi_roundtrip_arbitrary_pixels(w, h, data):
+    """encode_qoi→decode_qoi is bit-exact for arbitrary RGB buffers
+    (QOI is lossless by spec), including run/index/diff/luma op mixes."""
+    from bigdatacw1_spark.operators.multimodal import decode_qoi, encode_qoi
+
+    px = bytes(
+        data.draw(st.integers(min_value=0, max_value=255)) for _ in range(w * h * 3)
+    )
+    assert decode_qoi(encode_qoi(w, h, px)) == (w, h, 3, px)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=100))
+def test_ima_adpcm_container_roundtrip(samples):
+    """encode_wav_ima_adpcm→decode_wav (dispatch path) reproduces the
+    encoder's internal reconstruction exactly — the wire nibbles, block
+    header, and decoder state machine agree sample for sample."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    pred0, codes = ima_adpcm_encode(samples)
+    expected = ima_adpcm_decode(pred0, 0, codes)
+    sr, ch, got = decode_wav(encode_wav_ima_adpcm(8000, samples))
+    assert (sr, ch) == (8000, 1)
+    assert got == expected
+    assert len(got) == len(samples)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=10**7),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(min_size=0, max_size=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_protobuf_stream_roundtrip(records):
+    """encode_protobuf_stream→decode_protobuf_stream is exact for
+    arbitrary records, including negative sint64 zigzag values and
+    non-ASCII strings."""
+    from bigdatacw1_spark.sources.formats import (
+        decode_protobuf_stream,
+        encode_protobuf_stream,
+    )
+
+    recs = [tuple(r) for r in records]
+    assert decode_protobuf_stream(encode_protobuf_stream(recs)) == recs
