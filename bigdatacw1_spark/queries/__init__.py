@@ -227,6 +227,9 @@ ROUND12_WINDOW: list[str] = [
     "ext_length_bucket_batches", "ext_crawl_frontier",
     # round-9 additions: real codecs + wire formats
     "ext_mm_alaw", "ext_protobuf_roundtrip", "ext_mm_qoi", "ext_mm_adpcm",
+    # round-9 additions: cointegration, positional IR, bitmap planning
+    "ev_engle_granger", "ext_phrase_search", "ext_roaring_stats",
+    "ext_lsh_band_planner",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

@@ -14012,3 +14012,274 @@ def ext_mm_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
     media = synth_ima_adpcm_corpus(docs)
     return decode_audio(media).orderBy("doc_id")
+
+
+@q(
+    "ext_phrase_search",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                               w -> w <> '') AS toks
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, UNNEST(toks) AS tok,
+                   UNNEST(RANGE(1, LEN(toks) + 1)) AS p
+            FROM tk
+        ), big AS (
+            SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            GROUP BY a.tok, b.tok
+        ), top1 AS (
+            SELECT w1, w2 FROM big ORDER BY cnt DESC, w1, w2 LIMIT 1
+        ), hits AS (
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+            FROM pos a
+            JOIN top1 ON a.tok = top1.w1
+            JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                      AND b.tok = top1.w2
+            GROUP BY a.doc_id
+        )
+        SELECT (SELECT w1 FROM top1) || ' ' || (SELECT w2 FROM top1) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_matching_docs,
+               CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+               CAST(MAX(occ) AS BIGINT) AS max_per_doc,
+               CAST(MIN(CASE WHEN occ = (SELECT MAX(occ) FROM hits)
+                             THEN doc_id END) AS BIGINT) AS top_doc
+        FROM hits
+    """,
+)
+def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search — the inverted-index operation
+    BM25 (bag of words) cannot do: exact phrase matching via the
+    canonical positional join (term1 postings ⋈ term2 postings on
+    doc_id AND position+1 — how Lucene/ES execute a quoted query). The
+    phrase under test is self-calibrating: the corpus's most frequent
+    bigram (deterministic tiebreak), so the entry exercises discovery
+    (one bigram count aggregate) AND retrieval (the positional join
+    with the rare-term side filtered FIRST — postings for w1 only, so
+    the join is |postings| not |corpus|). Output is the match census
+    with a deterministic top-doc."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pos = tk.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    a = pos.select("doc_id", "p", F.col("tok").alias("w1"))
+    b = pos.select("doc_id", (F.col("p") - 1).alias("p"), F.col("tok").alias("w2"))
+    big = (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top1 = big.orderBy(F.col("cnt").desc(), "w1", "w2").limit(1).select("w1", "w2")
+    hits = (
+        pos.join(F.broadcast(top1), pos["tok"] == top1["w1"])
+        .select("doc_id", "p", "w1", "w2")
+        .join(
+            pos.select(
+                F.col("doc_id").alias("d2"), F.col("p").alias("p2"), F.col("tok").alias("t2")
+            ),
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") == F.col("p") + 1)
+            & (F.col("t2") == F.col("w2")),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    mx = hits.agg(F.max("occ").alias("mxo"))
+    return (
+        hits.crossJoin(F.broadcast(mx))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matching_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.max("occ").cast("long").alias("max_per_doc"),
+            F.min(F.when(F.col("occ") == F.col("mxo"), F.col("doc_id")))
+            .cast("long")
+            .alias("top_doc"),
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "n_matching_docs",
+            "n_occurrences",
+            "max_per_doc",
+            "top_doc",
+        )
+    )
+
+
+@q(
+    "ext_roaring_stats",
+    oracle="""
+        WITH vals AS (
+            SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS v
+            FROM events
+        ), chunked AS (
+            SELECT event_type, v // 256 AS chunk, v % 256 AS lo,
+                   LAG(v) OVER (PARTITION BY event_type, v // 256
+                                ORDER BY v) AS pv
+            FROM vals
+        ), per_chunk AS (
+            SELECT event_type, chunk,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pv IS NULL OR v // 256 * 256 + lo - pv > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+            FROM (SELECT event_type, chunk, lo, pv,
+                         chunk * 256 + lo AS v FROM chunked)
+            GROUP BY event_type, chunk
+        ), costed AS (
+            SELECT event_type, chunk, n, n_runs,
+                   LEAST(2 * n, 32, 4 * n_runs) AS bytes_est,
+                   CASE WHEN 4 * n_runs <= 2 * n AND 4 * n_runs <= 32 THEN 'run'
+                        WHEN 2 * n <= 32 THEN 'array'
+                        ELSE 'bitmap' END AS container
+            FROM per_chunk
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(n) AS BIGINT) AS n_values,
+               CAST(SUM(bytes_est) AS BIGINT) AS total_bytes,
+               CAST(COUNT(*) FILTER (container = 'array') AS BIGINT) AS n_array,
+               CAST(COUNT(*) FILTER (container = 'bitmap') AS BIGINT) AS n_bitmap,
+               CAST(COUNT(*) FILTER (container = 'run') AS BIGINT) AS n_run
+        FROM costed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ext_roaring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap container planning (Chambi/Lemire et al.) over the
+    per-type audience posting lists — the cost model every bitmap index
+    (Pinot/Druid/Lucene/ClickHouse) runs when it picks array vs bitmap
+    vs run-length container per fixed-width chunk: array costs 2 bytes
+    per value, the dense bitmap a flat chunk_span/8, runs 4 bytes each
+    (256-value chunks at this synthetic id density; production uses
+    2^16). Runs are counted with a partitioned LAG over the sorted
+    distinct values (a new run starts where the gap exceeds 1); the
+    chosen container is the integer argmin with roaring's tie order
+    (run wins ties, then array). The decision is pure integer
+    arithmetic — deterministic in any engine; wh_deletion_vector_scan
+    holds the bitmaps this planner would size."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.col("user_id").cast("long").alias("v")
+    ).distinct()
+    w = Window.partitionBy("event_type", (F.col("v") / 256).cast("long")).orderBy("v")
+    chunked = vals.select(
+        "event_type",
+        F.floor(F.col("v") / 256).alias("chunk"),
+        "v",
+        F.lag("v").over(w).alias("pv"),
+    )
+    per_chunk = chunked.groupBy("event_type", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pv").isNull() | (F.col("v") - F.col("pv") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    bytes_est = F.least(2 * F.col("n"), F.lit(32), 4 * F.col("n_runs"))
+    container = (
+        F.when(
+            (4 * F.col("n_runs") <= 2 * F.col("n")) & (4 * F.col("n_runs") <= 32),
+            "run",
+        )
+        .when(2 * F.col("n") <= 32, "array")
+        .otherwise("bitmap")
+    )
+    costed = per_chunk.select(
+        "event_type", "chunk", "n", "n_runs",
+        bytes_est.alias("bytes_est"), container.alias("container"),
+    )
+    return (
+        costed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n").cast("long").alias("n_values"),
+            F.sum("bytes_est").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("container") == "array", 1).otherwise(0))
+            .cast("long")
+            .alias("n_array"),
+            F.sum(F.when(F.col("container") == "bitmap", 1).otherwise(0))
+            .cast("long")
+            .alias("n_bitmap"),
+            F.sum(F.when(F.col("container") == "run", 1).otherwise(0))
+            .cast("long")
+            .alias("n_run"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "ext_lsh_band_planner",
+    oracle="""
+        WITH splits(b, r) AS (
+            VALUES (128, 1), (64, 2), (32, 4), (16, 8),
+                   (8, 16), (4, 32), (2, 64), (1, 128)
+        ), scored AS (
+            SELECT b, r,
+                   FLOOR(POWER(1.0 / b, 1.0 / r) * 1000000.0 + 0.5)
+                       / 1000000.0 AS threshold,
+                   FLOOR((1.0 - POWER(1.0 - POWER(0.4, r), b))
+                         * 1000000.0 + 0.5) / 1000000.0 AS p_collide_s40,
+                   FLOOR(POWER(1.0 - POWER(0.8, r), b)
+                         * 1000000.0 + 0.5) / 1000000.0 AS p_miss_s80
+            FROM splits
+        )
+        SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+               threshold, p_collide_s40, p_miss_s80,
+               (ABS(threshold - 0.5)
+                = (SELECT MIN(ABS(threshold - 0.5)) FROM scored)) AS chosen
+        FROM scored ORDER BY r
+    """,
+)
+def ext_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band planning (MMDS ch.3, the Leskovec/Rajaraman/
+    Ullman S-curve): for every (bands b, rows r) split of 128
+    permutations, the similarity threshold t ≈ (1/b)^(1/r), the
+    false-candidate probability at s = 0.4, and the false-NEGATIVE
+    probability at s = 0.8 — the trade the banded dedup entries
+    (ext_minhash_lsh_pairs, ext_neardup_lsh_verified, ext_lsh_admission)
+    bake in as constants; this planner is where those constants come
+    from, and at 100 TB re-planning b×r against the observed similarity
+    histogram (ext_jaccard_threshold_curve) is a real tuning loop. Tiny
+    dimension-table compute with IEEE pow identical in both engines;
+    'chosen' marks the split nearest the 0.5 design threshold by exact
+    comparison of quantized values."""
+    splits = spark.createDataFrame(
+        [(128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64), (1, 128)],
+        "b int, r int",
+    )
+    bd = F.col("b").cast("double")
+    rd = F.col("r").cast("double")
+    scored = splits.select(
+        "b",
+        "r",
+        stable_round(F.pow(1.0 / bd, 1.0 / rd), 6).alias("threshold"),
+        stable_round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.lit(0.4), rd), bd), 6
+        ).alias("p_collide_s40"),
+        stable_round(F.pow(F.lit(1.0) - F.pow(F.lit(0.8), rd), bd), 6).alias(
+            "p_miss_s80"
+        ),
+    )
+    best = scored.agg(F.min(F.abs(F.col("threshold") - 0.5)).alias("best"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "b",
+            "r",
+            "threshold",
+            "p_collide_s40",
+            "p_miss_s80",
+            (F.abs(F.col("threshold") - 0.5) == F.col("best")).alias("chosen"),
+        )
+        .orderBy("r")
+    )

@@ -4410,3 +4410,141 @@ def ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("signal"), 4).alias("signal"),
         stable_round(last - F.col("signal"), 4).alias("histogram"),
     ).orderBy("event_type")
+
+
+@q(
+    "ev_engle_granger",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), mkt AS (
+            SELECT hr, CAST(SUM(y) AS BIGINT) AS x FROM hourly GROUP BY hr
+        ), j AS (
+            SELECT h.event_type, h.hr, h.y, m.x
+            FROM hourly h JOIN mkt m ON h.hr = m.hr
+        ), ols AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+            FROM j GROUP BY event_type
+        ), beta AS (
+            SELECT event_type, n,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n AS a
+            FROM ols
+        ), resid AS (
+            SELECT j.event_type, j.hr,
+                   CAST(FLOOR((j.y - beta.a - beta.b * j.x) * 100.0 + 0.5)
+                        AS BIGINT) AS e
+            FROM j JOIN beta ON j.event_type = beta.event_type
+        ), pairs AS (
+            SELECT event_type,
+                   LAG(e) OVER (PARTITION BY event_type ORDER BY hr) AS el,
+                   e - LAG(e) OVER (PARTITION BY event_type ORDER BY hr) AS de
+            FROM resid
+            QUALIFY el IS NOT NULL
+        ), adf AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(CAST(el * de AS DECIMAL(38,0))) AS DOUBLE) AS sed,
+                   CAST(SUM(CAST(el * el AS DECIMAL(38,0))) AS DOUBLE) AS see,
+                   CAST(SUM(CAST(de * de AS DECIMAL(38,0))) AS DOUBLE) AS sdd
+            FROM pairs GROUP BY event_type
+        )
+        SELECT b.event_type, b.n,
+               FLOOR(b.b * 1000000.0 + 0.5) / 1000000.0 AS hedge_beta,
+               FLOOR(b.a * 100.0 + 0.5) / 100.0 AS alpha_cents,
+               FLOOR((adf.sed / adf.see)
+                     / SQRT(((adf.sdd - 2.0 * (adf.sed / adf.see) * adf.sed
+                              + (adf.sed / adf.see) * (adf.sed / adf.see)
+                                * adf.see)
+                             / CAST(adf.m - 1 AS DOUBLE)) / adf.see)
+                     * 10000.0 + 0.5) / 10000.0 AS adf_t
+        FROM beta b JOIN adf ON b.event_type = adf.event_type
+        ORDER BY b.event_type
+    """,
+)
+def ev_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration step 1+2 for each event type against
+    the market (the hourly total across all types): OLS hedge ratio
+    y = α + βx, then the Dickey-Fuller t-statistic of the RESIDUAL's
+    mean reversion (Δe = ρe₋₁: t = ρ̂/se(ρ̂)) — the pairs-trading /
+    spread-monitoring test that distinguishes a genuinely cointegrated
+    pair from two series that merely trend together (ev_adf_stationarity
+    is the same DF machinery on a raw series). Every moment is an exact
+    DECIMAL(38,0) sum of integers: the OLS runs on integer cents and
+    the residuals are floor-quantized to centi-cents at birth, so ρ̂,
+    its standard error (expanded as Σde² − 2ρ̂Σe·de + ρ̂²Σe² — no second
+    residual pass), and the t-stat are closed forms over exact inputs.
+    Two hash aggregates + one partitioned lag window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    mkt = hourly.groupBy("hr").agg(F.sum("y").cast("long").alias("x"))
+    j = hourly.join(mkt, "hr").select("event_type", "hr", "y", "x")
+    x, y = F.col("x"), F.col("y")
+    ols = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    b_expr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    beta = ols.select(
+        "event_type",
+        "n",
+        b_expr.alias("b"),
+        ((F.col("sy") - b_expr * F.col("sx")) / nd).alias("a"),
+    )
+    resid = j.join(F.broadcast(beta), "event_type").select(
+        "event_type",
+        "hr",
+        F.floor(
+            (y.cast("double") - F.col("a") - F.col("b") * x.cast("double"))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    pairs = (
+        resid.withColumn("el", F.lag("e").over(w))
+        .where(F.col("el").isNotNull())
+        .select("event_type", "el", (F.col("e") - F.col("el")).alias("de"))
+    )
+    el, de = F.col("el"), F.col("de")
+    adf = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((el * de).cast("decimal(38,0)")).cast("double").alias("sed"),
+        F.sum((el * el).cast("decimal(38,0)")).cast("double").alias("see"),
+        F.sum((de * de).cast("decimal(38,0)")).cast("double").alias("sdd"),
+    )
+    rho = F.col("sed") / F.col("see")
+    s2 = (
+        F.col("sdd") - F.lit(2.0) * rho * F.col("sed") + rho * rho * F.col("see")
+    ) / (F.col("m") - 1).cast("double")
+    return (
+        beta.join(adf, "event_type")
+        .select(
+            "event_type",
+            "n",
+            stable_round(F.col("b"), 6).alias("hedge_beta"),
+            stable_round(F.col("a"), 2).alias("alpha_cents"),
+            stable_round(rho / F.sqrt(s2 / F.col("see")), 4).alias("adf_t"),
+        )
+        .orderBy("event_type")
+    )
