@@ -217,7 +217,7 @@ def main() -> int:
         # of any round) put each query's min BELOW its r6 min with plans
         # unchanged: pivot 0.447 < 0.503, portfolio 0.741 < 0.792,
         # q18 1.136 < 1.246.
-        "drift_note": "r7 +12% on pivot/portfolio/q18 was box drift: r8 3-file mins 0.447/0.741/1.136 < r6 0.503/0.792/1.246, plans unchanged",
+        "drift_note": "r9 3-file mins: totals 8.470/8.333/8.446 (best 8.333 < r8 8.601); no headliner moved >10% vs r8, plans unchanged",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,
