@@ -230,6 +230,8 @@ ROUND12_WINDOW: list[str] = [
     # round-9 additions: cointegration, positional IR, bitmap planning
     "ev_engle_granger", "ext_phrase_search", "ext_roaring_stats",
     "ext_lsh_band_planner",
+    # round-9 additions: multiple-testing FWER + AR-order diagnostics
+    "wh_holm_bonferroni", "ev_pacf",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

@@ -4429,8 +4429,10 @@ def ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
                    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-                   CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx
             FROM j GROUP BY event_type
         ), beta AS (
             SELECT event_type, n,
@@ -4452,9 +4454,12 @@ def ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), adf AS (
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS m,
-                   CAST(SUM(CAST(el * de AS DECIMAL(38,0))) AS DOUBLE) AS sed,
-                   CAST(SUM(CAST(el * el AS DECIMAL(38,0))) AS DOUBLE) AS see,
-                   CAST(SUM(CAST(de * de AS DECIMAL(38,0))) AS DOUBLE) AS sdd
+                   CAST(SUM(CAST(el AS DECIMAL(19,0))
+                            * CAST(de AS DECIMAL(19,0))) AS DOUBLE) AS sed,
+                   CAST(SUM(CAST(el AS DECIMAL(19,0))
+                            * CAST(el AS DECIMAL(19,0))) AS DOUBLE) AS see,
+                   CAST(SUM(CAST(de AS DECIMAL(19,0))
+                            * CAST(de AS DECIMAL(19,0))) AS DOUBLE) AS sdd
             FROM pairs GROUP BY event_type
         )
         SELECT b.event_type, b.n,
@@ -4496,8 +4501,12 @@ def ev_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
         F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
-        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
-        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum(x.cast("decimal(19,0)") * y.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(x.cast("decimal(19,0)") * x.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
     )
     nd = F.col("n").cast("double")
     b_expr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -4529,9 +4538,15 @@ def ev_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     el, de = F.col("el"), F.col("de")
     adf = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum((el * de).cast("decimal(38,0)")).cast("double").alias("sed"),
-        F.sum((el * el).cast("decimal(38,0)")).cast("double").alias("see"),
-        F.sum((de * de).cast("decimal(38,0)")).cast("double").alias("sdd"),
+        F.sum(el.cast("decimal(19,0)") * de.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sed"),
+        F.sum(el.cast("decimal(19,0)") * el.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("see"),
+        F.sum(de.cast("decimal(19,0)") * de.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sdd"),
     )
     rho = F.col("sed") / F.col("see")
     s2 = (
@@ -4548,3 +4563,140 @@ def ev_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "ev_pacf",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM hourly GROUP BY event_type
+        ), dm AS (
+            SELECT h.event_type, h.hr,
+                   h.x * st.n - st.s AS d,
+                   LAG(h.x * st.n - st.s, 1) OVER w AS d1,
+                   LAG(h.x * st.n - st.s, 2) OVER w AS d2,
+                   LAG(h.x * st.n - st.s, 3) OVER w AS d3
+            FROM hourly h JOIN stats st ON h.event_type = st.event_type
+            WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr)
+        ), moms AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE) AS c0,
+                   CAST(SUM(CASE WHEN d1 IS NOT NULL
+                                 THEN CAST(d AS DECIMAL(19,0))
+                                      * CAST(d1 AS DECIMAL(19,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c1,
+                   CAST(SUM(CASE WHEN d2 IS NOT NULL
+                                 THEN CAST(d AS DECIMAL(19,0))
+                                      * CAST(d2 AS DECIMAL(19,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c2,
+                   CAST(SUM(CASE WHEN d3 IS NOT NULL
+                                 THEN CAST(d AS DECIMAL(19,0))
+                                      * CAST(d3 AS DECIMAL(19,0))
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c3
+            FROM dm GROUP BY event_type
+        ), rho AS (
+            SELECT event_type, c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3
+            FROM moms
+        ), dl AS (
+            SELECT event_type, r1, r2, r3,
+                   (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+            FROM rho
+        ), dl3 AS (
+            SELECT event_type, r1, r2, r3, p22,
+                   r1 * (1.0 - p22) AS p21
+            FROM dl
+        )
+        SELECT event_type,
+               FLOOR(r1 * 1000000.0 + 0.5) / 1000000.0 AS pacf_1,
+               FLOOR(p22 * 1000000.0 + 0.5) / 1000000.0 AS pacf_2,
+               FLOOR((r3 - p21 * r2 - p22 * r1)
+                     / (1.0 - p21 * r1 - p22 * r2)
+                     * 1000000.0 + 0.5) / 1000000.0 AS pacf_3
+        FROM dl3 ORDER BY event_type
+    """,
+)
+def ev_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 via the Durbin-Levinson
+    recursion — the AR-order selection companion to ev_autocorrelation
+    (ACF says WHETHER past correlates; PACF says which lag carries
+    DIRECT signal once shorter lags are regressed out — the PACF
+    cutoff IS the AR(p) order). Demeaning is kept exact by scaling:
+    d_t = n·x_t − Σx is an INTEGER, and every lag covariance Σd_t·d_{t−k}
+    is an exact DECIMAL sum (DECIMAL(19,0) factors so the product never
+    overflows BIGINT at any scale) whose common n² factor cancels in the
+    autocorrelation ratios; φ22 and φ33 then follow the explicit DL
+    closed forms with identical expression trees in both engines. One
+    hash aggregate, one partitioned lag window, one tiny reduction."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dcol = F.col("x") * F.col("n") - F.col("s")
+    dm = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("d", dcol)
+        .select(
+            "event_type",
+            "hr",
+            "d",
+            F.lag("d", 1).over(w).alias("d1"),
+            F.lag("d", 2).over(w).alias("d2"),
+            F.lag("d", 3).over(w).alias("d3"),
+        )
+    )
+    dec0 = F.lit(0).cast("decimal(38,0)")
+
+    def cov(lagcol: str):
+        return (
+            F.sum(
+                F.when(
+                    F.col(lagcol).isNotNull(),
+                    F.col("d").cast("decimal(19,0)")
+                    * F.col(lagcol).cast("decimal(19,0)"),
+                ).otherwise(dec0)
+            )
+            .cast("double")
+        )
+
+    moms = dm.groupBy("event_type").agg(
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("c0"),
+        cov("d1").alias("c1"),
+        cov("d2").alias("c2"),
+        cov("d3").alias("c3"),
+    )
+    rho = moms.select(
+        "event_type",
+        (F.col("c1") / F.col("c0")).alias("r1"),
+        (F.col("c2") / F.col("c0")).alias("r2"),
+        (F.col("c3") / F.col("c0")).alias("r3"),
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1.0) - F.col("r1") * F.col("r1")
+    )
+    dl = rho.withColumn("p22", p22).withColumn(
+        "p21", F.col("r1") * (F.lit(1.0) - F.col("p22"))
+    )
+    pacf3 = (F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1")) / (
+        F.lit(1.0) - F.col("p21") * F.col("r1") - F.col("p22") * F.col("r2")
+    )
+    return dl.select(
+        "event_type",
+        stable_round(F.col("r1"), 6).alias("pacf_1"),
+        stable_round(F.col("p22"), 6).alias("pacf_2"),
+        stable_round(pacf3, 6).alias("pacf_3"),
+    ).orderBy("event_type")

@@ -6416,3 +6416,174 @@ def wh_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@q(
+    "wh_holm_bonferroni",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ), obs AS (
+            SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(SUM(hit) AS BIGINT) AS k1
+            FROM joined GROUP BY seg, pri
+        ), tot AS (
+            SELECT CAST(SUM(n1) AS BIGINT) AS n, CAST(SUM(k1) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM obs
+        ), zs AS (
+            SELECT seg, pri, n1, k1, m,
+                   ABS((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(k - k1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                       / SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1.0 / CAST(n1 AS DOUBLE)
+                                 + 1.0 / CAST(n - n1 AS DOUBLE)))) AS az
+            FROM obs, tot
+        ), erfx AS (
+            SELECT seg, pri, n1, k1, m, az,
+                   az / SQRT(2.0) AS x,
+                   1.0 / (1.0 + 0.3275911 * (az / SQRT(2.0))) AS t
+            FROM zs
+        ), pv AS (
+            SELECT seg, pri, n1, k1, m, az,
+                   FLOOR(((((((1.061405429 * t - 1.453152027) * t
+                              + 1.421413741) * t - 0.284496736) * t
+                            + 0.254829592) * t) * EXP(-(x * x)))
+                         * 100000000.0 + 0.5) / 100000000.0 AS p_q
+            FROM erfx
+        ), ranked AS (
+            SELECT seg, pri, m, az, p_q,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_q, seg, pri) AS BIGINT) AS i
+            FROM pv
+        ), stepped AS (
+            SELECT *,
+                   MAX(CAST(m - i + 1 AS DOUBLE) * p_q)
+                       OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS adj_raw,
+                   MIN(CASE WHEN p_q <= 0.05 / CAST(m - i + 1 AS DOUBLE)
+                            THEN 1 ELSE 0 END)
+                       OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS ok_so_far
+            FROM ranked
+        )
+        SELECT seg, pri, CAST(i AS BIGINT) AS i,
+               FLOOR(az * 1000000.0 + 0.5) / 1000000.0 AS abs_z,
+               p_q AS p_value,
+               FLOOR(LEAST(1.0, adj_raw) * 100000000.0 + 0.5) / 100000000.0
+                   AS p_holm,
+               FLOOR(LEAST(1.0, CAST(m AS DOUBLE) * p_q) * 100000000.0 + 0.5)
+                   / 100000000.0 AS p_bonferroni,
+               CAST(ok_so_far AS INT) AS rejected
+        FROM stepped ORDER BY i
+    """,
+)
+def wh_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down multiple-testing control over the SAME 25-cell
+    two-proportion family as wh_bh_fdr — the family-wise-error
+    counterpart (BH controls FDR, the share of false discoveries; Holm
+    controls ANY false discovery, uniformly dominating plain
+    Bonferroni, whose adjusted p is also emitted for reference).
+    Step-down: compare p_(i) to α/(m−i+1) in ascending order and stop
+    at the first failure — the running MIN of the pass indicator; the
+    adjusted p is the running MAX of (m−i+1)p_(i) clipped at 1. Same
+    erf-polynomial p-values as BH (identical IEEE sequence, quantized
+    before ranking); the global windows run over the 25-row hypothesis
+    FAMILY, never the fact (see the test_plans allowlist)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    obs = joined.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("hit").cast("long").alias("k1"),
+    )
+    tot = obs.agg(
+        F.sum("n1").cast("long").alias("n"),
+        F.sum("k1").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    zs = obs.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "pri",
+        "m",
+        F.abs(
+            (d("k1") / d("n1") - (F.col("k") - F.col("k1")).cast("double") / (F.col("n") - F.col("n1")).cast("double"))
+            / F.sqrt(
+                (d("k") / d("n"))
+                * (F.lit(1.0) - d("k") / d("n"))
+                * (F.lit(1.0) / d("n1") + F.lit(1.0) / (F.col("n") - F.col("n1")).cast("double"))
+            )
+        ).alias("az"),
+    )
+    x = F.col("az") / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                ((F.lit(1.061405429) * t - F.lit(1.453152027)) * t + F.lit(1.421413741))
+                * t
+                - F.lit(0.284496736)
+            )
+            * t
+            + F.lit(0.254829592)
+        )
+        * t
+    ) * F.exp(-(x * x))
+    pv = zs.select(
+        "seg",
+        "pri",
+        "m",
+        "az",
+        (F.floor(poly * F.lit(100000000.0) + F.lit(0.5)) / F.lit(100000000.0)).alias(
+            "p_q"
+        ),
+    )
+    wr = Window.orderBy("p_q", "seg", "pri")
+    ranked = pv.withColumn("i", F.row_number().over(wr).cast("long"))
+    wc = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = ranked.select(
+        "seg",
+        "pri",
+        "m",
+        "az",
+        "p_q",
+        "i",
+        F.max((F.col("m") - F.col("i") + 1).cast("double") * F.col("p_q"))
+        .over(wc)
+        .alias("adj_raw"),
+        F.min(
+            F.when(
+                F.col("p_q") <= F.lit(0.05) / (F.col("m") - F.col("i") + 1).cast("double"),
+                1,
+            ).otherwise(0)
+        )
+        .over(wc)
+        .alias("ok_so_far"),
+    )
+    return stepped.select(
+        "seg",
+        "pri",
+        "i",
+        stable_round(F.col("az"), 6).alias("abs_z"),
+        F.col("p_q").alias("p_value"),
+        (
+            F.floor(F.least(F.lit(1.0), F.col("adj_raw")) * F.lit(100000000.0) + F.lit(0.5))
+            / F.lit(100000000.0)
+        ).alias("p_holm"),
+        (
+            F.floor(
+                F.least(F.lit(1.0), F.col("m").cast("double") * F.col("p_q"))
+                * F.lit(100000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(100000000.0)
+        ).alias("p_bonferroni"),
+        F.col("ok_so_far").cast("int").alias("rejected"),
+    ).orderBy("i")

@@ -413,6 +413,9 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         # pass is the upstream broadcast-join hash aggregate); rank, i*,
         # and the reversed cumulative-min adjusted-p plan as three frames
         "wh_bh_fdr": 3,
+        # Holm step-down over the same 25-row hypothesis FAMILY: rank +
+        # running-max adjusted p + running-min pass indicator
+        "wh_holm_bonferroni": 3,
         # windows over the per-day FILE INVENTORY (metadata, not data)
         "wh_compaction_plan": 1,
         "wh_file_stats": 1,
