@@ -232,6 +232,8 @@ ROUND12_WINDOW: list[str] = [
     "ext_lsh_band_planner",
     # round-9 additions: multiple-testing FWER + AR-order diagnostics
     "wh_holm_bonferroni", "ev_pacf",
+    # round-9 additions: residual-whiteness test + PRF query expansion
+    "ev_ljung_box", "ext_rocchio_prf",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

@@ -14283,3 +14283,179 @@ def ext_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+@q(
+    "ext_rocchio_prf",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                               w -> w <> '') AS toks
+            FROM documents
+        ), dt AS (
+            SELECT doc_id, UNNEST(toks) AS term FROM tk
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dt GROUP BY doc_id, term
+        ), dl AS (
+            SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM tk
+        ), corp AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl
+        ), df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), seed(term, wgt) AS (
+            VALUES ('spark', 1.0), ('stream', 1.0), ('join', 1.0)
+        ), contrib1 AS (
+            SELECT tf.doc_id,
+                   CAST(FLOOR(seed.wgt
+                        * LN(1.0 + (corp.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * (CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corp.avgdl))
+                        * 100000000.0 + 0.5) AS BIGINT) AS c
+            FROM tf
+            JOIN seed ON tf.term = seed.term
+            JOIN df ON df.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN corp
+        ), r1 AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s
+            FROM contrib1 GROUP BY doc_id
+            ORDER BY s DESC, doc_id LIMIT 10
+        ), exp_terms AS (
+            SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS fb_tf
+            FROM tf JOIN r1 ON r1.doc_id = tf.doc_id
+            WHERE tf.term NOT IN (SELECT term FROM seed)
+              AND LENGTH(tf.term) >= 3
+            GROUP BY tf.term
+            ORDER BY fb_tf DESC, tf.term LIMIT 5
+        ), q2 AS (
+            SELECT term, wgt FROM seed
+            UNION ALL
+            SELECT term, 0.5 AS wgt FROM exp_terms
+        ), contrib2 AS (
+            SELECT tf.doc_id,
+                   CAST(FLOOR(q2.wgt
+                        * LN(1.0 + (corp.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * (CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corp.avgdl))
+                        * 100000000.0 + 0.5) AS BIGINT) AS c
+            FROM tf
+            JOIN q2 ON tf.term = q2.term
+            JOIN df ON df.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN corp
+        ), r2 AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s
+            FROM contrib2 GROUP BY doc_id
+            ORDER BY s DESC, doc_id LIMIT 10
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY r2.s DESC, r2.doc_id) AS INT)
+                   AS rnk,
+               r2.doc_id,
+               FLOOR(CAST(r2.s AS DOUBLE) / 100000000.0 * 10000.0 + 0.5)
+                   / 10000.0 AS score,
+               r2.doc_id IN (SELECT doc_id FROM r1) AS in_round1
+        FROM r2 ORDER BY rnk
+    """,
+)
+def ext_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback — the classical query-expansion
+    loop (Salton/Buckley; the 'PRF' baseline every dense-retrieval
+    paper still compares against): retrieve BM25 top-10 for the seed
+    query, harvest the 5 heaviest non-seed terms from those docs as
+    feedback, re-score with the expanded query (seed weight 1.0,
+    expansion weight β = 0.5), and report the new top-10 with an
+    in_round1 provenance flag. Unlike the fixed-term templated BM25
+    entries (ext_bm25_topk), scoring here is the LONG-FORMAT form —
+    (doc, term, tf) cells joined to a query-terms relation — the shape
+    that scales to arbitrary query sizes; each term's contribution is
+    floor-quantized to 1e-8 units so the per-doc SUM is an exact
+    integer (hash-aggregation order cannot flip a rounded score), and
+    every tie breaks on doc_id / term. Two bounded top-k passes
+    (TakeOrderedAndProject), one corpus-wide term-cell aggregate."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dt = tk.select("doc_id", F.explode("toks").alias("term"))
+    tf = dt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tk.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    seed = spark.createDataFrame(
+        [(t, 1.0) for t in _BM25_TERMS], "term string, wgt double"
+    )
+
+    def contrib(qterms):
+        j = (
+            tf.join(F.broadcast(qterms), "term")
+            .join(df, "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(corp))
+        )
+        c = (
+            F.col("wgt")
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf").cast("double") * F.lit(2.2))
+            / (
+                F.col("tf")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return j.select(
+            "doc_id",
+            F.floor(c * F.lit(100000000.0) + F.lit(0.5)).cast("long").alias("c"),
+        )
+
+    def topk(contrib_df):
+        return (
+            contrib_df.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("s"))
+            .orderBy(F.col("s").desc(), "doc_id")
+            .limit(10)
+        )
+
+    r1 = topk(contrib(seed))
+    exp_terms = (
+        tf.join(r1.select("doc_id"), "doc_id")
+        .join(F.broadcast(seed.select("term")), "term", "left_anti")
+        .where(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("fb_tf"))
+        .orderBy(F.col("fb_tf").desc(), "term")
+        .limit(5)
+    )
+    q2 = seed.unionByName(
+        exp_terms.select("term", F.lit(0.5).alias("wgt"))
+    )
+    r2 = topk(contrib(q2))
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    return (
+        r2.join(
+            r1.select(F.col("doc_id").alias("d1")).withColumn("flag", F.lit(True)),
+            F.col("doc_id") == F.col("d1"),
+            "left",
+        )
+        .select(
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "doc_id",
+            (
+                F.floor(
+                    F.col("s").cast("double") / F.lit(100000000.0) * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("score"),
+            F.coalesce(F.col("flag"), F.lit(False)).alias("in_round1"),
+        )
+        .orderBy("rnk")
+    )

@@ -4700,3 +4700,121 @@ def ev_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("p22"), 6).alias("pacf_2"),
         stable_round(pacf3, 6).alias("pacf_3"),
     ).orderBy("event_type")
+
+
+@q(
+    "ev_ljung_box",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM hourly GROUP BY event_type
+        ), dm AS (
+            SELECT h.event_type, st.n,
+                   h.x * st.n - st.s AS d,
+                   LAG(h.x * st.n - st.s, 1) OVER w AS d1,
+                   LAG(h.x * st.n - st.s, 2) OVER w AS d2,
+                   LAG(h.x * st.n - st.s, 3) OVER w AS d3,
+                   LAG(h.x * st.n - st.s, 4) OVER w AS d4,
+                   LAG(h.x * st.n - st.s, 5) OVER w AS d5
+            FROM hourly h JOIN stats st ON h.event_type = st.event_type
+            WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr)
+        ), moms AS (
+            SELECT event_type, MAX(n) AS n,
+                   CAST(SUM(CAST(d AS DECIMAL(19,0))
+                            * CAST(d AS DECIMAL(19,0))) AS DOUBLE) AS c0,
+                   CAST(SUM(CASE WHEN d1 IS NOT NULL THEN CAST(d AS DECIMAL(19,0)) * CAST(d1 AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c1,
+                   CAST(SUM(CASE WHEN d2 IS NOT NULL THEN CAST(d AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c2,
+                   CAST(SUM(CASE WHEN d3 IS NOT NULL THEN CAST(d AS DECIMAL(19,0)) * CAST(d3 AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c3,
+                   CAST(SUM(CASE WHEN d4 IS NOT NULL THEN CAST(d AS DECIMAL(19,0)) * CAST(d4 AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c4,
+                   CAST(SUM(CASE WHEN d5 IS NOT NULL THEN CAST(d AS DECIMAL(19,0)) * CAST(d5 AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS c5
+            FROM dm GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(5 AS INT) AS lags,
+               FLOOR(CAST(n AS DOUBLE) * (n + 2.0)
+                     * ((c1/c0)*(c1/c0) / (n - 1.0)
+                        + (c2/c0)*(c2/c0) / (n - 2.0)
+                        + (c3/c0)*(c3/c0) / (n - 3.0)
+                        + (c4/c0)*(c4/c0) / (n - 4.0)
+                        + (c5/c0)*(c5/c0) / (n - 5.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+               FLOOR(CAST(n AS DOUBLE) * ((c1/c0)*(c1/c0)
+                        + (c2/c0)*(c2/c0) + (c3/c0)*(c3/c0)
+                        + (c4/c0)*(c4/c0) + (c5/c0)*(c5/c0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS box_pierce_q
+        FROM moms ORDER BY event_type
+    """,
+)
+def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Q = n(n+2)Σρ_k²/(n−k), lags 1–5,
+    with the cruder Box-Pierce Q for reference) on the per-type hourly
+    series — THE residual-whiteness gate: run it on a forecaster's
+    residuals (ev_holt_forecast, ev_forecast_backtest) and a
+    significant Q says structure remains that the model missed; on the
+    raw series it quantifies total linear memory where ev_pacf locates
+    it. Same exact-covariance machinery as ev_pacf: scaled demeaning
+    keeps d integer, DECIMAL(19,0) factor products cannot overflow,
+    the n² scale cancels in each ρ_k, and the five-term Q is one
+    closed-form expression ordered identically in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dm = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("d", F.col("x") * F.col("n") - F.col("s"))
+        .select(
+            "event_type",
+            "n",
+            "d",
+            *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, 6)],
+        )
+    )
+    dec0 = F.lit(0).cast("decimal(38,0)")
+
+    def cov(k: int):
+        return (
+            F.sum(
+                F.when(
+                    F.col(f"d{k}").isNotNull(),
+                    F.col("d").cast("decimal(19,0)")
+                    * F.col(f"d{k}").cast("decimal(19,0)"),
+                ).otherwise(dec0)
+            )
+            .cast("double")
+            .alias(f"c{k}")
+        )
+
+    moms = dm.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("c0"),
+        *[cov(k) for k in range(1, 6)],
+    )
+    nd = F.col("n").cast("double")
+    rho2 = [
+        (F.col(f"c{k}") / F.col("c0")) * (F.col(f"c{k}") / F.col("c0"))
+        for k in range(1, 6)
+    ]
+    q_lb = nd * (nd + 2.0) * sum(r / (nd - k) for k, r in zip(range(1, 6), rho2))
+    q_bp = nd * sum(rho2[0:1] + rho2[1:])
+    return moms.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.lit(5).cast("int").alias("lags"),
+        stable_round(q_lb, 6).alias("q_stat"),
+        stable_round(q_bp, 6).alias("box_pierce_q"),
+    ).orderBy("event_type")

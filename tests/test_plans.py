@@ -385,6 +385,8 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         "ext_retrieval_ndcg": 2,
         # position row_number over the BM25 top-10 frame (k=10 rows)
         "ext_err_metric": 1,
+        # rank row_number over the round-2 top-10 frame (k=10 rows)
+        "ext_rocchio_prf": 1,
         # rank over the top-200 vocabulary frame (bounded by LIMIT)
         "ext_zipf_fit": 1,
         # rank over the top-10 |z| frame (bounded by LIMIT)
