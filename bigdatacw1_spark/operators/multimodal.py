@@ -3271,10 +3271,12 @@ def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def synth_qoi_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic QOI corpus: per id a (id%13+4) × (id%11+4) RGB
-    image whose pixel i repeats in blocks of 3 (pixel = channel-wise
-    affine function of (id, i//3) mod 256) — block repeats exercise
-    RUN, small steps exercise DIFF/LUMA, pattern revisits exercise
-    INDEX, and the rest fall back to RGB, so every op is on the wire.
+    image whose pixel pattern repeats in blocks of 3 with a period-6
+    unit-step walk (pixel = channel-wise affine function of (id,
+    (i//3) % 6)) — block repeats exercise RUN, +1 steps exercise DIFF,
+    the −5 wrap exercises LUMA, period revisits exercise INDEX, and
+    the first pixel falls back to RGB, so EVERY op is on the wire
+    (asserted by tests/test_round9_semantics.py).
     Lossless codec → the SQL oracle replays only the pixel SYNTHESIS
     (generate_series arithmetic), not the codec: a decode that differs
     anywhere changes the channel sums and fails the hash."""
@@ -3286,12 +3288,12 @@ def synth_qoi_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             w, h = i % 13 + 4, i % 11 + 4
             px = bytearray()
             for j in range(w * h):
-                k = j // 3
+                m = (j // 3) % 6
                 px += bytes(
                     (
-                        (i * 7 + k * 5) % 256,
-                        (i * 11 + k * 3) % 256,
-                        (i * 13 + k * 2) % 256,
+                        (i * 7 + m) % 256,
+                        (i * 11 + m) % 256,
+                        (i * 13 + m) % 256,
                     )
                 )
             return encode_qoi(w, h, bytes(px))

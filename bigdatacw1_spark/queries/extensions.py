@@ -13875,9 +13875,9 @@ def ext_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM p
         ), chan AS (
             SELECT doc_id, w, h,
-                   (doc_id * 7 + (j // 3) * 5) % 256 AS r,
-                   (doc_id * 11 + (j // 3) * 3) % 256 AS g,
-                   (doc_id * 13 + (j // 3) * 2) % 256 AS b
+                   (doc_id * 7 + (j // 3) % 6) % 256 AS r,
+                   (doc_id * 11 + (j // 3) % 6) % 256 AS g,
+                   (doc_id * 13 + (j // 3) % 6) % 256 AS b
             FROM px
         )
         SELECT doc_id,
