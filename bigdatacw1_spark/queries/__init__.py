@@ -234,6 +234,8 @@ ROUND12_WINDOW: list[str] = [
     "wh_holm_bonferroni", "ev_pacf",
     # round-9 additions: residual-whiteness test + PRF query expansion
     "ev_ljung_box", "ext_rocchio_prf",
+    # round-9 additions: factorial ANOVA (main effects + interaction)
+    "wh_two_way_anova",
 ]
 
 # Round 9 live window (swapped in as the first commit of round 9, per the

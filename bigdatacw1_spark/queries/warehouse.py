@@ -6587,3 +6587,182 @@ def wh_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_bonferroni"),
         F.col("ok_so_far").cast("int").alias("rejected"),
     ).orderBy("i")
+
+
+@q(
+    "wh_two_way_anova",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), cells AS (
+            SELECT a, b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab,
+                   CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_ab,
+                   CAST(SUM(CAST(cents * cents AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS ss_ab
+            FROM base GROUP BY a, b
+        ), qc AS (
+            SELECT CAST(SUM(CAST(FLOOR(CAST(s_ab AS DOUBLE) * CAST(s_ab AS DOUBLE)
+                                       / CAST(n_ab AS DOUBLE) + 0.5)
+                                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS kb,
+                   CAST(SUM(n_ab) AS BIGINT) AS n,
+                   CAST(SUM(s_ab) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(ss_ab) AS DECIMAL(38,0)) AS ssq
+            FROM cells
+        ), qa AS (
+            SELECT CAST(SUM(CAST(FLOOR(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                                       / CAST(na AS DOUBLE) + 0.5)
+                                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ta
+            FROM (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS na,
+                         CAST(SUM(s_ab) AS DECIMAL(38,0)) AS sa
+                  FROM cells GROUP BY a)
+        ), qb AS (
+            SELECT CAST(SUM(CAST(FLOOR(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                                       / CAST(nb AS DOUBLE) + 0.5)
+                                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tb
+            FROM (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS nb,
+                         CAST(SUM(s_ab) AS DECIMAL(38,0)) AS sb
+                  FROM cells GROUP BY b)
+        ), parts AS (
+            SELECT qc.ka, qc.kb, qc.n, qc.n_cells,
+                   CAST(qa.ta AS DOUBLE)
+                     - FLOOR(CAST(qc.s AS DOUBLE) * CAST(qc.s AS DOUBLE)
+                             / CAST(qc.n AS DOUBLE) + 0.5) AS ss_a,
+                   CAST(qb.tb AS DOUBLE)
+                     - FLOOR(CAST(qc.s AS DOUBLE) * CAST(qc.s AS DOUBLE)
+                             / CAST(qc.n AS DOUBLE) + 0.5) AS ss_b,
+                   CAST(qc.c AS DOUBLE)
+                     - FLOOR(CAST(qc.s AS DOUBLE) * CAST(qc.s AS DOUBLE)
+                             / CAST(qc.n AS DOUBLE) + 0.5) AS ss_cells,
+                   CAST(qc.ssq AS DOUBLE) - CAST(qc.c AS DOUBLE) AS ss_w
+            FROM qc, qa, qb
+        ), tidy AS (
+            SELECT 'priority' AS effect,
+                   CAST(ka - 1 AS BIGINT) AS df, ss_a AS ss,
+                   (ss_a / CAST(ka - 1 AS DOUBLE))
+                     / (ss_w / CAST(n - n_cells AS DOUBLE)) AS f
+            FROM parts
+            UNION ALL
+            SELECT 'status', CAST(kb - 1 AS BIGINT), ss_b,
+                   (ss_b / CAST(kb - 1 AS DOUBLE))
+                     / (ss_w / CAST(n - n_cells AS DOUBLE))
+            FROM parts
+            UNION ALL
+            SELECT 'interaction', CAST((ka - 1) * (kb - 1) AS BIGINT),
+                   ss_cells - ss_a - ss_b,
+                   ((ss_cells - ss_a - ss_b)
+                    / CAST((ka - 1) * (kb - 1) AS DOUBLE))
+                     / (ss_w / CAST(n - n_cells AS DOUBLE))
+            FROM parts
+        )
+        SELECT effect, df,
+               FLOOR(ss / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS ss_mcents2,
+               FLOOR(f * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+        FROM tidy ORDER BY effect
+    """,
+)
+def wh_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way factorial ANOVA of order value over priority × status —
+    main effects AND the interaction (the question one-way ANOVA
+    cannot ask: does priority's effect on value DIFFER by status?),
+    via the classical weighted cell-means decomposition ss_A = Σs_a²/n_a
+    − S²/N, ss_AB = Σs_ab²/n_ab − S²/N − ss_A − ss_B (exact for
+    balanced/proportional designs; the synthetic cells are
+    near-proportional, and the statistic is well-defined either way).
+    Same exactness machinery as wh_anova_oneway: ONE hash aggregate to
+    per-cell integer moments, every marginal s²/n floor-quantized via
+    the double-floor before exact decimal cross-group sums, then an
+    O(cells) tidy 3-row (effect, df, ss, F) table."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+        cents.alias("cents"),
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_ab"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss_ab"),
+    )
+
+    def qsum(df, scol, ncol):
+        t = F.col(scol).cast("double") * F.col(scol).cast("double") / F.col(
+            ncol
+        ).cast("double") + F.lit(0.5)
+        return F.sum((t - t % F.lit(1.0)).cast("decimal(38,0)")).cast("decimal(38,0)")
+
+    qc = cells.agg(
+        qsum(cells, "s_ab", "n_ab").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.count_distinct("a").cast("long").alias("ka"),
+        F.count_distinct("b").cast("long").alias("kb"),
+        F.sum("n_ab").cast("long").alias("n"),
+        F.sum("s_ab").cast("decimal(38,0)").alias("s"),
+        F.sum("ss_ab").cast("decimal(38,0)").alias("ssq"),
+    )
+    qa = (
+        cells.groupBy("a")
+        .agg(
+            F.sum("n_ab").cast("long").alias("na"),
+            F.sum("s_ab").cast("decimal(38,0)").alias("sa"),
+        )
+        .agg(qsum(None, "sa", "na").alias("ta"))
+    )
+    qb = (
+        cells.groupBy("b")
+        .agg(
+            F.sum("n_ab").cast("long").alias("nb"),
+            F.sum("s_ab").cast("decimal(38,0)").alias("sb"),
+        )
+        .agg(qsum(None, "sb", "nb").alias("tb"))
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    g_expr = sd * sd / nd + F.lit(0.5)
+    g = g_expr - g_expr % F.lit(1.0)
+    parts = (
+        qc.crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qb))
+        .select(
+            "ka",
+            "kb",
+            "n",
+            "n_cells",
+            (F.col("ta").cast("double") - g).alias("ss_a"),
+            (F.col("tb").cast("double") - g).alias("ss_b"),
+            (F.col("c").cast("double") - g).alias("ss_cells"),
+            (F.col("ssq").cast("double") - F.col("c").cast("double")).alias("ss_w"),
+        )
+    )
+    msw = F.col("ss_w") / (F.col("n") - F.col("n_cells")).cast("double")
+
+    def row(effect, df_expr, ss_expr):
+        return parts.select(
+            F.lit(effect).alias("effect"),
+            df_expr.cast("long").alias("df"),
+            ss_expr.alias("ss"),
+            (ss_expr / df_expr.cast("double") / msw).alias("f"),
+        )
+
+    ss_int = F.col("ss_cells") - F.col("ss_a") - F.col("ss_b")
+    tidy = (
+        row("priority", F.col("ka") - 1, F.col("ss_a"))
+        .unionByName(row("status", F.col("kb") - 1, F.col("ss_b")))
+        .unionByName(
+            row("interaction", (F.col("ka") - 1) * (F.col("kb") - 1), ss_int)
+        )
+    )
+    return tidy.select(
+        "effect",
+        "df",
+        stable_round(F.col("ss") / F.lit(1000000.0), 4).alias("ss_mcents2"),
+        stable_round(F.col("f"), 6).alias("f_stat"),
+    ).orderBy("effect")
