@@ -247,6 +247,11 @@ ROUND12_WINDOW: list[str] = [
 # registry-wide no-HUGEINT oracle lint runs in tests/test_parity.py, so
 # local sweeps match driver strictness. wh_rfm_segments rides at the head
 # of ROUND9_WINDOW for its retry verdict after the one-CAST oracle fix.
+# End of round 9: the FULL 494-entry registry is green under the STRICT
+# comparer at sf0.001 (inside the committed full suite, 1364 passed) and
+# the live window 50/50 at sf0.01. Round 10's first commit should swap to
+# _ANCHORS + ROUND10_WINDOW and stage its additions in a new
+# ROUND13_WINDOW (ROUND12 is at 40/45 — fill it to 45 first; backlog 130).
 _DRIVER_WINDOW = _ANCHORS + ROUND9_WINDOW
 
 
