@@ -248,8 +248,11 @@ ROUND12_WINDOW: list[str] = [
 # local sweeps match driver strictness. wh_rfm_segments rides at the head
 # of ROUND9_WINDOW for its retry verdict after the one-CAST oracle fix.
 # End of round 9: the FULL 494-entry registry is green under the STRICT
-# comparer at sf0.001 (inside the committed full suite, 1364 passed) and
-# the live window 50/50 at sf0.01. Round 10's first commit should swap to
+# comparer — every entry at sf0.001 (inside the committed full suite,
+# 1364 passed), AND at sf0.01 (the driver's scale): live window 50/50,
+# ROUND10 45/45, ROUND11+12 85/85 — so, unlike the r8 note this replaces,
+# this sweep used the driver-equivalent dtype-strict comparer at the
+# driver's scale factor. Round 10's first commit should swap to
 # _ANCHORS + ROUND10_WINDOW and stage its additions in a new
 # ROUND13_WINDOW (ROUND12 is at 40/45 — fill it to 45 first; backlog 130).
 _DRIVER_WINDOW = _ANCHORS + ROUND9_WINDOW
