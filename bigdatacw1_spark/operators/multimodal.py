@@ -3167,7 +3167,9 @@ def encode_qoi(width: int, height: int, rgb: bytes) -> bytes:
     """Encode interleaved 8-bit RGB pixels as a spec-valid QOI file
     (channels=3, linear colorspace). Greedy op selection in spec order:
     RUN (≤62), INDEX, DIFF (±2), LUMA (green ±32, red/blue drift ±8),
-    else full RGB — identical output to the reference encoder."""
+    else full RGB — identical output to the reference encoder (qoi.c's
+    vg_r/vg_b are signed chars, so the red/blue drifts wrap to signed
+    8-bit before the LUMA range test; mirrored below)."""
     import struct
 
     if len(rgb) != width * height * 3:
@@ -3195,13 +3197,15 @@ def encode_qoi(width: int, height: int, rgb: bytes) -> bytes:
                 dr = (r - pr + 128) % 256 - 128
                 dg = (g - pg + 128) % 256 - 128
                 db = (b - pb + 128) % 256 - 128
+                dr_dg = (dr - dg + 128) % 256 - 128
+                db_dg = (db - dg + 128) % 256 - 128
                 if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
                     out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
                 elif (
-                    -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+                    -32 <= dg <= 31 and -8 <= dr_dg <= 7 and -8 <= db_dg <= 7
                 ):
                     out.append(0x80 | (dg + 32))
-                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    out.append(((dr_dg + 8) << 4) | (db_dg + 8))
                 else:
                     out += bytes((0xFE, r, g, b))
         pr, pg, pb = r, g, b
@@ -3259,9 +3263,10 @@ def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
             run = (op & 0x3F) + 1
             if run > 62:
                 raise ValueError("illegal run length")
-            out += bytes((r, g, bl)) * (run - 1)
-            if len(out) > n * 3:
+            # run-1 pixels here + the shared 1-pixel append below = run
+            if len(out) + run * 3 > n * 3:
                 raise ValueError("run overruns pixel count")
+            out += bytes((r, g, bl)) * (run - 1)
         index[_qoi_hash(r, g, bl, a)] = (r, g, bl, a)
         out += bytes((r, g, bl))
     if pos != len(data):
@@ -3486,6 +3491,8 @@ def decode_wav_ima_adpcm(body_fmt: bytes, data: bytes) -> tuple[int, int, list[i
         raise NotImplementedError("only mono IMA ADPCM supported")
     if len(body_fmt) < 20:
         raise ValueError("missing samplesPerBlock extension")
+    if struct.unpack("<H", body_fmt[16:18])[0] != 2:
+        raise ValueError("expected cbSize=2 samplesPerBlock extension")
     spb = struct.unpack("<H", body_fmt[18:20])[0]
     samples: list[int] = []
     for off in range(0, len(data), block_align):

@@ -138,7 +138,7 @@ ROUND9_WINDOW = [
     # r8's only driver red, retried after the oracle HUGEINT->BIGINT fix
     # (warehouse.py: CAST(monetary_cents AS BIGINT); the Spark side was
     # correct — see VERDICT.md r8 "What's wrong" #1). Its slot is paid for
-    # by moving ext_temporal_eval_split to ROUND12_WINDOW.
+    # by moving ext_temporal_eval_split to ROUND11_WINDOW.
     "wh_rfm_segments",
     # round-5 additions (second batch: trained models, eval metrics,
     # example assembly, layout audit, IVM, backtest)
@@ -238,24 +238,22 @@ ROUND12_WINDOW: list[str] = [
     "wh_two_way_anova",
 ]
 
-# Round 9 live window (swapped in as the first commit of round 9, per the
-# round-8 verdict). NOTE on the round-8 "451/451 sweep green" claim: that
-# local sweep used a TYPE-TOLERANT comparer (Python == across int/float),
-# which is exactly how the wh_rfm_segments HUGEINT oracle bug passed
-# locally but failed the driver's strict value hash (CORRECTNESS_r08,
-# hash_match=false). tests/oracle.py is now dtype-family-strict and a
-# registry-wide no-HUGEINT oracle lint runs in tests/test_parity.py, so
-# local sweeps match driver strictness. wh_rfm_segments rides at the head
-# of ROUND9_WINDOW for its retry verdict after the one-CAST oracle fix.
-# End of round 9: the FULL 494-entry registry is green under the STRICT
-# comparer — every entry at sf0.001 (inside the committed full suite,
-# 1364 passed), AND at sf0.01 (the driver's scale): live window 50/50,
-# ROUND10 45/45, ROUND11+12 85/85 — so, unlike the r8 note this replaces,
-# this sweep used the driver-equivalent dtype-strict comparer at the
-# driver's scale factor. Round 10's first commit should swap to
-# _ANCHORS + ROUND10_WINDOW and stage its additions in a new
-# ROUND13_WINDOW (ROUND12 is at 40/45 — fill it to 45 first; backlog 130).
-_DRIVER_WINDOW = _ANCHORS + ROUND9_WINDOW
+# Round 10 live window (swapped in as the first commit of round 10, per the
+# round-9 verdict). The 45 ROUND10 entries were pre-verified at driver
+# conditions at round-9 end: the FULL 494-entry registry was green under
+# the DTYPE-STRICT comparer at sf0.001 (inside the committed full suite,
+# 1364 passed) AND at the driver's sf0.01 — live window 50/50, ROUND10
+# 45/45, ROUND11+12 85/85 — and the round-9 judge independently
+# spot-checked 20 staged entries strict at sf0.01 (20/20 green, VERDICT.md
+# r9). Notables in this window: ev_slo_burn_rate (the entry whose latent
+# HUGEINT oracle bug round 9 fixed — its driver verdict closes that fix
+# class), the IVM tail (wh_ivm_minmax/topk/zset), and the media trio
+# (ext_mm_flac/phash_neardup/vad). Round-10 additions are capped (≤10 per
+# the r9 verdict: drain the backlog, don't grow it) and go to ROUND12
+# until it hits the 45 cap, then a new ROUND13_WINDOW, in the same commit
+# that registers them. Backlog at round-10 start: ROUND11 45 + ROUND12 40
+# = 85 staged after this swap.
+_DRIVER_WINDOW = _ANCHORS + ROUND10_WINDOW
 
 
 def _rotate_registry() -> None:

@@ -13454,8 +13454,11 @@ def ext_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
         ), terms AS (
             SELECT ct.event_type, ct.day, ct.n_class,
-                   CAST(SUM(ABS(COALESCE(cls.n_ct, 0) * n_all.n
-                                - glob_t.g_t * ct.n_class)) AS DECIMAL(38,0))
+                   CAST(SUM(ABS(CAST(COALESCE(cls.n_ct, 0) AS DECIMAL(19,0))
+                                  * CAST(n_all.n AS DECIMAL(19,0))
+                                - CAST(glob_t.g_t AS DECIMAL(19,0))
+                                  * CAST(ct.n_class AS DECIMAL(19,0))))
+                        AS DECIMAL(38,0))
                        AS num
             FROM class_tot ct
             CROSS JOIN glob_t
@@ -13485,10 +13488,13 @@ def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     one of them). For categorical attributes with uniform ground
     distance the EMD reduces to total variation ½Σ|p_c − q_c|; here
     every term is the EXACT integer cross-product |n_ct·N − g_t·N_class|
-    (no per-category float division), summed in DECIMAL, with a single
-    final division — so the release gate threshold compares
-    deterministically in both engines. One aggregate for class×tier
-    cells, broadcast global marginals, one rollup."""
+    (no per-category float division), with each factor cast to
+    DECIMAL(19,0) BEFORE the multiply so the product lands in
+    DECIMAL(38,0) without ever transiting 64-bit integers (where Spark
+    with ANSI off would wrap silently while DuckDB errors), summed in
+    DECIMAL, with a single final division — so the release gate
+    threshold compares deterministically in both engines. One aggregate
+    for class×tier cells, broadcast global marginals, one rollup."""
     ev = _t(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
@@ -13511,9 +13517,11 @@ def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.abs(
-                    F.coalesce(F.col("n_ct"), F.lit(0)) * F.col("n")
-                    - F.col("g_t") * F.col("n_class")
-                ).cast("decimal(38,0)")
+                    F.coalesce(F.col("n_ct"), F.lit(0)).cast("decimal(19,0)")
+                    * F.col("n").cast("decimal(19,0)")
+                    - F.col("g_t").cast("decimal(19,0)")
+                    * F.col("n_class").cast("decimal(19,0)")
+                )
             )
             .cast("decimal(38,0)")
             .alias("num")

@@ -4628,9 +4628,13 @@ def ev_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIRECT signal once shorter lags are regressed out — the PACF
     cutoff IS the AR(p) order). Demeaning is kept exact by scaling:
     d_t = n·x_t − Σx is an INTEGER, and every lag covariance Σd_t·d_{t−k}
-    is an exact DECIMAL sum (DECIMAL(19,0) factors so the product never
-    overflows BIGINT at any scale) whose common n² factor cancels in the
-    autocorrelation ratios; φ22 and φ33 then follow the explicit DL
+    is an exact DECIMAL sum (DECIMAL(19,0) factors so the PRODUCT never
+    overflows). The scheme's intrinsic domain is |d_t| < ~9.2e18: d_t
+    itself is computed in BIGINT, which is not a shortcut — d_t² must
+    fit DECIMAL(38,0) anyway, so a wider d_t could not be squared
+    exactly either; beyond that magnitude the exact path would need a
+    pre-aggregated rescale, not a wider cast. The common n² factor
+    cancels in the autocorrelation ratios; φ22 and φ33 then follow the explicit DL
     closed forms with identical expression trees in both engines. One
     hash aggregate, one partitioned lag window, one tiny reduction."""
     from pyspark.sql import Window
@@ -4760,7 +4764,10 @@ def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. Same exact-covariance machinery as ev_pacf: scaled demeaning
     keeps d integer, DECIMAL(19,0) factor products cannot overflow,
     the n² scale cancels in each ρ_k, and the five-term Q is one
-    closed-form expression ordered identically in both engines."""
+    closed-form expression ordered identically in both engines. Same
+    intrinsic domain as ev_pacf: d is computed in BIGINT (|d| <
+    ~9.2e18), which is the exact scheme's own ceiling since d² must
+    fit DECIMAL(38,0) regardless — see ev_pacf's docstring."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")

@@ -67,12 +67,13 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    # ROUND9 is the LIVE window this round (including the wh_rfm_segments
-    # retry after its r8 oracle-typing red); ROUND10-12 remain staged
-    # (ROUND7/8 were driver-checked → covered via CORRECTNESS_r07/r08).
-    assert _DRIVER_WINDOW == _ANCHORS + ROUND9_WINDOW
-    assert ROUND9_WINDOW[0] == "wh_rfm_segments", "r8 red retry must ride this window"
-    staged = ROUND10_WINDOW + ROUND11_WINDOW + ROUND12_WINDOW
+    # ROUND10 is the LIVE window this round (including ev_slo_burn_rate,
+    # whose latent HUGEINT oracle bug round 9 fixed — its driver verdict
+    # closes that fix class); ROUND11-12 remain staged (ROUND7/8/9 were
+    # driver-checked → covered via CORRECTNESS_r07/r08/r09).
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND10_WINDOW
+    assert "ev_slo_burn_rate" in ROUND10_WINDOW, "r9 oracle-fix proof must ride this window"
+    staged = ROUND11_WINDOW + ROUND12_WINDOW
     for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW, ROUND12_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"

@@ -867,6 +867,67 @@ def test_qoi_roundtrip_arbitrary_pixels(w, h, data):
     assert decode_qoi(encode_qoi(w, h, px)) == (w, h, 3, px)
 
 
+def test_qoi_run_overrun_by_one_rejected():
+    """A malformed stream whose final RUN overruns the pixel count by
+    exactly one pixel must raise, not return an oversized buffer (the
+    shared post-op append used to land after the overrun check)."""
+    import struct
+
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import decode_qoi
+
+    # 2x2 image = 4 pixels: RGB(9,9,9) then RUN(4) -> 5 pixels total.
+    payload = (
+        b"qoif" + struct.pack(">IIBB", 2, 2, 3, 0)
+        + bytes((0xFE, 9, 9, 9)) + bytes((0xC0 | 3,))
+        + b"\x00" * 7 + b"\x01"
+    )
+    with pytest.raises(ValueError, match="run overruns"):
+        decode_qoi(payload)
+
+
+def test_qoi_op_choice_matches_qoi_c_signed_char_semantics():
+    """qoi.c computes vr/vg/vb AND vg_r = vr−vg / vg_b = vb−vg as
+    signed chars (each difference wraps to [-128,127] before its range
+    test). Model that directly and assert the encoder picks the same
+    op class for a grid of wrap-boundary transitions — including the
+    dr−dg wrap extremes — and stays lossless."""
+    from bigdatacw1_spark.operators.multimodal import decode_qoi, encode_qoi
+
+    def sc(x):  # signed-char wrap
+        return (x + 128) % 256 - 128
+
+    def qoi_c_op(prev, cur):
+        vr, vg, vb = (sc(cur[i] - prev[i]) for i in range(3))
+        if -2 <= vr <= 1 and -2 <= vg <= 1 and -2 <= vb <= 1:
+            return "diff"
+        if -32 <= vg <= 31 and -8 <= sc(vr - vg) <= 7 and -8 <= sc(vb - vg) <= 7:
+            return "luma"
+        return "rgb"
+
+    op_tag = {0xFE: "rgb", 1: "diff", 2: "luma"}
+    edge = (0, 1, 7, 8, 31, 32, 96, 127, 128, 129, 224, 248, 254, 255)
+    prev = (200, 100, 50)
+    for r in edge:
+        for g in edge:
+            cur = (r, g, (r + g) % 256)
+            if cur == prev:
+                continue
+            px = bytes(prev + cur)
+            enc = encode_qoi(2, 1, px)
+            body = enc[14:-8]
+            # pixel0 op length: RGB=4, else INDEX/DIFF=1 or LUMA=2
+            op0 = body[0]
+            off = 4 if op0 == 0xFE else (2 if op0 >> 6 == 2 else 1)
+            op1 = body[off]
+            got = op_tag.get(op1 if op1 == 0xFE else op1 >> 6, "index")
+            want = qoi_c_op(prev, cur)
+            if got != "index":  # INDEX legitimately preempts all three
+                assert got == want, (prev, cur, got, want)
+            assert decode_qoi(enc) == (2, 1, 3, px)
+
+
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=100))
 def test_ima_adpcm_container_roundtrip(samples):
@@ -886,6 +947,31 @@ def test_ima_adpcm_container_roundtrip(samples):
     assert (sr, ch) == (8000, 1)
     assert got == expected
     assert len(got) == len(samples)
+
+
+def test_ima_adpcm_bad_cbsize_rejected():
+    """A fmt chunk with the right layout but cbSize != 2 is not the
+    documented samplesPerBlock extension — refuse loudly rather than
+    read bytes 18:20 as a sample count."""
+    import struct
+
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    wav = encode_wav_ima_adpcm(8000, [0, 100, -100])
+    fmt_off = wav.index(b"fmt ") + 8
+    fmt = bytearray(wav[fmt_off : fmt_off + 20])
+    data_off = wav.index(b"data") + 8
+    data_len = struct.unpack("<I", wav[data_off - 4 : data_off])[0]
+    data = wav[data_off : data_off + data_len]
+    assert decode_wav_ima_adpcm(bytes(fmt), data)[2]  # sanity: valid fmt ok
+    fmt[16:18] = struct.pack("<H", 4)
+    with pytest.raises(ValueError, match="cbSize=2"):
+        decode_wav_ima_adpcm(bytes(fmt), data)
 
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
