@@ -274,7 +274,10 @@ def _compact_line(best: dict) -> dict:
     }
     # One short investigation note rides the final line per the verdict
     # cadence (drift_note this round); history lives in the sidecar.
-    for k in ("attempts", "attempts_contended", "drift_note"):
+    # attempts_load1 (VERDICT r9 #5): each attempt's pre-Spark load1 on
+    # the final line, so a judge can separate contention from regression
+    # without re-running the bench.
+    for k in ("attempts", "attempts_contended", "attempts_load1", "drift_note"):
         if k in best:
             out[k] = best[k]
     return out
@@ -372,6 +375,9 @@ def best_of_two() -> int:
     best["attempts"] = [r["value"] for r in results]
     best["attempts_contended"] = [
         bool(r.get("sentinel", {}).get("contended")) for r in results
+    ]
+    best["attempts_load1"] = [
+        r.get("sentinel", {}).get("load1_pre_spark") for r in results
     ]
     if errors:
         best["attempt_errors"] = errors

@@ -84,6 +84,7 @@ def _full_attempt_record(query_names) -> dict:
         },
         "attempts": [99.999, 99.999, 99.999],
         "attempts_contended": [False, True, False],
+        "attempts_load1": [99.99, 99.99, 99.99],
         "cosine_note": "x" * 100,
         "drift_note": "x" * 130,
     }
@@ -112,4 +113,5 @@ def test_compact_line_drops_detail_keeps_decision_fields():
     assert compact["sentinel"] == {"contended": False, "load1_pre_spark": 99.99}
     assert compact["attempts"] == [99.999, 99.999, 99.999]
     assert compact["attempts_contended"] == [False, True, False]
+    assert compact["attempts_load1"] == [99.99, 99.99, 99.99]
     assert compact["sf"] == 0.1
