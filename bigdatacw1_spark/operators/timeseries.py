@@ -686,3 +686,71 @@ def dtw_fold(a: "Column", b: "Column", na: "Column", nb: "Column") -> "Column":
 
     folded = F.aggregate(seq, init, step)
     return F.element_at(folded, F.size(folded))
+
+
+def garch_volatility(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    omega: float = 0.25,
+    alpha: float = 0.125,
+    beta: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter per key with fixed exact
+    binary-fraction parameters (omega=1/4, alpha=1/8, beta=3/4 by
+    default; alpha+beta < 1 so the process is covariance-stationary
+    with long-run variance omega/(1-alpha-beta)):
+
+        h_t = omega + alpha*eps2_{t-1} + beta*h_{t-1},  h_1 = eps2_1
+
+    over the squared first differences eps2 of the (time-sorted) value
+    series scaled to units (value/100). This is the volatility rung of
+    the estimator ladder: ewma_last smooths the LEVEL, holt_forecast
+    adds a SLOPE, kalman_filter_1d adapts the gain, and GARCH tracks
+    the VARIANCE of the innovations — variance clustering is the
+    defining stylized fact of financial and load series, invisible to
+    all three level trackers.
+
+    Exactness discipline (ewma_last family): the recursion is a SCALAR
+    left fold, so both engines run it as h = fold(step, seed=eps2_1)
+    over eps2_1..eps2_{m-1} — Spark as F.aggregate over the sorted
+    collected series, DuckDB as LIST_REDUCE over the seed-prepended
+    truncated list (LIST_REDUCE seeds with the first element) — with
+    the step expression omega + alpha*x + beta*acc ordered identically.
+    One shuffle on the key; per-key state is the day-bounded series.
+
+    Output: (*keys, n_obs, n_returns, h_last, sigma_last,
+    above_longrun) where above_longrun compares the UNROUNDED h to the
+    closed-form long-run variance so both engines branch on identical
+    doubles.
+    """
+    obs = F.struct(F.col(ts_col).alias("t"), F.col(value_col).cast("long").alias("v"))
+    agg = df.groupBy(*keys).agg(F.sort_array(F.collect_list(obs)).alias("os"))
+    xs = F.transform(F.col("os"), lambda o: o["v"])
+    rs = F.zip_with(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.slice(xs, 1, F.size(xs) - 1),
+        lambda b, a: (b - a).cast("double") / F.lit(100.0),
+    )
+    e2 = F.transform(rs, lambda r: r * r)
+    w, al, be = F.lit(omega), F.lit(alpha), F.lit(beta)
+    folded = F.aggregate(
+        F.slice(e2, 1, F.size(e2) - 1),
+        F.element_at(e2, 1),
+        lambda acc, x: w + al * x + be * acc,
+    )
+    longrun = omega / (1.0 - alpha - beta)
+    return (
+        agg.where(F.size("os") >= 2)
+        .withColumn("h", folded)
+        .select(
+            *keys,
+            F.size("os").cast("long").alias("n_obs"),
+            (F.size("os") - 1).cast("long").alias("n_returns"),
+            stable_round(F.col("h"), round_digits).alias("h_last"),
+            stable_round(F.sqrt(F.col("h")), round_digits).alias("sigma_last"),
+            (F.col("h") > F.lit(longrun)).alias("above_longrun"),
+        )
+    )

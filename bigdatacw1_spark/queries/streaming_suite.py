@@ -4825,3 +4825,194 @@ def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(q_lb, 6).alias("q_stat"),
         stable_round(q_bp, 6).alias("box_pierce_q"),
     ).orderBy("event_type")
+
+
+@q(
+    "ev_mann_kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                       AS s_stat,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM daily a JOIN daily b USING (event_type)
+            WHERE a.day < b.day
+            GROUP BY a.event_type
+        ), np AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+            FROM daily GROUP BY event_type
+        ), ties AS (
+            SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+            FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM daily GROUP BY event_type, x) g
+            GROUP BY event_type
+        ), scored AS (
+            SELECT s.event_type, np.n_points, s.n_pairs, s.s_stat,
+                   CAST(np.n_points * (np.n_points - 1) * (2 * np.n_points + 5)
+                        - ties.tie_term AS DOUBLE) / 18.0 AS vs
+            FROM s JOIN np USING (event_type) JOIN ties USING (event_type)
+        ), z AS (
+            SELECT event_type, n_points, n_pairs, s_stat, vs,
+                   CASE WHEN vs <= 0 THEN 0.0
+                        WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(vs)
+                        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(vs)
+                        ELSE 0.0 END AS zraw
+            FROM scored
+        )
+        SELECT event_type, n_points, n_pairs, s_stat,
+               FLOOR(vs * 10000.0 + 0.5) / 10000.0 AS var_s,
+               FLOOR(zraw * 1000000.0 + 0.5) / 1000000.0 AS z_mk,
+               CASE WHEN zraw > 1.959964 THEN 'increasing'
+                    WHEN zraw < -1.959964 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM z ORDER BY event_type
+    """,
+)
+def ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the nonparametric
+    HYPOTHESIS-TEST companion to ev_theil_sen's slope ESTIMATE (the
+    standard pairing in hydrology/telemetry: MK says WHETHER a monotonic
+    trend exists, Theil-Sen says how steep). S = SUM sign(x_j - x_i) over
+    i<j day pairs is an exact BIGINT; Var(S) uses the tie-corrected
+    closed form [n(n-1)(2n+5) - SUM t(t-1)(2t+5)] / 18 with every factor
+    integer until the single division; the normal approximation applies
+    the +/-1 continuity correction before the SQRT, and the trend verdict
+    compares the UNROUNDED z to the two-sided 5% bound so both engines
+    branch on identical doubles. The pair join is quadratic only in
+    SERIES LENGTH (calendar-bounded per key, like ev_theil_sen), equi-
+    keyed on event_type so each key's pairs stay in one partition; tie
+    groups come from one extra hash aggregate on (key, x)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("a.day") < F.col("b.day"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    np_ = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = F.col("n_points")
+    vs = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / F.lit(18.0)
+    )
+    scored = (
+        s.join(F.broadcast(np_), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .withColumn("vs", vs)
+    )
+    zraw = (
+        F.when(F.col("vs") <= 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(F.col("vs")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(F.col("vs")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    z = scored.withColumn("zraw", zraw)
+    return z.select(
+        "event_type",
+        "n_points",
+        "n_pairs",
+        "s_stat",
+        stable_round(F.col("vs"), 4).alias("var_s"),
+        stable_round(F.col("zraw"), 6).alias("z_mk"),
+        F.when(F.col("zraw") > 1.959964, F.lit("increasing"))
+        .when(F.col("zraw") < -1.959964, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+@q(
+    "ev_garch_vol",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), rets AS (
+            SELECT event_type, day,
+                   CAST(x - LAG(x) OVER (PARTITION BY event_type ORDER BY day)
+                        AS DOUBLE) / 100.0 AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_obs
+            FROM daily
+        ), lists AS (
+            SELECT event_type, MAX(n_obs) AS n_obs,
+                   LIST(r * r ORDER BY day) AS e2
+            FROM rets WHERE r IS NOT NULL
+            GROUP BY event_type
+        ), folded AS (
+            SELECT event_type, n_obs, LEN(e2) AS m,
+                   LIST_REDUCE(LIST_PREPEND(e2[1], e2[1:LEN(e2) - 1]),
+                               (acc, x) -> 0.25 + 0.125 * x + 0.75 * acc) AS h
+            FROM lists
+        )
+        SELECT event_type,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(m AS BIGINT) AS n_returns,
+               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 AS h_last,
+               FLOOR(SQRT(h) * 1000000.0 + 0.5) / 1000000.0 AS sigma_last,
+               h > 2.0 AS above_longrun
+        FROM folded ORDER BY event_type
+    """,
+)
+def ev_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional variance per event type
+    (operators/timeseries.garch_volatility) over the daily integer-cents
+    series — volatility clustering, the series property none of the
+    level trackers (ev_ewma / ev_holt_forecast / ev_kalman_1d) can see
+    and the range-based ev_gk_volatility only proxies per-bar: after a
+    large squared innovation the filter EXPECTS further large moves
+    (alpha kicks h up), then decays geometrically (beta) toward the
+    long-run variance omega/(1-alpha-beta)=2.0. Parameters are exact
+    binary fractions; the recursion is a scalar left fold mirrored
+    between F.aggregate and LIST_REDUCE (seed h_1 = eps2_1, fold over
+    eps2_1..eps2_{m-1}; DuckDB's seed-is-first-element convention is
+    satisfied by prepending the seed to the truncated list); returns
+    are exact integer cents diffs scaled once, so the rounded outputs
+    hash-compare. One shuffle on the key; per-key state is the
+    day-bounded series."""
+    from bigdatacw1_spark.operators.timeseries import garch_volatility
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
+    return garch_volatility(daily, ["event_type"], "day", "x").orderBy("event_type")

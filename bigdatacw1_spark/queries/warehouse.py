@@ -6766,3 +6766,149 @@ def wh_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("ss") / F.lit(1000000.0), 4).alias("ss_mcents2"),
         stable_round(F.col("f"), 6).alias("f_stat"),
     ).orderBy("effect")
+
+
+@q(
+    "wh_cmh_test",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(DAYOFWEEK(ts) + 1 AS INT) AS dow,
+                   user_id % 2 = 1 AS treated,
+                   event_type = 'purchase' AS hit
+            FROM events
+        ), per AS (
+            SELECT dow,
+                   CAST(SUM(CASE WHEN treated AND hit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base GROUP BY dow
+        ), terms AS (
+            SELECT dow, a, n,
+                   CAST(a AS DOUBLE)
+                     - CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS dev,
+                   CAST(r1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE))
+                     * CAST(c1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0)) AS v,
+                   CAST(a AS DOUBLE) * CAST(n - r1 - c1 + a AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS adn,
+                   CAST(r1 - a AS DOUBLE) * CAST(c1 - a AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS bcn
+            FROM per
+        ), folded AS (
+            SELECT CAST(COUNT(*) AS INT) AS n_strata,
+                   CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(SUM(a) AS BIGINT) AS sum_a,
+                   LIST_REDUCE(LIST_PREPEND(0.0, LIST(dev ORDER BY dow)),
+                               (acc, x) -> acc + x) AS sdev,
+                   LIST_REDUCE(LIST_PREPEND(0.0, LIST(v ORDER BY dow)),
+                               (acc, x) -> acc + x) AS sv,
+                   LIST_REDUCE(LIST_PREPEND(0.0, LIST(adn ORDER BY dow)),
+                               (acc, x) -> acc + x) AS sadn,
+                   LIST_REDUCE(LIST_PREPEND(0.0, LIST(bcn ORDER BY dow)),
+                               (acc, x) -> acc + x) AS sbcn
+            FROM terms
+        ), stat AS (
+            SELECT n_strata, n_total, sum_a,
+                   GREATEST(ABS(sdev) - 0.5, 0.0) * GREATEST(ABS(sdev) - 0.5, 0.0)
+                     / sv AS cmh,
+                   CASE WHEN sbcn > 0.0 THEN sadn / sbcn END AS ormh
+            FROM folded
+        )
+        SELECT n_strata, n_total, sum_a,
+               FLOOR(cmh * 1000000.0 + 0.5) / 1000000.0 AS cmh_stat,
+               FLOOR(ormh * 1000000.0 + 0.5) / 1000000.0 AS or_mh,
+               cmh > 3.841459 AS reject_05
+        FROM stat
+    """,
+)
+def wh_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + Mantel-Haenszel common odds ratio
+    over day-of-week strata — the STRATIFIED 2x2 association test that
+    completes the experimentation suite: wh_chi_square pools everything
+    (and wh_simpsons_check shows why pooling lies); CMH tests the
+    treated-vs-purchase association WITHIN each stratum and combines
+    the evidence, immune to the confounding a dow-correlated exposure
+    would inject. Per stratum the expected count E=r1*c1/n, variance
+    V=r1*(n-r1)*c1*(n-c1)/(n^2*(n-1)), and the two MH odds-ratio terms
+    a*d/n, b*c/n are closed forms of exact BIGINT counts; the
+    cross-stratum sums of these DOUBLES are the one order-sensitive
+    step, so both engines fold them in STRATUM ORDER with a 0.0 seed
+    (F.aggregate over the dow-sorted collected list == LIST_REDUCE over
+    the 0.0-prepended LIST(x ORDER BY dow)) — identical left-to-right
+    IEEE additions, so the rounded statistic hash-compares. The 0.5
+    continuity correction clamps at zero; the 5% verdict compares the
+    UNROUNDED statistic to the chi-square(1) bound. One hash aggregate
+    to 7 stratum rows, one 7-element fold: trivially 100 TB-safe."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("event_type") == "purchase").alias("hit"),
+    )
+    per = base.groupBy("dow").agg(
+        F.sum(F.when(F.col("treated") & F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ad, r1d = F.col("a").cast("double"), F.col("r1").cast("double")
+    c1d, nd = F.col("c1").cast("double"), F.col("n").cast("double")
+    terms = per.select(
+        "dow",
+        "a",
+        "n",
+        (ad - r1d * c1d / nd).alias("dev"),
+        (r1d * (nd - r1d) * c1d * (nd - c1d) / (nd * nd * (nd - 1.0))).alias("v"),
+        (
+            ad
+            * (F.col("n") - F.col("r1") - F.col("c1") + F.col("a")).cast("double")
+            / nd
+        ).alias("adn"),
+        (
+            (F.col("r1") - F.col("a")).cast("double")
+            * (F.col("c1") - F.col("a")).cast("double")
+            / nd
+        ).alias("bcn"),
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct("dow", "dev", "v", "adn", "bcn"))
+    )
+
+    def ordered_sum(field: str):
+        return F.aggregate(
+            F.transform(F.col("arr"), lambda s: s[field]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("int").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("a").cast("long").alias("sum_a"),
+        arr.alias("arr"),
+    ).select(
+        "n_strata",
+        "n_total",
+        "sum_a",
+        ordered_sum("dev").alias("sdev"),
+        ordered_sum("v").alias("sv"),
+        ordered_sum("adn").alias("sadn"),
+        ordered_sum("bcn").alias("sbcn"),
+    )
+    corr = F.greatest(F.abs(F.col("sdev")) - F.lit(0.5), F.lit(0.0))
+    cmh = corr * corr / F.col("sv")
+    ormh = F.when(F.col("sbcn") > 0.0, F.col("sadn") / F.col("sbcn"))
+    return folded.select(
+        "n_strata",
+        "n_total",
+        "sum_a",
+        stable_round(cmh, 6).alias("cmh_stat"),
+        stable_round(ormh, 6).alias("or_mh"),
+        (cmh > F.lit(3.841459)).alias("reject_05"),
+    )
