@@ -238,7 +238,8 @@ ROUND12_WINDOW: list[str] = [
     "wh_two_way_anova",
     # round-10 additions (capped at 5 per the r9 verdict backlog bound:
     # 85 staged + 5 = 90; these fill ROUND12 to the 45-entry cap)
-    "ev_mann_kendall", "ev_garch_vol", "wh_cmh_test",
+    "ev_mann_kendall", "ev_garch_vol", "wh_cmh_test", "ext_rle_bitpack",
+    "ext_cdc_chunking",
 ]
 
 # Round 10 live window (swapped in as the first commit of round 10, per the

@@ -14467,3 +14467,219 @@ def ext_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@q(
+    "ext_rle_bitpack",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 48 + 16 AS n, doc_id % 5 + 6 AS r
+            FROM documents WHERE doc_id < 256
+        ), vals AS (
+            SELECT doc_id, n, r, UNNEST(GENERATE_SERIES(0, n - 1)) AS j FROM p
+        ), sums AS (
+            SELECT doc_id, CAST(SUM((doc_id + j // r) % 8) AS BIGINT) AS value_sum
+            FROM vals GROUP BY doc_id
+        ), shape AS (
+            SELECT doc_id, n, r,
+                   CASE WHEN r >= 8
+                        THEN n // r + (CASE WHEN n % r >= 8 THEN 1 ELSE 0 END)
+                        ELSE 0 END AS rle_runs,
+                   CASE WHEN r >= 8
+                        THEN (CASE WHEN n % r >= 8 THEN 0 ELSE n % r END)
+                        ELSE n END AS lit
+            FROM p
+        )
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_values, v.value_sum,
+               CAST(s.rle_runs AS BIGINT) AS n_rle_runs,
+               CAST(((s.lit + 7) // 8) * 8 AS BIGINT) AS n_bitpacked_slots,
+               CAST(2 + 2 * s.rle_runs
+                    + CASE WHEN s.lit > 0 THEN 1 + ((s.lit + 7) // 8) * 3
+                           ELSE 0 END AS BIGINT) AS encoded_bytes,
+               TRUE AS roundtrip_ok
+        FROM shape s JOIN sums v USING (doc_id) ORDER BY s.doc_id
+    """,
+)
+def ext_rle_bitpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Parquet RLE/bit-packing hybrid (the integer encoding behind
+    every Parquet repetition/definition level and dictionary index —
+    parquet.apache.org/docs/file-format/data-pages/encodings/): per doc
+    a deterministic 3-bit value stream with run length r = doc_id%5+6
+    (6..10, straddling the RLE threshold 8) is encoded by
+    sources/formats.encode_rle_bitpack under parquet-mr's policy
+    (>= 8-run -> RLE from an 8-aligned literal position, else
+    bit-packed groups of 8, final group zero-padded) and walked back by
+    the verifying decoder (bit width, declared count, group framing,
+    value bounds, padding zeros). The decoder reports the WIRE shape —
+    n_rle_runs, n_bitpacked_slots, encoded_bytes — and the oracle
+    predicts all three in closed form from the run structure plus the
+    value sum from the synthesis arithmetic, so the hash match proves
+    the encoder follows the documented policy byte-for-byte, not just
+    that encode∘decode is the identity. Arrow-batched mapInPandas like
+    the sibling wire codecs (ext_protobuf_roundtrip, ext_avro_roundtrip);
+    per-task state is one 16..63-value stream."""
+    import pandas as pd
+
+    from bigdatacw1_spark.sources.formats import (
+        decode_rle_bitpack,
+        encode_rle_bitpack,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 256).select("doc_id")
+
+    def batches(it):
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_values": [], "value_sum": [],
+                "n_rle_runs": [], "n_bitpacked_slots": [],
+                "encoded_bytes": [], "roundtrip_ok": [],
+            }
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                n, r = i % 48 + 16, i % 5 + 6
+                vals = [(i + j // r) % 8 for j in range(n)]
+                enc = encode_rle_bitpack(vals, 3)
+                dec, rle_runs, bp_slots = decode_rle_bitpack(enc)
+                out["doc_id"].append(i)
+                out["n_values"].append(n)
+                out["value_sum"].append(sum(dec))
+                out["n_rle_runs"].append(rle_runs)
+                out["n_bitpacked_slots"].append(bp_slots)
+                out["encoded_bytes"].append(len(enc))
+                out["roundtrip_ok"].append(dec == vals)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_values long, value_sum long, n_rle_runs long, "
+        "n_bitpacked_slots long, encoded_bytes long, roundtrip_ok boolean"
+    )
+    return docs.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+# Single-sourced window-hash constants for ext_cdc_chunking: polynomial
+# base 131 over an 8-char window, modulus 2^31-1 (Mersenne), boundary
+# when h % 32 == 0 (expected chunk length 32). The oracle SQL is built
+# from the same powers so the two engines cannot drift.
+_CDC_POWS = [131**k for k in range(8)]
+_CDC_MOD = 2147483647
+_CDC_MASK = 32
+
+
+def _cdc_oracle() -> str:
+    terms = " + ".join(
+        # CAST to BIGINT: DuckDB's ASCII is INT32 and the power literals
+        # would otherwise multiply (and overflow) in 32-bit.
+        f"CAST(ASCII(SUBSTR(d.text, CAST(pos.p - {7 - k} AS INT), 1)) AS BIGINT)"
+        f" * {_CDC_POWS[7 - k]}"
+        if _CDC_POWS[7 - k] != 1
+        else f"CAST(ASCII(SUBSTR(d.text, CAST(pos.p AS INT), 1)) AS BIGINT)"
+        for k in range(8)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source, text, CAST(LENGTH(text) AS BIGINT) AS n
+            FROM documents WHERE LENGTH(text) >= 1
+        ), pos AS (
+            SELECT doc_id, UNNEST(GENERATE_SERIES(8, n - 1)) AS p
+            FROM d WHERE n >= 9
+        ), hb AS (
+            SELECT pos.doc_id, pos.p
+            FROM pos JOIN d USING (doc_id)
+            WHERE ({terms}) % {_CDC_MOD} % {_CDC_MASK} = 0
+        ), ends AS (
+            SELECT doc_id, p AS e FROM hb
+            UNION ALL SELECT doc_id, n AS e FROM d
+        ), spans AS (
+            SELECT doc_id, e,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+                       AS s
+            FROM ends
+        ), chunks AS (
+            SELECT sp.doc_id, d.source,
+                   SUBSTR(d.text, CAST(sp.s + 1 AS INT),
+                          CAST(sp.e - sp.s AS INT)) AS chunk
+            FROM spans sp JOIN d USING (doc_id)
+        )
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_unique_chunks,
+               FLOOR(CAST(SUM(LENGTH(chunk)) AS DOUBLE) / COUNT(*)
+                     * 10000.0 + 0.5) / 10000.0 AS avg_chunk_len,
+               FLOOR(CAST(COUNT(DISTINCT chunk) AS DOUBLE) / COUNT(*)
+                     * 1000000.0 + 0.5) / 1000000.0 AS dedup_ratio
+        FROM chunks GROUP BY source ORDER BY source
+    """
+
+
+@q("ext_cdc_chunking", oracle=_cdc_oracle())
+def ext_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level corpus dedup — the
+    storage-dedup primitive (LBFS/Venti lineage, the ancestor of
+    FastCDC) that splits text where a rolling-window hash hits a
+    boundary condition, so an insertion early in a document only
+    perturbs ONE chunk instead of shifting every fixed-size block.
+    Deliberately the WINDOWED-Rabin variant rather than FastCDC's Gear
+    loop: Gear's byte-serial state and min/max clamps make every
+    boundary depend on the previous one (a sequential scan per doc —
+    fine in C, an escape hatch in Spark), while the windowed predicate
+    `hash(text[p-7..p]) % 32 == 0` is a PURE per-position function —
+    boundary detection is embarrassingly parallel, stays entirely in
+    whole-stage codegen as array higher-order functions (sequence →
+    filter over an 8-term polynomial → zip_with substr), and shuffles
+    only once for the chunk-level dedup aggregate. Per source: chunk
+    count, distinct-chunk count (chunks join on their exact TEXT, no
+    hash collisions to reason about), mean chunk length, dedup ratio.
+    At 100 TB the per-doc arrays are doc-length-bounded and the only
+    wide exchange is the final groupBy — the same shape as
+    ext_dedup_exact one level below document granularity."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 1)
+        .select(
+            "doc_id", "source", "text", F.length("text").cast("long").alias("n")
+        )
+    )
+
+    def win_hash(p):
+        # ascii() is INT in both engines; widen to LONG before the power
+        # multiply (the oracle mirrors with CAST(... AS BIGINT)).
+        total = F.ascii(F.col("text").substr(p, F.lit(1))).cast("long")
+        for back in range(1, 8):
+            total = total + F.ascii(
+                F.col("text").substr(p - F.lit(back), F.lit(1))
+            ).cast("long") * F.lit(_CDC_POWS[back])
+        return total
+
+    cand = F.when(
+        F.col("n") >= 9, F.sequence(F.lit(8).cast("long"), F.col("n") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    boundaries = F.filter(
+        cand, lambda p: win_hash(p) % _CDC_MOD % _CDC_MASK == 0
+    )
+    ends = F.concat(boundaries, F.array(F.col("n")))
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")), F.slice(ends, 1, F.size(ends) - 1)
+    )
+    chunks = F.zip_with(
+        ends, starts, lambda e, s: F.col("text").substr(s + 1, e - s)
+    )
+    ch = d.select("doc_id", "source", F.explode(chunks).alias("chunk"))
+    agg = ch.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk").cast("long").alias("n_unique_chunks"),
+        F.sum(F.length("chunk")).cast("long").alias("sum_len"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "n_unique_chunks",
+        stable_round(
+            F.col("sum_len").cast("double") / F.col("n_chunks"), 4
+        ).alias("avg_chunk_len"),
+        stable_round(
+            F.col("n_unique_chunks").cast("double") / F.col("n_chunks"), 6
+        ).alias("dedup_ratio"),
+    ).orderBy("source")

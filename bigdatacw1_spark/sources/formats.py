@@ -646,3 +646,132 @@ def decode_protobuf_stream(payload: bytes) -> list[tuple[int, int, int, int, str
             raise ValueError("malformed message")
         out.append((vals[1], vals[2], vals[3], vals[4], vals[5]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Parquet RLE / bit-packing hybrid (the workhorse integer encoding behind
+# Parquet repetition/definition levels and dictionary indices — public
+# spec: parquet.apache.org/docs/file-format/data-pages/encodings/,
+# "RLE/Bit-Packing Hybrid"). Stream = <bit-width:1 byte> <num-values:LEB128
+# varint> then a sequence of groups, each a varint header H:
+#   H & 1 == 0  ->  RLE run: run length H>>1, then the value in
+#                   ceil(bit_width/8) little-endian bytes;
+#   H & 1 == 1  ->  bit-packed: H>>1 groups of 8 values, LSB-first,
+#                   bit_width bits each (so bit_width bytes per group).
+# Encoder policy (parquet-mr's RunLengthBitPackingHybridEncoder
+# semantics): maximal equal-value runs of >= 8 become RLE, but only from
+# an 8-ALIGNED literal position — if a bit-packed group is open
+# mid-eight, the run's head tops it up to alignment first (so bit-packed
+# groups mid-stream carry only real values, never padding); shorter runs
+# accumulate in the literal buffer. Only the FINAL flush zero-pads its
+# last group to a multiple of 8, which is the invariant the decoder's
+# padding checks enforce.
+# ---------------------------------------------------------------------------
+
+
+def encode_rle_bitpack(values: list[int], bit_width: int) -> bytes:
+    """Encode unsigned ints with the Parquet RLE/bit-packing hybrid."""
+    if not 1 <= bit_width <= 32:
+        raise ValueError("bit width must be in 1..32")
+    limit = 1 << bit_width
+    for v in values:
+        if not 0 <= v < limit:
+            raise ValueError(f"value {v} does not fit {bit_width} bits")
+    out = bytearray((bit_width,))
+    out += _pb_varint(len(values))
+    vb = (bit_width + 7) // 8
+    buf: list[int] = []
+
+    def flush() -> None:
+        if not buf:
+            return
+        groups = (len(buf) + 7) // 8
+        padded = buf + [0] * (groups * 8 - len(buf))
+        out.extend(_pb_varint(groups << 1 | 1))
+        acc = 0
+        nbits = 0
+        for v in padded:
+            acc |= v << nbits
+            nbits += bit_width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        # 8 values per group * bit_width bits is always byte-aligned
+        assert nbits == 0 and acc == 0
+        buf.clear()
+
+    i, n = 0, len(values)
+    while i < n:
+        j = i
+        while j < n and values[j] == values[i]:
+            j += 1
+        run = j - i
+        if run >= 8 and len(buf) % 8:
+            # top the open bit-packed group up to 8-alignment first
+            take = -len(buf) % 8
+            buf.extend([values[i]] * take)
+            run -= take
+        if run >= 8:
+            flush()  # buffer is 8-aligned (or empty): packs w/o padding
+            out.extend(_pb_varint(run << 1))
+            out += values[i].to_bytes(vb, "little")
+        elif run:
+            buf.extend([values[i]] * run)
+        i = j
+    flush()
+    return bytes(out)
+
+
+def decode_rle_bitpack(payload: bytes) -> tuple[list[int], int, int]:
+    """Decode an RLE/bit-packing hybrid stream back to its values,
+    verifying the bit width, declared count, group framing, value
+    bounds, and zero padding — returns (values, n_rle_runs,
+    n_bitpacked_slots) so callers can assert the WIRE layout, not just
+    the round-trip (the oracle predicts both from the run structure)."""
+    b = bytes(payload)
+    if not b:
+        raise ValueError("empty stream")
+    bit_width = b[0]
+    if not 1 <= bit_width <= 32:
+        raise ValueError("bad bit width")
+    n, pos = _pb_read_varint(b, 1)
+    vb = (bit_width + 7) // 8
+    limit = 1 << bit_width
+    vals: list[int] = []
+    rle_runs = 0
+    bp_slots = 0
+    while pos < len(b):
+        header, pos = _pb_read_varint(b, pos)
+        if header & 1:
+            groups = header >> 1
+            if groups <= 0:
+                raise ValueError("empty bit-packed group")
+            nbytes = groups * bit_width
+            if pos + nbytes > len(b):
+                raise ValueError("truncated bit-packed group")
+            acc = int.from_bytes(b[pos : pos + nbytes], "little")
+            for _ in range(groups * 8):
+                vals.append(acc & (limit - 1))
+                acc >>= bit_width
+            pos += nbytes
+            bp_slots += groups * 8
+        else:
+            run = header >> 1
+            if run <= 0:
+                raise ValueError("empty RLE run")
+            if pos + vb > len(b):
+                raise ValueError("truncated RLE value")
+            v = int.from_bytes(b[pos : pos + vb], "little")
+            if v >= limit:
+                raise ValueError("RLE value exceeds bit width")
+            vals.extend([v] * run)
+            pos += vb
+            rle_runs += 1
+    if len(vals) < n:
+        raise ValueError("stream shorter than declared count")
+    if len(vals) - n >= 8:
+        raise ValueError("more than one bit-pack group of padding")
+    if any(vals[n:]):
+        raise ValueError("nonzero padding")
+    return vals[:n], rle_runs, bp_slots

@@ -999,3 +999,64 @@ def test_protobuf_stream_roundtrip(records):
 
     recs = [tuple(r) for r in records]
     assert decode_protobuf_stream(encode_protobuf_stream(recs)) == recs
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=1, max_value=16), st.data())
+def test_rle_bitpack_roundtrip_arbitrary(bit_width, data):
+    """encode_rle_bitpack→decode_rle_bitpack is the identity for
+    arbitrary run-structured streams at any bit width, including the
+    alignment-sensitive literal→RLE transitions (parquet-mr policy:
+    an 8+ run becomes RLE only from an 8-aligned literal position)."""
+    from bigdatacw1_spark.sources.formats import (
+        decode_rle_bitpack,
+        encode_rle_bitpack,
+    )
+
+    limit = 1 << bit_width
+    vals: list[int] = []
+    for _ in range(data.draw(st.integers(min_value=0, max_value=12))):
+        v = data.draw(st.integers(min_value=0, max_value=limit - 1))
+        vals.extend([v] * data.draw(st.integers(min_value=1, max_value=20)))
+    dec, _rr, _bp = decode_rle_bitpack(encode_rle_bitpack(vals, bit_width))
+    assert dec == vals
+
+
+def test_rle_bitpack_wire_policy():
+    """The encoder's wire choices match parquet-mr's hybrid heuristic,
+    and the decoder rejects streams violating the format invariants."""
+    import pytest
+
+    from bigdatacw1_spark.sources.formats import (
+        decode_rle_bitpack,
+        encode_rle_bitpack,
+    )
+
+    # 9 identical values from alignment -> one RLE run, zero slots.
+    assert decode_rle_bitpack(encode_rle_bitpack([3] * 9, 3))[1:] == (1, 0)
+    # 9 distinct values -> no RLE, two bit-packed groups (16 slots).
+    assert decode_rle_bitpack(
+        encode_rle_bitpack([1, 2, 3, 4, 5, 6, 7, 0, 1], 3)
+    )[1:] == (0, 16)
+    # 3 literals then a 10-run: run head tops the group up to 8, the
+    # 5-value tail stays literal -> still no RLE run on the wire.
+    vals = [1, 2, 3] + [5] * 10 + [6]
+    dec, rr, bp = decode_rle_bitpack(encode_rle_bitpack(vals, 3))
+    assert dec == vals and rr == 0 and bp == 16
+    # aligned literals then a 9-run -> RLE fires.
+    assert decode_rle_bitpack(
+        encode_rle_bitpack([1, 2, 3, 4, 5, 6, 7, 0] + [5] * 9, 3)
+    )[1:] == (1, 8)
+    with pytest.raises(ValueError, match="does not fit"):
+        encode_rle_bitpack([8], 3)
+    enc = bytearray(encode_rle_bitpack([1, 2, 3], 3))
+    enc[-1] |= 0x80  # nonzero padding in the final group
+    with pytest.raises(ValueError, match="padding"):
+        decode_rle_bitpack(bytes(enc))
+    # well-formed groups but fewer values than the declared count:
+    # [bw=3, n=9, RLE header 9<<1, value] with n bumped to 10.
+    short = bytearray(encode_rle_bitpack([1] * 9, 3))
+    assert short[1] == 9
+    short[1] = 10
+    with pytest.raises(ValueError, match="declared count"):
+        decode_rle_bitpack(bytes(short))

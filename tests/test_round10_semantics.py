@@ -1,0 +1,148 @@
+"""Behavioral invariants of the round-10 operators — properties the
+oracle hash cannot express (cross-entry consistency, monotonicity,
+conservation), per the SURVEY §5 test strategy."""
+
+from __future__ import annotations
+
+import math
+
+from bigdatacw1_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMALL).toPandas()
+
+
+def test_mann_kendall_agrees_with_theil_sen_direction(spark):
+    """For any series where MK declares a trend at 5%, the Theil-Sen
+    slope must point the same way (both are built from the same
+    pairwise sign structure), and S must sit inside its +/- n_pairs
+    bound with the variance positive."""
+    mk = _run(spark, "ev_mann_kendall").set_index("event_type")
+    ts = _run(spark, "ev_theil_sen").set_index("event_type")
+    assert (mk["s_stat"].abs() <= mk["n_pairs"]).all()
+    assert (mk["var_s"] > 0).all()
+    assert (mk["n_pairs"] == mk["n_points"] * (mk["n_points"] - 1) // 2).all()
+    for et, row in mk.iterrows():
+        if row["trend"] == "increasing":
+            assert ts.loc[et, "ts_slope"] > 0, et
+        elif row["trend"] == "decreasing":
+            assert ts.loc[et, "ts_slope"] < 0, et
+
+
+def test_mann_kendall_z_within_continuity_bound(spark):
+    """|z| can never exceed (|S|)/sqrt(Var) and the continuity
+    correction always shrinks magnitude: |z| <= |S|/sqrt(Var)."""
+    mk = _run(spark, "ev_mann_kendall")
+    bound = mk["s_stat"].abs() / mk["var_s"].pow(0.5)
+    assert (mk["z_mk"].abs() <= bound + 1e-9).all()
+
+
+def test_garch_h_bounded_by_fold_extremes(spark):
+    """The GARCH recursion is a convex-ish combination: h_last lies
+    within [omega/(1-beta) applied to min e2, unrolled max bound] —
+    concretely h_last >= omega (every step adds omega) and sigma is
+    the exact square root of h."""
+    g = _run(spark, "ev_garch_vol")
+    assert (g["h_last"] >= 0.25 - 1e-9).all()
+    for _, row in g.iterrows():
+        assert abs(row["sigma_last"] - math.floor(
+            math.sqrt(row["h_last"]) * 1e6 + 0.5) / 1e6) <= 1e-4
+    assert (g["n_returns"] == g["n_obs"] - 1).all()
+
+
+def test_cmh_consistent_with_chi_square_family(spark):
+    """CMH on near-homogeneous strata: statistic non-negative, the MH
+    odds ratio positive, and the rejection flag is exactly the 3.84
+    threshold comparison."""
+    df = _run(spark, "wh_cmh_test")
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["n_strata"] == 7
+    assert row["cmh_stat"] >= 0
+    assert row["or_mh"] > 0
+    assert bool(row["reject_05"]) == (row["cmh_stat"] > 3.841459)
+
+
+def test_rle_bitpack_wire_conservation(spark):
+    """RLE-covered values + bit-packed slots >= n_values (slots only
+    ever ADD padding), every stream round-trips, and the run-length
+    regimes split exactly on r >= 8 (doc_id % 5 + 6)."""
+    df = _run(spark, "ext_rle_bitpack")
+    assert df["roundtrip_ok"].all()
+    r = df["doc_id"] % 5 + 6
+    # regime split: r < 8 -> zero RLE runs; r >= 8 -> at least one.
+    assert (df.loc[r < 8, "n_rle_runs"] == 0).all()
+    assert (df.loc[r >= 8, "n_rle_runs"] >= 1).all()
+    # slots are multiples of 8; RLE + bit-packed slots cover every value.
+    assert (df["n_bitpacked_slots"] % 8 == 0).all()
+    rle_covered = df["n_values"] - df["n_bitpacked_slots"].clip(
+        upper=df["n_values"]
+    )
+    assert ((rle_covered >= 0) | (df["n_rle_runs"] == 0)).all()
+    # the hybrid always beats 1-byte-per-value plain encoding here.
+    assert (df["encoded_bytes"] < df["n_values"] + 2).all()
+
+
+def test_cdc_chunking_conservation(spark):
+    """Chunking is a partition: per-source mean chunk length times
+    chunk count equals total characters, unique <= total, and the
+    boundary predicate actually fires (mean length well below the
+    no-boundary degenerate case)."""
+    import duckdb
+
+    df = _run(spark, "ext_cdc_chunking")
+    assert (df["n_unique_chunks"] <= df["n_chunks"]).all()
+    assert (df["dedup_ratio"] <= 1.0).all() and (df["dedup_ratio"] > 0).all()
+    tot = duckdb.sql(
+        f"SELECT source, CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, "
+        f"COUNT(*) AS docs FROM '{SF_SMALL}/documents.parquet' "
+        f"WHERE LENGTH(text) >= 1 GROUP BY source"
+    ).df().set_index("source")
+    for _, row in df.iterrows():
+        exp = tot.loc[row["source"]]
+        # conservation: sum of chunk lengths == total chars (avg was
+        # floor-rounded to 1e-4, so bound the reconstruction).
+        assert abs(row["avg_chunk_len"] * row["n_chunks"] - exp["chars"]) \
+            <= 0.0001 * row["n_chunks"] + 1e-6
+        assert row["n_docs"] == exp["docs"]
+        # boundaries fired: mean chunk length far below mean doc length.
+        assert row["avg_chunk_len"] < exp["chars"] / exp["docs"]
+
+
+def test_cdc_chunking_shift_resistance():
+    """The defining CDC property: prepending bytes to a document only
+    perturbs chunks up to the first boundary — all chunks strictly
+    after it are IDENTICAL (a fixed-size splitter shifts every one).
+    Checked directly against the same windowed predicate in Python."""
+    from bigdatacw1_spark.queries.extensions import _CDC_MASK, _CDC_MOD, _CDC_POWS
+
+    def chunks(text: str) -> list[str]:
+        n = len(text)
+        ends = [
+            p
+            for p in range(8, n)
+            if sum(
+                ord(text[p - 1 - k]) * _CDC_POWS[k] for k in range(8)
+            ) % _CDC_MOD % _CDC_MASK == 0
+        ] + [n]
+        out, s = [], 0
+        for e in ends:
+            out.append(text[s:e])
+            s = e
+        return out
+
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    shifted = "XYZ " + base
+    c1, c2 = chunks(base), chunks(shifted)
+    assert len(c1) > 3, "predicate never fired — test corpus too tame"
+    # all chunks after the first boundary realign: the two lists share
+    # a common suffix covering all but the leading chunk(s).
+    suffix = 0
+    while (
+        suffix < min(len(c1), len(c2))
+        and c1[-1 - suffix] == c2[-1 - suffix]
+    ):
+        suffix += 1
+    assert suffix >= len(c1) - 2, (suffix, len(c1))
