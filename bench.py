@@ -217,7 +217,10 @@ def main() -> int:
         # of any round) put each query's min BELOW its r6 min with plans
         # unchanged: pivot 0.447 < 0.503, portfolio 0.741 < 0.792,
         # q18 1.136 < 1.246.
-        "drift_note": "r9 3-file mins: totals 8.470/8.333/8.446 (best 8.333 < r8 8.601); no headliner moved >10% vs r8, plans unchanged",
+        # VERDICT r9 #5: per-attempt load1 now rides the final line as
+        # attempts_load1, so contention is separable from regression in
+        # the artifact itself.
+        "drift_note": "r10 clean-file totals 9.500/9.776/9.262/9.260 (last fully idle, load1 0.13); per-query 4-file mins <=11% over r8 mins (sum 8.949), PLANS diff = 5 added rows only -- box drift, not plan regression",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,

@@ -86,7 +86,7 @@ def _full_attempt_record(query_names) -> dict:
         "attempts_contended": [False, True, False],
         "attempts_load1": [99.99, 99.99, 99.99],
         "cosine_note": "x" * 100,
-        "drift_note": "x" * 130,
+        "drift_note": "x" * 210,
     }
 
 
