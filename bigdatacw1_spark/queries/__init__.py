@@ -252,11 +252,18 @@ ROUND12_WINDOW: list[str] = [
 # r9). Notables in this window: ev_slo_burn_rate (the entry whose latent
 # HUGEINT oracle bug round 9 fixed — its driver verdict closes that fix
 # class), the IVM tail (wh_ivm_minmax/topk/zset), and the media trio
-# (ext_mm_flac/phash_neardup/vad). Round-10 additions are capped (≤10 per
-# the r9 verdict: drain the backlog, don't grow it) and go to ROUND12
-# until it hits the 45 cap, then a new ROUND13_WINDOW, in the same commit
-# that registers them. Backlog at round-10 start: ROUND11 45 + ROUND12 40
-# = 85 staged after this swap.
+# (ext_mm_flac/phash_neardup/vad). Round-10 additions were capped at 5
+# (the r9 verdict's backlog bound: 85 staged + 5 = 90) and fill ROUND12
+# to exactly its 45 cap — ev_mann_kendall, ev_garch_vol, wh_cmh_test,
+# ext_rle_bitpack, ext_cdc_chunking.
+# End of round 10: the FULL 499-entry registry is green under the
+# DTYPE-STRICT comparer at the driver's sf0.01 (499/499, single sweep at
+# final HEAD) and at sf0.001 inside the committed full suite (1386
+# passed / 2 skipped at final HEAD), so ROUND11's rotation is
+# pre-verified at driver conditions. Round 11's first commit should swap
+# to _ANCHORS + ROUND11_WINDOW and stage its additions (keep the ≤5 cap
+# until the backlog is below 50) in a new ROUND13_WINDOW — ROUND12 is
+# full. Backlog after this round: ROUND11 45 + ROUND12 45 = 90.
 _DRIVER_WINDOW = _ANCHORS + ROUND10_WINDOW
 
 
