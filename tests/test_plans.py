@@ -613,3 +613,21 @@ def test_round8_second_batch_entries_are_python_free_and_join_safe(spark):
         assert not has_python_eval(df), f"{name}: Python eval in plan"
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_round10_entries_plan_shapes(spark):
+    """Round-10 design claims, CI-enforced: the Mann-Kendall pair join
+    must broadcast the calendar-bounded daily aggregate (never fall
+    back to a cartesian or broadcast-nested-loop), and ext_cdc_chunking
+    — whose whole point is that windowed-Rabin boundary detection needs
+    no Python — must stay JVM-side end to end despite living in the
+    ext_ namespace (exempt from the parity-wide python-free sweep)."""
+    from bigdatacw1_spark.plans import formatted_plan
+
+    mk_df = _df(spark, "ev_mann_kendall")
+    mk = formatted_plan(mk_df)
+    assert "CartesianProduct" not in mk and "BroadcastNestedLoop" not in mk
+    assert has_broadcast_hash_join(mk_df), "pair join must broadcast the daily agg"
+    cdc_df = _df(spark, "ext_cdc_chunking")
+    assert not has_python_eval(cdc_df), "CDC boundary detection regressed to Python"
+    assert "CartesianProduct" not in formatted_plan(cdc_df)
