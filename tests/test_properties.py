@@ -1060,3 +1060,102 @@ def test_rle_bitpack_wire_policy():
     short[1] = 10
     with pytest.raises(ValueError, match="declared count"):
         decode_rle_bitpack(bytes(short))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),      # key
+            st.integers(min_value=0, max_value=30),     # day index (dups ok)
+            st.integers(min_value=-9999, max_value=9999),  # daily cents total
+        ),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_garch_matches_python_fold(spark, rows):
+    """garch_volatility must equal the plain-Python GARCH(1,1) recursion
+    h_t = w + a*e2_{t-1} + b*h_{t-1} seeded with e2_1 over the
+    (day-sorted) squared scaled first differences, per key."""
+    import math
+    from collections import defaultdict
+
+    from bigdatacw1_spark.operators.timeseries import garch_volatility
+
+    df = spark.createDataFrame(rows, ["k", "d", "x"])
+    got = {r["k"]: r for r in garch_volatility(df, ["k"], "d", "x").collect()}
+    series = defaultdict(list)
+    for k, d, x in rows:
+        series[k].append((d, x))
+    for k, obs in series.items():
+        obs.sort()
+        if len(obs) < 2:
+            assert k not in got
+            continue
+        e2 = [
+            ((b - a) / 100.0) ** 2
+            for (_, a), (_, b) in zip(obs[:-1], obs[1:])
+        ]
+        h = e2[0]
+        for x in e2[:-1]:
+            h = 0.25 + 0.125 * x + 0.75 * h
+        expect = math.floor(h * 1e6 + 0.5) / 1e6
+        assert got[k]["h_last"] == expect, (k, got[k]["h_last"], expect)
+        assert got[k]["n_returns"] == len(e2)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50),  # daily values, ties likely
+        min_size=3,
+        max_size=14,
+    )
+)
+def test_mann_kendall_statistics_match_bruteforce(spark, xs):
+    """The registered Mann-Kendall pipeline shape (pair join + tie
+    aggregate) must reproduce the textbook O(n^2) S and tie-corrected
+    Var(S) computed by a plain double loop."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    daily = spark.createDataFrame(rows, ["k", "d", "x"])
+    a, b = daily.alias("a"), daily.alias("b")
+    s_df = (
+        a.join(b, "k")
+        .where(F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    ties_df = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tt"))
+    )
+    s = s_df.collect()[0]["s"]
+    tt = ties_df.collect()[0]["tt"]
+    n = len(xs)
+    exp_s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    groups: dict[int, int] = {}
+    for x in xs:
+        groups[x] = groups.get(x, 0) + 1
+    exp_tt = sum(t * (t - 1) * (2 * t + 5) for t in groups.values())
+    assert s == exp_s
+    assert tt == exp_tt
+    var_s = (n * (n - 1) * (2 * n + 5) - exp_tt) / 18.0
+    if var_s > 0:
+        z = (s - math.copysign(1, s)) / math.sqrt(var_s) if s != 0 else 0.0
+        assert abs(z) <= abs(s) / math.sqrt(var_s) + 1e-12
