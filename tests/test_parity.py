@@ -41,10 +41,10 @@ def test_entry_smoke(spark):
 def test_driver_window_and_staged_rotations():
     """The live driver window (first 50 registry entries) must be exactly
     the 5 ref_* anchors + 45 oracle-bearing first-time entries, and the
-    staged ROUND7-9 windows plus everything already driver-checked in
-    rounds 1-5 (plus the live round-6 window) must cover the ENTIRE
-    registry with no duplicates — so future rotations are one-line swaps
-    and a rename here fails CI, not the driver."""
+    staged ROUND11-12 windows plus everything already driver-checked in
+    rounds 1-9 (CORRECTNESS_r*.json) plus the live ROUND10 window must
+    cover the ENTIRE registry with no duplicates — so future rotations
+    are one-line swaps and a rename here fails CI, not the driver."""
     import json
     import pathlib
 
