@@ -760,6 +760,12 @@ def decode_rle_bitpack(payload: bytes) -> tuple[list[int], int, int]:
             run = header >> 1
             if run <= 0:
                 raise ValueError("empty RLE run")
+            # bound BEFORE allocating: a legal stream never decodes past
+            # n + 7 (only the final bit-packed group pads, by < 8), so a
+            # huge declared run must refuse with the typed error, not
+            # OOM building a list (loud-refusal contract).
+            if len(vals) + run > n + 7:
+                raise ValueError("RLE run overruns declared count")
             if pos + vb > len(b):
                 raise ValueError("truncated RLE value")
             v = int.from_bytes(b[pos : pos + vb], "little")

@@ -627,7 +627,11 @@ def test_round10_entries_plan_shapes(spark):
     mk_df = _df(spark, "ev_mann_kendall")
     mk = formatted_plan(mk_df)
     assert "CartesianProduct" not in mk and "BroadcastNestedLoop" not in mk
-    assert has_broadcast_hash_join(mk_df), "pair join must broadcast the daily agg"
+    # The np_/ties joins are explicitly hinted, so has_broadcast_hash_join
+    # alone could pass even if the PAIR self-join regressed — require that
+    # NO join in the plan falls back to a shuffled sort-merge.
+    assert "SortMergeJoin" not in mk, "pair join must broadcast the daily agg"
+    assert has_broadcast_hash_join(mk_df)
     cdc_df = _df(spark, "ext_cdc_chunking")
     assert not has_python_eval(cdc_df), "CDC boundary detection regressed to Python"
     assert "CartesianProduct" not in formatted_plan(cdc_df)

@@ -75,12 +75,15 @@ def test_rle_bitpack_wire_conservation(spark):
     # regime split: r < 8 -> zero RLE runs; r >= 8 -> at least one.
     assert (df.loc[r < 8, "n_rle_runs"] == 0).all()
     assert (df.loc[r >= 8, "n_rle_runs"] >= 1).all()
-    # slots are multiples of 8; RLE + bit-packed slots cover every value.
+    # slots are multiples of 8; RLE-covered values + bit-packed slots
+    # must cover every value with < 8 slots of padding (conservation,
+    # grounded in the synthesis run structure).
     assert (df["n_bitpacked_slots"] % 8 == 0).all()
-    rle_covered = df["n_values"] - df["n_bitpacked_slots"].clip(
-        upper=df["n_values"]
-    )
-    assert ((rle_covered >= 0) | (df["n_rle_runs"] == 0)).all()
+    k_full, part = df["n_values"] // r, df["n_values"] % r
+    rle_vals = (k_full * r + part.where(part >= 8, 0)).where(r >= 8, 0)
+    covered = rle_vals + df["n_bitpacked_slots"]
+    assert (covered >= df["n_values"]).all()
+    assert (covered <= df["n_values"] + 7).all()
     # the hybrid always beats 1-byte-per-value plain encoding here.
     assert (df["encoded_bytes"] < df["n_values"] + 2).all()
 
