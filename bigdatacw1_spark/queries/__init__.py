@@ -258,9 +258,9 @@ ROUND12_WINDOW: list[str] = [
 # ext_rle_bitpack, ext_cdc_chunking.
 # End of round 10: the FULL 499-entry registry is green under the
 # DTYPE-STRICT comparer at the driver's sf0.01 (499/499, single sweep at
-# final HEAD) and at sf0.001 inside the committed full suite (1386
-# passed / 2 skipped at final HEAD), so ROUND11's rotation is
-# pre-verified at driver conditions. Round 11's first commit should swap
+# final HEAD after the self-review fixes) and at sf0.001 inside the
+# committed full suite (1391 passed / 2 skipped at final HEAD), so
+# ROUND11's rotation is pre-verified at driver conditions. Round 11's first commit should swap
 # to _ANCHORS + ROUND11_WINDOW and stage its additions (keep the ≤5 cap
 # until the backlog is below 50) in a new ROUND13_WINDOW — ROUND12 is
 # full. Backlog after this round: ROUND11 45 + ROUND12 45 = 90.
