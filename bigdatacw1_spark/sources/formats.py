@@ -723,12 +723,21 @@ def encode_rle_bitpack(values: list[int], bit_width: int) -> bytes:
     return bytes(out)
 
 
-def decode_rle_bitpack(payload: bytes) -> tuple[list[int], int, int]:
+def decode_rle_bitpack(
+    payload: bytes, max_values: int = 1 << 24
+) -> tuple[list[int], int, int]:
     """Decode an RLE/bit-packing hybrid stream back to its values,
     verifying the bit width, declared count, group framing, value
     bounds, and zero padding — returns (values, n_rle_runs,
     n_bitpacked_slots) so callers can assert the WIRE layout, not just
-    the round-trip (the oracle predicts both from the run structure)."""
+    the round-trip (the oracle predicts both from the run structure).
+
+    The decoder materializes a Python list, so the declared count n is
+    itself untrusted input: a ~10-byte stream may legally declare one
+    RLE run of 2^40 values, and the per-run overrun bound below (which
+    compares against n) would admit it. ``max_values`` caps n before
+    any run length derived from it is honored — a stream beyond the cap
+    refuses with the typed error instead of exhausting memory."""
     b = bytes(payload)
     if not b:
         raise ValueError("empty stream")
@@ -736,6 +745,8 @@ def decode_rle_bitpack(payload: bytes) -> tuple[list[int], int, int]:
     if not 1 <= bit_width <= 32:
         raise ValueError("bad bit width")
     n, pos = _pb_read_varint(b, 1)
+    if n > max_values:
+        raise ValueError("declared count exceeds max_values cap")
     vb = (bit_width + 7) // 8
     limit = 1 << bit_width
     vals: list[int] = []

@@ -41,8 +41,8 @@ def test_entry_smoke(spark):
 def test_driver_window_and_staged_rotations():
     """The live driver window (first 50 registry entries) must be exactly
     the 5 ref_* anchors + 45 oracle-bearing first-time entries, and the
-    staged ROUND11-12 windows plus everything already driver-checked in
-    rounds 1-9 (CORRECTNESS_r*.json) plus the live ROUND10 window must
+    staged ROUND12-13 windows plus everything already driver-checked in
+    rounds 1-10 (CORRECTNESS_r*.json) plus the live ROUND11 window must
     cover the ENTIRE registry with no duplicates — so future rotations
     are one-line swaps and a rename here fails CI, not the driver."""
     import json
@@ -56,6 +56,7 @@ def test_driver_window_and_staged_rotations():
         ROUND10_WINDOW,
         ROUND11_WINDOW,
         ROUND12_WINDOW,
+        ROUND13_WINDOW,
         _ANCHORS,
         _DRIVER_WINDOW,
     )
@@ -67,14 +68,14 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    # ROUND10 is the LIVE window this round (including ev_slo_burn_rate,
-    # whose latent HUGEINT oracle bug round 9 fixed — its driver verdict
-    # closes that fix class); ROUND11-12 remain staged (ROUND7/8/9 were
-    # driver-checked → covered via CORRECTNESS_r07/r08/r09).
-    assert _DRIVER_WINDOW == _ANCHORS + ROUND10_WINDOW
-    assert "ev_slo_burn_rate" in ROUND10_WINDOW, "r9 oracle-fix proof must ride this window"
-    staged = ROUND11_WINDOW + ROUND12_WINDOW
-    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW, ROUND12_WINDOW):
+    # ROUND11 is the LIVE window this round (the statistical-inference
+    # tail, the ext_avro_roundtrip/ext_mm_tiff codec pair, and the
+    # econometrics pair ride it); ROUND12-13 remain staged (ROUND7-10
+    # were driver-checked → covered via CORRECTNESS_r07-r10).
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND11_WINDOW
+    assert "wh_welch_ttest" in ROUND11_WINDOW, "inference tail must ride this window"
+    staged = ROUND12_WINDOW + ROUND13_WINDOW
+    for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW, ROUND12_WINDOW, ROUND13_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:

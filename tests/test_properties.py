@@ -1028,6 +1028,7 @@ def test_rle_bitpack_wire_policy():
     import pytest
 
     from bigdatacw1_spark.sources.formats import (
+        _pb_varint,
         decode_rle_bitpack,
         encode_rle_bitpack,
     )
@@ -1060,6 +1061,21 @@ def test_rle_bitpack_wire_policy():
     short[1] = 10
     with pytest.raises(ValueError, match="declared count"):
         decode_rle_bitpack(bytes(short))
+    # adversarial declared count (r10 advice): a ~10-byte stream that
+    # declares n=2^40 with one matching RLE run must refuse with the
+    # typed error BEFORE allocating — the per-run bound compares against
+    # n, so n itself needs the cap.
+    n = 1 << 40
+    huge = bytes([3]) + _pb_varint(n) + _pb_varint(n << 1) + bytes([1])
+    with pytest.raises(ValueError, match="max_values"):
+        decode_rle_bitpack(huge)
+    # the cap is caller-tunable, and a legal stream under a tight cap
+    # still decodes.
+    assert decode_rle_bitpack(
+        encode_rle_bitpack([1] * 9, 3), max_values=9
+    )[0] == [1] * 9
+    with pytest.raises(ValueError, match="max_values"):
+        decode_rle_bitpack(encode_rle_bitpack([1] * 9, 3), max_values=8)
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))

@@ -45,7 +45,11 @@ def test_garch_h_bounded_by_fold_extremes(spark):
     concretely h_last >= omega (every step adds omega) and sigma is
     the exact square root of h."""
     g = _run(spark, "ev_garch_vol")
-    assert (g["h_last"] >= 0.25 - 1e-9).all()
+    # omega lower bound only once the fold has actually stepped: with a
+    # single return the seed h_1 = eps2_1 is returned un-folded and can
+    # legitimately sit below omega (r10 advice) — scope to n_returns>=2.
+    assert (g.loc[g["n_returns"] >= 2, "h_last"] >= 0.25 - 1e-9).all()
+    assert (g["h_last"] >= -1e-9).all()
     for _, row in g.iterrows():
         assert abs(row["sigma_last"] - math.floor(
             math.sqrt(row["h_last"]) * 1e6 + 0.5) / 1e6) <= 1e-4
