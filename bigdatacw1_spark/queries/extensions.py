@@ -838,11 +838,34 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "ext_sketch_ndv",
     oracle="""
-        SELECT event_type,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-               COUNT(*) AS n,
-               TRUE AS approx_ok
-        FROM events GROUP BY event_type ORDER BY event_type
+        WITH b AS (
+            SELECT event_type,
+                   ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 2))::BIGINT AS idx,
+                   ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':hll'), 3, 13))::BIGINT AS w
+            FROM events
+        ), r AS (
+            SELECT event_type, idx,
+                   MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - LENGTH(bin(w)) END) AS m
+            FROM b GROUP BY event_type, idx
+        ), f AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS hll_hit,
+                   CAST(SUM(m) AS BIGINT) AS hll_sum_rho,
+                   CAST(MAX(m) AS BIGINT) AS hll_max_rho,
+                   CAST(SUM(CAST(FLOOR(18014398509481984.0 / POWER(2.0, m) + 0.5) AS BIGINT))
+                        + (256 - COUNT(*)) * 18014398509481984 AS BIGINT) AS hll_z_scaled
+            FROM r GROUP BY event_type
+        ), base AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   COUNT(*) AS n,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type
+        )
+        SELECT base.event_type, exact_users, n, approx_ok,
+               hll_hit, hll_sum_rho, hll_max_rho, hll_z_scaled
+        FROM base JOIN f USING (event_type)
+        ORDER BY event_type
     """,
 )
 def ext_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,9 +880,53 @@ def ext_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses (HLL registers are max-merged, so the estimate is deterministic
     under any partitioning and the boolean is stable). A broken sketch —
     wrong rsd plumbing, register corruption — flips the boolean and
-    breaks the value hash."""
+    breaks the value hash.
+
+    UPGRADED to an EXACT-REPLAY oracle (VERDICT r10 #5, verdict-depth):
+    alongside the engine-defined builtin, the entry now materializes a
+    from-scratch deterministic HLL (p=8, m=256 registers; hash = md5 of
+    the decimal user_id + ':hll', register index = first 2 hex chars,
+    rho = leading-zero rank of the next 52 hash bits) and hashes its FULL
+    register state cross-engine via four exact integer functionals —
+    registers hit, Σ rho, max rho, and the scaled harmonic denominator
+    Z·2^54 = Σ_j 2^(54-M_j) (empty registers contribute 2^54; every term
+    is a power of two ≤ 2^54, so the double POWER/division below is
+    IEEE-exact and the sum ≤ 2^62 fits BIGINT). DuckDB replays the
+    identical md5/substring/bit-length pipeline, so a single corrupted
+    register breaks the value hash — no bounded-boolean slack. The
+    register maxes are order- and partitioning-independent (max-merge),
+    which is exactly the property that makes HLL mergeable at 100 TB."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    hx = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
+    whex = F.substring(hx, 3, 13)
+    w = F.conv(whex, 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(whex, 16, 2))
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(hx, 1, 2), 16, 10).cast("int").alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    # 2^(54-m) as exact IEEE arithmetic: POWER(2,m) and the division are
+    # both powers of two, so floor(+0.5) is a no-op guard, not rounding.
+    zterm = F.floor(
+        F.lit(18014398509481984.0) / F.pow(F.lit(2.0), F.col("m")) + F.lit(0.5)
+    ).cast("long")
+    fp = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("hll_hit"),
+        F.sum("m").cast("long").alias("hll_sum_rho"),
+        F.max("m").cast("long").alias("hll_max_rho"),
+        (
+            F.sum(zterm)
+            + (F.lit(256) - F.count(F.lit(1))) * F.lit(18014398509481984)
+        ).cast("long").alias("hll_z_scaled"),
+    )
+    base = (
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
@@ -875,8 +942,8 @@ def ext_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
             ).alias("approx_ok"),
         )
-        .orderBy("event_type")
     )
+    return base.join(F.broadcast(fp), "event_type").orderBy("event_type")
 
 
 @q(
@@ -2944,7 +3011,11 @@ def kll_merged_quantiles(ev: DataFrame) -> DataFrame:
 @q(
     "ext_sketch_kll_mergeable",
     oracle="""
-        SELECT COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        SELECT COUNT(*) AS n,
+               FLOOR(QUANTILE_CONT(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS exact_p50,
+               FLOOR(QUANTILE_CONT(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS exact_p90,
+               FLOOR(QUANTILE_CONT(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS exact_p99,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
         FROM events
     """,
 )
@@ -2964,7 +3035,14 @@ def ext_sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     events against the broadcast 1-row estimate) lands within 0.03 of the
     requested rank, the same bound the unit test uses. KLL compaction is
     randomized, but every legal sketch satisfies the rank bound, so the
-    booleans are stable where the raw estimates are not."""
+    booleans are stable where the raw estimates are not.
+
+    UPGRADED (VERDICT r10 #5, verdict-depth): the output now also carries
+    the EXACT interpolated p50/p90/p99 (PERCENTILE_CONT semantics,
+    stable_round(4), hash-checked against DuckDB QUANTILE_CONT — the a15
+    anchor pattern), so the hashed portion of this oracle pins real
+    quantile values instead of COUNT(*) alone; the sketch estimates stay
+    out of the hash for the reason above, bounded by the rank booleans."""
     ev = _t(spark, sf_dir, "events")
     est = kll_merged_quantiles(ev)
     j = ev.select("value").crossJoin(F.broadcast(est))
@@ -2974,8 +3052,13 @@ def ext_sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = F.sum((F.col("value") <= F.col(col)).cast("long")) / n
         return (F.abs(frac - F.lit(p)) < F.lit(0.03)).alias(f"{col}_ok")
 
+    ps = [0.5, 0.9, 0.99]
+    ex = F.percentile("value", F.array(*[F.lit(p) for p in ps]))
     return j.agg(
         F.first("n").alias("n"),
+        stable_round(F.try_element_at(ex, F.lit(1)), 4).alias("exact_p50"),
+        stable_round(F.try_element_at(ex, F.lit(2)), 4).alias("exact_p90"),
+        stable_round(F.try_element_at(ex, F.lit(3)), 4).alias("exact_p99"),
         rank_ok("p50", 0.5),
         rank_ok("p90", 0.9),
         rank_ok("p99", 0.99),
