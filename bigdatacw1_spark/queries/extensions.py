@@ -14766,3 +14766,259 @@ def ext_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_unique_chunks").cast("double") / F.col("n_chunks"), 6
         ).alias("dedup_ratio"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: exact-replay sketches + corpus-statistics estimators
+# ---------------------------------------------------------------------------
+
+@q(
+    "ext_kmv_ndv",
+    oracle="""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':kmv'), 1, 13))::BIGINT AS h
+            FROM d
+        ),
+        r AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ),
+        k AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+                   CAST(MAX(h) AS BIGINT) AS kth_min_hash
+            FROM r WHERE rn <= 64 GROUP BY event_type
+        ),
+        e AS (
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, exact_users, n_in_sketch, kth_min_hash,
+               CASE WHEN n_in_sketch < 64 THEN CAST(n_in_sketch AS DOUBLE)
+                    ELSE FLOOR((CAST(283726776524341248 AS DOUBLE) / kth_min_hash) * 10000.0 + 0.5) / 10000.0
+               END AS ndv_est,
+               CASE WHEN n_in_sketch < 64 THEN TRUE
+                    ELSE ABS(CAST(283726776524341248 AS DOUBLE) / kth_min_hash - exact_users)
+                         <= 0.5 * exact_users
+               END AS est_ok
+        FROM e JOIN k USING (event_type)
+        ORDER BY event_type
+    """,
+)
+def ext_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per group
+    (Bar-Yossef et al. 2002; the Theta-sketch core) — the third leg of
+    the exact-replay sketch trio next to the deterministic HLL inside
+    ext_sketch_ndv and the rank-bounded KLL: keep the k=64 smallest
+    md5-derived 52-bit hashes of the key SET; ndv ~= (k-1)/u_(k). Unlike
+    HLL it supports set intersection (keep the values, not just ranks),
+    and the whole sketch state is deterministic, so this entry hashes it
+    EXACTLY cross-engine: n_in_sketch, the k-th minimum hash itself, and
+    the estimate (one IEEE multiply+divide, stable_round(4) — the
+    ext_weighted_sample determinism pattern).
+
+    Scale shape: the bottom-k is computed as a SALTED two-level top-k —
+    row_number over (event_type, h%64) keeps 64 per shard (spillable
+    sort, 320-way parallel, never a whole-group single task), then the
+    final row_number sees at most 64*64=4096 rows per group — the same
+    bounded-second-stage discipline as the repo's range-sharded global
+    order. ``est_ok`` (50% envelope, ~4 sigma at k=64) guards the
+    estimator itself; under-filled sketches fall back to the exact count
+    (KMV in exact mode), keeping every branch deterministic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    hx = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
+    h = d.select(
+        "event_type",
+        F.conv(F.substring(hx, 1, 13), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    w1 = Window.partitionBy("event_type", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+    local = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 64)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    top = local.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= 64)
+    k = top.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.max("h").alias("kth_min_hash"),
+    )
+    e = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    # 63 * 2^52 = 283726776524341248 is exactly representable as a double
+    # (6 significant bits); the division is one IEEE op, identical in
+    # DuckDB, so the rounded estimate hashes exactly.
+    raw = F.lit(283726776524341248.0) / F.col("kth_min_hash")
+    return (
+        e.join(F.broadcast(k), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_in_sketch",
+            "kth_min_hash",
+            F.when(F.col("n_in_sketch") < 64, F.col("n_in_sketch").cast("double"))
+            .otherwise(stable_round(raw, 4))
+            .alias("ndv_est"),
+            F.when(F.col("n_in_sketch") < 64, F.lit(True))
+            .otherwise(
+                F.abs(raw - F.col("exact_users")) <= F.lit(0.5) * F.col("exact_users")
+            )
+            .alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "ext_good_turing",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, UNNEST({_DUCK_TOKS}) AS w FROM documents
+        ), tf AS (
+            SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS n2,
+               FLOOR(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p0_unseen,
+               FLOOR((COUNT(*) + CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                      * (COUNT(*) FILTER (WHERE c = 1) - 1)
+                      / (2.0 * (COUNT(*) FILTER (WHERE c = 2) + 1)))
+                     * 10000.0 + 0.5) / 10000.0 AS chao1
+        FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass + bias-corrected Chao1 species
+    richness per corpus source — the coverage estimators a curation
+    pipeline uses to answer "how much vocabulary have we NOT crawled
+    yet" (Good 1953; Chao 1984): p0 = N1/N is the total probability of
+    unseen types, Chao1 = V + N1(N1-1)/(2(N2+1)) the richness floor.
+    Everything reduces to counts-of-counts over the token frequency
+    table — two hash aggregates with map-side combine, no window, no
+    collect — and the arithmetic is one multiply/divide per group, so
+    the estimates themselves hash exactly cross-engine (stable_round;
+    whitespace tokenization shared with ext_text_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        stable_round(
+            F.col("n1").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("p0_unseen"),
+        stable_round(
+            F.col("vocab")
+            + F.col("n1").cast("double")
+            * (F.col("n1") - 1)
+            / (F.lit(2.0) * (F.col("n2") + 1)),
+            4,
+        ).alias("chao1"),
+    ).orderBy("source")
+
+
+@q(
+    "ext_heaps_law",
+    oracle=f"""
+        WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+        cp AS (
+            SELECT CAST(u.i AS INT) AS decile, CAST(tot.n * u.i // 10 AS BIGINT) AS t
+            FROM tot, UNNEST([1,2,3,4,5,6,7,8,9,10]) AS u(i)
+        ),
+        tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        dt AS (
+            SELECT doc_id, GREATEST(LEN(toks) - 2, 0) AS ngrams FROM tk
+        ),
+        gr AS (
+            SELECT doc_id, UNNEST({_DUCK_GRAMS}) AS g FROM tk
+        ),
+        fo AS (SELECT g, MIN(doc_id) AS fd FROM gr GROUP BY g),
+        tc AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS docs_cum,
+                   CAST(SUM(ngrams) AS BIGINT) AS ngrams_cum
+            FROM cp JOIN dt ON dt.doc_id < cp.t GROUP BY decile
+        ),
+        vc AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS vocab_cum
+            FROM cp JOIN fo ON fo.fd < cp.t GROUP BY decile
+        )
+        SELECT tc.decile, docs_cum, ngrams_cum, vocab_cum
+        FROM tc JOIN vc USING (decile)
+        ORDER BY decile
+    """,
+)
+def ext_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve over word-TRIGRAM types:
+    cumulative distinct-type count V(N) at ten corpus prefixes (by
+    doc_id, which the generator keeps dense 0..N-1, so prefix rank needs
+    NO global window — the cumulative sets are pure doc_id range
+    predicates). Per checkpoint: documents, running trigram-token count,
+    running trigram vocabulary — the curve whose log-log slope beta
+    (V ~ k*N^beta, 0<beta<1) tells a crawl whether more data still buys
+    new material. Types are trigrams rather than unigrams because the
+    synthetic corpus draws from a ~31-word closed vocabulary that
+    saturates within two documents (a flat line fits nothing), while its
+    trigram space keeps growing through the last decile — the same
+    reason production novelty metrics (ext_ngram_novelty) shingle first.
+    The fit itself lives in the unit test so every hashed output column
+    stays an exact integer.
+
+    Scale shape: first-occurrence doc per trigram is ONE hash aggregate
+    (min over the exploded shingle stream, map-side combinable); each
+    cumulative row is then a broadcast range-join of the 10-row
+    checkpoint table against per-doc/per-type aggregates — data scales,
+    the checkpoint side never does."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    cp = spark.createDataFrame(
+        [(i, n_docs * i // 10) for i in range(1, 11)], "decile int, t long"
+    )
+    toks = tokens("text")
+    dt = d.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 2, F.lit(0)).cast("long").alias("ngrams"),
+    )
+    tc = (
+        dt.join(F.broadcast(cp), F.col("doc_id") < F.col("t"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("docs_cum"),
+            F.sum("ngrams").cast("long").alias("ngrams_cum"),
+        )
+    )
+    fo = (
+        d.select(
+            F.explode(F.array_distinct(word_ngrams(toks, 3))).alias("g"), "doc_id"
+        )
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vc = (
+        fo.join(F.broadcast(cp), F.col("fd") < F.col("t"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab_cum"))
+    )
+    return tc.join(vc, "decile").select(
+        "decile", "docs_cum", "ngrams_cum", "vocab_cum"
+    ).orderBy("decile")

@@ -5016,3 +5016,99 @@ def ev_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
     return garch_volatility(daily, ["event_type"], "day", "x").orderBy("event_type")
+
+
+@q(
+    "ev_gorilla_dod",
+    oracle="""
+        WITH p AS (
+            SELECT DISTINCT event_type, EPOCH_US(ts) // 1000000 AS t FROM events
+        ), d1 AS (
+            SELECT event_type, t,
+                   t - LAG(t) OVER (PARTITION BY event_type ORDER BY t) AS delta
+            FROM p
+        ), d2 AS (
+            SELECT event_type, t, delta,
+                   delta - LAG(delta) OVER (PARTITION BY event_type ORDER BY t) AS dod
+            FROM d1
+        ), cl AS (
+            SELECT event_type, dod,
+                   CASE WHEN dod IS NULL THEN 0
+                        WHEN dod = 0 THEN 1
+                        WHEN dod BETWEEN -63 AND 64 THEN 9
+                        WHEN dod BETWEEN -255 AND 256 THEN 12
+                        WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                        ELSE 36 END AS bits
+            FROM d2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(COUNT(*) FILTER (WHERE dod = 0) AS BIGINT) AS n_b0,
+               CAST(COUNT(*) FILTER (WHERE bits = 9) AS BIGINT) AS n_b9,
+               CAST(COUNT(*) FILTER (WHERE bits = 12) AS BIGINT) AS n_b12,
+               CAST(COUNT(*) FILTER (WHERE bits = 16) AS BIGINT) AS n_b16,
+               CAST(COUNT(*) FILTER (WHERE bits = 36) AS BIGINT) AS n_b36,
+               CAST(96 + SUM(bits) AS BIGINT) AS total_bits,
+               FLOOR((96 + SUM(bits)) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+                   / 10000.0 AS bits_per_point
+        FROM cl GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev_gorilla_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp compression accounting per event
+    type (Pelkonen et al., VLDB 2015 — the Facebook TSDB scheme behind
+    Prometheus/M3/InfluxDB chunks): second-granularity arrival times per
+    series, first differences, then the difference of differences, each
+    classified into Gorilla's variable-length buckets (0 -> 1 bit,
+    [-63,64] -> 9, [-255,256] -> 12, [-2047,2048] -> 16, else 36; 64+32
+    header bits for the first point and first delta). The output is the
+    full bucket histogram plus the exact compressed size — the planning
+    number a 100 TB time-series store needs to size chunks.
+
+    The timeline is the DISTINCT (type, second) set, so the sort key is
+    unique and both engines see the identical sequence. Two stacked LAG
+    windows over the same (event_type) partitioning collapse onto ONE
+    shuffle; the classification and histogram are plain codegen
+    conditionals + one hash aggregate. Every hashed column is an exact
+    integer except bits_per_point, one IEEE division (stable_round).
+    Reference connection: completes the wire-format family of
+    ext_rle_bitpack (Parquet RLE) and ext_cdc_chunking (CDC) with the
+    time-series-native codec."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+        ).cast("long").alias("t"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("t")
+    d1 = p.withColumn("delta", F.col("t") - F.lag("t").over(w))
+    d2 = d1.withColumn("dod", F.col("delta") - F.lag("delta").over(w))
+    bits = (
+        F.when(F.col("dod").isNull(), F.lit(0))
+        .when(F.col("dod") == 0, F.lit(1))
+        .when(F.col("dod").between(-63, 64), F.lit(9))
+        .when(F.col("dod").between(-255, 256), F.lit(12))
+        .when(F.col("dod").between(-2047, 2048), F.lit(16))
+        .otherwise(F.lit(36))
+    )
+    cl = d2.select("event_type", "dod", bits.alias("bits"))
+    total = F.lit(96) + F.sum("bits")
+    return (
+        cl.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("dod") == 0).cast("long")).alias("n_b0"),
+            F.sum((F.col("bits") == 9).cast("long")).alias("n_b9"),
+            F.sum((F.col("bits") == 12).cast("long")).alias("n_b12"),
+            F.sum((F.col("bits") == 16).cast("long")).alias("n_b16"),
+            F.sum((F.col("bits") == 36).cast("long")).alias("n_b36"),
+            total.cast("long").alias("total_bits"),
+            stable_round(
+                total / F.count(F.lit(1)).cast("double"), 4
+            ).alias("bits_per_point"),
+        )
+        .orderBy("event_type")
+    )
