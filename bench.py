@@ -220,7 +220,7 @@ def main() -> int:
         # VERDICT r9 #5: per-attempt load1 now rides the final line as
         # attempts_load1, so contention is separable from regression in
         # the artifact itself.
-        "drift_note": "r10 clean-file totals 9.500/9.776/9.262/9.260 (last fully idle, load1 0.13); per-query 4-file mins <=11% over r8 mins (sum 8.949), PLANS diff = 5 added rows only -- box drift, not plan regression",
+        "drift_note": "r11 clean-file totals 9.202/10.150/10.068/10.067 (attempt floor 9.202, load1 0.40-1.46, box never fully idle this session); per-query 4-file mins sum 9.156 = +2.3% over r10's 8.949 with headliner plans byte-unchanged (PLANS diff = 4 added rows for the new entries) -- box drift, not plan regression; r10 clean floor for history: 9.260",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,

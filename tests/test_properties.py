@@ -1194,12 +1194,24 @@ def test_rle_bitpack_decoder_total_on_mutated_streams(data):
         v = data.draw(st.integers(min_value=0, max_value=7))
         vals.extend([v] * data.draw(st.integers(min_value=1, max_value=12)))
     enc = bytearray(encode_rle_bitpack(vals, 3))
-    mode = data.draw(st.sampled_from(["truncate", "flip", "extend"]))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "extend", "count"]))
     if mode == "truncate":
         enc = enc[: data.draw(st.integers(min_value=0, max_value=len(enc)))]
     elif mode == "flip":
         i = data.draw(st.integers(min_value=0, max_value=len(enc) - 1))
         enc[i] ^= 1 << data.draw(st.integers(min_value=0, max_value=7))
+    elif mode == "count":
+        # adversarial DECLARED COUNT (r10 advice): splice an arbitrary
+        # varint — up to 2^62 — in place of n; the small valid streams
+        # the other modes mutate can never reach the max_values cap.
+        from bigdatacw1_spark.sources.formats import _pb_varint
+
+        n = data.draw(st.integers(min_value=0, max_value=1 << 62))
+        body_start = 1
+        while enc[body_start] & 0x80:
+            body_start += 1
+        body_start += 1
+        enc = enc[:1] + bytearray(_pb_varint(n)) + enc[body_start:]
     else:
         enc += bytes(data.draw(st.integers(min_value=0, max_value=255))
                      for _ in range(data.draw(st.integers(min_value=1, max_value=4))))
