@@ -102,7 +102,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(b: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
     8-bit non-interlaced gray/RGB/gray+alpha/RGBA images — the real codec
     step, no external image library. Returns (width, height, channels,
@@ -128,7 +128,9 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         cid = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + clen]
         if cid == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data[:13])
         elif cid == b"IDAT":
             idat += data
         elif cid == b"IEND":
@@ -141,9 +143,25 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} (palette?) unsupported")
-    raw = zlib.decompress(bytes(idat))
+    # The declared geometry is untrusted input and the zlib stream can
+    # inflate ~1000x: cap the pixel count BEFORE inflating and bound the
+    # inflate itself to the declared size, so a crafted tiny payload
+    # refuses with the typed error instead of materializing gigabytes
+    # (the decode_rle_bitpack max_values discipline).
+    if w * h > max_pixels:
+        raise ValueError("PNG dimensions exceed max_pixels cap")
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected)
+        # consume the stream trailer (max_length stops BEFORE reading it
+        # on a valid stream); one extra output byte means the stream
+        # holds more pixels than the header declares.
+        raw += d.decompress(d.unconsumed_tail, 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt zlib stream in PNG: {e}") from None
+    if len(raw) != expected or not d.eof or d.unconsumed_tail or d.unused_data:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray()
     prev = bytearray(stride)
@@ -887,57 +905,81 @@ def encode_gif(width: int, height: int, indices: list[int], palette: list[tuple[
     )
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+def decode_gif(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, int, bytes]:
     """REAL GIF decode with the stdlib alone: header + logical screen
     parse, global color table, image descriptor, sub-block reassembly,
     full LZW expansion, palette mapping → (width, height, 3, rgb bytes).
     Supports the common baseline: GIF87a/89a, global palette,
     non-interlaced, first image (89a extension blocks are skipped);
-    interlaced or local-palette images raise NotImplementedError."""
+    interlaced or local-palette images raise NotImplementedError.
+
+    Adversarial-input hardening (same discipline as decode_rle_bitpack's
+    max_values): the LZW min-code-size byte is validated before it sizes
+    the 2^mcs root table (a single mutated byte would otherwise request
+    an astronomically large allocation), the root count must fit the
+    global color table (else palette lookups escape as IndexError), the
+    declared pixel count is capped by ``max_pixels`` before LZW
+    expansion, and truncated payloads refuse with the typed ValueError
+    instead of IndexError."""
     import struct
 
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
     if not packed & 0x80:
         raise NotImplementedError("GIF without a global color table")
     gct_size = 2 << (packed & 0x07)
     i = 13
+    if i + 3 * gct_size > len(b):
+        raise ValueError("truncated GIF color table")
     palette = [(b[i + 3 * k], b[i + 3 * k + 1], b[i + 3 * k + 2]) for k in range(gct_size)]
     i += 3 * gct_size
-    while i < len(b):
-        blk = b[i]
-        if blk == 0x21:  # 89a extension: skip sub-blocks
-            i += 2
-            while b[i] != 0:
-                i += 1 + b[i]
-            i += 1
-        elif blk == 0x2C:
-            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF")
-            if ipacked & 0x80:
-                raise NotImplementedError("GIF local color table")
-            i += 10
-            mcs = b[i]
-            i += 1
-            lzw = bytearray()
-            while b[i] != 0:
-                ln = b[i]
-                lzw += b[i + 1 : i + 1 + ln]
-                i += 1 + ln
-            idxs = _lzw_decode_gif(bytes(lzw), mcs, iw * ih)
-            if len(idxs) < iw * ih:
-                raise ValueError("truncated LZW pixel data")
-            rgb = bytearray()
-            for ix in idxs:
-                rgb += bytes(palette[ix])
-            return (iw, ih, 3, bytes(rgb))
-        elif blk == 0x3B:
-            break
-        else:
-            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+    try:
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:  # 89a extension: skip sub-blocks
+                i += 2
+                while b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x2C:
+                if i + 10 > len(b):
+                    raise ValueError("truncated GIF image descriptor")
+                _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+                if ipacked & 0x40:
+                    raise NotImplementedError("interlaced GIF")
+                if ipacked & 0x80:
+                    raise NotImplementedError("GIF local color table")
+                if iw * ih > max_pixels:
+                    raise ValueError("GIF dimensions exceed max_pixels cap")
+                i += 10
+                mcs = b[i]
+                i += 1
+                if not 2 <= mcs <= 11:
+                    raise ValueError(f"GIF LZW min code size {mcs} out of range")
+                if (1 << mcs) > gct_size:
+                    raise ValueError("GIF LZW root codes exceed the color table")
+                lzw = bytearray()
+                while b[i] != 0:
+                    ln = b[i]
+                    lzw += b[i + 1 : i + 1 + ln]
+                    i += 1 + ln
+                idxs = _lzw_decode_gif(bytes(lzw), mcs, iw * ih)
+                if len(idxs) < iw * ih:
+                    raise ValueError("truncated LZW pixel data")
+                rgb = bytearray()
+                for ix in idxs:
+                    rgb += bytes(palette[ix])
+                return (iw, ih, 3, bytes(rgb))
+            elif blk == 0x3B:
+                break
+            else:
+                raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+    except IndexError:
+        raise ValueError("truncated GIF stream") from None
     raise ValueError("no image data in GIF")
 
 
@@ -2924,16 +2966,22 @@ def packbits_encode(row: bytes) -> bytes:
 
 
 def packbits_decode(data: bytes, expected: int) -> bytes:
-    """Inverse of packbits_encode; stops after ``expected`` output bytes."""
+    """Inverse of packbits_encode; stops after ``expected`` output bytes.
+    A stream exhausted before reaching ``expected`` refuses with the
+    typed ValueError (not IndexError — the loud-refusal contract)."""
     out = bytearray()
     i = 0
     while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
         h = data[i]
         i += 1
         if h < 128:
             out += data[i : i + h + 1]
             i += h + 1
         elif h > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits stream")
             out += bytes([data[i]]) * (257 - h)
             i += 1
     if len(out) != expected:
@@ -3018,10 +3066,16 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, int, bytes]:
     b = bytes(payload)
     if b[:2] != b"II":
         raise NotImplementedError("only little-endian (II) TIFF supported")
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
     magic, ifd_off = struct.unpack("<HI", b[2:8])
     if magic != 42:
         raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD")
     (n_entries,) = struct.unpack("<H", b[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(b):
+        raise ValueError("truncated TIFF IFD entries")
     tags: dict[int, tuple[int, int, int]] = {}
     for k in range(n_entries):
         off = ifd_off + 2 + 12 * k
@@ -3031,16 +3085,22 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, int, bytes]:
         tags[tag] = (typ, count, value)
 
     def values(tag: int) -> list[int]:
+        if tag not in tags:
+            raise ValueError(f"TIFF missing required tag {tag}")
         typ, count, value = tags[tag]
         if typ not in (3, 4):  # SHORT / LONG only — BYTE/RATIONAL/... would
             # be silently mis-sized; refuse loudly per the contract above
             raise NotImplementedError(f"TIFF IFD entry type {typ} not supported")
+        if count == 0:
+            raise ValueError(f"TIFF tag {tag} declares zero values")
         size = 2 if typ == 3 else 4
         if count * size <= 4:
             if typ == 3 and count > 1:
                 raw = struct.pack("<I", value)
                 return list(struct.unpack(f"<{count}H", raw[: 2 * count]))
             return [value]
+        if value + count * size > len(b):
+            raise ValueError(f"TIFF tag {tag} value array overruns the payload")
         fmt = "H" if typ == 3 else "I"
         return list(struct.unpack(f"<{count}{fmt}", b[value : value + count * size]))
 
@@ -3056,6 +3116,12 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, int, bytes]:
     rps = values(278)[0] if 278 in tags else height
     offsets = values(273)
     counts = values(279)
+    # The declared geometry is untrusted: cap it before PackBits
+    # expansion can amplify a small payload toward it (the
+    # decode_rle_bitpack max_values discipline; 2^24 pixels * 3 spp
+    # comfortably covers every fixture).
+    if width * height * max(spp, 1) > 3 << 24:
+        raise ValueError("TIFF dimensions exceed the pixel cap")
     row_bytes = width * spp
     out = bytearray()
     for s, (off, cnt) in enumerate(zip(offsets, counts)):

@@ -443,12 +443,16 @@ def _avro_write_long(n: int) -> bytes:
 def _avro_read_long(b: bytes, pos: int) -> tuple[int, int]:
     shift = z = 0
     while True:
+        if pos >= len(b):  # typed refusal, not IndexError (loud-refusal contract)
+            raise ValueError("truncated Avro varint")
         byte = b[pos]
         pos += 1
         z |= (byte & 0x7F) << shift
         if not byte & 0x80:
             break
         shift += 7
+        if shift > 63:  # a zigzag long is at most 10 bytes on the wire
+            raise ValueError("Avro varint exceeds 64 bits")
     return (z >> 1) ^ -(z & 1), pos
 
 
@@ -504,9 +508,13 @@ def decode_avro_container(payload: bytes) -> list[tuple[int, int, int, int, str]
             n = -n
         for _ in range(n):
             klen, pos = _avro_read_long(b, pos)
+            if klen < 0:  # a negative length would REWIND pos (infinite loop)
+                raise ValueError("negative Avro string length")
             key = b[pos : pos + klen].decode()
             pos += klen
             vlen, pos = _avro_read_long(b, pos)
+            if vlen < 0:
+                raise ValueError("negative Avro bytes length")
             meta[key] = b[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null")
@@ -527,6 +535,8 @@ def decode_avro_container(payload: bytes) -> list[tuple[int, int, int, int, str]
             qty_c, pos = _avro_read_long(b, pos)
             disc_c, pos = _avro_read_long(b, pos)
             flen, pos = _avro_read_long(b, pos)
+            if flen < 0:  # a negative length would REWIND pos (infinite loop)
+                raise ValueError("negative Avro string length")
             flag = b[pos : pos + flen].decode()
             pos += flen
             records.append((okey, line, qty_c, disc_c, flag))

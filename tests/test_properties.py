@@ -1277,3 +1277,146 @@ def test_cmh_statistic_matches_bruteforce(spark, rows):
     if sv > 0:
         cmh = max(abs(sdev) - 0.5, 0.0) ** 2 / sv
         assert cmh >= 0 and math.isfinite(cmh)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_image_audio_decoders_total_on_mutated_streams(data):
+    """Robustness totality for the container codecs (r10 verdict #5,
+    extending the RLE fuzz model to the image/audio/Avro family):
+    truncating, bit-flipping, or extending a valid PNG/GIF/TIFF/WAV/Avro
+    stream must either decode to SOMETHING or raise
+    ValueError/NotImplementedError — never IndexError/KeyError/
+    struct.error/zlib.error, and never an unbounded allocation (the
+    header-declared geometry is capped before any inflate/expand)."""
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_gif,
+        decode_png,
+        decode_tiff,
+        decode_wav,
+        encode_gif,
+        encode_png,
+        encode_tiff,
+        encode_wav,
+    )
+    from bigdatacw1_spark.sources.formats import (
+        decode_avro_container,
+        encode_avro_container,
+    )
+
+    codec = data.draw(st.sampled_from(["png", "gif", "tiff", "wav", "avro"]))
+    w = data.draw(st.integers(min_value=1, max_value=6))
+    h = data.draw(st.integers(min_value=1, max_value=6))
+    if codec == "png":
+        px = bytes((3 * i + 1) % 256 for i in range(w * h * 3))
+        enc, dec = bytearray(encode_png(w, h, 3, px)), decode_png
+    elif codec == "gif":
+        pal = [(i, 255 - i, 7 * i % 256) for i in range(4)]
+        idxs = [(x + y) % 4 for y in range(h) for x in range(w)]
+        enc, dec = bytearray(encode_gif(w, h, idxs, pal)), decode_gif
+    elif codec == "tiff":
+        px = bytes((5 * i + 2) % 256 for i in range(w * h))
+        enc, dec = bytearray(encode_tiff(w, h, 1, 32773, px)), decode_tiff
+    elif codec == "wav":
+        samples = [((17 * i) % 65536) - 32768 for i in range(w * h * 4)]
+        enc, dec = bytearray(encode_wav(8000, 1, samples)), decode_wav
+    else:
+        recs = [(i, i + 1, 10 * i, -3 * i, "NRA"[i % 3]) for i in range(w * h)]
+        enc, dec = bytearray(encode_avro_container(recs, block_size=3)), (
+            decode_avro_container
+        )
+
+    mode = data.draw(st.sampled_from(["truncate", "flip", "extend"]))
+    if mode == "truncate":
+        enc = enc[: data.draw(st.integers(min_value=0, max_value=len(enc)))]
+    elif mode == "flip":
+        i = data.draw(st.integers(min_value=0, max_value=len(enc) - 1))
+        enc[i] ^= 1 << data.draw(st.integers(min_value=0, max_value=7))
+    else:
+        enc += bytes(
+            data.draw(st.integers(min_value=0, max_value=255))
+            for _ in range(data.draw(st.integers(min_value=1, max_value=4)))
+        )
+    try:
+        dec(bytes(enc))
+    except (ValueError, NotImplementedError):
+        pass  # loud, typed refusal is the contract
+
+
+def test_codec_bomb_declarations_refuse_before_allocating():
+    """Adversarial header-declared geometry (the decode_rle_bitpack
+    max_values class, r10 advice): a tiny payload declaring enormous
+    output must refuse with the typed error BEFORE inflating or
+    allocating — each case below would otherwise be a multi-GB
+    decompression/expansion bomb or an astronomically-sized table."""
+    import struct
+
+    import pytest
+
+    from bigdatacw1_spark.operators.multimodal import (
+        decode_gif,
+        decode_png,
+        decode_tiff,
+        encode_gif,
+        encode_png,
+    )
+    from bigdatacw1_spark.sources.formats import decode_avro_container
+
+    # PNG: splice 65535x65535 into IHDR (w at byte 16, h at 20) over a
+    # tiny valid image -> must refuse at the pixel cap, not inflate.
+    png = bytearray(encode_png(4, 4, 3, bytes(48)))
+    png[16:24] = struct.pack(">II", 65535, 65535)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(bytes(png))
+    # PNG: shrink the declared height under the real stream -> the
+    # bounded inflate must flag the surplus, not silently truncate.
+    png2 = bytearray(encode_png(4, 4, 3, bytes(48)))
+    png2[16:24] = struct.pack(">II", 4, 2)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(bytes(png2))
+
+    # GIF: the LZW min-code-size byte sizes a 2^mcs root table; a single
+    # mutated byte must not request a 2^64-entry allocation.
+    pal = [(i, i, i) for i in range(4)]
+    gif = bytearray(encode_gif(3, 3, [0] * 9, pal))
+    mcs_off = 13 + 3 * 4 + 10
+    assert gif[mcs_off] == 2  # the fixture's real min code size
+    gif[mcs_off] = 64
+    with pytest.raises(ValueError, match="min code size"):
+        decode_gif(bytes(gif))
+    # GIF: roots beyond the color table would escape as IndexError on
+    # the palette lookup.
+    gif[mcs_off] = 8
+    with pytest.raises(ValueError, match="color table"):
+        decode_gif(bytes(gif))
+    # GIF: huge declared image dimensions cap before LZW expansion.
+    gif2 = bytearray(encode_gif(3, 3, [0] * 9, pal))
+    gif2[13 + 12 + 5 : 13 + 12 + 9] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(bytes(gif2))
+
+    # TIFF: 60000x60000 declared over a 2-byte PackBits run -> pixel cap.
+    def tag(t, typ, count, value):
+        return struct.pack("<HHII", t, typ, count, value)
+
+    strip = b"\x81\xff"  # PackBits: 128-byte run, would amplify 64x
+    ifd_off = 8 + len(strip)
+    entries = (
+        tag(256, 4, 1, 60000) + tag(257, 4, 1, 60000) + tag(258, 3, 1, 8)
+        + tag(259, 3, 1, 32773) + tag(273, 4, 1, 8) + tag(277, 3, 1, 1)
+        + tag(278, 4, 1, 60000) + tag(279, 4, 1, len(strip))
+    )
+    tiff = (
+        b"II" + struct.pack("<HI", 42, ifd_off) + strip
+        + struct.pack("<H", 8) + entries + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_tiff(tiff)
+
+    # Avro: a negative string length would rewind the cursor (infinite
+    # loop); zigzag 0x01 == -1.
+    with pytest.raises(ValueError, match="negative Avro"):
+        decode_avro_container(b"Obj\x01" + b"\x01" + b"\x02" + b"\x01")
+    # Avro: truncated varint refuses with the typed error.
+    with pytest.raises(ValueError, match="truncated Avro varint"):
+        decode_avro_container(b"Obj\x01" + b"\x80")
