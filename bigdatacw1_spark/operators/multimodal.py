@@ -667,6 +667,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(
             f"only 24-bit uncompressed BMP decodes stdlib-side (bpp={bpp}, compression={comp})"
         )
+    if w <= 0:  # a negative width would silently decode to 0 pixels
+        raise ValueError("non-positive BMP width")
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
@@ -1776,19 +1778,27 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG marker")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment length")
         (seglen,) = _struct.unpack(">H", b[pos : pos + 2])
+        if seglen < 2:  # a shorter declared length would rewind the walk
+            raise ValueError("JPEG segment length below header size")
         seg = b[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             sp = 0
             while sp < len(seg):
                 pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
                 sp += 1
+                if sp + (64 if pq == 0 else 128) > len(seg):
+                    raise ValueError("truncated JPEG quantization table")
                 if pq == 0:
                     vals = list(seg[sp : sp + 64])
                     sp += 64
@@ -1808,14 +1818,25 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 tc, th = seg[sp] >> 4, seg[sp] & 0x0F
                 bits = list(seg[sp + 1 : sp + 17])
                 n = sum(bits)
+                if sp + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG Huffman table")
                 vals = list(seg[sp + 17 : sp + 17 + n])
                 sp += 17 + n
                 codes = _jpeg_canonical_codes(bits, vals)
                 htables[(tc, th)] = {(c, l): sym for sym, (c, l) in codes.items()}
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF0 header")
             precision, height, width, ncomp = _struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision}")
+            # the declared geometry sizes the MCU planes below — cap it
+            # before a crafted header can request a multi-GB allocation
+            # (the decode_png max_pixels discipline)
+            if width * height > 1 << 24:
+                raise ValueError("JPEG dimensions exceed the pixel cap")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF0 components")
             for k in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
@@ -1826,11 +1847,17 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0) decodes"
             )
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise ValueError("empty JPEG SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS components")
             for k in range(ns):
                 cs, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
-                scan.append((idx, tdta >> 4, tdta & 0x0F))
+                matches = [i for i, c in enumerate(comps) if c[0] == cs]
+                if not matches:
+                    raise ValueError(f"JPEG scan references unknown component {cs}")
+                scan.append((matches[0], tdta >> 4, tdta & 0x0F))
             data_start = pos + seglen
             break
         pos += seglen
@@ -1848,9 +1875,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 preds = [0] * len(comps)
                 br.restart_seen = False
             for ci, td, ta in scan:
-                dc_t = htables[(0, td)]
-                ac_t = htables[(1, ta)]
-                q = qtables[comps[ci][3]]
+                dc_t = htables.get((0, td))
+                ac_t = htables.get((1, ta))
+                q = qtables.get(comps[ci][3])
+                if dc_t is None or ac_t is None or q is None:
+                    raise ValueError("JPEG scan references a missing table")
                 zz = [0] * 64
                 t = _huff_decode(br, dc_t)
                 diff = _jpeg_extend(br.read_bits(t), t)
@@ -3291,6 +3320,8 @@ def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
     b = bytes(payload)
     if b[:4] != b"qoif":
         raise ValueError("bad QOI magic")
+    if len(b) < 22:  # header(14) + end marker(8)
+        raise ValueError("truncated QOI header")
     width, height, channels, _cs = struct.unpack(">IIBB", b[4:14])
     if channels != 3:
         raise NotImplementedError("only 3-channel (RGB) QOI decode supported")
@@ -3308,6 +3339,8 @@ def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
         op = data[pos]
         pos += 1
         if op == 0xFE:  # RGB
+            if pos + 3 > len(data):
+                raise ValueError("truncated QOI RGB op")
             r, g, bl = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif op == 0xFF:  # RGBA
@@ -3320,6 +3353,8 @@ def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
             bl = (bl + (op & 3) - 2) % 256
         elif op >> 6 == 2:  # LUMA
             dg = (op & 0x3F) - 32
+            if pos >= len(data):
+                raise ValueError("truncated QOI LUMA op")
             b2 = data[pos]
             pos += 1
             r = (r + dg + ((b2 >> 4) & 0x0F) - 8) % 256

@@ -1290,12 +1290,20 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
     struct.error/zlib.error, and never an unbounded allocation (the
     header-declared geometry is capped before any inflate/expand)."""
     from bigdatacw1_spark.operators.multimodal import (
+        decode_bmp,
+        decode_flac,
         decode_gif,
+        decode_jpeg,
         decode_png,
+        decode_qoi,
         decode_tiff,
         decode_wav,
+        encode_bmp,
+        encode_flac,
         encode_gif,
+        encode_jpeg_gray,
         encode_png,
+        encode_qoi,
         encode_tiff,
         encode_wav,
     )
@@ -1304,7 +1312,11 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
         encode_avro_container,
     )
 
-    codec = data.draw(st.sampled_from(["png", "gif", "tiff", "wav", "avro"]))
+    codec = data.draw(
+        st.sampled_from(
+            ["png", "gif", "tiff", "wav", "avro", "bmp", "qoi", "flac", "jpeg"]
+        )
+    )
     w = data.draw(st.integers(min_value=1, max_value=6))
     h = data.draw(st.integers(min_value=1, max_value=6))
     if codec == "png":
@@ -1320,6 +1332,19 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
     elif codec == "wav":
         samples = [((17 * i) % 65536) - 32768 for i in range(w * h * 4)]
         enc, dec = bytearray(encode_wav(8000, 1, samples)), decode_wav
+    elif codec == "bmp":
+        px = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+        enc, dec = bytearray(encode_bmp(w, h, px)), decode_bmp
+    elif codec == "qoi":
+        px = bytes((11 * i + 5) % 256 for i in range(w * h * 3))
+        enc, dec = bytearray(encode_qoi(w, h, px)), decode_qoi
+    elif codec == "flac":
+        samples = [((23 * i) % 65536) - 32768 for i in range(w * h * 4)]
+        enc, dec = bytearray(encode_flac(8000, 1, samples)), decode_flac
+    elif codec == "jpeg":
+        jw, jh = 8 * w, 8 * h  # the encoder requires 8-aligned dims
+        px = bytes((13 * i + 9) % 256 for i in range(jw * jh))
+        enc, dec = bytearray(encode_jpeg_gray(jw, jh, px)), decode_jpeg
     else:
         recs = [(i, i + 1, 10 * i, -3 * i, "NRA"[i % 3]) for i in range(w * h)]
         enc, dec = bytearray(encode_avro_container(recs, block_size=3)), (
