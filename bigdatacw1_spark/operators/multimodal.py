@@ -147,7 +147,12 @@ def decode_png(b: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, int, byte
     # inflate ~1000x: cap the pixel count BEFORE inflating and bound the
     # inflate itself to the declared size, so a crafted tiny payload
     # refuses with the typed error instead of materializing gigabytes
-    # (the decode_rle_bitpack max_values discipline).
+    # (the decode_rle_bitpack max_values discipline). Zero dimensions
+    # must refuse too (PNG requires w,h >= 1): h=0 would make the
+    # declared size 0, and zlib treats max_length=0 as UNLIMITED —
+    # re-opening the bomb this cap exists to close.
+    if w == 0 or h == 0:
+        raise ValueError("zero PNG dimension")
     if w * h > max_pixels:
         raise ValueError("PNG dimensions exceed max_pixels cap")
     stride = w * channels
@@ -3310,11 +3315,15 @@ def encode_qoi(width: int, height: int, rgb: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
+def decode_qoi(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, int, bytes]:
     """Decode a QOI file back to (width, height, channels, interleaved
     RGB bytes). Verifies magic, header fields, the 8-byte end marker,
     and exact pixel count — refuses loudly on RGBA input (channels=4)
-    or any op-stream drift, per the multimodal loud-refusal contract."""
+    or any op-stream drift, per the multimodal loud-refusal contract.
+    The declared pixel count is capped (max_pixels, the sibling
+    decoders' discipline) before the op loop: RUN ops amplify ~186x,
+    so an uncapped adversarial payload could otherwise materialize
+    gigabytes while chasing a crafted width*height."""
     import struct
 
     b = bytes(payload)
@@ -3325,6 +3334,8 @@ def decode_qoi(payload: bytes) -> tuple[int, int, int, bytes]:
     width, height, channels, _cs = struct.unpack(">IIBB", b[4:14])
     if channels != 3:
         raise NotImplementedError("only 3-channel (RGB) QOI decode supported")
+    if width * height > max_pixels:
+        raise ValueError("QOI dimensions exceed max_pixels cap")
     if b[-8:] != b"\x00" * 7 + b"\x01":
         raise ValueError("missing QOI end marker")
     data = b[14:-8]

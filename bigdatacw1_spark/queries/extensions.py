@@ -14831,9 +14831,12 @@ def ext_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    d = ev.select("event_type", "user_id").distinct()
+    # one distinct on the hashed projection: h is a pure function of
+    # user_id, so a prior distinct on (event_type, user_id) would add a
+    # second events-scale shuffle for the identical row set (the SQL
+    # oracle's two-DISTINCT shape is semantic, not physical).
     hx = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
-    h = d.select(
+    h = ev.select(
         "event_type",
         F.conv(F.substring(hx, 1, 13), 16, 10).cast("long").alias("h"),
     ).distinct()

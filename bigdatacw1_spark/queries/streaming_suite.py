@@ -5077,11 +5077,12 @@ def ev_gorilla_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
+    # DuckDB's // truncates toward zero while floor(x/1e6) rounds toward
+    # negative infinity — divergent for pre-1970 timestamps — so mirror
+    # the truncating integer division exactly with `div`.
     p = ev.select(
         "event_type",
-        F.floor(
-            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
-        ).cast("long").alias("t"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("t"),
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("t")
     d1 = p.withColumn("delta", F.col("t") - F.lag("t").over(w))

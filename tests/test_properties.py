@@ -1438,6 +1438,32 @@ def test_codec_bomb_declarations_refuse_before_allocating():
     with pytest.raises(ValueError, match="pixel cap"):
         decode_tiff(tiff)
 
+    # PNG: zero dimensions must refuse BEFORE inflating — h=0 makes the
+    # declared size 0 and zlib treats max_length=0 as UNLIMITED, so this
+    # header previously re-opened the bomb (review finding): a zlib
+    # stream inflating far past the declared size must never
+    # materialize.
+    import zlib
+
+    bomb = zlib.compress(bytes(1 << 20), 9)  # 1 MB of zeros -> ~1 KB
+    png3 = bytearray(encode_png(4, 4, 3, bytes(48)))
+    png3[16:24] = struct.pack(">II", 4, 0)
+    # splice the bomb in as the IDAT body of a minimal chunk stream
+    ihdr = bytes(png3[8 : 8 + 25])  # len+type+13+crc
+    idat = struct.pack(">I", len(bomb)) + b"IDAT" + bomb + b"\x00\x00\x00\x00"
+    iend = struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="zero PNG dimension"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr + idat + iend)
+
+    # QOI: huge declared dimensions cap before the RUN-op amplification
+    # loop (each input byte can emit 186 output bytes).
+    from bigdatacw1_spark.operators.multimodal import decode_qoi, encode_qoi
+
+    qoi = bytearray(encode_qoi(3, 3, bytes(27)))
+    qoi[4:12] = struct.pack(">II", 65535, 65535)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_qoi(bytes(qoi))
+
     # Avro: a negative string length would rewind the cursor (infinite
     # loop); zigzag 0x01 == -1.
     with pytest.raises(ValueError, match="negative Avro"):
