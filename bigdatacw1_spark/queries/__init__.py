@@ -246,10 +246,11 @@ ROUND13_WINDOW: list[str] = [
     # staging list for round-11+ additions (ROUND12 is full at the 45
     # cap); the r10 verdict holds additions to ≤5/round until the staged
     # backlog is drained.
-    # round-11 additions (4 of the ≤5 cap): exact-replay KMV sketch,
+    # round-11 additions (5 of the ≤5 cap): exact-replay KMV sketch,
     # corpus coverage estimators, vocabulary-growth curve, Gorilla
-    # delta-of-delta compression accounting
+    # delta-of-delta compression accounting, exact-replay Count-Min
     "ext_kmv_ndv", "ext_good_turing", "ext_heaps_law", "ev_gorilla_dod",
+    "ext_cms_replay",
 ]
 
 # Round 11 live window (swapped in as the first commit of round 11, per the

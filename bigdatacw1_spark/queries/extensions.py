@@ -15022,6 +15022,72 @@ def ext_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("vocab_cum"))
     )
-    return tc.join(vc, "decile").select(
+    return tc.join(F.broadcast(vc), "decile").select(
         "decile", "docs_cum", "ngrams_cum", "vocab_cum"
     ).orderBy("decile")
+
+
+@q(
+    "ext_cms_replay",
+    oracle="""
+        WITH r AS (
+            SELECT u.j,
+                   ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':cms' || CAST(u.j AS VARCHAR)), 1, 8))::BIGINT % 256 AS pos
+            FROM events, UNNEST([1, 2, 3, 4]) AS u(j)
+        ), cells AS (
+            SELECT j, pos, COUNT(*) AS c FROM r GROUP BY j, pos
+        )
+        SELECT CAST(j AS INT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS hit_cells,
+               CAST(SUM(c) AS BIGINT) AS total_count,
+               CAST(MAX(c) AS BIGINT) AS max_cell,
+               CAST(SUM((pos + 1) * c) AS BIGINT) AS cells_checksum
+        FROM cells GROUP BY j ORDER BY j
+    """,
+)
+def ext_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with the FULL cell state hashed exactly
+    cross-engine — the frequency leg of the exact-replay sketch trio
+    (deterministic HLL inside ext_sketch_ndv, KMV in ext_kmv_ndv):
+    d=4 rows x w=256 counters over event occurrences per user_id, row
+    hashes md5-derived so DuckDB replays every cell bit-for-bit. Per
+    sketch row: cells hit, total count (conservation — every row of a
+    CMS sums to N, the invariant a lost update breaks), max cell (the
+    heavy-hitter ceiling), and a position-weighted checksum pinning the
+    exact cell layout. Complements ext_count_min, which exercises the
+    xxhash64 JVM-native build/probe operators under a bounded-boolean
+    oracle — here the sketch itself is the hashed artifact, so a single
+    misplaced increment flips the driver's value hash.
+
+    Scale shape: one explode to (row, position) postings, ONE sum
+    aggregate bounded by sketch size (4*256 groups, map-side combined),
+    then 4 output rows — counter updates are associative, which is what
+    makes CMS mergeable across partitions/batches at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 5)])).alias("j"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":cms"), F.col("j").cast("string")
+        )
+    )
+    pos = F.pmod(
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), F.lit(256)
+    ).cast("int")
+    cells = (
+        rows.select("j", pos.alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cells.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("hit_cells"),
+            F.sum("c").cast("long").alias("total_count"),
+            F.max("c").cast("long").alias("max_cell"),
+            F.sum((F.col("pos") + 1) * F.col("c")).cast("long").alias("cells_checksum"),
+        )
+        .orderBy("j")
+    )

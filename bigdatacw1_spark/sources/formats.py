@@ -152,6 +152,31 @@ WARC_BODY_SCHEMA = T.StructType(
 )
 
 
+def gunzip_bounded(payload: bytes, max_bytes: int = 1 << 28) -> bytes:
+    """Inflate a (possibly multi-member, per the .warc.gz layout) gzip
+    stream with a hard output cap — gzip can expand ~1000x, so an
+    unbounded gzip.decompress on untrusted crawl data is a
+    decompression bomb (the decode_png max_length discipline). Refuses
+    with the typed ValueError past ``max_bytes`` or on a corrupt
+    stream."""
+    import zlib
+
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            out += d.decompress(rest, max_bytes + 1 - len(out))
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip stream: {e}") from None
+        if len(out) > max_bytes:
+            raise ValueError("gzip stream exceeds max_bytes cap")
+        if not d.eof:  # stopped mid-member without hitting the cap
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data  # next concatenated member, if any
+    return bytes(out)
+
+
 def parse_warc(payload: bytes) -> list[tuple[str, str | None, bytes]]:
     """LENGTH-DRIVEN WARC record parser (ISO 28500, the Common Crawl
     container), stdlib-only: each record is 'WARC/1.0\\r\\n' + headers +
@@ -188,6 +213,8 @@ def parse_warc(payload: bytes) -> list[tuple[str, str | None, bytes]]:
         if "content-length" not in headers:
             raise ValueError("WARC record without Content-Length")
         n = int(headers["content-length"])
+        if n < 0:  # a negative length would REWIND the cursor (infinite loop)
+            raise ValueError("negative WARC Content-Length")
         if i + n > len(b):
             raise ValueError("truncated WARC body")
         body = b[i : i + n]
@@ -230,7 +257,6 @@ def explode_warc(
     the full record stream. ``with_body=True`` carries the record body
     as a binary column for downstream extraction stages (select the
     record types you need FIRST — bodies are the heavy column)."""
-    import gzip
     import hashlib
 
     def batches(it):
@@ -241,7 +267,7 @@ def explode_warc(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 if gzipped:
-                    raw = gzip.decompress(raw)
+                    raw = gunzip_bounded(raw)
                 for idx, (rtype, uri, body) in enumerate(parse_warc(raw)):
                     row = (
                         doc_id,

@@ -635,3 +635,46 @@ def test_round10_entries_plan_shapes(spark):
     cdc_df = _df(spark, "ext_cdc_chunking")
     assert not has_python_eval(cdc_df), "CDC boundary detection regressed to Python"
     assert "CartesianProduct" not in formatted_plan(cdc_df)
+
+
+def test_round11_entries_plan_shapes(spark):
+    """Round-11 design claims, CI-enforced. ext_kmv_ndv's bottom-k must
+    stay the salted two-level form: every Window in the plan is
+    PARTITIONED (a partition-less window would be the whole-data
+    single-task regression the salting exists to prevent) and the final
+    dim join broadcasts. ext_heaps_law must broadcast its 10-row
+    checkpoint table on both range-joins and plan no window at all.
+    ev_gorilla_dod's stacked LAGs share one partitioning, so the plan
+    must contain exactly one shuffle and no sort-merge join. The
+    exact-replay sketch entries must stay all-JVM (no Python eval)."""
+    import re
+
+    from bigdatacw1_spark.plans import formatted_plan
+
+    kmv_df = _df(spark, "ext_kmv_ndv")
+    kmv = formatted_plan(kmv_df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", kmv):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "partition-less window in ext_kmv_ndv: " + spec
+        )
+    assert has_broadcast_hash_join(kmv_df)
+    assert "SortMergeJoin" not in kmv
+
+    hl_df = _df(spark, "ext_heaps_law")
+    hl = formatted_plan(hl_df)
+    assert "Window" not in hl, "heaps-law must not need a global window"
+    assert has_broadcast_hash_join(hl_df)
+    assert "CartesianProduct" not in hl and "SortMergeJoin" not in hl
+
+    gd_df = _df(spark, "ev_gorilla_dod")
+    gd = formatted_plan(gd_df)
+    # exactly three shuffles: the distinct, ONE repartition shared by
+    # both stacked LAG windows, and the output range sort — a fourth
+    # would mean the windows stopped sharing their partitioning.
+    assert gd.count("+- Exchange") <= 3, "gorilla dod grew an extra shuffle"
+    assert gd.count("Window (") == 2 and "SortMergeJoin" not in gd
+
+    for name in ("ext_kmv_ndv", "ext_heaps_law", "ev_gorilla_dod",
+                 "ext_cms_replay", "ext_good_turing"):
+        assert not has_python_eval(_df(spark, name)), f"{name}: Python eval"

@@ -1471,3 +1471,32 @@ def test_codec_bomb_declarations_refuse_before_allocating():
     # Avro: truncated varint refuses with the typed error.
     with pytest.raises(ValueError, match="truncated Avro varint"):
         decode_avro_container(b"Obj\x01" + b"\x80")
+
+    # WARC: a negative Content-Length would rewind the cursor too.
+    from bigdatacw1_spark.sources.formats import (
+        build_warc,
+        gunzip_bounded,
+        parse_warc,
+    )
+
+    neg = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -4\r\n\r\n"
+    with pytest.raises(ValueError, match="negative WARC"):
+        parse_warc(neg)
+    # gunzip_bounded: a ~100 KB gzip bomb inflating to 100 MB refuses at
+    # the cap; a legal multi-member stream (the .warc.gz layout) still
+    # concatenates; truncation refuses typed.
+    import gzip
+
+    bomb_gz = gzip.compress(bytes(100 << 20), 9)
+    with pytest.raises(ValueError, match="max_bytes"):
+        gunzip_bounded(bomb_gz, max_bytes=1 << 20)
+    members = gzip.compress(b"alpha", mtime=0) + gzip.compress(b"beta", mtime=0)
+    assert gunzip_bounded(members) == b"alphabeta"
+    with pytest.raises(ValueError, match="truncated gzip"):
+        gunzip_bounded(members[:-5])
+    # and the WARC fixture round-trips through the bounded inflater
+    blob = build_warc([("response", "http://x", b"hello"), ("request", None, b"")])
+    assert parse_warc(gunzip_bounded(gzip.compress(blob, mtime=0))) == [
+        ("response", "http://x", b"hello"),
+        ("request", None, b""),
+    ]

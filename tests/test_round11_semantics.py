@@ -165,3 +165,35 @@ def test_gorilla_dod_conserves_points_and_compresses(spark):
             - math.floor(total / row["n_points"] * 1e4 + 0.5) / 1e4
         ) < 1e-12
         assert row["bits_per_point"] < 64.0  # beats raw int64 timestamps
+
+
+def test_cms_replay_matches_bruteforce_and_never_underestimates(spark):
+    """The CMS cell state must replay from a brute-force Python build of
+    the same md5-split sketch (all four per-row functionals), each row
+    must conserve the total event count, and the point-query estimate
+    (min over the 4 cells a key hashes to) must never underestimate any
+    user's true count — the defining CMS guarantee."""
+    from bigdatacw1_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    uids = [r["user_id"] for r in ev.select("user_id").collect()]
+    cells: dict[int, Counter] = {j: Counter() for j in range(1, 5)}
+    for uid in uids:
+        for j in range(1, 5):
+            h = int(hashlib.md5(f"{uid}:cms{j}".encode()).hexdigest()[:8], 16)
+            cells[j][h % 256] += 1
+    got = _run(spark, "ext_cms_replay").sort_values("j").reset_index(drop=True)
+    assert list(got["j"]) == [1, 2, 3, 4]
+    for _, row in got.iterrows():
+        d = cells[row["j"]]
+        assert row["hit_cells"] == len(d)
+        assert row["total_count"] == len(uids)  # conservation: sums to N
+        assert row["max_cell"] == max(d.values())
+        assert row["cells_checksum"] == sum((p + 1) * c for p, c in d.items())
+    exact = Counter(uids)
+    for uid, n in exact.items():
+        est = min(
+            cells[j][int(hashlib.md5(f"{uid}:cms{j}".encode()).hexdigest()[:8], 16) % 256]
+            for j in range(1, 5)
+        )
+        assert est >= n, (uid, est, n)
