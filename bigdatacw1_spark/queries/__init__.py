@@ -267,16 +267,17 @@ ROUND13_WINDOW: list[str] = [
 # (wh_welch_ttest/bh_fdr/psm_att/ipw_ate), the codec pair
 # (ext_avro_roundtrip, ext_mm_tiff), and the econometrics pair
 # (ev_hurst_rs, ev_adf_stationarity). Round-11 additions were capped at
-# ≤5 (the r10 verdict's backlog bound; 4 added) and opened
+# ≤5 (the r10 verdict's backlog bound; exactly 5 added) and opened
 # ROUND13_WINDOW — ROUND12 is full at 45.
-# End of round 11: the FULL 503-entry registry is green under the
-# DTYPE-STRICT comparer at the driver's sf0.01 (503/503, single sweep at
-# final HEAD after the self-review fixes) and at sf0.001 inside the
-# committed full suite (1406 passed / 2 skipped at final HEAD), so
-# ROUND12's rotation is pre-verified at driver conditions. Round 12's
-# first commit should swap to _ANCHORS + ROUND12_WINDOW and stage its
-# additions (keep the ≤5 cap) in ROUND13_WINDOW (4/45 used). Backlog
-# after this round: ROUND12 45 + ROUND13 4 = 49.
+# End of round 11: the FULL 504-entry registry is green under the
+# DTYPE-STRICT comparer at the driver's sf0.01 (504/504, single sweep at
+# final HEAD after the self-review fixes and the ext_cms_replay batch)
+# and at sf0.001 inside the committed full suite (1410 passed / 2
+# skipped at final HEAD), so ROUND12's rotation is pre-verified at
+# driver conditions. Round 12's first commit should swap to _ANCHORS +
+# ROUND12_WINDOW and stage its additions (keep the ≤5 cap) in
+# ROUND13_WINDOW (5/45 used). Backlog after this round: ROUND12 45 +
+# ROUND13 5 = 50.
 _DRIVER_WINDOW = _ANCHORS + ROUND11_WINDOW
 
 
