@@ -1312,9 +1312,17 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
         encode_avro_container,
     )
 
+    from bigdatacw1_spark.operators.multimodal import (
+        encode_wav_alaw,
+        encode_wav_ima_adpcm,
+        encode_wav_mulaw,
+        split_mjpeg_frames,
+    )
+
     codec = data.draw(
         st.sampled_from(
-            ["png", "gif", "tiff", "wav", "avro", "bmp", "qoi", "flac", "jpeg"]
+            ["png", "gif", "tiff", "wav", "avro", "bmp", "qoi", "flac", "jpeg",
+             "wav_mulaw", "wav_alaw", "wav_adpcm", "mjpeg"]
         )
     )
     w = data.draw(st.integers(min_value=1, max_value=6))
@@ -1345,6 +1353,23 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
         jw, jh = 8 * w, 8 * h  # the encoder requires 8-aligned dims
         px = bytes((13 * i + 9) % 256 for i in range(jw * jh))
         enc, dec = bytearray(encode_jpeg_gray(jw, jh, px)), decode_jpeg
+    elif codec == "wav_mulaw":
+        pcm = [((31 * i) % 65536) - 32768 for i in range(w * h * 3)]
+        enc, dec = bytearray(encode_wav_mulaw(8000, 1, pcm)), decode_wav
+    elif codec == "wav_alaw":
+        pcm = [((29 * i) % 65536) - 32768 for i in range(w * h * 3)]
+        enc, dec = bytearray(encode_wav_alaw(8000, 1, pcm)), decode_wav
+    elif codec == "wav_adpcm":
+        pcm = [((i * 37 + w) % 4096) - 2048 for i in range(w * h * 3 + 4)]
+        enc, dec = bytearray(encode_wav_ima_adpcm(8000, pcm)), decode_wav
+    elif codec == "mjpeg":
+        frame = encode_jpeg_gray(8, 8, bytes((13 * i + w) % 256 for i in range(64)))
+
+        def dec(payload, _s=split_mjpeg_frames, _d=decode_jpeg):
+            for fr in _s(payload):
+                _d(fr)
+
+        enc = bytearray(frame * h)
     else:
         recs = [(i, i + 1, 10 * i, -3 * i, "NRA"[i % 3]) for i in range(w * h)]
         enc, dec = bytearray(encode_avro_container(recs, block_size=3)), (
