@@ -15032,7 +15032,7 @@ def ext_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH r AS (
             SELECT u.j,
-                   ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':cms' || CAST(u.j AS VARCHAR)), 1, 8))::BIGINT % 256 AS pos
+                   ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR) || ':cms'), 1 + 8 * (u.j - 1), 8))::BIGINT % 256 AS pos
             FROM events, UNNEST([1, 2, 3, 4]) AS u(j)
         ), cells AS (
             SELECT j, pos, COUNT(*) AS c FROM r GROUP BY j, pos
@@ -15059,25 +15059,29 @@ def ext_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — here the sketch itself is the hashed artifact, so a single
     misplaced increment flips the driver's value hash.
 
-    Scale shape: one explode to (row, position) postings, ONE sum
-    aggregate bounded by sketch size (4*256 groups, map-side combined),
-    then 4 output rows — counter updates are associative, which is what
-    makes CMS mergeable across partitions/batches at 100 TB."""
+    Scale shape: ONE md5 per event row — the digest's four disjoint
+    8-hex-char substrings are the four independent 32-bit row hashes
+    (the ext_sketch_ndv hash-split pattern; a salted digest per row
+    would cost 4x the hashing) — exploded to (row, position) postings,
+    ONE sum aggregate bounded by sketch size (4*256 groups, map-side
+    combined), then 4 output rows — counter updates are associative,
+    which is what makes CMS mergeable across partitions/batches at
+    100 TB."""
     ev = _t(spark, sf_dir, "events")
-    rows = ev.select(
-        "user_id",
-        F.explode(F.array(*[F.lit(i) for i in range(1, 5)])).alias("j"),
-    )
-    hx = F.md5(
-        F.concat(
-            F.col("user_id").cast("string"), F.lit(":cms"), F.col("j").cast("string")
+    hx = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":cms")))
+    cell = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(
+                F.conv(F.substring(hx, 1 + 8 * (j - 1), 8), 16, 10).cast("long"),
+                F.lit(256),
+            ).cast("int").alias("pos"),
         )
-    )
-    pos = F.pmod(
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), F.lit(256)
-    ).cast("int")
+        for j in range(1, 5)
+    ]
     cells = (
-        rows.select("j", pos.alias("pos"))
+        ev.select(F.explode(F.array(*cell)).alias("s"))
+        .select(F.col("s.j").alias("j"), F.col("s.pos").alias("pos"))
         .groupBy("j", "pos")
         .agg(F.count(F.lit(1)).alias("c"))
     )

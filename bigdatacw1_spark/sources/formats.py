@@ -152,13 +152,17 @@ WARC_BODY_SCHEMA = T.StructType(
 )
 
 
-def gunzip_bounded(payload: bytes, max_bytes: int = 1 << 28) -> bytes:
+def gunzip_bounded(payload: bytes, max_bytes: int = 1 << 32) -> bytes:
     """Inflate a (possibly multi-member, per the .warc.gz layout) gzip
     stream with a hard output cap — gzip can expand ~1000x, so an
     unbounded gzip.decompress on untrusted crawl data is a
     decompression bomb (the decode_png max_length discipline). Refuses
     with the typed ValueError past ``max_bytes`` or on a corrupt
-    stream."""
+    stream. The 4 GiB default covers a real Common Crawl segment
+    (~1 GB compressed, ~4 GB inflated); callers with tighter executor
+    budgets pass their own cap. Trailing NUL padding after the last
+    member is tolerated, matching gzip.decompress (block-aligned gzip
+    writers pad archives with zeros)."""
     import zlib
 
     out = bytearray()
@@ -174,6 +178,8 @@ def gunzip_bounded(payload: bytes, max_bytes: int = 1 << 28) -> bytes:
         if not d.eof:  # stopped mid-member without hitting the cap
             raise ValueError("truncated gzip member")
         rest = d.unused_data  # next concatenated member, if any
+        if rest and not rest.strip(b"\x00"):
+            break  # all-zero tail = writer padding, not a member
     return bytes(out)
 
 

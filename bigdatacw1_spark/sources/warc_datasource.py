@@ -34,7 +34,6 @@ the transformation path — one parser, two access paths.
 from __future__ import annotations
 
 import glob
-import gzip
 import hashlib
 import os
 from dataclasses import dataclass
@@ -152,13 +151,15 @@ class WarcReaderBase(DataSourceReader):
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
         # Imported here so the executor-side unpickle needs only this module.
-        from bigdatacw1_spark.sources.formats import parse_warc
+        from bigdatacw1_spark.sources.formats import gunzip_bounded, parse_warc
 
         for path in partition.paths:
             with open(path, "rb") as fh:
                 raw = fh.read()
             if self._gzipped:
-                raw = gzip.decompress(raw)
+                # bounded inflate — an unbounded gzip.decompress on
+                # untrusted crawl archives is a decompression bomb
+                raw = gunzip_bounded(raw)
             name = os.path.basename(path)
             for idx, (rec_type, uri, body) in enumerate(parse_warc(raw)):
                 if not self._keep(rec_type, uri):

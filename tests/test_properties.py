@@ -1519,6 +1519,9 @@ def test_codec_bomb_declarations_refuse_before_allocating():
     assert gunzip_bounded(members) == b"alphabeta"
     with pytest.raises(ValueError, match="truncated gzip"):
         gunzip_bounded(members[:-5])
+    # trailing NUL padding (block-aligned gzip writers) must decode like
+    # gzip.decompress does, not refuse as a corrupt member
+    assert gunzip_bounded(members + b"\x00" * 16) == b"alphabeta"
     # and the WARC fixture round-trips through the bounded inflater
     blob = build_warc([("response", "http://x", b"hello"), ("request", None, b"")])
     assert parse_warc(gunzip_bounded(gzip.compress(blob, mtime=0))) == [

@@ -179,9 +179,9 @@ def test_cms_replay_matches_bruteforce_and_never_underestimates(spark):
     uids = [r["user_id"] for r in ev.select("user_id").collect()]
     cells: dict[int, Counter] = {j: Counter() for j in range(1, 5)}
     for uid in uids:
+        hx = hashlib.md5(f"{uid}:cms".encode()).hexdigest()
         for j in range(1, 5):
-            h = int(hashlib.md5(f"{uid}:cms{j}".encode()).hexdigest()[:8], 16)
-            cells[j][h % 256] += 1
+            cells[j][int(hx[8 * (j - 1) : 8 * j], 16) % 256] += 1
     got = _run(spark, "ext_cms_replay").sort_values("j").reset_index(drop=True)
     assert list(got["j"]) == [1, 2, 3, 4]
     for _, row in got.iterrows():
@@ -192,8 +192,8 @@ def test_cms_replay_matches_bruteforce_and_never_underestimates(spark):
         assert row["cells_checksum"] == sum((p + 1) * c for p, c in d.items())
     exact = Counter(uids)
     for uid, n in exact.items():
+        hx = hashlib.md5(f"{uid}:cms".encode()).hexdigest()
         est = min(
-            cells[j][int(hashlib.md5(f"{uid}:cms{j}".encode()).hexdigest()[:8], 16) % 256]
-            for j in range(1, 5)
+            cells[j][int(hx[8 * (j - 1) : 8 * j], 16) % 256] for j in range(1, 5)
         )
         assert est >= n, (uid, est, n)
