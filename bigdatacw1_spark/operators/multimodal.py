@@ -1837,9 +1837,20 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(f"JPEG precision {precision}")
             # the declared geometry sizes the MCU planes below — cap it
             # before a crafted header can request a multi-GB allocation
-            # (the decode_png max_pixels discipline)
+            # (the decode_png max_pixels discipline). Plane allocation is
+            # per component, so the cap must include ncomp: a SOF0 can
+            # declare up to 255 components (each 1x1 sampling passes the
+            # 4:4:4 check), which at the bare pixel cap would allocate
+            # ncomp full-geometry float64 planes (~34 GB virtual). Mirror
+            # decode_tiff, which multiplies by samples-per-pixel.
             if width * height > 1 << 24:
                 raise ValueError("JPEG dimensions exceed the pixel cap")
+            if ncomp > 4:
+                raise ValueError(
+                    f"JPEG declares {ncomp} components (max 4 supported)"
+                )
+            if width * height * max(ncomp, 1) > 4 << 24:
+                raise ValueError("JPEG plane allocation exceeds the pixel cap")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated JPEG SOF0 components")
             for k in range(ncomp):

@@ -253,32 +253,24 @@ ROUND13_WINDOW: list[str] = [
     "ext_cms_replay",
 ]
 
-# Round 11 live window (swapped in as the first commit of round 11, per the
-# round-10 verdict). The 45 ROUND11 entries were pre-verified at driver
-# conditions at round-10 end: the FULL 499-entry registry was green under
-# the DTYPE-STRICT comparer at the driver's sf0.01 (499/499, single sweep
-# at final HEAD after the self-review fixes) and at sf0.001 inside the
-# committed full suite (1391 passed / 2 skipped at final HEAD), and the
-# round-10 judge independently strict-verified 8 of these 45 at sf0.01
-# this session (VERDICT.md r10: wh_welch_ttest, wh_bh_fdr, wh_psm_att,
-# ext_avro_roundtrip, ext_mm_tiff, ev_adf_stationarity, plus
-# ext_sorted_neighborhood and ev_cross_correlation among its 20/20 green
-# sample). Notables in this window: the statistical-inference tail
-# (wh_welch_ttest/bh_fdr/psm_att/ipw_ate), the codec pair
-# (ext_avro_roundtrip, ext_mm_tiff), and the econometrics pair
-# (ev_hurst_rs, ev_adf_stationarity). Round-11 additions were capped at
-# ≤5 (the r10 verdict's backlog bound; exactly 5 added) and opened
-# ROUND13_WINDOW — ROUND12 is full at 45.
-# End of round 11: the FULL 504-entry registry is green under the
-# DTYPE-STRICT comparer at the driver's sf0.01 (504/504, single sweep at
-# final HEAD after the self-review fixes and the ext_cms_replay batch)
-# and at sf0.001 inside the committed full suite (1410 passed / 2
-# skipped at final HEAD), so ROUND12's rotation is pre-verified at
-# driver conditions. Round 12's first commit should swap to _ANCHORS +
-# ROUND12_WINDOW and stage its additions (keep the ≤5 cap) in
-# ROUND13_WINDOW (5/45 used). Backlog after this round: ROUND12 45 +
-# ROUND13 5 = 50.
-_DRIVER_WINDOW = _ANCHORS + ROUND11_WINDOW
+# Round 12 live window (swapped in as the first commit of round 12, per the
+# round-11 verdict's item 1). The 45 ROUND12 entries are doubly
+# pre-verified at driver conditions: at round-11 end the FULL 504-entry
+# registry was green under the DTYPE-STRICT comparer at the driver's
+# sf0.01 (504/504, single sweep at final HEAD) and at sf0.001 inside the
+# committed full suite (1410 passed / 2 skipped), AND the round-11 judge
+# independently re-ran that same full 504/504 strict sweep in its own
+# session — so every entry in this window carries a judge verdict before
+# its driver rotation. Notables in this window: the
+# technical-analysis/drift series ops (ev_bollinger_bands, ev_macd,
+# ev_page_hinkley), the classical-stats tail (wh_spearman_corr,
+# wh_kruskal_wallis, wh_two_way_anova), the codec batch (ext_mm_qoi,
+# ext_mm_adpcm, ext_protobuf_roundtrip), and the five round-10 additions
+# (ev_mann_kendall, ev_garch_vol, wh_cmh_test, ext_rle_bitpack,
+# ext_cdc_chunking). Round-12 additions stay capped at ≤5 and are staged
+# in ROUND13_WINDOW (5/45 used at round-12 start); after this round the
+# backlog is ROUND13 only (5 + round-12 additions), drained by round 13.
+_DRIVER_WINDOW = _ANCHORS + ROUND12_WINDOW
 
 
 def _rotate_registry() -> None:

@@ -41,8 +41,8 @@ def test_entry_smoke(spark):
 def test_driver_window_and_staged_rotations():
     """The live driver window (first 50 registry entries) must be exactly
     the 5 ref_* anchors + 45 oracle-bearing first-time entries, and the
-    staged ROUND12-13 windows plus everything already driver-checked in
-    rounds 1-10 (CORRECTNESS_r*.json) plus the live ROUND11 window must
+    staged ROUND13 window plus everything already driver-checked in
+    rounds 1-11 (CORRECTNESS_r*.json) plus the live ROUND12 window must
     cover the ENTIRE registry with no duplicates — so future rotations
     are one-line swaps and a rename here fails CI, not the driver."""
     import json
@@ -68,13 +68,14 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    # ROUND11 is the LIVE window this round (the statistical-inference
-    # tail, the ext_avro_roundtrip/ext_mm_tiff codec pair, and the
-    # econometrics pair ride it); ROUND12-13 remain staged (ROUND7-10
-    # were driver-checked → covered via CORRECTNESS_r07-r10).
-    assert _DRIVER_WINDOW == _ANCHORS + ROUND11_WINDOW
-    assert "wh_welch_ttest" in ROUND11_WINDOW, "inference tail must ride this window"
-    staged = ROUND12_WINDOW + ROUND13_WINDOW
+    # ROUND12 is the LIVE window this round (the technical-analysis /
+    # drift series ops, the classical-stats tail, the QOI/ADPCM/protobuf
+    # codec batch, and the five round-10 additions ride it); ROUND13
+    # remains staged (ROUND7-11 were driver-checked → covered via
+    # CORRECTNESS_r07-r11).
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND12_WINDOW
+    assert "ev_mann_kendall" in ROUND12_WINDOW, "round-10 additions must ride this window"
+    staged = list(ROUND13_WINDOW)
     for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW, ROUND12_WINDOW, ROUND13_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
     assert len(staged) == len(set(staged)), "duplicate in staged windows"

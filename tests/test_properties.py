@@ -1480,6 +1480,21 @@ def test_codec_bomb_declarations_refuse_before_allocating():
     with pytest.raises(ValueError, match="zero PNG dimension"):
         decode_png(b"\x89PNG\r\n\x1a\n" + ihdr + idat + iend)
 
+    # JPEG: plane allocation is PER COMPONENT, so the pixel cap alone is
+    # not enough — a SOF0 declaring 255 components (each 1x1 sampling,
+    # passing the 4:4:4 check) at the full capped geometry would request
+    # 255 full-geometry float64 planes (~34 GB virtual). The component
+    # count must be capped before the planes are allocated (r11 advice).
+    from bigdatacw1_spark.operators.multimodal import decode_jpeg
+
+    ncomp = 255
+    sof_body = struct.pack(">BHHB", 8, 4096, 4096, ncomp) + b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(ncomp)
+    )
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    with pytest.raises(ValueError, match="components"):
+        decode_jpeg(b"\xff\xd8" + sof)
+
     # QOI: huge declared dimensions cap before the RUN-op amplification
     # loop (each input byte can emit 186 output bytes).
     from bigdatacw1_spark.operators.multimodal import decode_qoi, encode_qoi

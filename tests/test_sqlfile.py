@@ -114,6 +114,15 @@ def _rows_ci(df):
     not os.path.exists(REFERENCE_SQL), reason="reference checkout not present"
 )
 def test_reference_sql_script_runs_verbatim(spark, cash_equity):
+    """The reference's SQLQueries.sql, read VERBATIM from the read-only
+    checkout at test time (never copied into this repo), must produce the
+    same results as the native ports.
+
+    Environmental skip rationale: the reference checkout lives at
+    /root/reference outside this repo; on a machine without that checkout
+    (e.g. a bare CI clone) there is nothing to read, so the skip is the
+    only correct behavior — the same queries are still pinned by the
+    native ports and the golden fixtures, which always run."""
     script = open(REFERENCE_SQL).read()
     results = run_sql_script(spark, script, tables=cash_equity)
     assert len(results) == 2  # search_path consumed, two queries executed

@@ -474,7 +474,10 @@ def test_tws_topk_matches_batch(spark, events_dir):
     The streaming path needs the protobuf package (Spark's state-server
     wire format); absent here, the incremental branch is skipped and
     ev_tws_topk's oracle check still pins the fold's semantics via the
-    batch form."""
+    batch form. Environmental skip rationale: package installs are out
+    of scope in this environment (no pip/apt), so google.protobuf
+    cannot be added — the importorskip is the permanent, correct
+    behavior, not a deferred TODO."""
     pytest.importorskip("google.protobuf")
     from bigdatacw1_spark.streaming.stateful_tws import run_tws_stream_to_memory, topk_per_user
 
