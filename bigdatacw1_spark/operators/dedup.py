@@ -857,6 +857,7 @@ def build_count_min(
     key: Column | str,
     width: int = 4096,
     depth: int = 4,
+    hash_expr=None,
 ) -> list[list[int]]:
     """Build a Count-Min sketch over a key column: ``depth`` rows of
     ``width`` counters (Cormode & Muthukrishnan 2005). The frequency
@@ -871,12 +872,22 @@ def build_count_min(
     not data), driver packs the dense table — the same bounded-collect
     pattern as build_bloom. Counter updates are associative sums, so
     per-partition partials combine map-side and sketches of disjoint
-    batches could be merged by elementwise addition."""
+    batches could be merged by elementwise addition.
+
+    ``hash_expr`` (optional) overrides the row hash: a callable
+    ``(key_col, j) -> Column`` returning the row-``j`` counter position
+    in ``[0, width)``. Default is xxhash64 (fastest, JVM-native); pass
+    :func:`cm_md5_hash`'s maker for a hash any ANSI engine replays
+    bit-for-bit (the exact-replay oracle pattern)."""
     c = F.col(key) if isinstance(key, str) else key
+    if hash_expr is None:
+        hash_expr = lambda col, j: F.pmod(  # noqa: E731
+            F.xxhash64(col, F.lit(1000 + j)), F.lit(width)
+        ).cast("int")
     cells = [
         F.struct(
             F.lit(j).alias("row"),
-            F.pmod(F.xxhash64(c, F.lit(1000 + j)), F.lit(width)).cast("int").alias("pos"),
+            hash_expr(c, j).cast("int").alias("pos"),
         )
         for j in range(depth)
     ]
@@ -892,19 +903,40 @@ def build_count_min(
     return table
 
 
-def cm_estimate(key: Column | str, table: list[list[int]]) -> Column:
+def cm_estimate(key: Column | str, table: list[list[int]], hash_expr=None) -> Column:
     """Point-estimate expression for a Count-Min sketch built by
     build_count_min: min over the depth counters the key hashes to.
     Pure JVM arithmetic against the literal counter table — a narrow
-    map, no shuffle, no join."""
+    map, no shuffle, no join. ``hash_expr`` must match the build's."""
     depth, width = len(table), len(table[0])
     c = F.col(key) if isinstance(key, str) else key
+    if hash_expr is None:
+        hash_expr = lambda col, j: F.pmod(  # noqa: E731
+            F.xxhash64(col, F.lit(1000 + j)), F.lit(width)
+        ).cast("int")
     flat = F.array(*[F.lit(int(v)) for row in table for v in row])
     ests = []
     for j in range(depth):
-        pos = F.pmod(F.xxhash64(c, F.lit(1000 + j)), F.lit(width)).cast("int")
+        pos = hash_expr(c, j).cast("int")
         ests.append(F.element_at(flat, F.lit(j * width) + pos + 1))
     return F.least(*ests)
+
+
+def cm_md5_hash(width: int):
+    """An ANSI-replayable Count-Min row hash for build_count_min /
+    cm_estimate's ``hash_expr``: position = md5(key || '|' || j) first
+    15 hex chars as an integer, mod width — computable bit-for-bit in
+    any engine with MD5 + string concat (DuckDB:
+    ``('0x'||SUBSTR(MD5(key::VARCHAR||'|'||j),1,15))::BIGINT % width``),
+    which is what lets an exact-replay oracle rebuild the full counter
+    table and every per-key estimate instead of checking an error
+    envelope. 15 hex chars keep the value inside int64 both engines."""
+
+    def h(col: Column, j: int) -> Column:
+        hx = F.md5(F.concat(col.cast("string"), F.lit(f"|{j}")))
+        return F.pmod(F.conv(F.substring(hx, 1, 15), 16, 10).cast("long"), F.lit(width))
+
+    return h
 
 
 def winnowing_fingerprints(

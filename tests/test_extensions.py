@@ -361,7 +361,9 @@ def test_kll_sketch_merge_brackets_exact_percentiles(spark):
     for field, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
         est = row[field]
         rank = sum(1 for v in vals if v <= est) / n
-        assert abs(rank - q) < 0.03, (field, est, rank)
+        # 0.0165 = k=200's published 99.73%-confidence normalized rank
+        # error (the registry entry's tightened envelope, r11 verdict #5)
+        assert abs(rank - q) < 0.0165, (field, est, rank)
     # the oracle-facing registry entry must agree: n exact, all ranks ok
     inv = REGISTRY["ext_sketch_kll_mergeable"].fn(spark, SF_SMALL).collect()[0]
     assert inv["n"] == n and inv["p50_ok"] and inv["p90_ok"] and inv["p99_ok"], inv
@@ -776,6 +778,43 @@ def test_count_min_never_underestimates_even_under_collisions(spark):
     # collisions must actually occur at this width — otherwise the
     # regime under test isn't exercised
     assert checked.where(F.col("est") > F.col("n")).count() > 0
+
+
+def test_count_min_md5_hash_replays_bit_for_bit_in_python(spark):
+    """The ANSI-replayable md5 row hash (cm_md5_hash, the ext_count_min
+    exact-replay oracle's hash): a brute-force pure-Python rebuild of
+    the counter table and every per-key estimate must equal the Spark
+    build exactly — including keys whose estimate overestimates, so the
+    replay pins the collision arithmetic, not just the happy path."""
+    import hashlib
+
+    from bigdatacw1_spark.operators.dedup import build_count_min, cm_estimate, cm_md5_hash
+
+    width, depth = 16, 4
+    df = spark.range(0, 600).select((F.col("id") % 150).alias("k"))
+    h = cm_md5_hash(width)
+    cm = build_count_min(df, "k", width=width, depth=depth, hash_expr=h)
+
+    def py_pos(key: int, j: int) -> int:
+        hx = hashlib.md5(f"{key}|{j}".encode()).hexdigest()
+        return int(hx[:15], 16) % width
+
+    table = [[0] * width for _ in range(depth)]
+    for key in range(150):
+        for j in range(depth):
+            table[j][py_pos(key, j)] += 4  # each key occurs 4 times
+    assert cm == table
+
+    got = {
+        r["k"]: r["est"]
+        for r in df.distinct().withColumn("est", cm_estimate("k", cm, hash_expr=h)).collect()
+    }
+    want = {
+        key: min(table[j][py_pos(key, j)] for j in range(depth)) for key in range(150)
+    }
+    assert got == want
+    assert any(v > 4 for v in want.values())  # the collision regime is real
+    assert all(v >= 4 for v in want.values())  # and never underestimates
 
 
 def test_pq_index_persists_as_table_and_reloads_identically(spark, tmp_path):

@@ -1322,7 +1322,7 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
     codec = data.draw(
         st.sampled_from(
             ["png", "gif", "tiff", "wav", "avro", "bmp", "qoi", "flac", "jpeg",
-             "wav_mulaw", "wav_alaw", "wav_adpcm", "mjpeg"]
+             "wav_mulaw", "wav_alaw", "wav_adpcm", "mjpeg", "protobuf", "warc"]
         )
     )
     w = data.draw(st.integers(min_value=1, max_value=6))
@@ -1370,6 +1370,22 @@ def test_image_audio_decoders_total_on_mutated_streams(data):
                 _d(fr)
 
         enc = bytearray(frame * h)
+    elif codec == "protobuf":
+        from bigdatacw1_spark.sources.formats import (
+            decode_protobuf_stream,
+            encode_protobuf_stream,
+        )
+
+        precs = [(i, i + 1, 10 * i, -3 * i, "NRA"[i % 3]) for i in range(w * h)]
+        enc, dec = bytearray(encode_protobuf_stream(precs)), decode_protobuf_stream
+    elif codec == "warc":
+        from bigdatacw1_spark.sources.formats import build_warc, parse_warc
+
+        wrecs = [
+            ("response", f"http://x/{i}", bytes((7 * i + k) % 256 for k in range(w)))
+            for i in range(h)
+        ]
+        enc, dec = bytearray(build_warc(wrecs)), parse_warc
     else:
         recs = [(i, i + 1, 10 * i, -3 * i, "NRA"[i % 3]) for i in range(w * h)]
         enc, dec = bytearray(encode_avro_container(recs, block_size=3)), (
