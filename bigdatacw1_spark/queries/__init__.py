@@ -251,6 +251,12 @@ ROUND13_WINDOW: list[str] = [
     # delta-of-delta compression accounting, exact-replay Count-Min
     "ext_kmv_ndv", "ext_good_turing", "ext_heaps_law", "ev_gorilla_dod",
     "ext_cms_replay",
+    # round-12 additions (5 of the ≤5 cap): exact-replay weighted
+    # reservoir sampling (A-Res), exact-replay KMV set algebra
+    # (pairwise Jaccard/intersection), two-sample Kolmogorov-Smirnov,
+    # delete-one jackknife ratio SE, OLS Cook's-distance influence
+    "ext_weighted_reservoir", "ext_kmv_set_algebra", "wh_ks_test",
+    "wh_jackknife_ratio", "wh_cooks_distance",
 ]
 
 # Round 12 live window (swapped in as the first commit of round 12, per the

@@ -15118,3 +15118,255 @@ def ext_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j")
     )
+
+
+@q(
+    "ext_weighted_reservoir",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':res'), 1, 15))::BIGINT AS h
+            FROM documents WHERE n_chars > 0
+        ), keyed AS (
+            SELECT doc_id, w,
+                   LN((h + 1.0) / 1152921504606846976.0) / w AS k
+            FROM b
+        ), top AS (
+            SELECT doc_id, w, k,
+                   ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT CAST(rnk AS INT) AS rnk, doc_id, w,
+               FLOOR(k * 100000000.0 + 0.5) / 100000000.0 AS priority
+        FROM top WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def ext_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-Res): each doc draws a deterministic md5-uniform
+    u_i in (0,1] and the sample is the top-k docs by priority
+    u_i^(1/w_i) — here compared in the log domain, ln(u_i)/w_i, which
+    is the identical ordering without POWER. The core corpus-assembly
+    sampling primitive: length-weighted (w = n_chars) document picks
+    whose inclusion probability is proportional to weight, reproducible
+    across engines, reruns, and partitionings because the randomness is
+    a hash, not an RNG.
+
+    Scale shape: a narrow per-row projection then global top-k — fuses
+    to TakeOrderedAndProject (per-partition heaps + single k-row merge,
+    the ext_cosine_topk shape), no shuffle of the corpus, no window. At
+    100 TB the reservoir IS the k-row driver result.
+
+    EXACT-REPLAY oracle: DuckDB derives the identical hashes, uniforms
+    and log-domain priorities ((h+1)/2^60 then one LN and one divide —
+    identical IEEE expression trees), so selection, order and the
+    rounded priorities all hash-compare. Priorities of distinct docs
+    are separated by ~1/n >> 1 ulp, so the cross-library LN last-ulp
+    difference cannot flip the ordering (verified by margin at sf0.1);
+    doc_id breaks exact ties."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
+    h = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    # (h+1)/2^60 in (0,1]: +1 dodges ln(0) on the all-zero hash prefix
+    u = (h + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (F.log(u) / F.col("w")).alias("k"),
+    )
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(20)
+    w_rnk = Window.orderBy(F.desc("k"), "doc_id")  # 20 rows: bounded input
+    return top.withColumn("rnk", F.row_number().over(w_rnk)).select(
+        "rnk", "doc_id", "w", stable_round(F.col("k"), 8).alias("priority")
+    )
+
+
+@q(
+    "ext_kmv_set_algebra",
+    oracle="""
+        WITH s AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || '|' || STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') || ':kmv'), 1, 13))::BIGINT AS h
+            FROM events
+        ), r AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM s
+        ), sk AS (
+            SELECT event_type, h FROM r WHERE rn <= 64
+        ), types AS (
+            SELECT DISTINCT event_type FROM sk
+        ), m AS (
+            SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            FROM (
+                SELECT a.event_type AS type_a, t.event_type AS type_b, a.h,
+                       1 AS in_a, 0 AS in_b
+                FROM sk a JOIN types t ON a.event_type < t.event_type
+                UNION ALL
+                SELECT t.event_type, b.event_type, b.h, 0, 1
+                FROM sk b JOIN types t ON t.event_type < b.event_type
+            ) x GROUP BY type_a, type_b, h
+        ), u AS (
+            SELECT type_a, type_b, h, in_a, in_b,
+                   ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+            FROM m
+        ), agg AS (
+            SELECT type_a, type_b,
+                   CAST(COUNT(*) FILTER (rn <= 64) AS BIGINT) AS union_k,
+                   CAST(MAX(h) FILTER (rn <= 64) AS BIGINT) AS theta,
+                   CAST(COUNT(*) FILTER (rn <= 64 AND in_a = 1 AND in_b = 1) AS BIGINT) AS common_k
+            FROM u GROUP BY type_a, type_b
+        ), n1 AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type
+        ), eb AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_both
+            FROM s a JOIN s b ON a.h = b.h AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT agg.type_a, agg.type_b,
+               eb.exact_both,
+               na.n + nb.n - eb.exact_both AS exact_union,
+               agg.union_k, agg.theta, agg.common_k,
+               FLOOR((CAST(agg.common_k AS DOUBLE) / agg.union_k) * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est,
+               FLOOR((CAST(eb.exact_both AS DOUBLE) / (na.n + nb.n - eb.exact_both)) * 1000000.0 + 0.5) / 1000000.0 AS exact_jaccard,
+               CASE WHEN agg.union_k < 64
+                    THEN FLOOR((CAST(agg.common_k AS DOUBLE) / agg.union_k) * CAST(agg.union_k AS DOUBLE) * 100.0 + 0.5) / 100.0
+                    ELSE FLOOR((CAST(agg.common_k AS DOUBLE) / agg.union_k) * (CAST(283726776524341248 AS DOUBLE) / agg.theta) * 100.0 + 0.5) / 100.0
+               END AS inter_est,
+               ABS(CAST(agg.common_k AS DOUBLE) / agg.union_k
+                   - CAST(eb.exact_both AS DOUBLE) / (na.n + nb.n - eb.exact_both)) <= 0.25 AS est_ok
+        FROM agg
+        JOIN eb ON eb.type_a = agg.type_a AND eb.type_b = agg.type_b
+        JOIN n1 na ON na.event_type = agg.type_a
+        JOIN n1 nb ON nb.event_type = agg.type_b
+        ORDER BY agg.type_a, agg.type_b
+    """,
+)
+def ext_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k SET ALGEBRA (Beyer et al., SIGMOD 2007) — the
+    capability that motivated keeping VALUES in ext_kmv_ndv instead of
+    HLL ranks: from per-group bottom-64 sketches of the (user, day)
+    activity sets, estimate every pair's Jaccard and intersection NDV
+    WITHOUT touching the raw sets again. Sketch of a union is the
+    bottom-k of the merged sketches, so K_a u K_b answers for the pair;
+    J_est = |{h in bottom-k(K_a u K_b) : h in K_a and h in K_b}| / k and
+    inter_est = J_est * union_ndv_est. This is the audience-overlap /
+    cross-corpus-contamination estimator at 100 TB: sketches are 64
+    longs per group, pairs never join the fact table.
+
+    EXACT-REPLAY oracle (the r11 sketch discipline): hashes are
+    md5-derived 52-bit ints both engines, so DuckDB rebuilds every
+    sketch, every merged bottom-64, theta, common_k and the two
+    single-IEEE-division estimates bit-for-bit; exact_both/exact_union
+    come from the full hash sets (md5 is injective here: 2^52 domain vs
+    ~10^3 keys) and gate the estimator with a 0.25 envelope (~5 sigma at
+    k=64). The pairwise merge inputs are sketches (<= 5*64 rows), so the
+    per-pair windows are bounded by construction — sketch size, never
+    data size.
+
+    Scale shape: ONE events-scale distinct to build s, the same salted
+    two-level bottom-k as ext_kmv_ndv (row_number over (type, h%64)
+    shards first, 64 per shard, then <= 4096 rows per type), and the
+    exact ground truth joins s to itself on h (equi-shuffle, fan-out
+    bounded by types-per-key <= 5)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hx = F.md5(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+            F.lit(":kmv"),
+        )
+    )
+    s = ev.select(
+        "event_type", F.conv(F.substring(hx, 1, 13), 16, 10).cast("long").alias("h")
+    ).distinct()
+    # salted two-level bottom-64 per type (the ext_kmv_ndv scale shape)
+    w1 = Window.partitionBy("event_type", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+    local = s.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= 64).drop("rn")
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    sk = local.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= 64).drop("rn")
+
+    types = sk.select("event_type").distinct()
+    side_a = (
+        sk.alias("a")
+        .join(types.alias("t"), F.col("a.event_type") < F.col("t.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("t.event_type").alias("type_b"),
+            "h",
+            F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"),
+        )
+    )
+    side_b = (
+        sk.alias("b")
+        .join(types.alias("t"), F.col("t.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("t.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "h",
+            F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"),
+        )
+    )
+    m = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")  # sketch-sized input
+    u = m.withColumn("rn", F.row_number().over(wu)).where(F.col("rn") <= 64)
+    agg = u.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("union_k"),
+        F.max("h").alias("theta"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int"))
+        .cast("long")
+        .alias("common_k"),
+    )
+
+    n1 = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    eb = (
+        s.alias("x")
+        .join(
+            s.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+
+    jacc = F.col("common_k").cast("double") / F.col("union_k")
+    exact_union = F.col("na") + F.col("nb") - F.col("exact_both")
+    exact_jacc = F.col("exact_both").cast("double") / exact_union
+    union_est = F.when(
+        F.col("union_k") < 64, F.col("union_k").cast("double")
+    ).otherwise(F.lit(283726776524341248.0) / F.col("theta"))
+    return (
+        agg.join(F.broadcast(eb), ["type_a", "type_b"])
+        .join(F.broadcast(n1.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))), "type_a")
+        .join(F.broadcast(n1.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "exact_both",
+            exact_union.alias("exact_union"),
+            "union_k",
+            "theta",
+            "common_k",
+            stable_round(jacc, 6).alias("jaccard_est"),
+            stable_round(exact_jacc, 6).alias("exact_jaccard"),
+            stable_round(jacc * union_est, 2).alias("inter_est"),
+            (F.abs(jacc - exact_jacc) <= F.lit(0.25)).alias("est_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )

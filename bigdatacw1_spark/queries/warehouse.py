@@ -6912,3 +6912,375 @@ def wh_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(ormh, 6).alias("or_mh"),
         (cmh > F.lit(3.841459)).alias("reject_05"),
     )
+
+
+@q(
+    "wh_ks_test",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, value
+        ), types AS (
+            SELECT DISTINCT event_type FROM c
+        ), merged AS (
+            SELECT type_a, type_b, value,
+                   CAST(SUM(c1) AS BIGINT) AS c1, CAST(SUM(c2) AS BIGINT) AS c2
+            FROM (
+                SELECT a.event_type AS type_a, t.event_type AS type_b,
+                       a.value, a.c AS c1, 0 AS c2
+                FROM c a JOIN types t ON a.event_type < t.event_type
+                UNION ALL
+                SELECT t.event_type, b.event_type, b.value, 0, b.c
+                FROM c b JOIN types t ON t.event_type < b.event_type
+            ) x GROUP BY type_a, type_b, value
+        ), cum AS (
+            SELECT type_a, type_b,
+                   CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+                   CAST(SUM(c2) OVER w AS BIGINT) AS cum2
+            FROM merged
+            WINDOW w AS (PARTITION BY type_a, type_b ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), n AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY event_type
+        ), d AS (
+            SELECT type_a, type_b,
+                   MAX(ABS(CAST(cum1 AS DOUBLE) / na.n - CAST(cum2 AS DOUBLE) / nb.n)) AS d_raw,
+                   na.n AS n1, nb.n AS n2
+            FROM cum
+            JOIN n na ON na.event_type = cum.type_a
+            JOIN n nb ON nb.event_type = cum.type_b
+            GROUP BY type_a, type_b, na.n, nb.n
+        )
+        SELECT type_a, type_b, n1, n2,
+               FLOOR(d_raw * 1000000.0 + 0.5) / 1000000.0 AS d_stat,
+               FLOOR(1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) * 1000000.0 + 0.5) / 1000000.0 AS d_crit_05,
+               d_raw > 1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS reject_05
+        FROM d ORDER BY type_a, type_b
+    """,
+)
+def wh_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test for every pair of event types
+    over the ``value`` distribution — the distribution-equality
+    companion of wh_mann_whitney (location) and wh_kruskal_wallis
+    (k-sample ranks): D = sup_v |ECDF_a(v) - ECDF_b(v)|, computed
+    EXACTLY by merging per-(type, value) counts and taking the max
+    ECDF gap over the cumulative counts, evaluated at every distinct
+    value (ties handled by grouping BEFORE the cumulative, so both
+    ECDFs jump together at shared values — the classic naive-KS bug).
+    ``reject_05`` compares D against the large-sample alpha=0.05
+    critical value c(alpha)*sqrt((n1+n2)/(n1*n2)), c(0.05)=1.358
+    (Smirnov's asymptotic).
+
+    Cross-engine exactness: cumulative counts are integers; each ECDF
+    gap is two IEEE divisions and a subtract (identical trees both
+    engines); max over doubles is exact; sqrt is IEEE
+    correctly-rounded, so even the critical value hashes bit-for-bit
+    after stable_round(6).
+
+    Scale shape: counts collapse events to distinct (type, value) rows
+    first (one shuffle), the pairwise explode multiplies by
+    (n_types - 1) <= 4, and the cumulative window partitions by PAIR —
+    the same per-group frame every ev_* series operator uses, spilling
+    sort, no single global partition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    types = c.select("event_type").distinct()
+    side_a = (
+        c.alias("a")
+        .join(F.broadcast(types.alias("t")), F.col("a.event_type") < F.col("t.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("t.event_type").alias("type_b"),
+            "value",
+            F.col("c").alias("c1"),
+            F.lit(0).cast("long").alias("c2"),
+        )
+    )
+    side_b = (
+        c.alias("b")
+        .join(F.broadcast(types.alias("t")), F.col("t.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("t.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "value",
+            F.lit(0).cast("long").alias("c1"),
+            F.col("c").alias("c2"),
+        )
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "value")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        "type_a",
+        "type_b",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    n = c.groupBy("event_type").agg(F.sum("c").alias("n"))
+    d = (
+        cum.join(
+            F.broadcast(n.select(F.col("event_type").alias("type_a"), F.col("n").alias("n1"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(n.select(F.col("event_type").alias("type_b"), F.col("n").alias("n2"))),
+            "type_b",
+        )
+        .groupBy("type_a", "type_b", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("d_raw")
+        )
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return d.select(
+        "type_a",
+        "type_b",
+        "n1",
+        "n2",
+        stable_round(F.col("d_raw"), 6).alias("d_stat"),
+        stable_round(crit, 6).alias("d_crit_05"),
+        (F.col("d_raw") > crit).alias("reject_05"),
+    ).orderBy("type_a", "type_b")
+
+
+@q(
+    "wh_jackknife_ratio",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS yq,
+                   CAST(l_quantity AS DOUBLE) AS x
+            FROM lineitem
+        ), tot AS (
+            SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(yq AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(30,2))) AS DOUBLE) AS sx
+            FROM base GROUP BY flag
+        ), loo AS (
+            SELECT b.flag,
+                   FLOOR(((t.sy - b.yq / 10000.0) / (t.sx - b.x)) * 1000000.0 + 0.5) AS qr
+            FROM base b JOIN tot t ON t.flag = b.flag
+        ), mom AS (
+            SELECT flag,
+                   CAST(SUM(CAST(qr AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sr,
+                   CAST(SUM(CAST(qr AS DECIMAL(19,0)) * CAST(qr AS DECIMAL(19,0))) AS DOUBLE) / 1000000000000.0 AS srr
+            FROM loo GROUP BY flag
+        )
+        SELECT t.flag, t.n,
+               FLOOR((t.sy / t.sx) * 1000000.0 + 0.5) / 1000000.0 AS ratio,
+               FLOOR(SQRT((CAST(t.n AS DOUBLE) - 1.0) / t.n
+                          * (m.srr - m.sr * m.sr / t.n)) * 1000000.0 + 0.5) / 1000000.0 AS se_jack
+        FROM tot t JOIN mom m ON m.flag = t.flag
+        ORDER BY t.flag
+    """,
+)
+def wh_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one jackknife standard error of a RATIO-OF-SUMS estimator
+    (Quenouille/Tukey; Efron & Stein 1981) — the closed-form resampling
+    companion of wh_poisson_bootstrap: per returnflag, R = sum(revenue)
+    / sum(quantity) (revenue per unit shipped), and the jackknife SE
+    from the n delete-one ratios R_(i) = (Sy - y_i)/(Sx - x_i), which
+    for a ratio-of-sums need NO resampled passes: every pseudo-value is
+    per-row arithmetic against the broadcast group totals, and
+    sum((R_(i) - Rbar)^2) collapses to the (sum qr, sum qr^2) moment
+    identity — two aggregates total, zero resamples, the exact shape a
+    6-quintillion-row lineitem needs.
+
+    Cross-engine exactness (the chi2_micro discipline): revenue is
+    integer-quantized at 1e-4 BEFORE the order-free group sum
+    (DECIMAL(38,0) exact); each delete-one ratio is quantized at 1e-6
+    before ITS sums; the square matrix sum uses DECIMAL(19,0) factors
+    multiplied into DECIMAL(38,0) (exact); the final variance identity
+    and sqrt are identical IEEE trees both engines, so stable_round(6)
+    hashes bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10000.0)
+    yq = (y + F.lit(0.5) - (y + F.lit(0.5)) % F.lit(1.0))  # floor(y*1e4+0.5), exact IEEE
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        yq.alias("yq"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+    tot = base.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("yq").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("sy"),
+        F.sum(F.col("x").cast("decimal(30,2)")).cast("double").alias("sx"),
+    )
+    r = (F.col("sy") - F.col("yq") / F.lit(10000.0)) / (F.col("sx") - F.col("x"))
+    rq = r * F.lit(1000000.0) + F.lit(0.5)
+    qr = (rq - rq % F.lit(1.0)).alias("qr")  # floor, exact IEEE, any magnitude
+    loo = base.join(F.broadcast(tot), "flag").select("flag", qr)
+    mom = loo.groupBy("flag").agg(
+        (F.sum(F.col("qr").cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("sr"),
+        (
+            F.sum(F.col("qr").cast("decimal(19,0)") * F.col("qr").cast("decimal(19,0)")).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("srr"),
+    )
+    nn = F.col("n").cast("double")
+    var = (nn - F.lit(1.0)) / nn * (F.col("srr") - F.col("sr") * F.col("sr") / nn)
+    return (
+        tot.join(mom, "flag")
+        .select(
+            "flag",
+            "n",
+            stable_round(F.col("sy") / F.col("sx"), 6).alias("ratio"),
+            stable_round(F.sqrt(var), 6).alias("se_jack"),
+        )
+        .orderBy("flag")
+    )
+
+
+@q(
+    "wh_cooks_distance",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                   FLOOR(o_totalprice * 100.0 + 0.5) AS yc
+            FROM orders
+        ), mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS DOUBLE) / 100.0 AS sxy
+            FROM base
+        ), fit AS (
+            SELECT n, sx, sy, sxx, sxy,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b1,
+                   sx / n AS xbar,
+                   (CAST(n AS DOUBLE) * sxx - sx * sx) / n AS sxx_c
+            FROM mom
+        ), resid AS (
+            SELECT b.o_orderkey, b.x, b.yc / 100.0 AS y,
+                   b.yc / 100.0 - ((f.sy / f.n - f.b1 * f.xbar) + f.b1 * b.x) AS e,
+                   1.0 / f.n + (b.x - f.xbar) * (b.x - f.xbar) / f.sxx_c AS h,
+                   f.n AS n
+            FROM base b CROSS JOIN fit f
+        ), sse AS (
+            SELECT CAST(SUM(CAST(FLOOR(e * e * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sse,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM resid
+        ), cooks AS (
+            SELECT r.o_orderkey, r.x, r.y,
+                   r.e * r.e * r.h
+                   / (2.0 * (s.sse / (s.n - 2.0)) * (1.0 - r.h) * (1.0 - r.h)) AS d
+            FROM resid r CROSS JOIN sse s
+        )
+        SELECT o_orderkey, x AS days, y AS totalprice,
+               FLOOR(d * 100000000.0 + 0.5) / 100000000.0 AS cooks_d
+        FROM cooks
+        ORDER BY d DESC, o_orderkey
+        LIMIT 15
+    """,
+)
+def wh_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS influence diagnostics: Cook's distance for every order under
+    the simple regression totalprice ~ days-since-1995, surfacing the
+    top-15 most influential rows — the regression-health companion of
+    wh_two_way_anova (which partitions variance) and ev_theil_sen
+    (which survives what these rows do to OLS). D_i =
+    e_i^2 h_i / (p s^2 (1 - h_i)^2) with p = 2, hat leverage h_i = 1/n
+    + (x_i - xbar)^2 / Sxx — all CLOSED FORM from five moment sums, so
+    the whole diagnostic is one moments aggregate (exact DECIMAL sums),
+    one broadcast of the 1-row fit, one quantized SSE aggregate, and a
+    TakeOrderedAndProject top-k: three passes, no window, no resample,
+    at any scale.
+
+    Cross-engine exactness: x (day offsets) and y (cents) are integers;
+    all five moments are exact DECIMAL(38,0) sums with DECIMAL(19,0)
+    factor casts before the products (the chi2_micro discipline); slope,
+    intercept, leverage, residuals and D are identical IEEE +-*/ trees
+    both engines; SSE quantizes e^2 at 1e-2 before its order-free sum.
+    The D ordering is therefore bit-identical too; o_orderkey breaks
+    exact ties."""
+    o = _t(spark, sf_dir, "orders")
+    yc_raw = F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    base = o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("x"),
+        (yc_raw - yc_raw % F.lit(1.0)).alias("yc"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        (F.sum(F.col("yc").cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        (F.sum(xd * F.col("yc").cast("decimal(19,0)")).cast("double") / F.lit(100.0)).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    fit = mom.select(
+        "n",
+        "sx",
+        "sy",
+        ((nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (nn * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("b1"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        ((nn * F.col("sxx") - F.col("sx") * F.col("sx")) / F.col("n")).alias("sxx_c"),
+    )
+    e = (
+        F.col("yc") / F.lit(100.0)
+        - ((F.col("sy") / F.col("n") - F.col("b1") * F.col("xbar")) + F.col("b1") * F.col("x"))
+    )
+    h = (
+        F.lit(1.0) / F.col("n")
+        + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar")) / F.col("sxx_c")
+    )
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "o_orderkey",
+        "x",
+        (F.col("yc") / F.lit(100.0)).alias("y"),
+        e.alias("e"),
+        h.alias("h"),
+        "n",
+    )
+    e2q_raw = F.col("e") * F.col("e") * F.lit(100.0) + F.lit(0.5)
+    sse = resid.agg(
+        (F.sum((e2q_raw - e2q_raw % F.lit(1.0)).cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias("sse"),
+        F.max("n").alias("n2"),
+    )
+    d = (
+        F.col("e") * F.col("e") * F.col("h")
+        / (
+            F.lit(2.0)
+            * (F.col("sse") / (F.col("n2") - F.lit(2.0)))
+            * (F.lit(1.0) - F.col("h"))
+            * (F.lit(1.0) - F.col("h"))
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(sse))
+        .select(
+            "o_orderkey",
+            F.col("x").alias("days"),
+            F.col("y").alias("totalprice"),
+            d.alias("d_raw"),
+        )
+        .orderBy(F.desc("d_raw"), "o_orderkey")
+        .limit(15)
+        .select(
+            "o_orderkey",
+            "days",
+            "totalprice",
+            stable_round(F.col("d_raw"), 8).alias("cooks_d"),
+        )
+    )

@@ -421,6 +421,10 @@ def test_no_partitionless_window_on_fact_sized_inputs(spark):
         # windows over the per-day FILE INVENTORY (metadata, not data)
         "wh_compaction_plan": 1,
         "wh_file_stats": 1,
+        # rank row_number over the reservoir top-20 frame (k rows by
+        # LIMIT construction; the corpus-sized pass is the upstream
+        # TakeOrderedAndProject)
+        "ext_weighted_reservoir": 1,
     }
     offenders = {}
     for name, spec in REGISTRY.items():
@@ -681,4 +685,59 @@ def test_round11_entries_plan_shapes(spark):
 
     for name in ("ext_kmv_ndv", "ext_heaps_law", "ev_gorilla_dod",
                  "ext_cms_replay", "ext_good_turing"):
+        assert not has_python_eval(_df(spark, name)), f"{name}: Python eval"
+
+
+def test_round12_entries_plan_shapes(spark):
+    """Round-12 design claims, CI-enforced. ext_weighted_reservoir must
+    fuse its global top-k to TakeOrderedAndProject (per-partition heaps,
+    no full sort, no corpus shuffle) — its only window sits above the
+    20-row limit. ext_kmv_set_algebra keeps the salted two-level
+    bottom-k (every window partitioned) and joins only sketch-sized /
+    broadcast sides (no sort-merge fallback). wh_ks_test's cumulative
+    window partitions by type PAIR and its dimension joins broadcast.
+    wh_jackknife_ratio and wh_cooks_distance are closed-form moment
+    passes: no window at all, broadcast-only joins, and top-k for
+    cooks fuses to TakeOrderedAndProject. All five stay all-JVM."""
+    import re
+
+    from bigdatacw1_spark.plans import formatted_plan
+
+    res_df = _df(spark, "ext_weighted_reservoir")
+    res = formatted_plan(res_df)
+    assert "TakeOrderedAndProject" in res, "reservoir top-k lost heap fusion"
+    assert "Exchange hashpartitioning" not in res, "reservoir shuffled the corpus"
+
+    kmv_df = _df(spark, "ext_kmv_set_algebra")
+    kmv = formatted_plan(kmv_df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", kmv):
+        head = spec.split(",")[0].strip()
+        assert not re.search(r"(ASC|DESC) NULLS (FIRST|LAST)$", head), (
+            "partition-less window in ext_kmv_set_algebra: " + spec
+        )
+    assert "SortMergeJoin" not in kmv, "sketch-side join fell back to SMJ"
+
+    ks_df = _df(spark, "wh_ks_test")
+    ks = formatted_plan(ks_df)
+    assert has_broadcast_hash_join(ks_df)
+    assert "SortMergeJoin" not in ks
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", ks):
+        head = spec.split(",")[0].strip()
+        assert not re.search(r"(ASC|DESC) NULLS (FIRST|LAST)$", head), (
+            "partition-less window in wh_ks_test: " + spec
+        )
+
+    jk_df = _df(spark, "wh_jackknife_ratio")
+    jk = formatted_plan(jk_df)
+    assert "Window" not in jk, "jackknife is closed-form; no window allowed"
+    assert has_broadcast_hash_join(jk_df) and "SortMergeJoin" not in jk
+
+    cd_df = _df(spark, "wh_cooks_distance")
+    cd = formatted_plan(cd_df)
+    assert "Window" not in cd, "cooks distance is closed-form; no window allowed"
+    assert "TakeOrderedAndProject" in cd, "cooks top-k lost heap fusion"
+    assert "SortMergeJoin" not in cd
+
+    for name in ("ext_weighted_reservoir", "ext_kmv_set_algebra", "wh_ks_test",
+                 "wh_jackknife_ratio", "wh_cooks_distance"):
         assert not has_python_eval(_df(spark, name)), f"{name}: Python eval"
