@@ -127,6 +127,36 @@ TABLES: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ---------------------------------------------------------------------------
+# Catalog metadata cache (optimization guide §1.2/§6: table resolution is
+# driver-side metadata work, and it was being re-paid on EVERY load_table
+# call — measured 215-330 ms per call at sf0.1, i.e. ~0.6 s of the 1.4 s
+# tpch_q5 wall time was spark.read schema inference + py4j round trips for
+# relations whose schema never changes within a session).
+#
+# The cache stores the fully-conformed DataFrame (a lazy plan — NO data, no
+# persist: every action still scans parquet), keyed by the Spark
+# application, the resolved path, and the file's (mtime_ns, size), so a
+# rewritten fixture file or a new session misses and re-runs the full
+# strict read + drift check. This is the same trick Spark itself applies
+# one layer down (InMemoryFileIndex / filesourcePartitionFileCache): cache
+# the metadata, never the rows.
+# ---------------------------------------------------------------------------
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 512
+
+
+def _stat_sig(path: str) -> tuple:
+    """Freshness signature of a parquet file OR directory of part files."""
+    st = os.stat(path)
+    if os.path.isdir(path):
+        parts = []
+        for entry in sorted(os.listdir(path)):
+            s = os.stat(os.path.join(path, entry))
+            parts.append((entry, s.st_mtime_ns, s.st_size))
+        return (st.st_mtime_ns, tuple(parts))
+    return (st.st_mtime_ns, st.st_size)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one named relation (operator S1, SURVEY.md §2.1).
@@ -136,6 +166,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        cache_key = (spark.sparkContext.applicationId, path, _stat_sig(path))
+    except OSError:
+        cache_key = None  # let the reader raise its own (clearer) error
+    if cache_key is not None:
+        hit = _TABLE_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    if cache_key is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[cache_key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The strict read path: schema inference from the footer + drift check
+    (_conform). Paid once per (session, file version); see _TABLE_CACHE."""
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects. Read nanos as long (runtime-settable conf)
