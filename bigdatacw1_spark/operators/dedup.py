@@ -188,7 +188,11 @@ def verified_near_duplicates(
     shingles = shingle_sets(df, text_col, id_col, ngram)
     sigs = _sigs_from_shingles(shingles.where(F.size("sh") > 0), id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands).localCheckpoint(eager=False)
-    cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    # No .distinct() on the exploded ids: the left-semi probe below dedups
+    # its (broadcast, candidate-sized) build side for free, so the distinct
+    # was a whole extra shuffle stage for zero semantic effect (guide §2.4
+    # — remove shuffles outright; round-12 measured one fewer job).
+    cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col))
     cand_sh = shingle_sets(
         df.join(F.broadcast(cand_ids), id_col, "left_semi"), text_col, id_col, ngram
     )

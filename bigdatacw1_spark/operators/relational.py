@@ -96,6 +96,24 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, math.ceil(padded / max(max_split, 1)))
 
 
+_UNHASHABLE_TYPES = (T.MapType,)
+
+
+def _deterministic_spread_key(df: DataFrame) -> Column | None:
+    """xxhash64 over every hash-supported column — a deterministic,
+    high-cardinality synthetic partitioning key (guide §2.5: derive the
+    synthetic key deterministically; never rand()). None when no column
+    is hashable (caller falls back to round-robin)."""
+    cols = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not isinstance(f.dataType, _UNHASHABLE_TYPES)
+    ]
+    if not cols:
+        return None
+    return F.xxhash64(*cols)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Raise scan parallelism for CPU-bound row-expanding stages.
 
@@ -109,13 +127,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     The under-parallel probe estimates split count from the leaf files
     (guide §6 split-packing arithmetic) instead of ``df.rdd``, which
     would force physical planning — and under AQE eagerly EXECUTE every
-    upstream shuffle stage — per call (guide §1.2 driver work)."""
+    upstream shuffle stage — per call (guide §1.2 driver work).
+
+    The spread uses HASH partitioning on a deterministic xxhash64 of the
+    row, not keyless ``repartition(n)``: round-robin pays a local sort of
+    the ENTIRE input inside the (single, serial) upstream task before the
+    exchange (spark.sql.execution.sortBeforeRepartition, needed so task
+    retries reproduce row placement — guide §2.5), and that sort is pure
+    serial overhead exactly where fan_out is trying to escape serial
+    execution. A per-row deterministic hash key needs no such sort (a
+    retried task recomputes identical placements) and spreads as evenly —
+    xxhash64 is full-cardinality, far above the 20-100x distinct-values
+    guidance. Rows with map-typed columns (unhashable) keep round-robin."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     current = _estimated_scan_partitions(df)
     if current is None:
         current = df.rdd.getNumPartitions()
     if current < target:
+        key = _deterministic_spread_key(df)
+        if key is not None:
+            return df.repartition(target, key)
         return df.repartition(target)
     return df
 

@@ -55,6 +55,41 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_df(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "__qvec",
+    digits: int = 6,
+) -> DataFrame:
+    """``brute_force_topk`` with the query vector supplied as a ONE-ROW
+    DataFrame (column ``query_col``) instead of a driver-side list.
+
+    Why it exists (optimization guide §5 — the driver should do almost no
+    data work): materializing the query vector with ``head()`` runs an
+    extra Spark job on the driver per query build; broadcasting the
+    one-row frame and cross-joining keeps the whole computation in ONE
+    query — the broadcast build replaces the collect, and the scored scan
+    is unchanged. Numerically identical to the literal-array form: the
+    query elements are the same float→double widenings, folded in the
+    same element order.
+
+    The cosine fold is evaluated once above the fan-out exchange; null
+    scores sort last (see brute_force_topk for both rationales)."""
+    score = stable_round(
+        cosine(as_double(F.col(vec_col)), as_double(F.col(query_col))), digits
+    )
+    return (
+        fan_out(embeddings.select(id_col, vec_col))
+        .join(F.broadcast(query_df.select(query_col)))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc_nulls_last("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.35,

@@ -42,6 +42,7 @@ from bigdatacw1_spark.operators.multimodal import attach_binary_payload, extract
 from bigdatacw1_spark.operators.similarity import (
     _hyperplanes,
     brute_force_topk,
+    brute_force_topk_df,
     build_ivf_index,
     embedding_near_duplicates,
     ivf_topk,
@@ -445,10 +446,14 @@ _COSINE_ORACLE = """
 def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for a query vector (vec_id 0) — the exact
     ANN baseline. zip_with/aggregate fold JVM-side; TakeOrderedAndProject
-    keeps per-partition heaps (no global sort, no full score shuffle)."""
+    keeps per-partition heaps (no global sort, no full score shuffle).
+
+    The query vector rides as a broadcast ONE-ROW frame instead of a
+    driver ``head()`` collect (guide §5): one query, no extra Spark job
+    at DataFrame-build time, numerically identical scores."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+    qdf = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    return brute_force_topk_df(emb, qdf, k=10)
 
 
 @q(

@@ -57,7 +57,16 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan stays pure scan -> partial agg -> one exchange of 6 groups. The
     same A/B on the join/window headliners (q18/q5/ev_tumbling/ref_sql2)
     showed the injected shuffle LOSES there, so only q1 fans out."""
-    l = fan_out(_t(spark, sf_dir, "lineitem"))
+    # Project to the 7 referenced columns BEFORE the fan-out exchange
+    # (guide §2.3): the hash spread key is derived from the row, so an
+    # unprojected input would force the scan to read (and the key to
+    # hash) all 11 columns; the explicit select keeps ReadSchema at 7.
+    l = fan_out(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        )
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -662,26 +671,35 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: semi-join against an aggregated subquery (the IN-subquery
-    becomes a left-semi join) + re-aggregation + top-k."""
+    """TPC-H Q18: the IN-against-aggregated-subquery, computed in ONE pass
+    over lineitem (optimization guide §1.2: don't compute things you throw
+    away). The naive form — semi-join orders against the HAVING subquery,
+    re-join lineitem, re-aggregate per order — scans and aggregates
+    lineitem TWICE to produce the same per-order quantity sum both times:
+    o_orderkey is unique in orders and c_custkey unique in customer, so
+    every final group (c_name, c_custkey, o_orderkey, o_orderdate,
+    o_totalprice) is exactly one order and its SUM(l_quantity) is exactly
+    the subquery's per-order sum. Aggregating once and joining the
+    HAVING-filtered result to orders⨝customer is row-for-row identical
+    (driver-oracle-checked) and removes one full fact scan, one shuffle
+    aggregation and one fact join — the dominant costs at 100 TB.
+    Round-12 measured (sf0.1, interleaved A/B min-of-5): 1.29 s → 0.56 s,
+    plan 2 lineitem scans → 1, 6 jobs → 4."""
     l = _t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
-        .where(F.col("q") > 120)
-        .select("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("__q"))
+        .where(F.col("__q") > 120)
     )
-    o = _t(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "big_key"),
-        F.col("o_orderkey") == F.col("big_key"),
-        "left_semi",
-    )
+    o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, o["o_orderkey"] == l["l_orderkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(exact_sum("l_quantity", scale=2).alias("total_qty"))
+        .join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            stable_round(F.col("__q").cast("double"), 2).alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
