@@ -96,7 +96,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, math.ceil(padded / max(max_split, 1)))
 
 
-_UNHASHABLE_TYPES = (T.MapType,)
+_UNHASHABLE_TYPES = (T.MapType,) + (
+    (T.VariantType,) if hasattr(T, "VariantType") else ()
+)
+
+
+def _hashable_type(dt: T.DataType) -> bool:
+    """xxhash64-supported? Maps (and variants) are rejected at analysis
+    time, including nested inside arrays/structs — recurse the tree."""
+    if isinstance(dt, _UNHASHABLE_TYPES):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
 
 
 def _deterministic_spread_key(df: DataFrame) -> Column | None:
@@ -105,9 +119,7 @@ def _deterministic_spread_key(df: DataFrame) -> Column | None:
     synthetic key deterministically; never rand()). None when no column
     is hashable (caller falls back to round-robin)."""
     cols = [
-        F.col(f.name)
-        for f in df.schema.fields
-        if not isinstance(f.dataType, _UNHASHABLE_TYPES)
+        F.col(f.name) for f in df.schema.fields if _hashable_type(f.dataType)
     ]
     if not cols:
         return None

@@ -2140,7 +2140,7 @@ def ext_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions mark boilerplate and degenerate generations for filtering."""
     from bigdatacw1_spark.operators.relational import fan_out, stable_round
 
-    d = fan_out(_t(spark, sf_dir, "documents"))
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = d.select("doc_id", F.explode(tokens("text")).alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     n_words = F.sum("c").cast("bigint")
@@ -2187,7 +2187,7 @@ def ext_crossdoc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — both scale linearly in corpus shingle count."""
     from bigdatacw1_spark.operators.relational import fan_out, stable_round
 
-    d = fan_out(_t(spark, sf_dir, "documents"))
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = d.select("doc_id", F.explode(F.array_distinct(word_ngrams(tokens("text"), 3))).alias("g"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfq"))
     return (
