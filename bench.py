@@ -222,7 +222,7 @@ def main() -> int:
         # the artifact itself.
         # (The r11 note said "PLANS diff = 4 added rows"; the committed diff
         # was 5 — the judge's bookkeeping nit, corrected here for history.)
-        "drift_note": "r12 OPTIMIZATION round: headliner plans CHANGED BY DESIGN (q18 one-pass rewrite, q1 hash fan_out, cosine broadcast query vector, lsh distinct drop -- OPTIMIZATION_r12.md + plans/r12/). Same-session evidence on a box 1.7-2.5x slower than r11's: baseline-at-r11-code 11.806; optimized clean-file totals 7.758/8.792/10.503, per-query 3-file mins sum 7.616 (-35%); r11 floor 9.202 is a DIFFERENT box -- compare within one session only",
+        "drift_note": "r12 OPTIMIZATION round: headliner plans CHANGED BY DESIGN (q18 one-pass rewrite, q1 hash fan_out, cosine broadcast query vector, lsh distinct drop -- OPTIMIZATION_r12.md + plans/r12/). Same-session evidence on a box 1.7-2.5x slower than r11's: baseline-at-r11-code 11.806; optimized file totals 7.758/8.106/8.792/10.503, per-query 4-file mins sum 7.493 (-37%); r11 floor 9.202 is a DIFFERENT box -- compare within one session only",
         "sentinel": {
             "probe": "cpython-spin-10M",
             "start_sec": sentinel_start,
