@@ -243,40 +243,52 @@ ROUND12_WINDOW: list[str] = [
 ]
 
 ROUND13_WINDOW: list[str] = [
-    # staging list for round-11+ additions (ROUND12 is full at the 45
-    # cap); the r10 verdict holds additions to ≤5/round until the staged
-    # backlog is drained.
-    # round-11 additions (5 of the ≤5 cap): exact-replay KMV sketch,
-    # corpus coverage estimators, vocabulary-growth curve, Gorilla
-    # delta-of-delta compression accounting, exact-replay Count-Min
+    # Round 13 LIVE window (optimization round 2 of 2), per the round-12
+    # verdict's items 1 and 5: (a) drain the staged backlog, (b) put a
+    # driver verdict on every query whose PLAN changed in an optimization
+    # round, (c) re-verify the operator-library consumers whose shared
+    # code paths round 13 touches.
+    #
+    # (a) the 10 staged round-11/12 additions (never driver-checked):
     "ext_kmv_ndv", "ext_good_turing", "ext_heaps_law", "ev_gorilla_dod",
     "ext_cms_replay",
-    # round-12 additions (5 of the ≤5 cap): exact-replay weighted
-    # reservoir sampling (A-Res), exact-replay KMV set algebra
-    # (pairwise Jaccard/intersection), two-sample Kolmogorov-Smirnov,
-    # delete-one jackknife ratio SE, OLS Cook's-distance influence
     "ext_weighted_reservoir", "ext_kmv_set_algebra", "wh_ks_test",
     "wh_jackknife_ratio", "wh_cooks_distance",
+    # (b) the four round-12 plan-changed queries (verdict item 1: their
+    # rewrites were builder-verified only; the driver re-checks them now):
+    "tpch_q18_large_orders", "tpch_q1_pricing_summary", "ext_cosine_topk",
+    "ext_neardup_lsh_verified",
+    # (c) round-13 optimization targets and the consumers of the shared
+    # operators (dedup/similarity/graph libraries, literal-array builders)
+    # this round touches — all previously driver-green, re-verified under
+    # the new plans:
+    "ext_ann_pq_topk", "ext_embed_neardup_lsh", "ext_dedup_method_agreement",
+    "ext_count_min", "ext_kcore",
+    "ext_incremental_admission", "ext_pair_bleu", "ext_contrastive_pairs",
+    "ext_bloom_dedup", "ext_embed_neardup",
+    "ext_winnowing_pairs", "ext_containment_pairs", "ext_tfidf_cosine_pairs",
+    "ext_corpus_funnel", "ext_hard_negatives",
+    "ext_pagerank", "ext_dedup_clusters_jump", "ext_lpa_communities",
+    "ext_bfs_reach", "ext_shortest_path",
+    "ext_link_graph_rank", "ext_ann_lsh_topk", "ext_ann_multiprobe",
+    "ext_ann_ivf_topk", "ext_ann_pq_verified",
+    "ext_ann_ivf_verified", "ext_semantic_dedup_verified", "ext_knn_graph",
+    "ext_minhash_lsh_pairs", "ext_coreset_kcenter",
+    "ext_kmeans_verified",
 ]
 
-# Round 12 live window (swapped in as the first commit of round 12, per the
-# round-11 verdict's item 1). The 45 ROUND12 entries are doubly
-# pre-verified at driver conditions: at round-11 end the FULL 504-entry
-# registry was green under the DTYPE-STRICT comparer at the driver's
-# sf0.01 (504/504, single sweep at final HEAD) and at sf0.001 inside the
-# committed full suite (1410 passed / 2 skipped), AND the round-11 judge
-# independently re-ran that same full 504/504 strict sweep in its own
-# session — so every entry in this window carries a judge verdict before
-# its driver rotation. Notables in this window: the
-# technical-analysis/drift series ops (ev_bollinger_bands, ev_macd,
-# ev_page_hinkley), the classical-stats tail (wh_spearman_corr,
-# wh_kruskal_wallis, wh_two_way_anova), the codec batch (ext_mm_qoi,
-# ext_mm_adpcm, ext_protobuf_roundtrip), and the five round-10 additions
-# (ev_mann_kendall, ev_garch_vol, wh_cmh_test, ext_rle_bitpack,
-# ext_cdc_chunking). Round-12 additions stay capped at ≤5 and are staged
-# in ROUND13_WINDOW (5/45 used at round-12 start); after this round the
-# backlog is ROUND13 only (5 + round-12 additions), drained by round 13.
-_DRIVER_WINDOW = _ANCHORS + ROUND12_WINDOW
+# Round 13 live window (swapped in as the first commit of round 13, per
+# the round-12 verdict's item 1). Composition documented on
+# ROUND13_WINDOW above: the 10 staged round-11/12 additions (pre-verified
+# by the round-12 509/509 dtype-strict sf0.01 sweep and the committed
+# sf0.001 full suite), the four round-12 plan-changed queries, and 31
+# consumers of the operator paths round 13's optimizations touch — all
+# 35 of those carry prior driver verdicts (CORRECTNESS_r01-r12) and are
+# re-verified here under the changed plans. After this round the staged
+# backlog is EMPTY: every registry entry has a driver verdict in some
+# CORRECTNESS_r*.json (asserted by tests/test_parity.py's coverage
+# check).
+_DRIVER_WINDOW = _ANCHORS + ROUND13_WINDOW
 
 
 def _rotate_registry() -> None:

@@ -68,17 +68,20 @@ def test_driver_window_and_staged_rotations():
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
 
-    # ROUND12 is the LIVE window this round (the technical-analysis /
-    # drift series ops, the classical-stats tail, the QOI/ADPCM/protobuf
-    # codec batch, and the five round-10 additions ride it); ROUND13
-    # remains staged (ROUND7-11 were driver-checked → covered via
-    # CORRECTNESS_r07-r11).
-    assert _DRIVER_WINDOW == _ANCHORS + ROUND12_WINDOW
-    assert "ev_mann_kendall" in ROUND12_WINDOW, "round-10 additions must ride this window"
-    staged = list(ROUND13_WINDOW)
+    # ROUND13 is the LIVE window this round (optimization round 2): the
+    # 10 staged round-11/12 additions drain here, the four round-12
+    # plan-changed queries get their driver verdict (r12 verdict item 1),
+    # and the rest re-verifies consumers of the operator paths round 13
+    # touched. The staged backlog is now EMPTY — ROUND7-12 were
+    # driver-checked → covered via CORRECTNESS_r07-r12.
+    assert _DRIVER_WINDOW == _ANCHORS + ROUND13_WINDOW
+    assert "ext_kmv_ndv" in ROUND13_WINDOW, "staged backlog must drain this round"
+    assert "tpch_q18_large_orders" in ROUND13_WINDOW, (
+        "r12 plan-changed queries must carry a driver verdict (verdict item 1)"
+    )
+    staged: list[str] = []  # backlog drained; additions stopped at round 12
     for w in (ROUND7_WINDOW, ROUND8_WINDOW, ROUND9_WINDOW, ROUND10_WINDOW, ROUND11_WINDOW, ROUND12_WINDOW, ROUND13_WINDOW):
         assert len(w) <= 45, "staged window exceeds the driver's 45-entry cap"
-    assert len(staged) == len(set(staged)), "duplicate in staged windows"
     for name in staged:
         assert name in REGISTRY, name
         assert name not in _DRIVER_WINDOW, f"{name} staged but already live"
