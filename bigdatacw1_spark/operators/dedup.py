@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.functions.text import normalized_fingerprint, tokens, word_ngrams
-from bigdatacw1_spark.operators.relational import fan_out, stable_round
+from bigdatacw1_spark.operators.relational import fan_out, int_lit_array, stable_round
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -800,7 +800,9 @@ def bloom_might_contain(
     corpus."""
     m_bits = len(bloom) * 64
     c = F.col(key) if isinstance(key, str) else key
-    arr = F.array(*[F.lit(int(w)) for w in bloom])
+    # One-leaf literal (relational.int_lit_array): the dense word array
+    # folds to a single array Literal instead of a 1024-child CreateArray.
+    arr = int_lit_array(bloom)
     cond = F.lit(True)
     for i in range(k):
         pos = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)).cast("long")
@@ -918,7 +920,11 @@ def cm_estimate(key: Column | str, table: list[list[int]], hash_expr=None) -> Co
         hash_expr = lambda col, j: F.pmod(  # noqa: E731
             F.xxhash64(col, F.lit(1000 + j)), F.lit(width)
         ).cast("int")
-    flat = F.array(*[F.lit(int(v)) for row in table for v in row])
+    # depth*width counters as ONE literal leaf: at the 4x4096 default this
+    # was a 16,384-child CreateArray costing ~10 s of driver-side build and
+    # analysis time per query build (guide §1.2); int_lit_array keeps the
+    # executed literal (and its element width) identical.
+    flat = int_lit_array([v for row in table for v in row])
     ests = []
     for j in range(depth):
         pos = hash_expr(c, j).cast("int")

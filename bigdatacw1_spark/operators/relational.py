@@ -50,6 +50,51 @@ def quantize_big(value: Column) -> Column:
     return (t - t % F.lit(1.0)).cast("decimal(38,0)")
 
 
+def lit_array(values: Sequence, element_type: str) -> Column:
+    """Literal array as ONE plan leaf instead of an N-child CreateArray.
+
+    ``F.array(*[F.lit(v) for v in values])`` costs one py4j round trip
+    per element at DataFrame-build time and hands Catalyst an N-child
+    expression to walk on every analysis/optimization pass — measured
+    ~10 s of pure driver time for the 16,384-counter Count-Min lookup
+    table (guide §1.2: driver-side build work is paid on every run).
+    Encoding the values as a single comma-joined string literal and
+    ``split().cast()``-ing it keeps the build at ONE py4j call and the
+    plan at three foldable nodes, which Catalyst constant-folds into a
+    single array Literal before physical planning — the executed plan
+    carries the identical literal array either way.
+
+    Exactness: integers round-trip through decimal text losslessly (an
+    out-of-range value fails the ANSI cast loudly); doubles are
+    ``repr()``'d — Python's shortest-round-trip decimal form — and
+    Java's correctly-rounded ``Double.parseDouble`` returns the
+    identical bits (pinned in tests). Non-finite doubles are rejected
+    (their text forms differ between Python and Java).
+    """
+    vals = list(values)
+    if element_type not in {"int", "bigint", "double", "float"}:
+        raise ValueError(f"lit_array: unsupported element type {element_type!r}")
+    if not vals:
+        return F.array().cast(f"array<{element_type}>")
+    if element_type in {"double", "float"}:
+        floats = [float(v) for v in vals]
+        if not all(math.isfinite(v) for v in floats):
+            raise ValueError("lit_array: non-finite double cannot round-trip as text")
+        body = ",".join(repr(v) for v in floats)
+    else:
+        body = ",".join(str(int(v)) for v in vals)
+    return F.split(F.lit(body), ",").cast(f"array<{element_type}>")
+
+
+def int_lit_array(values: Sequence) -> Column:
+    """``lit_array`` with the element width ``F.lit`` would have picked:
+    array<int> when every value fits in 32 bits, array<bigint> otherwise
+    — so converted call sites keep byte-identical output schemas."""
+    vals = [int(v) for v in values]
+    wide = any(not (-(1 << 31) <= v < (1 << 31)) for v in vals)
+    return lit_array(vals, "bigint" if wide else "int")
+
+
 def _size_conf_bytes(df: DataFrame, key: str, default: int) -> int:
     raw = str(df.sparkSession.conf.get(key, str(default))).strip().lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdatacw1_spark.functions.vector import as_double, cosine, dot
-from bigdatacw1_spark.operators.relational import fan_out, stable_round
+from bigdatacw1_spark.operators.relational import fan_out, int_lit_array, lit_array, stable_round
 
 
 def brute_force_topk(
@@ -45,7 +45,7 @@ def brute_force_topk(
     NULLS LAST — so they can only surface when fewer than k valid
     vectors exist at all. TakeOrderedAndProject keeps per-partition
     (id, score) heaps; only k narrow rows ever leave a task."""
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_array(query_vec, "double")
     score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
     return (
         fan_out(embeddings.select(id_col, vec_col))
@@ -184,7 +184,7 @@ def sign_lsh_bucket(vec_col, planes: list[list[float]]):
     v = as_double(vec_col)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        plit = F.array(*[F.lit(float(x)) for x in plane])
+        plit = lit_array(plane, "double")
         bit = F.when(dot(v, plit) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
         )
@@ -240,7 +240,7 @@ def ivf_topk(
         key=lambda i: sum((q - c) ** 2 for q, c in zip(query_vec, centroids[i])),
     )
     probe = order[:n_probe]
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_array(query_vec, "double")
     score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
     return (
         assigned.where(F.col("__cluster").isin(probe))
@@ -285,7 +285,7 @@ def lsh_topk(
         F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     ).where(F.col("bucket").isin(*sorted(probe)))
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_array(query_vec, "double")
     score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
     return (
         bucketed.select(F.col(id_col), score.alias("score"), "bucket")
@@ -437,7 +437,7 @@ def pq_topk(
     adc = None
     for j, lut in enumerate(luts):
         term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut]),
+            lit_array(lut, "double"),
             F.element_at(F.col("pq_code"), j + 1) + 1,
         )
         adc = term if adc is None else adc + term
@@ -448,7 +448,7 @@ def pq_topk(
     )
     if embeddings is None:
         return cand
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_array(query_vec, "double")
     score = stable_round(cosine(as_double(F.col(vec_col)), qlit), digits)
     return (
         embeddings.join(F.broadcast(cand.select(id_col)), id_col)
@@ -539,7 +539,7 @@ def kmeans_quantized(
                     F.aggregate(
                         F.zip_with(
                             "xq",
-                            F.array(*[F.lit(int(c)) for c in cent]),
+                            int_lit_array(cent),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0).cast("long"),
@@ -776,7 +776,7 @@ def kcenter_select(
     """
 
     def _d2_to(lit_vec: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        arr = lit_array(lit_vec, "double")
         return F.aggregate(
             F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

@@ -5471,7 +5471,7 @@ def ext_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (the mean divides two exact integers and rounds with the
     floor pattern). One broadcast-literal distance pass + one hash
     aggregate."""
-    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.relational import int_lit_array, stable_round
     from bigdatacw1_spark.operators.similarity import kmeans_quantized
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5484,7 +5484,7 @@ def ext_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = F.aggregate(
             F.zip_with(
                 "xq",
-                F.array(*[F.lit(int(c)) for c in cent]),
+                int_lit_array(cent),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0).cast("long"),
