@@ -107,17 +107,38 @@ def embedding_near_duplicates(
     100 TB path — there the bucket id is computed in one narrow pass and
     the join is keyed by it, so work is Σ bucket², and recall is tunable
     by probing neighboring buckets (multi-probe LSH).
-    """
+
+    Each vector's norm is computed ONCE, after the fan-out exchange and
+    before the self-join (round 13, guide §1.2): the inlined cosine()
+    re-derived BOTH norms inside every pair's score, so a block of k
+    vectors paid 3·k(k-1)/2 array folds where k + k(k-1)/2 suffice —
+    measured ~2× on the all-pairs ground-truth entries. The per-pair
+    expression is the same arithmetic on the same doubles (sqrt of the
+    identical dot fold, same (na*nb) product order), so every score is
+    bit-identical; the join ships one extra double per row, not the
+    widened double vector (§2.3 — the float vector stays the exchange
+    payload)."""
     blk = F.col(block) if isinstance(block, str) else block
-    base = fan_out(embeddings.select(id_col, vec_col, blk.alias("__blk")))
-    left = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__blk")
+    base = fan_out(embeddings.select(id_col, vec_col, blk.alias("__blk"))).withColumn(
+        "__n", F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col))))
+    )
+    left = base.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("__n").alias("__na"), "__blk"
+    )
     right = base.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("__blk").alias("__blk_r")
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__blk").alias("__blk_r"),
     )
     paired = left.join(
         right, (left["__blk"] == right["__blk_r"]) & (left["a"] < right["b"])
     )
-    score = stable_round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), digits)
+    raw = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(as_double(F.col("va")), as_double(F.col("vb"))) / (F.col("__na") * F.col("__nb")),
+    )
+    score = stable_round(raw, digits)
     return (
         paired.select("a", "b", score.alias("score"))
         .where(F.col("score") >= threshold)
@@ -325,15 +346,29 @@ def knn_graph(
         base = base.withColumn("__blk", blk)
     else:
         base = base.withColumn("__blk", F.lit(0))
-    base = fan_out(base)
-    left = base.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"), "__blk")
+    # per-vector norm computed once after the fan-out exchange, not per
+    # pair inside cosine() — same arithmetic, bit-identical scores (see
+    # embedding_near_duplicates).
+    base = fan_out(base).withColumn(
+        "__n", F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col))))
+    )
+    left = base.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("va"), F.col("__n").alias("__na"), "__blk"
+    )
     right = base.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"), F.col("__blk").alias("__blk_r")
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__blk").alias("__blk_r"),
     )
     paired = left.join(
         right, (left["__blk"] == right["__blk_r"]) & (left["src"] != right["dst"])
     )
-    score = stable_round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), digits)
+    raw = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(as_double(F.col("va")), as_double(F.col("vb"))) / (F.col("__na") * F.col("__nb")),
+    )
+    score = stable_round(raw, digits)
     scored = paired.select("src", "dst", score.alias("score")).where(
         F.col("score").isNotNull()
     )
@@ -383,16 +418,30 @@ def build_pq_index(
     # Materialize the sliced training frame ONCE: every subspace fit reads
     # the same checkpointed base instead of re-deriving normalize+slice
     # (and all previous fits' transforms) per KMeans iteration — the fits
-    # see byte-identical inputs, so the codebooks are unchanged.
-    df = df.localCheckpoint(eager=False)
-    codebooks: list[list[list[float]]] = []
-    models = []
-    for j in range(m):
-        model = KMeans(
+    # see byte-identical inputs, so the codebooks are unchanged. EAGER so
+    # the materialization happens exactly once before the concurrent fits
+    # below race to be the first consumer.
+    df = df.localCheckpoint(eager=True)
+
+    # The m subspace fits are INDEPENDENT jobs over the same checkpointed
+    # input; running them from a thread pool lets each fit's small stages
+    # back-fill the cores the others leave idle (guide §2.6 — overlap
+    # independent jobs; an iterative k-means on a small frame is mostly
+    # per-job scheduling latency). Each fit is seeded and reads an
+    # identical input, so the codebooks are byte-identical regardless of
+    # scheduling order — only wall-clock changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(j: int):
+        return KMeans(
             k=2**nbits, seed=seed + j, featuresCol=f"__s{j}", predictionCol=f"__c{j}"
         ).fit(df)
-        models.append(model)
-        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        models = list(pool.map(_fit, range(m)))
+    codebooks: list[list[list[float]]] = [
+        [list(map(float, c)) for c in model.clusterCenters()] for model in models
+    ]
     for model in models:
         df = model.transform(df)
     codes = df.select(
@@ -467,31 +516,76 @@ def embedding_near_duplicates_multiband(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    digits: int = 6,
 ) -> DataFrame:
     """Multi-TABLE sign-LSH near-dup pairs (the E2LSH amplification
     design): ``n_bands`` independent hyperplane sets each bucket the
     corpus; a pair is a candidate if it collides in ANY band, and every
-    candidate is exactly rescored inside its bucket. One band of k
-    planes catches a pair at angle θ with probability p^k (p = 1−θ/π),
-    hopeless for moderate thresholds — cosine 0.35 → p≈0.61, p⁴≈0.14;
-    L bands lift recall to 1−(1−p^k)^L ≈ 0.9 at L=16 while each band
-    stays a LINEAR bucketing pass + bucket-keyed self-join. This is the
-    standard recall dial for LSH over embeddings: scan cost grows L×,
-    never quadratically. Output (a, b, score), deduplicated across
-    bands."""
+    candidate is exactly rescored. One band of k planes catches a pair
+    at angle θ with probability p^k (p = 1−θ/π), hopeless for moderate
+    thresholds — cosine 0.35 → p≈0.61, p⁴≈0.14; L bands lift recall to
+    1−(1−p^k)^L ≈ 0.9 at L=16 while the bucketing stays LINEAR in the
+    corpus. Output (a, b, score), deduplicated across bands.
+
+    Plan shape (round 13, guide §1.2/§2.3): ONE pass computes all
+    ``n_bands`` bucket ids per row (the hyperplane dot products are one
+    fused projection), posexplodes to narrow (id, band, bucket) rows,
+    and self-joins on (band, bucket) — where the previous shape ran the
+    WHOLE scan + fan-out exchange + vector-carrying self-join once PER
+    BAND and unioned 16 band outputs (a ~300 KB physical plan). The
+    candidate join now carries two longs per row instead of the
+    embedding vector (§2.3 — shuffle keys, not payloads); vectors are
+    attached to the deduplicated candidate pairs afterwards by two
+    broadcast joins against the (candidate-pruned) corpus, and each
+    surviving pair is scored ONCE instead of once per colliding band.
+    The pair set and every score are identical: any-band collision is
+    exactly what the unioned per-band joins produced, and the cosine
+    fold is the same expression either way."""
     dim = len(embeddings.select(vec_col).head()[0])
-    out: DataFrame | None = None
-    for band in range(n_bands):
-        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * band)
-        pairs = embedding_near_duplicates(
-            embeddings,
-            threshold=threshold,
-            id_col=id_col,
-            vec_col=vec_col,
-            block=sign_lsh_bucket(F.col(vec_col), planes),
+    base = fan_out(embeddings.select(id_col, vec_col))
+    band_ids = F.array(
+        *[
+            sign_lsh_bucket(
+                F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed + 1000 * band)
+            )
+            for band in range(n_bands)
+        ]
+    )
+    bucketed = base.select(
+        F.col(id_col), F.posexplode(band_ids).alias("band", "bkt")
+    )
+    left = bucketed.select("band", "bkt", F.col(id_col).alias("a"))
+    right = bucketed.select(
+        F.col("band").alias("band_r"),
+        F.col("bkt").alias("bkt_r"),
+        F.col(id_col).alias("b"),
+    )
+    cands = (
+        left.join(
+            right,
+            (left["band"] == right["band_r"])
+            & (left["bkt"] == right["bkt_r"])
+            & (left["a"] < right["b"]),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.dropDuplicates(["a", "b"])
+        .select("a", "b")
+        .dropDuplicates()
+        # the candidate set is small by LSH construction; truncate its
+        # lineage once so the two vector-attachment joins below do not
+        # each re-run the banding self-join (the verified_near_duplicates
+        # checkpoint discipline).
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col))
+    cand_vecs = embeddings.select(id_col, vec_col).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    a_side = cand_vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b_side = cand_vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    paired = F.broadcast(cands).join(a_side, "a").join(b_side, "b")
+    score = stable_round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), digits)
+    return paired.select("a", "b", score.alias("score")).where(
+        F.col("score") >= threshold
+    )
 
 
 def kmeans_quantized(

@@ -79,3 +79,120 @@ def test_cm_estimate_unchanged_by_literal_form(spark):
     # only 7 keys in 64 counters there are no collisions: estimates exact.
     expect = {k: (100 // 7 + (1 if k < 100 % 7 else 0)) for k in range(7)}
     assert got == expect
+
+
+def _tiny_embeddings(spark, n=40, dim=8):
+    import hashlib, struct as _s
+    rows = []
+    for i in range(n):
+        vec = []
+        for d in range(dim):
+            h = hashlib.sha256(f"v:{i % 10}:{d}".encode()).digest()
+            (u,) = _s.unpack("<Q", h[:8])
+            vec.append((u / 2**64) * 2.0 - 1.0 + (i // 10) * 1e-3)
+        rows.append((i, [float(x) for x in vec], i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_neardup_score_matches_inline_cosine(spark):
+    # the precomputed-norm score must be bit-identical to the inlined
+    # cosine() formulation it replaced.
+    from bigdatacw1_spark.functions.vector import as_double, cosine
+    from bigdatacw1_spark.operators.relational import stable_round
+    from bigdatacw1_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _tiny_embeddings(spark)
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in embedding_near_duplicates(emb, threshold=0.1).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                   F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                   F.col("label").alias("lb"))
+    ref_score = stable_round(cosine(as_double(F.col("va")), as_double(F.col("vb"))), 6)
+    ref = {
+        (r["a"], r["b"]): r["score"]
+        for r in a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+        .select("a", "b", ref_score.alias("score"))
+        .where(F.col("score") >= 0.1)
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+    assert all(_bits(v) == _bits(ref[k]) for k, v in got.items())
+
+
+def test_multiband_single_pass_matches_per_band_union(spark):
+    # one-pass (band, bucket) explode must produce exactly the pair set
+    # and scores of the original union-of-16-band-joins formulation.
+    from bigdatacw1_spark.operators.similarity import (
+        _hyperplanes,
+        embedding_near_duplicates,
+        embedding_near_duplicates_multiband,
+        sign_lsh_bucket,
+    )
+
+    emb = _tiny_embeddings(spark)
+    new = sorted(
+        (r["a"], r["b"], r["score"])
+        for r in embedding_near_duplicates_multiband(
+            emb, threshold=0.2, n_planes=3, n_bands=5
+        ).collect()
+    )
+    out = None
+    for band in range(5):
+        planes = _hyperplanes(8, 3, seed=7 + 1000 * band)
+        pairs = embedding_near_duplicates(
+            emb, threshold=0.2, block=sign_lsh_bucket(F.col("embedding"), planes)
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    old = sorted(
+        (r["a"], r["b"], r["score"])
+        for r in out.dropDuplicates(["a", "b"]).collect()
+    )
+    assert new == old and len(new) > 0
+
+
+def test_multiband_plan_has_no_per_band_union(spark):
+    from bigdatacw1_spark.operators.similarity import (
+        embedding_near_duplicates_multiband,
+    )
+
+    emb = _tiny_embeddings(spark)
+    df = embedding_near_duplicates_multiband(emb, n_planes=3, n_bands=5)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in optimized  # the old shape unioned one join per band
+
+
+def test_pq_concurrent_fits_match_sequential(spark):
+    # thread-pooled subspace fits must reproduce the sequential loop's
+    # codebooks exactly (seeded k-means over an identical checkpointed
+    # input is scheduling-order-free).
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from bigdatacw1_spark.functions.vector import as_double, dot
+    from bigdatacw1_spark.operators.relational import fan_out
+    from bigdatacw1_spark.operators.similarity import build_pq_index
+
+    emb = _tiny_embeddings(spark)
+    m, nbits, seed = 4, 2, 7
+    codes, cbs = build_pq_index(emb, m=m, nbits=nbits, seed=seed)
+
+    # sequential reference (the pre-round-13 loop)
+    v = as_double(F.col("embedding"))
+    norm_ = F.sqrt(dot(v, v))
+    unit = F.transform(v, lambda x: x / norm_)
+    df = fan_out(emb.select("vec_id", "embedding")).withColumn("__u", unit)
+    sub = 8 // m
+    for j in range(m):
+        df = df.withColumn(f"__s{j}", array_to_vector(F.slice(F.col("__u"), j * sub + 1, sub)))
+    df = df.localCheckpoint(eager=False)
+    ref = []
+    for j in range(m):
+        model = KMeans(
+            k=2**nbits, seed=seed + j, featuresCol=f"__s{j}", predictionCol=f"__c{j}"
+        ).fit(df)
+        ref.append([list(map(float, c)) for c in model.clusterCenters()])
+    assert cbs == ref
