@@ -139,6 +139,16 @@ def lsh_candidate_pairs(
     work is Σ bucket² — never a global cross join.
 
     Output: (a, b) with a < b, distinct."""
+    # Materialize the signatures ONCE before the self-join (round 13,
+    # guide §5 / r12 verdict item 7): at bench scale the planner picks a
+    # BroadcastHashJoin whose build side would otherwise RE-COMPUTE the
+    # whole shingle+minhash pipeline that produced ``signatures`` — the
+    # lazy localCheckpoint lets whichever side runs first store the
+    # computed partitions and the other side read them back, so the
+    # banding subtree executes once. band_rows itself (a posexplode of K
+    # longs) is re-derived per side, which is the cheap part. Same
+    # discipline simhash_pairs already applies to its signature frame.
+    signatures = signatures.localCheckpoint(eager=False)
     banded = band_rows(signatures, id_col, bands)
     left = banded.select("band_idx", "band_hash", F.col(id_col).alias("a"))
     right = banded.select(

@@ -196,3 +196,39 @@ def test_pq_concurrent_fits_match_sequential(spark):
         ).fit(df)
         ref.append([list(map(float, c)) for c in model.clusterCenters()])
     assert cbs == ref
+
+
+def test_pagerank_cadence_identical(spark):
+    # lineage-truncation cadence is a plan-shape knob only: any
+    # ckpt_every yields bitwise-identical fixed-point ranks.
+    from bigdatacw1_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    r1 = sorted(pagerank(edges, iterations=6, ckpt_every=1).collect())
+    r5 = sorted(pagerank(edges, iterations=6, ckpt_every=5).collect())
+    assert r1 == r5 and len(r1) == 5
+
+
+def test_kcore_stable_flag_semantics_preserved(spark):
+    # only the last two rounds' counts are observable; the stable flag
+    # must still report whether the final round removed anything.
+    from bigdatacw1_spark.operators.graph import kcore_membership
+
+    # triangle + a pendant chain: 2-core = the triangle, reached in one
+    # round -> later rounds remove nothing -> stable True.
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    out = kcore_membership(tri, k=2, rounds=4).collect()
+    assert sorted(r["node"] for r in out) == [1, 2, 3]
+    assert all(r["stable"] for r in out)
+
+    # a long chain peels one layer per round: round 4 still removes
+    # nodes -> stable False (the fixed budget did not reach the core).
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    out2 = kcore_membership(chain, k=2, rounds=4).collect()
+    assert out2 and not any(r["stable"] for r in out2)
