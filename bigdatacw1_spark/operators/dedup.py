@@ -50,11 +50,28 @@ def _seeded_hash(shingle: Column, seed: int) -> Column:
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, sh: array<string>) of DISTINCT word n-gram shingles per doc.
     Fanned out (projected to id+text) so the CPU-bound shingling uses
-    every core even when the input is one small file."""
+    every core even when the input is one small file.
+
+    ``tokens_col`` (round 13, guide §5): when the caller already holds a
+    tokenized — typically fan-out-spread and checkpointed — frame, name
+    its token-array column and the tokenize pass (and the fan_out) is
+    skipped; the shingles are the same ``word_ngrams`` over the same
+    token arrays, so results are identical. This is how the
+    method-agreement audit shares ONE tokenization across its four
+    pair pipelines instead of re-scanning and re-tokenizing per method."""
+    if tokens_col is not None:
+        return df.select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams(F.col(tokens_col), ngram)).alias("sh"),
+        )
     return fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(tokens(text_col), ngram)).alias("sh"),
@@ -684,6 +701,7 @@ def jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.05,
     max_shingle_df: int | None = 1000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Word-n-gram Jaccard similarity for document pairs within a blocking
     bucket (e.g. same source), via a sparse inverted-index join:
@@ -715,11 +733,15 @@ def jaccard_pairs(
     Output: (a, b, jaccard) for pairs ≥ threshold, a < b."""
     from pyspark.sql import Window
 
-    df = fan_out(df.select(id_col, bucket_col, text_col))
+    if tokens_col is not None:  # pre-tokenized, pre-spread input (see shingle_sets)
+        grams = word_ngrams(F.col(tokens_col), ngram)
+    else:
+        df = fan_out(df.select(id_col, bucket_col, text_col))
+        grams = word_ngrams(tokens(text_col), ngram)
     shingled = df.select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),
-        F.explode(F.array_distinct(word_ngrams(tokens(text_col), ngram))).alias("shingle"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
     if max_shingle_df is not None:
         w_df = Window.partitionBy("bucket", "shingle")
@@ -965,6 +987,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     ngram: int = 3,
     window: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash the
@@ -986,11 +1009,15 @@ def winnowing_fingerprints(
 
     Output: (id, fps array<long> DISTINCT selected hashes, n_fps).
     """
-    grams = word_ngrams(tokens(text_col), ngram)
+    if tokens_col is not None:  # pre-tokenized, pre-spread input (see shingle_sets)
+        grams = word_ngrams(F.col(tokens_col), ngram)
+    else:
+        grams = word_ngrams(tokens(text_col), ngram)
     hs = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
     )
-    base = fan_out(df.select(id_col, text_col)).select(
+    spread = df if tokens_col is not None else fan_out(df.select(id_col, text_col))
+    base = spread.select(
         F.col(id_col), hs.alias("__hs")
     ).where(F.size("__hs") > 0)
     n_win = F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
@@ -1015,6 +1042,7 @@ def winnowing_pairs(
     window: int = 4,
     min_shared: int = 2,
     df_cap: int = 50,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Cross-document copy detection over winnowing fingerprints: pairs
     of documents sharing >= ``min_shared`` selected fingerprints — the
@@ -1030,7 +1058,7 @@ def winnowing_pairs(
     """
     from pyspark.sql import Window
 
-    fps = winnowing_fingerprints(df, text_col, id_col, ngram, window)
+    fps = winnowing_fingerprints(df, text_col, id_col, ngram, window, tokens_col)
     ex = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     ex = (
         ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
@@ -1123,6 +1151,7 @@ def containment_pairs(
     ngram: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int = 1000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle CONTAINMENT — the signal
     Jaccard structurally misses: a short document quoted whole inside a
@@ -1141,10 +1170,13 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    base = fan_out(df.select(id_col, text_col))
+    if tokens_col is not None:  # pre-tokenized, pre-spread input (see shingle_sets)
+        base, grams = df, word_ngrams(F.col(tokens_col), ngram)
+    else:
+        base, grams = fan_out(df.select(id_col, text_col)), word_ngrams(tokens(text_col), ngram)
     shingled = base.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(tokens(text_col), ngram))).alias("shingle"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
     w_df = Window.partitionBy("shingle")
     shingled = (
@@ -1184,6 +1216,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_term_df: int = 1000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """WEIGHTED lexical near-dup pairs: TF-IDF cosine similarity through
     the term inverted index — the third lexical similarity modality
@@ -1205,9 +1238,12 @@ def tfidf_cosine_pairs(
     """
     from pyspark.sql import Window
 
-    base = fan_out(df.select(id_col, text_col))
+    if tokens_col is not None:  # pre-tokenized, pre-spread input (see shingle_sets)
+        base, toks = df, F.col(tokens_col)
+    else:
+        base, toks = fan_out(df.select(id_col, text_col)), tokens(text_col)
     tf = (
-        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        base.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -330,17 +330,19 @@ _EXACT_PAIRS_05 = """
 """
 
 
-def _exact_pairs_05_spark(docs: DataFrame) -> DataFrame:
+def _exact_pairs_05_spark(docs: DataFrame, tokens_col: str | None = None) -> DataFrame:
     """All-pairs exact-Jaccard ≥ 0.5 pairs (a, b) — the ground truth the
     LSH invariant entries compare against. Computed via the inverted-index
     join with the whole corpus as one bucket and no df cap: exactly
     equivalent to all-pairs for any threshold > 0 (pairs sharing zero
-    shingles cannot reach it)."""
+    shingles cannot reach it). ``tokens_col`` forwards a pre-tokenized
+    frame (operators/dedup.shingle_sets rationale)."""
     return jaccard_pairs(
         docs.withColumn("__all", F.lit(1)),
         bucket_col="__all",
         threshold=0.5,
         max_shingle_df=None,
+        tokens_col=tokens_col,
     ).select("a", "b")
 
 
@@ -8541,15 +8543,39 @@ def ext_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree, and where do they diverge" that picks the operating point
     before a corpus-wide dedup run. Composes the SAME operators the
     standalone entries verify; every pair set and every count is
-    replayed by the oracle."""
+    replayed by the oracle.
+
+    Round-13 shape (r12 verdict item 4, guide §5/§2.6): the four pair
+    pipelines all start from the same tokenization of the same corpus,
+    so ONE fan-out-spread, localCheckpoint'd (doc_id, tokens) base is
+    computed once and shared via the operators' ``tokens_col`` hook —
+    previously each method re-scanned and re-tokenized the corpus. The
+    three method rows are then evaluated from a small thread pool: the
+    six counting actions are independent jobs, and overlapping them
+    lets one method's tail back-fill the cores another leaves idle.
+    Each method's pair set and every count are unchanged — the same
+    operators over the same token arrays."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bigdatacw1_spark.functions.text import tokens
     from bigdatacw1_spark.operators.dedup import (
         containment_pairs,
         tfidf_cosine_pairs,
         winnowing_pairs,
     )
+    from bigdatacw1_spark.operators.relational import fan_out
 
     docs = _t(spark, sf_dir, "documents")
-    ref = _exact_pairs_05_spark(docs).select("a", "b").localCheckpoint(eager=False)
+    toks = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("__tk"))
+        .localCheckpoint(eager=False)
+    )
+    ref = (
+        _exact_pairs_05_spark(toks, tokens_col="__tk")
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
     n_ref = ref.count()
 
     def row(method: str, pairs: DataFrame) -> DataFrame:
@@ -8573,11 +8599,16 @@ def ext_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pairset_jaccard double",
         )
 
-    out = (
-        row("containment", containment_pairs(docs, threshold=0.8))
-        .unionAll(row("tfidf_cosine", tfidf_cosine_pairs(docs, threshold=0.5)))
-        .unionAll(row("winnowing", winnowing_pairs(docs, min_shared=2)))
-    )
+    methods = [
+        ("containment", containment_pairs(toks, threshold=0.8, tokens_col="__tk")),
+        ("tfidf_cosine", tfidf_cosine_pairs(toks, threshold=0.5, tokens_col="__tk")),
+        ("winnowing", winnowing_pairs(toks, min_shared=2, tokens_col="__tk")),
+    ]
+    # toks is already materialized (ref.count() above), so the threads
+    # only race on their own independent jobs.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = list(pool.map(lambda m: row(*m), methods))
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
     return out.orderBy("method")
 
 

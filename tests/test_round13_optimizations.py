@@ -232,3 +232,51 @@ def test_kcore_stable_flag_semantics_preserved(spark):
     )
     out2 = kcore_membership(chain, k=2, rounds=4).collect()
     assert out2 and not any(r["stable"] for r in out2)
+
+
+def test_tokens_col_paths_match_text_paths(spark):
+    # the pre-tokenized (tokens_col) fast path of every lexical pair
+    # operator must reproduce the text path exactly.
+    from bigdatacw1_spark.functions.text import tokens
+    from bigdatacw1_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_sets,
+        tfidf_cosine_pairs,
+        winnowing_pairs,
+    )
+    from bigdatacw1_spark.operators.relational import fan_out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "completely different content with no overlap at all here",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)], "doc_id long, text string, source string"
+    )
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("__tk")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(shingle_sets(toks, tokens_col="__tk")) == rows(shingle_sets(docs))
+    assert rows(
+        containment_pairs(toks, threshold=0.3, tokens_col="__tk")
+    ) == rows(containment_pairs(docs, threshold=0.3))
+    assert rows(
+        tfidf_cosine_pairs(toks, threshold=0.3, tokens_col="__tk")
+    ) == rows(tfidf_cosine_pairs(docs, threshold=0.3))
+    assert rows(
+        winnowing_pairs(toks, min_shared=1, tokens_col="__tk")
+    ) == rows(winnowing_pairs(docs, min_shared=1))
+    jt = toks.withColumn("__all", F.lit(1))
+    jd = docs.withColumn("__all", F.lit(1))
+    assert rows(
+        jaccard_pairs(jt, bucket_col="__all", threshold=0.2, max_shingle_df=None, tokens_col="__tk")
+    ) == rows(jaccard_pairs(jd, bucket_col="__all", threshold=0.2, max_shingle_df=None))
