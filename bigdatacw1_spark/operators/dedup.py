@@ -215,10 +215,17 @@ def verified_near_duplicates(
     shingles = shingle_sets(df, text_col, id_col, ngram)
     sigs = _sigs_from_shingles(shingles.where(F.size("sh") > 0), id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands).localCheckpoint(eager=False)
-    # No .distinct() on the exploded ids: the left-semi probe below dedups
-    # its (broadcast, candidate-sized) build side for free, so the distinct
-    # was a whole extra shuffle stage for zero semantic effect (guide §2.4
-    # — remove shuffles outright; round-12 measured one fewer job).
+    # No .distinct() on the exploded ids: the left-semi probe makes the
+    # duplicate ids semantically harmless (a semi join emits each probe
+    # row at most once however many build rows match), so the distinct
+    # was a whole extra shuffle stage for zero semantic effect (guide
+    # §2.4 — remove shuffles outright; round-12 measured one fewer job).
+    # Note the broadcast itself still SHIPS the duplicates — Spark's
+    # HashedRelation stores duplicate build rows — growing the payload
+    # from |distinct ids| to 2·|candidate pairs|; both are
+    # candidate-sized (LSH keeps candidates tiny), and `cands` is
+    # broadcast in full just below anyway, so the asymptotics are
+    # unchanged (round-13 ADVICE correction of the r12 comment).
     cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col))
     cand_sh = shingle_sets(
         df.join(F.broadcast(cand_ids), id_col, "left_semi"), text_col, id_col, ngram

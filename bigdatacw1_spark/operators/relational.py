@@ -171,7 +171,9 @@ def _deterministic_spread_key(df: DataFrame) -> Column | None:
     return F.xxhash64(*cols)
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame, min_partitions: int | None = None, spread: str = "hash"
+) -> DataFrame:
     """Raise scan parallelism for CPU-bound row-expanding stages.
 
     A small single-file parquet scan plans as ONE input partition, so a
@@ -195,14 +197,23 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     execution. A per-row deterministic hash key needs no such sort (a
     retried task recomputes identical placements) and spreads as evenly —
     xxhash64 is full-cardinality, far above the 20-100x distinct-values
-    guidance. Rows with map-typed columns (unhashable) keep round-robin."""
+    guidance. Rows with map-typed columns (unhashable) keep round-robin.
+
+    Caveat (round-13 ADVICE item): the hash key collocates IDENTICAL
+    rows, so an input with few distinct full rows (e.g. a projected
+    low-cardinality frame) hashes to few partitions and stays
+    under-parallel — exactly what fan_out exists to fix. Every current
+    caller carries a unique id column (doc_id/vec_id), which makes rows
+    distinct by construction; a caller spreading a known-low-distinct
+    keyless expansion should pass ``spread="round_robin"`` to opt back
+    into keyless ``repartition(n)`` (and pay its retry-safety sort)."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     current = _estimated_scan_partitions(df)
     if current is None:
         current = df.rdd.getNumPartitions()
     if current < target:
-        key = _deterministic_spread_key(df)
+        key = _deterministic_spread_key(df) if spread == "hash" else None
         if key is not None:
             return df.repartition(target, key)
         return df.repartition(target)

@@ -77,13 +77,19 @@ def brute_force_topk_df(
     same element order.
 
     The cosine fold is evaluated once above the fan-out exchange; null
-    scores sort last (see brute_force_topk for both rationales)."""
+    scores sort last (see brute_force_topk for both rationales).
+
+    The one-row contract is ENFORCED with ``limit(1)`` (round-13 ADVICE
+    item): a multi-row ``query_df`` would cross-join-duplicate every
+    embedding and let repeated ids reach the top-k. The limit is
+    plan-only — no job runs at build time, preserving the
+    no-extra-driver-job property this function exists for."""
     score = stable_round(
         cosine(as_double(F.col(vec_col)), as_double(F.col(query_col))), digits
     )
     return (
         fan_out(embeddings.select(id_col, vec_col))
-        .join(F.broadcast(query_df.select(query_col)))
+        .join(F.broadcast(query_df.select(query_col).limit(1)))
         .select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc_nulls_last("score"), F.asc(id_col))
         .limit(k)

@@ -280,3 +280,30 @@ def test_tokens_col_paths_match_text_paths(spark):
     assert rows(
         jaccard_pairs(jt, bucket_col="__all", threshold=0.2, max_shingle_df=None, tokens_col="__tk")
     ) == rows(jaccard_pairs(jd, bucket_col="__all", threshold=0.2, max_shingle_df=None))
+
+
+def test_brute_force_topk_df_enforces_one_row(spark):
+    # ADVICE pin: a multi-row query frame must not duplicate ids in the
+    # top-k — limit(1) enforces the one-row contract plan-side.
+    from bigdatacw1_spark.operators.similarity import brute_force_topk_df
+
+    emb = _tiny_embeddings(spark)
+    q2 = emb.select(F.col("embedding").alias("__qvec")).limit(2)
+    got = brute_force_topk_df(emb, q2, k=5).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 5
+
+
+def test_fan_out_round_robin_opt_out(spark):
+    from bigdatacw1_spark.operators.relational import fan_out
+
+    # a frame with ONE distinct row: hash spread collapses to one
+    # partition; the round_robin opt-out spreads it anyway.
+    one = spark.createDataFrame([(1,)] * 64, "k int").coalesce(1)
+    hashed = fan_out(one)
+    rr = fan_out(one, spread="round_robin")
+    hp = hashed.rdd.glom().map(len).collect()
+    rp = rr.rdd.glom().map(len).collect()
+    assert sum(hp) == sum(rp) == 64
+    assert max(hp) == 64            # hash collocates the identical rows
+    assert max(rp) < 64             # round-robin actually spreads them
