@@ -3402,14 +3402,27 @@ def ext_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force cosine for that id (reranking really did touch the raw
     vectors, not the lossy codes). The verified codebook replay lives
     in ext_ann_pq_verified."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from bigdatacw1_spark.operators.similarity import build_pq_index, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
-    codes, codebooks = build_pq_index(emb, m=8, nbits=6)
-    got = pq_topk(codes, codebooks, qvec, k=10, embeddings=emb, rerank_factor=8).collect()
+    # The exact brute-force ground truth is independent of the PQ
+    # pipeline: collect it from a second thread while the subspace fits
+    # run, so its scan back-fills idle cores (guide §2.6). The query
+    # vector's length also supplies dim, saving build_pq_index's own
+    # one-row probe job.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_fut = pool.submit(
+            lambda: {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+        )
+        codes, codebooks = build_pq_index(emb, m=8, nbits=6, dim=len(qvec))
+        got = pq_topk(
+            codes, codebooks, qvec, k=10, embeddings=emb, rerank_factor=8
+        ).collect()
+        exact_top = exact_fut.result()
     ids = {r["vec_id"] for r in got}
-    exact_top = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
     # exact cosine for exactly the returned ids (same stable_round fold)
     sub = emb.where(F.col("vec_id").isin([int(i) for i in ids]))
     exact_scores = {

@@ -167,24 +167,31 @@ def test_multiband_plan_has_no_per_band_union(spark):
 
 
 def test_pq_concurrent_fits_match_sequential(spark):
-    # thread-pooled subspace fits must reproduce the sequential loop's
+    # thread-pooled subspace fits must reproduce a sequential loop's
     # codebooks exactly (seeded k-means over an identical checkpointed
-    # input is scheduling-order-free).
+    # input is scheduling-order-free), and two builds must agree (the
+    # fixed training layout makes the index machine-independent).
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from bigdatacw1_spark.functions.vector import as_double, dot
-    from bigdatacw1_spark.operators.relational import fan_out
     from bigdatacw1_spark.operators.similarity import build_pq_index
 
     emb = _tiny_embeddings(spark)
     m, nbits, seed = 4, 2, 7
     codes, cbs = build_pq_index(emb, m=m, nbits=nbits, seed=seed)
+    codes2, cbs2 = build_pq_index(emb, m=m, nbits=nbits, seed=seed)
+    assert cbs == cbs2
+    assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, codes2.collect()))
 
-    # sequential reference (the pre-round-13 loop)
+    # sequential reference over the same fixed training layout
     v = as_double(F.col("embedding"))
     norm_ = F.sqrt(dot(v, v))
     unit = F.transform(v, lambda x: x / norm_)
-    df = fan_out(emb.select("vec_id", "embedding")).withColumn("__u", unit)
+    df = (
+        emb.select("vec_id", "embedding")
+        .repartition(8, F.xxhash64(F.col("vec_id")))
+        .withColumn("__u", unit)
+    )
     sub = 8 // m
     for j in range(m):
         df = df.withColumn(f"__s{j}", array_to_vector(F.slice(F.col("__u"), j * sub + 1, sub)))
