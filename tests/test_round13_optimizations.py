@@ -314,3 +314,40 @@ def test_fan_out_round_robin_opt_out(spark):
     assert sum(hp) == sum(rp) == 64
     assert max(hp) == 64            # hash collocates the identical rows
     assert max(rp) < 64             # round-robin actually spreads them
+
+
+def test_fan_out_consumers_scan_only_needed_columns(spark):
+    """r12 verdict item 5: the fan_out hash spread key hashes every
+    column it is given, so an unprojected input widens ReadSchema at
+    the scan. Audit: every fan_out-consuming entry's scans read only
+    the columns the query touches (documents is 5 wide, embeddings 3 —
+    the caps below are the needed-column counts)."""
+    import re
+
+    from bigdatacw1_spark.queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    cases = {
+        "ext_neardup_lsh_verified": 2,   # doc_id, text
+        "ext_repetition_signals": 2,
+        "ext_crossdoc_ngram_overlap": 2,
+        "ext_minhash_lsh_pairs": 2,
+        "ext_simhash": 2,
+        "ext_jaccard_pairs": 3,          # doc_id, source, text
+        "ext_cosine_topk": 2,            # vec_id, embedding
+        "ext_embed_neardup_lsh": 2,
+        "ext_knn_graph": 2,
+        "tpch_q1_pricing_summary": 7,
+    }
+    for name, max_cols in cases.items():
+        df = REGISTRY[name].fn(spark, SF)
+        # formatted explain: the simple toString truncates long FileScan
+        # lines, cutting ReadSchema mid-struct.
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, name
+        for s in schemas:
+            ncols = len([c for c in s.split(",") if ":" in c])
+            assert ncols <= max_cols, (name, s)
