@@ -335,7 +335,10 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
                 }
             )
 
-    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+    # §4.1: ship only the columns the function reads — the new
+    # media_meta is CONSTRUCTED inside the batch fn, so the input
+    # struct would cross the Arrow boundary for nothing.
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -397,7 +400,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_payload": frames}
             )
 
-    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)  # §4.1 projection
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -420,7 +423,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)  # §4.1 projection
 
 
 SNIFF_SCHEMA = T.StructType(
